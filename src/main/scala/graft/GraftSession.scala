@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Defaults are tuned for the harness environment (single JVM,
+  * `local[32]`, 128 GiB) but every knob here is what we would set on a
+  * real multi-executor cluster too: AQE on (runtime re-plan, skew-join
+  * splitting, dynamic coalescing of shuffle partitions), shuffle
+  * partitions sized to the parallelism actually available instead of
+  * the 200 default, and UTC session time so results are reproducible
+  * against any oracle.
+  */
+object GraftSession {
+
+  /** Build (or reuse) a local session. `cpus` controls both the
+    * scheduler slots and the shuffle partition count — at 100 TB scale
+    * the same code runs with `spark.sql.shuffle.partitions` sized to
+    * cluster cores; AQE coalesces small post-shuffle partitions either
+    * way.
+    */
+  def local(cpus: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

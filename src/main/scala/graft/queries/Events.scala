@@ -1,0 +1,269 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-stream analytics over the `events` table (FIXTURES.md §B1) —
+  * the batch expressions of the streaming surface in SURVEY.md §2.3:
+  * JSON payload extraction (the reference's `dyn Any` analog, SURVEY
+  * §1.2), tumbling/sliding/session event-time windows, as-of join,
+  * keep-first dedup, funnel sequencing.
+  *
+  * The same logic runs incrementally under Structured Streaming (see
+  * graft.streaming); these batch forms are what the DuckDB oracle can
+  * check. Windowing uses `window()`/`session_window`-equivalent
+  * expressions that stay inside whole-stage codegen.
+  *
+  * The fizzbuzz classifier is the engine port of the reference's
+  * canonical example (/root/reference/tests/fizz_buzz_sink.rs:97-137 —
+  * class(n) from (n%5, n%3)).
+  */
+object Events extends QueryPack {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+  private def sqlDsum(col: String): String =
+    s"CAST(SUM(CAST($col AS DECIMAL(18,2))) AS DOUBLE)"
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- reference fizzbuzz classification (U1), grouped ----------------
+    "e00_fizzbuzz_classify" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir).events
+        .withColumn("class",
+          when($"event_id" % 15 === 0, "FIZZBUZZ")
+            .when($"event_id" % 3 === 0, "FIZZ")
+            .when($"event_id" % 5 === 0, "BUZZ")
+            .otherwise("NUMBER"))
+        .groupBy($"class")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+        .orderBy($"class")
+    }),
+
+    // -- JSON payload extraction (dyn Any analog) -----------------------
+    "e01_json_extract" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir).events
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+          (sum(dec($"value")).cast("double") / count(lit(1))).as("avg_value"))
+        .orderBy($"event_type")
+    }),
+
+    // -- tumbling event-time window -------------------------------------
+    "e02_tumbling_window" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir).events
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+        .select($"window.start".as("ws"), $"event_type", $"n", $"total_value")
+        .orderBy($"ws", $"event_type")
+    }),
+
+    // -- sliding event-time window (1 h window, 15 min slide) -----------
+    "e03_sliding_window" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir).events
+        .groupBy(window($"ts", "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+        .select($"window.start".as("ws"), $"n", $"total_value")
+        .orderBy($"ws")
+    }),
+
+    // -- session windows (30 min gap), batch sessionization -------------
+    "e04_session_window" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir).events
+        .withColumn("prev_ts", lag($"ts", 1).over(w))
+        .withColumn("new_sess",
+          when($"prev_ts".isNull ||
+            unix_micros($"ts") - unix_micros($"prev_ts") > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("sess_id", sum($"new_sess").over(run))
+        .groupBy($"user_id", $"sess_id")
+        .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
+          count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
+        .select($"user_id", $"session_start", $"session_end", $"n_events",
+          $"total_value")
+        .orderBy($"user_id", $"session_start")
+    }),
+
+    // -- as-of join: each purchase matched to latest prior click --------
+    // Scalable union+window form: one shuffle on user_id, no range
+    // cross-product (the classic as-of pattern; DuckDB's ASOF JOIN is
+    // the oracle).
+    "e05_asof_click" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val ev = Tables(s, dir).events
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", lit(0).as("kind"),
+          $"ts".as("click_ts"), $"event_id".as("click_id"),
+          lit(null).cast("long").as("event_id"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", lit(1).as("kind"),
+          lit(null).cast("timestamp").as("click_ts"),
+          lit(null).cast("long").as("click_id"), $"event_id")
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("last_click_ts", last($"click_ts", true).over(w))
+        .withColumn("last_click_id", last($"click_id", true).over(w))
+        .filter($"kind" === 1 && $"last_click_ts".isNotNull)
+        .select($"event_id", $"user_id", $"ts", $"last_click_id",
+          $"last_click_ts")
+        .orderBy($"event_id")
+    }),
+
+    // -- keep-first dedup by business key (deterministic) ---------------
+    "e06_dedup_first" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts", $"event_id")
+      Tables(s, dir).events
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_type", $"event_id".as("first_event_id"),
+          $"ts".as("first_ts"), $"value".as("first_value"))
+        .orderBy($"user_id", $"event_type")
+    }),
+
+    // -- funnel: signup -> purchase within 7 days -----------------------
+    "e07_funnel" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val ev = Tables(s, dir).events
+      val signups = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"ts").as("signup_ts"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user_id"), $"ts".as("p_ts"))
+      val firstPurchase = purchases
+        .join(signups, $"p_user_id" === $"user_id" && $"p_ts" >= $"signup_ts")
+        .groupBy($"p_user_id").agg(min($"p_ts").as("first_purchase_ts"))
+      signups
+        .join(firstPurchase, $"user_id" === $"p_user_id", "left")
+        .select($"user_id", $"signup_ts", $"first_purchase_ts",
+          when($"first_purchase_ts".isNotNull &&
+            unix_micros($"first_purchase_ts") - unix_micros($"signup_ts")
+              <= 604800000000L, 1).otherwise(0).cast("int").as("converted_7d"))
+        .orderBy($"user_id")
+    }),
+
+    // -- top-k by exact aggregate ---------------------------------------
+    "e08_top_spenders" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir).events
+        .filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_purchases"), dsum($"value").as("total_spent"))
+        .orderBy($"total_spent".desc, $"user_id")
+        .limit(10)
+    }),
+
+    // -- daily activity (date_trunc + distinct count) -------------------
+    "e09_daily_activity" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir).events
+        .groupBy(date_trunc("day", $"ts").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct($"user_id").as("n_users"),
+          dsum($"value").as("total_value"))
+        .orderBy($"day")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "e00_fizzbuzz_classify" ->
+      s"""SELECT CASE WHEN event_id % 15 = 0 THEN 'FIZZBUZZ'
+         |            WHEN event_id % 3 = 0 THEN 'FIZZ'
+         |            WHEN event_id % 5 = 0 THEN 'BUZZ'
+         |            ELSE 'NUMBER' END AS class,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${sqlDsum("value")} AS total_value
+         |FROM events GROUP BY 1 ORDER BY class""".stripMargin,
+
+    "e01_json_extract" ->
+      """SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e02_tumbling_window" ->
+      s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${sqlDsum("value")} AS total_value
+         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    "e03_sliding_window" ->
+      s"""SELECT time_bucket(INTERVAL '15 minutes', ts) - j * INTERVAL '15 minutes' AS ws,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${sqlDsum("value")} AS total_value
+         |FROM events, LATERAL (SELECT unnest(generate_series(0, 3)) AS j) _
+         |GROUP BY 1 ORDER BY ws""".stripMargin,
+
+    "e04_session_window" ->
+      s"""WITH x AS (
+         |  SELECT user_id, ts, value, event_id,
+         |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |y AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL
+         |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+         |  FROM x),
+         |z AS (
+         |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+         |  FROM y)
+         |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  ${sqlDsum("value")} AS total_value
+         |FROM z GROUP BY user_id, sess_id
+         |ORDER BY user_id, session_start""".stripMargin,
+
+    "e05_asof_click" ->
+      """SELECT p.event_id, p.user_id, p.ts,
+        |  c.event_id AS last_click_id, c.ts AS last_click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "e06_dedup_first" ->
+      """SELECT user_id, event_type, event_id AS first_event_id,
+        |  ts AS first_ts, value AS first_value
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts, event_id) AS rn FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "e07_funnel" ->
+      """WITH s AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
+        |           WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS first_purchase_ts
+        |      FROM events e JOIN s ON e.user_id = s.user_id AND e.ts >= s.signup_ts
+        |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT s.user_id, s.signup_ts, p.first_purchase_ts,
+        |  CAST(CASE WHEN p.first_purchase_ts IS NOT NULL
+        |    AND epoch_us(p.first_purchase_ts) - epoch_us(s.signup_ts) <= 604800000000
+        |    THEN 1 ELSE 0 END AS INTEGER) AS converted_7d
+        |FROM s LEFT JOIN p ON s.user_id = p.user_id
+        |ORDER BY s.user_id""".stripMargin,
+
+    "e08_top_spenders" ->
+      s"""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+         |  ${sqlDsum("value")} AS total_spent
+         |FROM events WHERE event_type = 'purchase'
+         |GROUP BY user_id ORDER BY total_spent DESC, user_id LIMIT 10""".stripMargin,
+
+    "e09_daily_activity" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  ${sqlDsum("value")} AS total_value
+         |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+  )
+}
