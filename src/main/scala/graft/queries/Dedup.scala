@@ -1,0 +1,328 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings` (FIXTURES.md
+  * §B3) — the training-data-pipeline dedup family: exact (hash
+  * groupBy), n-gram Jaccard, MinHash signatures + LSH banding,
+  * SimHash, and embedding-cosine near-dup.
+  *
+  * All sketch math uses [[PortableHash]] (56-bit md5 prefix) and pure
+  * 64-bit integer arithmetic so the DuckDB oracle reproduces results
+  * bit-for-bit; similarity ratios are integer per-mille, and the
+  * cosine threshold is evaluated as the integer inequality
+  * `4·dot² ≥ |a|²·|b|²` (⇔ cos ≥ 0.5) over `floor(x·1000)`-quantized
+  * vectors — no float ever crosses an engine boundary.
+  *
+  * Scale notes (100 TB): no O(n²) pass exists anywhere —
+  *   - exact dedup is one hash aggregate;
+  *   - Jaccard candidates come from an inverted shingle index
+  *     (explode → self-join on 56-bit shingle hash → count), so cost is
+  *     Σ k² over shingle frequency k, not n²;
+  *   - MinHash+LSH reduces that further: only band-collision pairs are
+  *     verified (the classic signature→band→bucket-join pipeline);
+  *   - SimHash is two hash aggregates (doc×bit), pairs via prefix
+  *     buckets;
+  *   - embedding near-dup blocks on a sign-bit bucket before any
+  *     pairwise dot products.
+  * Every stage is a shuffle on a key Spark hash-partitions; map-side
+  * combine applies to all the min/sum aggregates.
+  */
+object Dedup extends QueryPack {
+  import PortableHash._
+
+  private val K = 16 // MinHash permutations
+  private val Bands = 4 // LSH bands (4 rows each)
+  private val perms = permCoeffs(K)
+
+  /** doc_id + distinct 3-shingle 56-bit hashes, lower-cased and
+    * whitespace-normalized (shared front end of d02/d04).
+    */
+  private def shingleHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).documents
+      .withColumn("norm", regexp_replace(lower($"text"), "\\s+", " "))
+      .withColumn("toks", split($"norm", " "))
+      .select($"doc_id",
+        explode(array_distinct(shingleExpr("toks", 3))).as("sh"))
+      .select($"doc_id", sparkHash56($"sh").as("h"))
+  }
+
+  /** DuckDB mirror of [[shingleHashes]] as CTEs ending in
+    * `sh(doc_id, h)` and per-doc counts `ns(doc_id, n)`.
+    */
+  private val duckShingleCte: String =
+    s"""toks AS (
+       |  SELECT doc_id,
+       |    string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, ${duckHash56("s")} AS h FROM (
+       |    SELECT doc_id, unnest(list_distinct(
+       |      list_transform(generate_series(1, len(t) - 2),
+       |        i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
+       |    FROM toks)),
+       |ns AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+       |       FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** Per-doc MinHash signature (K conditional-min columns s0..s15). */
+  private def minhashSignature(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val permDf = s.createDataFrame(
+      perms.zipWithIndex.map { case ((a, b), j) => (j, a, b) })
+      .toDF("j", "a", "b")
+    val sigs = shingleHashes(s, dir)
+      .withColumn("h31", $"h" % MersenneP)
+      .crossJoin(broadcast(permDf))
+      .groupBy($"doc_id", $"j")
+      .agg(min(($"a" * $"h31" + $"b") % MersenneP).as("sig"))
+    val cols = (0 until K).map(j => min(when($"j" === j, $"sig")).as(s"s$j"))
+    sigs.groupBy($"doc_id").agg(cols.head, cols.tail: _*)
+  }
+
+  /** DuckDB mirror of [[minhashSignature]]: CTE `wide(doc_id, s0..)`. */
+  private val duckSignatureCte: String = {
+    val permValues = perms.zipWithIndex
+      .map { case ((a, b), j) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }
+      .mkString(", ")
+    val condMins = (0 until K)
+      .map(j => s"MIN(CASE WHEN j = $j THEN sig END) AS s$j").mkString(", ")
+    s"""$duckShingleCte,
+       |perms(j, a, b) AS (VALUES $permValues),
+       |sigs AS (
+       |  SELECT doc_id, j, MIN((a * (h % ${MersenneP}) + b) % ${MersenneP}) AS sig
+       |  FROM sh CROSS JOIN perms GROUP BY doc_id, j),
+       |wide AS (SELECT doc_id, $condMins FROM sigs GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Band-hash columns b0..b3 from signature columns s0..s15. */
+  private def bandCols: Seq[(String, Seq[String])] =
+    (0 until Bands).map(b =>
+      s"b$b" -> (0 until K / Bands).map(r => s"s${b * (K / Bands) + r}"))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- exact dedup: one hash aggregate, per-source stats --------------
+    "d01_exact_dedup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir).documents
+        .withColumn("content_hash",
+          sparkHash56(regexp_replace(lower($"text"), "\\s+", " ")))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"content_hash").as("n_distinct"),
+          (count(lit(1)) - countDistinct($"content_hash")).as("n_dups_removed"))
+        .orderBy($"source")
+    }),
+
+    // -- n-gram Jaccard near-dup via inverted shingle index -------------
+    "d02_ngram_jaccard" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val sh = shingleHashes(s, dir)
+      val ns = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.select($"doc_id".as("d1"), $"h")
+        .join(sh.select($"doc_id".as("d2"), $"h"), Seq("h"))
+        .filter($"d1" < $"d2")
+        .groupBy($"d1", $"d2").agg(count(lit(1)).as("inter"))
+        .filter($"inter" >= 10)
+      inter
+        .join(ns.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
+        .join(ns.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
+        .select($"d1", $"d2", $"inter",
+          ($"n1" + $"n2" - $"inter").as("un"),
+          expr("inter * 1000 div (n1 + n2 - inter)").as("jaccard_pm"))
+        .filter($"jaccard_pm" >= 100)
+        .orderBy($"d1", $"d2")
+    }),
+
+    // -- MinHash signatures + LSH band hashes per doc -------------------
+    "d03_minhash_bands" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val bands = bandCols.map { case (name, sigCols) =>
+        sparkHash56(concat_ws(",", sigCols.map(col): _*)).as(name)
+      }
+      minhashSignature(s, dir)
+        .select(col("doc_id") +: col("s0") +: col("s1") +: bands: _*)
+        .orderBy($"doc_id")
+    }),
+
+    // -- LSH candidate pairs (any band collides), Jaccard-verified ------
+    "d04_lsh_pairs" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val wide = minhashSignature(s, dir)
+      val banded = bandCols.zipWithIndex.map { case ((_, sigCols), bi) =>
+        wide.select($"doc_id", lit(bi).as("band"),
+          sparkHash56(concat_ws(",", sigCols.map(col): _*)).as("bh"))
+      }.reduce(_ unionByName _)
+      val cand = banded.select($"doc_id".as("d1"), $"band", $"bh")
+        .join(banded.select($"doc_id".as("d2"), $"band", $"bh"),
+          Seq("band", "bh"))
+        .filter($"d1" < $"d2")
+        .groupBy($"d1", $"d2").agg(count(lit(1)).as("n_bands"))
+      val sh = shingleHashes(s, dir)
+      val ns = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.select($"doc_id".as("d1"), $"h")
+        .join(sh.select($"doc_id".as("d2"), $"h"), Seq("h"))
+        .filter($"d1" < $"d2")
+        .groupBy($"d1", $"d2").agg(count(lit(1)).as("inter"))
+      cand
+        .join(inter, Seq("d1", "d2"), "left")
+        .join(ns.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
+        .join(ns.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
+        .withColumn("inter", coalesce($"inter", lit(0L)))
+        .select($"d1", $"d2", $"n_bands", $"inter",
+          expr("inter * 1000 div (n1 + n2 - inter)").as("jaccard_pm"))
+        .orderBy($"d1", $"d2")
+    }),
+
+    // -- SimHash: 32-bit weighted-bit fingerprint per doc ---------------
+    "d05_simhash" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val tok = Tables(s, dir).documents
+        .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("w"))
+        .select($"doc_id", sparkHash56($"w").as("h"))
+      val bitSums = tok
+        .select($"doc_id", $"h", explode(expr("sequence(0, 31)")).as("bit"))
+        .groupBy($"doc_id", $"bit")
+        .agg(sum(when(expr("shiftright(h, bit) & 1") === 1, 1).otherwise(-1))
+          .as("bs"))
+      bitSums.groupBy($"doc_id")
+        .agg(sum(when($"bs" > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+          .otherwise(0L)).as("simhash"))
+        .select($"doc_id", $"simhash",
+          expr("shiftright(simhash, 24)").as("bucket"))
+        .orderBy($"doc_id")
+    }),
+
+    // -- embedding near-dup: sign-bucket blocking + exact-int cosine ----
+    // cos(a,b) ≥ 0.5  ⇔  dot > 0 ∧ 4·dot² ≥ |a|²·|b|²  (integer-exact
+    // over floor(x·1000) quantization; no float comparisons).
+    "d06_embedding_neardup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val q = Tables(s, dir).embeddings
+        .withColumn("eq",
+          expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+        .withColumn("nrm",
+          expr("aggregate(zip_with(eq, eq, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("bucket", expr(
+          "CAST(embedding[0] > 0 AS INT) + 2 * CAST(embedding[1] > 0 AS INT) + " +
+          "4 * CAST(embedding[2] > 0 AS INT) + 8 * CAST(embedding[3] > 0 AS INT)"))
+        .select($"vec_id", $"eq", $"nrm", $"bucket")
+      q.select($"vec_id".as("v1"), $"eq".as("e1"), $"nrm".as("n1"), $"bucket")
+        .join(q.select($"vec_id".as("v2"), $"eq".as("e2"), $"nrm".as("n2"),
+          $"bucket"), Seq("bucket"))
+        .filter($"v1" < $"v2")
+        .withColumn("dot",
+          expr("aggregate(zip_with(e1, e2, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .filter($"dot" > 0 && $"dot" * $"dot" * 4 >= $"n1" * $"n2")
+        .select($"v1", $"v2", $"dot",
+          expr("dot * 1000000 div n1").as("rel_n1_ppm"))
+        .orderBy($"v1", $"v2")
+    })
+  )
+
+  override def oracles: Map[String, String] = {
+    val bandSelects = bandCols.map { case (name, sigCols) =>
+      duckHash56("concat_ws(',', " +
+        sigCols.map(c => s"CAST($c AS VARCHAR)").mkString(", ") + ")") +
+        s" AS $name"
+    }
+    Map(
+      "d01_exact_dedup" ->
+        s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(COUNT(DISTINCT ch) AS BIGINT) AS n_distinct,
+           |  CAST(COUNT(*) - COUNT(DISTINCT ch) AS BIGINT) AS n_dups_removed
+           |FROM (SELECT source,
+           |  ${duckHash56("regexp_replace(lower(text), '\\s+', ' ', 'g')")} AS ch
+           |  FROM documents)
+           |GROUP BY source ORDER BY source""".stripMargin,
+
+      "d02_ngram_jaccard" ->
+        s"""WITH $duckShingleCte,
+           |inter AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2 HAVING COUNT(*) >= 10)
+           |SELECT d1, d2, inter,
+           |  n1.n + n2.n - inter AS un,
+           |  inter * 1000 // (n1.n + n2.n - inter) AS jaccard_pm
+           |FROM inter JOIN ns n1 ON d1 = n1.doc_id JOIN ns n2 ON d2 = n2.doc_id
+           |WHERE inter * 1000 // (n1.n + n2.n - inter) >= 100
+           |ORDER BY d1, d2""".stripMargin,
+
+      "d03_minhash_bands" ->
+        s"""WITH $duckSignatureCte
+           |SELECT doc_id, s0, s1, ${bandSelects.mkString(", ")}
+           |FROM wide ORDER BY doc_id""".stripMargin,
+
+      "d04_lsh_pairs" ->
+        s"""WITH $duckSignatureCte,
+           |banded AS (
+           |  ${bandCols.zipWithIndex.map { case ((_, sigCols), bi) =>
+                s"SELECT doc_id, $bi AS band, " +
+                  duckHash56("concat_ws(',', " +
+                    sigCols.map(c => s"CAST($c AS VARCHAR)").mkString(", ") + ")") +
+                  " AS bh FROM wide"
+              }.mkString("\n  UNION ALL\n  ")}),
+           |cand AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS n_bands
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |inter AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT c.d1, c.d2, c.n_bands,
+           |  COALESCE(i.inter, 0) AS inter,
+           |  COALESCE(i.inter, 0) * 1000 //
+           |    (n1.n + n2.n - COALESCE(i.inter, 0)) AS jaccard_pm
+           |FROM cand c
+           |LEFT JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
+           |JOIN ns n1 ON c.d1 = n1.doc_id JOIN ns n2 ON c.d2 = n2.doc_id
+           |ORDER BY c.d1, c.d2""".stripMargin,
+
+      "d05_simhash" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, ${duckHash56("w")} AS h FROM (
+           |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+           |    FROM documents)),
+           |bs AS (
+           |  SELECT doc_id, bit,
+           |    SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS bs
+           |  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit)
+           |  GROUP BY doc_id, bit),
+           |sh AS (
+           |  SELECT doc_id,
+           |    SUM(CASE WHEN bs > 0 THEN 1::BIGINT << bit ELSE 0 END) AS simhash
+           |  FROM bs GROUP BY doc_id)
+           |SELECT doc_id, simhash, simhash >> 24 AS bucket
+           |FROM sh ORDER BY doc_id""".stripMargin,
+
+      "d06_embedding_neardup" ->
+        """WITH q AS (
+          |  SELECT vec_id,
+          |    list_transform(embedding,
+          |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS eq,
+          |    CAST(embedding[1] > 0 AS INT) + 2 * CAST(embedding[2] > 0 AS INT)
+          |      + 4 * CAST(embedding[3] > 0 AS INT)
+          |      + 8 * CAST(embedding[4] > 0 AS INT) AS bucket
+          |  FROM embeddings),
+          |qn AS (
+          |  SELECT vec_id, eq, bucket,
+          |    list_sum(list_transform(generate_series(1, len(eq)),
+          |      i -> eq[i] * eq[i])) AS nrm
+          |  FROM q),
+          |p AS (
+          |  SELECT a.vec_id AS v1, b.vec_id AS v2, a.nrm AS n1, b.nrm AS n2,
+          |    list_sum(list_transform(generate_series(1, len(a.eq)),
+          |      i -> a.eq[i] * b.eq[i])) AS dot
+          |  FROM qn a JOIN qn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+          |SELECT v1, v2, CAST(dot AS BIGINT) AS dot,
+          |  CAST(dot * 1000000 // n1 AS BIGINT) AS rel_n1_ppm
+          |FROM p WHERE dot > 0 AND dot * dot * 4 >= n1 * n2
+          |ORDER BY v1, v2""".stripMargin
+    )
+  }
+}

@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (FIXTURES.md §B3):
+  * brute-force top-k as the exact baseline, and a sign-bit LSH-bucketed
+  * variant as the scale path (prune before any dot product).
+  *
+  * Scores are *integer* inner products over `floor(x·1000)`-quantized
+  * vectors (MIPS ranking): exact, order-independent, and identical in
+  * Spark and DuckDB — float summation order can never flip a rank
+  * across engines. Ties break by neighbor id.
+  *
+  * Scale notes (100 TB): the query set (vec_id < 100) is broadcast
+  * against the corpus scan, so brute force is one pass over the corpus
+  * with per-partition top-k (window row_number after a shuffle on
+  * query_id — k rows per query survive). The LSH variant joins on the
+  * 16-bit sign bucket first, cutting candidates ~2^16× at scale; at
+  * production scale the same shape becomes bucket-bucketed storage
+  * (write-time partitionBy(bucket)) so the probe is a partition-pruned
+  * scan. For recall, production would probe multi-bit-flip neighbor
+  * buckets — structure identical, bucket list per query grows.
+  */
+object Similarity extends QueryPack {
+
+  private val quantExpr =
+    "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+  private val dotExpr =
+    "aggregate(zip_with(qe, ce, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+
+  /** 8-bit sign bucket: bit i = sign(embedding[i]) (Spark 0-based).
+    * Bucket width is the recall/speed dial: 8 bits ≈ 256 buckets keeps
+    * a few candidates per bucket at sf0.01; at 100 TB the same shape
+    * uses more bits plus multi-probe of bit-flip neighbor buckets.
+    */
+  private val bucketExpr: String =
+    (0 until 8).map(i => s"CAST(embedding[$i] > 0 AS BIGINT) * ${1L << i}")
+      .mkString(" + ")
+
+  /** Same bucket in DuckDB (1-based lists). */
+  private val duckBucketExpr: String =
+    (0 until 8).map(i => s"CAST(embedding[${i + 1}] > 0 AS BIGINT) * ${1L << i}")
+      .mkString(" + ")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- brute-force exact top-5 by integer inner product ---------------
+    "s01_topk_bruteforce" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val emb = Tables(s, dir).embeddings
+        .select($"vec_id", expr(quantExpr).as("eq"))
+      val queries = emb.filter($"vec_id" < 100)
+        .select($"vec_id".as("query_id"), $"eq".as("qe"))
+      val corpus = emb.select($"vec_id".as("neighbor_id"), $"eq".as("ce"))
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"dot".desc, $"neighbor_id")
+      broadcast(queries).join(corpus, $"query_id" =!= $"neighbor_id")
+        .withColumn("dot", expr(dotExpr))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"neighbor_id", $"rank", $"dot")
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // -- LSH-bucketed ANN: same-sign-bucket candidates only -------------
+    "s02_topk_lsh" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val emb = Tables(s, dir).embeddings
+        .select($"vec_id", expr(quantExpr).as("eq"),
+          expr(bucketExpr).as("bucket"))
+      val queries = emb.filter($"vec_id" < 100)
+        .select($"vec_id".as("query_id"), $"eq".as("qe"), $"bucket")
+      val corpus = emb
+        .select($"vec_id".as("neighbor_id"), $"eq".as("ce"), $"bucket")
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"dot".desc, $"neighbor_id")
+      broadcast(queries)
+        .join(corpus, Seq("bucket"))
+        .filter($"query_id" =!= $"neighbor_id")
+        .withColumn("dot", expr(dotExpr))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"query_id", $"neighbor_id", $"rank", $"dot")
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // -- per-label centroid distance: vector agg + argmin ---------------
+    // Quantized per-dimension mean (integer division by count) keeps
+    // centroids portable; assignment = argmin of exact integer distance.
+    "s03_centroid_assign" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val emb = Tables(s, dir).embeddings
+        .select($"vec_id", $"label", expr(quantExpr).as("eq"))
+      val byDim = emb.select($"vec_id", $"label",
+        posexplode($"eq").as(Seq("dim", "v")))
+      // floor(double division) is portable (identical IEEE op in both
+      // engines); plain int div would truncate toward zero on negatives
+      // where DuckDB/Spark could disagree.
+      val cent = byDim.groupBy($"label".as("c_label"), $"dim")
+        .agg(floor(sum($"v").cast("double") / count(lit(1))).cast("long")
+          .as("cv"))
+      val dist = byDim
+        .join(cent, Seq("dim"))
+        .groupBy($"vec_id", $"label", $"c_label")
+        .agg(sum(($"v" - $"cv") * ($"v" - $"cv")).as("dist2"))
+      val w = Window.partitionBy($"vec_id").orderBy($"dist2", $"c_label")
+      dist.withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .select($"vec_id", $"label".as("actual_label"),
+          $"c_label".as("nearest_label"), $"dist2",
+          when($"label" === $"c_label", 1).otherwise(0).cast("int").as("match"))
+        .orderBy($"vec_id")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "s01_topk_bruteforce" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS eq
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(q.eq)),
+        |      i -> q.eq[i] * c.eq[i])) AS BIGINT) AS dot
+        |  FROM e q JOIN e c ON q.vec_id < 100 AND q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, rank, dot FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY dot DESC, neighbor_id) AS INTEGER) AS rank FROM p) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "s02_topk_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS eq,
+         |    $duckBucketExpr AS bucket
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(list_sum(list_transform(generate_series(1, len(q.eq)),
+         |      i -> q.eq[i] * c.eq[i])) AS BIGINT) AS dot
+         |  FROM e q JOIN e c ON q.bucket = c.bucket
+         |    AND q.vec_id < 100 AND q.vec_id <> c.vec_id)
+         |SELECT query_id, neighbor_id, rank, dot FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY dot DESC, neighbor_id) AS INTEGER) AS rank FROM p) t
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "s03_centroid_assign" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS eq
+        |  FROM embeddings),
+        |bd AS (
+        |  SELECT vec_id, label, i - 1 AS dim, eq[i] AS v
+        |  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)),
+        |cent AS (
+        |  SELECT label AS c_label, dim,
+        |    CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+        |  FROM bd GROUP BY label, dim),
+        |dist AS (
+        |  SELECT bd.vec_id, bd.label, cent.c_label,
+        |    CAST(SUM((bd.v - cent.cv) * (bd.v - cent.cv)) AS BIGINT) AS dist2
+        |  FROM bd JOIN cent ON bd.dim = cent.dim
+        |  GROUP BY bd.vec_id, bd.label, cent.c_label)
+        |SELECT vec_id, label AS actual_label, c_label AS nearest_label, dist2,
+        |  CAST(CASE WHEN label = c_label THEN 1 ELSE 0 END AS INTEGER) AS match
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |        ORDER BY dist2, c_label) AS rk FROM dist) t
+        |WHERE rk = 1 ORDER BY vec_id""".stripMargin
+  )
+}

@@ -1,0 +1,244 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (FIXTURES.md §B3)
+  * — the training-data-pipeline surface: token counting, word
+  * frequency, language identification, quality scoring, document
+  * fingerprinting, tf-idf term ranking.
+  *
+  * Determinism across engines (DuckDB oracle hash-compare):
+  *   - tokenization is a shared regex split on `\s+`;
+  *   - every hash is the *portable 56-bit md5 prefix*
+  *     ([[PortableHash]]): identical integer results in Spark
+  *     (`conv(substr(md5(x),1,14),16,10)`) and DuckDB
+  *     (`('0x'||substr(md5(x),1,14))::BIGINT`);
+  *   - scores that would be floats are computed in integer arithmetic
+  *     (per-mille ratios via integer division) so no float rounding can
+  *     diverge.
+  *
+  * Scale notes (100 TB): every query is explode → hash-partitioned
+  * aggregate; no driver-side loops, no cross joins. Word frequency and
+  * doc-frequency aggregates combine map-side. Language scoring joins an
+  * exploded token table against a tiny per-language profile — a
+  * broadcast join at any scale.
+  */
+object TextAnalysis extends QueryPack {
+  import PortableHash._
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- token / char counting per document -----------------------------
+    "t01_token_stats" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir).documents
+        .withColumn("toks", split($"text", "\\s+"))
+        .select($"doc_id", $"lang", $"source",
+          size($"toks").cast("long").as("n_tokens"),
+          size(array_distinct($"toks")).cast("long").as("n_distinct_tokens"),
+          length($"text").cast("long").as("n_chars_actual"),
+          // integer per-token char average in per-mille (`div` = exact
+          // integer division, mirrors DuckDB's `//`)
+          expr("CAST(length(regexp_replace(text, '\\\\s+', '')) * 1000 " +
+            "div size(split(text, '\\\\s+')) AS BIGINT)")
+            .as("avg_token_len_pm"))
+        .orderBy($"doc_id")
+    }),
+
+    // -- corpus word frequency: top 20 ----------------------------------
+    "t02_word_freq" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir).documents
+        .select(explode(split($"text", "\\s+")).as("word"))
+        .groupBy($"word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"word")
+        .limit(20)
+    }),
+
+    // -- language ID: score each doc against per-language token profiles
+    // Profile = top-10 most frequent tokens per labelled language
+    // (self-trained n-gram/stopword heuristic); a doc's predicted lang =
+    // argmax of matching-token count, ties broken by lang asc. The
+    // profile is tiny (5 langs × 10 tokens) → broadcast join.
+    "t03_language_id" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val tokens = docs.select($"doc_id", $"lang",
+        explode(split($"text", "\\s+")).as("word"))
+      val wProf = Window.partitionBy($"lang").orderBy($"cnt".desc, $"word")
+      val profile = tokens
+        .groupBy($"lang", $"word").agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(wProf))
+        .filter($"rk" <= 10)
+        .select($"lang".as("p_lang"), $"word", $"rk")
+      val wBest = Window.partitionBy($"doc_id")
+        .orderBy($"hits".desc, $"p_lang")
+      tokens.select($"doc_id", $"word")
+        .join(broadcast(profile), Seq("word"))
+        .groupBy($"doc_id", $"p_lang")
+        .agg(count(lit(1)).as("hits"))
+        .withColumn("rk", row_number().over(wBest))
+        .filter($"rk" === 1)
+        .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+        .select($"doc_id", $"lang".as("actual_lang"),
+          $"p_lang".as("predicted_lang"), $"hits")
+        .orderBy($"doc_id")
+    }),
+
+    // -- quality scoring: integer per-mille ratios ----------------------
+    "t04_quality_score" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val stop = Seq("the", "a", "of", "and", "to")
+      Tables(s, dir).documents
+        .withColumn("toks", split($"text", "\\s+"))
+        .withColumn("n_tokens", size($"toks").cast("long"))
+        .withColumn("stop_hits",
+          size(filter($"toks", t => t.isInCollection(stop))).cast("long"))
+        .withColumn("short_hits",
+          size(filter($"toks", t => length(t) <= 2)).cast("long"))
+        .withColumn("stopword_pm", expr("stop_hits * 1000 div n_tokens"))
+        .select($"doc_id", $"n_tokens", $"stopword_pm",
+          expr("short_hits * 1000 div n_tokens").as("short_token_pm"),
+          expr("length(text) * 1000 div n_tokens").as("chars_per_token_pm"),
+          // quality heuristic: long-enough docs with moderate stopword rate
+          when($"n_tokens" >= 30 && $"stopword_pm".between(20, 400), 1)
+            .otherwise(0).cast("int").as("keep"))
+        .orderBy($"doc_id")
+    }),
+
+    // -- document fingerprint: portable content hash + minimum shingle
+    // hash (rolling-hash-style fingerprint over 3-token shingles).
+    "t05_fingerprint" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir).documents
+        .withColumn("norm", regexp_replace(lower($"text"), "\\s+", " "))
+        .withColumn("toks", split($"norm", " "))
+        .withColumn("shingles", shingleExpr("toks", 3))
+        .select($"doc_id",
+          sparkHash56(col("norm")).as("content_hash"),
+          sparkHash56(concat_ws("|",
+            slice(sort_array(transform($"toks", t => sparkHash56(t))), 1, 5)
+              .cast("array<string>"))).as("sketch_hash"),
+          array_min(transform($"shingles", sh => sparkHash56(sh)))
+            .as("min_shingle_hash"),
+          size($"shingles").cast("long").as("n_shingles"))
+        .orderBy($"doc_id")
+    }),
+
+    // -- tf-idf-style distinctive terms: integer score = tf * 1e6 / df --
+    "t06_tfidf_terms" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val tokens = Tables(s, dir).documents
+        .select($"doc_id", explode(split($"text", "\\s+")).as("word"))
+      val tf = tokens.groupBy($"doc_id", $"word")
+        .agg(count(lit(1)).as("tf"))
+      val df = tokens.select($"doc_id", $"word").distinct()
+        .groupBy($"word").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy($"doc_id")
+        .orderBy($"score".desc, $"word")
+      tf.join(df, Seq("word"))
+        .withColumn("score", expr("tf * 1000000 div df"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"doc_id", $"word", $"tf", $"df", $"score", $"rk")
+        .orderBy($"doc_id", $"rk")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "t01_token_stats" ->
+      """SELECT doc_id, lang, source,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_actual,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) * 1000
+        |    // len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS avg_token_len_pm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t02_word_freq" ->
+      """SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
+        |      FROM documents)
+        |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+
+    "t03_language_id" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, lang, unnest(regexp_split_to_array(text, '\s+')) AS word
+        |  FROM documents),
+        |profile AS (
+        |  SELECT lang AS p_lang, word, rk FROM (
+        |    SELECT lang, word, COUNT(*) AS cnt,
+        |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, word) AS rk
+        |    FROM tokens GROUP BY lang, word) WHERE rk <= 10),
+        |scored AS (
+        |  SELECT t.doc_id, p.p_lang, CAST(COUNT(*) AS BIGINT) AS hits
+        |  FROM tokens t JOIN profile p ON t.word = p.word
+        |  GROUP BY t.doc_id, p.p_lang),
+        |best AS (
+        |  SELECT doc_id, p_lang, hits FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY hits DESC, p_lang) AS rk FROM scored) WHERE rk = 1)
+        |SELECT b.doc_id, d.lang AS actual_lang, b.p_lang AS predicted_lang, b.hits
+        |FROM best b JOIN documents d ON b.doc_id = d.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "t04_quality_score" ->
+      """WITH x AS (
+        |  SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS toks
+        |  FROM documents),
+        |y AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to'))) AS BIGINT) AS stop_hits,
+        |    CAST(len(list_filter(toks, t -> length(t) <= 2)) AS BIGINT) AS short_hits
+        |  FROM x)
+        |SELECT doc_id, n_tokens,
+        |  stop_hits * 1000 // n_tokens AS stopword_pm,
+        |  short_hits * 1000 // n_tokens AS short_token_pm,
+        |  length(text) * 1000 // n_tokens AS chars_per_token_pm,
+        |  CAST(CASE WHEN n_tokens >= 30
+        |    AND stop_hits * 1000 // n_tokens BETWEEN 20 AND 400
+        |    THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM y ORDER BY doc_id""".stripMargin,
+
+    "t05_fingerprint" ->
+      s"""WITH x AS (
+         |  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+         |  FROM documents),
+         |y AS (
+         |  SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM x),
+         |z AS (
+         |  SELECT doc_id, norm, toks,
+         |    list_transform(generate_series(1, len(toks) - 2),
+         |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS shingles
+         |  FROM y)
+         |SELECT doc_id,
+         |  ${duckHash56("norm")} AS content_hash,
+         |  ${duckHash56(
+             "array_to_string(list_transform(" +
+             "list_sort(list_transform(toks, t -> " + duckHash56("t") + "))[1:5]," +
+             " h -> CAST(h AS VARCHAR)), '|')")} AS sketch_hash,
+         |  list_min(list_transform(shingles, sh -> ${duckHash56("sh")})) AS min_shingle_hash,
+         |  CAST(len(shingles) AS BIGINT) AS n_shingles
+         |FROM z ORDER BY doc_id""".stripMargin,
+
+    "t06_tfidf_terms" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM tokens GROUP BY doc_id, word),
+        |df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+        |       FROM (SELECT DISTINCT doc_id, word FROM tokens) GROUP BY word)
+        |SELECT doc_id, word, tf, df, score, rk FROM (
+        |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |    tf.tf * 1000000 // df.df AS score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * 1000000 // df.df DESC, tf.word) AS INTEGER) AS rk
+        |  FROM tf JOIN df ON tf.word = df.word) t
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+  )
+}
