@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.BinaryDecode
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators (SURVEY §2.3 north-star): media as
+  * opaque BINARY columns + typed metadata. The corpus has no real
+  * media, so `documents.text` cast to BINARY stands in for the payload
+  * (ASCII bytes — which makes the byte-level oracle expressible in
+  * DuckDB via `ascii()`); the decode step is the documented stub in
+  * [[graft.operators.BinaryDecode]].
+  *
+  * m01 exercises binary metadata extraction (pure expressions —
+  * codegen'd, pushdown-friendly); m02 exercises the typed
+  * `mapPartitions` decode path (the one place the engine deliberately
+  * leaves whole-stage codegen, as a real codec would); m03 exercises
+  * deterministic frame sampling (posexplode + stride filter).
+  */
+object Multimodal extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- binary metadata: length, content digest, magic bytes -----------
+    "m01_binary_meta" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir).documents
+        .withColumn("payload", $"text".cast("binary"))
+        .select($"doc_id", $"source",
+          length($"payload").cast("long").as("n_bytes"),
+          lower(md5($"payload")).as("digest"),
+          lower(hex(substring($"payload", 1, 4))).as("magic"))
+        .orderBy($"doc_id")
+    }),
+
+    // -- stubbed decode via typed mapPartitions -------------------------
+    "m02_stub_decode" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val binary = Tables(s, dir).documents
+        .select($"doc_id", $"text".cast("binary").as("payload"))
+      BinaryDecode.extractFeatures(s, binary).toDF()
+        .orderBy($"doc_id")
+    }),
+
+    // -- deterministic frame sampling: every 10th token as a "frame" ----
+    "m03_frame_sample" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir).documents
+        .select($"doc_id", posexplode(split($"text", "\\s+"))
+          .as(Seq("pos", "tok")))
+        .filter($"pos" % 10 === 0)
+        .select($"doc_id", ($"pos" / 10).cast("long").as("frame_no"),
+          $"tok".as("frame"),
+          PortableHash.sparkHash56($"tok").as("frame_hash"))
+        .orderBy($"doc_id", $"frame_no")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "m01_binary_meta" ->
+      """SELECT doc_id, source,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  lower(md5(text)) AS digest,
+        |  lower(hex(encode(substring(text, 1, 4)))) AS magic
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m02_stub_decode" ->
+      """WITH b AS (
+        |  SELECT doc_id, list_transform(string_split(text, ''),
+        |    x -> ascii(x)) AS bytes
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(bytes) AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(bytes) AS BIGINT) AS byte_sum,
+        |  CAST(len(list_filter(bytes, v -> v // 32 = 0)) AS BIGINT) AS h0,
+        |  CAST(len(list_filter(bytes, v -> v // 32 = 1)) AS BIGINT) AS h1,
+        |  CAST(len(list_filter(bytes, v -> v // 32 = 2)) AS BIGINT) AS h2,
+        |  CAST(len(list_filter(bytes, v -> v // 32 >= 3)) AS BIGINT) AS h3
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "m03_frame_sample" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST((i - 1) // 10 AS BIGINT) AS frame_no,
+         |  toks[i] AS frame,
+         |  ${PortableHash.duckHash56("toks[i]")} AS frame_hash
+         |FROM t CROSS JOIN LATERAL (
+         |  SELECT unnest(generate_series(1, len(toks))) AS i)
+         |WHERE (i - 1) % 10 = 0
+         |ORDER BY doc_id, frame_no""".stripMargin
+  )
+}
