@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+import scala.collection.mutable
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Registry + barrier for a topology of [[EventHub]]s (SURVEY §7.1).
+  *
+  * The reference's `send_event` future resolves when every subscriber
+  * — and every causal descendant — has finished with the event
+  * (/root/reference/src/event_streams.rs:80-103, src/lib.rs:49-73).
+  * Spark has no per-row acknowledgment, so the engine coarsens the
+  * barrier to micro-batch epochs (SURVEY §7.3): [[awaitQuiescence]]
+  * drives `processAllAvailable()` over every registered query until a
+  * full pass generates no new posts anywhere — a fixpoint, which is
+  * exactly the "no live descendants remain" condition the refcount
+  * probe tested, evaluated per epoch instead of per event.
+  */
+final class EventEngine(val spark: SparkSession) extends AutoCloseable {
+
+  private val hubs = mutable.ArrayBuffer.empty[EventHub[_]]
+  private val queries = mutable.ArrayBuffer.empty[StreamingQuery]
+  /** Total posts across all hubs; the quiescence fixpoint witness. */
+  private[streaming] val postCounter = new AtomicLong(0L)
+
+  def hub[T: TypeTag](name: String): EventHub[T] = synchronized {
+    val h = new EventHub[T](this, name)
+    hubs += h
+    h
+  }
+
+  private[streaming] def register(q: StreamingQuery): Unit = synchronized {
+    queries += q
+  }
+
+  private def activeQueries: Seq[StreamingQuery] = synchronized {
+    queries.filter(_.isActive).toSeq
+  }
+
+  /** Barrier: returns once every event posted so far — and every event
+    * derived from one while draining — has been processed by every
+    * subscriber (the reference's `SentEvent` contract, per-epoch).
+    */
+  def awaitQuiescence(): Unit = {
+    var before = -1L
+    while (before != postCounter.get) {
+      before = postCounter.get
+      activeQueries.foreach(_.processAllAvailable())
+    }
+  }
+
+  /** Stop every running query in the topology (graceful completion:
+    * subscribers drain already-delivered batches first — the
+    * reference's drain-then-`None`, src/event_stream.rs:28-29).
+    */
+  override def close(): Unit = {
+    awaitQuiescence()
+    activeQueries.foreach(_.stop())
+  }
+}

@@ -1,0 +1,169 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+import scala.collection.mutable
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Typed broadcast hub — the Spark-native `EventStreams<EVT>`
+  * (/root/reference/src/event_streams.rs:14-77).
+  *
+  * Embedded mode: each subscriber owns an independent `MemoryStream`
+  * and [[post]] fans the envelope out to every live one — the same
+  * queue-per-subscriber design as the reference
+  * (src/event_streams.rs:129-136), except each "queue" is a replayable
+  * Spark source feeding a full Structured Streaming query, so a
+  * subscriber isn't a cursor but an incremental dataflow: arbitrary
+  * DataFrame/Dataset transforms run between the hub and the sink.
+  *
+  * Contract (SURVEY §1.3), verified by graft/streaming specs:
+  *   1/2. broadcast, exactly-once per subscriber, FIFO by `event_id`;
+  *   3.   no replay — a subscription only sees events posted after it
+  *        (fresh empty stream per subscriber, src/event_streams.rs:66-72);
+  *   4/5. [[sendSync]] = post + engine-wide quiescence barrier
+  *        (per-epoch coarsening of `send_event`);
+  *   6.   causal chaining via `source_id` root lineage (R12);
+  *   7.   graceful completion: `close()` drains, then stops;
+  *   8.   [[clear]] drops not-yet-delivered events (documented
+  *        deviation: boundary is the micro-batch, not the queue slot);
+  *   9.   [[count]] = live subscribers (src/event_streams.rs:27-30).
+  *
+  * At scale the hub abstraction stays, but subscribers attach to a
+  * replayable shared source (Kafka-style / file stream) with
+  * `startingOffsets=latest` instead of per-subscriber memory queues —
+  * the fan-out then costs one broker read per subscriber, not a write
+  * per subscriber, and each subscription is an independently
+  * checkpointed streaming query (SURVEY §1.3 mapping).
+  */
+final class EventHub[T: TypeTag] private[streaming] (
+    val engine: EventEngine,
+    val name: String) {
+
+  private implicit val envelopeEnc: Encoder[Envelope[T]] =
+    Encoders.product[Envelope[T]]
+
+  private val nextId = new AtomicLong(0L)
+  private val subs = mutable.ArrayBuffer.empty[Subscription[T]]
+
+  private def liveSubs: Seq[Subscription[T]] = synchronized {
+    subs.filterNot(_.closed).toSeq
+  }
+
+  /** Live subscriber count (R6). */
+  def count: Int = liveSubs.size
+
+  /** Register a new subscriber. No replay: the stream starts empty and
+    * only receives events posted after this call (R2).
+    */
+  def subscribe(): Subscription[T] = synchronized {
+    val sub = new Subscription[T](this,
+      MemoryStream[Envelope[T]](engine.spark)(envelopeEnc))
+    subs += sub
+    sub
+  }
+
+  /** Fire-and-forget publish (R3). Returns the assigned event id.
+    * `sourceId` carries causal lineage: pass the *root* id of the
+    * event this one was derived from (see [[Envelope.rootId]]).
+    */
+  def post(payload: T, sourceId: Option[Long] = None): Long = {
+    val env = Envelope(nextId.getAndIncrement(), name, payload, sourceId)
+    liveSubs.foreach(_.stream.addData(env))
+    engine.postCounter.incrementAndGet()
+    env.event_id
+  }
+
+  /** Acknowledged publish (R4/R5): returns after every subscriber of
+    * every hub in the engine — including causal descendants spawned by
+    * pipes — has processed this event's epoch.
+    */
+  def sendSync(payload: T, sourceId: Option[Long] = None): Long = {
+    val id = post(payload, sourceId)
+    engine.awaitQuiescence()
+    id
+  }
+
+  /** Drop all posted-but-not-yet-delivered events for all subscribers
+    * (R7). Deviation from the reference (src/event_streams.rs:74-77):
+    * the discard boundary is the micro-batch — events already inside a
+    * started batch still reach sinks.
+    */
+  def clear(): Unit = {
+    val mark = nextId.get()
+    liveSubs.foreach(_.clearBelow = mark)
+  }
+}
+
+/** One subscriber: an ordered, exactly-once view of the hub from
+  * subscription time on — the `EventStream<EVT>` cursor
+  * (/root/reference/src/event_stream.rs:12-47) generalized to a full
+  * streaming query.
+  */
+final class Subscription[T] private[streaming] (
+    val hub: EventHub[T],
+    private[streaming] val stream: MemoryStream[Envelope[T]]) {
+
+  /** Events at-or-after this id are delivered; [[EventHub.clear]]
+    * advances it. Read inside foreachBatch on the driver.
+    */
+  @volatile private[streaming] var clearBelow: Long = 0L
+  @volatile private[streaming] var closed: Boolean = false
+  @volatile private var query: Option[StreamingQuery] = None
+
+  /** The subscriber's unbounded typed stream — compose arbitrary
+    * Dataset transforms on it before sinking.
+    */
+  def dataset: Dataset[Envelope[T]] = stream.toDS()
+
+  /** Run `handler` once per event, in `orderKey` order within each
+    * micro-batch (default: root causal lineage, which equals
+    * publication order for underived events — R8/R12). The handler
+    * runs on the driver: this is the embedded-mode sink mirroring the
+    * reference's `EventSink::on_event` (src/pipes.rs:44-56); cluster
+    * sinks use `dataset.writeStream` directly.
+    */
+  def foreachOrdered(handler: Envelope[T] => Unit): StreamingQuery =
+    startQuery { batch =>
+      batch.foreach(handler)
+    }
+
+  /** Pipe with re-emit (R16, the `Filter` sink pattern of
+    * tests/fizz_buzz_sink.rs:97-137): for each event in causal order,
+    * `f` maps the payload to zero-or-one event on `out`, chained to
+    * this event's root lineage so downstream order is recoverable.
+    */
+  def pipeTo[U](out: EventHub[U])(f: T => Option[U]): StreamingQuery =
+    startQuery { batch =>
+      batch.foreach { env =>
+        f(env.payload).foreach(u => out.post(u, Some(env.rootId)))
+      }
+    }
+
+  private def startQuery(sink: Seq[Envelope[T]] => Unit): StreamingQuery = {
+    val q = dataset.writeStream
+      .queryName(s"${hub.name}-sub-${System.identityHashCode(this)}")
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (ds: Dataset[Envelope[T]], _: Long) =>
+        val mark = clearBelow
+        val rows = ds.collect().filter(_.event_id >= mark)
+          .sortBy(e => (e.rootId, e.event_id))
+        sink(rows.toSeq)
+      }
+      .start()
+    query = Some(q)
+    hub.engine.register(q)
+    q
+  }
+
+  /** Stop this subscriber after draining (R8 drain-then-`None`). */
+  def close(): Unit = {
+    closed = true
+    query.foreach { q =>
+      q.processAllAvailable()
+      q.stop()
+    }
+  }
+}

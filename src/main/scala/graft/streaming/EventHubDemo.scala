@@ -1,0 +1,45 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+import graft.GraftSession
+
+/** Runnable example of the pub/sub surface (the reference README's
+  * usage example, /root/reference/src/lib.rs:9-37, re-expressed):
+  * create a hub, subscribe, publish with an ack barrier, observe
+  * ordered delivery, then a split→merge topology with causal lineage.
+  */
+object EventHubDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(4, "eventhub-demo")
+    val engine = new EventEngine(spark)
+
+    // basic hub: one publisher, two subscribers, ordered broadcast
+    val hub = engine.hub[String]("greetings")
+    val seen = new ConcurrentLinkedQueue[String]()
+    hub.subscribe().foreachOrdered(e => seen.add(s"sub1:${e.payload}"))
+    hub.subscribe().foreachOrdered(e => seen.add(s"sub2:${e.payload}"))
+    hub.sendSync("hello")
+    hub.sendSync("world")
+    println(s"delivered=${seen.asScala.toList.sorted}")
+
+    // split → merge with causal lineage
+    val nums = engine.hub[Int]("nums")
+    val evens = engine.hub[Int]("evens")
+    val odds = engine.hub[Int]("odds")
+    val merged = engine.hub[Int]("merged")
+    nums.subscribe().pipeTo(evens)(n => if (n % 2 == 0) Some(n) else None)
+    nums.subscribe().pipeTo(odds)(n => if (n % 2 == 1) Some(n) else None)
+    evens.subscribe().pipeTo(merged)(Some(_))
+    odds.subscribe().pipeTo(merged)(Some(_))
+    val out = new ConcurrentLinkedQueue[(Long, Int)]()
+    merged.subscribe().foreachOrdered(e => out.add((e.rootId, e.payload)))
+    (0 until 8).foreach(nums.post(_))
+    engine.awaitQuiescence()
+    println(s"merged-in-causal-order=${out.asScala.toList.sortBy(_._1).map(_._2)}")
+    println(s"subscribers=${hub.count}")
+    engine.close()
+    spark.stop()
+  }
+}

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Port of the reference's delivery-contract tests (SURVEY §1.3,
+  * /root/reference/tests/event_test.rs:9-45): FIFO order,
+  * exactly-once per subscriber, no replay, subscriber count, clear,
+  * and the sendSync acknowledgment barrier.
+  */
+class EventHubSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = TestSpark.spark
+
+  test("broadcast, exactly-once, FIFO per subscriber") {
+    val engine = new EventEngine(spark)
+    val hub = engine.hub[Int]("numbers")
+    val buf1 = new ConcurrentLinkedQueue[Int]()
+    val buf2 = new ConcurrentLinkedQueue[Int]()
+    val s1 = hub.subscribe()
+    val s2 = hub.subscribe()
+    s1.foreachOrdered(e => buf1.add(e.payload))
+    s2.foreachOrdered(e => buf2.add(e.payload))
+    assert(hub.count === 2)
+
+    (0 until 50).foreach(n => hub.post(n))
+    engine.awaitQuiescence()
+
+    // every subscriber saw every event exactly once, in publication order
+    assert(buf1.asScala.toList === (0 until 50).toList)
+    assert(buf2.asScala.toList === (0 until 50).toList)
+    engine.close()
+  }
+
+  test("no replay: a late subscriber only sees later events") {
+    val engine = new EventEngine(spark)
+    val hub = engine.hub[Int]("late")
+    val early = new ConcurrentLinkedQueue[Int]()
+    val late = new ConcurrentLinkedQueue[Int]()
+
+    val s1 = hub.subscribe()
+    s1.foreachOrdered(e => early.add(e.payload))
+    (0 until 3).foreach(n => hub.post(n))
+    engine.awaitQuiescence()
+
+    val s2 = hub.subscribe()
+    s2.foreachOrdered(e => late.add(e.payload))
+    (3 until 6).foreach(n => hub.post(n))
+    engine.awaitQuiescence()
+
+    assert(early.asScala.toList === (0 until 6).toList)
+    assert(late.asScala.toList === (3 until 6).toList)
+    engine.close()
+  }
+
+  test("sendSync barrier: event fully processed before return") {
+    val engine = new EventEngine(spark)
+    val hub = engine.hub[Int]("barrier")
+    val buf = new ConcurrentLinkedQueue[Int]()
+    hub.subscribe().foreachOrdered { e =>
+      Thread.sleep(5) // slow subscriber: barrier must still hold
+      buf.add(e.payload)
+    }
+    (1 to 3).foreach { n =>
+      hub.sendSync(n)
+      // the reference's send_event contract: returns only after every
+      // subscriber dropped its copy (event_test.rs:30-31)
+      assert(buf.asScala.toList === (1 to n).toList,
+        s"event $n not fully processed when sendSync returned")
+    }
+    engine.close()
+  }
+
+  test("clear drops pending events at the batch boundary") {
+    val engine = new EventEngine(spark)
+    val hub = engine.hub[Int]("cleared")
+    val buf = new ConcurrentLinkedQueue[Int]()
+    val sub = hub.subscribe()
+    // post BEFORE the query starts so events are pending, then clear
+    (0 until 5).foreach(n => hub.post(n))
+    hub.clear()
+    sub.foreachOrdered(e => buf.add(e.payload))
+    (5 until 8).foreach(n => hub.post(n))
+    engine.awaitQuiescence()
+    assert(buf.asScala.toList === (5 until 8).toList)
+    engine.close()
+  }
+
+  test("drain then complete: close processes remaining events first") {
+    val engine = new EventEngine(spark)
+    val hub = engine.hub[Int]("drain")
+    val buf = new ConcurrentLinkedQueue[Int]()
+    val sub = hub.subscribe()
+    val q = sub.foreachOrdered(e => buf.add(e.payload))
+    (0 until 10).foreach(n => hub.post(n))
+    sub.close() // drain-then-None (event_stream.rs:28-29)
+    assert(buf.asScala.toList === (0 until 10).toList)
+    assert(!q.isActive)
+    assert(hub.count === 0)
+    engine.close()
+  }
+}
