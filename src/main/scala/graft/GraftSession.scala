@@ -31,7 +31,11 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // INT96 timestamps on write: DuckDB (the oracle) reads INT96 as
+      // naive local time, matching its own TIMESTAMP literals; the
+      // micros logical type would come back timezone-aware and fail
+      // the hash compare.
+      .config("spark.sql.parquet.outputTimestampType", "INT96")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

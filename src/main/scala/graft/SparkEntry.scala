@@ -17,7 +17,8 @@ object SparkEntry {
     TextAnalysis,
     Dedup,
     Similarity,
-    Multimodal
+    Multimodal,
+    StreamingOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,164 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming operator surface (SURVEY §2.3 streaming rows),
+  * exercised for real — `readStream` file source → watermark / windows
+  * / stateful ops → sink → drained with `Trigger.AvailableNow` — and
+  * still DuckDB-verifiable because each query's *final* result equals
+  * a batch computation over the same input:
+  *
+  *   - st1: event-time tumbling window + watermark, complete mode;
+  *   - st2: streaming exact dedup (`dropDuplicates` state store); only
+  *     the deduped keys are emitted so the result is insensitive to
+  *     which physical row won the race within a batch;
+  *   - st3: stream-static broadcast join (the streaming enrichment
+  *     pattern — dimension lookup never shuffles the stream);
+  *   - st4: arbitrary stateful aggregation via `mapGroupsWithState`
+  *     (per-key state survives across micro-batches); monotone outputs
+  *     (count / integer-cents sum) make the final row per key
+  *     well-defined under any batching.
+  *
+  * Scale notes (100 TB): the same topology runs unmodified with a
+  * directory/Kafka source and parquet sinks — the memory sink here is
+  * the test harness, not the design. Watermarks bound all state;
+  * dropDuplicates state is keyed and watermark-evictable
+  * (`dropDuplicatesWithinWatermark` in production); the stream-static
+  * join broadcasts the dimension, so stream partitions never move.
+  */
+object StreamingOps extends QueryPack {
+
+  private val runId = new AtomicInteger(0)
+
+  /** Streaming view of the events table (ts arrives as nanos LONG —
+    * same normalization as [[graft.Tables]]). The file streaming
+    * source wants a *directory* to watch, so the single parquet file
+    * is linked into a per-input temp dir (in production this is just
+    * the landing directory new files arrive in).
+    */
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = Paths.get(s"$dir/events.parquet")
+    val streamDir = Paths.get(
+      s"/tmp/graft-stream-src-${math.abs(dir.hashCode)}")
+    Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+    val schema = s.read.parquet(src.toString).schema
+    s.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming DataFrame to a memory sink, drain with
+    * AvailableNow, return the materialized table.
+    */
+  private def drain(s: SparkSession, df: DataFrame, mode: OutputMode)
+      : DataFrame = {
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- streaming tumbling window + watermark --------------------------
+    "st1_stream_tumbling" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val agg = eventStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast(DecimalType(18, 2))).cast("double")
+            .as("total_value"))
+      drain(s, agg, OutputMode.Complete())
+        .select($"window.start".as("ws"), $"event_type", $"n", $"total_value")
+        .orderBy($"ws", $"event_type")
+    }),
+
+    // -- streaming exact dedup (state-store backed) ---------------------
+    "st2_stream_dedup_keys" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val deduped = eventStream(s, dir)
+        .select($"user_id", $"event_type")
+        .dropDuplicates("user_id", "event_type")
+      drain(s, deduped, OutputMode.Append())
+        .orderBy($"user_id", $"event_type")
+    }),
+
+    // -- stream-static broadcast join (enrichment) ----------------------
+    "st3_stream_static_join" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val dim = broadcast(
+        Tables(s, dir).customer.select($"c_custkey", $"c_mktsegment"))
+      val joined = eventStream(s, dir)
+        .filter($"event_type" === "purchase")
+        .join(dim, $"user_id" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum($"value".cast(DecimalType(18, 2))).cast("double")
+            .as("total_value"))
+      drain(s, joined, OutputMode.Complete())
+        .orderBy($"c_mktsegment")
+    }),
+
+    // -- arbitrary stateful op: per-user running totals -----------------
+    "st4_stream_stateful" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val src = eventStream(s, dir)
+        .select($"user_id",
+          expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+        .as[(Long, Long)]
+      val updated = src.groupByKey(_._1)
+        .mapGroupsWithState[(Long, Long), (Long, Long, Long)](
+          GroupStateTimeout.NoTimeout) {
+          case (uid, rows, state: GroupState[(Long, Long)]) =>
+            val (n0, c0) = state.getOption.getOrElse((0L, 0L))
+            var n = n0; var c = c0
+            rows.foreach { r => n += 1; c += r._2 }
+            state.update((n, c))
+            (uid, n, c)
+        }
+        .toDF("user_id", "n_events", "total_cents")
+      // monotone per-key outputs: the final value is the max over the
+      // per-batch update rows, whatever the batching was
+      drain(s, updated, OutputMode.Update())
+        .groupBy($"user_id")
+        .agg(max($"n_events").as("n_events"),
+          max($"total_cents").as("total_cents"))
+        .orderBy($"user_id")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "st1_stream_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    "st2_stream_dedup_keys" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "st3_stream_static_join" ->
+      """SELECT c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE event_type = 'purchase'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "st4_stream_stateful" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}
