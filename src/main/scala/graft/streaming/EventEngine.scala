@@ -48,7 +48,12 @@ final class EventEngine(val spark: SparkSession) extends AutoCloseable {
     var before = -1L
     while (before != postCounter.get) {
       before = postCounter.get
-      activeQueries.foreach(_.processAllAvailable())
+      activeQueries.foreach { q =>
+        // a query that died of a sink error (its error already went to
+        // the pipe's handler) must not poison the barrier
+        try q.processAllAvailable()
+        catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => }
+      }
     }
   }
 

@@ -40,7 +40,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 final class EventHub[T: TypeTag] private[streaming] (
     val engine: EventEngine,
-    val name: String) {
+    val name: String) extends EventSource[T] {
 
   private implicit val envelopeEnc: Encoder[Envelope[T]] =
     Encoders.product[Envelope[T]]
@@ -166,4 +166,9 @@ final class Subscription[T] private[streaming] (
       q.stop()
     }
   }
+
+  /** Detach without draining — used from inside a failing sink (the
+    * pipe's own thread cannot wait on its query's state).
+    */
+  private[streaming] def markFailed(): Unit = { closed = true }
 }

@@ -39,6 +39,16 @@ object EventHubDemo {
     engine.awaitQuiescence()
     println(s"merged-in-causal-order=${out.asScala.toList.sortBy(_._1).map(_._2)}")
     println(s"subscribers=${hub.count}")
+
+    // trait-based pipe: EventSource → EventSink with error channel
+    val piped = new ConcurrentLinkedQueue[Int]()
+    val sink = new EventSink[Int] {
+      def onEvent(payload: Int, source: Option[Long]): Unit = piped.add(payload)
+    }
+    Pipes.pipe(nums, sink, e => println(s"pipe-error=$e"))
+    (8 until 12).foreach(nums.post(_))
+    engine.awaitQuiescence()
+    println(s"piped=${piped.asScala.toList}")
     engine.close()
     spark.stop()
   }
