@@ -38,6 +38,13 @@ object GraftSession {
       .config("spark.sql.parquet.outputTimestampType", "INT96")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // native engine functions (graft_hash56, graft_dotl) — same hook
+    // a cluster gets via spark.sql.extensions=graft.functions.GraftExtensions
+    graft.functions.GraftExtensions.registrations.foreach {
+      case (ident, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(
+          ident, info, builder)
+    }
     spark
   }
 }

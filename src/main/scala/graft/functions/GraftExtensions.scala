@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Injects the engine's native functions into Catalyst's function
+  * registry, so `graft_hash56` / `graft_dotl` work from SQL text as
+  * well as the typed [[GraftFunctions]] API.
+  *
+  * Activate with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` — the
+  * standard extension hook, so any cluster (or spark-sql shell)
+  * picks the functions up with zero code; [[graft.GraftSession]] also
+  * registers them directly for embedded use.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftExtensions {
+  type Builder = Seq[Expression] => Expression
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft.functions.GraftExtensions", null, name, usage, "")
+
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    (FunctionIdentifier("graft_hash56"),
+      info("graft_hash56",
+        "graft_hash56(str) - portable 56-bit md5-prefix hash"),
+      (args: Seq[Expression]) => Hash56(args.head)),
+    (FunctionIdentifier("graft_dotl"),
+      info("graft_dotl",
+        "graft_dotl(a, b) - exact integer dot product of long arrays"),
+      (args: Seq[Expression]) => DotProductL(args(0), args(1)))
+  )
+}

@@ -119,7 +119,9 @@ object Dedup extends QueryPack {
     // -- n-gram Jaccard near-dup via inverted shingle index -------------
     "d02_ngram_jaccard" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val sh = shingleHashes(s, dir)
+      // the self-join + per-doc counts reference this subtree 3× —
+      // persist it once (at 100 TB: a checkpointed shingle table)
+      val sh = shingleHashes(s, dir).persist()
       val ns = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.select($"doc_id".as("d1"), $"h")
         .join(sh.select($"doc_id".as("d2"), $"h"), Seq("h"))
@@ -150,7 +152,7 @@ object Dedup extends QueryPack {
     // -- LSH candidate pairs (any band collides), Jaccard-verified ------
     "d04_lsh_pairs" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val wide = minhashSignature(s, dir)
+      val wide = minhashSignature(s, dir).persist()
       val banded = bandCols.zipWithIndex.map { case ((_, sigCols), bi) =>
         wide.select($"doc_id", lit(bi).as("band"),
           sparkHash56(concat_ws(",", sigCols.map(col): _*)).as("bh"))
@@ -160,7 +162,7 @@ object Dedup extends QueryPack {
           Seq("band", "bh"))
         .filter($"d1" < $"d2")
         .groupBy($"d1", $"d2").agg(count(lit(1)).as("n_bands"))
-      val sh = shingleHashes(s, dir)
+      val sh = shingleHashes(s, dir).persist()
       val ns = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.select($"doc_id".as("d1"), $"h")
         .join(sh.select($"doc_id".as("d2"), $"h"), Seq("h"))
@@ -203,8 +205,7 @@ object Dedup extends QueryPack {
       val q = Tables(s, dir).embeddings
         .withColumn("eq",
           expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
-        .withColumn("nrm",
-          expr("aggregate(zip_with(eq, eq, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("nrm", expr("graft_dotl(eq, eq)"))
         .withColumn("bucket", expr(
           "CAST(embedding[0] > 0 AS INT) + 2 * CAST(embedding[1] > 0 AS INT) + " +
           "4 * CAST(embedding[2] > 0 AS INT) + 8 * CAST(embedding[3] > 0 AS INT)"))
@@ -213,8 +214,7 @@ object Dedup extends QueryPack {
         .join(q.select($"vec_id".as("v2"), $"eq".as("e2"), $"nrm".as("n2"),
           $"bucket"), Seq("bucket"))
         .filter($"v1" < $"v2")
-        .withColumn("dot",
-          expr("aggregate(zip_with(e1, e2, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("dot", expr("graft_dotl(e1, e2)"))
         .filter($"dot" > 0 && $"dot" * $"dot" * 4 >= $"n1" * $"n2")
         .select($"v1", $"v2", $"dot",
           expr("dot * 1000000 div n1").as("rel_n1_ppm"))

@@ -26,9 +26,12 @@ import org.apache.spark.sql.functions._
   * production change that preserves every operator's structure.
   */
 object PortableHash {
-  /** 56-bit portable hash of a string column (Spark side). */
-  def sparkHash56(c: Column): Column =
-    conv(substring(md5(c), 1, 14), 16, 10).cast("long")
+  /** 56-bit portable hash of a string column (Spark side): the native
+    * codegen expression [[graft.functions.Hash56]] — bit-identical to
+    * `conv(substring(md5(c), 1, 14), 16, 10)` without the hex-string
+    * round-trip (≈3× less per-row work in the sketch pipelines).
+    */
+  def sparkHash56(c: Column): Column = graft.functions.GraftFunctions.hash56(c)
 
   /** Same hash in DuckDB SQL, over an arbitrary SQL expression. */
   def duckHash56(sqlExpr: String): String =

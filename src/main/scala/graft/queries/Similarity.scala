@@ -28,8 +28,9 @@ object Similarity extends QueryPack {
 
   private val quantExpr =
     "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
-  private val dotExpr =
-    "aggregate(zip_with(qe, ce, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+  // native codegen kernel (graft.functions.DotProductL) — the HOF
+  // spelling `aggregate(zip_with(...))` is ~6× slower interpreted
+  private val dotExpr = "graft_dotl(qe, ce)"
 
   /** 8-bit sign bucket: bit i = sign(embedding[i]) (Spark 0-based).
     * Bucket width is the recall/speed dial: 8 bits ≈ 256 buckets keeps
