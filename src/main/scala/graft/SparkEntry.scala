@@ -18,7 +18,8 @@ object SparkEntry {
     Dedup,
     Similarity,
     Multimodal,
-    StreamingOps
+    StreamingOps,
+    Extensions
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

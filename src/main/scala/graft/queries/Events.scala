@@ -164,6 +164,37 @@ object Events extends QueryPack {
         .limit(10)
     }),
 
+    // -- interval (range) join: clicks within 1h before each purchase ---
+    // Equi-join on user_id carries the shuffle; the time predicate
+    // prunes within partitions — the scalable range-join shape (no
+    // cross product; at 100 TB add date-bucketing to both sides).
+    "e10_interval_join" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val ev = Tables(s, dir).events
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("p_id"), $"ts".as("p_ts"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("c_ts"))
+      purchases.join(clicks,
+          purchases("user_id") === clicks("user_id") &&
+          $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") && $"c_ts" < $"p_ts",
+          "left")
+        .groupBy($"p_id")
+        .agg(count($"c_ts").as("n_clicks_1h"))
+        .orderBy($"p_id")
+    }),
+
+    // -- native session_window (the streaming sessionizer, batch form) --
+    "e11_session_window_fn" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir).events
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
+        .select($"user_id", $"sw.start".as("session_start"),
+          $"sw.end".as("session_end"), $"n_events", $"total_value")
+        .orderBy($"user_id", $"session_start")
+    }),
+
     // -- daily activity (date_trunc + distinct count) -------------------
     "e09_daily_activity" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -258,6 +289,36 @@ object Events extends QueryPack {
          |  ${sqlDsum("value")} AS total_spent
          |FROM events WHERE event_type = 'purchase'
          |GROUP BY user_id ORDER BY total_spent DESC, user_id LIMIT 10""".stripMargin,
+
+    "e10_interval_join" ->
+      """SELECT p.event_id AS p_id, CAST(COUNT(c.ts) AS BIGINT) AS n_clicks_1h
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
+
+    // session_window semantics: a new session starts when the gap is
+    // >= 30 min (half-open [ts, ts+gap) windows); end = last ts + gap
+    "e11_session_window_fn" ->
+      s"""WITH x AS (
+         |  SELECT user_id, ts, value,
+         |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+         |  FROM events),
+         |y AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL
+         |      OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+         |  FROM x),
+         |z AS (
+         |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+         |  FROM y)
+         |SELECT user_id, MIN(ts) AS session_start,
+         |  MAX(ts) + INTERVAL 30 MINUTES AS session_end,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  ${sqlDsum("value")} AS total_value
+         |FROM z GROUP BY user_id, sess_id
+         |ORDER BY user_id, session_start""".stripMargin,
 
     "e09_daily_activity" ->
       s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** The engine's user-extension surface (SURVEY §2.3 last row — the
+  * analog of the reference's derive-macro extension point R18):
+  *
+  *   - x01: typed custom aggregate via `Aggregator[IN, BUF, OUT]`
+  *     (integer arithmetic → deterministic, partial-aggregation
+  *     friendly: merge() is the map-side combine);
+  *   - x02: scalar UDF registration (deliberately trivial — UDFs are
+  *     the engine's last resort after built-ins and native
+  *     expressions, but the surface must exist);
+  *   - x03: SQL-text entry point with GROUPING SETS (beyond
+  *     rollup/cube) over a registered temp view;
+  *   - x04: sketch aggregates (HyperLogLog++ distinct, t-digest-style
+  *     quantiles) — approximate by design, so no hash oracle: the
+  *     driver records the weaker rows-only check, and the engine's
+  *     own spec asserts error bounds against exact counts.
+  */
+object Extensions extends QueryPack {
+
+  /** Quantity-weighted average price in integer cents:
+    * floor(price·100)·qty summed exactly, divided at the end.
+    */
+  object WeightedPriceCents
+      extends Aggregator[(Double, Double), (Long, Long), Long] {
+    override def zero: (Long, Long) = (0L, 0L)
+    override def reduce(b: (Long, Long), row: (Double, Double)): (Long, Long) = {
+      val (price, qty) = row
+      (b._1 + math.floor(price * 100).toLong * qty.toLong, b._2 + qty.toLong)
+    }
+    override def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    override def finish(b: (Long, Long)): Long =
+      if (b._2 == 0) 0L else b._1 / b._2
+    override def bufferEncoder = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong)
+    override def outputEncoder = org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- typed Aggregator (custom UDAF) ---------------------------------
+    "x01_typed_udaf" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val wavg = udaf(WeightedPriceCents)
+      Tables(s, dir).lineitem
+        .groupBy($"l_returnflag")
+        .agg(wavg($"l_extendedprice", $"l_quantity")
+          .as("wavg_price_cents"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // -- registered scalar UDF ------------------------------------------
+    "x02_scalar_udf" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val vowels = udf((sn: String) =>
+        sn.count("aeiou".contains(_)).toLong)
+      Tables(s, dir).part
+        .select($"p_partkey", $"p_name", vowels($"p_name").as("n_vowels"))
+        .filter($"n_vowels" >= 4)
+        .orderBy($"p_partkey")
+    }),
+
+    // -- SQL text + GROUPING SETS ---------------------------------------
+    "x03_grouping_sets" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+          |  COALESCE(o_orderpriority, 'ALL') AS priority,
+          |  CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY status, priority""".stripMargin)
+    }),
+
+    // -- sketch aggregates (no hash oracle: approximate by design) ------
+    "x04_approx_sketches" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_count_distinct($"l_partkey", 0.02).as("nd_parts_hll"),
+          percentile_approx($"l_quantity", lit(0.5), lit(10000))
+            .as("p50_qty"),
+          percentile_approx($"l_extendedprice", lit(0.95), lit(10000))
+            .as("p95_price"))
+        .orderBy($"l_returnflag")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "x01_typed_udaf" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+        |           * CAST(l_quantity AS BIGINT)) //
+        |       SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wavg_price_cents
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "x02_scalar_udf" ->
+      """SELECT p_partkey, p_name,
+        |  CAST(length(p_name) - length(regexp_replace(p_name, '[aeiou]', '', 'g')) AS BIGINT) AS n_vowels
+        |FROM part
+        |WHERE length(p_name) - length(regexp_replace(p_name, '[aeiou]', '', 'g')) >= 4
+        |ORDER BY p_partkey""".stripMargin,
+
+    "x03_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin
+    // x04 intentionally has no oracle: HLL/quantile sketches are
+    // approximate; the spec checks error bounds instead.
+  )
+}

@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.streaming.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Error-bound checks for the approximate sketches (x04 has no hash
+  * oracle by design) and a distributed-merge check for the typed UDAF.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  test("approx_count_distinct within configured rsd of exact") {
+    import spark.implicits._
+    val t = graft.Tables(spark, dir).lineitem
+    val exact = t.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("nd")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Extensions.queries("x04_approx_sketches")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.foreach { case (k, a) =>
+      val e = exact(k).toDouble
+      assert(math.abs(a - e) / e <= 0.06, // 3× the 2% rsd
+        s"HLL for $k: approx $a vs exact $e")
+    }
+  }
+
+  test("percentile_approx brackets the exact median") {
+    import spark.implicits._
+    val t = graft.Tables(spark, dir).lineitem
+    val p50 = Extensions.queries("x04_approx_sketches")(spark, dir)
+      .select($"l_returnflag", $"p50_qty").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // quantities are integers 1..50, roughly uniform: the true median
+    // sits well inside [20, 30] for every flag at sf0.01
+    p50.foreach { case (k, v) =>
+      assert(v >= 20 && v <= 30, s"p50 for $k: $v")
+    }
+  }
+
+  test("typed UDAF merges partial aggregates correctly across partitions") {
+    import spark.implicits._
+    // same rows, pathological partitioning: result must be identical
+    val t = graft.Tables(spark, dir).lineitem
+      .select($"l_returnflag", $"l_extendedprice", $"l_quantity")
+    val base = Extensions.queries("x01_typed_udaf")(spark, dir).collect()
+    val wavg = udaf(Extensions.WeightedPriceCents)
+    val repart = t.repartition(97)
+      .groupBy($"l_returnflag")
+      .agg(wavg($"l_extendedprice", $"l_quantity").as("wavg_price_cents"))
+      .orderBy($"l_returnflag").collect()
+    assert(base.map(_.toString).toList === repart.map(_.toString).toList)
+  }
+}
