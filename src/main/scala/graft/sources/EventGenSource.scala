@@ -1,0 +1,163 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom DataSourceV2: a deterministic synthetic event source
+  * (`format("graft-events")`), batch + micro-batch — the engine's
+  * production-shaped replacement for the reference's in-process
+  * generator fixtures (/root/reference/tests/fizz_buzz_sink.rs:79-89:
+  * `Generator.run(count)` emitting `0..count`).
+  *
+  * Options:
+  *   - `totalRows`     (default 1000)  — events 0..totalRows-1
+  *   - `numPartitions` (default 4)     — parallelism of the scan
+  *   - `rowsPerBatch`  (default totalRows) — micro-batch admission
+  *
+  * Every column is a pure function of `event_id`, so the source is
+  * replayable from any offset range — the property the engine's whole
+  * delivery contract rests on (SURVEY §1.3: replayable sources replace
+  * unbounded queues). Scale: partitions carve disjoint id ranges, so
+  * a 1000-executor cluster reads it with zero coordination; the same
+  * pattern is how a real ingest (Kafka partitions / file splits)
+  * parallelizes.
+  */
+class EventGenSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-events"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    EventGen.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    // reader options arrive with caller-typed key case
+    val opts = new CaseInsensitiveStringMap(properties)
+    new EventGenTable(
+      opts.getLong("totalRows", 1000L),
+      opts.getInt("numPartitions", 4),
+      Option(opts.get("rowsPerBatch")).map(_.toLong))
+  }
+}
+
+object EventGen {
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false),
+    StructField("props", StringType, nullable = false)))
+
+  private val types = Array("view", "click", "purchase", "signup", "refund")
+  private val epochMicros = 1704067200000000L // 2024-01-01T00:00:00Z
+
+  /** Deterministic row for an event id (pure, replayable). */
+  def row(id: Long): InternalRow = {
+    val h = id * 2654435761L
+    val r = new GenericInternalRow(6)
+    r.setLong(0, id)
+    r.setLong(1, epochMicros + id * 1000000L) // 1 event/second
+    r.setLong(2, math.floorMod(h, 150L))
+    r.update(3, UTF8String.fromString(types(math.floorMod(h >> 8, types.length.toLong).toInt)))
+    r.setDouble(4, math.floorMod(h >> 16, 10000L) / 100.0)
+    r.update(5, UTF8String.fromString(s"""{"k":${math.floorMod(h >> 24, 100L)}}"""))
+    r
+  }
+}
+
+final class EventGenTable(totalRows: Long, numPartitions: Int,
+    rowsPerBatch: Option[Long]) extends Table with SupportsRead {
+  override def name(): String = s"graft-events($totalRows)"
+  override def schema(): StructType = EventGen.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = EventGen.schema
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        EventGenTable.ranges(0L, totalRows, numPartitions)
+      override def createReaderFactory(): PartitionReaderFactory =
+        EventGenTable.readerFactory
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new EventGenMicroBatch(totalRows, numPartitions,
+          rowsPerBatch.getOrElse(totalRows))
+    }
+}
+
+object EventGenTable {
+  final case class IdRange(start: Long, end: Long) extends InputPartition
+
+  def ranges(start: Long, end: Long, n: Int): Array[InputPartition] = {
+    val total = math.max(end - start, 0L)
+    val per = math.max(1L, (total + n - 1) / n)
+    (0 until n).iterator
+      .map(i => IdRange(start + i * per, math.min(start + (i + 1) * per, end)))
+      .filter(r => r.end > r.start)
+      .map(_.asInstanceOf[InputPartition])
+      .toArray
+  }
+
+  val readerFactory: PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+      val r = p.asInstanceOf[IdRange]
+      new PartitionReader[InternalRow] {
+        private var cur = r.start - 1
+        override def next(): Boolean = { cur += 1; cur < r.end }
+        override def get(): InternalRow = EventGen.row(cur)
+        override def close(): Unit = ()
+      }
+    }
+  }
+}
+
+final case class EventGenOffset(pos: Long) extends Offset {
+  override def json(): String = pos.toString
+}
+
+/** Micro-batch stream over the id space: offsets are row positions;
+  * admission control caps each trigger at `rowsPerBatch` events, and
+  * `Trigger.AvailableNow` drains batch-by-batch to the prepared end.
+  */
+final class EventGenMicroBatch(totalRows: Long, numPartitions: Int,
+    rowsPerBatch: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  override def initialOffset(): Offset = EventGenOffset(0L)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[EventGenOffset].pos
+    EventGenOffset(math.min(s + rowsPerBatch, totalRows))
+  }
+
+  override def reportLatestOffset(): Offset = EventGenOffset(totalRows)
+  override def prepareForTriggerAvailableNow(): Unit = () // finite source
+
+  override def deserializeOffset(json: String): Offset =
+    EventGenOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    EventGenTable.ranges(start.asInstanceOf[EventGenOffset].pos,
+      end.asInstanceOf[EventGenOffset].pos, numPartitions)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    EventGenTable.readerFactory
+}

@@ -50,6 +50,21 @@ object EventHubDemo {
     engine.awaitQuiescence()
     println(s"piped=${piped.asScala.toList}")
     engine.close()
+
+    // custom DSv2 source: batch + micro-batch over synthetic events
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val gen = spark.read.format("graft.sources.EventGenSource")
+      .option("totalRows", "100000").option("numPartitions", "8").load()
+    println(s"eventgen-batch=${gen.count()}")
+    val sq = spark.readStream.format("graft.sources.EventGenSource")
+      .option("totalRows", "50000").option("rowsPerBatch", "10000").load()
+      .groupBy(col("event_type")).count()
+      .writeStream.format("memory").queryName("demo_gen")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    println(s"eventgen-stream-batches=${sq.recentProgress.length} " +
+      s"rows=${spark.table("demo_gen").agg(sum("count")).head.getLong(0)}")
     spark.stop()
   }
 }

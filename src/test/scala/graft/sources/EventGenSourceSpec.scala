@@ -1,0 +1,59 @@
+package graft.sources
+
+import graft.streaming.TestSpark
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom DSv2 source: batch scan determinism/partitioning and
+  * micro-batch streaming drain.
+  */
+class EventGenSourceSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val fmt = "graft.sources.EventGenSource"
+
+  test("batch read: deterministic, complete, partitioned") {
+    import spark.implicits._
+    val df = spark.read.format(fmt)
+      .option("totalRows", "10000").option("numPartitions", "8").load()
+    assert(df.rdd.getNumPartitions === 8)
+    assert(df.count() === 10000)
+    // ids are exactly 0..9999, each once
+    val ids = df.agg(count(lit(1)), countDistinct($"event_id"),
+      min($"event_id"), max($"event_id")).head()
+    assert(ids.getLong(1) === 10000 && ids.getLong(2) === 0 &&
+      ids.getLong(3) === 9999)
+    // replayable: two reads agree bit-for-bit
+    val h1 = df.orderBy($"event_id").select(md5(to_json(struct(df.columns.map(col): _*))))
+      .agg(md5(concat_ws("", collect_list(expr("*"))))).head().getString(0)
+    val df2 = spark.read.format(fmt)
+      .option("totalRows", "10000").option("numPartitions", "3").load()
+    val h2 = df2.orderBy($"event_id").select(md5(to_json(struct(df2.columns.map(col): _*))))
+      .agg(md5(concat_ws("", collect_list(expr("*"))))).head().getString(0)
+    assert(h1 === h2) // partitioning must not change content
+  }
+
+  test("micro-batch streaming read drains with AvailableNow") {
+    import spark.implicits._
+    val name = "eventgen_drain"
+    val q = spark.readStream.format(fmt)
+      .option("totalRows", "5000").option("numPartitions", "4")
+      .option("rowsPerBatch", "1000") // force 5 admission-limited batches
+      .load()
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 5, // one progress per micro-batch
+      s"expected >=5 micro-batches, got ${q.recentProgress.length}")
+    val total = spark.table(name).agg(sum($"n")).head().getLong(0)
+    assert(total === 5000)
+    // streaming result equals the batch read of the same source
+    val batch = spark.read.format(fmt).option("totalRows", "5000").load()
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .orderBy($"event_type").collect().toList
+    val stream = spark.table(name).orderBy($"event_type").collect().toList
+    assert(batch.map(_.toString) === stream.map(_.toString))
+  }
+}
