@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity-search operators over an `ARRAY<FLOAT>`
+  * column, in the engine's exact-integer regime: vectors quantized to
+  * `floor(x·1000)` longs, scored with the native
+  * [[graft.functions.DotProductL]] kernel (MIPS ranking; ties break by
+  * id). `graft.queries.Similarity` / `Dedup.d06` are the
+  * oracle-checked instantiations.
+  *
+  * Scale design: brute force is a broadcast of the (small) query set
+  * against a corpus scan + per-query top-k window; the LSH variant
+  * buckets both sides on sign bits first, turning the scan into a
+  * bucket-equi-join (at rest: partition the corpus by bucket so the
+  * probe prunes partitions).
+  */
+object VectorSearch {
+
+  /** Quantize an embedding column onto exact long arrays. */
+  def quantize(df: DataFrame, embCol: String, out: String = "eq",
+      scale: Int = 1000): DataFrame =
+    df.withColumn(out, expr(
+      s"transform($embCol, x -> CAST(FLOOR(CAST(x AS DOUBLE) * $scale) AS BIGINT))"))
+
+  /** Sign-bit LSH bucket of the first `bits` dimensions. */
+  def signBucket(df: DataFrame, embCol: String, out: String = "bucket",
+      bits: Int = 8): DataFrame =
+    df.withColumn(out, expr(
+      (0 until bits)
+        .map(i => s"CAST($embCol[$i] > 0 AS BIGINT) * ${1L << i}")
+        .mkString(" + ")))
+
+  /** Exact top-k neighbors by integer inner product: queries must
+    * carry (query_id, qe), corpus (neighbor_id, ce).
+    */
+  def topKBruteForce(queries: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id"))
+    broadcast(queries)
+      .join(corpus, col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", expr("graft_dotl(qe, ce)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("dot"))
+  }
+
+  /** Approximate top-k: candidates restricted to the query's sign
+    * bucket (both inputs must carry a `bucket` column).
+    */
+  def topKLsh(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id"))
+    broadcast(queries)
+      .join(corpus, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", expr("graft_dotl(qe, ce)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("dot"))
+  }
+
+  /** Near-duplicate pairs above a cosine threshold, evaluated as the
+    * exact integer inequality `dot > 0 ∧ dot²·den ≥ num·|a|²·|b|²`
+    * for threshold² = num/den — no float comparison anywhere.
+    * Input must carry (vec_id, eq, bucket); pairs are blocked on the
+    * sign bucket.
+    */
+  def nearDupPairs(vecs: DataFrame, cos2Num: Long = 1,
+      cos2Den: Long = 4): DataFrame = {
+    val q = vecs.withColumn("nrm", expr("graft_dotl(eq, eq)"))
+    q.select(col("vec_id").as("v1"), col("eq").as("e1"),
+        col("nrm").as("n1"), col("bucket"))
+      .join(q.select(col("vec_id").as("v2"), col("eq").as("e2"),
+        col("nrm").as("n2"), col("bucket")), Seq("bucket"))
+      .filter(col("v1") < col("v2"))
+      .withColumn("dot", expr("graft_dotl(e1, e2)"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * cos2Den >= col("n1") * col("n2") * cos2Num)
+      .select(col("v1"), col("v2"), col("dot"), col("n1"), col("n2"))
+  }
+}

@@ -37,18 +37,13 @@ object Dedup extends QueryPack {
   private val Bands = 4 // LSH bands (4 rows each)
   private val perms = permCoeffs(K)
 
-  /** doc_id + distinct 3-shingle 56-bit hashes, lower-cased and
-    * whitespace-normalized (shared front end of d02/d04).
+  /** doc_id + distinct 3-shingle 56-bit hashes (operator:
+    * [[graft.operators.TextDedup.shingleHashes]]).
     */
-  private def shingleHashes(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables(s, dir).documents
-      .withColumn("norm", regexp_replace(lower($"text"), "\\s+", " "))
-      .withColumn("toks", split($"norm", " "))
-      .select($"doc_id",
-        explode(array_distinct(shingleExpr("toks", 3))).as("sh"))
-      .select($"doc_id", sparkHash56($"sh").as("h"))
-  }
+  private def shingleHashes(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextDedup
+      .shingleHashes(Tables(s, dir).documents, "doc_id", "text", 3)
+      .withColumnRenamed("id", "doc_id")
 
   /** DuckDB mirror of [[shingleHashes]] as CTEs ending in
     * `sh(doc_id, h)` and per-doc counts `ns(doc_id, n)`.
@@ -67,20 +62,14 @@ object Dedup extends QueryPack {
        |ns AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
        |       FROM sh GROUP BY doc_id)""".stripMargin
 
-  /** Per-doc MinHash signature (K conditional-min columns s0..s15). */
-  private def minhashSignature(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val permDf = s.createDataFrame(
-      perms.zipWithIndex.map { case ((a, b), j) => (j, a, b) })
-      .toDF("j", "a", "b")
-    val sigs = shingleHashes(s, dir)
-      .withColumn("h31", $"h" % MersenneP)
-      .crossJoin(broadcast(permDf))
-      .groupBy($"doc_id", $"j")
-      .agg(min(($"a" * $"h31" + $"b") % MersenneP).as("sig"))
-    val cols = (0 until K).map(j => min(when($"j" === j, $"sig")).as(s"s$j"))
-    sigs.groupBy($"doc_id").agg(cols.head, cols.tail: _*)
-  }
+  /** Per-doc MinHash signature (operator:
+    * [[graft.operators.TextDedup.minhashSignatures]]).
+    */
+  private def minhashSignature(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextDedup
+      .minhashSignatures(
+        shingleHashes(s, dir).withColumnRenamed("doc_id", "id"), K)
+      .withColumnRenamed("id", "doc_id")
 
   /** DuckDB mirror of [[minhashSignature]]: CTE `wide(doc_id, s0..)`. */
   private val duckSignatureCte: String = {
@@ -181,18 +170,9 @@ object Dedup extends QueryPack {
     // -- SimHash: 32-bit weighted-bit fingerprint per doc ---------------
     "d05_simhash" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val tok = Tables(s, dir).documents
-        .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("w"))
-        .select($"doc_id", sparkHash56($"w").as("h"))
-      val bitSums = tok
-        .select($"doc_id", $"h", explode(expr("sequence(0, 31)")).as("bit"))
-        .groupBy($"doc_id", $"bit")
-        .agg(sum(when(expr("shiftright(h, bit) & 1") === 1, 1).otherwise(-1))
-          .as("bs"))
-      bitSums.groupBy($"doc_id")
-        .agg(sum(when($"bs" > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-          .otherwise(0L)).as("simhash"))
-        .select($"doc_id", $"simhash",
+      graft.operators.TextDedup
+        .simhash(Tables(s, dir).documents, "doc_id", "text", 32)
+        .select($"id".as("doc_id"), $"simhash",
           expr("shiftright(simhash, 24)").as("bucket"))
         .orderBy($"doc_id")
     }),
@@ -202,20 +182,12 @@ object Dedup extends QueryPack {
     // over floor(x·1000) quantization; no float comparisons).
     "d06_embedding_neardup" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val q = Tables(s, dir).embeddings
-        .withColumn("eq",
-          expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
-        .withColumn("nrm", expr("graft_dotl(eq, eq)"))
-        .withColumn("bucket", expr(
-          "CAST(embedding[0] > 0 AS INT) + 2 * CAST(embedding[1] > 0 AS INT) + " +
-          "4 * CAST(embedding[2] > 0 AS INT) + 8 * CAST(embedding[3] > 0 AS INT)"))
-        .select($"vec_id", $"eq", $"nrm", $"bucket")
-      q.select($"vec_id".as("v1"), $"eq".as("e1"), $"nrm".as("n1"), $"bucket")
-        .join(q.select($"vec_id".as("v2"), $"eq".as("e2"), $"nrm".as("n2"),
-          $"bucket"), Seq("bucket"))
-        .filter($"v1" < $"v2")
-        .withColumn("dot", expr("graft_dotl(e1, e2)"))
-        .filter($"dot" > 0 && $"dot" * $"dot" * 4 >= $"n1" * $"n2")
+      import graft.operators.VectorSearch
+      val vecs = VectorSearch.signBucket(
+        VectorSearch.quantize(Tables(s, dir).embeddings, "embedding"),
+        "embedding", bits = 4)
+        .select($"vec_id", $"eq", $"bucket")
+      VectorSearch.nearDupPairs(vecs, cos2Num = 1, cos2Den = 4)
         .select($"v1", $"v2", $"dot",
           expr("dot * 1000000 div n1").as("rel_n1_ppm"))
         .orderBy($"v1", $"v2")

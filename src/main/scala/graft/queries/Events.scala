@@ -101,20 +101,14 @@ object Events extends QueryPack {
     "e05_asof_click" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val ev = Tables(s, dir).events
-      val clicks = ev.filter($"event_type" === "click")
-        .select($"user_id", $"ts", lit(0).as("kind"),
-          $"ts".as("click_ts"), $"event_id".as("click_id"),
-          lit(null).cast("long").as("event_id"))
-      val purchases = ev.filter($"event_type" === "purchase")
-        .select($"user_id", $"ts", lit(1).as("kind"),
-          lit(null).cast("timestamp").as("click_ts"),
-          lit(null).cast("long").as("click_id"), $"event_id")
-      val w = Window.partitionBy($"user_id").orderBy($"ts", $"kind")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      clicks.unionByName(purchases)
-        .withColumn("last_click_ts", last($"click_ts", true).over(w))
-        .withColumn("last_click_id", last($"click_id", true).over(w))
-        .filter($"kind" === 1 && $"last_click_ts".isNotNull)
+      graft.operators.AsofJoin.asofBackward(
+          ev.filter($"event_type" === "purchase")
+            .select($"user_id", $"ts", $"event_id"),
+          ev.filter($"event_type" === "click")
+            .select($"user_id", $"ts", $"event_id"),
+          on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          pick = Seq("event_id" -> "last_click_id", "ts" -> "last_click_ts"))
+        .filter($"last_click_ts".isNotNull)
         .select($"event_id", $"user_id", $"ts", $"last_click_id",
           $"last_click_ts")
         .orderBy($"event_id")

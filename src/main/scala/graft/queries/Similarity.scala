@@ -26,22 +26,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity extends QueryPack {
 
-  private val quantExpr =
-    "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
-  // native codegen kernel (graft.functions.DotProductL) — the HOF
-  // spelling `aggregate(zip_with(...))` is ~6× slower interpreted
-  private val dotExpr = "graft_dotl(qe, ce)"
+  // Spark-side quantization/bucketing/scoring live in
+  // graft.operators.VectorSearch; only the DuckDB mirror stays here.
 
-  /** 8-bit sign bucket: bit i = sign(embedding[i]) (Spark 0-based).
-    * Bucket width is the recall/speed dial: 8 bits ≈ 256 buckets keeps
-    * a few candidates per bucket at sf0.01; at 100 TB the same shape
-    * uses more bits plus multi-probe of bit-flip neighbor buckets.
+  /** 8-bit sign bucket in DuckDB (1-based lists). Bucket width is the
+    * recall/speed dial: 8 bits ≈ 256 buckets keeps a few candidates
+    * per bucket at sf0.01; at 100 TB the same shape uses more bits
+    * plus multi-probe of bit-flip neighbor buckets.
     */
-  private val bucketExpr: String =
-    (0 until 8).map(i => s"CAST(embedding[$i] > 0 AS BIGINT) * ${1L << i}")
-      .mkString(" + ")
-
-  /** Same bucket in DuckDB (1-based lists). */
   private val duckBucketExpr: String =
     (0 until 8).map(i => s"CAST(embedding[${i + 1}] > 0 AS BIGINT) * ${1L << i}")
       .mkString(" + ")
@@ -50,40 +42,29 @@ object Similarity extends QueryPack {
     // -- brute-force exact top-5 by integer inner product ---------------
     "s01_topk_bruteforce" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val emb = Tables(s, dir).embeddings
-        .select($"vec_id", expr(quantExpr).as("eq"))
-      val queries = emb.filter($"vec_id" < 100)
-        .select($"vec_id".as("query_id"), $"eq".as("qe"))
-      val corpus = emb.select($"vec_id".as("neighbor_id"), $"eq".as("ce"))
-      val w = Window.partitionBy($"query_id")
-        .orderBy($"dot".desc, $"neighbor_id")
-      broadcast(queries).join(corpus, $"query_id" =!= $"neighbor_id")
-        .withColumn("dot", expr(dotExpr))
-        .withColumn("rank", row_number().over(w))
-        .filter($"rank" <= 5)
-        .select($"query_id", $"neighbor_id", $"rank", $"dot")
+      import graft.operators.VectorSearch
+      val emb = VectorSearch.quantize(Tables(s, dir).embeddings, "embedding")
+        .select($"vec_id", $"eq")
+      VectorSearch.topKBruteForce(
+          emb.filter($"vec_id" < 100)
+            .select($"vec_id".as("query_id"), $"eq".as("qe")),
+          emb.select($"vec_id".as("neighbor_id"), $"eq".as("ce")),
+          k = 5)
         .orderBy($"query_id", $"rank")
     }),
 
     // -- LSH-bucketed ANN: same-sign-bucket candidates only -------------
     "s02_topk_lsh" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val emb = Tables(s, dir).embeddings
-        .select($"vec_id", expr(quantExpr).as("eq"),
-          expr(bucketExpr).as("bucket"))
-      val queries = emb.filter($"vec_id" < 100)
-        .select($"vec_id".as("query_id"), $"eq".as("qe"), $"bucket")
-      val corpus = emb
-        .select($"vec_id".as("neighbor_id"), $"eq".as("ce"), $"bucket")
-      val w = Window.partitionBy($"query_id")
-        .orderBy($"dot".desc, $"neighbor_id")
-      broadcast(queries)
-        .join(corpus, Seq("bucket"))
-        .filter($"query_id" =!= $"neighbor_id")
-        .withColumn("dot", expr(dotExpr))
-        .withColumn("rank", row_number().over(w))
-        .filter($"rank" <= 3)
-        .select($"query_id", $"neighbor_id", $"rank", $"dot")
+      import graft.operators.VectorSearch
+      val emb = VectorSearch.signBucket(
+        VectorSearch.quantize(Tables(s, dir).embeddings, "embedding"),
+        "embedding", bits = 8)
+      VectorSearch.topKLsh(
+          emb.filter($"vec_id" < 100)
+            .select($"vec_id".as("query_id"), $"eq".as("qe"), $"bucket"),
+          emb.select($"vec_id".as("neighbor_id"), $"eq".as("ce"), $"bucket"),
+          k = 3)
         .orderBy($"query_id", $"rank")
     }),
 
@@ -92,8 +73,9 @@ object Similarity extends QueryPack {
     // centroids portable; assignment = argmin of exact integer distance.
     "s03_centroid_assign" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val emb = Tables(s, dir).embeddings
-        .select($"vec_id", $"label", expr(quantExpr).as("eq"))
+      val emb = graft.operators.VectorSearch
+        .quantize(Tables(s, dir).embeddings, "embedding")
+        .select($"vec_id", $"label", $"eq")
       val byDim = emb.select($"vec_id", $"label",
         posexplode($"eq").as(Seq("dim", "v")))
       // floor(double division) is portable (identical IEEE op in both
