@@ -22,17 +22,29 @@ object TextDedup {
   def contentHash(text: Column): Column =
     sparkHash56(regexp_replace(lower(text), "\\s+", " "))
 
-  /** (id, h): distinct n-token-shingle 56-bit hashes per document. */
-  def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
+  /** (id, hs): the distinct n-token-shingle 56-bit hashes of each
+    * document as one array column — computed in a single narrow pass
+    * (normalize → split → shingle → hash), no shuffle, each shingle
+    * hashed exactly once. Everything downstream (inverted index,
+    * signatures, set sizes) derives from this.
+    */
+  def shingleHashArray(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     val toks = docs
       .withColumn("__norm", regexp_replace(lower(col(textCol)), "\\s+", " "))
       .withColumn("__toks", split(col("__norm"), " "))
-    toks
-      .select(col(idCol).as("id"),
-        explode(array_distinct(shingleExpr("__toks", n))).as("sh"))
-      .select(col("id"), sparkHash56(col("sh")).as("h"))
+      .withColumn("__sh", shingleExpr("__toks", n))
+    toks.select(col(idCol).as("id"),
+      expr("transform(array_distinct(__sh), s -> graft_hash56(s))").as("hs"))
   }
+
+  /** (id, h): exploded form of [[shingleHashArray]] — the inverted
+    * shingle index feeding candidate-pair joins.
+    */
+  def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    shingleHashArray(docs, idCol, textCol, n)
+      .select(col("id"), explode(col("hs")).as("h"))
 
   /** Candidate near-dup pairs from the inverted shingle index: pairs
     * sharing ≥ `minCommon` shingles, with exact Jaccard in per-mille.
@@ -71,22 +83,18 @@ object TextDedup {
         expr("inter * 1000 div (n1 + n2 - inter)"))
   }
 
-  /** Per-doc MinHash signature: `numPerms` conditional-min columns
-    * s0..s{k-1} over `(a_j·h + b_j) mod p`.
+  /** Per-doc MinHash signature: `numPerms` columns s0..s{k-1}, each
+    * `min_j (a_j·(h mod p) + b_j) mod p` over the shingle-hash array —
+    * a narrow per-row computation (no explode, no shuffle; the
+    * earlier exploded crossJoin formulation cost two wide aggregates
+    * for the same integers).
     */
-  def minhashSignatures(sh: DataFrame, numPerms: Int): DataFrame = {
-    val spark = sh.sparkSession
-    val permDf = spark.createDataFrame(
-      permCoeffs(numPerms).zipWithIndex.map { case ((a, b), j) => (j, a, b) })
-      .toDF("j", "a", "b")
-    val sigs = sh
-      .withColumn("h31", col("h") % MersenneP)
-      .crossJoin(broadcast(permDf))
-      .groupBy(col("id"), col("j"))
-      .agg(min((col("a") * col("h31") + col("b")) % MersenneP).as("sig"))
-    val cols = (0 until numPerms)
-      .map(j => min(when(col("j") === j, col("sig"))).as(s"s$j"))
-    sigs.groupBy(col("id")).agg(cols.head, cols.tail: _*)
+  def minhashSignatures(shArr: DataFrame, numPerms: Int): DataFrame = {
+    val sigCols = permCoeffs(numPerms).zipWithIndex.map { case ((a, b), j) =>
+      expr(s"array_min(transform(hs, h -> ($a * (h % $MersenneP) + $b) % $MersenneP))")
+        .as(s"s$j")
+    }
+    shArr.select(col("id") +: sigCols: _*)
   }
 
   /** Band layout: band name -> signature columns in it. */

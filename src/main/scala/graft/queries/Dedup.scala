@@ -37,13 +37,18 @@ object Dedup extends QueryPack {
   private val Bands = 4 // LSH bands (4 rows each)
   private val perms = permCoeffs(K)
 
-  /** doc_id + distinct 3-shingle 56-bit hashes (operator:
-    * [[graft.operators.TextDedup.shingleHashes]]).
+  /** (doc_id, hs): per-doc distinct 3-shingle hash arrays (operator:
+    * [[graft.operators.TextDedup.shingleHashArray]]).
     */
-  private def shingleHashes(s: SparkSession, dir: String): DataFrame =
+  private def shingleArr(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextDedup
-      .shingleHashes(Tables(s, dir).documents, "doc_id", "text", 3)
-      .withColumnRenamed("id", "doc_id")
+      .shingleHashArray(Tables(s, dir).documents, "doc_id", "text", 3)
+
+  /** doc_id + exploded shingle hashes (the inverted index). */
+  private def shingleHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    shingleArr(s, dir).select($"id".as("doc_id"), explode($"hs").as("h"))
+  }
 
   /** DuckDB mirror of [[shingleHashes]] as CTEs ending in
     * `sh(doc_id, h)` and per-doc counts `ns(doc_id, n)`.
@@ -63,12 +68,12 @@ object Dedup extends QueryPack {
        |       FROM sh GROUP BY doc_id)""".stripMargin
 
   /** Per-doc MinHash signature (operator:
-    * [[graft.operators.TextDedup.minhashSignatures]]).
+    * [[graft.operators.TextDedup.minhashSignatures]] — narrow
+    * array_min/transform form, no shuffle).
     */
   private def minhashSignature(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextDedup
-      .minhashSignatures(
-        shingleHashes(s, dir).withColumnRenamed("doc_id", "id"), K)
+      .minhashSignatures(shingleArr(s, dir), K)
       .withColumnRenamed("id", "doc_id")
 
   /** DuckDB mirror of [[minhashSignature]]: CTE `wide(doc_id, s0..)`. */
