@@ -109,6 +109,42 @@ object StreamingOps extends QueryPack {
         .orderBy($"c_mktsegment")
     }),
 
+    // -- streaming sliding window (1h window / 15min slide) -------------
+    "st5_stream_sliding" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val agg = eventStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast(DecimalType(18, 2))).cast("double")
+            .as("total_value"))
+      drain(s, agg, OutputMode.Complete())
+        .select($"window.start".as("ws"), $"n", $"total_value")
+        .orderBy($"ws")
+    }),
+
+    // -- stream-stream join with watermarks + time-bound condition ------
+    // Both sides are streams; state is evictable because the join
+    // condition bounds how far apart matching rows can be (the
+    // watermark + range constraint Spark requires at scale).
+    "st6_stream_stream_join" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val p = eventStream(s, dir).filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"event_id".as("p_id"),
+          $"ts".as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val c = eventStream(s, dir).filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"event_id".as("c_id"),
+          $"ts".as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = p.join(c,
+        $"p_user" === $"c_user" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") && $"c_ts" < $"p_ts")
+        .select($"p_id", $"c_id")
+      drain(s, joined, OutputMode.Append())
+        .orderBy($"p_id", $"c_id")
+    }),
+
     // -- arbitrary stateful op: per-user running totals -----------------
     "st4_stream_stateful" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -155,6 +191,21 @@ object StreamingOps extends QueryPack {
         |FROM events JOIN customer ON user_id = c_custkey
         |WHERE event_type = 'purchase'
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "st5_stream_sliding" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', ts) - j * INTERVAL '15 minutes' AS ws,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events, LATERAL (SELECT unnest(generate_series(0, 3)) AS j) _
+        |GROUP BY 1 ORDER BY ws""".stripMargin,
+
+    "st6_stream_stream_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        |ORDER BY p_id, c_id""".stripMargin,
 
     "st4_stream_stateful" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -128,6 +128,26 @@ object TextAnalysis extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // -- edit-distance similarity, blocked by (lang, source) ------------
+    // levenshtein is O(len²) per pair: block first (lang+source keeps
+    // groups ~25 docs), compare fixed-length prefixes only — the
+    // standard way to bound edit-distance cost at corpus scale.
+    "t07_edit_distance" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val d = Tables(s, dir).documents
+        .select($"doc_id", $"lang", $"source",
+          substring($"text", 1, 40).as("prefix"))
+      d.select($"doc_id".as("d1"), $"lang", $"source",
+          $"prefix".as("p1"))
+        .join(d.select($"doc_id".as("d2"), $"lang", $"source",
+          $"prefix".as("p2")), Seq("lang", "source"))
+        .filter($"d1" < $"d2")
+        .withColumn("dist", levenshtein($"p1", $"p2").cast("long"))
+        .filter($"dist" <= 20)
+        .select($"d1", $"d2", $"lang", $"source", $"dist")
+        .orderBy($"d1", $"d2")
+    }),
+
     // -- tf-idf-style distinctive terms: integer score = tf * 1e6 / df --
     "t06_tfidf_terms" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -224,6 +244,17 @@ object TextAnalysis extends QueryPack {
          |  list_min(list_transform(shingles, sh -> ${duckHash56("sh")})) AS min_shingle_hash,
          |  CAST(len(shingles) AS BIGINT) AS n_shingles
          |FROM z ORDER BY doc_id""".stripMargin,
+
+    "t07_edit_distance" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, substring(text, 1, 40) AS prefix
+        |  FROM documents)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, a.lang, a.source,
+        |  CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
+        |FROM d a JOIN d b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.prefix, b.prefix) <= 20
+        |ORDER BY d1, d2""".stripMargin,
 
     "t06_tfidf_terms" ->
       """WITH tokens AS (
