@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Write-side layout strategies for scale — the storage half of the
+  * 100 TB design (SURVEY §2.3 "co-located joins via bucketing",
+  * "partition pruning"):
+  *
+  *   - bucketed tables: both join sides pre-hashed into the same
+  *     bucket count on the join key → the sort-merge join reads
+  *     co-located buckets with NO shuffle exchange in the plan;
+  *   - date-partitioned layout: a predicate on the partition column
+  *     prunes directories at planning time — the scan's partition
+  *     count, not a post-scan filter, shrinks.
+  *
+  * Asserted on the physical plan text, not timings, so the checks are
+  * scale-independent.
+  */
+class StorageLayoutSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  test("bucketed join plans without a shuffle exchange") {
+    // (warehouse dir is a static conf — default ./spark-warehouse is fine
+    // for these small managed tables)
+    val t = Tables(spark, dir)
+    t.lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_bucketed")
+    t.orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_bucketed")
+
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("ord_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // bucket-co-located join: no exchange feeding the join (only the
+    // final single-partition agg exchange may remain)
+    val joinSection = plan.split("HashAggregate").last
+    assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey") &&
+      !joinSection.contains("Exchange hashpartitioning(o_orderkey"),
+      s"join sides were shuffled:\n$plan")
+    // and the result is still right
+    val n = joined.agg(sum(col("n"))).head().getLong(0)
+    assert(n === Tables(spark, dir).lineitem.count())
+  }
+
+  test("partitioned layout prunes partitions at planning time") {
+    val out = Files.createTempDirectory("graft-partitioned").toString
+    val t = Tables(spark, dir)
+    t.orders
+      .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.partitionBy("order_month").mode("overwrite").parquet(out)
+
+    val pruned = spark.read.parquet(out)
+      .filter(col("order_month") === "1996-03")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(order_month"),
+      s"no partition filter in scan:\n$scan")
+    // pruned read returns exactly the month's rows
+    val expected = t.orders
+      .filter(date_format(col("o_orderdate"), "yyyy-MM") === "1996-03")
+      .count()
+    assert(pruned.count() === expected && expected > 0)
+  }
+}
