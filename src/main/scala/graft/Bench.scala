@@ -14,10 +14,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus, "graft-bench")
-    // one warm-up pass over a small query to move JIT/codegen cost out
-    // of the first measured query
-    SparkEntry.queries.get("q06_revenue_forecast")
-      .foreach(fn => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+    // warm-up on the smallest SF: JIT + codegen-compile the scan, agg,
+    // sketch-hash and dot-product paths before anything is measured
+    val warmDir = "/root/testdata/sf0.001"
+    Seq("q06_revenue_forecast", "d03_minhash_bands", "s02_topk_lsh")
+      .flatMap(SparkEntry.queries.get)
+      .foreach { fn =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+      }
+    spark.catalog.clearCache()
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val selected =
@@ -29,7 +35,11 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release per-query persisted subtrees so earlier queries don't
+      // pressure later ones
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
