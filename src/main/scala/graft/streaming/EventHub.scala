@@ -76,6 +76,23 @@ final class EventHub[T: TypeTag] private[streaming] (
     env.event_id
   }
 
+  /** Set-oriented publish: the whole batch becomes ONE micro-batch per
+    * subscriber (ids still dense and ordered). Per-event `post` is a
+    * driver loop — this is the shape that scales: one source append,
+    * one epoch, regardless of batch size.
+    */
+  def postBatch(payloads: IterableOnce[T]): Range = {
+    val it = payloads.iterator.toSeq
+    if (it.isEmpty) return Range(0, 0)
+    val first = nextId.getAndAdd(it.size.toLong)
+    val envs = it.zipWithIndex.map { case (p, i) =>
+      Envelope(first + i, name, p, None)
+    }
+    liveSubs.foreach(_.stream.addData(envs))
+    engine.postCounter.incrementAndGet()
+    Range(first.toInt, (first + it.size).toInt)
+  }
+
   /** Acknowledged publish (R4/R5): returns after every subscriber of
     * every hub in the engine — including causal descendants spawned by
     * pipes — has processed this event's epoch.
