@@ -27,7 +27,19 @@ class StorageLayoutSpec extends AnyFunSuite {
 
   test("bucketed join plans without a shuffle exchange") {
     // (warehouse dir is a static conf — default ./spark-warehouse is fine
-    // for these small managed tables)
+    // for these small managed tables; clear leftovers from prior JVMs,
+    // whose filesystem locations outlive the in-memory catalog)
+    Seq("li_bucketed", "ord_bucketed").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new java.io.File(s"spark-warehouse/$tbl")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     val t = Tables(spark, dir)
     t.lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable("li_bucketed")
