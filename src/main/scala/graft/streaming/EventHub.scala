@@ -103,6 +103,13 @@ final class EventHub[T: TypeTag] private[streaming] (
     id
   }
 
+  /** Drop this hub (the reference's hub-drop semantics,
+    * src/event_streams.rs:107-113): every subscriber drains what was
+    * already published, then completes; afterwards `count` is 0 and
+    * further posts go nowhere.
+    */
+  def close(): Unit = liveSubs.foreach(_.close())
+
   /** Drop all posted-but-not-yet-delivered events for all subscribers
     * (R7). Deviation from the reference (src/event_streams.rs:74-77):
     * the discard boundary is the micro-batch — events already inside a

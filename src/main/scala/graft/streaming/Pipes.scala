@@ -74,4 +74,35 @@ object Envelopes {
   def ofType[T](ds: Dataset[Envelope[T]], eventType: String)
       : Dataset[Envelope[T]] =
     ds.filter(_.event_type == eventType)
+
+  /** Open (heterogeneous) envelope form — the honest analog of the
+    * reference's `Box<dyn Any>` payload (SURVEY §1.2): the typed
+    * payload becomes a JSON column, so envelopes of *different* event
+    * types can union into one DataFrame and round-trip back.
+    */
+  def toOpen[T](ds: Dataset[Envelope[T]]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    ds.toDF().select(col("event_id"), col("event_type"),
+      to_json(struct(col("payload"))).as("payload_json"), col("source_id"))
+  }
+
+  /** Recover the typed sub-stream for `eventType` from an open
+    * envelope DataFrame. A mismatched tag yields an empty result; a
+    * tag whose payload doesn't parse as `T` yields null payloads —
+    * the `Option`-returning checked downcast, as data.
+    */
+  def fromOpen[T: org.apache.spark.sql.Encoder](
+      open: org.apache.spark.sql.DataFrame, eventType: String,
+      payloadType: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    open.filter(col("event_type") === eventType)
+      .withColumn("payload",
+        from_json(col("payload_json"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("payload", payloadType))))
+          .getField("payload"))
+      .select(col("event_id"), col("event_type"), col("payload"),
+        col("source_id"))
+  }
 }
