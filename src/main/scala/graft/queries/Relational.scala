@@ -298,6 +298,34 @@ object Relational extends QueryPack {
         .orderBy($"p_partkey")
     }),
 
+    // -- Q20: range-frame window (value-based frame, not row-based) -----
+    // 30-day trailing spend per order: RANGE BETWEEN over epoch days.
+    "q20_range_frame" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"day".cast("long"))
+        .rangeBetween(-30, Window.currentRow)
+      Tables(s, dir).orders
+        .withColumn("day", datediff($"o_orderdate",
+          lit("1990-01-01").cast("timestamp")))
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+          sum(dec($"o_totalprice")).over(w).cast("double")
+            .as("trailing_30d_spend"))
+        .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+    }),
+
+    // -- Q21: scalar subquery (orders above global average) -------------
+    "q21_scalar_subquery" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_sq")
+      s.sql(
+        """SELECT o_orderkey, o_custkey,
+          |  CAST(o_totalprice AS DOUBLE) AS o_totalprice
+          |FROM orders_sq
+          |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM orders_sq) >
+          |  (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders_sq)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // -- Q19: conditional (pivot-style) aggregation ---------------------
     "q19_status_pivot" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -489,6 +517,23 @@ object Relational extends QueryPack {
         |      / COUNT(*) OVER (PARTITION BY p_brand) AS brand_avg
         |  FROM part) t
         |WHERE p_retailprice > brand_avg ORDER BY p_partkey""".stripMargin,
+
+    "q20_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY date_diff('day', TIMESTAMP '1990-01-01', o_orderdate)
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS trailing_30d_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "q21_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM orders
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM orders) >
+        |  (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q19_status_pivot" ->
       """SELECT c_nationkey,
