@@ -26,6 +26,15 @@ object SkewJoin {
   def saltedJoin(skewed: DataFrame, build: DataFrame, key: String,
       saltFactor: Int = 8, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    // right/full outer would emit each unmatched build row once PER
+    // SALT (the build side is replicated) — reject instead of being
+    // silently wrong
+    val safe = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+    require(safe.contains(joinType.toLowerCase.replace("_", "")) ||
+      safe.contains(joinType.toLowerCase),
+      s"saltedJoin does not support joinType=$joinType: the replicated " +
+        "build side would duplicate unmatched right rows")
     val salted = skewed.withColumn("__salt",
       pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
     val replicated = build

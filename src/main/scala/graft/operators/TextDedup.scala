@@ -99,6 +99,9 @@ object TextDedup {
 
   /** Band layout: band name -> signature columns in it. */
   def bandCols(numPerms: Int, bands: Int): Seq[(String, Seq[String])] = {
+    require(numPerms % bands == 0,
+      s"numPerms=$numPerms must divide evenly into bands=$bands " +
+        "(trailing signature columns would silently drop out of banding)")
     val rows = numPerms / bands
     (0 until bands).map(b =>
       s"b$b" -> (0 until rows).map(r => s"s${b * rows + r}"))

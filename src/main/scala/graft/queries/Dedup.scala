@@ -37,17 +37,17 @@ object Dedup extends QueryPack {
   private val Bands = 4 // LSH bands (4 rows each)
   private val perms = permCoeffs(K)
 
-  /** (doc_id, hs): per-doc distinct 3-shingle hash arrays (operator:
+  /** (id, hs): per-doc distinct 3-shingle hash arrays (operator:
     * [[graft.operators.TextDedup.shingleHashArray]]).
     */
   private def shingleArr(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextDedup
       .shingleHashArray(Tables(s, dir).documents, "doc_id", "text", 3)
 
-  /** doc_id + exploded shingle hashes (the inverted index). */
+  /** (id, h): exploded shingle hashes (the inverted index). */
   private def shingleHashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    shingleArr(s, dir).select($"id".as("doc_id"), explode($"hs").as("h"))
+    shingleArr(s, dir).select($"id", explode($"hs").as("h"))
   }
 
   /** DuckDB mirror of [[shingleHashes]] as CTEs ending in
@@ -102,7 +102,7 @@ object Dedup extends QueryPack {
       import s.implicits._
       Tables(s, dir).documents
         .withColumn("content_hash",
-          sparkHash56(regexp_replace(lower($"text"), "\\s+", " ")))
+          graft.operators.TextDedup.contentHash($"text"))
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
           countDistinct($"content_hash").as("n_distinct"),
@@ -115,20 +115,9 @@ object Dedup extends QueryPack {
       import s.implicits._
       // the self-join + per-doc counts reference this subtree 3× —
       // persist it once (at 100 TB: a checkpointed shingle table)
-      val sh = shingleHashes(s, dir).persist()
-      val ns = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.select($"doc_id".as("d1"), $"h")
-        .join(sh.select($"doc_id".as("d2"), $"h"), Seq("h"))
-        .filter($"d1" < $"d2")
-        .groupBy($"d1", $"d2").agg(count(lit(1)).as("inter"))
-        .filter($"inter" >= 10)
-      inter
-        .join(ns.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
-        .join(ns.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
-        .select($"d1", $"d2", $"inter",
-          ($"n1" + $"n2" - $"inter").as("un"),
-          expr("inter * 1000 div (n1 + n2 - inter)").as("jaccard_pm"))
-        .filter($"jaccard_pm" >= 100)
+      graft.operators.TextDedup
+        .jaccardPairs(shingleHashes(s, dir).persist(),
+          minCommon = 10, minJaccardPm = 100)
         .orderBy($"d1", $"d2")
     }),
 
@@ -146,29 +135,12 @@ object Dedup extends QueryPack {
     // -- LSH candidate pairs (any band collides), Jaccard-verified ------
     "d04_lsh_pairs" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val wide = minhashSignature(s, dir).persist()
-      val banded = bandCols.zipWithIndex.map { case ((_, sigCols), bi) =>
-        wide.select($"doc_id", lit(bi).as("band"),
-          sparkHash56(concat_ws(",", sigCols.map(col): _*)).as("bh"))
-      }.reduce(_ unionByName _)
-      val cand = banded.select($"doc_id".as("d1"), $"band", $"bh")
-        .join(banded.select($"doc_id".as("d2"), $"band", $"bh"),
-          Seq("band", "bh"))
-        .filter($"d1" < $"d2")
-        .groupBy($"d1", $"d2").agg(count(lit(1)).as("n_bands"))
-      val sh = shingleHashes(s, dir).persist()
-      val ns = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.select($"doc_id".as("d1"), $"h")
-        .join(sh.select($"doc_id".as("d2"), $"h"), Seq("h"))
-        .filter($"d1" < $"d2")
-        .groupBy($"d1", $"d2").agg(count(lit(1)).as("inter"))
-      cand
-        .join(inter, Seq("d1", "d2"), "left")
-        .join(ns.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
-        .join(ns.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
-        .withColumn("inter", coalesce($"inter", lit(0L)))
-        .select($"d1", $"d2", $"n_bands", $"inter",
-          expr("inter * 1000 div (n1 + n2 - inter)").as("jaccard_pm"))
+      import graft.operators.TextDedup
+      val wide = TextDedup
+        .minhashSignatures(shingleArr(s, dir), K).persist()
+      val cand = TextDedup.lshCandidates(wide, K, Bands)
+      TextDedup.jaccardVerify(shingleHashes(s, dir).persist(), cand)
+        .select($"d1", $"d2", $"n_bands", $"inter", $"jaccard_pm")
         .orderBy($"d1", $"d2")
     }),
 

@@ -98,8 +98,8 @@ object Extensions extends QueryPack {
     "x01_typed_udaf" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
-        |           * CAST(l_quantity AS BIGINT)) //
-        |       SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wavg_price_cents
+        |           * CAST(FLOOR(l_quantity) AS BIGINT)) //
+        |       SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS wavg_price_cents
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "x02_scalar_udf" ->

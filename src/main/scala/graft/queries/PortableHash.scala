@@ -59,8 +59,17 @@ object PortableHash {
   /** `n`-token shingles of a string-array column (Spark side); the
     * DuckDB mirror is `list_transform(generate_series(1, len-n+1),
     * i -> concat_ws(' ', toks[i], ..))`.
+    *
+    * Documents shorter than `n` tokens yield an EMPTY array — guarded
+    * explicitly, because `sequence(0, size-n)` with `size < n` would
+    * produce a *descending* sequence (Spark defaults the step to -1
+    * when start > stop) and then crash in `slice(..., 0, n)`; DuckDB's
+    * `generate_series(1, len-n+1)` is empty in that case, so the guard
+    * is also what keeps the two engines aligned.
     */
   def shingleExpr(arrayCol: String, n: Int): Column =
-    expr(s"transform(sequence(0, size($arrayCol) - $n), " +
-      s"i -> concat_ws(' ', slice($arrayCol, i + 1, $n)))")
+    expr(s"CASE WHEN size($arrayCol) >= $n THEN " +
+      s"transform(sequence(0, size($arrayCol) - $n), " +
+      s"i -> concat_ws(' ', slice($arrayCol, i + 1, $n))) " +
+      s"ELSE CAST(array() AS ARRAY<STRING>) END")
 }

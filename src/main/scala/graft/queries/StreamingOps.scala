@@ -46,8 +46,10 @@ object StreamingOps extends QueryPack {
     import java.nio.file.{Files, Paths}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = Paths.get(s"$dir/events.parquet")
+    // key the staging dir by the sanitized path itself — a hash could
+    // collide across sf dirs and silently stream the wrong dataset
     val streamDir = Paths.get(
-      s"/tmp/graft-stream-src-${math.abs(dir.hashCode)}")
+      s"/tmp/graft-stream-src-${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
     Files.createDirectories(streamDir)
     val link = streamDir.resolve("events.parquet")
     if (!Files.exists(link)) Files.createSymbolicLink(link, src)

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import java.util.concurrent.atomic.AtomicLong
+import scala.collection.immutable.NumericRange
 import scala.collection.mutable
 import scala.reflect.runtime.universe.TypeTag
 
@@ -81,16 +82,16 @@ final class EventHub[T: TypeTag] private[streaming] (
     * driver loop — this is the shape that scales: one source append,
     * one epoch, regardless of batch size.
     */
-  def postBatch(payloads: IterableOnce[T]): Range = {
+  def postBatch(payloads: IterableOnce[T]): NumericRange.Exclusive[Long] = {
     val it = payloads.iterator.toSeq
-    if (it.isEmpty) return Range(0, 0)
+    if (it.isEmpty) return 0L until 0L
     val first = nextId.getAndAdd(it.size.toLong)
     val envs = it.zipWithIndex.map { case (p, i) =>
       Envelope(first + i, name, p, None)
     }
     liveSubs.foreach(_.stream.addData(envs))
     engine.postCounter.incrementAndGet()
-    Range(first.toInt, (first + it.size).toInt)
+    first until (first + it.size)
   }
 
   /** Acknowledged publish (R4/R5): returns after every subscriber of

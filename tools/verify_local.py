@@ -70,9 +70,13 @@ def main():
             print(f"PASS {name} ({len(g)} rows, exact)")
             n_pass += 1
             continue
-        # float-tolerant second pass
+        # float-tolerant second pass (sort via stringified key: raw
+        # tuples with None are unorderable in Python 3)
+        def skey(r):
+            return tuple(str(v) for v in r)
         bad = None
-        for gr, er in zip(sorted(got_rows), sorted(exp_rows)):
+        for gr, er in zip(sorted(got_rows, key=skey),
+                          sorted(exp_rows, key=skey)):
             for gv, ev in zip(gr, er):
                 if gv == ev:
                     continue
