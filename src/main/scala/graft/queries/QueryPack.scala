@@ -15,6 +15,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     an unambiguous ORDER BY.
   */
 trait QueryPack {
+  /** Note for embedders: some queries `persist()` shared subtrees
+    * (e.g. the dedup shingle index). The cache is scoped to the
+    * session — `Verify`/`Bench` release it with
+    * `spark.catalog.clearCache()` after materializing each query;
+    * long-lived sessions embedding these queries should do the same.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracles: Map[String, String]
 }

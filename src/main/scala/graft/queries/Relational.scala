@@ -326,6 +326,36 @@ object Relational extends QueryPack {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // -- Q22: native pivot (fixed value list → deterministic schema) ----
+    "q22_pivot" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir).orders
+        .groupBy($"o_orderpriority")
+        .pivot($"o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select($"o_orderpriority", $"F".as("n_f"), $"O".as("n_o"),
+          $"P".as("n_p"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // -- Q23: collection functions (sorted array agg, element ops) ------
+    "q23_collections" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir).orders
+        .filter($"o_custkey" <= 20)
+        .groupBy($"o_custkey")
+        .agg(sort_array(collect_list($"o_orderpriority")).as("prios"),
+          sort_array(collect_set($"o_orderstatus")).as("statuses"))
+        .select($"o_custkey",
+          size($"prios").cast("long").as("n_orders"),
+          element_at($"prios", 1).as("first_prio"),
+          element_at($"prios", -1).as("last_prio"),
+          array_join($"statuses", ",").as("status_set"),
+          array_contains($"prios", "1-URGENT").cast("int").as("has_urgent"))
+        .orderBy($"o_custkey")
+    }),
+
     // -- Q19: conditional (pivot-style) aggregation ---------------------
     "q19_status_pivot" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -517,6 +547,28 @@ object Relational extends QueryPack {
         |      / COUNT(*) OVER (PARTITION BY p_brand) AS brand_avg
         |  FROM part) t
         |WHERE p_retailprice > brand_avg ORDER BY p_partkey""".stripMargin,
+
+    "q22_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q23_collections" ->
+      """SELECT o_custkey,
+        |  CAST(len(prios) AS BIGINT) AS n_orders,
+        |  prios[1] AS first_prio,
+        |  prios[-1] AS last_prio,
+        |  array_to_string(statuses, ',') AS status_set,
+        |  CAST(CASE WHEN list_contains(prios, '1-URGENT') THEN 1 ELSE 0 END AS INTEGER) AS has_urgent
+        |FROM (
+        |  SELECT o_custkey,
+        |    list_sort(list(o_orderpriority)) AS prios,
+        |    list_sort(list(DISTINCT o_orderstatus)) AS statuses
+        |  FROM orders WHERE o_custkey <= 20 GROUP BY o_custkey)
+        |ORDER BY o_custkey""".stripMargin,
 
     "q20_range_frame" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
