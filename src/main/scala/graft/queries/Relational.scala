@@ -326,6 +326,22 @@ object Relational extends QueryPack {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // -- Q24: exact ordered statistics (median / quartiles) -------------
+    // Exact percentile (not the t-digest approximation): safe for the
+    // oracle because l_quantity is integral, so linear interpolation
+    // lands on k or k.5 — exactly representable doubles in both engines.
+    "q24_exact_median" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("q1_qty"),
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.75)").as("q3_qty"),
+          min($"l_quantity").as("min_qty"), max($"l_quantity").as("max_qty"))
+        .orderBy($"l_returnflag")
+    }),
+
     // -- Q22: native pivot (fixed value list → deterministic schema) ----
     "q22_pivot" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -547,6 +563,14 @@ object Relational extends QueryPack {
         |      / COUNT(*) OVER (PARTITION BY p_brand) AS brand_avg
         |  FROM part) t
         |WHERE p_retailprice > brand_avg ORDER BY p_partkey""".stripMargin,
+
+    "q24_exact_median" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q1_qty,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.75) AS q3_qty,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q22_pivot" ->
       """SELECT o_orderpriority,
