@@ -22,29 +22,22 @@ object TextDedup {
   def contentHash(text: Column): Column =
     sparkHash56(regexp_replace(lower(text), "\\s+", " "))
 
-  /** (id, hs): the distinct n-token-shingle 56-bit hashes of each
-    * document as one array column — computed in a single narrow pass
-    * (normalize → split → shingle → hash), no shuffle, each shingle
-    * hashed exactly once. Everything downstream (inverted index,
-    * signatures, set sizes) derives from this.
-    */
-  def shingleHashArray(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame = {
-    val toks = docs
-      .withColumn("__norm", regexp_replace(lower(col(textCol)), "\\s+", " "))
-      .withColumn("__toks", split(col("__norm"), " "))
-      .withColumn("__sh", shingleExpr("__toks", n))
-    toks.select(col(idCol).as("id"),
-      expr("transform(array_distinct(__sh), s -> graft_hash56(s))").as("hs"))
-  }
-
-  /** (id, h): exploded form of [[shingleHashArray]] — the inverted
-    * shingle index feeding candidate-pair joins.
+  /** (id, h): distinct n-token-shingle 56-bit hashes per document,
+    * exploded — the inverted shingle index feeding candidate-pair
+    * joins and signatures. Hashing happens AFTER the explode so the
+    * [[graft.functions.Hash56]] call runs inside whole-stage codegen;
+    * hashing inside a `transform(...)` lambda is interpreted
+    * per-element and measured ~3× slower end-to-end.
     */
   def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame =
-    shingleHashArray(docs, idCol, textCol, n)
-      .select(col("id"), explode(col("hs")).as("h"))
+      n: Int = 3): DataFrame = {
+    docs
+      .withColumn("__norm", regexp_replace(lower(col(textCol)), "\\s+", " "))
+      .withColumn("__toks", split(col("__norm"), " "))
+      .select(col(idCol).as("id"),
+        explode(array_distinct(shingleExpr("__toks", n))).as("__sh"))
+      .select(col("id"), sparkHash56(col("__sh")).as("h"))
+  }
 
   /** Candidate near-dup pairs from the inverted shingle index: pairs
     * sharing ≥ `minCommon` shingles, with exact Jaccard in per-mille.
@@ -84,17 +77,19 @@ object TextDedup {
   }
 
   /** Per-doc MinHash signature: `numPerms` columns s0..s{k-1}, each
-    * `min_j (a_j·(h mod p) + b_j) mod p` over the shingle-hash array —
-    * a narrow per-row computation (no explode, no shuffle; the
-    * earlier exploded crossJoin formulation cost two wide aggregates
-    * for the same integers).
+    * `min (a_j·(h mod p) + b_j) mod p` over the doc's shingle hashes —
+    * computed as `numPerms` conditional-min AGGREGATES over the
+    * exploded index: one map-side-combinable shuffle on the doc id,
+    * every permutation evaluated in whole-stage codegen. (Both the
+    * perm-crossJoin form and the per-row `array_min(transform(...))`
+    * form benchmarked slower — the former shuffles k× the rows, the
+    * latter interprets the lambda per element.)
     */
-  def minhashSignatures(shArr: DataFrame, numPerms: Int): DataFrame = {
+  def minhashSignatures(sh: DataFrame, numPerms: Int): DataFrame = {
     val sigCols = permCoeffs(numPerms).zipWithIndex.map { case ((a, b), j) =>
-      expr(s"array_min(transform(hs, h -> ($a * (h % $MersenneP) + $b) % $MersenneP))")
-        .as(s"s$j")
+      min(expr(s"($a * (h % $MersenneP) + $b) % $MersenneP")).as(s"s$j")
     }
-    shArr.select(col("id") +: sigCols: _*)
+    sh.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
   /** Band layout: band name -> signature columns in it. */

@@ -37,18 +37,12 @@ object Dedup extends QueryPack {
   private val Bands = 4 // LSH bands (4 rows each)
   private val perms = permCoeffs(K)
 
-  /** (id, hs): per-doc distinct 3-shingle hash arrays (operator:
-    * [[graft.operators.TextDedup.shingleHashArray]]).
+  /** (id, h): distinct 3-shingle hashes, exploded (operator:
+    * [[graft.operators.TextDedup.shingleHashes]]).
     */
-  private def shingleArr(s: SparkSession, dir: String): DataFrame =
+  private def shingleHashes(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextDedup
-      .shingleHashArray(Tables(s, dir).documents, "doc_id", "text", 3)
-
-  /** (id, h): exploded shingle hashes (the inverted index). */
-  private def shingleHashes(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    shingleArr(s, dir).select($"id", explode($"hs").as("h"))
-  }
+      .shingleHashes(Tables(s, dir).documents, "doc_id", "text", 3)
 
   /** DuckDB mirror of [[shingleHashes]] as CTEs ending in
     * `sh(doc_id, h)` and per-doc counts `ns(doc_id, n)`.
@@ -68,12 +62,12 @@ object Dedup extends QueryPack {
        |       FROM sh GROUP BY doc_id)""".stripMargin
 
   /** Per-doc MinHash signature (operator:
-    * [[graft.operators.TextDedup.minhashSignatures]] — narrow
-    * array_min/transform form, no shuffle).
+    * [[graft.operators.TextDedup.minhashSignatures]] — conditional-min
+    * aggregates over the inverted index, one combinable shuffle).
     */
   private def minhashSignature(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextDedup
-      .minhashSignatures(shingleArr(s, dir), K)
+      .minhashSignatures(shingleHashes(s, dir), K)
       .withColumnRenamed("id", "doc_id")
 
   /** DuckDB mirror of [[minhashSignature]]: CTE `wide(doc_id, s0..)`. */
@@ -136,10 +130,10 @@ object Dedup extends QueryPack {
     "d04_lsh_pairs" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import graft.operators.TextDedup
-      val wide = TextDedup
-        .minhashSignatures(shingleArr(s, dir), K).persist()
+      val sh = shingleHashes(s, dir).persist()
+      val wide = TextDedup.minhashSignatures(sh, K).persist()
       val cand = TextDedup.lshCandidates(wide, K, Bands)
-      TextDedup.jaccardVerify(shingleHashes(s, dir).persist(), cand)
+      TextDedup.jaccardVerify(sh, cand)
         .select($"d1", $"d2", $"n_bands", $"inter", $"jaccard_pm")
         .orderBy($"d1", $"d2")
     }),

@@ -17,15 +17,14 @@ class TextDedupSpec extends AnyFunSuite {
     val docs = Seq(
       (0L, "one"), (1L, "two tokens"), (2L, "exactly three tokens"),
       (3L, "now four whole tokens")).toDF("doc_id", "text")
-    val arr = TextDedup.shingleHashArray(docs, "doc_id", "text", 3)
-      .select($"id", size($"hs").as("n")).collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(arr === Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 2))
-    // and the downstream pipeline tolerates them
-    val sigs = TextDedup.minhashSignatures(
-      TextDedup.shingleHashArray(docs, "doc_id", "text", 3), 16)
-    assert(sigs.count() === 4) // short docs keep a row (null signature)
     val sh = TextDedup.shingleHashes(docs, "doc_id", "text", 3)
+    val counts = sh.groupBy($"id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts === Map(2L -> 1, 3L -> 2)) // short docs: zero shingles
+    // and the downstream pipeline tolerates them: shingle-less docs
+    // simply have no signature (mirrors the oracle's sh-derived CTE)
+    val sigs = TextDedup.minhashSignatures(sh, 16)
+    assert(sigs.count() === 2)
     assert(TextDedup.jaccardPairs(sh, minCommon = 1).count() === 0)
   }
 
