@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MERGE/upsert as a pure transformation: rows from `updates` replace
+  * target rows sharing the key; unmatched update rows are inserted;
+  * untouched target rows pass through. The incremental-corpus
+  * maintenance primitive (refresh crawled documents, re-embed vectors)
+  * in engines without a table format's MERGE INTO.
+  *
+  * Shape: ONE full-outer shuffle join on the key + column-wise
+  * coalesce — no window, no union-dedup pass. At 100 TB the join
+  * shuffles both sides on the key; with the target bucketed on the
+  * key (see StorageLayoutSpec) the target side doesn't move at all.
+  * Schemas must match; key values are assumed unique per side (true
+  * CDC feeds dedup upstream by sequence number first — compose with
+  * a keep-last window when they don't).
+  */
+object Upsert {
+
+  def merge(target: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    require(target.columns.sameElements(updates.columns),
+      s"schema mismatch: ${target.columns.mkString(",")} vs " +
+        updates.columns.mkString(","))
+    val t = target.alias("t")
+    val u = updates.alias("u")
+    val merged = t.join(u, col(s"t.$key") === col(s"u.$key"), "full_outer")
+    val cols = target.columns.map { c =>
+      coalesce(col(s"u.$c"), col(s"t.$c")).as(c)
+    }
+    merged.select(cols.toIndexedSeq: _*)
+  }
+}

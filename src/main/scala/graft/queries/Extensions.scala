@@ -79,6 +79,27 @@ object Extensions extends QueryPack {
           |ORDER BY status, priority""".stripMargin)
     }),
 
+    // -- CDC merge/upsert: replace + insert in one full-outer pass ------
+    "x05_merge_upsert" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val orders = Tables(s, dir).orders
+      // updates: repriced existing orders (custkey < 10) + new synthetic
+      // orders keyed past the existing range
+      val repriced = orders.filter($"o_custkey" < 10)
+        .withColumn("o_totalprice", ($"o_totalprice" * 2).cast("double"))
+        .withColumn("o_orderstatus", lit("U"))
+      val inserted = orders.filter($"o_custkey" < 5)
+        .withColumn("o_orderkey", $"o_orderkey" + 10000000L)
+        .withColumn("o_orderstatus", lit("I"))
+      val snapshot = graft.operators.Upsert.merge(
+        orders, repriced.unionByName(inserted), "o_orderkey")
+      snapshot.groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("total"))
+        .orderBy($"o_orderstatus")
+    }),
+
     // -- sketch aggregates (no hash oracle: approximate by design) ------
     "x04_approx_sketches" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -108,6 +129,25 @@ object Extensions extends QueryPack {
         |FROM part
         |WHERE length(p_name) - length(regexp_replace(p_name, '[aeiou]', '', 'g')) >= 4
         |ORDER BY p_partkey""".stripMargin,
+
+    "x05_merge_upsert" ->
+      """WITH repriced AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    CAST(o_totalprice * 2 AS DOUBLE) AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_custkey < 10),
+        |inserted AS (
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+        |    'I' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_custkey < 5),
+        |updates AS (SELECT * FROM repriced UNION ALL SELECT * FROM inserted),
+        |snapshot AS (
+        |  SELECT COALESCE(u.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+        |    COALESCE(u.o_totalprice, t.o_totalprice) AS o_totalprice
+        |  FROM orders t FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM snapshot GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "x03_grouping_sets" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
