@@ -19,7 +19,8 @@ object SparkEntry {
     Similarity,
     Multimodal,
     StreamingOps,
-    Extensions
+    Extensions,
+    Pipeline
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

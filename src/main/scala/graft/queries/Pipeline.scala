@@ -1,0 +1,117 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.TextDedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-data curation pipeline as ONE query —
+  * the composition the individual packs exist for:
+  *
+  *   1. quality gate  (t04's heuristic: length + stopword rate)
+  *   2. exact dedup   (keep lowest doc_id per normalized content hash)
+  *   3. near-dup removal (inverted-index Jaccard ≥ 50%, keep the
+  *      lower doc_id of each surviving pair)
+  *   4. corpus stats per source
+  *
+  * Every stage is the operator-library call, so this is also the
+  * integration test of [[graft.operators.TextDedup]] composition.
+  * Scale shape: two hash aggregates + one inverted-index join — no
+  * stage is quadratic; at 100 TB the near-dup stage switches to the
+  * MinHash-banded candidate set (d04) with identical downstream
+  * wiring.
+  */
+object Pipeline extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_curation_pipeline" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+
+      // 1. quality gate (same heuristic as t04)
+      val quality = docs
+        .withColumn("toks", split($"text", "\\s+"))
+        .withColumn("n_tokens", size($"toks").cast("long"))
+        .withColumn("stop_hits",
+          size(filter($"toks", t =>
+            t.isInCollection(Seq("the", "a", "of", "and", "to")))).cast("long"))
+        .withColumn("stopword_pm", expr("stop_hits * 1000 div n_tokens"))
+        .filter($"n_tokens" >= 30 && $"stopword_pm".between(20, 400))
+        .select($"doc_id", $"source", $"text")
+
+      // 2. exact dedup: keep lowest doc_id per content hash
+      val wExact = Window.partitionBy($"content_hash").orderBy($"doc_id")
+      val exact = quality
+        .withColumn("content_hash", TextDedup.contentHash($"text"))
+        .withColumn("rn", row_number().over(wExact))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"source", $"text")
+
+      // 3. near-dup removal: drop the higher doc_id of any pair with
+      // Jaccard ≥ 500 per-mille over 3-shingles
+      val sh = TextDedup.shingleHashes(exact, "doc_id", "text", 3)
+      val dupHigh = TextDedup.jaccardPairs(sh, minCommon = 1,
+          minJaccardPm = 500)
+        .select($"d2".as("doc_id")).distinct()
+      val kept = exact.join(dupHigh, Seq("doc_id"), "left_anti")
+
+      // 4. corpus stats per source
+      kept.groupBy($"source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(length($"text")).cast("long").as("total_chars"))
+        .orderBy($"source")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "p01_curation_pipeline" ->
+      s"""WITH quality AS (
+         |  SELECT doc_id, source, text FROM (
+         |    SELECT doc_id, source, text,
+         |      CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+         |      CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |        t -> t IN ('the','a','of','and','to'))) AS BIGINT) AS stop_hits
+         |    FROM documents)
+         |  WHERE n_tokens >= 30
+         |    AND stop_hits * 1000 // n_tokens BETWEEN 20 AND 400),
+         |exact AS (
+         |  SELECT doc_id, source, text FROM (
+         |    SELECT doc_id, source, text,
+         |      ROW_NUMBER() OVER (PARTITION BY
+         |        ${PortableHash.duckHash56(
+                   "regexp_replace(lower(text), '\\s+', ' ', 'g')")}
+         |        ORDER BY doc_id) AS rn
+         |    FROM quality)
+         |  WHERE rn = 1),
+         |toks AS (
+         |  SELECT doc_id,
+         |    string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS t
+         |  FROM exact),
+         |sh AS (
+         |  SELECT doc_id, ${PortableHash.duckHash56("s")} AS h FROM (
+         |    SELECT doc_id, unnest(list_distinct(
+         |      CASE WHEN len(t) >= 3 THEN
+         |        list_transform(generate_series(1, len(t) - 2),
+         |          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+         |      ELSE [] END)) AS s
+         |    FROM toks)),
+         |ns AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 1),
+         |duphigh AS (
+         |  SELECT DISTINCT p.d2 AS doc_id
+         |  FROM pairs p JOIN ns n1 ON p.d1 = n1.doc_id
+         |  JOIN ns n2 ON p.d2 = n2.doc_id
+         |  WHERE p.inter * 1000 // (n1.n + n2.n - p.inter) >= 500),
+         |kept AS (
+         |  SELECT e.* FROM exact e
+         |  WHERE NOT EXISTS (SELECT 1 FROM duphigh d WHERE d.doc_id = e.doc_id))
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
+         |FROM kept GROUP BY source ORDER BY source""".stripMargin
+  )
+}
