@@ -25,7 +25,8 @@ object GraftExtensions {
   type Builder = Seq[Expression] => Expression
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo("graft.functions.GraftExtensions", null, name, usage, "")
+    new ExpressionInfo("graft.functions.GraftExtensions", "", name, usage,
+      "", "", "", "", "", "", "built-in")
 
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
     (FunctionIdentifier("graft_hash56"),

@@ -64,7 +64,7 @@ object EventHubDemo {
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     sq.awaitTermination()
     println(s"eventgen-stream-batches=${sq.recentProgress.length} " +
-      s"rows=${spark.table("demo_gen").agg(sum("count")).head.getLong(0)}")
+      s"rows=${spark.table("demo_gen").agg(sum("count")).head().getLong(0)}")
     spark.stop()
   }
 }
