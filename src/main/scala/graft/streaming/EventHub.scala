@@ -48,6 +48,13 @@ final class EventHub[T: TypeTag] private[streaming] (
 
   private val nextId = new AtomicLong(0L)
   private val subs = mutable.ArrayBuffer.empty[Subscription[T]]
+  /** Serializes publishes: id assignment + fan-out must be atomic so
+    * ids equal queue order, and concurrent `addData` on one
+    * MemoryStream is not safe — the same role as the reference hub's
+    * write lock (src/event_streams.rs:39,56), held per publish, never
+    * across a barrier.
+    */
+  private val postLock = new Object
 
   private def liveSubs: Seq[Subscription[T]] = synchronized {
     subs.filterNot(_.closed).toSeq
@@ -71,10 +78,13 @@ final class EventHub[T: TypeTag] private[streaming] (
     * event this one was derived from (see [[Envelope.rootId]]).
     */
   def post(payload: T, sourceId: Option[Long] = None): Long = {
-    val env = Envelope(nextId.getAndIncrement(), name, payload, sourceId)
-    liveSubs.foreach(_.stream.addData(env))
+    val id = postLock.synchronized {
+      val env = Envelope(nextId.getAndIncrement(), name, payload, sourceId)
+      liveSubs.foreach(_.stream.addData(env))
+      env.event_id
+    }
     engine.postCounter.incrementAndGet()
-    env.event_id
+    id
   }
 
   /** Set-oriented publish: the whole batch becomes ONE micro-batch per
@@ -85,13 +95,16 @@ final class EventHub[T: TypeTag] private[streaming] (
   def postBatch(payloads: IterableOnce[T]): NumericRange.Exclusive[Long] = {
     val it = payloads.iterator.toSeq
     if (it.isEmpty) return 0L until 0L
-    val first = nextId.getAndAdd(it.size.toLong)
-    val envs = it.zipWithIndex.map { case (p, i) =>
-      Envelope(first + i, name, p, None)
+    val range = postLock.synchronized {
+      val first = nextId.getAndAdd(it.size.toLong)
+      val envs = it.zipWithIndex.map { case (p, i) =>
+        Envelope(first + i, name, p, None)
+      }
+      liveSubs.foreach(_.stream.addData(envs))
+      first until (first + it.size)
     }
-    liveSubs.foreach(_.stream.addData(envs))
     engine.postCounter.incrementAndGet()
-    first until (first + it.size)
+    range
   }
 
   /** Acknowledged publish (R4/R5): returns after every subscriber of
