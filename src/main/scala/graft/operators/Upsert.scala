@@ -23,11 +23,21 @@ object Upsert {
     require(target.columns.sameElements(updates.columns),
       s"schema mismatch: ${target.columns.mkString(",")} vs " +
         updates.columns.mkString(","))
+    require(target.columns.contains(key),
+      s"key '$key' is not a column of the inputs " +
+        s"(${target.columns.mkString(",")})")
     val t = target.alias("t")
-    val u = updates.alias("u")
+    // NULL-keyed update rows are malformed CDC (they can never match a
+    // target row and would insert phantom records) — dropped here;
+    // feeds that need them must repair keys upstream.
+    val u = updates.filter(col(key).isNotNull).alias("u")
     val merged = t.join(u, col(s"t.$key") === col(s"u.$key"), "full_outer")
+    // whole-row replacement, gated on update-row presence: a NULL in a
+    // matched update row MEANS null (per-column coalesce would silently
+    // keep the stale target value)
+    val updatePresent = col(s"u.$key").isNotNull
     val cols = target.columns.map { c =>
-      coalesce(col(s"u.$c"), col(s"t.$c")).as(c)
+      when(updatePresent, col(s"u.$c")).otherwise(col(s"t.$c")).as(c)
     }
     merged.select(cols.toIndexedSeq: _*)
   }

@@ -29,28 +29,26 @@ object Pipeline extends QueryPack {
       import s.implicits._
       val docs = Tables(s, dir).documents
 
-      // 1. quality gate (same heuristic as t04)
-      val quality = docs
-        .withColumn("toks", split($"text", "\\s+"))
-        .withColumn("n_tokens", size($"toks").cast("long"))
-        .withColumn("stop_hits",
-          size(filter($"toks", t =>
-            t.isInCollection(Seq("the", "a", "of", "and", "to")))).cast("long"))
-        .withColumn("stopword_pm", expr("stop_hits * 1000 div n_tokens"))
-        .filter($"n_tokens" >= 30 && $"stopword_pm".between(20, 400))
+      // 1. quality gate (the shared TextQuality heuristic, == t04)
+      val quality = graft.operators.TextQuality.annotate(docs, "text")
+        .filter($"keep" === 1)
         .select($"doc_id", $"source", $"text")
 
-      // 2. exact dedup: keep lowest doc_id per content hash
+      // 2. exact dedup: keep lowest doc_id per content hash; persisted —
+      // the near-dup stage references this subtree from both the
+      // shingle index and the final anti-join
       val wExact = Window.partitionBy($"content_hash").orderBy($"doc_id")
       val exact = quality
         .withColumn("content_hash", TextDedup.contentHash($"text"))
         .withColumn("rn", row_number().over(wExact))
         .filter($"rn" === 1)
         .select($"doc_id", $"source", $"text")
+        .persist()
 
       // 3. near-dup removal: drop the higher doc_id of any pair with
-      // Jaccard ≥ 500 per-mille over 3-shingles
-      val sh = TextDedup.shingleHashes(exact, "doc_id", "text", 3)
+      // Jaccard ≥ 500 per-mille over 3-shingles (index persisted: the
+      // pair join + per-doc counts reference it 3×)
+      val sh = TextDedup.shingleHashes(exact, "doc_id", "text", 3).persist()
       val dupHigh = TextDedup.jaccardPairs(sh, minCommon = 1,
           minJaccardPm = 500)
         .select($"d2".as("doc_id")).distinct()

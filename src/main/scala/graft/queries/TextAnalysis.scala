@@ -88,24 +88,14 @@ object TextAnalysis extends QueryPack {
         .orderBy($"doc_id")
     }),
 
-    // -- quality scoring: integer per-mille ratios ----------------------
+    // -- quality scoring: integer per-mille ratios (operator:
+    // [[graft.operators.TextQuality]], shared with p01) -----------------
     "t04_quality_score" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val stop = Seq("the", "a", "of", "and", "to")
-      Tables(s, dir).documents
-        .withColumn("toks", split($"text", "\\s+"))
-        .withColumn("n_tokens", size($"toks").cast("long"))
-        .withColumn("stop_hits",
-          size(filter($"toks", t => t.isInCollection(stop))).cast("long"))
-        .withColumn("short_hits",
-          size(filter($"toks", t => length(t) <= 2)).cast("long"))
-        .withColumn("stopword_pm", expr("stop_hits * 1000 div n_tokens"))
-        .select($"doc_id", $"n_tokens", $"stopword_pm",
-          expr("short_hits * 1000 div n_tokens").as("short_token_pm"),
-          expr("length(text) * 1000 div n_tokens").as("chars_per_token_pm"),
-          // quality heuristic: long-enough docs with moderate stopword rate
-          when($"n_tokens" >= 30 && $"stopword_pm".between(20, 400), 1)
-            .otherwise(0).cast("int").as("keep"))
+      graft.operators.TextQuality
+        .annotate(Tables(s, dir).documents, "text")
+        .select($"doc_id", $"n_tokens", $"stopword_pm", $"short_token_pm",
+          $"chars_per_token_pm", $"keep")
         .orderBy($"doc_id")
     }),
 

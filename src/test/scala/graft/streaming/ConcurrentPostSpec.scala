@@ -36,9 +36,9 @@ class ConcurrentPostSpec extends AnyFunSuite {
     assert(rows.map(_._1).sorted === (0L until 8L * perThread).toList)
     // every payload delivered exactly once
     assert(rows.map(_._2).sorted === (0 until 8 * perThread).toList)
-    // delivery order == id order within each micro-batch; verify the
-    // collected sequence is sorted per batch by checking global sort
-    // after stable re-sort on id matches arrival grouping
+    // delivery order equals id order: batches arrive in offset order
+    // and foreachOrdered sorts within each batch
+    assert(rows.map(_._1) === rows.map(_._1).sorted)
     engine.close()
   }
 }
