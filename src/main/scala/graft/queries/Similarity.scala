@@ -68,6 +68,35 @@ object Similarity extends QueryPack {
         .orderBy($"query_id", $"rank")
     }),
 
+    // -- k-NN classification: majority label of the 5 nearest -----------
+    "s04_knn_classify" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.VectorSearch
+      val emb = VectorSearch.quantize(Tables(s, dir).embeddings, "embedding")
+      val labels = emb.select($"vec_id", $"label")
+      val neighbors = VectorSearch.topKBruteForce(
+        emb.filter($"vec_id" < 100)
+          .select($"vec_id".as("query_id"), $"eq".as("qe")),
+        emb.select($"vec_id".as("neighbor_id"), $"eq".as("ce")),
+        k = 5)
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"votes".desc, $"n_label")
+      neighbors
+        .join(labels.select($"vec_id".as("neighbor_id"),
+          $"label".as("n_label")), Seq("neighbor_id"))
+        .groupBy($"query_id", $"n_label")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .join(labels.select($"vec_id".as("query_id"),
+          $"label".as("actual_label")), Seq("query_id"))
+        .select($"query_id", $"actual_label",
+          $"n_label".as("predicted_label"), $"votes",
+          when($"n_label" === $"actual_label", 1).otherwise(0).cast("int")
+            .as("correct"))
+        .orderBy($"query_id")
+    }),
+
     // -- per-label centroid distance: vector agg + argmin ---------------
     // Quantized per-dimension mean (integer division by count) keeps
     // centroids portable; assignment = argmin of exact integer distance.
@@ -130,6 +159,35 @@ object Similarity extends QueryPack {
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY dot DESC, neighbor_id) AS INTEGER) AS rank FROM p) t
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "s04_knn_classify" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS eq
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS n_label,
+        |    CAST(list_sum(list_transform(generate_series(1, len(q.eq)),
+        |      i -> q.eq[i] * c.eq[i])) AS BIGINT) AS dot
+        |  FROM e q JOIN e c ON q.vec_id < 100 AND q.vec_id <> c.vec_id),
+        |top5 AS (
+        |  SELECT query_id, n_label FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY dot DESC, neighbor_id) AS rank FROM p) t
+        |  WHERE rank <= 5),
+        |votes AS (
+        |  SELECT query_id, n_label, CAST(COUNT(*) AS BIGINT) AS votes
+        |  FROM top5 GROUP BY query_id, n_label),
+        |best AS (
+        |  SELECT query_id, n_label, votes FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY votes DESC, n_label) AS rk FROM votes) t
+        |  WHERE rk = 1)
+        |SELECT b.query_id, e.label AS actual_label,
+        |  b.n_label AS predicted_label, b.votes,
+        |  CAST(CASE WHEN b.n_label = e.label THEN 1 ELSE 0 END AS INTEGER) AS correct
+        |FROM best b JOIN e ON b.query_id = e.vec_id
+        |ORDER BY b.query_id""".stripMargin,
 
     "s03_centroid_assign" ->
       """WITH e AS (
