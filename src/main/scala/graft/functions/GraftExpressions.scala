@@ -3,11 +3,12 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the engine's hot paths (SURVEY
@@ -31,6 +32,14 @@ import org.apache.spark.unsafe.types.UTF8String
 case class Hash56(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_hash56"
+
+  // analysis-time type check (ExpectsInputTypes is private[sql]):
+  // a wrong-typed SQL call fails with a clear message, not a runtime
+  // ClassCastException inside codegen
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_hash56 requires STRING, got ${child.dataType.catalogString}")
 
   override protected def nullSafeEval(input: Any): Any =
     Hash56.hash(input.asInstanceOf[UTF8String])
@@ -69,6 +78,18 @@ case class DotProductL(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_dotl"
 
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dotl requires two ARRAY<BIGINT>, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
     DotProductL.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
@@ -83,7 +104,11 @@ case class DotProductL(left: Expression, right: Expression)
 
 object DotProductL {
   def dot(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"graft_dotl: array length mismatch ($n vs ${b.numElements()}) — " +
+          "a silently-truncated dot product would be a wrong similarity")
     var acc = 0L
     var i = 0
     while (i < n) {

@@ -28,14 +28,21 @@ object GraftExtensions {
     new ExpressionInfo("graft.functions.GraftExtensions", "", name, usage,
       "", "", "", "", "", "", "built-in")
 
+  private def arity(name: String, n: Int)(b: Builder): Builder =
+    args => {
+      require(args.length == n,
+        s"$name takes $n argument(s), got ${args.length}")
+      b(args)
+    }
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
     (FunctionIdentifier("graft_hash56"),
       info("graft_hash56",
         "graft_hash56(str) - portable 56-bit md5-prefix hash"),
-      (args: Seq[Expression]) => Hash56(args.head)),
+      arity("graft_hash56", 1)(args => Hash56(args.head))),
     (FunctionIdentifier("graft_dotl"),
       info("graft_dotl",
         "graft_dotl(a, b) - exact integer dot product of long arrays"),
-      (args: Seq[Expression]) => DotProductL(args(0), args(1)))
+      arity("graft_dotl", 2)(args => DotProductL(args(0), args(1))))
   )
 }

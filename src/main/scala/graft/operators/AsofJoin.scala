@@ -13,6 +13,16 @@ import org.apache.spark.sql.functions._
   * sort, zero row multiplication — the shape that survives 100 TB
   * (SURVEY §2.3 "as-of via window + last(...) IGNORE NULLS").
   *
+  * Correctness details the naive window spelling gets wrong:
+  *   - the picked right columns are carried as ONE struct and filled
+  *     atomically, so every output value comes from the SAME right
+  *     row, and a genuinely-NULL field of the matched row stays NULL
+  *     (per-column ignore-nulls fill would backfill it from an older
+  *     row, or blend columns of different rows);
+  *   - `tieBreak` (a right-side column, ascending; highest wins)
+  *     makes the match deterministic when several right rows share a
+  *     timestamp.
+  *
   * Contract: `pick` maps right-side columns to output names (must not
   * collide with left columns); right rows sort before left rows at
   * equal timestamps, so an exactly-simultaneous right row matches
@@ -21,35 +31,44 @@ import org.apache.spark.sql.functions._
 object AsofJoin {
 
   def asofBackward(left: DataFrame, right: DataFrame, on: Seq[String],
-      leftTs: String, rightTs: String,
-      pick: Seq[(String, String)]): DataFrame = {
+      leftTs: String, rightTs: String, pick: Seq[(String, String)],
+      tieBreak: Option[String] = None): DataFrame = {
     val outNames = pick.map(_._2)
     val carry = left.columns.filterNot(on.contains).toSeq
 
-    // left rows: payload + null placeholders for the picked columns
-    val l = pick.foldLeft(
-      left.withColumn("__ts", col(leftTs)).withColumn("__kind", lit(1))) {
-      case (df, (rc, out)) =>
-        df.withColumn(out, lit(null).cast(right.schema(rc).dataType))
-    }
-    // right rows: picked columns + null placeholders for left payload
-    val rRenamed = pick.foldLeft(
-      right.withColumn("__ts", col(rightTs)).withColumn("__kind", lit(0))) {
-      case (df, (rc, out)) => df.withColumn(out, col(rc))
-    }
+    // the matched right row travels as one nullable struct
+    val rowStruct = struct(pick.map { case (rc, out) => col(rc).as(out) }: _*)
+    val nullStruct = lit(null).cast(
+      org.apache.spark.sql.types.StructType(pick.map { case (rc, out) =>
+        org.apache.spark.sql.types.StructField(out, right.schema(rc).dataType)
+      }))
+
+    val tieCol = tieBreak.map(col).getOrElse(lit(0L))
+    val l = left.withColumn("__ts", col(leftTs)).withColumn("__kind", lit(1))
+      .withColumn("__tie", lit(null).cast("long"))
+      .withColumn("__rrow", nullStruct)
+    val rRenamed = right.withColumn("__ts", col(rightTs))
+      .withColumn("__kind", lit(0))
+      .withColumn("__tie", tieCol.cast("long"))
+      .withColumn("__rrow", rowStruct)
     val r = carry.foldLeft(rRenamed) { case (df, c) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
-    val cols = (on ++ carry ++ Seq("__ts", "__kind") ++ outNames).map(col)
+    val cols = (on ++ carry ++ Seq("__ts", "__kind", "__tie", "__rrow")).map(col)
 
+    // right rows before left at equal ts (inclusive match); among
+    // right rows at the same ts the highest tieBreak sorts last = wins
     val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(col("__ts"), col("__kind"))
+      .orderBy(col("__ts"), col("__kind"), col("__tie").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = outNames.foldLeft(
-      l.select(cols: _*).unionByName(r.select(cols: _*))) {
-      case (df, out) => df.withColumn(out, last(col(out), true).over(w))
+    val filled = l.select(cols: _*).unionByName(r.select(cols: _*))
+      .withColumn("__rrow", last(col("__rrow"), ignoreNulls = true).over(w))
+
+    val out = outNames.foldLeft(filled) { case (df, o) =>
+      df.withColumn(o, col(s"__rrow.$o"))
     }
-    filled.filter(col("__kind") === 1).drop("__ts", "__kind")
+    out.filter(col("__kind") === 1)
+      .drop("__ts", "__kind", "__tie", "__rrow")
   }
 }

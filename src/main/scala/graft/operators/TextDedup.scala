@@ -59,12 +59,20 @@ object TextDedup {
   }
 
   /** Exact Jaccard (no candidate threshold) for externally-supplied
-    * pairs — the LSH verification step.
+    * pairs — the LSH verification step. The shingle index is
+    * semi-joined to the candidate doc ids BEFORE the pair
+    * intersection, so verification cost is bounded by the candidate
+    * set (that bounding is LSH's whole point — without the semi-join
+    * this would re-pay the full Σk² inverted-index cost of the
+    * non-LSH path and throw the banding away).
     */
   def jaccardVerify(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val ns = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("id").as("d1"), col("h"))
-      .join(sh.select(col("id").as("d2"), col("h")), Seq("h"))
+    val candIds = pairs.select(col("d1").as("id"))
+      .union(pairs.select(col("d2").as("id"))).distinct()
+    val shCand = sh.join(candIds, Seq("id"), "left_semi")
+    val inter = shCand.select(col("id").as("d1"), col("h"))
+      .join(shCand.select(col("id").as("d2"), col("h")), Seq("h"))
       .filter(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
     pairs

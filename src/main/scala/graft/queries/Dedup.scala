@@ -85,10 +85,11 @@ object Dedup extends QueryPack {
        |wide AS (SELECT doc_id, $condMins FROM sigs GROUP BY doc_id)""".stripMargin
   }
 
-  /** Band-hash columns b0..b3 from signature columns s0..s15. */
+  /** Band layout shared with the operator library (keeps the
+    * divisibility guard in one place).
+    */
   private def bandCols: Seq[(String, Seq[String])] =
-    (0 until Bands).map(b =>
-      s"b$b" -> (0 until K / Bands).map(r => s"s${b * (K / Bands) + r}"))
+    graft.operators.TextDedup.bandCols(K, Bands)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- exact dedup: one hash aggregate, per-source stats --------------
@@ -118,11 +119,12 @@ object Dedup extends QueryPack {
     // -- MinHash signatures + LSH band hashes per doc -------------------
     "d03_minhash_bands" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val bands = bandCols.map { case (name, sigCols) =>
-        sparkHash56(concat_ws(",", sigCols.map(col): _*)).as(name)
-      }
-      minhashSignature(s, dir)
-        .select(col("doc_id") +: col("s0") +: col("s1") +: bands: _*)
+      graft.operators.TextDedup
+        .withBandHashes(
+          minhashSignature(s, dir).withColumnRenamed("doc_id", "id"),
+          K, Bands)
+        .select(col("id").as("doc_id") +: col("s0") +: col("s1") +:
+          bandCols.map { case (name, _) => col(name) }: _*)
         .orderBy($"doc_id")
     }),
 

@@ -22,11 +22,7 @@ import org.apache.spark.sql.types.DecimalType
   * class(n) from (n%5, n%3)).
   */
 object Events extends QueryPack {
-
-  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
-  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
-  private def sqlDsum(col: String): String =
-    s"CAST(SUM(CAST($col AS DECIMAL(18,2))) AS DOUBLE)"
+  import SqlDet.{dec, dsum, sqlDsum}
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- reference fizzbuzz classification (U1), grouped ----------------
@@ -107,7 +103,8 @@ object Events extends QueryPack {
           ev.filter($"event_type" === "click")
             .select($"user_id", $"ts", $"event_id"),
           on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
-          pick = Seq("event_id" -> "last_click_id", "ts" -> "last_click_ts"))
+          pick = Seq("event_id" -> "last_click_id", "ts" -> "last_click_ts"),
+          tieBreak = Some("event_id"))
         .filter($"last_click_ts".isNotNull)
         .select($"event_id", $"user_id", $"ts", $"last_click_id",
           $"last_click_ts")

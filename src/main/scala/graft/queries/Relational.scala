@@ -25,16 +25,7 @@ import org.apache.spark.sql.types.DecimalType
   * (never a global window over unsorted data).
   */
 object Relational extends QueryPack {
-
-  /** Exact decimal view of a money/quantity double. */
-  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
-
-  /** Order-independent sum of a double column (exact decimal sum). */
-  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
-
-  /** SQL fragment mirroring [[dsum]]. */
-  private def sqlDsum(col: String): String =
-    s"CAST(SUM(CAST($col AS DECIMAL(18,2))) AS DOUBLE)"
+  import SqlDet.{dec, dsum, sqlDsum}
 
   private val netExpr: String =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"

@@ -196,7 +196,8 @@ object Similarity extends QueryPack {
         |  FROM embeddings),
         |bd AS (
         |  SELECT vec_id, label, i - 1 AS dim, eq[i] AS v
-        |  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)),
+        |  FROM e CROSS JOIN LATERAL
+        |    (SELECT unnest(generate_series(1, len(eq))) AS i)),
         |cent AS (
         |  SELECT label AS c_label, dim,
         |    CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv

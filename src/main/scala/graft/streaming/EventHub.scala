@@ -181,6 +181,9 @@ final class Subscription[T] private[streaming] (
     }
 
   private def startQuery(sink: Seq[Envelope[T]] => Unit): StreamingQuery = {
+    require(query.isEmpty,
+      "subscription already has a running consumer (foreachOrdered/" +
+        "pipeTo may be called once); subscribe() again for another")
     val q = dataset.writeStream
       .queryName(s"${hub.name}-sub-${System.identityHashCode(this)}")
       .trigger(Trigger.ProcessingTime(0L))

@@ -31,18 +31,42 @@ class AsofJoinSpec extends AnyFunSuite {
       val l = left.toDF("k", "ts", "lid")
       val r = right.toDF("k", "rts", "v")
       val got = AsofJoin.asofBackward(l, r, Seq("k"), "ts", "rts",
-          Seq("rts" -> "matched_ts"))
-        .select("lid", "matched_ts").collect()
+          Seq("rts" -> "matched_ts", "v" -> "matched_v"),
+          tieBreak = Some("v"))
+        .select("lid", "matched_ts", "matched_v").collect()
         .map(row => (row.getLong(0),
-          if (row.isNullAt(1)) None else Some(row.getLong(1))))
+          if (row.isNullAt(1)) None else Some(row.getLong(1)),
+          if (row.isNullAt(2)) None else Some(row.getLong(2))))
         .sortBy(_._1).toList
 
       val expected = left.map { case (k, ts, lid) =>
         val cands = right.filter(rr => rr._1 == k && rr._2 <= ts)
-        (lid, if (cands.isEmpty) None else Some(cands.map(_._2).max))
+        if (cands.isEmpty) (lid, None: Option[Long], None: Option[Long])
+        else {
+          val bestTs = cands.map(_._2).max
+          // deterministic tie rule: highest tieBreak value wins
+          val bestV = cands.filter(_._2 == bestTs).map(_._3).max
+          (lid, Some(bestTs), Some(bestV))
+        }
       }.sortBy(_._1).toList
 
       assert(got === expected, s"round $round: left=$left right=$right")
     }
+  }
+
+  test("matched row is atomic: NULL fields stay NULL, columns never blend") {
+    import spark.implicits._
+    // ts=2 row is the correct match; its v is genuinely NULL and its w
+    // differs from the older row — per-column ignore-nulls fill would
+    // backfill v=5 from ts=1 and return a row that never existed
+    val right = Seq(
+      (1L, 1L, Some(5L), Some(100L)),
+      (1L, 2L, None: Option[Long], Some(200L))).toDF("k", "rts", "v", "w")
+    val left = Seq((1L, 3L, 0L)).toDF("k", "ts", "lid")
+    val row = AsofJoin.asofBackward(left, right, Seq("k"), "ts", "rts",
+        Seq("v" -> "mv", "w" -> "mw", "rts" -> "mts"))
+      .select("mv", "mw", "mts").head()
+    assert(row.isNullAt(0), "NULL field of the matched row must stay NULL")
+    assert(row.getLong(1) === 200L && row.getLong(2) === 2L)
   }
 }
