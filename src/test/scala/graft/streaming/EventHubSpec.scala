@@ -89,6 +89,29 @@ class EventHubSpec extends AnyFunSuite with BeforeAndAfterAll {
     engine.close()
   }
 
+  test("a subscription is a full dataflow: windowed agg over the hub stream") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val engine = new EventEngine(spark)
+    val hub = engine.hub[Long]("dataflow")
+    val sub = hub.subscribe()
+    // relational transforms compose directly on the subscriber stream
+    val agg = sub.dataset
+      .withColumn("bucket", expr("payload div 10"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("payload")).as("total"))
+    hub.postBatch(0L until 100L)
+    val q = agg.writeStream.format("memory").queryName("hub_window_agg")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("hub_window_agg").orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val expected = (0L until 100L).groupBy(_ / 10).toList.sortBy(_._1)
+      .map { case (b, vs) => (b, vs.size.toLong, vs.sum) }
+    assert(got === expected)
+    engine.close()
+  }
+
   test("drain then complete: close processes remaining events first") {
     val engine = new EventEngine(spark)
     val hub = engine.hub[Int]("drain")
