@@ -147,6 +147,21 @@ object StreamingOps extends QueryPack {
         .orderBy($"p_id", $"c_id")
     }),
 
+    // -- streaming session windows (gap-merged state) -------------------
+    "st7_stream_session" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val agg = eventStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          sum($"value".cast(DecimalType(18, 2))).cast("double")
+            .as("total_value"))
+      drain(s, agg, OutputMode.Complete())
+        .select($"user_id", $"sw.start".as("session_start"),
+          $"sw.end".as("session_end"), $"n_events", $"total_value")
+        .orderBy($"user_id", $"session_start")
+    }),
+
     // -- arbitrary stateful op: per-user running totals -----------------
     "st4_stream_stateful" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -208,6 +223,27 @@ object StreamingOps extends QueryPack {
         |  ON p.user_id = c.user_id
         |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
         |ORDER BY p_id, c_id""".stripMargin,
+
+    // same gap semantics as the batch e11 oracle: new session at >= gap
+    "st7_stream_session" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events),
+        |y AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM x),
+        |z AS (
+        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM y)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTES AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM z GROUP BY user_id, sess_id
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "st4_stream_stateful" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
