@@ -28,9 +28,10 @@ object SkewJoin {
     require(saltFactor > 0)
     // right/full outer would emit each unmatched build row once PER
     // SALT (the build side is replicated) — reject instead of being
-    // silently wrong
+    // silently wrong; "cross" is contradictory with a using-columns
+    // equi-join, so it is rejected too
     val safe = Set("inner", "left", "left_outer", "leftouter",
-      "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+      "left_semi", "leftsemi", "left_anti", "leftanti")
     require(safe.contains(joinType.toLowerCase.replace("_", "")) ||
       safe.contains(joinType.toLowerCase),
       s"saltedJoin does not support joinType=$joinType: the replicated " +

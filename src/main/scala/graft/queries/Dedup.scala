@@ -240,9 +240,10 @@ object Dedup extends QueryPack {
            |  GROUP BY doc_id, bit),
            |sh AS (
            |  SELECT doc_id,
-           |    SUM(CASE WHEN bs > 0 THEN 1::BIGINT << bit ELSE 0 END) AS simhash
+           |    CAST(SUM(CASE WHEN bs > 0 THEN 1::BIGINT << bit ELSE 0 END)
+           |      AS BIGINT) AS simhash
            |  FROM bs GROUP BY doc_id)
-           |SELECT doc_id, simhash, simhash >> 24 AS bucket
+           |SELECT doc_id, simhash, CAST(simhash >> 24 AS BIGINT) AS bucket
            |FROM sh ORDER BY doc_id""".stripMargin,
 
       "d06_embedding_neardup" ->

@@ -52,7 +52,19 @@ object StreamingOps extends QueryPack {
       s"/tmp/graft-stream-src-${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
     Files.createDirectories(streamDir)
     val link = streamDir.resolve("events.parquet")
-    if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+    // a stale link (target regenerated/deleted) must be replaced, and
+    // two sessions can race past the exists() check — treat
+    // FileAlreadyExistsException as success-if-correct
+    if (Files.isSymbolicLink(link) &&
+        Files.readSymbolicLink(link) != src) Files.delete(link)
+    if (!Files.exists(link)) {
+      try Files.createSymbolicLink(link, src)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException
+          if Files.isSymbolicLink(link) &&
+            Files.readSymbolicLink(link) == src => ()
+      }
+    }
     val schema = s.read.parquet(src.toString).schema
     s.readStream.schema(schema).parquet(streamDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

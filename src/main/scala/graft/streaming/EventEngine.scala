@@ -43,8 +43,19 @@ final class EventEngine(val spark: SparkSession) extends AutoCloseable {
   /** Barrier: returns once every event posted so far — and every event
     * derived from one while draining — has been processed by every
     * subscriber (the reference's `SentEvent` contract, per-epoch).
+    *
+    * Calling this (or `sendSync`/`close`, which delegate here) from
+    * inside a sink/pipe handler would deadlock: the barrier drives
+    * `processAllAvailable()` on the query whose foreachBatch is
+    * executing the handler, which can never complete while the handler
+    * blocks. Detected via a thread-local and rejected fast.
     */
   def awaitQuiescence(): Unit = {
+    if (EventEngine.inSink.get())
+      throw new IllegalStateException(
+        "awaitQuiescence/sendSync/close called from inside a sink or " +
+          "pipe handler — this would deadlock waiting on the handler's " +
+          "own query; use fire-and-forget post() to re-emit from handlers")
     var before = -1L
     while (before != postCounter.get) {
       before = postCounter.get
@@ -64,5 +75,18 @@ final class EventEngine(val spark: SparkSession) extends AutoCloseable {
   override def close(): Unit = {
     awaitQuiescence()
     activeQueries.foreach(_.stop())
+  }
+}
+
+object EventEngine {
+  /** True while the current thread is executing a subscription's
+    * sink/pipe handler — the deadlock witness for [[awaitQuiescence]].
+    */
+  private[streaming] val inSink: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
+  private[streaming] def runInSink[A](body: => A): A = {
+    inSink.set(java.lang.Boolean.TRUE)
+    try body finally inSink.set(java.lang.Boolean.FALSE)
   }
 }

@@ -47,6 +47,7 @@ final class EventHub[T: TypeTag] private[streaming] (
     Encoders.product[Envelope[T]]
 
   private val nextId = new AtomicLong(0L)
+  private val nextSubSeq = new AtomicLong(0L)
   private val subs = mutable.ArrayBuffer.empty[Subscription[T]]
   /** Serializes publishes: id assignment + fan-out must be atomic so
     * ids equal queue order, and concurrent `addData` on one
@@ -68,7 +69,8 @@ final class EventHub[T: TypeTag] private[streaming] (
     */
   def subscribe(): Subscription[T] = synchronized {
     val sub = new Subscription[T](this,
-      MemoryStream[Envelope[T]](engine.spark)(envelopeEnc))
+      MemoryStream[Envelope[T]](engine.spark)(envelopeEnc),
+      nextSubSeq.getAndIncrement())
     subs += sub
     sub
   }
@@ -110,6 +112,12 @@ final class EventHub[T: TypeTag] private[streaming] (
   /** Acknowledged publish (R4/R5): returns after every subscriber of
     * every hub in the engine — including causal descendants spawned by
     * pipes — has processed this event's epoch.
+    *
+    * MUST NOT be called from inside a sink/pipe handler: the barrier
+    * would wait on the very query executing the handler and hang
+    * forever. Detected and rejected with `IllegalStateException`
+    * (re-emit from a handler with fire-and-forget [[post]] instead —
+    * the quiescence fixpoint picks the derived events up).
     */
   def sendSync(payload: T, sourceId: Option[Long] = None): Long = {
     val id = post(payload, sourceId)
@@ -128,8 +136,13 @@ final class EventHub[T: TypeTag] private[streaming] (
     * (R7). Deviation from the reference (src/event_streams.rs:74-77):
     * the discard boundary is the micro-batch — events already inside a
     * started batch still reach sinks.
+    *
+    * Runs under the publish lock so the discard mark is consistent
+    * with publication order: an in-flight post either completes its
+    * fan-out before the mark is taken (and is dropped) or starts after
+    * (and is delivered) — never half-assigned.
     */
-  def clear(): Unit = {
+  def clear(): Unit = postLock.synchronized {
     val mark = nextId.get()
     liveSubs.foreach(_.clearBelow = mark)
   }
@@ -142,7 +155,11 @@ final class EventHub[T: TypeTag] private[streaming] (
   */
 final class Subscription[T] private[streaming] (
     val hub: EventHub[T],
-    private[streaming] val stream: MemoryStream[Envelope[T]]) {
+    private[streaming] val stream: MemoryStream[Envelope[T]],
+    // unique per hub — identityHashCode is not guaranteed unique and a
+    // collision would fail the second writeStream.start() with a
+    // duplicate-active-query-name error
+    private val subSeq: Long) {
 
   /** Events at-or-after this id are delivered; [[EventHub.clear]]
     * advances it. Read inside foreachBatch on the driver.
@@ -185,13 +202,13 @@ final class Subscription[T] private[streaming] (
       "subscription already has a running consumer (foreachOrdered/" +
         "pipeTo may be called once); subscribe() again for another")
     val q = dataset.writeStream
-      .queryName(s"${hub.name}-sub-${System.identityHashCode(this)}")
+      .queryName(s"${hub.name}-sub-$subSeq")
       .trigger(Trigger.ProcessingTime(0L))
       .foreachBatch { (ds: Dataset[Envelope[T]], _: Long) =>
         val mark = clearBelow
         val rows = ds.collect().filter(_.event_id >= mark)
           .sortBy(e => (e.rootId, e.event_id))
-        sink(rows.toSeq)
+        EventEngine.runInSink { sink(rows.toSeq) }
       }
       .start()
     query = Some(q)

@@ -112,6 +112,25 @@ class EventHubSpec extends AnyFunSuite with BeforeAndAfterAll {
     engine.close()
   }
 
+  test("sendSync from inside a handler fails fast instead of deadlocking") {
+    val engine = new EventEngine(spark)
+    val hub = engine.hub[Int]("reentrant")
+    val out = engine.hub[Int]("reentrant-out")
+    out.subscribe().foreachOrdered(_ => ())
+    val caught = new ConcurrentLinkedQueue[String]()
+    hub.subscribe().foreachOrdered { e =>
+      // the barrier would wait on this very handler's query — the
+      // engine must reject it, not hang
+      try out.sendSync(e.payload)
+      catch { case ex: IllegalStateException => caught.add(ex.getMessage) }
+    }
+    hub.post(1)
+    engine.awaitQuiescence()
+    assert(caught.size === 1)
+    assert(caught.peek().contains("deadlock"))
+    engine.close()
+  }
+
   test("drain then complete: close processes remaining events first") {
     val engine = new EventEngine(spark)
     val hub = engine.hub[Int]("drain")
