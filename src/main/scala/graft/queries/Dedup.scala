@@ -40,7 +40,7 @@ object Dedup extends QueryPack {
   /** (id, h): distinct 3-shingle hashes, exploded (operator:
     * [[graft.operators.TextDedup.shingleHashes]]).
     */
-  private def shingleHashes(s: SparkSession, dir: String): DataFrame =
+  private[queries] def shingleHashes(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextDedup
       .shingleHashes(Tables(s, dir).documents, "doc_id", "text", 3)
 
@@ -90,6 +90,62 @@ object Dedup extends QueryPack {
     */
   private def bandCols: Seq[(String, Seq[String])] =
     graft.operators.TextDedup.bandCols(K, Bands)
+
+  /** Near-dup edges: LSH candidates verified at `minJaccardPm` —
+    * shared by d07 and the p02 retention pipeline. Persists the
+    * shingle index and signatures it builds; callers release via
+    * `clearCache()` (QueryPack contract).
+    */
+  private[queries] def clusterEdges(s: SparkSession, dir: String,
+      minJaccardPm: Long): DataFrame = {
+    import graft.operators.TextDedup
+    val sh = shingleHashes(s, dir).persist()
+    val wide = TextDedup.minhashSignatures(sh, K).persist()
+    val cand = TextDedup.lshCandidates(wide, K, Bands)
+    TextDedup.jaccardVerify(sh, cand)
+      .filter(col("jaccard_pm") >= minJaccardPm)
+      .select(col("d1"), col("d2"))
+  }
+
+  /** DuckDB mirror of [[clusterEdges]] + recursive min-label closure:
+    * CTE chain ending in `comp(id, cluster_id)` — one row per doc that
+    * occurs in a verified near-dup pair, labeled with the min doc_id
+    * reachable through the pair graph (must run under
+    * `WITH RECURSIVE`).
+    */
+  private[queries] def duckClusterCte(minJaccardPm: Long): String = {
+    val bandedUnion = bandCols.zipWithIndex.map { case ((_, sigCols), bi) =>
+      s"SELECT doc_id, $bi AS band, " +
+        duckHash56("concat_ws(',', " +
+          sigCols.map(c => s"CAST($c AS VARCHAR)").mkString(", ") + ")") +
+        " AS bh FROM wide"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$duckSignatureCte,
+       |banded AS (
+       |  $bandedUnion),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |vp AS (
+       |  SELECT c.d1, c.d2
+       |  FROM cand c
+       |  JOIN (SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |          CAST(COUNT(*) AS BIGINT) AS inter
+       |        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2) i ON c.d1 = i.d1 AND c.d2 = i.d2
+       |  JOIN ns n1 ON c.d1 = n1.doc_id JOIN ns n2 ON c.d2 = n2.doc_id
+       |  WHERE i.inter * 1000 // (n1.n + n2.n - i.inter) >= $minJaccardPm),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM vp
+       |          UNION ALL SELECT d2, d1 FROM vp),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+       |comp AS (
+       |  SELECT id, CAST(MIN(r) AS BIGINT) AS cluster_id
+       |  FROM reach GROUP BY id)""".stripMargin
+  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- exact dedup: one hash aggregate, per-source stats --------------
@@ -147,6 +203,19 @@ object Dedup extends QueryPack {
         .simhash(Tables(s, dir).documents, "doc_id", "text", 32)
         .select($"id".as("doc_id"), $"simhash",
           expr("shiftright(simhash, 24)").as("bucket"))
+        .orderBy($"doc_id")
+    }),
+
+    // -- near-dup clusters: LSH pairs → connected components ------------
+    // (pairs alone can't drive retention — {a,b},{b,c} must collapse to
+    // ONE cluster {a,b,c}; min-label propagation, graft.operators.Clusters)
+    "d07_dup_clusters" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val comp = graft.operators.Clusters
+        .connectedComponents(clusterEdges(s, dir, minJaccardPm = 500))
+      val sizes = comp.groupBy($"comp").agg(count(lit(1)).as("n_members"))
+      comp.join(sizes, "comp")
+        .select($"id".as("doc_id"), $"comp".as("cluster_id"), $"n_members")
         .orderBy($"doc_id")
     }),
 
@@ -245,6 +314,15 @@ object Dedup extends QueryPack {
            |  FROM bs GROUP BY doc_id)
            |SELECT doc_id, simhash, CAST(simhash >> 24 AS BIGINT) AS bucket
            |FROM sh ORDER BY doc_id""".stripMargin,
+
+      "d07_dup_clusters" ->
+        s"""WITH RECURSIVE ${duckClusterCte(500)}
+           |SELECT c.id AS doc_id, c.cluster_id,
+           |  CAST(n.n AS BIGINT) AS n_members
+           |FROM comp c
+           |JOIN (SELECT cluster_id, COUNT(*) AS n FROM comp
+           |      GROUP BY cluster_id) n USING (cluster_id)
+           |ORDER BY doc_id""".stripMargin,
 
       "d06_embedding_neardup" ->
         """WITH q AS (

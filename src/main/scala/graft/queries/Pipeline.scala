@@ -59,6 +59,29 @@ object Pipeline extends QueryPack {
         .agg(count(lit(1)).as("n_kept"),
           sum(length($"text")).cast("long").as("total_chars"))
         .orderBy($"source")
+    }),
+
+    // -- cluster-aware retention: one representative per dup cluster ----
+    // LSH edges → connected components → keep the longest doc (tie:
+    // lowest id) per cluster. The policy p01's pairwise "drop the
+    // higher id" can't express: {a,b},{b,c} collapses to ONE winner.
+    "p02_cluster_representatives" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val comp = graft.operators.Clusters
+        .connectedComponents(Dedup.clusterEdges(s, dir, minJaccardPm = 500))
+        .select($"id".as("doc_id"), $"comp".as("cluster_id"))
+      val toks = graft.operators.TextQuality
+        .annotate(Tables(s, dir).documents, "text")
+        .select($"doc_id", $"n_tokens")
+      val w = Window.partitionBy($"cluster_id")
+        .orderBy($"n_tokens".desc, $"doc_id")
+      comp.join(toks, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .groupBy($"cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          min(when($"rn" === 1, $"doc_id")).as("rep_doc_id"),
+          min(when($"rn" === 1, $"n_tokens")).as("rep_tokens"))
+        .orderBy($"cluster_id")
     })
   )
 
@@ -110,6 +133,23 @@ object Pipeline extends QueryPack {
          |  WHERE NOT EXISTS (SELECT 1 FROM duphigh d WHERE d.doc_id = e.doc_id))
          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
          |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
-         |FROM kept GROUP BY source ORDER BY source""".stripMargin
+         |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+
+    "p02_cluster_representatives" ->
+      s"""WITH RECURSIVE ${Dedup.duckClusterCte(500)},
+         |qt AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT c.cluster_id, c.id AS doc_id, qt.n_tokens,
+         |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY qt.n_tokens DESC, c.id) AS rn
+         |  FROM comp c JOIN qt ON c.id = qt.doc_id)
+         |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  MIN(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc_id,
+         |  MIN(CASE WHEN rn = 1 THEN n_tokens END) AS rep_tokens
+         |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
   )
 }
