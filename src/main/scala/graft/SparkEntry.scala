@@ -20,7 +20,8 @@ object SparkEntry {
     Multimodal,
     StreamingOps,
     Extensions,
-    Pipeline
+    Pipeline,
+    Corpus
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -63,6 +63,48 @@ object VectorSearch {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("dot"))
   }
 
+  /** IVF cell assignment: rank centroid cells by exact integer squared
+    * distance and keep the `nprobe` nearest per vector.
+    *
+    * `byDim` is the exploded vector table `(id, dim, v)`; `centroids`
+    * is the (tiny) dim-wise centroid table `(cell, dim, cv)` — at any
+    * scale the centroid side broadcasts, so assignment is one corpus
+    * pass + a map-side-combinable aggregate on (id, cell). Corpus
+    * vectors use `nprobe = 1` (the inverted file); query vectors use
+    * `nprobe > 1` (multi-probe recall).
+    */
+  def nearestCells(byDim: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("dist2"), col("cell"))
+    byDim
+      .join(broadcast(centroids), Seq("dim"))
+      .groupBy(col("id"), col("cell"))
+      .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist2"))
+      .withColumn("probe", row_number().over(w))
+      .filter(col("probe") <= nprobe)
+      .select(col("id"), col("cell"), col("probe"))
+  }
+
+  /** IVF top-k: queries `(query_id, qe, cell)` (one row per probed
+    * cell) against corpus `(neighbor_id, ce, cell)` (each vector in
+    * exactly one cell) — candidates meet only inside a cell, so the
+    * scan cost is corpus/ncells × nprobe per query instead of the full
+    * corpus; at rest, partition the corpus by cell and the probe is a
+    * partition-pruned read.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id"))
+    broadcast(queries)
+      .join(corpus, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", expr("graft_dotl(qe, ce)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("dot"))
+  }
+
   /** Near-duplicate pairs above a cosine threshold, evaluated as the
     * exact integer inequality `dot > 0 ∧ dot²·den ≥ num·|a|²·|b|²`
     * for threshold² = num/den — no float comparison anywhere.

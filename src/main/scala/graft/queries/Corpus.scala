@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Sampling
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators ([[graft.operators.Sampling]]): the
+  * reproducible split/sample stage that follows quality-filtering and
+  * dedup in a training-data pipeline.
+  *
+  * Scale notes (100 TB): both queries are a single scan — membership
+  * is a per-row salted-hash predicate, so Catalyst pushes the sample
+  * filter to the parquet reader and the split adds one projected
+  * column; neither introduces a shuffle beyond its aggregate, and the
+  * assignment is stable under any repartitioning or data growth
+  * (unlike `randomSplit`/`TABLESAMPLE`, which are seed- and
+  * partitioning-dependent).
+  */
+object Corpus extends QueryPack {
+
+  private val SplitWeights = Seq("train" -> 800, "val" -> 100, "test" -> 100)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- deterministic train/val/test split -----------------------------
+    "c01_deterministic_split" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir).documents
+        .withColumn("split",
+          Sampling.splitColumn($"doc_id", SplitWeights))
+        .groupBy($"source", $"split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length($"text")).cast("long").as("total_chars"))
+        .orderBy($"source", $"split")
+    }),
+
+    // -- per-stratum deterministic subsample (data mixing) --------------
+    "c02_stratified_sample" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Sampling.sampleByHash(Tables(s, dir).documents, $"doc_id",
+          perMille = 100)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(length($"text")).cast("long").as("total_chars"))
+        .orderBy($"source")
+    })
+  )
+
+  override def oracles: Map[String, String] = {
+    val bucket = Sampling.duckHashBucketPm("doc_id", "split")
+    val sampleBucket = Sampling.duckHashBucketPm("doc_id", "sample")
+    Map(
+      "c01_deterministic_split" ->
+        s"""SELECT source,
+           |  CASE WHEN $bucket < 800 THEN 'train'
+           |       WHEN $bucket < 900 THEN 'val'
+           |       ELSE 'test' END AS split,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
+           |FROM documents GROUP BY source, split
+           |ORDER BY source, split""".stripMargin,
+
+      "c02_stratified_sample" ->
+        s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
+           |FROM documents WHERE $sampleBucket < 100
+           |GROUP BY source ORDER BY source""".stripMargin
+    )
+  }
+}

@@ -97,6 +97,34 @@ object Similarity extends QueryPack {
         .orderBy($"query_id")
     }),
 
+    // -- IVF ANN: inverted file on centroid cells, multi-probe search ---
+    // Coarse quantizer = the per-label centroids (s03); every corpus
+    // vector lands in its nearest cell (the inverted file), each query
+    // probes its 2 nearest cells, and only those candidates are scored.
+    "s05_ivf_topk" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.VectorSearch
+      val emb = VectorSearch.quantize(Tables(s, dir).embeddings, "embedding")
+        .select($"vec_id", $"label", $"eq").persist()
+      val byDim = emb.select($"vec_id".as("id"), $"eq",
+        posexplode($"eq").as(Seq("dim", "v")))
+      val cent = byDim
+        .join(emb.select($"vec_id".as("id"), $"label"), "id")
+        .groupBy($"label".as("cell"), $"dim")
+        .agg(floor(sum($"v").cast("double") / count(lit(1))).cast("long")
+          .as("cv"))
+      val vecsByDim = byDim.select($"id", $"dim", $"v")
+      val corpus = VectorSearch.nearestCells(vecsByDim, cent, nprobe = 1)
+        .join(emb.select($"vec_id".as("id"), $"eq".as("ce")), "id")
+        .select($"id".as("neighbor_id"), $"ce", $"cell")
+      val queries = VectorSearch.nearestCells(
+          vecsByDim.filter($"id" < 100), cent, nprobe = 2)
+        .join(emb.select($"vec_id".as("id"), $"eq".as("qe")), "id")
+        .select($"id".as("query_id"), $"qe", $"cell")
+      VectorSearch.ivfTopK(queries, corpus, k = 3)
+        .orderBy($"query_id", $"rank")
+    }),
+
     // -- per-label centroid distance: vector agg + argmin ---------------
     // Quantized per-dimension mean (integer division by count) keeps
     // centroids portable; assignment = argmin of exact integer distance.
@@ -188,6 +216,43 @@ object Similarity extends QueryPack {
         |  CAST(CASE WHEN b.n_label = e.label THEN 1 ELSE 0 END AS INTEGER) AS correct
         |FROM best b JOIN e ON b.query_id = e.vec_id
         |ORDER BY b.query_id""".stripMargin,
+
+    "s05_ivf_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS eq
+        |  FROM embeddings),
+        |bd AS (
+        |  SELECT vec_id, label, i - 1 AS dim, eq[i] AS v
+        |  FROM e CROSS JOIN LATERAL
+        |    (SELECT unnest(generate_series(1, len(eq))) AS i)),
+        |cent AS (
+        |  SELECT label AS cell, dim,
+        |    CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+        |  FROM bd GROUP BY label, dim),
+        |dist AS (
+        |  SELECT bd.vec_id, cent.cell,
+        |    SUM((bd.v - cent.cv) * (bd.v - cent.cv)) AS dist2
+        |  FROM bd JOIN cent ON bd.dim = cent.dim
+        |  GROUP BY bd.vec_id, cent.cell),
+        |ranked AS (
+        |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY dist2, cell) AS rk FROM dist),
+        |assign AS (SELECT vec_id, cell FROM ranked WHERE rk = 1),
+        |qc AS (SELECT vec_id, cell FROM ranked
+        |       WHERE rk <= 2 AND vec_id < 100),
+        |p AS (
+        |  SELECT qc.vec_id AS query_id, a.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(q.eq)),
+        |      i -> q.eq[i] * c.eq[i])) AS BIGINT) AS dot
+        |  FROM qc JOIN assign a ON qc.cell = a.cell
+        |    AND qc.vec_id <> a.vec_id
+        |  JOIN e q ON qc.vec_id = q.vec_id
+        |  JOIN e c ON a.vec_id = c.vec_id)
+        |SELECT query_id, neighbor_id, rank, dot FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY dot DESC, neighbor_id) AS INTEGER) AS rank FROM p) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "s03_centroid_assign" ->
       """WITH e AS (

@@ -155,6 +155,28 @@ object TextAnalysis extends QueryPack {
         .filter($"rk" <= 3)
         .select($"doc_id", $"word", $"tf", $"df", $"score", $"rk")
         .orderBy($"doc_id", $"rk")
+    }),
+
+    // -- BPE-style token estimate: GPT-ish pre-tokenizer regex ----------
+    // Letter runs | digit runs capped at 3 (cl100k convention) |
+    // punctuation runs. The alternation's character classes are
+    // disjoint, so Java (Spark) and RE2 (DuckDB) match identically.
+    "t08_token_estimate" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val pat = "[a-z]+|[0-9]{1,3}|[^a-z0-9\\s]+"
+      // group index 0 = whole match (the pattern has no capture groups)
+      Tables(s, dir).documents
+        .withColumn("bpe",
+          regexp_extract_all(lower($"text"), lit(pat), lit(0)))
+        .select($"doc_id", $"lang",
+          size($"bpe").cast("long").as("n_bpe_tokens"),
+          size(split($"text", "\\s+")).cast("long").as("n_ws_tokens"),
+          // chars-per-BPE-token in per-mille: the ~4-chars/token
+          // heuristic, measurable per doc
+          expr("length(text) * 1000 div size(regexp_extract_all(" +
+            "lower(text), '[a-z]+|[0-9]{1,3}|[^a-z0-9\\\\s]+', 0))")
+            .as("chars_per_bpe_pm"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -260,6 +282,16 @@ object TextAnalysis extends QueryPack {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
         |      ORDER BY tf.tf * 1000000 // df.df DESC, tf.word) AS INTEGER) AS rk
         |  FROM tf JOIN df ON tf.word = df.word) t
-        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "t08_token_estimate" ->
+      """SELECT doc_id, lang,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '[a-z]+|[0-9]{1,3}|[^a-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+        |    AS n_ws_tokens,
+        |  length(text) * 1000 // len(regexp_extract_all(lower(text),
+        |    '[a-z]+|[0-9]{1,3}|[^a-z0-9\s]+')) AS chars_per_bpe_pm
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
