@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicInteger
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.DecimalType
 
 /** Structured Streaming operator surface (SURVEY §2.3 streaming rows),
@@ -199,6 +199,56 @@ object StreamingOps extends QueryPack {
         .agg(max($"n_events").as("n_events"),
           max($"total_cents").as("total_cents"))
         .orderBy($"user_id")
+    }),
+
+    // -- transformWithState (Spark 4 arbitrary-state API) ---------------
+    // Same running totals as st4 but on the operator Spark 4 positions
+    // as the mapGroupsWithState successor: explicit typed state handles
+    // (ValueState here; List/Map state and timers for richer ops),
+    // RocksDB-backed so per-key state at 100 TB spills off-heap instead
+    // of living in executor memory.
+    "st8_transform_with_state" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = eventStream(s, dir)
+          .select($"user_id",
+            expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+          .as[(Long, Long)]
+        val updated = src.groupByKey(_._1)
+          .transformWithState(new RunningTotalsProcessor(),
+            TimeMode.None(), OutputMode.Update())
+          .toDF("user_id", "n_events", "total_cents")
+        drain(s, updated, OutputMode.Update())
+          .groupBy($"user_id")
+          .agg(max($"n_events").as("n_events"),
+            max($"total_cents").as("total_cents"))
+          .orderBy($"user_id")
+      } finally prev match {
+        case Some(p) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }),
+
+    // -- dropDuplicatesWithinWatermark (state-evictable dedup) ----------
+    // The production spelling of streaming dedup: state for a key is
+    // dropped once the watermark passes it, so the store is bounded by
+    // the delay window instead of growing with key cardinality forever
+    // (st2's dropDuplicates). The delay here spans the whole test
+    // dataset, making the emitted set exactly the distinct keys.
+    "st9_dedup_within_watermark" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val dd = eventStream(s, dir)
+        .withColumn("day", date_trunc("day", $"ts"))
+        .withWatermark("ts", "720 hours")
+        .dropDuplicatesWithinWatermark("event_type", "day")
+        .select($"event_type", $"day")
+      drain(s, dd, OutputMode.Append())
+        .orderBy($"event_type", $"day")
     })
   )
 
@@ -260,6 +310,41 @@ object StreamingOps extends QueryPack {
     "st4_stream_stateful" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "st8_transform_with_state" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "st9_dedup_within_watermark" ->
+      """SELECT DISTINCT event_type,
+        |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        |FROM events ORDER BY event_type, day""".stripMargin
   )
+}
+
+/** Per-user running (count, cents) via the Spark 4 `StatefulProcessor`
+  * API — typed ValueState handle, updated per micro-batch (st8).
+  */
+class RunningTotalsProcessor
+    extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+  @transient private var totals: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Long)]("totals",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong),
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    val (n0, c0) = if (totals.exists()) totals.get() else (0L, 0L)
+    var n = n0
+    var c = c0
+    rows.foreach { r => n += 1; c += r._2 }
+    totals.update((n, c))
+    Iterator.single((key, n, c))
+  }
 }
