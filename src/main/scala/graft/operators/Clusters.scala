@@ -57,20 +57,20 @@ object Clusters {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // min label among neighbors, then least(own, neighbors')
+      // min label among neighbors, then least(own, neighbors'); old and
+      // new label are materialized TOGETHER by the eager checkpoint, so
+      // the convergence probe below reuses it instead of re-running the
+      // round's joins
       val nbMin = sym
         .join(labels.select(col("id").as("nb"), col("comp").as("nbComp")), "nb")
         .groupBy(col("id")).agg(min(col("nbComp")).as("nbMin"))
-      val updated = labels
+      val stepped = labels
         .join(nbMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("old"),
           least(col("comp"), coalesce(col("nbMin"), col("comp"))).as("comp"))
         .localCheckpoint(true)
-      converged = updated
-        .join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") =!= col("old"))
-        .isEmpty
-      labels = updated
+      converged = stepped.filter(col("comp") =!= col("old")).isEmpty
+      labels = stepped.select(col("id"), col("comp"))
       iter += 1
     }
     require(converged,

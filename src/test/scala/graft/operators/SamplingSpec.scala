@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.streaming.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic sampling invariants: total partition into splits,
+  * stability under repartitioning and data growth, monotone sample
+  * nesting, and approximate proportions.
+  */
+class SamplingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private val weights = Seq("train" -> 800, "val" -> 100, "test" -> 100)
+
+  test("every row gets exactly one split, proportions near weights") {
+    import spark.implicits._
+    val n = 20000L
+    val counts = spark.range(n)
+      .withColumn("split", Sampling.splitColumn($"id", weights))
+      .groupBy($"split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === n)
+    assert(counts.keySet === Set("train", "val", "test"))
+    // hash is uniform: each split within 10% relative of its weight
+    weights.foreach { case (name, pm) =>
+      val expected = n * pm / 1000.0
+      assert(math.abs(counts(name) - expected) < expected * 0.1,
+        s"$name: ${counts(name)} vs ~$expected")
+    }
+  }
+
+  test("assignment is stable under repartitioning and data growth") {
+    import spark.implicits._
+    val base = spark.range(5000)
+      .withColumn("split", Sampling.splitColumn($"id", weights))
+    val repart = spark.range(5000).repartition(17)
+      .withColumn("split", Sampling.splitColumn($"id", weights))
+    assert(base.exceptAll(repart).isEmpty)
+    // growing the dataset never reassigns existing rows
+    val grown = spark.range(10000)
+      .withColumn("split", Sampling.splitColumn($"id", weights))
+      .filter($"id" < 5000)
+    assert(base.exceptAll(grown).isEmpty)
+  }
+
+  test("samples nest monotonically and are deterministic") {
+    import spark.implicits._
+    val df = spark.range(10000).toDF("id")
+    val s100 = Sampling.sampleByHash(df, col("id"), 100)
+    val s300 = Sampling.sampleByHash(df, col("id"), 300)
+    assert(s100.exceptAll(s300).isEmpty, "10% sample must nest in 30%")
+    assert(s100.count() === Sampling.sampleByHash(df, col("id"), 100).count())
+    // different salts decorrelate: split and sample are independent coins
+    val viaOtherSalt = Sampling.sampleByHash(df, col("id"), 100, salt = "other")
+    assert(viaOtherSalt.count() !== 0L)
+    assert(s100.intersect(viaOtherSalt).count() < s100.count())
+  }
+
+  test("weights must sum to 1000") {
+    intercept[IllegalArgumentException] {
+      Sampling.splitColumn(col("id"), Seq("a" -> 500, "b" -> 400))
+    }
+  }
+}
