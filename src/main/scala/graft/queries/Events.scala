@@ -195,6 +195,35 @@ object Events extends QueryPack {
           countDistinct($"user_id").as("n_users"),
           dsum($"value").as("total_value"))
         .orderBy($"day")
+    }),
+
+    // -- time-series gap fill: complete day spine + LOCF ----------------
+    // Missing (event_type, day) buckets appear as zero rows, and the
+    // last observed daily value carries forward — the two standard
+    // repairs before feeding a series downstream. The spine is
+    // sequence()+explode (distributed; no driver-side date loop) and
+    // the fill is one window pass.
+    "e12_gap_fill" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val events = Tables(s, dir).events
+      val daily = events
+        .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+        .agg(count(lit(1)).as("n"), dsum($"value").as("day_value"))
+      val bounds = events.agg(
+        date_trunc("day", min($"ts")).as("d0"),
+        date_trunc("day", max($"ts")).as("d1"))
+      val spine = events.select($"event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select($"event_type",
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("event_type", "day"), "left")
+        .select($"event_type", $"day",
+          coalesce($"n", lit(0L)).as("n_events"),
+          coalesce(last($"day_value", ignoreNulls = true).over(w), lit(0.0))
+            .as("locf_value"))
+        .orderBy($"event_type", $"day")
     })
   )
 
@@ -316,6 +345,28 @@ object Events extends QueryPack {
          |  CAST(COUNT(*) AS BIGINT) AS n_events,
          |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
          |  ${sqlDsum("value")} AS total_value
-         |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "e12_gap_fill" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS n, ${sqlDsum("value")} AS day_value
+         |  FROM events GROUP BY 1, 2),
+         |bounds AS (
+         |  SELECT CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS d0,
+         |    CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP) AS d1
+         |  FROM events),
+         |spine AS (
+         |  SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+         |  FROM (SELECT DISTINCT event_type FROM events) CROSS JOIN bounds),
+         |j AS (
+         |  SELECT s.event_type, s.day, COALESCE(d.n, 0) AS n_events, d.day_value
+         |  FROM spine s LEFT JOIN daily d
+         |    ON s.event_type = d.event_type AND s.day = d.day)
+         |SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
+         |  COALESCE(last_value(day_value IGNORE NULLS) OVER (
+         |    PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS locf_value
+         |FROM j ORDER BY event_type, day""".stripMargin
   )
 }

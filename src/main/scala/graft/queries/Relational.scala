@@ -333,6 +333,42 @@ object Relational extends QueryPack {
         .orderBy($"l_returnflag")
     }),
 
+    // -- Q25: correlated EXISTS / NOT EXISTS (semi + anti in one pass) --
+    // Customers with an urgent order and no finished order — the
+    // DataFrame spelling is left_semi + left_anti; Catalyst plans both
+    // as existence joins (no row duplication, build side broadcast at
+    // this dim size).
+    "q25_exists_not_exists" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val urgent = t.orders.filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_custkey")
+      val finished = t.orders.filter($"o_orderstatus" === "F")
+        .select($"o_custkey")
+      t.customer
+        .join(urgent, $"c_custkey" === urgent("o_custkey"), "left_semi")
+        .join(finished, $"c_custkey" === finished("o_custkey"), "left_anti")
+        .select($"c_custkey", $"c_mktsegment",
+          $"c_acctbal".cast("double").as("c_acctbal"))
+        .orderBy($"c_custkey")
+    }),
+
+    // -- Q26: LATERAL correlated subquery (per-group top-k in SQL) ------
+    // The SQL-standard spelling of q09's window top-k; Spark plans the
+    // lateral as a correlated join + per-partition limit.
+    "q26_lateral_topk" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir).nation.createOrReplaceTempView("nation_l")
+      Tables(s, dir).customer.createOrReplaceTempView("customer_l")
+      s.sql(
+        """SELECT n_name, c.c_custkey,
+          |  CAST(c.c_acctbal AS DOUBLE) AS c_acctbal
+          |FROM nation_l, LATERAL (
+          |  SELECT c_custkey, c_acctbal FROM customer_l
+          |  WHERE c_nationkey = n_nationkey
+          |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c
+          |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin)
+    }),
+
     // -- Q22: native pivot (fixed value list → deterministic schema) ----
     "q22_pivot" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -562,6 +598,27 @@ object Relational extends QueryPack {
         |  quantile_cont(l_quantity, 0.75) AS q3_qty,
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q25_exists_not_exists" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q26_lateral_topk" ->
+      """SELECT n_name, c.c_custkey,
+        |  CAST(c.c_acctbal AS DOUBLE) AS c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c
+        |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
 
     "q22_pivot" ->
       """SELECT o_orderpriority,
