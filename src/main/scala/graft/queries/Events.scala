@@ -224,6 +224,22 @@ object Events extends QueryPack {
           coalesce(last($"day_value", ignoreNulls = true).over(w), lit(0.0))
             .as("locf_value"))
         .orderBy($"event_type", $"day")
+    }),
+
+    // -- behavioral transition matrix: event_type → next event_type -----
+    // Per-user lead() over the event-time order, then one aggregate —
+    // the first-order Markov surface (funnel generalization). One
+    // shuffle on user_id for the window, one map-side-combinable agg.
+    "e13_event_transitions" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables(s, dir).events
+        .select($"user_id", $"event_type",
+          lead($"event_type", 1).over(w).as("next_type"))
+        .filter($"next_type".isNotNull)
+        .groupBy($"event_type", $"next_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"event_type", $"next_type")
     })
   )
 
@@ -367,6 +383,17 @@ object Events extends QueryPack {
          |  COALESCE(last_value(day_value IGNORE NULLS) OVER (
          |    PARTITION BY event_type ORDER BY day
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS locf_value
-         |FROM j ORDER BY event_type, day""".stripMargin
+         |FROM j ORDER BY event_type, day""".stripMargin,
+
+    "e13_event_transitions" ->
+      """SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (
+        |  SELECT event_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events) t
+        |WHERE next_type IS NOT NULL
+        |GROUP BY event_type, next_type
+        |ORDER BY event_type, next_type""".stripMargin
   )
 }

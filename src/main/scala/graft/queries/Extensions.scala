@@ -100,6 +100,27 @@ object Extensions extends QueryPack {
         .orderBy($"o_orderstatus")
     }),
 
+    // -- SCD2 history build: change rows → versioned dimension ----------
+    // The warehouse companion to x05's merge: each change event becomes
+    // a version with [valid_from, valid_to) bounds and an is_current
+    // flag — one window pass (lead over the per-key change order), no
+    // self-join. At CDC scale this is the standard log→dimension
+    // compaction; the window shuffles once on the business key.
+    "x06_scd2_history" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      Tables(s, dir).orders
+        .filter($"o_custkey" <= 20)
+        .select($"o_custkey", $"o_orderkey", $"o_orderstatus",
+          $"o_orderdate".as("valid_from"),
+          lead($"o_orderdate", 1).over(w).as("valid_to"),
+          row_number().over(w).as("version"))
+        .withColumn("is_current",
+          when($"valid_to".isNull, 1).otherwise(0).cast("int"))
+        .orderBy($"o_custkey", $"version")
+    }),
+
     // -- sketch aggregates (no hash oracle: approximate by design) ------
     "x04_approx_sketches" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -148,6 +169,18 @@ object Extensions extends QueryPack {
         |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM snapshot GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "x06_scd2_history" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus,
+        |  o_orderdate AS valid_from,
+        |  LEAD(o_orderdate) OVER w AS valid_to,
+        |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+        |  CAST(CASE WHEN LEAD(o_orderdate) OVER w IS NULL
+        |       THEN 1 ELSE 0 END AS INTEGER) AS is_current
+        |FROM orders WHERE o_custkey <= 20
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, version""".stripMargin,
 
     "x03_grouping_sets" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,

@@ -369,6 +369,20 @@ object Relational extends QueryPack {
           |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin)
     }),
 
+    // -- Q27: histogram via width_bucket (fixed-range binning) ----------
+    // (600000-0)/12 = 50000 is exactly representable, so Spark's
+    // width_bucket float arithmetic reproduces bit-for-bit as
+    // floor(x/50000)+1 in the oracle.
+    "q27_histogram" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir).orders
+        .withColumn("bucket",
+          expr("width_bucket(o_totalprice, 0.0, 600000.0, 12)"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+        .orderBy($"bucket")
+    }),
+
     // -- Q22: native pivot (fixed value list → deterministic schema) ----
     "q22_pivot" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -619,6 +633,11 @@ object Relational extends QueryPack {
         |  WHERE c_nationkey = n_nationkey
         |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c
         |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
+
+    "q27_histogram" ->
+      s"""SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) + 1 AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n, ${sqlDsum("o_totalprice")} AS total
+         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q22_pivot" ->
       """SELECT o_orderpriority,
