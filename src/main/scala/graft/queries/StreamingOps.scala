@@ -72,13 +72,25 @@ object StreamingOps extends QueryPack {
 
   /** Run a streaming DataFrame to a memory sink, drain with
     * AvailableNow, return the materialized table.
+    *
+    * Shuffle partitions are right-sized for the harness' state volume
+    * while the query runs: streaming can't AQE-coalesce, and the count
+    * chosen at the first batch is baked into the checkpoint — 32
+    * partitions would mean 32 state-store instances per stateful
+    * operator for kilobytes of state. A production deployment sizes
+    * this to its key cardinality ONCE at query birth (state-store
+    * count is the non-resizable knob in Structured Streaming).
     */
   private def drain(s: SparkSession, df: DataFrame, mode: OutputMode)
       : DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
