@@ -383,6 +383,28 @@ object Relational extends QueryPack {
         .orderBy($"bucket")
     }),
 
+    // -- Q28: NOT IN three-valued logic (the NULL-in-list trap) ---------
+    // `x NOT IN (set containing NULL)` can never be TRUE — the count
+    // must be 0, and both engines must agree on all three variants.
+    "q28_null_semantics" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir).customer.createOrReplaceTempView("customer_n")
+      Tables(s, dir).orders.createOrReplaceTempView("orders_n")
+      s.sql(
+        """SELECT
+          |  (SELECT COUNT(*) FROM customer_n WHERE c_custkey <= 15
+          |     AND c_custkey IN (SELECT NULLIF(o_custkey, 7)
+          |                       FROM orders_n WHERE o_custkey < 10))
+          |    AS n_in_nullable,
+          |  (SELECT COUNT(*) FROM customer_n WHERE c_custkey <= 15
+          |     AND c_custkey NOT IN (SELECT NULLIF(o_custkey, 7)
+          |                           FROM orders_n WHERE o_custkey < 10))
+          |    AS n_not_in_nullable,
+          |  (SELECT COUNT(*) FROM customer_n WHERE c_custkey <= 15
+          |     AND c_custkey NOT IN (SELECT o_custkey FROM orders_n
+          |                           WHERE o_custkey < 10 AND o_custkey <> 7))
+          |    AS n_not_in_clean""".stripMargin)
+    }),
+
     // -- Q22: native pivot (fixed value list → deterministic schema) ----
     "q22_pivot" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -638,6 +660,21 @@ object Relational extends QueryPack {
       s"""SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) + 1 AS bucket,
          |  CAST(COUNT(*) AS BIGINT) AS n, ${sqlDsum("o_totalprice")} AS total
          |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q28_null_semantics" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM customer WHERE c_custkey <= 15
+        |     AND c_custkey IN (SELECT NULLIF(o_custkey, 7)
+        |                       FROM orders WHERE o_custkey < 10))
+        |    AS n_in_nullable,
+        |  (SELECT COUNT(*) FROM customer WHERE c_custkey <= 15
+        |     AND c_custkey NOT IN (SELECT NULLIF(o_custkey, 7)
+        |                           FROM orders WHERE o_custkey < 10))
+        |    AS n_not_in_nullable,
+        |  (SELECT COUNT(*) FROM customer WHERE c_custkey <= 15
+        |     AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                           WHERE o_custkey < 10 AND o_custkey <> 7))
+        |    AS n_not_in_clean""".stripMargin,
 
     "q22_pivot" ->
       """SELECT o_orderpriority,

@@ -246,6 +246,26 @@ object StreamingOps extends QueryPack {
       }
     }),
 
+    // -- stream union (the reference's merge, U3, as real streams) ------
+    // Two independently-filtered streams over the source re-interleave
+    // via union — the Spark form of `futures::stream::select`
+    // (/root/reference/tests/event_test.rs:109-111); downstream order
+    // is data (event_id), not arrival, per the engine's ordering rule.
+    "st10_stream_union" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val purchases = eventStream(s, dir)
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", lit("purchase").as("side"))
+      val clicks = eventStream(s, dir)
+        .filter($"event_type" === "click")
+        .select($"event_id", $"user_id", lit("click").as("side"))
+      val merged = purchases.unionByName(clicks)
+        .groupBy($"side")
+        .agg(count(lit(1)).as("n"), max($"event_id").as("max_id"))
+      drain(s, merged, OutputMode.Complete())
+        .orderBy($"side")
+    }),
+
     // -- dropDuplicatesWithinWatermark (state-evictable dedup) ----------
     // The production spelling of streaming dedup: state for a key is
     // dropped once the watermark passes it, so the store is bounded by
@@ -328,6 +348,14 @@ object StreamingOps extends QueryPack {
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "st10_stream_union" ->
+      """SELECT CASE WHEN event_type = 'purchase' THEN 'purchase'
+        |            ELSE 'click' END AS side,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MAX(event_id) AS BIGINT) AS max_id
+        |FROM events WHERE event_type IN ('purchase', 'click')
+        |GROUP BY 1 ORDER BY side""".stripMargin,
 
     "st9_dedup_within_watermark" ->
       """SELECT DISTINCT event_type,
