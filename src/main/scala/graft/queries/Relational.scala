@@ -405,6 +405,25 @@ object Relational extends QueryPack {
           |    AS n_not_in_clean""".stripMargin)
     }),
 
+    // -- Q29: ranking-function surface (ntile / percent_rank / cume_dist)
+    // percent_rank and cume_dist divide the same integers in both
+    // engines, so the doubles agree bit-for-bit despite being
+    // non-terminating binary fractions.
+    "q29_rank_surface" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"c_acctbal".desc, $"c_custkey")
+      Tables(s, dir).customer
+        .filter($"c_custkey" <= 200)
+        .select($"c_mktsegment", $"c_custkey",
+          $"c_acctbal".cast("double").as("c_acctbal"),
+          dense_rank().over(w).as("drank"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("prank"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy($"c_mktsegment", $"drank", $"c_custkey")
+    }),
+
     // -- Q22: native pivot (fixed value list → deterministic schema) ----
     "q22_pivot" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -675,6 +694,18 @@ object Relational extends QueryPack {
         |     AND c_custkey NOT IN (SELECT o_custkey FROM orders
         |                           WHERE o_custkey < 10 AND o_custkey <> 7))
         |    AS n_not_in_clean""".stripMargin,
+
+    "q29_rank_surface" ->
+      """SELECT c_mktsegment, c_custkey,
+        |  CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+        |  CAST(DENSE_RANK() OVER w AS INTEGER) AS drank,
+        |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+        |  PERCENT_RANK() OVER w AS prank,
+        |  CUME_DIST() OVER w AS cdist
+        |FROM customer WHERE c_custkey <= 200
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_mktsegment, drank, c_custkey""".stripMargin,
 
     "q22_pivot" ->
       """SELECT o_orderpriority,

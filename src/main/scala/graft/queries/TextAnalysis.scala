@@ -132,8 +132,10 @@ object TextAnalysis extends QueryPack {
         .join(d.select($"doc_id".as("d2"), $"lang", $"source",
           $"prefix".as("p2")), Seq("lang", "source"))
         .filter($"d1" < $"d2")
-        .withColumn("dist", levenshtein($"p1", $"p2").cast("long"))
-        .filter($"dist" <= 20)
+        // bounded variant: O(len·threshold) with early exit, returns -1
+        // past the bound — same survivors as full levenshtein + filter
+        .withColumn("dist", levenshtein($"p1", $"p2", 20).cast("long"))
+        .filter($"dist" >= 0 && $"dist" <= 20)
         .select($"d1", $"d2", $"lang", $"source", $"dist")
         .orderBy($"d1", $"d2")
     }),
