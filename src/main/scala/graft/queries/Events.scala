@@ -240,6 +240,25 @@ object Events extends QueryPack {
         .groupBy($"event_type", $"next_type")
         .agg(count(lit(1)).as("n"))
         .orderBy($"event_type", $"next_type")
+    }),
+
+    // -- typed downcast of the open payload: from_json with schema ------
+    // The engine's honest analog of the reference's checked downcast
+    // (EventBox::get_event, src/event.rs:90-98): parse `props` against
+    // a declared schema; a field the payload doesn't carry comes back
+    // NULL — the `None`-on-mismatch semantics — so n_mismatch counts 0.
+    "e14_typed_downcast" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir).events
+        .withColumn("p", from_json($"props",
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG")))
+        .withColumn("miss", from_json($"props",
+          org.apache.spark.sql.types.StructType.fromDDL("missing STRING")))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"p.k").as("sum_k"),
+          count($"miss.missing").as("n_mismatch"))
+        .orderBy($"event_type")
     })
   )
 
@@ -394,6 +413,13 @@ object Events extends QueryPack {
         |  FROM events) t
         |WHERE next_type IS NOT NULL
         |GROUP BY event_type, next_type
-        |ORDER BY event_type, next_type""".stripMargin
+        |ORDER BY event_type, next_type""".stripMargin,
+
+    "e14_typed_downcast" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(COUNT(json_extract_string(props, '$.missing')) AS BIGINT)
+        |    AS n_mismatch
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
