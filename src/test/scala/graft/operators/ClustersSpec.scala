@@ -33,11 +33,13 @@ class ClustersSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
-  test("chain collapses to one component (diameter = n)") {
-    val chain = (1L until 12L).map(i => (i, i + 1))
+  test("long chain collapses in O(log n) rounds (pointer doubling)") {
+    // 200-link chain: plain min-label propagation would need ~200
+    // rounds and trip the maxIter bound; doubling converges in ~9
+    val chain = (1L until 200L).map(i => (i, i + 1))
     val got = run(chain)
     assert(got.values.toSet === Set(1L))
-    assert(got.keySet === (1L to 12L).toSet)
+    assert(got.keySet === (1L to 200L).toSet)
   }
 
   test("disjoint clumps keep distinct min-id labels") {
