@@ -62,4 +62,39 @@ object BinaryDecode {
         rows.map { case (id, bytes) => decodeStub(id, bytes) }
       }
   }
+
+  /** A resized payload: bytes → bytes with the original size kept as
+    * metadata (a real resize would also carry width/height).
+    */
+  final case class Resized(doc_id: Long, n_in: Long, payload: Array[Byte])
+
+  /** Stubbed resize: stride-downsample to ≤ `target` bytes (every
+    * `max(1, n/target)`-th byte, capped at `target` samples) — the
+    * deterministic stand-in for an image resample: bytes → smaller
+    * bytes, metadata updated, payload stays opaque BINARY.
+    */
+  def resizeStub(bytes: Array[Byte], target: Int): Array[Byte] = {
+    val n = bytes.length
+    val stride = math.max(1, n / target)
+    val count = math.min(target, (n - 1) / stride + 1)
+    val out = new Array[Byte](math.max(count, 0))
+    var j = 0
+    while (j < count) { out(j) = bytes(j * stride); j += 1 }
+    out
+  }
+
+  /** Batched resize over a (id, payload) projection — same partition
+    * shape as [[extractFeatures]]: the wide input binary dies at this
+    * boundary; only the bounded output payload flows on.
+    */
+  def resize(spark: SparkSession, binary: DataFrame,
+      target: Int): Dataset[Resized] = {
+    import spark.implicits._
+    binary.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          Resized(id, bytes.length.toLong, resizeStub(bytes, target))
+        }
+      }
+  }
 }

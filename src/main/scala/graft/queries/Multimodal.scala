@@ -53,6 +53,22 @@ object Multimodal extends QueryPack {
           $"tok".as("frame"),
           PortableHash.sparkHash56($"tok").as("frame_hash"))
         .orderBy($"doc_id", $"frame_no")
+    }),
+
+    // -- stubbed resize: bytes → smaller bytes, metadata updated --------
+    // Stride-downsample to ≤64 bytes per payload (the resample shape;
+    // a codec swap makes it a real image resize). Digest of the output
+    // proves the byte-exact transform crossed the mapPartitions
+    // boundary intact.
+    "m04_resize" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val binary = Tables(s, dir).documents
+        .select($"doc_id", $"text".cast("binary").as("payload"))
+      BinaryDecode.resize(s, binary, target = 64).toDF()
+        .select($"doc_id", $"n_in",
+          length($"payload").cast("long").as("n_out"),
+          lower(md5($"payload")).as("digest"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -89,6 +105,22 @@ object Multimodal extends QueryPack {
          |FROM t CROSS JOIN LATERAL (
          |  SELECT unnest(generate_series(1, len(toks))) AS i)
          |WHERE (i - 1) % 10 = 0
-         |ORDER BY doc_id, frame_no""".stripMargin
+         |ORDER BY doc_id, frame_no""".stripMargin,
+
+    "m04_resize" ->
+      """WITH b AS (
+        |  SELECT doc_id, string_split(text, '') AS chars,
+        |    length(text) AS n
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n,
+        |    list_transform(
+        |      generate_series(0, least(63, (n - 1) // greatest(1, n // 64))),
+        |      j -> chars[1 + j * greatest(1, n // 64)]) AS resized
+        |  FROM b)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_in,
+        |  CAST(len(resized) AS BIGINT) AS n_out,
+        |  lower(md5(array_to_string(resized, ''))) AS digest
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }
