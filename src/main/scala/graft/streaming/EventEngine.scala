@@ -26,6 +26,26 @@ final class EventEngine(val spark: SparkSession) extends AutoCloseable {
   /** Total posts across all hubs; the quiescence fixpoint witness. */
   private[streaming] val postCounter = new AtomicLong(0L)
 
+  /** Per-query progress captured off the (async) listener bus:
+    * query id → (batches committed, input rows processed).
+    */
+  private val progress =
+    new java.util.concurrent.ConcurrentHashMap[java.util.UUID, (Long, Long)]()
+
+  private val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val mine = synchronized { queries.exists(_.id == e.progress.id) }
+      if (mine) progress.compute(e.progress.id, (_, prev) => {
+        val (b, r) = if (prev == null) (0L, 0L) else prev
+        (b + 1, r + e.progress.numInputRows)
+      })
+    }
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+  }
+  spark.streams.addListener(listener)
+
   def hub[T: TypeTag](name: String): EventHub[T] = synchronized {
     val h = new EventHub[T](this, name)
     hubs += h
@@ -72,11 +92,39 @@ final class EventEngine(val spark: SparkSession) extends AutoCloseable {
     * subscribers drain already-delivered batches first — the
     * reference's drain-then-`None`, src/event_stream.rs:28-29).
     */
+  /** Topology metrics snapshot. `batchesCommitted`/`rowsProcessed`
+    * come off Spark's async listener bus, so immediately after a
+    * barrier they may trail the committed state by a beat — poll when
+    * asserting exact values (the engine's own contract tests do).
+    */
+  def metrics: EngineMetrics = synchronized {
+    val snap = progress.values.iterator()
+    var batches = 0L
+    var rows = 0L
+    while (snap.hasNext) {
+      val (b, r) = snap.next(); batches += b; rows += r
+    }
+    EngineMetrics(hubs.size, queries.count(_.isActive),
+      postCounter.get, batches, rows)
+  }
+
   override def close(): Unit = {
     awaitQuiescence()
     activeQueries.foreach(_.stop())
+    spark.streams.removeListener(listener)
   }
 }
+
+/** Engine-level observability (the analog of the reference's `count`
+  * introspection, widened to the whole topology): live hubs and
+  * queries, publishes, and listener-sourced batch/row progress.
+  */
+final case class EngineMetrics(
+    hubs: Int,
+    activeQueries: Int,
+    totalPosted: Long,
+    batchesCommitted: Long,
+    rowsProcessed: Long)
 
 object EventEngine {
   /** True while the current thread is executing a subscription's

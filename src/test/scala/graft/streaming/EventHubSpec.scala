@@ -131,6 +131,27 @@ class EventHubSpec extends AnyFunSuite with BeforeAndAfterAll {
     engine.close()
   }
 
+  test("engine metrics reflect topology and processed rows") {
+    val engine = new EventEngine(spark)
+    val hub = engine.hub[Int]("metered")
+    val sub = hub.subscribe()
+    sub.foreachOrdered(_ => ())
+    hub.postBatch(0 until 40)
+    engine.awaitQuiescence()
+    // listener bus is async: poll briefly for the progress to land
+    val deadline = System.nanoTime() + 10e9.toLong
+    var m = engine.metrics
+    while (m.rowsProcessed < 40 && System.nanoTime() < deadline) {
+      Thread.sleep(50); m = engine.metrics
+    }
+    assert(m.hubs === 1)
+    assert(m.activeQueries === 1)
+    assert(m.totalPosted >= 1) // postBatch counts once per publish call
+    assert(m.batchesCommitted >= 1)
+    assert(m.rowsProcessed >= 40)
+    engine.close()
+  }
+
   test("drain then complete: close processes remaining events first") {
     val engine = new EventEngine(spark)
     val hub = engine.hub[Int]("drain")
