@@ -424,6 +424,19 @@ object Relational extends QueryPack {
         .orderBy($"c_mktsegment", $"drank", $"c_custkey")
     }),
 
+    // -- Q30: unpivot / melt (wide → long) ------------------------------
+    "q30_unpivot" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .groupBy($"l_returnflag")
+        .agg(dsum($"l_quantity").as("m_qty"),
+          dsum($"l_extendedprice").as("m_price"),
+          count(lit(1)).cast("double").as("m_rows"))
+        .unpivot(Array($"l_returnflag"),
+          Array($"m_qty", $"m_price", $"m_rows"), "measure", "value")
+        .orderBy($"l_returnflag", $"measure")
+    }),
+
     // -- Q22: native pivot (fixed value list → deterministic schema) ----
     "q22_pivot" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -706,6 +719,20 @@ object Relational extends QueryPack {
         |WINDOW w AS (PARTITION BY c_mktsegment
         |             ORDER BY c_acctbal DESC, c_custkey)
         |ORDER BY c_mktsegment, drank, c_custkey""".stripMargin,
+
+    "q30_unpivot" ->
+      s"""WITH a AS (
+         |  SELECT l_returnflag, ${sqlDsum("l_quantity")} AS m_qty,
+         |    ${sqlDsum("l_extendedprice")} AS m_price,
+         |    CAST(COUNT(*) AS DOUBLE) AS m_rows
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, measure, value FROM (
+         |  SELECT l_returnflag, 'm_qty' AS measure, m_qty AS value FROM a
+         |  UNION ALL
+         |  SELECT l_returnflag, 'm_price', m_price FROM a
+         |  UNION ALL
+         |  SELECT l_returnflag, 'm_rows', m_rows FROM a)
+         |ORDER BY l_returnflag, measure""".stripMargin,
 
     "q22_pivot" ->
       """SELECT o_orderpriority,
