@@ -49,6 +49,9 @@ object Clusters {
       .select(col(srcCol).cast("long").as("id"), col(dstCol).cast("long").as("nb"))
       .union(edges.select(col(dstCol).cast("long").as("id"),
         col(srcCol).cast("long").as("nb")))
+      // a null endpoint would ride through every round as a dead label
+      // row (null never joins) — drop it at the door
+      .filter(col("id").isNotNull && col("nb").isNotNull)
       .distinct()
       .localCheckpoint(true)
 

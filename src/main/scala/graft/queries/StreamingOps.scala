@@ -80,6 +80,11 @@ object StreamingOps extends QueryPack {
     * operator for kilobytes of state. A production deployment sizes
     * this to its key cardinality ONCE at query birth (state-store
     * count is the non-resizable knob in Structured Streaming).
+    *
+    * The set/restore mutates session-scoped conf, so queries in this
+    * pack must not run concurrently within one session (Verify/Bench
+    * are sequential; embedders running suites in parallel should give
+    * each thread its own `spark.newSession()`).
     */
   private def drain(s: SparkSession, df: DataFrame, mode: OutputMode)
       : DataFrame = {

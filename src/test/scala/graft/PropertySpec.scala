@@ -1,0 +1,77 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based invariants (SURVEY §5.2.4) — random inputs checked
+  * against in-memory reference models:
+  *
+  *   - relational algebra (filter / union / distinct / except) over a
+  *     `Dataset` equals the Scala-collection model;
+  *   - [[graft.operators.Sampling.splitColumn]] totally partitions any
+  *     dataset for any generated weight vector;
+  *   - the pub/sub hub delivers any random event sequence exactly
+  *     once, in publication order (the reference's §1.3 contract).
+  */
+object PropertySpec extends Properties("graft") {
+
+  private lazy val spark = graft.streaming.TestSpark.spark
+
+  // Spark jobs per case are not free — a handful of random cases per
+  // property is the right budget (each exercises a full plan).
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private val smallInts: Gen[List[Int]] =
+    Gen.listOfN(40, Gen.chooseNum(-50, 50))
+
+  property("filter/union/distinct/except match the collection model") =
+    forAll(smallInts, smallInts, Gen.chooseNum(-50, 50)) { (xs, ys, t) =>
+      import spark.implicits._
+      val dx = xs.toDS()
+      val dy = ys.toDS()
+      val gotFilter = dx.filter(_ > t).collect().toList.sorted
+      val gotUnion = dx.union(dy).collect().toList.sorted
+      val gotDistinct = dx.distinct().collect().toList.sorted
+      val gotExcept = dx.except(dy).collect().toList.sorted
+      gotFilter == xs.filter(_ > t).sorted &&
+      gotUnion == (xs ++ ys).sorted &&
+      gotDistinct == xs.distinct.sorted &&
+      gotExcept == xs.distinct.filterNot(ys.toSet).sorted
+    }
+
+  private val weightsGen: Gen[List[Int]] = for {
+    n <- Gen.chooseNum(2, 5)
+    cuts <- Gen.listOfN(n - 1, Gen.chooseNum(1, 999))
+  } yield {
+    val sorted = (0 :: 1000 :: cuts).distinct.sorted
+    sorted.zip(sorted.tail).map { case (a, b) => b - a }.filter(_ > 0)
+  }
+
+  property("splitColumn totally partitions for any weight vector") =
+    forAll(weightsGen, Gen.chooseNum(100L, 2000L)) { (ws, n) =>
+      import org.apache.spark.sql.functions._
+      val named = ws.zipWithIndex.map { case (w, i) => s"s$i" -> w }
+      val counts = spark.range(n)
+        .withColumn("split",
+          graft.operators.Sampling.splitColumn(col("id"), named))
+        .groupBy("split").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      counts.values.sum == n && counts.keySet.subsetOf(named.map(_._1).toSet)
+    }
+
+  property("hub delivers any sequence exactly once, in order") =
+    forAll(Gen.listOfN(25, Gen.chooseNum(Int.MinValue, Int.MaxValue))) { xs =>
+      val engine = new graft.streaming.EventEngine(spark)
+      try {
+        val hub = engine.hub[Int]("prop")
+        val buf = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+        hub.subscribe().foreachOrdered(e => buf.add(e.payload))
+        hub.postBatch(xs)
+        engine.awaitQuiescence()
+        import scala.jdk.CollectionConverters._
+        buf.asScala.toList == xs
+      } finally engine.close()
+    }
+}
