@@ -15,9 +15,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus, "graft-bench")
     // warm-up on the smallest SF: JIT + codegen-compile the scan, agg,
-    // sketch-hash and dot-product paths before anything is measured
+    // sketch-hash, dot-product, window, iterative-checkpoint and
+    // streaming-drain paths before anything is measured
     val warmDir = "/root/testdata/sf0.001"
-    Seq("q06_revenue_forecast", "d03_minhash_bands", "s02_topk_lsh")
+    Seq("q06_revenue_forecast", "d03_minhash_bands", "s02_topk_lsh",
+      "q09_segment_top_orders", "d07_dup_clusters", "st2_stream_dedup_keys")
       .flatMap(SparkEntry.queries.get)
       .foreach { fn =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()

@@ -45,10 +45,16 @@ object Clusters {
     */
   def connectedComponents(edges: DataFrame, srcCol: String = "d1",
       dstCol: String = "d2", maxIter: Int = 30): DataFrame = {
+    // both edge directions in ONE pass over `edges` — a self-union
+    // would execute the caller's (possibly expensive, un-persisted)
+    // edge pipeline twice during materialization
     val sym = edges
-      .select(col(srcCol).cast("long").as("id"), col(dstCol).cast("long").as("nb"))
-      .union(edges.select(col(dstCol).cast("long").as("id"),
-        col(srcCol).cast("long").as("nb")))
+      .select(explode(array(
+        struct(col(srcCol).cast("long").as("id"),
+          col(dstCol).cast("long").as("nb")),
+        struct(col(dstCol).cast("long").as("id"),
+          col(srcCol).cast("long").as("nb")))).as("e"))
+      .select(col("e.id").as("id"), col("e.nb").as("nb"))
       // a null endpoint would ride through every round as a dead label
       // row (null never joins) — drop it at the door
       .filter(col("id").isNotNull && col("nb").isNotNull)
