@@ -68,14 +68,18 @@ object TextDedup {
     */
   def jaccardVerify(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val ns = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val candIds = pairs.select(col("d1").as("id"))
-      .union(pairs.select(col("d2").as("id"))).distinct()
+    // `pairs` (usually the LSH band self-join) is referenced three
+    // times below — persist it so the candidate pipeline materializes
+    // once (released by the caller's clearCache per QueryPack contract)
+    val cand = pairs.persist()
+    val candIds = cand.select(explode(array(col("d1"), col("d2"))).as("id"))
+      .distinct()
     val shCand = sh.join(candIds, Seq("id"), "left_semi")
     val inter = shCand.select(col("id").as("d1"), col("h"))
       .join(shCand.select(col("id").as("d2"), col("h")), Seq("h"))
       .filter(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
-    pairs
+    cand
       .join(inter, Seq("d1", "d2"), "left")
       .join(ns.select(col("id").as("d1"), col("n").as("n1")), Seq("d1"))
       .join(ns.select(col("id").as("d2"), col("n").as("n2")), Seq("d2"))
