@@ -1,0 +1,64 @@
+package graft
+
+import graft.streaming.TestSpark
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the PLANS.md claims as assertions.
+  * These catch silent optimizer regressions (a lost broadcast, a
+  * filter that stops reaching the scan) that correctness tests cannot
+  * see and the bench only shows as noise.
+  */
+class PlanRegressionSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(query: String): String =
+    SparkEntry.queries(query)(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+
+  test("q05: dimension chain broadcasts, no sort-merge join") {
+    val plan = planOf("q05_region_revenue")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"),
+      "dimension join fell back to SMJ — broadcast threshold regression?")
+  }
+
+  test("q02: predicates push down to the parquet scan") {
+    val plan = planOf("q02_filter_project")
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("GreaterThan(l_quantity,45.0)"),
+      "l_quantity predicate no longer reaches the reader")
+  }
+
+  test("c02: scan prunes to the 3 referenced columns") {
+    val plan = planOf("c02_stratified_sample")
+    val readSchema = plan.linesIterator
+      .find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+      readSchema.contains("source"))
+    assert(!readSchema.contains("lang"),
+      s"column pruning lost: $readSchema")
+  }
+
+  test("q25: EXISTS/NOT EXISTS plan as existence joins, not row joins") {
+    val plan = planOf("q25_exists_not_exists")
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"))
+  }
+
+  test("e05: as-of join has no nested-loop / cartesian stage") {
+    val plan = planOf("e05_asof_click")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "as-of join degenerated into a range cross-product")
+  }
+
+  test("s01: query side broadcasts against the corpus scan") {
+    val plan = planOf("s01_topk_bruteforce")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,100)]")
+      || plan.contains("LessThan(vec_id,100)"))
+  }
+}
