@@ -259,6 +259,26 @@ object Events extends QueryPack {
           sum($"p.k").as("sum_k"),
           count($"miss.missing").as("n_mismatch"))
         .orderBy($"event_type")
+    }),
+
+    // -- cohort retention: users active N weeks after first activity ----
+    // Two hash aggregates + one equi-join on user_id (the cohort table
+    // re-joins the activity table; both shuffle once on user_id and
+    // combine map-side) — the standard retention matrix, no windows,
+    // no self-cross.
+    "e15_cohort_retention" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val events = Tables(s, dir).events
+      val activity = events
+        .select($"user_id", date_trunc("day", $"ts").as("day")).distinct()
+      val cohort = activity.groupBy($"user_id")
+        .agg(min($"day").as("cohort_day"))
+      activity.join(cohort, "user_id")
+        .withColumn("week_offset",
+          expr("datediff(day, cohort_day) div 7"))
+        .groupBy($"cohort_day", $"week_offset")
+        .agg(countDistinct($"user_id").as("n_active"))
+        .orderBy($"cohort_day", $"week_offset")
     })
   )
 
@@ -420,6 +440,20 @@ object Events extends QueryPack {
         |  CAST(SUM(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
         |  CAST(COUNT(json_extract_string(props, '$.missing')) AS BIGINT)
         |    AS n_mismatch
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e15_cohort_retention" ->
+      """WITH activity AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id, MIN(day) AS cohort_day
+        |  FROM activity GROUP BY user_id)
+        |SELECT c.cohort_day,
+        |  date_diff('day', c.cohort_day, a.day) // 7 AS week_offset,
+        |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+        |FROM activity a JOIN cohort c ON a.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, week_offset""".stripMargin
   )
 }
