@@ -105,6 +105,50 @@ object VectorSearch {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("dot"))
   }
 
+  /** Deterministic quantized k-means (Lloyd's) over the exploded
+    * vector table `(id, dim, v)` — the IVF coarse-quantizer TRAINING
+    * step ([[nearestCells]]/[[ivfTopK]] serve with the result).
+    *
+    * Determinism: centroids init from the k lowest vector ids, means
+    * floor-quantize back onto longs each iteration, assignment ties
+    * break by cell id — identical output on every run and cluster
+    * size (no RNG, no float accumulation order dependence: the mean's
+    * integer sum is order-independent, and one double division per
+    * (cell, dim) is exact IEEE).
+    *
+    * Scale: each iteration is one broadcast join (centroids are tiny)
+    * + two map-side-combinable aggregates over the corpus — Lloyd's at
+    * its minimal shuffle count. Iterations are bounded (`iters`), so
+    * lineage stays shallow without checkpoints.
+    */
+  def kmeansQuantized(byDim: DataFrame, k: Int, iters: Int): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("dist2"), col("cell"))
+    // init: the k lowest ids (deterministic seed vectors)
+    val initIds = byDim.select(col("id")).distinct()
+      .orderBy(col("id")).limit(k)
+    var centroids = byDim
+      .join(broadcast(initIds), Seq("id"), "left_semi")
+      .withColumn("cell", dense_rank()
+        .over(Window.orderBy(col("id"))) - 1)
+      .select(col("cell").cast("long").as("cell"), col("dim"),
+        col("v").as("cv"))
+    for (_ <- 0 until iters) {
+      val assign = byDim
+        .join(broadcast(centroids), Seq("dim"))
+        .groupBy(col("id"), col("cell"))
+        .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist2"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("id"), col("cell"))
+      centroids = byDim
+        .join(assign, "id")
+        .groupBy(col("cell"), col("dim"))
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+          .cast("long").as("cv"))
+    }
+    centroids
+  }
+
   /** Near-duplicate pairs above a cosine threshold, evaluated as the
     * exact integer inequality `dot > 0 ∧ dot²·den ≥ num·|a|²·|b|²`
     * for threshold² = num/den — no float comparison anywhere.
