@@ -70,6 +70,37 @@ object StreamingOps extends QueryPack {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Multi-batch streaming view: the events table split once into
+    * `parts` parquet files (staged per input dir), consumed one file
+    * per trigger — so an AvailableNow drain runs `parts` genuine
+    * incremental micro-batches instead of one. Used by the queries
+    * that must demonstrate cross-batch state evolution (st11).
+    */
+  private def eventStreamMultiBatch(s: SparkSession, dir: String,
+      parts: Int): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s"$dir/events.parquet"
+    val stageDir =
+      s"/tmp/graft-stream-multi$parts-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val done = Paths.get(stageDir, "_STAGED")
+    if (!Files.exists(done)) synchronized {
+      if (!Files.exists(done)) {
+        // deterministic split: repartition by a stable key hash, not
+        // round-robin (which is partitioning-dependent)
+        s.read.parquet(src)
+          .repartition(parts, col("event_id"))
+          .write.mode("overwrite").parquet(stageDir)
+        Files.createFile(done)
+      }
+    }
+    val schema = s.read.parquet(src).schema
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Run a streaming DataFrame to a memory sink, drain with
     * AvailableNow, return the materialized table.
     *
@@ -271,6 +302,50 @@ object StreamingOps extends QueryPack {
         .orderBy($"side")
     }),
 
+    // -- streaming upsert into a serving table (foreachBatch + MERGE) ---
+    // The production pattern for "keep a queryable table current from a
+    // stream": update-mode deltas (only keys whose aggregate changed
+    // this batch, carrying cumulative values) merged per batch into the
+    // serving snapshot. The input is split into 4 files consumed one
+    // per trigger, so the merge genuinely runs across multiple
+    // incremental micro-batches — asserted, not assumed.
+    "st11_streaming_upsert" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val agg = eventStreamMultiBatch(s, dir, parts = 4)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(FLOOR(value * 100) AS BIGINT)")).as("total_cents"))
+      var serving: Option[DataFrame] = None
+      var batches = 0
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = agg.writeStream
+          .outputMode(OutputMode.Update())
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val delta = batch.persist()
+            val merged = serving match {
+              case None => delta
+              case Some(t) => graft.operators.Upsert.merge(t, delta, "user_id")
+            }
+            // a batch DataFrame is only valid inside its batch — pin the
+            // snapshot as local rows before the next batch invalidates it
+            val snapshot = merged.collect()
+            serving = Some(s.createDataFrame(
+              java.util.Arrays.asList(snapshot: _*), merged.schema))
+            delta.unpersist()
+            batches += 1
+          }
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      require(batches >= 4,
+        s"expected >= 4 incremental micro-batches, saw $batches — the " +
+          "multi-file split is not driving the trigger")
+      serving.get.orderBy($"user_id")
+    }),
+
     // -- dropDuplicatesWithinWatermark (state-evictable dedup) ----------
     // The production spelling of streaming dedup: state for a key is
     // dropped once the watermark passes it, so the store is bounded by
@@ -350,6 +425,11 @@ object StreamingOps extends QueryPack {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "st8_transform_with_state" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "st11_streaming_upsert" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
