@@ -179,6 +179,40 @@ object TextAnalysis extends QueryPack {
             "lower(text), '[a-z]+|[0-9]{1,3}|[^a-z0-9\\\\s]+', 0))")
             .as("chars_per_bpe_pm"))
         .orderBy($"doc_id")
+    }),
+
+    // -- normalization + stemming-lite: suffix-stripped vocabulary ------
+    // Lowercase, strip punctuation, drop stopwords, strip plural/verb
+    // suffixes (ASCII rules, identical regex semantics both engines) —
+    // the standard text-normalization pass before vocabulary building.
+    "t09_normalize_stem" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val stopList = graft.operators.TextQuality.Stopwords
+      Tables(s, dir).documents
+        .select(explode(split(lower($"text"), "\\s+")).as("w0"))
+        .withColumn("w1", regexp_replace($"w0", "[^a-z]", ""))
+        .filter($"w1" =!= "" && !$"w1".isInCollection(stopList))
+        .withColumn("stem", regexp_replace($"w1",
+          "(ing|edly|ed|ies|es|s)$", ""))
+        .filter(length($"stem") >= 3)
+        .groupBy($"stem")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"w1").as("n_variants"))
+        .orderBy($"n".desc, $"stem")
+        .limit(30)
+    }),
+
+    // -- readability: sentence segmentation + words-per-sentence --------
+    "t10_readability" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir).documents
+        .select($"doc_id", $"lang",
+          size(filter(split($"text", "[.!?]+"),
+            t => trim(t) =!= "")).cast("long").as("n_sentences"),
+          size(split($"text", "\\s+")).cast("long").as("n_words"))
+        .withColumn("words_per_sentence_pm",
+          expr("n_words * 1000 div n_sentences"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -294,6 +328,30 @@ object TextAnalysis extends QueryPack {
         |    AS n_ws_tokens,
         |  length(text) * 1000 // len(regexp_extract_all(lower(text),
         |    '[a-z]+|[0-9]{1,3}|[^a-z0-9\s]+')) AS chars_per_bpe_pm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t09_normalize_stem" ->
+      """WITH w AS (
+        |  SELECT regexp_replace(unnest(
+        |    regexp_split_to_array(lower(text), '\s+')), '[^a-z]', '', 'g') AS w1
+        |  FROM documents),
+        |st AS (
+        |  SELECT w1, regexp_replace(w1, '(ing|edly|ed|ies|es|s)$', '') AS stem
+        |  FROM w
+        |  WHERE w1 <> '' AND w1 NOT IN ('the','a','of','and','to'))
+        |SELECT stem, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT w1) AS BIGINT) AS n_variants
+        |FROM st WHERE length(stem) >= 3
+        |GROUP BY stem ORDER BY n DESC, stem LIMIT 30""".stripMargin,
+
+    "t10_readability" ->
+      """SELECT doc_id, lang,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+        |    t -> trim(t) <> '')) AS BIGINT) AS n_sentences,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_words,
+        |  len(regexp_split_to_array(text, '\s+')) * 1000
+        |    // len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+        |         t -> trim(t) <> '')) AS words_per_sentence_pm
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
