@@ -121,6 +121,26 @@ object Extensions extends QueryPack {
         .orderBy($"o_custkey", $"version")
     }),
 
+    // -- A/B experiment readout over the deterministic split ------------
+    // Composition of operators.Sampling with event aggregation: users
+    // hash into control/treatment (stable under data growth — no
+    // reassignment mid-experiment), then per-variant purchase metrics
+    // in integer cents.
+    "x07_ab_experiment" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir).events
+        .withColumn("variant", graft.operators.Sampling.splitColumn(
+          $"user_id", Seq("control" -> 500, "treatment" -> 500),
+          salt = "ab1"))
+        .filter($"event_type" === "purchase")
+        .groupBy($"variant")
+        .agg(countDistinct($"user_id").as("n_users"),
+          count(lit(1)).as("n_purchases"),
+          sum(expr("CAST(FLOOR(value * 100) AS BIGINT)")).as("total_cents"))
+        .withColumn("cents_per_user", expr("total_cents div n_users"))
+        .orderBy($"variant")
+    }),
+
     // -- sketch aggregates (no hash oracle: approximate by design) ------
     "x04_approx_sketches" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -169,6 +189,20 @@ object Extensions extends QueryPack {
         |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM snapshot GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "x07_ab_experiment" -> {
+      val bucket = graft.operators.Sampling.duckHashBucketPm("user_id", "ab1")
+      s"""SELECT CASE WHEN $bucket < 500 THEN 'control'
+         |            ELSE 'treatment' END AS variant,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+         |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+         |    AS total_cents,
+         |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+         |    // COUNT(DISTINCT user_id) AS BIGINT) AS cents_per_user
+         |FROM events WHERE event_type = 'purchase'
+         |GROUP BY 1 ORDER BY variant""".stripMargin
+    },
 
     "x06_scd2_history" ->
       """SELECT o_custkey, o_orderkey, o_orderstatus,

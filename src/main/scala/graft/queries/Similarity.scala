@@ -125,6 +125,45 @@ object Similarity extends QueryPack {
         .orderBy($"query_id", $"rank")
     }),
 
+    // -- ANN quality: recall of IVF top-3 against exact top-3 -----------
+    // The index-evaluation query every ANN deployment needs: join the
+    // approximate result to the exact result per query, histogram the
+    // hit counts. Both sides are the already-verified s01/s05 shapes.
+    "s06_ann_recall" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.VectorSearch
+      val emb = VectorSearch.quantize(Tables(s, dir).embeddings, "embedding")
+        .select($"vec_id", $"label", $"eq").persist()
+      val exact = VectorSearch.topKBruteForce(
+        emb.filter($"vec_id" < 100)
+          .select($"vec_id".as("query_id"), $"eq".as("qe")),
+        emb.select($"vec_id".as("neighbor_id"), $"eq".as("ce")),
+        k = 3).select($"query_id", $"neighbor_id")
+      val byDim = emb.select($"vec_id".as("id"), posexplode($"eq")
+        .as(Seq("dim", "v"))).select($"id", $"dim", $"v")
+      val cent = byDim.join(emb.select($"vec_id".as("id"), $"label"), "id")
+        .groupBy($"label".as("cell"), $"dim")
+        .agg(floor(sum($"v").cast("double") / count(lit(1))).cast("long")
+          .as("cv"))
+      val corpus = VectorSearch.nearestCells(byDim, cent, nprobe = 1)
+        .join(emb.select($"vec_id".as("id"), $"eq".as("ce")), "id")
+        .select($"id".as("neighbor_id"), $"ce", $"cell")
+      val queries = VectorSearch.nearestCells(
+          byDim.filter($"id" < 100), cent, nprobe = 2)
+        .join(emb.select($"vec_id".as("id"), $"eq".as("qe")), "id")
+        .select($"id".as("query_id"), $"qe", $"cell")
+      val approx = VectorSearch.ivfTopK(queries, corpus, k = 3)
+        .select($"query_id", $"neighbor_id")
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy($"query_id").agg(count(lit(1)).as("n_hits"))
+      exact.select($"query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select($"query_id", coalesce($"n_hits", lit(0L)).as("recall_at_3"))
+        .groupBy($"recall_at_3")
+        .agg(count(lit(1)).as("n_queries"))
+        .orderBy($"recall_at_3")
+    }),
+
     // -- per-label centroid distance: vector agg + argmin ---------------
     // Quantized per-dimension mean (integer division by count) keeps
     // centroids portable; assignment = argmin of exact integer distance.
@@ -216,6 +255,64 @@ object Similarity extends QueryPack {
         |  CAST(CASE WHEN b.n_label = e.label THEN 1 ELSE 0 END AS INTEGER) AS correct
         |FROM best b JOIN e ON b.query_id = e.vec_id
         |ORDER BY b.query_id""".stripMargin,
+
+    "s06_ann_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS eq
+        |  FROM embeddings),
+        |px AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(q.eq)),
+        |      i -> q.eq[i] * c.eq[i])) AS BIGINT) AS dot
+        |  FROM e q JOIN e c ON q.vec_id < 100 AND q.vec_id <> c.vec_id),
+        |exact AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY dot DESC, neighbor_id) AS rank FROM px) t
+        |  WHERE rank <= 3),
+        |bd AS (
+        |  SELECT vec_id, label, i - 1 AS dim, eq[i] AS v
+        |  FROM e CROSS JOIN LATERAL
+        |    (SELECT unnest(generate_series(1, len(eq))) AS i)),
+        |cent AS (
+        |  SELECT label AS cell, dim,
+        |    CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+        |  FROM bd GROUP BY label, dim),
+        |dist AS (
+        |  SELECT bd.vec_id, cent.cell,
+        |    SUM((bd.v - cent.cv) * (bd.v - cent.cv)) AS dist2
+        |  FROM bd JOIN cent ON bd.dim = cent.dim
+        |  GROUP BY bd.vec_id, cent.cell),
+        |ranked AS (
+        |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY dist2, cell) AS rk FROM dist),
+        |assign AS (SELECT vec_id, cell FROM ranked WHERE rk = 1),
+        |qc AS (SELECT vec_id, cell FROM ranked
+        |       WHERE rk <= 2 AND vec_id < 100),
+        |pa AS (
+        |  SELECT qc.vec_id AS query_id, a.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(q.eq)),
+        |      i -> q.eq[i] * c.eq[i])) AS BIGINT) AS dot
+        |  FROM qc JOIN assign a ON qc.cell = a.cell
+        |    AND qc.vec_id <> a.vec_id
+        |  JOIN e q ON qc.vec_id = q.vec_id
+        |  JOIN e c ON a.vec_id = c.vec_id),
+        |approx AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY dot DESC, neighbor_id) AS rank FROM pa) t
+        |  WHERE rank <= 3),
+        |hits AS (
+        |  SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |  FROM exact ex JOIN approx a
+        |    ON ex.query_id = a.query_id AND ex.neighbor_id = a.neighbor_id
+        |  GROUP BY ex.query_id)
+        |SELECT COALESCE(h.n_hits, 0) AS recall_at_3,
+        |  CAST(COUNT(*) AS BIGINT) AS n_queries
+        |FROM (SELECT DISTINCT query_id FROM exact) q
+        |LEFT JOIN hits h ON q.query_id = h.query_id
+        |GROUP BY 1 ORDER BY recall_at_3""".stripMargin,
 
     "s05_ivf_topk" ->
       """WITH e AS (
