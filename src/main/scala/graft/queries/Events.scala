@@ -279,6 +279,23 @@ object Events extends QueryPack {
         .groupBy($"cohort_day", $"week_offset")
         .agg(countDistinct($"user_id").as("n_active"))
         .orderBy($"cohort_day", $"week_offset")
+    }),
+
+    // -- windowed leaderboard: top-3 spenders per day --------------------
+    // Time-bucketed aggregate THEN per-bucket rank — the two-window
+    // composition (event-time bucket + ranking window) behind every
+    // "daily top N" surface; one shuffle per step, rank prunes to 3
+    // rows per day before the sort.
+    "e16_daily_leaderboard" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val daily = Tables(s, dir).events
+        .filter($"event_type" === "purchase")
+        .groupBy(date_trunc("day", $"ts").as("day"), $"user_id")
+        .agg(sum(expr("CAST(FLOOR(value * 100) AS BIGINT)")).as("cents"))
+      val w = Window.partitionBy($"day").orderBy($"cents".desc, $"user_id")
+      daily.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .orderBy($"day", $"rank")
     })
   )
 
@@ -454,6 +471,17 @@ object Events extends QueryPack {
         |  date_diff('day', c.cohort_day, a.day) // 7 AS week_offset,
         |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
         |FROM activity a JOIN cohort c ON a.user_id = c.user_id
-        |GROUP BY 1, 2 ORDER BY cohort_day, week_offset""".stripMargin
+        |GROUP BY 1, 2 ORDER BY cohort_day, week_offset""".stripMargin,
+
+    "e16_daily_leaderboard" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id,
+        |    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2)
+        |SELECT day, user_id, cents, rank FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY day
+        |    ORDER BY cents DESC, user_id) AS INTEGER) AS rank FROM daily) t
+        |WHERE rank <= 3 ORDER BY day, rank""".stripMargin
   )
 }

@@ -437,6 +437,19 @@ object Relational extends QueryPack {
         .orderBy($"l_returnflag", $"measure")
     }),
 
+    // -- Q31: GROUPING_ID over rollup (which level produced the row) ----
+    "q31_grouping_id" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir).orders
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"))
+        .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+          $"gid", $"n")
+        .orderBy($"gid", $"status", $"priority")
+    }),
+
     // -- Q22: native pivot (fixed value list → deterministic schema) ----
     "q22_pivot" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -733,6 +746,15 @@ object Relational extends QueryPack {
          |  UNION ALL
          |  SELECT l_returnflag, 'm_rows', m_rows FROM a)
          |ORDER BY l_returnflag, measure""".stripMargin,
+
+    "q31_grouping_id" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin,
 
     "q22_pivot" ->
       """SELECT o_orderpriority,
