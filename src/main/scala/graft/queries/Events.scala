@@ -111,6 +111,31 @@ object Events extends QueryPack {
         .orderBy($"event_id")
     }),
 
+    // -- forward as-of: time-to-next-purchase per click ------------------
+    // The mirror of e05 ([[graft.operators.AsofJoin.asofForward]]):
+    // for each click, the earliest purchase at-or-after it by the same
+    // user, plus the gap in whole minutes — the "time to conversion"
+    // join, still one shuffle and zero row multiplication.
+    "e17_next_purchase" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val ev = Tables(s, dir).events
+      graft.operators.AsofJoin.asofForward(
+          ev.filter($"event_type" === "click")
+            .select($"user_id", $"ts", $"event_id"),
+          ev.filter($"event_type" === "purchase")
+            .select($"user_id", $"ts", $"event_id"),
+          on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          pick = Seq("event_id" -> "next_purchase_id",
+            "ts" -> "next_purchase_ts"),
+          tieBreak = Some("event_id"))
+        .filter($"next_purchase_ts".isNotNull)
+        .withColumn("gap_min", expr(
+          "(unix_micros(next_purchase_ts) - unix_micros(ts)) div 60000000"))
+        .select($"event_id", $"user_id", $"ts", $"next_purchase_id",
+          $"gap_min")
+        .orderBy($"event_id")
+    }),
+
     // -- keep-first dedup by business key (deterministic) ---------------
     "e06_dedup_first" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -472,6 +497,18 @@ object Events extends QueryPack {
         |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
         |FROM activity a JOIN cohort c ON a.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY cohort_day, week_offset""".stripMargin,
+
+    "e17_next_purchase" ->
+      """SELECT c.event_id, c.user_id, c.ts,
+        |  n.event_id AS next_purchase_id,
+        |  (epoch_us(n.ts) - epoch_us(c.ts)) // 60000000 AS gap_min
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN LATERAL (
+        |  SELECT p.event_id, p.ts FROM events p
+        |  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        |    AND p.ts >= c.ts
+        |  ORDER BY p.ts, p.event_id LIMIT 1) n ON TRUE
+        |ORDER BY c.event_id""".stripMargin,
 
     "e16_daily_leaderboard" ->
       """WITH daily AS (

@@ -54,6 +54,44 @@ class AsofJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("asofForward matches the per-row reference model") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    for (round <- 0 until 12) {
+      val nLeft = if (round == 0) 0 else rnd.nextInt(40)
+      val nRight = if (round == 1) 0 else rnd.nextInt(40)
+      val left = (0 until nLeft)
+        .map(i => (rnd.nextInt(5).toLong, rnd.nextInt(50).toLong, i.toLong))
+      val right = (0 until nRight)
+        .map(_ => (rnd.nextInt(5).toLong, rnd.nextInt(50).toLong,
+          rnd.nextInt(1000).toLong))
+
+      val l = left.toDF("k", "ts", "lid")
+      val r = right.toDF("k", "rts", "v")
+      val got = AsofJoin.asofForward(l, r, Seq("k"), "ts", "rts",
+          Seq("rts" -> "matched_ts", "v" -> "matched_v"),
+          tieBreak = Some("v"))
+        .select("lid", "matched_ts", "matched_v").collect()
+        .map(row => (row.getLong(0),
+          if (row.isNullAt(1)) None else Some(row.getLong(1)),
+          if (row.isNullAt(2)) None else Some(row.getLong(2))))
+        .sortBy(_._1).toList
+
+      val expected = left.map { case (k, ts, lid) =>
+        val cands = right.filter(rr => rr._1 == k && rr._2 >= ts)
+        if (cands.isEmpty) (lid, None: Option[Long], None: Option[Long])
+        else {
+          val bestTs = cands.map(_._2).min
+          // deterministic tie rule (mirror of backward): lowest wins
+          val bestV = cands.filter(_._2 == bestTs).map(_._3).min
+          (lid, Some(bestTs), Some(bestV))
+        }
+      }.sortBy(_._1).toList
+
+      assert(got === expected, s"round $round: left=$left right=$right")
+    }
+  }
+
   test("matched row is atomic: NULL fields stay NULL, columns never blend") {
     import spark.implicits._
     // ts=2 row is the correct match; its v is genuinely NULL and its w
