@@ -68,10 +68,14 @@ object TextDedup {
     */
   def jaccardVerify(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val ns = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    // `pairs` (usually the LSH band self-join) is referenced three
-    // times below — persist it so the candidate pipeline materializes
-    // once (released by the caller's clearCache per QueryPack contract)
-    val cand = pairs.persist()
+    // CACHING CONTRACT: `pairs` (usually the LSH band self-join) is
+    // referenced three times in the plan below — an un-persisted
+    // candidate pipeline executes three times at materialization.
+    // Callers that care (the query packs do) persist `pairs` before
+    // passing it and release via clearCache; this operator does not
+    // persist internally so it never leaks cached blocks on callers
+    // without a cache-release point.
+    val cand = pairs
     val candIds = cand.select(explode(array(col("d1"), col("d2"))).as("id"))
       .distinct()
     val shCand = sh.join(candIds, Seq("id"), "left_semi")

@@ -101,7 +101,9 @@ object Dedup extends QueryPack {
     import graft.operators.TextDedup
     val sh = shingleHashes(s, dir).persist()
     val wide = TextDedup.minhashSignatures(sh, K).persist()
-    val cand = TextDedup.lshCandidates(wide, K, Bands)
+    // jaccardVerify references the candidate pairs three times;
+    // persist here (released by clearCache per QueryPack contract).
+    val cand = TextDedup.lshCandidates(wide, K, Bands).persist()
     TextDedup.jaccardVerify(sh, cand)
       .filter(col("jaccard_pm") >= minJaccardPm)
       .select(col("d1"), col("d2"))
@@ -190,7 +192,7 @@ object Dedup extends QueryPack {
       import graft.operators.TextDedup
       val sh = shingleHashes(s, dir).persist()
       val wide = TextDedup.minhashSignatures(sh, K).persist()
-      val cand = TextDedup.lshCandidates(wide, K, Bands)
+      val cand = TextDedup.lshCandidates(wide, K, Bands).persist()
       TextDedup.jaccardVerify(sh, cand)
         .select($"d1", $"d2", $"n_bands", $"inter", $"jaccard_pm")
         .orderBy($"d1", $"d2")

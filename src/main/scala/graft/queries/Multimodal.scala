@@ -60,9 +60,17 @@ object Multimodal extends QueryPack {
     // a codec swap makes it a real image resize). Digest of the output
     // proves the byte-exact transform crossed the mapPartitions
     // boundary intact.
+    // INVARIANT (asserted below): the Spark side strides BYTES while
+    // the DuckDB oracle strides CHARACTERS — identical only for pure
+    // ASCII text. The assert_true filter makes any non-ASCII doc fail
+    // this query loudly instead of silently diverging from the oracle.
     "m04_resize" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val binary = Tables(s, dir).documents
+        .filter(assert_true($"text".isNull ||
+          length($"text") === octet_length($"text"),
+          lit("m04_resize requires ASCII text: byte-stride (Spark) vs " +
+            "char-stride (oracle) diverge on multi-byte UTF-8")).isNull)
         .select($"doc_id", $"text".cast("binary").as("payload"))
       BinaryDecode.resize(s, binary, target = 64).toDF()
         .select($"doc_id", $"n_in",

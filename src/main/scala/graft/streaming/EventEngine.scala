@@ -36,7 +36,12 @@ final class EventEngine(val spark: SparkSession) extends AutoCloseable {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: QueryProgressEvent): Unit = {
-      val mine = synchronized { queries.exists(_.id == e.progress.id) }
+      // Lock the ENGINE's monitor (register/hub mutate `queries` under
+      // it); a bare `synchronized` here would lock the anonymous
+      // listener instance and race the listener-bus thread against
+      // ArrayBuffer appends.
+      val mine =
+        EventEngine.this.synchronized { queries.exists(_.id == e.progress.id) }
       if (mine) progress.compute(e.progress.id, (_, prev) => {
         val (b, r) = if (prev == null) (0L, 0L) else prev
         (b + 1, r + e.progress.numInputRows)
