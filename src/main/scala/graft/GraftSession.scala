@@ -45,6 +45,17 @@ object GraftSession {
         spark.sessionState.functionRegistry.registerFunction(
           ident, info, builder)
     }
+    // custom-operator tier (same hook a cluster gets via
+    // spark.sql.extensions): the top-k strategy plans graft's logical
+    // nodes; the rewrite rule collapses row_number()<=k windows into
+    // them. Guarded for getOrCreate reuse.
+    if (!spark.experimental.extraStrategies.contains(graft.plans.GraftStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.GraftStrategy
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.RewriteRankLimit))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteRankLimit
     spark
   }
 }

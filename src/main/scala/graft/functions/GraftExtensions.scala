@@ -15,10 +15,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * registers them directly for embedded use.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    // full custom-operator tier: bounded per-group top-k
+    // (logical node + planner strategy + rank-limit rewrite rule)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteRankLimit)
+  }
 }
 
 object GraftExtensions {

@@ -493,6 +493,22 @@ object Relational extends QueryPack {
           sum(when($"o_orderstatus" === "O", dec($"o_totalprice"))
             .otherwise(dec(lit(0)))).cast("double").as("open_value"))
         .orderBy($"c_nationkey")
+    }),
+
+    // -- Q32: native bounded top-k (custom LogicalPlan + SparkPlan) -----
+    // Same semantics as the q09 row_number spelling, but through
+    // graft.plans.TopKPerGroup: partial heaps → hash exchange → final
+    // heaps, no per-group sort, no window projection. The oracle is
+    // the windowed SQL — proving the custom operator tier equals the
+    // declarative spelling bit-for-bit.
+    "q32_topk_native" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val joined = t.orders.join(t.customer, $"o_custkey" === $"c_custkey")
+        .select($"c_mktsegment", $"o_orderkey", $"o_totalprice")
+      graft.operators.TopK.perGroup(joined, Seq("c_mktsegment"),
+          Seq(("o_totalprice", false), ("o_orderkey", true)), 5)
+        .orderBy($"c_mktsegment", $"o_totalprice".desc, $"o_orderkey")
     })
   )
 
@@ -794,6 +810,15 @@ object Relational extends QueryPack {
         |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM orders) >
         |  (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q32_topk_native" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rn <= 5
+        |ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey""".stripMargin,
 
     "q19_status_pivot" ->
       """SELECT c_nationkey,
