@@ -38,6 +38,9 @@ import org.apache.spark.sql.functions._
   */
 object Clusters {
 
+  private def shufflePartitions(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
   /** Component label (min reachable node id) for every node of the
     * edge list: `(id, comp)`. Nodes appear iff they occur in an edge;
     * callers wanting singleton components coalesce absent ids to
@@ -59,7 +62,18 @@ object Clusters {
       // row (null never joins) — drop it at the door
       .filter(col("id").isNotNull && col("nb").isNotNull)
       .distinct()
-      .localCheckpoint(true)
+      // hash-partition the (large, loop-invariant) edge list on the
+      // per-round join key ONCE and persist: the cached relation
+      // advertises hashpartitioning(nb, N), so every round's neighbor
+      // join streams the edges straight from cache and shuffles only
+      // the small label side. (localCheckpoint would NOT work here —
+      // its LogicalRDD drops the partitioning and every round would
+      // re-shuffle all edges; verified on the 10M-edge smoke.)
+      // Explicit partition count pins the layout against AQE
+      // coalescing. Released in the finally below — the result labels
+      // are checkpointed, so they outlive the cache.
+      .repartition(shufflePartitions(edges), col("nb"))
+      .persist()
 
     var labels = sym.select(col("id")).distinct()
       .withColumn("comp", col("id"))
@@ -67,16 +81,23 @@ object Clusters {
 
     var iter = 0
     var converged = false
+    val verbose = sys.env.contains("GRAFT_CC_VERBOSE")
+    try {
     while (!converged && iter < maxIter) {
+      val roundT0 = System.nanoTime()
       // min label among neighbors, then least(own, neighbors'); old and
       // new label are materialized TOGETHER by the eager checkpoint, so
       // the convergence probe below reuses it instead of re-running the
       // round's joins
+      // SHUFFLE_HASH on the label side: a sort-merge join would re-sort
+      // the (bigger) edge list every round; hash-building the 1-row-
+      // per-node label side skips all sorting.
       val nbMin = sym
-        .join(labels.select(col("id").as("nb"), col("comp").as("nbComp")), "nb")
+        .join(labels.select(col("id").as("nb"), col("comp").as("nbComp"))
+          .hint("SHUFFLE_HASH"), "nb")
         .groupBy(col("id")).agg(min(col("nbComp")).as("nbMin"))
-      val hopped = labels
-        .join(nbMin, Seq("id"), "left")
+      val hoppedRaw = labels
+        .join(nbMin.hint("SHUFFLE_HASH"), Seq("id"), "left")
         .select(col("id"), col("comp").as("old"),
           least(col("comp"), coalesce(col("nbMin"), col("comp"))).as("comp"))
       // Pointer doubling — shortcut to the label's own label (labels
@@ -85,16 +106,33 @@ object Clusters {
       // extra self-join. Near-dup clumps converge in ≤2 plain rounds,
       // so it engages only when the graph proves deeper than that;
       // long chains then finish in O(log diameter) doubled rounds.
-      val stepped = (if (iter < 2) hopped
-        else hopped
-          .join(hopped.select(col("id").as("comp"), col("comp").as("comp2")),
-            Seq("comp"), "left")
-          .select(col("id"), col("old"),
-            least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp")))
+      // The hop result is checkpointed BEFORE the self-join: the two
+      // references below would otherwise re-run the whole round's
+      // join+aggregate pipeline twice at materialization.
+      val stepped = (if (iter < 2) hoppedRaw
+        else {
+          val hopped = hoppedRaw.localCheckpoint(true)
+          hopped
+            .join(hopped.select(col("id").as("comp"), col("comp").as("comp2"))
+              .hint("SHUFFLE_HASH"),
+              Seq("comp"), "left")
+            .select(col("id"), col("old"),
+              least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
+        })
         .localCheckpoint(true)
+      val tStep = System.nanoTime()
       converged = stepped.filter(col("comp") =!= col("old")).isEmpty
+      if (verbose) {
+        val now = System.nanoTime()
+        println(f"[graft-cc] round=$iter step=${(tStep - roundT0) / 1e9}%.2fs " +
+          f"probe=${(now - tStep) / 1e9}%.2fs converged=$converged")
+      }
       labels = stepped.select(col("id"), col("comp"))
       iter += 1
+    }
+    } finally {
+      // result labels are checkpointed RDDs — they survive the cache
+      sym.unpersist(blocking = false)
     }
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +
