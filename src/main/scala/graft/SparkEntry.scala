@@ -21,7 +21,8 @@ object SparkEntry {
     StreamingOps,
     Extensions,
     Pipeline,
-    Corpus
+    Corpus,
+    Graphs
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic integer PageRank over a directed edge list — graph
+  * centrality for the curation surface (rank duplicate-cluster
+  * representatives, weigh link-heavy documents). The reference has no
+  * graph operators; like [[Clusters]], this is part of the
+  * training-data-pipeline extension (SURVEY §2.3).
+  *
+  * Arithmetic is EXACT-INTEGER on a parts-per-million scale so the
+  * result is bit-identical on any engine (the DuckDB oracle runs the
+  * same recurrence): every node starts at 1,000,000 ppm; each
+  * iteration a node's new rank is
+  *
+  *   `150000 + (850 * Σ_in (rank_nb div outdeg_nb)) div 1000`
+  *
+  * i.e. damping 0.85 applied as integer div AFTER the contribution
+  * sum, contributions floored per neighbor. Dangling-node mass is
+  * dropped (documented deviation from the probabilistic formulation —
+  * the ranking, not the distribution, is the product here).
+  *
+  * Scale notes (100 TB): the edge list is the loop invariant — it is
+  * hash-partitioned on `src` once and persisted (same pattern as
+  * [[Clusters]]; a checkpoint would drop the partitioning), so each
+  * iteration shuffles only the rank vector (one row per node): join
+  * ranks→edges on src (edge side cache-local), shuffle contributions
+  * on dst for the sum, left-join back to the node list. Iteration
+  * count is a fixed parameter, not a convergence probe — rank queries
+  * want a reproducible snapshot, and k is small (3-10) in practice.
+  */
+object PageRank {
+
+  /** `(id, rank_ppm)` for every node of `edges` after `iters`
+    * synchronous iterations. `src`/`dst` columns must be long-valued
+    * and share one id namespace (offset one side if the graph is
+    * bipartite).
+    */
+  def ranksPpm(edges: DataFrame, iters: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val n = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .repartition(n, col("src"))
+      .persist()
+    try {
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id")))
+        .distinct()
+        .persist()
+      try {
+        val outdeg = e.groupBy(col("src"))
+          .agg(count(lit(1)).as("outdeg"))
+          .persist()
+        try {
+          var ranks = nodes.withColumn("rank_ppm", lit(1000000L))
+          for (_ <- 1 to iters) {
+            val contribs = e
+              .join(ranks.select(col("id").as("src"),
+                col("rank_ppm")).hint("SHUFFLE_HASH"), "src")
+              .join(outdeg.hint("SHUFFLE_HASH"), "src")
+              .select(col("dst").as("id"),
+                expr("rank_ppm div outdeg").as("contrib"))
+              .groupBy(col("id")).agg(sum(col("contrib")).as("csum"))
+            ranks = nodes.join(contribs, Seq("id"), "left")
+              .select(col("id"),
+                (lit(150000L) +
+                  expr("(850 * coalesce(csum, 0L)) div 1000")).as("rank_ppm"))
+          }
+          // fixed small iteration count → bounded lineage; materialize
+          // once so callers don't re-run the loop per action, then let
+          // the loop-invariant caches go
+          ranks.localCheckpoint(true)
+        } finally outdeg.unpersist(blocking = false)
+      } finally nodes.unpersist(blocking = false)
+    } finally e.unpersist(blocking = false)
+  }
+}

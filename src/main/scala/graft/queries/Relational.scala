@@ -495,6 +495,24 @@ object Relational extends QueryPack {
         .orderBy($"c_nationkey")
     }),
 
+    // -- Q33: full outer join (both-side null extension) ----------------
+    // High-balance customers FULL OUTER the per-customer order rollup:
+    // unmatched rows survive from BOTH sides (rich customers with no
+    // orders; ordering customers below the balance cut).
+    "q33_full_outer" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val rich = t.customer.filter($"c_acctbal" > 5000)
+        .select($"c_custkey", $"c_acctbal".cast("double").as("acctbal"))
+      val spend = t.orders.groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec($"o_totalprice")).cast("double").as("spent"))
+      rich.join(spend, $"c_custkey" === $"o_custkey", "full_outer")
+        .select(coalesce($"c_custkey", $"o_custkey").as("custkey"),
+          $"acctbal", $"n_orders", $"spent")
+        .orderBy($"custkey")
+    }),
+
     // -- Q32: native bounded top-k (custom LogicalPlan + SparkPlan) -----
     // Same semantics as the q09 row_number spelling, but through
     // graft.plans.TopKPerGroup: partial heaps → hash exchange → final
@@ -810,6 +828,19 @@ object Relational extends QueryPack {
         |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM orders) >
         |  (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q33_full_outer" ->
+      """SELECT COALESCE(c.c_custkey, s.o_custkey) AS custkey,
+        |  CAST(c.c_acctbal AS DOUBLE) AS acctbal,
+        |  s.n_orders, s.spent
+        |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000) c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spent
+        |  FROM orders GROUP BY o_custkey) s
+        |ON c.c_custkey = s.o_custkey
+        |ORDER BY custkey""".stripMargin,
 
     "q32_topk_native" ->
       """SELECT c_mktsegment, o_orderkey, o_totalprice FROM (

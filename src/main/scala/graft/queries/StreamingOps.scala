@@ -207,6 +207,36 @@ object StreamingOps extends QueryPack {
         .orderBy($"p_id", $"c_id")
     }),
 
+    // -- stream-stream LEFT OUTER join (watermark-gated null emission) --
+    // Purchases left-joined to the clicks that preceded them within an
+    // hour. Matched pairs emit like the inner join (st6); an UNMATCHED
+    // purchase emits with a NULL click only once the watermark proves
+    // no qualifying click can still arrive. With the single-batch
+    // source the final watermark rests at min(max purchase ts, max
+    // click ts) - 1h, so purchases above it stay in state forever and
+    // never emit — the oracle encodes exactly that cutoff (this is the
+    // documented outer-join semantics of Structured Streaming, not an
+    // artifact: on an unbounded stream those rows WOULD emit when the
+    // watermark passes them).
+    "st12_stream_outer_join" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val p = eventStream(s, dir).filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"event_id".as("p_id"),
+          $"ts".as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val c = eventStream(s, dir).filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"event_id".as("c_id"),
+          $"ts".as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = p.join(c,
+        $"p_user" === $"c_user" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") && $"c_ts" < $"p_ts",
+        "left_outer")
+        .select($"p_id", $"c_id")
+      drain(s, joined, OutputMode.Append())
+        .orderBy($"p_id", $"c_id".asc_nulls_first)
+    }),
+
     // -- streaming session windows (gap-merged state) -------------------
     "st7_stream_session" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -397,6 +427,21 @@ object StreamingOps extends QueryPack {
         |  ON p.user_id = c.user_id
         |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
         |ORDER BY p_id, c_id""".stripMargin,
+
+    // LEFT JOIN with the watermark cutoff made explicit: unmatched
+    // purchases emit iff the final watermark (min of both sides' max
+    // ts, minus the 1h delay) passed them; matched pairs always emit.
+    "st12_stream_outer_join" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |wm AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+        |         - INTERVAL 1 HOUR AS w)
+        |SELECT p.event_id AS p_id, c.event_id AS c_id
+        |FROM p LEFT JOIN c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        |WHERE c.event_id IS NOT NULL OR p.ts < (SELECT w FROM wm)
+        |ORDER BY p_id, c_id NULLS FIRST""".stripMargin,
 
     // same gap semantics as the batch e11 oracle: new session at >= gap
     "st7_stream_session" ->
