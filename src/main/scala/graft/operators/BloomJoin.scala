@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Bloom-filter join pruning: drop fact-side rows that cannot have a
+  * join partner BEFORE the join's shuffle, using a broadcast Bloom
+  * filter built over the dimension keys.
+  *
+  * This is the explicit, always-on form of what Spark's runtime row
+  * filtering (`spark.sql.optimizer.runtime.bloomFilter.enabled`)
+  * applies opportunistically: at 100 TB the shuffle of the fact table
+  * IS the query cost, and when the dimension side is selective (but
+  * too large to broadcast-join outright), a ~MB bloom filter shipped
+  * to every executor eliminates the non-matching fact rows at scan
+  * time — the shuffle then carries only rows that will survive the
+  * join, at the price of `fpp` false positives that the real join
+  * removes anyway. Results are therefore EXACTLY the plain join's
+  * (verified by the oracle and `BloomJoinSpec`); only the shuffled
+  * volume changes.
+  *
+  * The dimension side is aggregated to its distinct keys by
+  * `stat.bloomFilter` (one pass, tree-aggregated partial sketches);
+  * the predicate is a scalar function of the fact key, so it pipelines
+  * inside the scan stage — no extra shuffle anywhere.
+  */
+object BloomJoin {
+
+  /** `fact ⋈ dim` (inner, `factKey == dimKey`) with the fact side
+    * pre-pruned by a bloom over `dim[dimKey]`. `expectedKeys` sizes
+    * the sketch (overestimate is wasted megabytes, underestimate is
+    * extra false positives — not wrong results).
+    */
+  def prunedJoin(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String,
+      expectedKeys: Long = 1 << 20, fpp: Double = 0.01): DataFrame = {
+    val pruned = pruneByBloom(fact, dim, factKey, dimKey, expectedKeys, fpp)
+    pruned.join(dim, pruned(factKey) === dim(dimKey))
+  }
+
+  /** Just the pruning half — the fact rows whose key passes the bloom
+    * (all rows with a join partner, plus ≤ fpp false positives).
+    * Exposed separately so callers can compose it with their own join
+    * shape (left/semi/aggregate-before-join).
+    */
+  def pruneByBloom(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String,
+      expectedKeys: Long = 1 << 20, fpp: Double = 0.01): DataFrame = {
+    val bloom = dim.stat.bloomFilter(dimKey, expectedKeys, fpp)
+    fact.filter(mightContain(fact.sparkSession, bloom, col(factKey)))
+  }
+
+  private def mightContain(spark: org.apache.spark.sql.SparkSession,
+      bloom: BloomFilter, key: Column): Column = {
+    val bc = spark.sparkContext.broadcast(bloom)
+    udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+      .apply(key.cast("long"))
+  }
+}

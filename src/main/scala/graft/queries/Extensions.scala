@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.queries.SqlDet.dec
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -141,6 +142,26 @@ object Extensions extends QueryPack {
         .orderBy($"variant")
     }),
 
+    // -- bloom-filter join pruning (results == plain join) --------------
+    // High-balance suppliers are selective (~10%) but in the 100 TB
+    // story too many to broadcast-join; the bloom prunes lineitem
+    // before its shuffle. The oracle is the PLAIN join — bloom false
+    // positives die in the real join, so the sketch is semantically
+    // invisible.
+    "x08_bloom_prune_join" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val dim = t.supplier.filter($"s_acctbal" > 4000)
+        .select($"s_suppkey", $"s_name")
+      graft.operators.BloomJoin
+        .prunedJoin(t.lineitem, dim, "l_suppkey", "s_suppkey",
+          expectedKeys = 1 << 16)
+        .groupBy($"s_suppkey", $"s_name")
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec($"l_extendedprice")).cast("double").as("revenue"))
+        .orderBy($"s_suppkey")
+    }),
+
     // -- sketch aggregates (no hash oracle: approximate by design) ------
     "x04_approx_sketches" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -203,6 +224,16 @@ object Extensions extends QueryPack {
          |FROM events WHERE event_type = 'purchase'
          |GROUP BY 1 ORDER BY variant""".stripMargin
     },
+
+    "x08_bloom_prune_join" ->
+      """SELECT s_suppkey, s_name,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem JOIN (
+        |  SELECT s_suppkey, s_name FROM supplier WHERE s_acctbal > 4000) d
+        |ON l_suppkey = d.s_suppkey
+        |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
 
     "x06_scd2_history" ->
       """SELECT o_custkey, o_orderkey, o_orderstatus,

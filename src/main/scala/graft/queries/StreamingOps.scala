@@ -252,6 +252,64 @@ object StreamingOps extends QueryPack {
         .orderBy($"user_id", $"session_start")
     }),
 
+    // -- flatMapGroupsWithState + EventTimeTimeout: session emission ----
+    // Sessions (30-min gap, e11 semantics) assembled in per-user state
+    // and emitted by WATERMARK TIMEOUT, not by data arrival: a session
+    // leaves state only when the event-time watermark proves its gap
+    // can no longer be bridged (end < watermark, Spark's strict firing
+    // condition). Spark tracks the watermark in milliseconds (micros
+    // are floor-divided), so the oracle's cutoff replicates
+    // (max_ts_us // 1000 - 3_600_000) * 1000 exactly. Sessions still
+    // open at the final watermark stay in state — same documented
+    // semantics as st12's withheld outer rows.
+    "st13_stream_timeout_sessions" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.GroupStateTimeout
+      val gapUs = 1800000000L // 30 min in micros, same constant as e11
+      def us(t: java.sql.Timestamp): Long = {
+        val i = t.toInstant
+        i.getEpochSecond * 1000000L + i.getNano / 1000L
+      }
+      def ts(u: Long): java.sql.Timestamp = java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(u / 1000000L, (u % 1000000L) * 1000L))
+      val src = eventStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .select($"user_id", $"ts")
+        .as[(Long, java.sql.Timestamp)]
+      val sessions = src.groupByKey(_._1)
+        .flatMapGroupsWithState[Seq[(Long, Long, Long)],
+          (Long, java.sql.Timestamp, java.sql.Timestamp, Long)](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+          case (uid, rows, state) =>
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            // merge stored (start, last, n) sessions with the new
+            // points, gap-joining anything closer than gapUs
+            val pts = rows.map(r => (us(r._2), us(r._2), 1L)).toSeq
+            val all = (state.getOption.getOrElse(Seq.empty) ++ pts)
+              .sortBy(x => (x._1, x._2))
+            val merged = all.foldLeft(List.empty[(Long, Long, Long)]) {
+              case (h :: t, s0) if s0._1 - h._2 < gapUs =>
+                (h._1, math.max(h._2, s0._2), h._3 + s0._3) :: t
+              case (acc, s0) => s0 :: acc
+            }.reverse
+            val (done, open) = merged.partition(_._2 + gapUs < wmUs)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(open)
+              // floor-to-ms keeps the firing condition aligned with the
+              // in-handler emission predicate (see header comment)
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs() + 1,
+                open.map(o => (o._2 + gapUs) / 1000L).min))
+            }
+            done.iterator.map(d => (uid, ts(d._1), ts(d._2 + gapUs), d._3))
+        }
+      drain(s, sessions.toDF(
+          "user_id", "session_start", "session_end", "n_events"),
+          OutputMode.Append())
+        .orderBy($"user_id", $"session_start")
+    }),
+
     // -- arbitrary stateful op: per-user running totals -----------------
     "st4_stream_stateful" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -442,6 +500,37 @@ object StreamingOps extends QueryPack {
         |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
         |WHERE c.event_id IS NOT NULL OR p.ts < (SELECT w FROM wm)
         |ORDER BY p_id, c_id NULLS FIRST""".stripMargin,
+
+    // e11's session CTE + the watermark-timeout emission cutoff: a
+    // session emits iff its end (last event + 30 min) is strictly
+    // before the final watermark, which Spark computes in floored
+    // milliseconds.
+    "st13_stream_timeout_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events),
+        |y AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM x),
+        |z AS (
+        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM y),
+        |sess AS (
+        |  SELECT user_id, MIN(ts) AS session_start,
+        |    MAX(ts) + INTERVAL 30 MINUTES AS session_end,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    epoch_us(MAX(ts)) + 1800000000 AS end_us
+        |  FROM z GROUP BY user_id, sess_id),
+        |wm AS (
+        |  SELECT (epoch_us(max(ts)) // 1000 - 3600000) * 1000 AS w
+        |  FROM events)
+        |SELECT user_id, session_start, session_end, n_events
+        |FROM sess WHERE end_us < (SELECT w FROM wm)
+        |ORDER BY user_id, session_start""".stripMargin,
 
     // same gap semantics as the batch e11 oracle: new session at >= gap
     "st7_stream_session" ->
