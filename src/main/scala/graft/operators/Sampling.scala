@@ -58,4 +58,14 @@ object Sampling {
     require(perMille >= 0 && perMille <= 1000)
     df.filter(hashBucketPm(key, salt) < perMille)
   }
+
+  /** Row-varying keep rate (domain mixing / source reweighting): keep
+    * each row iff its hash bucket falls under `ratePerMille`, which may
+    * be any per-mille expression of the row (e.g. a per-source target
+    * proportion). Same determinism contract as [[sampleByHash]]; still
+    * a single row-local predicate, so it pushes into the scan stage.
+    */
+  def sampleByRate(df: DataFrame, key: Column, ratePerMille: Column,
+      salt: String = "mix"): DataFrame =
+    df.filter(hashBucketPm(key, salt) < ratePerMille)
 }

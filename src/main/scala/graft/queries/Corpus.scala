@@ -43,12 +43,30 @@ object Corpus extends QueryPack {
         .agg(count(lit(1)).as("n_sampled"),
           sum(length($"text")).cast("long").as("total_chars"))
         .orderBy($"source")
+    }),
+
+    // -- domain mixing: per-source target keep rates --------------------
+    // Reshape the corpus mixture toward target proportions: low-index
+    // sources are kept at 900 per-mille, mid at 500, tail at 200 — the
+    // standard source-reweighting step before training. The rate is a
+    // row expression, so membership is still one scan-local predicate.
+    "c03_domain_mix" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val srcNum = substring($"source", 4, 10).cast("int")
+      val rate = when(srcNum < 7, 900)
+        .when(srcNum < 14, 500).otherwise(200)
+      Sampling.sampleByRate(Tables(s, dir).documents, $"doc_id", rate)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(length($"text")).cast("long").as("total_chars"))
+        .orderBy($"source")
     })
   )
 
   override def oracles: Map[String, String] = {
     val bucket = Sampling.duckHashBucketPm("doc_id", "split")
     val sampleBucket = Sampling.duckHashBucketPm("doc_id", "sample")
+    val mixBucket = Sampling.duckHashBucketPm("doc_id", "mix")
     Map(
       "c01_deterministic_split" ->
         s"""SELECT source,
@@ -64,6 +82,16 @@ object Corpus extends QueryPack {
         s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
            |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
            |FROM documents WHERE $sampleBucket < 100
+           |GROUP BY source ORDER BY source""".stripMargin,
+
+      "c03_domain_mix" ->
+        s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
+           |FROM documents
+           |WHERE $mixBucket <
+           |  CASE WHEN CAST(substr(source, 4) AS INTEGER) < 7 THEN 900
+           |       WHEN CAST(substr(source, 4) AS INTEGER) < 14 THEN 500
+           |       ELSE 200 END
            |GROUP BY source ORDER BY source""".stripMargin
     )
   }

@@ -199,6 +199,32 @@ object Dedup extends QueryPack {
     }),
 
     // -- SimHash: 32-bit weighted-bit fingerprint per doc ---------------
+    // -- benchmark contamination: train×eval n-gram overlap -------------
+    // The LLM-pipeline decontamination check: which training documents
+    // share any 5-gram with the held-out (test) split? Train/eval
+    // membership reuses the c01 deterministic split, so the check is
+    // reproducible end-to-end; overlap runs on the inverted 5-shingle
+    // hash index (train side semi-bounded by the small eval side — at
+    // 100 TB the eval shingle set is the broadcast/bloom side, never
+    // the corpus).
+    "d08_contamination" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.{Sampling, TextDedup}
+      val docs = Tables(s, dir).documents.withColumn("split",
+        Sampling.splitColumn($"doc_id",
+          Seq("train" -> 800, "val" -> 100, "test" -> 100)))
+      val sh = TextDedup.shingleHashes(docs, "doc_id", "text", n = 5)
+        .join(docs.select($"doc_id".as("id"), $"split"), Seq("id"))
+        .persist()
+      val evalSh = sh.filter($"split" === "test").select($"h").distinct()
+      sh.filter($"split" === "train")
+        .join(evalSh, Seq("h"))
+        .groupBy($"id".as("doc_id"))
+        .agg(countDistinct($"h").as("n_shared"))
+        .select($"doc_id", $"n_shared")
+        .orderBy($"doc_id")
+    }),
+
     "d05_simhash" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       graft.operators.TextDedup
@@ -245,6 +271,33 @@ object Dedup extends QueryPack {
         s" AS $name"
     }
     Map(
+      "d08_contamination" -> {
+        val bucket = graft.operators.Sampling.duckHashBucketPm(
+          "doc_id", "split")
+        val five = (0 until 5).map(j => s"t[i+$j]").mkString(", ")
+        s"""WITH toks AS (
+           |  SELECT doc_id,
+           |    string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+           |      ' ') AS t
+           |  FROM documents),
+           |sh5 AS (
+           |  SELECT doc_id, ${duckHash56("s")} AS h FROM (
+           |    SELECT doc_id, unnest(list_distinct(
+           |      list_transform(generate_series(1, len(t) - 4),
+           |        i -> concat_ws(' ', $five)))) AS s
+           |    FROM toks)),
+           |split AS (
+           |  SELECT doc_id, $bucket AS b FROM documents),
+           |ev AS (
+           |  SELECT DISTINCT h FROM sh5 JOIN split USING (doc_id)
+           |  WHERE b >= 900)
+           |SELECT sh5.doc_id,
+           |  CAST(COUNT(DISTINCT sh5.h) AS BIGINT) AS n_shared
+           |FROM sh5 JOIN split USING (doc_id) JOIN ev ON sh5.h = ev.h
+           |WHERE split.b < 800
+           |GROUP BY sh5.doc_id ORDER BY sh5.doc_id""".stripMargin
+      },
+
       "d01_exact_dedup" ->
         s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
            |  CAST(COUNT(DISTINCT ch) AS BIGINT) AS n_distinct,

@@ -213,6 +213,34 @@ object TextAnalysis extends QueryPack {
         .withColumn("words_per_sentence_pm",
           expr("n_words * 1000 div n_sentences"))
         .orderBy($"doc_id")
+    }),
+
+    // -- PII scrub: pattern redaction + audit counts --------------------
+    // The cleaning pass every training corpus needs. The raw docs are
+    // synthetic and PII-free, so each doc gets a deterministic contact
+    // line appended first (same construction in the oracle) — the
+    // point is the scrub: count then redact emails and phone-shaped
+    // digit runs, digest the scrubbed text to prove byte-identical
+    // redaction. Patterns stay in the character-class subset that
+    // Java (Spark) and RE2-ish (DuckDB) regex dialects treat
+    // identically — no lookaround, no shorthand classes.
+    "t11_pii_scrub" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val emailPat = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z][a-z]+"
+      val phonePat = "[0-9][0-9][0-9]-[0-9]+"
+      Tables(s, dir).documents
+        .withColumn("raw", concat($"text",
+          lit(" contact user"), $"doc_id", lit("@example.com or 555-01"),
+          $"doc_id" % 100))
+        .select($"doc_id",
+          size(expr(s"regexp_extract_all(raw, '$emailPat', 0)"))
+            .cast("long").as("n_emails"),
+          size(expr(s"regexp_extract_all(raw, '$phonePat', 0)"))
+            .cast("long").as("n_phones"),
+          lower(md5(regexp_replace(
+            regexp_replace($"raw", emailPat, "<EMAIL>"),
+            phonePat, "<PHONE>"))).as("scrubbed_digest"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -352,6 +380,23 @@ object TextAnalysis extends QueryPack {
         |  len(regexp_split_to_array(text, '\s+')) * 1000
         |    // len(list_filter(regexp_split_to_array(text, '[.!?]+'),
         |         t -> trim(t) <> '')) AS words_per_sentence_pm
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t11_pii_scrub" ->
+      """WITH raw AS (
+        |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com or 555-01' || CAST(doc_id % 100 AS VARCHAR)
+        |    AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '[a-z0-9._]+@[a-z0-9.-]+[.][a-z][a-z]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '[0-9][0-9][0-9]-[0-9]+')) AS BIGINT) AS n_phones,
+        |  lower(md5(regexp_replace(
+        |    regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.-]+[.][a-z][a-z]+',
+        |      '<EMAIL>', 'g'),
+        |    '[0-9][0-9][0-9]-[0-9]+', '<PHONE>', 'g'))) AS scrubbed_digest
+        |FROM raw ORDER BY doc_id""".stripMargin
   )
 }
