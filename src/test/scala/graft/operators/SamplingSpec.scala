@@ -63,4 +63,21 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.splitColumn(col("id"), Seq("a" -> 500, "b" -> 400))
     }
   }
+
+  test("sampleByRate applies per-row rates (domain mixing)") {
+    import spark.implicits._
+    val df = spark.range(20000)
+      .withColumn("domain", ($"id" % 2).cast("int"))
+    val rate = when($"domain" === 0, 900).otherwise(100)
+    val kept = Sampling.sampleByRate(df, $"id", rate)
+      .groupBy($"domain").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // each domain has 10000 rows; keep rates 90% / 10% within 15% rel.
+    assert(math.abs(kept(0) - 9000) < 1350, s"domain0: ${kept(0)}")
+    assert(math.abs(kept(1) - 1000) < 150, s"domain1: ${kept(1)}")
+    // constant rate degenerates to sampleByHash under the same salt
+    val a = Sampling.sampleByRate(df, $"id", lit(250), salt = "s")
+    val b = Sampling.sampleByHash(df, $"id", 250, salt = "s")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
