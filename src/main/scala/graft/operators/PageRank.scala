@@ -40,11 +40,18 @@ object PageRank {
   def ranksPpm(edges: DataFrame, iters: Int,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     val n = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val e = edges
+    val dedup = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+    // out-degree is loop-invariant — attach it to each edge ONCE so
+    // the per-iteration plan is a single join with the rank vector
+    // (the window spelling of count over src avoids a second shuffle:
+    // dedup is already clustered by src from the distinct's exchange)
+    val e = dedup
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .repartition(n, col("src"))
       .persist()
     try {
@@ -53,29 +60,23 @@ object PageRank {
         .distinct()
         .persist()
       try {
-        val outdeg = e.groupBy(col("src"))
-          .agg(count(lit(1)).as("outdeg"))
-          .persist()
-        try {
-          var ranks = nodes.withColumn("rank_ppm", lit(1000000L))
-          for (_ <- 1 to iters) {
-            val contribs = e
-              .join(ranks.select(col("id").as("src"),
-                col("rank_ppm")).hint("SHUFFLE_HASH"), "src")
-              .join(outdeg.hint("SHUFFLE_HASH"), "src")
-              .select(col("dst").as("id"),
-                expr("rank_ppm div outdeg").as("contrib"))
-              .groupBy(col("id")).agg(sum(col("contrib")).as("csum"))
-            ranks = nodes.join(contribs, Seq("id"), "left")
-              .select(col("id"),
-                (lit(150000L) +
-                  expr("(850 * coalesce(csum, 0L)) div 1000")).as("rank_ppm"))
-          }
-          // fixed small iteration count → bounded lineage; materialize
-          // once so callers don't re-run the loop per action, then let
-          // the loop-invariant caches go
-          ranks.localCheckpoint(true)
-        } finally outdeg.unpersist(blocking = false)
+        var ranks = nodes.withColumn("rank_ppm", lit(1000000L))
+        for (_ <- 1 to iters) {
+          val contribs = e
+            .join(ranks.select(col("id").as("src"),
+              col("rank_ppm")).hint("SHUFFLE_HASH"), "src")
+            .select(col("dst").as("id"),
+              expr("rank_ppm div outdeg").as("contrib"))
+            .groupBy(col("id")).agg(sum(col("contrib")).as("csum"))
+          ranks = nodes.join(contribs, Seq("id"), "left")
+            .select(col("id"),
+              (lit(150000L) +
+                expr("(850 * coalesce(csum, 0L)) div 1000")).as("rank_ppm"))
+        }
+        // fixed small iteration count → bounded lineage; materialize
+        // once so callers don't re-run the loop per action, then let
+        // the loop-invariant caches go
+        ranks.localCheckpoint(true)
       } finally nodes.unpersist(blocking = false)
     } finally e.unpersist(blocking = false)
   }
