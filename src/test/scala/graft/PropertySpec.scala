@@ -61,6 +61,25 @@ object PropertySpec extends Properties("graft") {
       counts.values.sum == n && counts.keySet.subsetOf(named.map(_._1).toSet)
     }
 
+  property("native top-k == per-group model for any data and k") =
+    forAll(
+      Gen.listOfN(120, Gen.zip(Gen.chooseNum(0, 8), Gen.chooseNum(-30, 30))),
+      Gen.chooseNum(1, 12)) { (rows, k) =>
+      import spark.implicits._
+      // unique tiebreaker index makes the order total, so the bounded
+      // heap and the in-memory model must agree EXACTLY
+      val data = rows.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+      val got = graft.operators.TopK.perGroup(
+          data.toDF("g", "v", "i"), Seq("g"),
+          Seq(("v", false), ("i", true)), k)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        .toList.sorted
+      val want = data.groupBy(_._1).values.flatMap(
+          _.sortBy { case (_, v, i) => (-v, i) }.take(k))
+        .toList.sorted
+      got == want
+    }
+
   property("hub delivers any sequence exactly once, in order") =
     forAll(Gen.listOfN(25, Gen.chooseNum(Int.MinValue, Int.MaxValue))) { xs =>
       val engine = new graft.streaming.EventEngine(spark)
