@@ -495,6 +495,74 @@ object Relational extends QueryPack {
         .orderBy($"c_nationkey")
     }),
 
+    // -- Q35: recursive CTE (iterative hierarchy walk in SQL) -----------
+    // Spark 4 WITH RECURSIVE: every customer walks its ancestor chain
+    // c → c div 10 → … → 0 (a deterministic tree over the key space);
+    // the profile of chain depths proves the fixpoint executed fully.
+    // The same recursion closes dup-clusters in the d07 oracle — here
+    // it is the ENGINE side running the recursion.
+    "q35_recursive_cte" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir).customer.createOrReplaceTempView("customer_v")
+      s.sql(
+        """WITH RECURSIVE up AS (
+          |  SELECT c_custkey AS c, c_custkey AS anc, CAST(0 AS BIGINT) AS depth
+          |  FROM customer_v
+          |  UNION ALL
+          |  SELECT c, anc div 10, depth + 1 FROM up WHERE anc > 0)
+          |SELECT depth, CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(anc) AS BIGINT) AS anc_sum
+          |FROM up GROUP BY depth ORDER BY depth""".stripMargin)
+    }),
+
+    // -- Q36: multiset set ops (EXCEPT ALL / INTERSECT ALL) -------------
+    // q14 covers the DISTINCT set ops; these are the bag semantics —
+    // duplicates count, so the result sizes differ from q14's on the
+    // same inputs.
+    "q36_setops_all" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      def keys(y: Int) = t.orders.filter(
+          $"o_orderdate" >= lit(s"$y-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select($"o_custkey")
+      val a = keys(1995)
+      val b = keys(1996)
+      a.exceptAll(b).agg(lit("except_all").as("op"), count(lit(1)).as("n"))
+        .union(a.intersectAll(b)
+          .agg(lit("intersect_all").as("op"), count(lit(1)).as("n")))
+        .union(a.unionAll(b)
+          .agg(lit("union_all").as("op"), count(lit(1)).as("n")))
+        .orderBy($"op")
+    }),
+
+    // -- Q34: window navigation (first/last/nth_value, IGNORE NULLS) ----
+    // The value is NULL except on finished orders, so the navigation
+    // functions must skip nulls: first finished price over the whole
+    // partition, running last-known finished price (LOCF shape), and
+    // the second finished price. Pure value selection — no float
+    // arithmetic, so raw doubles compare exactly.
+    "q34_window_navigation" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val full = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val running = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir).orders
+        .filter($"o_custkey" <= 30)
+        .withColumn("price_f",
+          when($"o_orderstatus" === "F", $"o_totalprice"))
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"price_f",
+          first($"price_f", ignoreNulls = true).over(full)
+            .as("first_finished"),
+          last($"price_f", ignoreNulls = true).over(running)
+            .as("last_known_finished"),
+          nth_value($"price_f", 2, ignoreNulls = true).over(full)
+            .as("second_finished"))
+        .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+    }),
+
     // -- Q33: full outer join (both-side null extension) ----------------
     // High-balance customers FULL OUTER the per-customer order rollup:
     // unmatched rows survive from BOTH sides (rich customers with no
@@ -828,6 +896,50 @@ object Relational extends QueryPack {
         |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM orders) >
         |  (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q35_recursive_cte" ->
+      """WITH RECURSIVE up AS (
+        |  SELECT c_custkey AS c, c_custkey AS anc, CAST(0 AS BIGINT) AS depth
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c, anc // 10, depth + 1 FROM up WHERE anc > 0)
+        |SELECT depth, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(anc) AS BIGINT) AS anc_sum
+        |FROM up GROUP BY depth ORDER BY depth""".stripMargin,
+
+    "q36_setops_all" ->
+      """WITH a AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01'),
+        |b AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01')
+        |SELECT 'except_all' AS op, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'union_all' AS op, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |ORDER BY op""".stripMargin,
+
+    "q34_window_navigation" ->
+      """WITH t AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS price_f
+        |  FROM orders WHERE o_custkey <= 30)
+        |SELECT o_custkey, o_orderkey, o_orderdate, price_f,
+        |  first_value(price_f IGNORE NULLS) OVER wfull AS first_finished,
+        |  last_value(price_f IGNORE NULLS) OVER wrun AS last_known_finished,
+        |  nth_value(price_f, 2 IGNORE NULLS) OVER wfull AS second_finished
+        |FROM t
+        |WINDOW
+        |  wfull AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        |  wrun AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
 
     "q33_full_outer" ->
       """SELECT COALESCE(c.c_custkey, s.o_custkey) AS custkey,
