@@ -23,9 +23,14 @@ object TopK {
       orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
     val plan = df.queryExecution.analyzed
     def attr(name: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"column `$name` not in ${plan.output.map(_.name).mkString(", ")}"))
+      plan.output.filter(_.name == name) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(
+          s"column `$name` not in ${plan.output.map(_.name).mkString(", ")}")
+        case many => throw new IllegalArgumentException(
+          s"column `$name` is ambiguous (${many.length} matches) — " +
+            "disambiguate with select/alias first")
+      }
     val order = orderCols.map { case (name, asc) =>
       if (asc) SortOrder(attr(name), Ascending, NullsFirst, Seq.empty)
       else SortOrder(attr(name), Descending, NullsLast, Seq.empty)
