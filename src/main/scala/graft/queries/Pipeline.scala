@@ -82,6 +82,35 @@ object Pipeline extends QueryPack {
           min(when($"rn" === 1, $"doc_id")).as("rep_doc_id"),
           min(when($"rn" === 1, $"n_tokens")).as("rep_tokens"))
         .orderBy($"cluster_id")
+    }),
+
+    // -- the curation front half as a STREAMING job ---------------------
+    // Documents arrive as a stream; the quality gate (t04 heuristic)
+    // runs stateless per batch, then a streaming aggregation keyed on
+    // (source, content_hash) holds the dedup state. The drained state
+    // table is shaped per source AFTER materialization (the memory
+    // sink's output is a static table), so the result is independent
+    // of which physical duplicate row arrived first — the property
+    // that makes a streaming dedup oracle-able at all. In production
+    // the same query runs unmodified on a landing-directory source
+    // with the state store on RocksDB.
+    "p03_stream_curation" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val docs = StreamingOps.tableStream(s, dir, "documents")
+      val quality = graft.operators.TextQuality.annotate(docs, "text")
+        .filter($"keep" === 1)
+        .withColumn("content_hash", TextDedup.contentHash($"text"))
+        .select($"source", $"content_hash", length($"text").as("n_chars"))
+      val state = quality
+        .groupBy($"source", $"content_hash")
+        .agg(count(lit(1)).as("n_copies"), min($"n_chars").as("n_chars"))
+      StreamingOps.drain(s, state, OutputMode.Complete())
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_distinct"),
+          sum($"n_copies").as("n_docs"),
+          sum($"n_chars").as("distinct_chars"))
+        .orderBy($"source")
     })
   )
 
@@ -150,6 +179,33 @@ object Pipeline extends QueryPack {
          |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
          |  MIN(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc_id,
          |  MIN(CASE WHEN rn = 1 THEN n_tokens END) AS rep_tokens
-         |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+         |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    "p03_stream_curation" ->
+      s"""WITH quality AS (
+         |  SELECT source,
+         |    ${PortableHash.duckHash56(
+               "regexp_replace(lower(text), '\\s+', ' ', 'g')")}
+         |      AS content_hash,
+         |    length(text) AS n_chars
+         |  FROM (
+         |    SELECT source, text,
+         |      CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+         |        AS n_tokens,
+         |      CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |        t -> t IN ('the','a','of','and','to'))) AS BIGINT)
+         |        AS stop_hits
+         |    FROM documents)
+         |  WHERE n_tokens >= 30
+         |    AND stop_hits * 1000 // n_tokens BETWEEN 20 AND 400),
+         |state AS (
+         |  SELECT source, content_hash,
+         |    CAST(COUNT(*) AS BIGINT) AS n_copies,
+         |    CAST(MIN(n_chars) AS BIGINT) AS n_chars
+         |  FROM quality GROUP BY source, content_hash)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |  CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS distinct_chars
+         |FROM state GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -43,15 +43,26 @@ object StreamingOps extends QueryPack {
     * the landing directory new files arrive in).
     */
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = Paths.get(s"$dir/events.parquet")
+    tableStream(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Streaming view of any single-file parquet table under `dir` (the
+    * file streaming source wants a *directory* to watch, so the file
+    * is linked into a per-(dir, table) staging dir — in production
+    * this is just the landing directory new files arrive in).
+    */
+  private[queries] def tableStream(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(s"$dir/$table.parquet")
     // key the staging dir by the sanitized path itself — a hash could
     // collide across sf dirs and silently stream the wrong dataset
     val streamDir = Paths.get(
-      s"/tmp/graft-stream-src-${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+      s"/tmp/graft-stream-$table-${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
     Files.createDirectories(streamDir)
-    val link = streamDir.resolve("events.parquet")
+    val link = streamDir.resolve(s"$table.parquet")
     // a stale link (target regenerated/deleted) must be replaced, and
     // two sessions can race past the exists() check — treat
     // FileAlreadyExistsException as success-if-correct
@@ -67,7 +78,6 @@ object StreamingOps extends QueryPack {
     }
     val schema = s.read.parquet(src.toString).schema
     s.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Multi-batch streaming view: the events table split once into
@@ -117,8 +127,8 @@ object StreamingOps extends QueryPack {
     * are sequential; embedders running suites in parallel should give
     * each thread its own `spark.newSession()`).
     */
-  private def drain(s: SparkSession, df: DataFrame, mode: OutputMode)
-      : DataFrame = {
+  private[queries] def drain(s: SparkSession, df: DataFrame,
+      mode: OutputMode): DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
