@@ -7,10 +7,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * Media payloads (image/audio/video) are opaque `BINARY` columns with
   * typed metadata alongside. The decode / feature-extract step runs as
   * a typed `mapPartitions` over the binary column — the Scala analog
-  * of a batched decode UDF: rows stream through the partition iterator
-  * without materializing the whole partition, and any per-partition
-  * setup (a real codec would open one decoder per partition, not per
-  * row) happens once at iterator construction.
+  * of PySpark's `mapInPandas` batched decode UDF (same iterator-of-
+  * batches contract, same schema-in/schema-out signature): rows stream
+  * through the partition iterator without materializing the whole
+  * partition, and any per-partition setup (a real codec would open one
+  * decoder per partition, not per row) happens once at iterator
+  * construction.
   *
   * STUB: the environment has no image/audio codecs, so [[decodeStub]]
   * is a deterministic fake — byte statistics standing in for decoded
