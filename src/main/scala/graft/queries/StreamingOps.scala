@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicInteger
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.DecimalType
 
 /** Structured Streaming operator surface (SURVEY §2.3 streaming rows),
@@ -380,6 +380,39 @@ object StreamingOps extends QueryPack {
       }
     }),
 
+    // -- transformWithState: ListState + event-time TIMERS --------------
+    // The other half of the Spark 4 state API st8 doesn't touch: a
+    // per-user journal accumulates in ListState and is flushed by an
+    // event-time TIMER re-armed to 30 min after the user's newest
+    // event — handleInputRows emits nothing; all output leaves through
+    // handleExpiredTimer when the watermark passes the timer. Same
+    // withheld-tail semantics as st13, expressed through timers
+    // instead of GroupStateTimeout.
+    "st14_tws_timers" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = eventStream(s, dir)
+          .withWatermark("ts", "1 hour")
+          .select($"user_id", unix_micros($"ts").as("ts_us"),
+            expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+          .as[(Long, Long, Long)]
+        val flushed = src.groupByKey(_._1)
+          .transformWithState(new JournalFlushProcessor(),
+            TimeMode.EventTime(), OutputMode.Append())
+          .toDF("user_id", "n_events", "total_cents")
+        drain(s, flushed, OutputMode.Append())
+          .orderBy($"user_id")
+      } finally prev match {
+        case Some(p) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }),
+
     // -- stream union (the reference's merge, U3, as real streams) ------
     // Two independently-filtered streams over the source re-interleave
     // via union — the Spark form of `futures::stream::select`
@@ -573,6 +606,22 @@ object StreamingOps extends QueryPack {
         |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // per-user journal flush: a user's digest emits iff their flush
+    // timer (last event floored to ms + 30 min) expired strictly
+    // before the final watermark (global max ts floored to ms - 1h)
+    "st14_tws_timers" ->
+      """WITH wm AS (
+        |  SELECT epoch_us(max(ts)) // 1000 - 3600000 AS w FROM events),
+        |u AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS total_cents,
+        |    epoch_us(MAX(ts)) // 1000 + 1800000 AS expiry
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events, total_cents FROM u
+        |WHERE expiry < (SELECT w FROM wm)
+        |ORDER BY user_id""".stripMargin,
+
     "st11_streaming_upsert" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
@@ -596,6 +645,42 @@ object StreamingOps extends QueryPack {
 /** Per-user running (count, cents) via the Spark 4 `StatefulProcessor`
   * API — typed ValueState handle, updated per micro-batch (st8).
   */
+/** Per-user cents journal in ListState, flushed by an event-time
+  * timer re-armed to `lastEventMs + 30min` on every input batch. The
+  * journal only leaves state when the watermark passes the timer —
+  * input batches emit nothing. (st14; see the query comment for the
+  * withheld-tail contract shared with st13.)
+  */
+class JournalFlushProcessor
+    extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long)] {
+  @transient private var journal: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    journal = getHandle.getListState[Long]("journal",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    var maxMs = Long.MinValue
+    rows.foreach { case (_, tsUs, cents) =>
+      journal.appendValue(cents)
+      maxMs = math.max(maxMs, tsUs / 1000L)
+    }
+    // one live flush timer per key: re-arm to 30 min after the newest
+    // event seen so far (existing timers may now be too early)
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    getHandle.registerTimer(maxMs + 1800000L)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+    val cents = journal.get().toList
+    journal.clear()
+    Iterator.single((key, cents.length.toLong, cents.sum))
+  }
+}
+
 class RunningTotalsProcessor
     extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
   @transient private var totals: ValueState[(Long, Long)] = _
