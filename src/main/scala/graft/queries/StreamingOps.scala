@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicInteger
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.DecimalType
 
 /** Structured Streaming operator surface (SURVEY §2.3 streaming rows),
@@ -413,6 +413,38 @@ object StreamingOps extends QueryPack {
       }
     }),
 
+    // -- transformWithState: MapState (keyed sub-state per group) -------
+    // Completes the Spark 4 typed-state surface (ValueState st8,
+    // ListState+timers st14, MapState here): per user, a map
+    // event_type -> count updated in place; each batch emits the
+    // user's current map flattened, and the post-drain max() per
+    // (user, type) is the final count — same monotone-output contract
+    // as st8.
+    "st15_tws_mapstate" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = eventStream(s, dir)
+          .select($"user_id", $"event_type")
+          .as[(Long, String)]
+        val counts = src.groupByKey(_._1)
+          .transformWithState(new TypeCountsProcessor(),
+            TimeMode.None(), OutputMode.Update())
+          .toDF("user_id", "event_type", "n")
+        drain(s, counts, OutputMode.Update())
+          .groupBy($"user_id", $"event_type")
+          .agg(max($"n").as("n"))
+          .orderBy($"user_id", $"event_type")
+      } finally prev match {
+        case Some(p) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }),
+
     // -- stream union (the reference's merge, U3, as real streams) ------
     // Two independently-filtered streams over the source re-interleave
     // via union — the Spark form of `futures::stream::select`
@@ -606,6 +638,11 @@ object StreamingOps extends QueryPack {
         |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "st15_tws_mapstate" ->
+      """SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+
     // per-user journal flush: a user's digest emits iff their flush
     // timer (last event floored to ms + 30 min) expired strictly
     // before the final watermark (global max ts floored to ms - 1h)
@@ -645,6 +682,28 @@ object StreamingOps extends QueryPack {
 /** Per-user running (count, cents) via the Spark 4 `StatefulProcessor`
   * API — typed ValueState handle, updated per micro-batch (st8).
   */
+/** Per-user map event_type → count in MapState, updated in place;
+  * emits the key's current map after each input batch (st15).
+  */
+class TypeCountsProcessor
+    extends StatefulProcessor[Long, (Long, String), (Long, String, Long)] {
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long]("counts",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+      timerValues: TimerValues): Iterator[(Long, String, Long)] = {
+    rows.foreach { case (_, tpe) =>
+      val cur = if (counts.containsKey(tpe)) counts.getValue(tpe) else 0L
+      counts.updateValue(tpe, cur + 1L)
+    }
+    counts.iterator().map { case (tpe, n) => (key, tpe, n) }.toList.iterator
+  }
+}
+
 /** Per-user cents journal in ListState, flushed by an event-time
   * timer re-armed to `lastEventMs + 30min` on every input batch. The
   * journal only leaves state when the watermark passes the timer —
