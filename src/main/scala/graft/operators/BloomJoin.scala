@@ -43,18 +43,23 @@ object BloomJoin {
     * (all rows with a join partner, plus ≤ fpp false positives).
     * Exposed separately so callers can compose it with their own join
     * shape (left/semi/aggregate-before-join).
+    *
+    * NOTE this method is EAGER: building the sketch runs one Spark job
+    * over `dim` at call time (inherent — the filter must exist before
+    * the fact scan can use it; Spark's own runtime filters do the same
+    * work inside an exchange-reused subquery).
     */
   def pruneByBloom(fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String,
       expectedKeys: Long = 1 << 20, fpp: Double = 0.01): DataFrame = {
     val bloom = dim.stat.bloomFilter(dimKey, expectedKeys, fpp)
-    fact.filter(mightContain(fact.sparkSession, bloom, col(factKey)))
+    fact.filter(mightContain(bloom, col(factKey)))
   }
 
-  private def mightContain(spark: org.apache.spark.sql.SparkSession,
-      bloom: BloomFilter, key: Column): Column = {
-    val bc = spark.sparkContext.broadcast(bloom)
-    udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+  private def mightContain(bloom: BloomFilter, key: Column): Column =
+    // the sketch rides in the UDF closure: Spark torrent-broadcasts
+    // each stage's task binary once per executor and GCs it with the
+    // stage, so there is no long-lived explicit Broadcast to leak
+    udf((k: java.lang.Long) => k != null && bloom.mightContainLong(k))
       .apply(key.cast("long"))
-  }
 }

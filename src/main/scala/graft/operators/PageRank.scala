@@ -46,13 +46,16 @@ object PageRank {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
     // out-degree is loop-invariant — attach it to each edge ONCE so
-    // the per-iteration plan is a single join with the rank vector
-    // (the window spelling of count over src avoids a second shuffle:
-    // dedup is already clustered by src from the distinct's exchange)
+    // the per-iteration plan is a single join with the rank vector.
+    // Order matters: repartition(n, src) FIRST, so the window's
+    // ClusteredDistribution(src) requirement is already satisfied and
+    // the edge list crosses exactly one exchange on its way into the
+    // cache (window-then-repartition would shuffle it twice: once for
+    // the window, once for the explicit layout).
     val e = dedup
+      .repartition(n, col("src"))
       .withColumn("outdeg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
-      .repartition(n, col("src"))
       .persist()
     try {
       val nodes = e.select(col("src").as("id"))

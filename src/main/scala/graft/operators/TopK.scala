@@ -13,9 +13,12 @@ import graft.plans.TopKPerGroup
   * Column references are resolved by NAME against the input's analyzed
   * output, so the API needs no access to `Column` internals. Ordering
   * entries are `(columnName, ascending)`; null ordering follows
-  * Spark's defaults (nulls first when ascending, nulls last when
-  * descending), matching what `ORDER BY c [DESC]` means to both Spark
-  * and the DuckDB oracle.
+  * SPARK's defaults (nulls first when ascending, nulls last when
+  * descending). CAUTION for oracle-paired queries: DuckDB's default is
+  * NULLS LAST for ascending order too, so an ascending NULLABLE order
+  * column needs an explicit `NULLS FIRST` in the oracle SQL (or a
+  * non-null order column) — the engines' defaults agree only on the
+  * descending side.
   */
 object TopK {
 

@@ -54,7 +54,9 @@ object RewriteRankLimit extends Rule[LogicalPlan] {
       case LessThanOrEqual(a: Attribute, IntegerLiteral(v))
         if a.semanticEquals(rankAttr) => Some(v)
       case LessThan(a: Attribute, IntegerLiteral(v))
-        if a.semanticEquals(rankAttr) => Some(v - 1)
+        // v - 1 must not wrap: rn < Int.MinValue is an always-false
+        // filter, and wrapping to Int.MaxValue would invert it
+        if a.semanticEquals(rankAttr) && v > Int.MinValue => Some(v - 1)
       case EqualTo(a: Attribute, IntegerLiteral(1))
         if a.semanticEquals(rankAttr) => Some(1)
       case GreaterThanOrEqual(IntegerLiteral(v), a: Attribute)

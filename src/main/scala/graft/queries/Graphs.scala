@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * connected components (d07) on the graph surface.
   *
   * Node namespace: customers keep their key, suppliers are offset by
-  * `SupplierOffset` so the two key spaces cannot collide in one id
-  * column.
+  * `SupplierOffset` = 10^12 — far above any customer key this schema
+  * reaches (c_custkey ≈ 150k × SF; even SF 10^6 stays below the
+  * offset), so the two key spaces stay disjoint in one id column.
   *
   * Scale notes (100 TB): the edge list derives from the largest table
   * (lineitem) but is projected to two key columns before the distinct
@@ -22,7 +23,7 @@ import org.apache.spark.sql.functions._
   */
 object Graphs extends QueryPack {
 
-  private val SupplierOffset = 1000000L
+  private val SupplierOffset = 1000000000000L
 
   private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

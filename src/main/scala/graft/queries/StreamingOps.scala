@@ -562,18 +562,24 @@ object StreamingOps extends QueryPack {
         |ORDER BY p_id, c_id""".stripMargin,
 
     // LEFT JOIN with the watermark cutoff made explicit: unmatched
-    // purchases emit iff the final watermark (min of both sides' max
-    // ts, minus the 1h delay) passed them; matched pairs always emit.
+    // purchases emit iff the final watermark passed them. Spark tracks
+    // watermarks in FLOORED MILLISECONDS (micros are truncated), so
+    // the cutoff is (min(both sides' max ts)_us // 1000 - 3_600_000)
+    // * 1000 — comparing against the raw-micro timestamp would
+    // misclassify a purchase falling in the sub-millisecond window
+    // below the raw watermark.
     "st12_stream_outer_join" ->
       """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT * FROM events WHERE event_type = 'click'),
-        |wm AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
-        |         - INTERVAL 1 HOUR AS w)
+        |wm AS (SELECT (least((SELECT epoch_us(max(ts)) FROM p),
+        |                     (SELECT epoch_us(max(ts)) FROM c))
+        |          // 1000 - 3600000) * 1000 AS w_us)
         |SELECT p.event_id AS p_id, c.event_id AS c_id
         |FROM p LEFT JOIN c
         |  ON p.user_id = c.user_id
         |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
-        |WHERE c.event_id IS NOT NULL OR p.ts < (SELECT w FROM wm)
+        |WHERE c.event_id IS NOT NULL
+        |   OR epoch_us(p.ts) < (SELECT w_us FROM wm)
         |ORDER BY p_id, c_id NULLS FIRST""".stripMargin,
 
     // e11's session CTE + the watermark-timeout emission cutoff: a
@@ -713,20 +719,26 @@ class TypeCountsProcessor
 class JournalFlushProcessor
     extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long)] {
   @transient private var journal: ListState[Long] = _
+  @transient private var maxSeenMs: ValueState[Long] = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     journal = getHandle.getListState[Long]("journal",
       org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    maxSeenMs = getHandle.getValueState[Long]("maxSeenMs",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
 
   override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
       timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
-    var maxMs = Long.MinValue
+    // the timer must track the key's newest event across ALL batches —
+    // a late row in a later batch must not pull the flush earlier
+    var maxMs = if (maxSeenMs.exists()) maxSeenMs.get() else Long.MinValue
     rows.foreach { case (_, tsUs, cents) =>
       journal.appendValue(cents)
       maxMs = math.max(maxMs, tsUs / 1000L)
     }
-    // one live flush timer per key: re-arm to 30 min after the newest
-    // event seen so far (existing timers may now be too early)
+    maxSeenMs.update(maxMs)
+    // one live flush timer per key, re-armed to newest-seen + 30 min
     getHandle.listTimers().foreach(getHandle.deleteTimer)
     getHandle.registerTimer(maxMs + 1800000L)
     Iterator.empty
@@ -736,6 +748,7 @@ class JournalFlushProcessor
       expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
     val cents = journal.get().toList
     journal.clear()
+    maxSeenMs.clear()
     Iterator.single((key, cents.length.toLong, cents.sum))
   }
 }
