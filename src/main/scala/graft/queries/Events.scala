@@ -116,6 +116,25 @@ object Events extends QueryPack {
     // for each click, the earliest purchase at-or-after it by the same
     // user, plus the gap in whole minutes — the "time to conversion"
     // join, still one shuffle and zero row multiplication.
+    // -- calendar function surface (month-end, add_months, dow, ...) ----
+    // The datetime scalar family the other queries don't touch; every
+    // output is cast to the representation both engines agree on
+    // (TIMESTAMP for derived dates, BIGINT for ordinals — Spark's
+    // dayofweek is 1-based Sunday, DuckDB's 0-based, aligned with +1).
+    "e18_calendar" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir).orders
+        .filter($"o_custkey" <= 20)
+        .select($"o_orderkey", $"o_orderdate",
+          last_day($"o_orderdate").cast("timestamp").as("month_end"),
+          add_months($"o_orderdate", 2).cast("timestamp").as("plus_2m"),
+          dayofweek($"o_orderdate").cast("long").as("dow"),
+          quarter($"o_orderdate").cast("long").as("q"),
+          datediff($"o_orderdate", lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since_95"))
+        .orderBy($"o_orderkey")
+    }),
+
     "e17_next_purchase" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val ev = Tables(s, dir).events
@@ -497,6 +516,18 @@ object Events extends QueryPack {
         |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
         |FROM activity a JOIN cohort c ON a.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY cohort_day, week_offset""".stripMargin,
+
+    "e18_calendar" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS TIMESTAMP)
+        |    AS plus_2m,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |    AS BIGINT) AS days_since_95
+        |FROM orders WHERE o_custkey <= 20
+        |ORDER BY o_orderkey""".stripMargin,
 
     "e17_next_purchase" ->
       """SELECT c.event_id, c.user_id, c.ts,
