@@ -101,6 +101,17 @@ class TopKPerGroupSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("rn < Int.MinValue stays an always-false filter (no k wrap)") {
+    import spark.implicits._
+    val w = Window.partitionBy($"g").orderBy($"v".desc_nulls_last, $"id".asc)
+    val kept = data.withColumn("rn", row_number().over(w))
+      .filter($"rn" < Int.MinValue).drop("rn")
+    assert(kept.queryExecution.optimizedPlan
+      .collect { case t: TopKPerGroup => t }.isEmpty,
+      "v - 1 underflow must not produce a TopKPerGroup node")
+    assert(kept.count() === 0L)
+  }
+
   test("rewrite leaves plans alone when the rank column survives") {
     import spark.implicits._
     val w = Window.partitionBy($"g").orderBy($"v".desc_nulls_last, $"id".asc)
