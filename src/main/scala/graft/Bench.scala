@@ -19,7 +19,9 @@ object Bench {
     // streaming-drain paths before anything is measured
     val warmDir = "/root/testdata/sf0.001"
     Seq("q06_revenue_forecast", "d03_minhash_bands", "s02_topk_lsh",
-      "q09_segment_top_orders", "d07_dup_clusters", "st2_stream_dedup_keys")
+      "q09_segment_top_orders", "d07_dup_clusters", "st2_stream_dedup_keys",
+      "g01_pagerank", "q32_topk_native", "x08_bloom_prune_join",
+      "st14_tws_timers")
       .flatMap(SparkEntry.queries.get)
       .foreach { fn =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
