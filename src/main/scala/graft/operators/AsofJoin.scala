@@ -36,6 +36,10 @@ object AsofJoin {
       leftTs: String, rightTs: String, pick: Seq[(String, String)],
       tieBreak: Option[String] = None): DataFrame = {
     val outNames = pick.map(_._2)
+    // a pick output name colliding with a carried left column would
+    // silently overwrite it in the withColumn fill — reject instead
+    outNames.foreach(o => require(!left.columns.contains(o),
+      s"pick output `$o` collides with a left column — rename the pick"))
     val carry = left.columns.filterNot(on.contains).toSeq
 
     // the matched right row travels as one nullable struct
@@ -85,6 +89,10 @@ object AsofJoin {
       leftTs: String, rightTs: String, pick: Seq[(String, String)],
       tieBreak: Option[String] = None): DataFrame = {
     val outNames = pick.map(_._2)
+    // a pick output name colliding with a carried left column would
+    // silently overwrite it in the withColumn fill — reject instead
+    outNames.foreach(o => require(!left.columns.contains(o),
+      s"pick output `$o` collides with a left column — rename the pick"))
     val carry = left.columns.filterNot(on.contains).toSeq
 
     val rowStruct = struct(pick.map { case (rc, out) => col(rc).as(out) }: _*)

@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.sketch.BloomFilter
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
 
 /** Bloom-filter join pruning: drop fact-side rows that cannot have a
   * join partner BEFORE the join's shuffle, using a broadcast Bloom
@@ -53,13 +53,23 @@ object BloomJoin {
       factKey: String, dimKey: String,
       expectedKeys: Long = 1 << 20, fpp: Double = 0.01): DataFrame = {
     val bloom = dim.stat.bloomFilter(dimKey, expectedKeys, fpp)
-    fact.filter(mightContain(bloom, col(factKey)))
+    // the probe MUST hash the same representation stat.bloomFilter
+    // inserted: integral keys go in via putLong, strings via their
+    // UTF-8 bytes — probing a string sketch with cast-to-long longs
+    // would silently prune (almost) every matching row
+    val probe = dim.schema(dimKey).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        // the sketch rides in the UDF closure: Spark torrent-broadcasts
+        // each stage's task binary once per executor and GCs it with
+        // the stage, so there is no long-lived Broadcast to leak
+        udf((k: java.lang.Long) => k != null && bloom.mightContainLong(k))
+          .apply(col(factKey).cast("long"))
+      case StringType =>
+        udf((k: String) => k != null && bloom.mightContainString(k))
+          .apply(col(factKey).cast("string"))
+      case other => throw new IllegalArgumentException(
+        s"bloom pruning supports integral or string keys, `$dimKey` is $other")
+    }
+    fact.filter(probe)
   }
-
-  private def mightContain(bloom: BloomFilter, key: Column): Column =
-    // the sketch rides in the UDF closure: Spark torrent-broadcasts
-    // each stage's task binary once per executor and GCs it with the
-    // stage, so there is no long-lived explicit Broadcast to leak
-    udf((k: java.lang.Long) => k != null && bloom.mightContainLong(k))
-      .apply(key.cast("long"))
 }

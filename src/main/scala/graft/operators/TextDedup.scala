@@ -75,7 +75,15 @@ object TextDedup {
     // passing it and release via clearCache; this operator does not
     // persist internally so it never leaks cached blocks on callers
     // without a cache-release point.
+    // Pair order is canonicalized here (intersections are computed for
+    // d1 < d2 only) — a caller handing in (5, 3) must verify the same
+    // as (3, 5), not silently score 0.
     val cand = pairs
+      .withColumn("__lo", least(col("d1"), col("d2")))
+      .withColumn("__hi", greatest(col("d1"), col("d2")))
+      .drop("d1", "d2")
+      .withColumnRenamed("__lo", "d1")
+      .withColumnRenamed("__hi", "d2")
     val candIds = cand.select(explode(array(col("d1"), col("d2"))).as("id"))
       .distinct()
     val shCand = sh.join(candIds, Seq("id"), "left_semi")
@@ -85,11 +93,16 @@ object TextDedup {
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
     cand
       .join(inter, Seq("d1", "d2"), "left")
-      .join(ns.select(col("id").as("d1"), col("n").as("n1")), Seq("d1"))
-      .join(ns.select(col("id").as("d2"), col("n").as("n2")), Seq("d2"))
+      // LEFT joins + coalesce(n, 0): a doc too short to shingle has no
+      // ns row and must verify to jaccard 0, not vanish from the output
+      .join(ns.select(col("id").as("d1"), col("n").as("n1")), Seq("d1"), "left")
+      .join(ns.select(col("id").as("d2"), col("n").as("n2")), Seq("d2"), "left")
       .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .withColumn("n1", coalesce(col("n1"), lit(0L)))
+      .withColumn("n2", coalesce(col("n2"), lit(0L)))
       .withColumn("jaccard_pm",
-        expr("inter * 1000 div (n1 + n2 - inter)"))
+        expr("CASE WHEN n1 + n2 - inter <= 0 THEN 0 " +
+          "ELSE inter * 1000 div (n1 + n2 - inter) END"))
   }
 
   /** Per-doc MinHash signature: `numPerms` columns s0..s{k-1}, each
@@ -123,9 +136,15 @@ object TextDedup {
       bands: Int): DataFrame =
     bandCols(numPerms, bands).foldLeft(signatures) {
       case (df, (name, sigCols)) =>
-        df.withColumn(name,
-          sparkHash56(concat_ws(",", sigCols.map(col): _*)))
+        df.withColumn(name, bandHash(sigCols))
     }
+
+  /** THE band bucket key — one definition, shared by
+    * [[withBandHashes]] and [[lshCandidates]] so the two can never
+    * disagree on bucketing.
+    */
+  private def bandHash(sigCols: Seq[String]) =
+    sparkHash56(concat_ws(",", sigCols.map(col): _*))
 
   /** Distinct candidate pairs colliding in ≥1 LSH band, with the
     * number of agreeing bands.
@@ -135,7 +154,7 @@ object TextDedup {
     val banded = bandCols(numPerms, bands).zipWithIndex.map {
       case ((_, sigCols), bi) =>
         signatures.select(col("id"), lit(bi).as("band"),
-          sparkHash56(concat_ws(",", sigCols.map(col): _*)).as("bh"))
+          bandHash(sigCols).as("bh"))
     }.reduce(_ unionByName _)
     banded.select(col("id").as("d1"), col("band"), col("bh"))
       .join(banded.select(col("id").as("d2"), col("band"), col("bh")),

@@ -164,8 +164,12 @@ object VectorSearch {
         col("nrm").as("n2"), col("bucket")), Seq("bucket"))
       .filter(col("v1") < col("v2"))
       .withColumn("dot", expr("graft_dotl(e1, e2)"))
+      // the squared terms leave Long range for realistic dims (1536-d
+      // at |q|≤1000: dot² ≈ 2.4e18, ×den overflows) — evaluate the
+      // inequality in DECIMAL(38,0), which holds ~1e38 exactly
       .filter(col("dot") > 0 &&
-        col("dot") * col("dot") * cos2Den >= col("n1") * col("n2") * cos2Num)
+        expr(s"CAST(dot AS DECIMAL(38,0)) * dot * $cos2Den >= " +
+          s"CAST(n1 AS DECIMAL(38,0)) * n2 * $cos2Num"))
       .select(col("v1"), col("v2"), col("dot"), col("n1"), col("n2"))
   }
 }

@@ -52,6 +52,13 @@ final class EventEngine(val spark: SparkSession) extends AutoCloseable {
   spark.streams.addListener(listener)
 
   def hub[T: TypeTag](name: String): EventHub[T] = synchronized {
+    // subscriber query names are "<hub>-sub-<n>" with a PER-HUB
+    // counter — a second hub with the same name would collide on the
+    // session's active-query namespace at subscribe time; reject the
+    // ambiguity at construction instead
+    require(!hubs.exists(_.name == name),
+      s"hub name `$name` already exists on this engine — hub names " +
+        "namespace the subscriber queries and must be unique")
     val h = new EventHub[T](this, name)
     hubs += h
     h

@@ -218,6 +218,15 @@ final class Subscription[T] private[streaming] (
 
   /** Stop this subscriber after draining (R8 drain-then-`None`). */
   def close(): Unit = {
+    // same self-deadlock class awaitQuiescence rejects: a handler
+    // closing its own subscription would wait on the very batch that
+    // is blocked inside the handler
+    if (EventEngine.inSink.get())
+      throw new IllegalStateException(
+        "Subscription.close()/EventHub.close() called from inside a " +
+          "sink or pipe handler — draining would deadlock on the " +
+          "handler's own batch; stop the subscription from outside, " +
+          "or let the pipe's error channel detach it")
     closed = true
     query.foreach { q =>
       q.processAllAvailable()

@@ -91,7 +91,7 @@ object Envelopes {
     * tag whose payload doesn't parse as `T` yields null payloads —
     * the `Option`-returning checked downcast, as data.
     */
-  def fromOpen[T: org.apache.spark.sql.Encoder](
+  def fromOpen(
       open: org.apache.spark.sql.DataFrame, eventType: String,
       payloadType: org.apache.spark.sql.types.DataType)
       : org.apache.spark.sql.DataFrame = {

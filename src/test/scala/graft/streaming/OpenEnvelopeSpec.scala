@@ -41,9 +41,9 @@ class OpenEnvelopeSpec extends AnyFunSuite {
     assert(open.select($"event_type").distinct().count() === 2)
 
     // checked downcast by tag; lineage survives the round-trip
-    val backInts = Envelopes.fromOpen[Long](open, "ints", LongType)
+    val backInts = Envelopes.fromOpen(open, "ints", LongType)
     assert(backInts.select(sum($"payload")).head.getLong(0) === 60L)
     assert(backInts.filter($"source_id" === 0L).count() === 1)
-    assert(Envelopes.fromOpen[Long](open, "nosuch", LongType).count() === 0)
+    assert(Envelopes.fromOpen(open, "nosuch", LongType).count() === 0)
   }
 }
