@@ -52,24 +52,30 @@ object BloomJoin {
   def pruneByBloom(fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String,
       expectedKeys: Long = 1 << 20, fpp: Double = 0.01): DataFrame = {
-    val bloom = dim.stat.bloomFilter(dimKey, expectedKeys, fpp)
     // the probe MUST hash the same representation stat.bloomFilter
     // inserted: integral keys go in via putLong, strings via their
     // UTF-8 bytes — probing a string sketch with cast-to-long longs
-    // would silently prune (almost) every matching row
-    val probe = dim.schema(dimKey).dataType match {
-      case ByteType | ShortType | IntegerType | LongType =>
-        // the sketch rides in the UDF closure: Spark torrent-broadcasts
-        // each stage's task binary once per executor and GCs it with
-        // the stage, so there is no long-lived Broadcast to leak
-        udf((k: java.lang.Long) => k != null && bloom.mightContainLong(k))
-          .apply(col(factKey).cast("long"))
-      case StringType =>
-        udf((k: String) => k != null && bloom.mightContainString(k))
-          .apply(col(factKey).cast("string"))
+    // would silently prune (almost) every matching row. Validated
+    // BEFORE building the sketch so unsupported types fail with the
+    // operator's own message, not stat.bloomFilter's.
+    val keyType = dim.schema(dimKey).dataType
+    val integral = keyType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case StringType => false
       case other => throw new IllegalArgumentException(
         s"bloom pruning supports integral or string keys, `$dimKey` is $other")
     }
+    val bloom = dim.stat.bloomFilter(dimKey, expectedKeys, fpp)
+    // the sketch rides in the UDF closure: Spark torrent-broadcasts
+    // each stage's task binary once per executor and GCs it with the
+    // stage, so there is no long-lived Broadcast to leak
+    val probe =
+      if (integral)
+        udf((k: java.lang.Long) => k != null && bloom.mightContainLong(k))
+          .apply(col(factKey).cast("long"))
+      else
+        udf((k: String) => k != null && bloom.mightContainString(k))
+          .apply(col(factKey).cast("string"))
     fact.filter(probe)
   }
 }

@@ -42,6 +42,28 @@ class BloomJoinSpec extends AnyFunSuite {
     assert(kept < 10000, s"bloom barely pruned: $kept of 100000")
   }
 
+  test("string keys probe the sketch as strings (not cast-to-long)") {
+    import spark.implicits._
+    val fact = spark.range(5000)
+      .select(concat(lit("sku-"), $"id" % 100).as("k"), $"id".as("payload"))
+    val dim = spark.range(100).filter($"id" % 10 === 0)
+      .select(concat(lit("sku-"), $"id").as("dk"))
+    val plain = fact.join(dim, $"k" === $"dk").count()
+    val pruned = BloomJoin.prunedJoin(fact, dim, "k", "dk",
+      expectedKeys = 256).count()
+    assert(plain === 500L && pruned === plain,
+      s"string-keyed pruned join lost rows: $pruned vs $plain")
+  }
+
+  test("unsupported key types are rejected, not silently mispruned") {
+    import spark.implicits._
+    val fact = spark.range(10).select(($"id" / 2.0).as("k"))
+    val dim = spark.range(5).select(($"id" * 1.0).as("dk"))
+    intercept[IllegalArgumentException] {
+      BloomJoin.pruneByBloom(fact, dim, "k", "dk")
+    }
+  }
+
   test("null fact keys never pass the bloom") {
     import spark.implicits._
     val fact = spark.range(100)

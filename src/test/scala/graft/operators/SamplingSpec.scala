@@ -64,6 +64,25 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("null keys get one deterministic bucket (split == sample behavior)") {
+    import spark.implicits._
+    val df = spark.range(1000)
+      .select(when($"id" % 10 === 0, lit(null).cast("long"))
+        .otherwise($"id").as("id"))
+    // total partition still holds — null keys land in exactly one split
+    val counts = df.withColumn("split", Sampling.splitColumn($"id", weights))
+      .groupBy($"split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 1000L)
+    // keep-everything sample keeps the null-key rows too
+    assert(Sampling.sampleByHash(df, $"id", 1000).count() === 1000L)
+    // and all null keys share one bucket: a sample either keeps all
+    // of them or none of them
+    val nullKept = Sampling.sampleByHash(df, $"id", 500)
+      .filter($"id".isNull).count()
+    assert(nullKept === 0L || nullKept === 100L, s"split nulls: $nullKept")
+  }
+
   test("sampleByRate applies per-row rates (domain mixing)") {
     import spark.implicits._
     val df = spark.range(20000)
