@@ -49,6 +49,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the full per-query line above is long enough that a tail-capture
+    // of this process' output can truncate it mid-map — repeat the
+    // headline numbers LAST, compactly (total + top-5 slowest), so the
+    // tail always carries a complete, parseable JSON line
+    val top5 = results.sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"top5_slowest":$top5,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

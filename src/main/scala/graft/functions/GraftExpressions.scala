@@ -119,6 +119,55 @@ object DotProductL {
   }
 }
 
+/** `graft_might_contain(key) -> boolean`: native Bloom-filter probe
+  * against a driver-built [[org.apache.spark.util.sketch.BloomFilter]]
+  * carried in the expression (shipped to executors with the serialized
+  * plan, surfaced to generated code via `addReferenceObj`). Replaces
+  * the Scala-UDF probe in [[graft.operators.BloomJoin]]: the probe
+  * sits on the fact SCAN — the hottest row path in a pruned join — so
+  * it must stay inside whole-stage codegen with no boxing and no
+  * closure dispatch.
+  *
+  * Key must already be BIGINT or STRING (the operator casts first).
+  * String keys probe via `mightContainBinary` on the UTF-8 bytes —
+  * bit-identical to `mightContainString` (which hashes the same UTF-8
+  * encoding) without materializing a java.lang.String per row. Null
+  * keys yield null, which a Filter treats as false — same outcome as
+  * the old UDF's `k != null && ...`.
+  *
+  * Not registered in the function registry: the sketch is a runtime
+  * object, not something SQL text can name.
+  */
+case class BloomMightContain(child: Expression,
+    bloom: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_might_contain"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_might_contain probes BIGINT or STRING keys, got " +
+        other.catalogString)
+  }
+
+  @transient private lazy val longKey = child.dataType == LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    if (longKey) bloom.mightContainLong(input.asInstanceOf[Long])
+    else bloom.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    if (longKey) defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+    else defineCodeGen(ctx, ev, c => s"$ref.mightContainBinary($c.getBytes())")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BloomMightContain = copy(child = newChild)
+}
+
 /** Typed-Column surface for the native expressions (resolved through
   * the function registry, which [[graft.GraftSession]] /
   * [[GraftExtensions]] populate).

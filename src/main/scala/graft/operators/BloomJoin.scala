@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.Filter
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
 
 /** Bloom-filter join pruning: drop fact-side rows that cannot have a
@@ -66,16 +67,25 @@ object BloomJoin {
         s"bloom pruning supports integral or string keys, `$dimKey` is $other")
     }
     val bloom = dim.stat.bloomFilter(dimKey, expectedKeys, fpp)
-    // the sketch rides in the UDF closure: Spark torrent-broadcasts
-    // each stage's task binary once per executor and GCs it with the
-    // stage, so there is no long-lived Broadcast to leak
-    val probe =
-      if (integral)
-        udf((k: java.lang.Long) => k != null && bloom.mightContainLong(k))
-          .apply(col(factKey).cast("long"))
-      else
-        udf((k: String) => k != null && bloom.mightContainString(k))
-          .apply(col(factKey).cast("string"))
-    fact.filter(probe)
+    // the sketch rides inside the native expression: it ships to
+    // executors with the serialized plan (per stage, like a task
+    // binary) and probes from generated code — no Scala-UDF boxing or
+    // closure dispatch in the fact scan, which is the hottest row path
+    // of the whole pruned join. Null keys probe to null, which the
+    // Filter drops — identical to the old UDF's `k != null && ...`.
+    val plan = fact.queryExecution.analyzed
+    val keyAttr = plan.output.filter(_.name == factKey) match {
+      case Seq(a) => a
+      case Seq() => throw new IllegalArgumentException(
+        s"column `$factKey` not in ${plan.output.map(_.name).mkString(", ")}")
+      case many => throw new IllegalArgumentException(
+        s"column `$factKey` is ambiguous (${many.length} matches) — " +
+          "disambiguate with select/alias first")
+    }
+    val wantType = if (integral) LongType else StringType
+    val probeKey: Expression =
+      if (keyAttr.dataType == wantType) keyAttr else Cast(keyAttr, wantType)
+    GraftSqlBridge.ofRows(fact.sparkSession,
+      Filter(graft.functions.BloomMightContain(probeKey, bloom), plan))
   }
 }

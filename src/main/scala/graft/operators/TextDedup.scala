@@ -41,12 +41,31 @@ object TextDedup {
 
   /** Candidate near-dup pairs from the inverted shingle index: pairs
     * sharing ≥ `minCommon` shingles, with exact Jaccard in per-mille.
+    *
+    * `maxShingleDf` bounds the posting lists: a shingle shared by k
+    * docs emits k² pairs from the self-join, and real web corpora
+    * carry stop-shingles with k in the millions. Shingles whose
+    * document frequency exceeds the cap are removed from the shingle
+    * UNIVERSE (both intersection and union — `ns` is computed on the
+    * capped index), the standard stop-shingle treatment: Jaccard stays
+    * exact over the capped universe, and pair count is bounded by
+    * Σ min(df, cap)² instead of Σ df². The hot-shingle list is tiny
+    * (it's an aggregate of only the over-cap hashes) so the anti-join
+    * broadcasts.
     */
   def jaccardPairs(sh: DataFrame, minCommon: Long = 10,
-      minJaccardPm: Long = 0): DataFrame = {
-    val ns = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    sh.select(col("id").as("d1"), col("h"))
-      .join(sh.select(col("id").as("d2"), col("h")), Seq("h"))
+      minJaccardPm: Long = 0,
+      maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    val idx =
+      if (maxShingleDf == Long.MaxValue) sh
+      else {
+        val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxShingleDf).select(col("h"))
+        sh.join(hot, Seq("h"), "left_anti")
+      }
+    val ns = idx.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    idx.select(col("id").as("d1"), col("h"))
+      .join(idx.select(col("id").as("d2"), col("h")), Seq("h"))
       .filter(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
       .filter(col("inter") >= minCommon)

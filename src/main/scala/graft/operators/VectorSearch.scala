@@ -118,8 +118,13 @@ object VectorSearch {
     *
     * Scale: each iteration is one broadcast join (centroids are tiny)
     * + two map-side-combinable aggregates over the corpus — Lloyd's at
-    * its minimal shuffle count. Iterations are bounded (`iters`), so
-    * lineage stays shallow without checkpoints.
+    * its minimal shuffle count. The centroid frame (k·dims rows) is
+    * `localCheckpoint`ed each round: without the truncation, iteration
+    * i's plan nests iteration i-1's — exponential analysis/optimize
+    * blowup past ~5 rounds — while with it plan depth stays flat in
+    * `iters` (pinned by VectorSearchSpec's iters=20 case). Eager
+    * checkpoint of k·dims rows is driver-trivial at any corpus scale;
+    * the corpus itself is never checkpointed or collected.
     */
   def kmeansQuantized(byDim: DataFrame, k: Int, iters: Int): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("dist2"), col("cell"))
@@ -145,6 +150,9 @@ object VectorSearch {
         .groupBy(col("cell"), col("dim"))
         .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
           .cast("long").as("cv"))
+        // truncate lineage: the next round must start from a flat
+        // k·dims-row frame, not this round's whole plan
+        .localCheckpoint(true)
     }
     centroids
   }

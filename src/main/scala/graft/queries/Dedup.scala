@@ -167,10 +167,13 @@ object Dedup extends QueryPack {
     "d02_ngram_jaccard" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       // the self-join + per-doc counts reference this subtree 3× —
-      // persist it once (at 100 TB: a checkpointed shingle table)
+      // persist it once (at 100 TB: a checkpointed shingle table).
+      // maxShingleDf exercises the stop-shingle cap path; 10000 is far
+      // above this corpus' max df (≤ n_docs = 500) so results are the
+      // cap-free Jaccard the oracle computes.
       graft.operators.TextDedup
         .jaccardPairs(shingleHashes(s, dir).persist(),
-          minCommon = 10, minJaccardPm = 100)
+          minCommon = 10, minJaccardPm = 100, maxShingleDf = 10000)
         .orderBy($"d1", $"d2")
     }),
 

@@ -18,9 +18,9 @@ import org.apache.spark.sql.functions._
   *   - x03: SQL-text entry point with GROUPING SETS (beyond
   *     rollup/cube) over a registered temp view;
   *   - x04: sketch aggregates (HyperLogLog++ distinct, t-digest-style
-  *     quantiles) — approximate by design, so no hash oracle: the
-  *     driver records the weaker rows-only check, and the engine's
-  *     own spec asserts error bounds against exact counts.
+  *     quantiles) — estimates can't hash-match another engine, so the
+  *     query emits exact aggregates + within-bound booleans instead;
+  *     the oracle reproduces both exactly (see the query's comment).
   */
 object Extensions extends QueryPack {
 
@@ -162,17 +162,36 @@ object Extensions extends QueryPack {
         .orderBy($"s_suppkey")
     }),
 
-    // -- sketch aggregates (no hash oracle: approximate by design) ------
+    // -- sketch aggregates, restated as an EXACT claim ------------------
+    // HLL/quantile estimates can't hash-match another engine's sketch,
+    // so the query emits what IS deterministic: the exact aggregates
+    // plus `*_ok` booleans asserting each estimate sits inside its
+    // published error bound (computed against the exact value in the
+    // same aggregation). The oracle reproduces the exact columns and
+    // the booleans as literal TRUE — a sketch drifting out of bound
+    // becomes a hash mismatch, which is precisely the correctness
+    // claim a sketch can make. Bounds: HLL rsd=0.02 checked at ±10%
+    // (5σ); percentile_approx accuracy=10000 (rank error ≤ 1e-4)
+    // checked against a ±5-percentile-rank band.
     "x04_approx_sketches" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       Tables(s, dir).lineitem
         .groupBy($"l_returnflag")
         .agg(
-          approx_count_distinct($"l_partkey", 0.02).as("nd_parts_hll"),
-          percentile_approx($"l_quantity", lit(0.5), lit(10000))
-            .as("p50_qty"),
+          approx_count_distinct($"l_partkey", 0.02).as("hll"),
+          countDistinct($"l_partkey").as("exact_nd_parts"),
+          percentile_approx($"l_quantity", lit(0.5), lit(10000)).as("p50e"),
+          expr("percentile(l_quantity, 0.45)").as("q45"),
+          expr("percentile(l_quantity, 0.55)").as("q55"),
           percentile_approx($"l_extendedprice", lit(0.95), lit(10000))
-            .as("p95_price"))
+            .as("p95e"),
+          expr("percentile(l_extendedprice, 0.93)").as("q93"),
+          expr("percentile(l_extendedprice, 0.97)").as("q97"))
+        .select($"l_returnflag", $"exact_nd_parts",
+          (abs($"hll" - $"exact_nd_parts") <= $"exact_nd_parts" * 0.1)
+            .as("hll_ok"),
+          ($"p50e" >= $"q45" && $"p50e" <= $"q55").as("p50_ok"),
+          ($"p95e" >= $"q93" && $"p95e" <= $"q97").as("p95_ok"))
         .orderBy($"l_returnflag")
     })
   )
@@ -254,8 +273,17 @@ object Extensions extends QueryPack {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        |ORDER BY status, priority""".stripMargin
-    // x04 intentionally has no oracle: HLL/quantile sketches are
-    // approximate; the spec checks error bounds instead.
+        |ORDER BY status, priority""".stripMargin,
+
+    // x04's estimates themselves can't cross engines; the exact
+    // aggregates and the within-bound booleans can. The oracle's TRUE
+    // literals are the claim the sketch must live up to — a Spark-side
+    // FALSE hash-mismatches and fails the gate.
+    "x04_approx_sketches" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_nd_parts,
+        |  TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

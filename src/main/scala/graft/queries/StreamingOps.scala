@@ -468,17 +468,26 @@ object StreamingOps extends QueryPack {
     // -- streaming upsert into a serving table (foreachBatch + MERGE) ---
     // The production pattern for "keep a queryable table current from a
     // stream": update-mode deltas (only keys whose aggregate changed
-    // this batch, carrying cumulative values) merged per batch into the
-    // serving snapshot. The input is split into 4 files consumed one
-    // per trigger, so the merge genuinely runs across multiple
-    // incremental micro-batches — asserted, not assumed.
+    // this batch, carrying cumulative values) merged per batch into a
+    // PARQUET-BACKED serving table — the snapshot never touches the
+    // driver, so the table scales with cluster storage, not driver
+    // heap. Each batch reads the current snapshot path, runs
+    // Upsert.merge, and writes the next version to a fresh path
+    // (versioned paths sidestep overwrite-while-reading; a table
+    // format's MERGE INTO plays this role in production). The input is
+    // split into 4 files consumed one per trigger, so the merge
+    // genuinely runs across multiple incremental micro-batches —
+    // asserted, not assumed.
     "st11_streaming_upsert" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val agg = eventStreamMultiBatch(s, dir, parts = 4)
         .groupBy($"user_id")
         .agg(count(lit(1)).as("n_events"),
           sum(expr("CAST(FLOOR(value * 100) AS BIGINT)")).as("total_cents"))
-      var serving: Option[DataFrame] = None
+      val servingRoot = java.nio.file.Files
+        .createTempDirectory("graft-serving-").toString
+      // only the current snapshot PATH lives on the driver — never rows
+      var latest: Option[String] = None
       var batches = 0
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -487,17 +496,14 @@ object StreamingOps extends QueryPack {
           .outputMode(OutputMode.Update())
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-            val delta = batch.persist()
-            val merged = serving match {
-              case None => delta
-              case Some(t) => graft.operators.Upsert.merge(t, delta, "user_id")
+            val merged = latest match {
+              case None => batch
+              case Some(p) =>
+                graft.operators.Upsert.merge(s.read.parquet(p), batch, "user_id")
             }
-            // a batch DataFrame is only valid inside its batch — pin the
-            // snapshot as local rows before the next batch invalidates it
-            val snapshot = merged.collect()
-            serving = Some(s.createDataFrame(
-              java.util.Arrays.asList(snapshot: _*), merged.schema))
-            delta.unpersist()
+            val next = s"$servingRoot/v$batches"
+            merged.write.mode("overwrite").parquet(next)
+            latest = Some(next)
             batches += 1
           }
           .start()
@@ -506,7 +512,7 @@ object StreamingOps extends QueryPack {
       require(batches >= 4,
         s"expected >= 4 incremental micro-batches, saw $batches — the " +
           "multi-file split is not driving the trigger")
-      serving.get.orderBy($"user_id")
+      s.read.parquet(latest.get).orderBy($"user_id")
     }),
 
     // -- dropDuplicatesWithinWatermark (state-evictable dedup) ----------

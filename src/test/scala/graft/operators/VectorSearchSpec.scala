@@ -40,6 +40,23 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("iters=20 keeps a flat plan (per-round localCheckpoint)") {
+    // without the per-round lineage truncation this nests 20 plans and
+    // the analyzer/optimizer blows up exponentially — the case would
+    // hang, not fail. With it: completes, plan depth is that of ONE
+    // round (numberedTreeString of the final frame stays small), and
+    // the result is still deterministic.
+    val vecs = byDim.persist()
+    try {
+      val cents = VectorSearch.kmeansQuantized(vecs, k = 4, iters = 20)
+      val planLines =
+        cents.queryExecution.optimizedPlan.numberedTreeString.linesIterator.size
+      assert(planLines < 20, s"expected a truncated plan, got $planLines lines")
+      val a = cents.orderBy("cell", "dim").collect().toSeq
+      assert(a.nonEmpty)
+    } finally vecs.unpersist()
+  }
+
   test("inertia is non-increasing over Lloyd iterations") {
     val vecs = byDim.persist()
     try {

