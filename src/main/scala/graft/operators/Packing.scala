@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.PortableHash._
+
+/** Sequence packing — the batch-assembly step of a training-data
+  * pipeline: documents are concatenated (in a deterministic order) and
+  * chunked into fixed-token-budget packs (context windows). This is
+  * the concat-then-chunk packing LLM pretraining uses (every token
+  * lands in exactly one window; a document may straddle a boundary),
+  * not bin-packing — chunking is exactly expressible as a prefix sum,
+  * so the assignment is a window function, deterministic, and
+  * oracle-checkable.
+  *
+  * Scale: global concatenation order would serialize the corpus, so
+  * packing is SHARD-LOCAL — docs hash into `shards` independent
+  * streams (salted 56-bit hash: stable under growth/repartitioning,
+  * like [[Sampling]]), each packed in `idCol` order. One shuffle on
+  * the shard key + an in-partition running sum; shard count scales
+  * with the cluster, and each shard's pack ids are dense from 0. At
+  * 100 TB you'd size `shards` to O(cores) and the per-shard sort is
+  * the only per-row log factor.
+  */
+object Packing {
+
+  /** Deterministic shard in [0, shards) of a key under a salt. */
+  def shardColumn(key: Column, shards: Int, salt: String): Column =
+    sparkHash56(concat(lit(salt + ":"), key.cast("string"))) % shards
+
+  /** DuckDB mirror of [[shardColumn]]. */
+  def duckShard(keySqlExpr: String, shards: Int, salt: String): String =
+    duckHash56(s"'$salt:' || CAST($keySqlExpr AS VARCHAR)") + s" % $shards"
+
+  /** Assign each doc its pack coordinates: adds `shard`, `n_tokens`
+    * (from `tokens`), `tok_start` (tokens before this doc in its
+    * shard's concat stream), `pack_id` (the budget-sized chunk the doc
+    * STARTS in), and `packs_spanned` (how many chunk boundaries the
+    * doc crosses, ≥ 1). Rows keep their input columns.
+    *
+    * `idCol` must be unique per doc — it is both the shard key and the
+    * deterministic concatenation order within a shard.
+    */
+  def chunkPack(docs: DataFrame, idCol: String, tokens: Column,
+      budget: Long, shards: Int, salt: String = "pack"): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    require(shards > 0, s"shard count must be positive, got $shards")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("shard", shardColumn(col(idCol), shards, salt))
+      .withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("tok_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"tok_start div ${budget}L"))
+      .withColumn("packs_spanned",
+        expr(s"(tok_start + greatest(n_tokens, 1L) - 1L) div ${budget}L") -
+          col("pack_id") + lit(1L))
+  }
+}

@@ -60,6 +60,25 @@ object Corpus extends QueryPack {
         .agg(count(lit(1)).as("n_kept"),
           sum(length($"text")).cast("long").as("total_chars"))
         .orderBy($"source")
+    }),
+
+    // -- sequence packing: concat-then-chunk into 2048-token windows ----
+    // The batch-assembly step after mixing: docs hash into 8 shards,
+    // each shard's docs concatenate in doc_id order and chunk into
+    // fixed-budget packs ([[graft.operators.Packing]]). Per-pack stats
+    // prove the assignment (which docs start in which window) exactly.
+    "c04_sequence_pack" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.operators.Packing.chunkPack(
+          Tables(s, dir).documents.select($"doc_id", $"text"),
+          "doc_id", size(split($"text", "\\s+")).cast("long"),
+          budget = 2048L, shards = 8, salt = "pack1")
+        .groupBy($"shard", $"pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("tokens_started"),
+          min($"doc_id").as("first_doc"),
+          max($"packs_spanned").as("max_spanned"))
+        .orderBy($"shard", $"pack_id")
     })
   )
 
@@ -92,7 +111,34 @@ object Corpus extends QueryPack {
            |  CASE WHEN CAST(substr(source, 4) AS INTEGER) < 7 THEN 900
            |       WHEN CAST(substr(source, 4) AS INTEGER) < 14 THEN 500
            |       ELSE 200 END
-           |GROUP BY source ORDER BY source""".stripMargin
+           |GROUP BY source ORDER BY source""".stripMargin,
+
+      // window SUM over BIGINT is HUGEINT in DuckDB — cast tok_start
+      // back to BIGINT before the division or the output column type
+      // silently diverges from Spark's LONG
+      "c04_sequence_pack" -> {
+        val shard = graft.operators.Packing.duckShard("doc_id", 8, "pack1")
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+           |      AS n_tokens,
+           |    $shard AS shard
+           |  FROM documents),
+           |c AS (
+           |  SELECT shard, doc_id, n_tokens,
+           |    CAST(COALESCE(SUM(n_tokens) OVER (
+           |      PARTITION BY shard ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) AS tok_start
+           |  FROM t)
+           |SELECT shard, CAST(tok_start // 2048 AS BIGINT) AS pack_id,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_started,
+           |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           |  CAST(MAX((tok_start + GREATEST(n_tokens, 1) - 1) // 2048
+           |    - tok_start // 2048 + 1) AS BIGINT) AS max_spanned
+           |FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin
+      }
     )
   }
 }

@@ -164,34 +164,51 @@ object Extensions extends QueryPack {
 
     // -- sketch aggregates, restated as an EXACT claim ------------------
     // HLL/quantile estimates can't hash-match another engine's sketch,
-    // so the query emits what IS deterministic: the exact aggregates
-    // plus `*_ok` booleans asserting each estimate sits inside its
-    // published error bound (computed against the exact value in the
-    // same aggregation). The oracle reproduces the exact columns and
-    // the booleans as literal TRUE — a sketch drifting out of bound
-    // becomes a hash mismatch, which is precisely the correctness
-    // claim a sketch can make. Bounds: HLL rsd=0.02 checked at ±10%
-    // (5σ); percentile_approx accuracy=10000 (rank error ≤ 1e-4)
-    // checked against a ±5-percentile-rank band.
+    // so the query emits what IS deterministic: the exact distinct
+    // count plus `*_ok` booleans asserting each estimate sits inside
+    // its published error bound. The oracle reproduces the exact
+    // column and the booleans as literal TRUE — a sketch drifting out
+    // of bound becomes a hash mismatch, which is precisely the
+    // correctness claim a sketch can make.
+    //
+    // Shape (deliberately two-pass, all codegen hash aggregates): pass
+    // 1 computes the sketches; the 3-row estimate frame broadcasts
+    // back onto a second scan that counts each estimate's RANK
+    // (rows </≤ the estimate) — a quantile estimate with rank error
+    // ≤ 1e-4 must satisfy cnt_le ≥ (q−0.05)·n and cnt_lt ≤ (q+0.05)·n
+    // for ANY duplicate structure. Rank-checking avoids exact
+    // `percentile` (ObjectHashAggregate materializing every value per
+    // group — the one-pass spelling benchmarked 4× slower and doesn't
+    // scale); the exact distinct count is its own single-distinct
+    // aggregate so nothing forces an Expand over the main pass. HLL
+    // rsd=0.02 checked at ±10% (5σ).
     "x04_approx_sketches" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      Tables(s, dir).lineitem
-        .groupBy($"l_returnflag")
+      val li = Tables(s, dir).lineitem
+      val est = li.groupBy($"l_returnflag")
         .agg(
           approx_count_distinct($"l_partkey", 0.02).as("hll"),
-          countDistinct($"l_partkey").as("exact_nd_parts"),
           percentile_approx($"l_quantity", lit(0.5), lit(10000)).as("p50e"),
-          expr("percentile(l_quantity, 0.45)").as("q45"),
-          expr("percentile(l_quantity, 0.55)").as("q55"),
           percentile_approx($"l_extendedprice", lit(0.95), lit(10000))
-            .as("p95e"),
-          expr("percentile(l_extendedprice, 0.93)").as("q93"),
-          expr("percentile(l_extendedprice, 0.97)").as("q97"))
+            .as("p95e"))
+      val exact = li.groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("exact_nd_parts"),
+          count(lit(1)).as("n"))
+      val ranks = li.join(broadcast(est), Seq("l_returnflag"))
+        .groupBy($"l_returnflag")
+        .agg(
+          sum(when($"l_quantity" <= $"p50e", 1L).otherwise(0L)).as("le50"),
+          sum(when($"l_quantity" < $"p50e", 1L).otherwise(0L)).as("lt50"),
+          sum(when($"l_extendedprice" <= $"p95e", 1L).otherwise(0L))
+            .as("le95"),
+          sum(when($"l_extendedprice" < $"p95e", 1L).otherwise(0L))
+            .as("lt95"))
+      est.join(exact, Seq("l_returnflag")).join(ranks, Seq("l_returnflag"))
         .select($"l_returnflag", $"exact_nd_parts",
           (abs($"hll" - $"exact_nd_parts") <= $"exact_nd_parts" * 0.1)
             .as("hll_ok"),
-          ($"p50e" >= $"q45" && $"p50e" <= $"q55").as("p50_ok"),
-          ($"p95e" >= $"q93" && $"p95e" <= $"q97").as("p95_ok"))
+          ($"le50" >= $"n" * 0.45 && $"lt50" <= $"n" * 0.55).as("p50_ok"),
+          ($"le95" >= $"n" * 0.93 && $"lt95" <= $"n" * 0.97).as("p95_ok"))
         .orderBy($"l_returnflag")
     })
   )

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.streaming.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Chunk-packing invariants: exact token conservation (concat-then-
+  * chunk loses and duplicates nothing), correct boundary straddling,
+  * and partitioning-independence of the assignment.
+  */
+class PackingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def docs = {
+    import spark.implicits._
+    // ids 0..99 with deterministic pseudo-random token counts 1..500
+    spark.range(100).select($"id".as("doc_id"),
+      (abs(hash($"id")) % 500 + 1).cast("long").as("toks"))
+  }
+
+  test("every token lands in exactly one pack (conservation per shard)") {
+    import spark.implicits._
+    val packed = Packing.chunkPack(docs, "doc_id", $"toks",
+      budget = 256L, shards = 4, salt = "t")
+    // per shard: tok_start of each doc == sum of tokens before it,
+    // so max(tok_start + n_tokens) == sum(n_tokens)
+    val bad = packed.groupBy($"shard")
+      .agg(sum($"n_tokens").as("total"),
+        max($"tok_start" + $"n_tokens").as("covered"))
+      .filter($"total" =!= $"covered").count()
+    assert(bad === 0)
+  }
+
+  test("packs_spanned matches the boundary arithmetic") {
+    import spark.implicits._
+    val packed = Packing.chunkPack(docs, "doc_id", $"toks",
+      budget = 256L, shards = 4, salt = "t").collect()
+    packed.foreach { r =>
+      val start = r.getAs[Long]("tok_start")
+      val n = r.getAs[Long]("n_tokens")
+      val expected = (start + n - 1) / 256 - start / 256 + 1
+      assert(r.getAs[Long]("packs_spanned") === expected, r.toString)
+      assert(r.getAs[Long]("pack_id") === start / 256)
+    }
+  }
+
+  test("assignment is independent of input partitioning") {
+    import spark.implicits._
+    val cols = Seq("doc_id", "shard", "n_tokens", "tok_start", "pack_id")
+    val a = Packing.chunkPack(docs, "doc_id", $"toks", 256L, 4, "t")
+      .select(cols.map(col): _*).orderBy($"doc_id").collect().toSeq
+    val b = Packing.chunkPack(docs.repartition(13), "doc_id", $"toks",
+        256L, 4, "t")
+      .select(cols.map(col): _*).orderBy($"doc_id").collect().toSeq
+    assert(a === b)
+  }
+}
