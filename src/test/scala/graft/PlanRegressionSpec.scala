@@ -54,6 +54,26 @@ class PlanRegressionSpec extends AnyFunSuite {
       "as-of join degenerated into a range cross-product")
   }
 
+  test("c04: packing is one exchange + in-partition window, no global sort") {
+    val plan = planOf("c04_sequence_pack")
+    // one shuffle for the shard partitioning (plus the final aggregate's);
+    // the window must NOT be a global-order window (empty partitionBy =
+    // single-partition sort = corpus serialized)
+    assert(plan.contains("Window"))
+    assert(plan.contains("hashpartitioning(shard"),
+      "window lost its shard partitioning — packing would serialize")
+    assert(!plan.contains("SinglePartition"),
+      "global exchange appeared in the packing plan")
+  }
+
+  test("x04: estimates broadcast back; rank pass is a hash aggregate") {
+    val plan = planOf("x04_approx_sketches")
+    assert(plan.contains("BroadcastHashJoin"),
+      "estimate frame no longer broadcasts onto the rank-count scan")
+    assert(plan.contains("ObjectHashAggregate"), // the sketches themselves
+      "percentile_approx sketch aggregate missing?")
+  }
+
   test("s01: query side broadcasts against the corpus scan") {
     val plan = planOf("s01_topk_bruteforce")
     assert(plan.contains("BroadcastNestedLoopJoin") ||
