@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{ContinuousPartitionReader, ContinuousPartitionReaderFactory, ContinuousStream, MicroBatchStream, Offset, PartitionOffset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -80,7 +80,8 @@ final class EventGenTable(totalRows: Long, numPartitions: Int,
   override def name(): String = s"graft-events($totalRows)"
   override def schema(): StructType = EventGen.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ, TableCapability.CONTINUOUS_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
@@ -94,6 +95,8 @@ final class EventGenTable(totalRows: Long, numPartitions: Int,
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new EventGenMicroBatch(totalRows, numPartitions,
           rowsPerBatch.getOrElse(totalRows))
+      override def toContinuousStream(checkpointLocation: String): ContinuousStream =
+        new EventGenContinuous(totalRows, numPartitions)
     }
 }
 
@@ -160,4 +163,91 @@ final class EventGenMicroBatch(totalRows: Long, numPartitions: Int,
 
   override def createReaderFactory(): PartitionReaderFactory =
     EventGenTable.readerFactory
+}
+
+/** Per-partition position in the continuous stream: partition `pid`
+  * owns the id stripe `pid, pid + n, pid + 2n, …` and will emit `next`
+  * next. Striping (vs contiguous ranges) lets every partition make
+  * progress from epoch one — continuous partitions are fixed for the
+  * query's lifetime, so a range split would serialize the id space.
+  */
+final case class EventGenPartitionOffset(pid: Int, next: Long)
+    extends PartitionOffset
+
+/** Global continuous offset: one next-id per partition. */
+final case class EventGenContinuousOffset(next: Array[Long]) extends Offset {
+  override def json(): String = next.mkString("[", ",", "]")
+}
+
+/** Continuous-trigger stream over the same deterministic id space the
+  * batch and micro-batch scans read (`Trigger.Continuous`): long-lived
+  * per-partition readers emit rows as the engine polls, epoch markers
+  * arrive on the trigger interval, and recovery replans each partition
+  * from the merged per-partition offsets. The engine's delivery
+  * contract is unchanged — every column is a pure function of
+  * `event_id`, so any offset is replayable.
+  *
+  * A finite id space in an unbounded execution mode: a drained
+  * partition parks in an interruptible sleep (continuous tasks are
+  * stopped by interrupt) rather than declaring end-of-data, which
+  * continuous execution does not model.
+  */
+final class EventGenContinuous(totalRows: Long, numPartitions: Int)
+    extends ContinuousStream {
+
+  override def initialOffset(): Offset =
+    EventGenContinuousOffset(Array.tabulate(numPartitions)(_.toLong))
+
+  override def deserializeOffset(json: String): Offset =
+    EventGenContinuousOffset(
+      json.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.toLong))
+
+  override def mergeOffsets(offsets: Array[PartitionOffset]): Offset = {
+    val next = Array.tabulate(numPartitions)(_.toLong)
+    offsets.foreach { case EventGenPartitionOffset(pid, n) => next(pid) = n }
+    EventGenContinuousOffset(next)
+  }
+
+  override def planInputPartitions(start: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[EventGenContinuousOffset]
+    Array.tabulate[InputPartition](numPartitions)(p =>
+      EventGenContinuous.Stripe(p, s.next(p), totalRows, numPartitions))
+  }
+
+  override def createContinuousReaderFactory(): ContinuousPartitionReaderFactory =
+    EventGenContinuous.readerFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+object EventGenContinuous {
+  final case class Stripe(pid: Int, start: Long, totalRows: Long,
+      stride: Int) extends InputPartition
+
+  val readerFactory: ContinuousPartitionReaderFactory =
+    new ContinuousPartitionReaderFactory {
+      override def createReader(
+          p: InputPartition): ContinuousPartitionReader[InternalRow] = {
+        val s = p.asInstanceOf[Stripe]
+        new ContinuousPartitionReader[InternalRow] {
+          private var nextId = s.start
+          private var current = -1L
+          override def next(): Boolean = {
+            if (nextId >= s.totalRows) {
+              // drained: park until the epoch thread interrupts us on
+              // query stop — continuous mode has no end-of-data signal
+              while (true) Thread.sleep(100)
+            }
+            current = nextId
+            nextId += s.stride
+            true
+          }
+          override def get(): InternalRow = EventGen.row(current)
+          override def getOffset: PartitionOffset =
+            EventGenPartitionOffset(s.pid, nextId)
+          override def close(): Unit = ()
+        }
+      }
+    }
 }

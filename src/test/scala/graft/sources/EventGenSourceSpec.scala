@@ -34,6 +34,44 @@ class EventGenSourceSpec extends AnyFunSuite {
     assert(h1 === h2) // partitioning must not change content
   }
 
+  test("continuous-trigger read delivers the full id space exactly once") {
+    import spark.implicits._
+    val name = "eventgen_continuous"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-continuous-ckpt-").toString
+    val q = spark.readStream.format(fmt)
+      .option("totalRows", "2000").option("numPartitions", "3")
+      .load()
+      .select($"event_id", $"user_id", $"event_type") // map-only: continuous
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.Continuous("200 milliseconds"))
+      .start()
+    try {
+      // finite ids in an unbounded mode: poll until all rows arrived
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var n = 0L
+      while (n < 2000 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        n = spark.table(name).count()
+      }
+      assert(n >= 2000, s"continuous query delivered only $n of 2000 rows")
+    } finally q.stop()
+    val ids = spark.table(name)
+      .agg(count(lit(1)), countDistinct($"event_id"),
+        min($"event_id"), max($"event_id")).head()
+    // exactly once: 2000 distinct ids 0..1999, no duplicates
+    assert(ids.getLong(0) === 2000 && ids.getLong(1) === 2000 &&
+      ids.getLong(2) === 0 && ids.getLong(3) === 1999)
+    // and the rows are the same pure function of event_id the batch
+    // scan produces
+    val batch = spark.read.format(fmt).option("totalRows", "2000").load()
+      .select($"event_id", $"user_id", $"event_type")
+    assert(spark.table(name).exceptAll(batch).isEmpty &&
+      batch.exceptAll(spark.table(name)).isEmpty)
+  }
+
   test("micro-batch streaming read drains with AvailableNow") {
     import spark.implicits._
     val name = "eventgen_drain"
