@@ -74,7 +74,12 @@ object BloomJoin {
     // of the whole pruned join. Null keys probe to null, which the
     // Filter drops — identical to the old UDF's `k != null && ...`.
     val plan = fact.queryExecution.analyzed
-    val keyAttr = plan.output.filter(_.name == factKey) match {
+    // resolve with the session's resolver (case-insensitive unless
+    // spark.sql.caseSensitive) — an exact string match would reject
+    // `L_SUPPKEY` against `l_suppkey` where every other column lookup
+    // in the API accepts it
+    val resolver = org.apache.spark.sql.internal.SQLConf.get.resolver
+    val keyAttr = plan.output.filter(a => resolver(a.name, factKey)) match {
       case Seq(a) => a
       case Seq() => throw new IllegalArgumentException(
         s"column `$factKey` not in ${plan.output.map(_.name).mkString(", ")}")

@@ -47,6 +47,12 @@ object Packing {
       budget: Long, shards: Int, salt: String = "pack"): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
     require(shards > 0, s"shard count must be positive, got $shards")
+    val outputNames =
+      Seq("shard", "n_tokens", "tok_start", "pack_id", "packs_spanned")
+    val collisions = docs.columns.filter(outputNames.contains)
+    require(collisions.isEmpty,
+      s"input already has column(s) ${collisions.mkString(", ")} — " +
+        "chunkPack would silently overwrite them; rename/drop them first")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs

@@ -61,7 +61,12 @@ object TextDedup {
       else {
         val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("__df"))
           .filter(col("__df") > maxShingleDf).select(col("h"))
-        sh.join(hot, Seq("h"), "left_anti")
+        // explicit hint: the planner's size estimate for a post-filter
+        // aggregate derives from the FULL index's stats and can exceed
+        // the auto-broadcast threshold — a sort-merge anti-join here
+        // would shuffle the entire shingle index, the exact cost the
+        // cap exists to avoid
+        sh.join(broadcast(hot), Seq("h"), "left_anti")
       }
     val ns = idx.groupBy(col("id")).agg(count(lit(1)).as("n"))
     idx.select(col("id").as("d1"), col("h"))

@@ -185,12 +185,17 @@ object Extensions extends QueryPack {
     "x04_approx_sketches" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val li = Tables(s, dir).lineitem
+      // persisted: est feeds both the broadcast onto the rank pass and
+      // the final join — unpersisted, the sketch pass (the heaviest op
+      // here) would execute twice. Released by the harness'
+      // clearCache-after-query contract.
       val est = li.groupBy($"l_returnflag")
         .agg(
           approx_count_distinct($"l_partkey", 0.02).as("hll"),
           percentile_approx($"l_quantity", lit(0.5), lit(10000)).as("p50e"),
           percentile_approx($"l_extendedprice", lit(0.95), lit(10000))
             .as("p95e"))
+        .persist()
       val exact = li.groupBy($"l_returnflag")
         .agg(countDistinct($"l_partkey").as("exact_nd_parts"),
           count(lit(1)).as("n"))

@@ -210,6 +210,15 @@ final class EventGenContinuous(totalRows: Long, numPartitions: Int)
 
   override def planInputPartitions(start: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[EventGenContinuousOffset]
+    // the stripe layout (id ≡ pid mod n) is baked into every
+    // checkpointed offset: restarting with a different numPartitions
+    // would either crash on indexing or — worse — silently never plan
+    // the dropped stripes again. Fail loudly; repartition-on-restart
+    // is a micro-batch capability, not a continuous one.
+    require(s.next.length == numPartitions,
+      s"continuous checkpoint has ${s.next.length} partition offsets but " +
+        s"numPartitions=$numPartitions — the stripe layout is fixed for a " +
+        "checkpoint's lifetime; restart with the original partition count")
     Array.tabulate[InputPartition](numPartitions)(p =>
       EventGenContinuous.Stripe(p, s.next(p), totalRows, numPartitions))
   }

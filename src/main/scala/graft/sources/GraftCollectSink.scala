@@ -74,13 +74,15 @@ final class GraftCollectTable(name: String) extends Table with SupportsWrite {
       TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftCollectWriteBuilder(name, info.schema(), truncate = false)
+    new GraftCollectWriteBuilder(name, info.queryId(), info.schema(),
+      truncate = false)
 }
 
-final class GraftCollectWriteBuilder(name: String, schema: StructType,
-    truncate: Boolean) extends WriteBuilder with SupportsTruncate {
+final class GraftCollectWriteBuilder(name: String, queryId: String,
+    schema: StructType, truncate: Boolean)
+    extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder =
-    new GraftCollectWriteBuilder(name, schema, truncate = true)
+    new GraftCollectWriteBuilder(name, queryId, schema, truncate = true)
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new BatchWrite {
@@ -101,7 +103,8 @@ final class GraftCollectWriteBuilder(name: String, schema: StructType,
 
       override def commit(epochId: Long,
           messages: Array[WriterCommitMessage]): Unit =
-        GraftCollectSink.commitEpoch(name, schema, epochId, messages, truncate)
+        GraftCollectSink.commitEpoch(name, queryId, schema, epochId,
+          messages, truncate)
 
       override def abort(epochId: Long,
           messages: Array[WriterCommitMessage]): Unit = ()
@@ -142,7 +145,10 @@ object GraftCollectSink {
   private final class Sink {
     val rows = mutable.ArrayBuffer.empty[Row]
     var schema: StructType = new StructType()
-    val committedEpochs = mutable.Set.empty[Long]
+    // keyed by (queryId, epochId): epoch ids restart at 0 for every new
+    // query (fresh checkpoint), so epochId alone would make a SECOND
+    // query writing to the same sink name silently drop its batches
+    val committedEpochs = mutable.Set.empty[(String, Long)]
   }
 
   private val registry = mutable.Map.empty[String, Sink]
@@ -169,13 +175,14 @@ object GraftCollectSink {
       s.rows ++= toRows(schema, messages)
     }
 
-  private[sources] def commitEpoch(name: String, schema: StructType,
-      epochId: Long, messages: Array[WriterCommitMessage],
+  private[sources] def commitEpoch(name: String, queryId: String,
+      schema: StructType, epochId: Long,
+      messages: Array[WriterCommitMessage],
       truncate: Boolean): Unit = synchronized {
     val s = sink(name)
     // checkpoint recovery replays the last epoch — idempotent commit
     // is what turns at-least-once delivery into exactly-once output
-    if (!s.committedEpochs.add(epochId)) return
+    if (!s.committedEpochs.add((queryId, epochId))) return
     if (truncate) s.rows.clear()
     s.schema = schema
     s.rows ++= toRows(schema, messages)
@@ -184,8 +191,10 @@ object GraftCollectSink {
   /** Committed rows for a named sink (across all commits so far). */
   def rows(name: String): Seq[Row] = synchronized(sink(name).rows.toSeq)
 
-  /** Epochs the named sink has committed (streaming only). */
-  def committedEpochs(name: String): Set[Long] =
+  /** (queryId, epochId) pairs the named sink has committed (streaming
+    * only).
+    */
+  def committedEpochs(name: String): Set[(String, Long)] =
     synchronized(sink(name).committedEpochs.toSet)
 
   /** The committed rows back as a DataFrame (for assertions/joins). */

@@ -83,11 +83,20 @@ class GraftCollectSinkSpec extends AnyFunSuite {
     val schema = StructType(Seq(StructField("v", LongType)))
     def msg(v: Long): Array[WriterCommitMessage] =
       Array(GraftCollectSink.RowsMessage(Array(InternalRow(v))))
-    GraftCollectSink.commitEpoch("replay", schema, 0L, msg(1), truncate = false)
+    GraftCollectSink.commitEpoch("replay", "qA", schema, 0L, msg(1),
+      truncate = false)
     // checkpoint-recovery path: the engine re-commits the last epoch
-    GraftCollectSink.commitEpoch("replay", schema, 0L, msg(1), truncate = false)
-    GraftCollectSink.commitEpoch("replay", schema, 1L, msg(2), truncate = false)
+    GraftCollectSink.commitEpoch("replay", "qA", schema, 0L, msg(1),
+      truncate = false)
+    GraftCollectSink.commitEpoch("replay", "qA", schema, 1L, msg(2),
+      truncate = false)
     assert(GraftCollectSink.rows("replay").map(_.getLong(0)) === Seq(1L, 2L))
+    // a DIFFERENT query's epoch 0 is NOT a replay — epoch ids restart
+    // per query, so dedup must be scoped by (queryId, epochId)
+    GraftCollectSink.commitEpoch("replay", "qB", schema, 0L, msg(3),
+      truncate = false)
+    assert(GraftCollectSink.rows("replay").map(_.getLong(0)) ===
+      Seq(1L, 2L, 3L))
     GraftCollectSink.clear("replay")
   }
 }
