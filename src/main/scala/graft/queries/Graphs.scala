@@ -50,6 +50,29 @@ object Graphs extends QueryPack {
         .groupBy($"src").agg(count(lit(1)).as("deg"))
         .groupBy($"deg").agg(count(lit(1)).as("n_nodes"))
         .orderBy($"deg")
+    }),
+
+    // -- G3: exact triangle count on the co-purchase graph --------------
+    // The trade graph is bipartite (zero triangles by construction), so
+    // triangles live on its projection: same-nation suppliers that
+    // co-occur in an order. The nation restriction keeps the projection
+    // sparse (the unrestricted supplier co-purchase graph converges to
+    // a clique as SF grows — a projection, not a counting, problem).
+    // Counting is degree-oriented ([[graft.operators.Triangles]]):
+    // wedge fan-out capped at O(sqrt(m)) per node regardless of hubs.
+    "g03_triangles" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val ps = t.lineitem.select($"l_orderkey".as("o"), $"l_suppkey".as("sk"))
+        .join(t.supplier.select($"s_suppkey".as("sk"),
+          $"s_nationkey".as("nat")), Seq("sk"))
+        .select($"o", $"sk", $"nat").distinct()
+      val edges = ps.select($"o", $"nat", $"sk".as("u"))
+        .join(ps.select($"o", $"nat", $"sk".as("v")), Seq("o", "nat"))
+        .filter($"u" < $"v")
+        .select($"u", $"v").distinct()
+      graft.operators.Triangles.stats(edges)
+        .orderBy($"n_nodes")
     })
   )
 
@@ -98,7 +121,53 @@ object Graphs extends QueryPack {
            |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
            |  FROM edges GROUP BY src)
            |SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
-           |FROM deg GROUP BY deg ORDER BY deg""".stripMargin
+           |FROM deg GROUP BY deg ORDER BY deg""".stripMargin,
+
+      // same orientation, wedge, and closure logic in SQL; SUMs cast
+      // back from HUGEINT
+      "g03_triangles" ->
+        """WITH ps AS (
+          |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk, s_nationkey AS nat
+          |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+          |edges AS (
+          |  SELECT DISTINCT a.sk AS u, b.sk AS v
+          |  FROM ps a JOIN ps b ON a.o = b.o AND a.nat = b.nat AND a.sk < b.sk),
+          |deg AS (
+          |  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+          |  FROM (SELECT u AS node FROM edges
+          |        UNION ALL SELECT v AS node FROM edges)
+          |  GROUP BY node),
+          |wd AS (
+          |  SELECT e.u, e.v, du.d AS du, dv.d AS dv,
+          |    (du.d < dv.d OR (du.d = dv.d AND e.u < e.v)) AS fwd
+          |  FROM edges e
+          |  JOIN deg du ON du.node = e.u
+          |  JOIN deg dv ON dv.node = e.v),
+          |orient AS (
+          |  SELECT CASE WHEN fwd THEN u ELSE v END AS a,
+          |         CASE WHEN fwd THEN v ELSE u END AS b,
+          |         CASE WHEN fwd THEN dv ELSE du END AS db
+          |  FROM wd),
+          |wedge AS (
+          |  SELECT o1.a, o1.b AS y, o2.b AS z
+          |  FROM orient o1 JOIN orient o2 ON o1.a = o2.a
+          |  WHERE o1.db < o2.db OR (o1.db = o2.db AND o1.b < o2.b)),
+          |tri AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM wedge w
+          |  WHERE EXISTS (SELECT 1 FROM orient o
+          |                WHERE o.a = w.y AND o.b = w.z)),
+          |agg AS (
+          |  SELECT
+          |    (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+          |    (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+          |    (SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT)
+          |     FROM deg) AS n_wedges,
+          |    (SELECT n FROM tri) AS n_triangles)
+          |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+          |  CAST(CASE WHEN n_wedges = 0 THEN 0
+          |       ELSE (3 * n_triangles * 1000000) // n_wedges END AS BIGINT)
+          |    AS cc_ppm
+          |FROM agg ORDER BY n_nodes""".stripMargin
     )
   }
 }

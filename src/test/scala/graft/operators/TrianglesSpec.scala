@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.streaming.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Triangle-count ground truths on known graphs, and the orientation
+  * property that kills hub fan-out.
+  */
+class TrianglesSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def stats(edges: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    Triangles.stats(edges.toDF("u", "v")).collect().head
+  }
+
+  test("K4: 4 triangles, cc = 1") {
+    val r = stats(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)))
+    assert(r.getAs[Long]("n_nodes") === 4)
+    assert(r.getAs[Long]("n_edges") === 6)
+    assert(r.getAs[Long]("n_wedges") === 12) // 4 nodes x C(3,2)
+    assert(r.getAs[Long]("n_triangles") === 4)
+    assert(r.getAs[Long]("cc_ppm") === 1000000L)
+  }
+
+  test("path and star have zero triangles (and the star has no wedges " +
+      "after orientation)") {
+    val path = stats(Seq((1L, 2L), (2L, 3L)))
+    assert(path.getAs[Long]("n_triangles") === 0)
+    assert(path.getAs[Long]("n_wedges") === 1)
+    // star: hub degree 3, leaves degree 1 — every edge orients
+    // leaf -> hub, so no node has out-degree 2 and the wedge join
+    // produces nothing (the hub's d^2 fan-out never materializes)
+    val star = stats(Seq((10L, 1L), (10L, 2L), (10L, 3L)))
+    assert(star.getAs[Long]("n_triangles") === 0)
+    assert(star.getAs[Long]("n_wedges") === 3)
+    assert(star.getAs[Long]("cc_ppm") === 0L)
+  }
+
+  test("triangle with a pendant edge counts exactly once") {
+    val r = stats(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)))
+    assert(r.getAs[Long]("n_triangles") === 1)
+    // wedges: deg = (2,2,3,1) -> 1+1+3+0 = 5; cc = 3/5
+    assert(r.getAs[Long]("n_wedges") === 5)
+    assert(r.getAs[Long]("cc_ppm") === 600000L)
+  }
+}
