@@ -47,6 +47,44 @@ object TextAnalysis extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // -- BM25 keyword retrieval (integer-quantized, top 20) --------------
+    // The contamination-screen / quality-retrieval shape: score every
+    // document against a keyword set with BM25 (k1=1.2, b=0.75), all
+    // arithmetic in scaled integers so the ranking is bit-identical
+    // across engines (idf and the tf saturation term are per-mille
+    // quantized; `div` = DuckDB `//` on non-negatives). Shape at
+    // 100 TB: one scan → isin filter → two keyed aggregates; the
+    // 3-term df table and the 1-row corpus stats broadcast; the final
+    // top-20 is TakeOrderedAndProject (per-partition heaps), never a
+    // global sort.
+    "t12_bm25_search" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val terms = Seq("join", "hash", "scan")
+      val docs = Tables(s, dir).documents
+        .select($"doc_id", split(lower($"text"), "\\s+").as("toks"))
+        .withColumn("dl", size($"toks").cast("long"))
+      val stats = docs.agg(count(lit(1)).as("nd"),
+        expr("sum(dl) * 1000 div count(1)").as("av_pm"))
+      val tf = docs
+        .select($"doc_id", $"dl", explode($"toks").as("w"))
+        .filter($"w".isin(terms: _*))
+        .groupBy($"doc_id", $"dl", $"w").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy($"w").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfq), Seq("w"))
+        .crossJoin(broadcast(stats))
+        // norm_pm = 1000·((1−b) + b·dl/avgdl); den scaled ×1000
+        .withColumn("norm_pm", expr("250 + (750 * dl * 1000) div av_pm"))
+        .withColumn("den", expr("tf * 1000 + (1200 * norm_pm) div 1000"))
+        .withColumn("tfterm_pm", expr("(tf * 2200 * 1000) div den"))
+        .withColumn("idf_pm", expr("(1000000 * (nd - df + 1)) div (df + 1)"))
+        .withColumn("contrib", expr("(idf_pm * tfterm_pm) div 1000"))
+        .groupBy($"doc_id")
+        .agg(sum($"contrib").as("score"),
+          count(lit(1)).as("n_terms"), sum($"tf").as("n_hits"))
+        .orderBy($"score".desc, $"doc_id")
+        .limit(20)
+    }),
+
     // -- corpus word frequency: top 20 ----------------------------------
     "t02_word_freq" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -265,6 +303,42 @@ object TextAnalysis extends QueryPack {
         |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
         |      FROM documents)
         |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+
+    // integer-quantized BM25 — every division is floor on non-negative
+    // integers, so // here mirrors Spark's div exactly; SUMs cast back
+    // from HUGEINT
+    "t12_bm25_search" ->
+      """WITH dd AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+        |      AS dl,
+        |    regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+        |    CAST(SUM(dl) * 1000 // COUNT(*) AS BIGINT) AS av_pm FROM dd),
+        |tf AS (
+        |  SELECT doc_id, dl, w, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS w FROM dd)
+        |  WHERE w IN ('join', 'hash', 'scan')
+        |  GROUP BY doc_id, dl, w),
+        |dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.tf,
+        |    (SELECT 250 + (750 * tf.dl * 1000) // av_pm FROM st) AS norm_pm,
+        |    (SELECT (1000000 * (nd - dfq.df + 1)) // (dfq.df + 1) FROM st)
+        |      AS idf_pm
+        |  FROM tf JOIN dfq ON tf.w = dfq.w),
+        |co AS (
+        |  SELECT doc_id, tf,
+        |    (idf_pm * ((tf * 2200 * 1000)
+        |      // (tf * 1000 + (1200 * norm_pm) // 1000))) // 1000 AS contrib
+        |  FROM sc)
+        |SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score,
+        |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  CAST(SUM(tf) AS BIGINT) AS n_hits
+        |FROM co GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "t03_language_id" ->
       """WITH tokens AS (
