@@ -39,6 +39,27 @@ class TrianglesSpec extends AnyFunSuite {
     assert(star.getAs[Long]("cc_ppm") === 0L)
   }
 
+  test("matches brute force on hash-derived random graphs") {
+    // deterministic pseudo-random graphs (no RNG): edge (i, j) present
+    // iff a mixed hash of (seed, i, j) is even. Brute-force count in
+    // plain Scala is the ground truth.
+    for (seed <- 1 to 3) {
+      val n = 10
+      val edges = for {
+        i <- 0L until n
+        j <- (i + 1) until n
+        if ((seed * 31L + i * 7L + j * 131L) ^ (i * j + seed)) % 3 == 0
+      } yield (i, j)
+      val es = edges.toSet
+      val expected = (for {
+        x <- 0L until n; y <- (x + 1) until n; z <- (y + 1) until n
+        if es((x, y)) && es((x, z)) && es((y, z))
+      } yield 1).size
+      val got = stats(edges).getAs[Long]("n_triangles")
+      assert(got === expected.toLong, s"seed=$seed edges=$edges")
+    }
+  }
+
   test("triangle with a pendant edge counts exactly once") {
     val r = stats(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)))
     assert(r.getAs[Long]("n_triangles") === 1)
