@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
-  /** `edges`: one row per undirected edge, columns `u`, `v`, u < v,
-    * distinct, no self-loops. Returns one row: n_nodes, n_edges,
+  /** `edges`: one row per undirected edge, columns `u`, `v` (either
+    * endpoint order — orientation is re-derived from degrees, not from
+    * the stored order), distinct per unordered pair, no self-loops.
+    * Returns one row: n_nodes, n_edges,
     * n_wedges (open wedge count Σ d(d−1)/2), n_triangles, and the
     * global clustering coefficient in ppm (3·triangles/wedges).
     *
@@ -35,10 +37,10 @@ object Triangles {
     */
   def stats(edges: DataFrame): DataFrame = {
     // the edge list feeds the degree pass AND the orientation join, and
-    // the degree table feeds three consumers — un-persisted, the whole
-    // upstream edge-construction pipeline would re-execute per consumer
-    // (measured 2.5× on the g03 co-purchase build). Released by the
-    // harness' clearCache-after-query contract.
+    // the degree table feeds multiple consumers — un-persisted, the
+    // whole upstream edge-construction pipeline re-executes per
+    // consumer (g03 at sf0.1: 6.5 s → 4.3 s from these two persists).
+    // Released by the harness' clearCache-after-query contract.
     val und = edges.select(col("u"), col("v")).persist()
     val deg = und.select(col("u").as("node"))
       .unionByName(und.select(col("v").as("node")))
@@ -66,14 +68,16 @@ object Triangles {
     val closed = wedges
       .join(orient.select(col("a").as("y"), col("b").as("z")),
         Seq("y", "z"), "left_semi")
-    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    // node count and open-wedge count come from ONE pass over deg
+    val degStats = deg.agg(count(lit(1)).as("n_nodes"),
+      coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
     val nEdges = orient.agg(count(lit(1)).as("n_edges"))
-    val nWedges = deg.agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L))
-      .as("n_wedges"))
     val nTri = closed.agg(count(lit(1)).as("n_triangles"))
-    nNodes.crossJoin(nEdges).crossJoin(nWedges).crossJoin(nTri)
+    degStats.crossJoin(nEdges).crossJoin(nTri)
       .withColumn("cc_ppm",
         when(col("n_wedges") === 0, 0L)
           .otherwise(expr("3 * n_triangles * 1000000 div n_wedges")))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"), col("cc_ppm"))
   }
 }

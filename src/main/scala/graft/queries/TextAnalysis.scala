@@ -49,14 +49,17 @@ object TextAnalysis extends QueryPack {
 
     // -- BM25 keyword retrieval (integer-quantized, top 20) --------------
     // The contamination-screen / quality-retrieval shape: score every
-    // document against a keyword set with BM25 (k1=1.2, b=0.75), all
-    // arithmetic in scaled integers so the ranking is bit-identical
-    // across engines (idf and the tf saturation term are per-mille
-    // quantized; `div` = DuckDB `//` on non-negatives). Shape at
-    // 100 TB: one scan → isin filter → two keyed aggregates; the
-    // 3-term df table and the 1-row corpus stats broadcast; the final
-    // top-20 is TakeOrderedAndProject (per-partition heaps), never a
-    // global sort.
+    // document against a keyword set with BM25-style saturation
+    // (k1=1.2, b=0.75 length normalization; the idf is a LOG-FREE
+    // linear odds variant, (N−df+1)/(df+1), not ln-BM25 — rare terms
+    // weigh heavier than textbook BM25). All arithmetic in scaled
+    // integers so the ranking is bit-identical across engines (`div` =
+    // DuckDB `//` on non-negatives). Shape at 100 TB: two scans (the
+    // corpus-stats aggregate needs every doc's length, so it cannot
+    // share the isin-filtered scan) → two keyed aggregates; the 3-term
+    // df table and the 1-row corpus stats broadcast; the final top-20
+    // is TakeOrderedAndProject (per-partition heaps), never a global
+    // sort.
     "t12_bm25_search" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val terms = Seq("join", "hash", "scan")

@@ -41,8 +41,8 @@ class TrianglesSpec extends AnyFunSuite {
 
   test("matches brute force on hash-derived random graphs") {
     // deterministic pseudo-random graphs (no RNG): edge (i, j) present
-    // iff a mixed hash of (seed, i, j) is even. Brute-force count in
-    // plain Scala is the ground truth.
+    // iff a mixed hash of (seed, i, j) is divisible by 3 (~1/3 edge
+    // density). Brute-force count in plain Scala is the ground truth.
     for (seed <- 1 to 3) {
       val n = 10
       val edges = for {
