@@ -64,4 +64,30 @@ object Packing {
         expr(s"(tok_start + greatest(n_tokens, 1L) - 1L) div ${budget}L") -
           col("pack_id") + lit(1L))
   }
+
+  /** Explode a [[chunkPack]] result into the exact token slices each
+    * pack is assembled from — the materialization a training loader
+    * consumes: for every (doc, pack) intersection, which token range
+    * of the doc (`slice_start`, `slice_len`) lands at which position
+    * in the pack (`pos_in_pack`). Every pack is tiled exactly
+    * (Σ slice_len per pack = budget, except each shard's last pack);
+    * zero-token docs contribute no slice. Row-local arithmetic over
+    * the prefix sum — the explode fans out only at pack boundaries
+    * (packs_spanned is 1 for all but boundary-straddling docs), so
+    * output size is n_docs + n_boundary_crossings, not n_docs × packs.
+    */
+  def packSlices(packed: DataFrame, idCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    packed
+      .withColumn("__k", explode(expr("sequence(0L, packs_spanned - 1L)")))
+      .withColumn("__p", col("pack_id") + col("__k"))
+      .withColumn("__g0", greatest(col("tok_start"), col("__p") * budget))
+      .withColumn("__g1", least(col("tok_start") + col("n_tokens"),
+        (col("__p") + lit(1L)) * budget))
+      .filter(col("__g1") > col("__g0"))
+      .select(col("shard"), col("__p").as("pack_id"), col(idCol),
+        (col("__g0") - col("tok_start")).as("slice_start"),
+        (col("__g1") - col("__g0")).as("slice_len"),
+        (col("__g0") - col("__p") * budget).as("pos_in_pack"))
+  }
 }

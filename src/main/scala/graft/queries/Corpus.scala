@@ -79,6 +79,21 @@ object Corpus extends QueryPack {
           min($"doc_id").as("first_doc"),
           max($"packs_spanned").as("max_spanned"))
         .orderBy($"shard", $"pack_id")
+    }),
+
+    // -- pack slices: the loader-facing materialization of c04 ----------
+    // Each (doc, pack) intersection as an exact token slice: which
+    // range of the doc fills which position of which context window.
+    // Per-pack slice lengths tile the budget exactly (asserted by the
+    // oracle's full row match: slice arithmetic is pure integer).
+    "c05_pack_slices" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val packed = graft.operators.Packing.chunkPack(
+        Tables(s, dir).documents.select($"doc_id", $"text"),
+        "doc_id", size(split($"text", "\\s+")).cast("long"),
+        budget = 2048L, shards = 8, salt = "pack1")
+      graft.operators.Packing.packSlices(packed, "doc_id", budget = 2048L)
+        .orderBy($"shard", $"pack_id", $"pos_in_pack")
     })
   )
 
@@ -138,6 +153,47 @@ object Corpus extends QueryPack {
            |  CAST(MAX((tok_start + GREATEST(n_tokens, 1) - 1) // 2048
            |    - tok_start // 2048 + 1) AS BIGINT) AS max_spanned
            |FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin
+      },
+
+      // generate_series is inclusive in DuckDB, matching Spark's
+      // sequence(0, spans-1)
+      "c05_pack_slices" -> {
+        val shard = graft.operators.Packing.duckShard("doc_id", 8, "pack1")
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+           |      AS n_tokens,
+           |    $shard AS shard
+           |  FROM documents),
+           |c AS (
+           |  SELECT shard, doc_id, n_tokens,
+           |    CAST(COALESCE(SUM(n_tokens) OVER (
+           |      PARTITION BY shard ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) AS tok_start
+           |  FROM t),
+           |sp AS (
+           |  SELECT shard, doc_id, n_tokens, tok_start,
+           |    tok_start // 2048 AS pack0,
+           |    (tok_start + GREATEST(n_tokens, 1) - 1) // 2048
+           |      - tok_start // 2048 + 1 AS spans
+           |  FROM c),
+           |ex AS (
+           |  SELECT shard, doc_id, n_tokens, tok_start,
+           |    pack0 + unnest(generate_series(0, spans - 1)) AS p
+           |  FROM sp),
+           |sl AS (
+           |  SELECT shard, CAST(p AS BIGINT) AS pack_id, doc_id,
+           |    GREATEST(tok_start, p * 2048) AS g0,
+           |    LEAST(tok_start + n_tokens, (p + 1) * 2048) AS g1,
+           |    tok_start
+           |  FROM ex)
+           |SELECT shard, pack_id, doc_id,
+           |  CAST(g0 - tok_start AS BIGINT) AS slice_start,
+           |  CAST(g1 - g0 AS BIGINT) AS slice_len,
+           |  CAST(g0 - pack_id * 2048 AS BIGINT) AS pos_in_pack
+           |FROM sl WHERE g1 > g0
+           |ORDER BY shard, pack_id, pos_in_pack""".stripMargin
       }
     )
   }

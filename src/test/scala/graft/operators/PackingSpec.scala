@@ -45,6 +45,32 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("pack slices tile every pack exactly (full packs sum to budget)") {
+    import spark.implicits._
+    val packed = Packing.chunkPack(docs, "doc_id", $"toks",
+      budget = 256L, shards = 4, salt = "t")
+    val slices = Packing.packSlices(packed, "doc_id", budget = 256L)
+    // per pack: slice lengths sum to 256 for every pack except each
+    // shard's last, and slices start at pos 0 with no gaps
+    val perPack = slices.groupBy($"shard", $"pack_id")
+      .agg(sum($"slice_len").as("filled"), min($"pos_in_pack").as("first"),
+        max($"pos_in_pack" + $"slice_len").as("end"))
+      .collect()
+    val lastPack = perPack.groupBy(_.getAs[Long]("shard"))
+      .map { case (s, rows) => s -> rows.map(_.getAs[Long]("pack_id")).max }
+    perPack.foreach { r =>
+      val full = lastPack(r.getAs[Long]("shard")) != r.getAs[Long]("pack_id")
+      assert(r.getAs[Long]("first") === 0L, r.toString)
+      assert(r.getAs[Long]("end") === r.getAs[Long]("filled"), r.toString)
+      if (full) assert(r.getAs[Long]("filled") === 256L, r.toString)
+      else assert(r.getAs[Long]("filled") <= 256L, r.toString)
+    }
+    // token conservation: total sliced == total tokens
+    val total = slices.agg(sum($"slice_len")).head().getLong(0)
+    val expected = docs.agg(sum($"toks")).head().getLong(0)
+    assert(total === expected)
+  }
+
   test("assignment is independent of input partitioning") {
     import spark.implicits._
     val cols = Seq("doc_id", "shard", "n_tokens", "tok_start", "pack_id")
