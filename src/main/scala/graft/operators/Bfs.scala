@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-source breadth-first search over an undirected pair graph:
+  * exact hop distances from a seed set, bounded by `maxHops`. The
+  * graph-neighborhood primitive of the pipeline's graph surface
+  * (complements [[Clusters]] / [[PageRank]] / [[Triangles]]): "which
+  * nodes sit within k hops of this set" drives contamination blast-
+  * radius checks and seed-expansion sampling over the dup graph.
+  *
+  * Scale notes (100 TB):
+  *   - The symmetric edge list is built in ONE pass (explode of both
+  *     directions), hash-partitioned on the join key once, and
+  *     persisted — every round streams edges straight from cache and
+  *     shuffles only the (far smaller) frontier, the same loop-
+  *     invariant discipline as [[Clusters.connectedComponents]].
+  *   - Each round is frontier ⋈ edges (SHUFFLE_HASH — never sort the
+  *     edge list) → distinct → anti-join against the visited set:
+  *     cost per round is proportional to the frontier's edge
+  *     boundary, never to the graph.
+  *   - Levels are `localCheckpoint`ed so the plan stays flat across
+  *     rounds; on a cluster swap for fault-tolerant `checkpoint()`.
+  *   - BFS visits each node at its first (= minimum-hop) level, so
+  *     the result equals shortest-path distance, capped at `maxHops`.
+  */
+object Bfs {
+
+  private def shufflePartitions(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
+  /** `(id, dist)` for every node reachable from `seeds` within
+    * `maxHops` hops of the undirected graph `edges`; dist 0 = the
+    * seeds themselves. Seeds absent from the edge list still appear
+    * at dist 0 (callers pass graph-restricted seeds when that
+    * matters); null endpoints are dropped.
+    */
+  def distances(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val sym = edges
+      .select(explode(array(
+        struct(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst")),
+        struct(col(dstCol).cast("long").as("src"),
+          col(srcCol).cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .repartition(shufflePartitions(edges), col("src"))
+      .persist()
+
+    var visited = seeds.select(col("id").cast("long").as("id"))
+      .filter(col("id").isNotNull).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var frontier = visited.select(col("id"))
+    try {
+      var h = 1
+      var exhausted = false
+      while (h <= maxHops && !exhausted) {
+        val next = sym
+          .join(frontier.select(col("id").as("src")).hint("SHUFFLE_HASH"),
+            "src")
+          .select(col("dst").as("id")).distinct()
+          .join(visited.hint("SHUFFLE_HASH"), Seq("id"), "left_anti")
+          .withColumn("dist", lit(h.toLong))
+          .localCheckpoint(true)
+        exhausted = next.isEmpty
+        if (!exhausted) {
+          visited = visited.union(next).localCheckpoint(true)
+          frontier = next.select(col("id"))
+        }
+        h += 1
+      }
+    } finally {
+      sym.unpersist(blocking = false)
+    }
+    visited
+  }
+}

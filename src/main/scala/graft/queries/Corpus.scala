@@ -81,6 +81,32 @@ object Corpus extends QueryPack {
         .orderBy($"shard", $"pack_id")
     }),
 
+    // -- temperature-scaled domain mixing weights -----------------------
+    // The standard multi-domain sampling schedule (alpha = 0.5): each
+    // source's sampling weight is sqrt(token count), flattening the
+    // natural mixture toward the tail domains. floor(sqrt(bigint)) on
+    // an IEEE double is correctly rounded in both engines, so the
+    // weights — and the integer ppm shares and token budgets derived
+    // from them — are bit-exact. Shape at 100 TB: one scan → one
+    // source-keyed aggregate (map-side combinable); the 20-row totals
+    // frame broadcasts into the share projection.
+    "c06_temperature_mix" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val bySrc = Tables(s, dir).documents
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split($"text", "\\s+"))).cast("long").as("n_tokens"))
+        .withColumn("w", floor(sqrt($"n_tokens".cast("double"))).cast("long"))
+      val totals = bySrc.agg(sum($"n_tokens").as("tot_tokens"),
+        sum($"w").as("tot_w"))
+      bySrc.crossJoin(broadcast(totals))
+        .select($"source", $"n_docs", $"n_tokens",
+          expr("n_tokens * 1000000 div tot_tokens").as("raw_share_ppm"),
+          expr("w * 1000000 div tot_w").as("temp_share_ppm"),
+          expr("(1000000000 * w) div tot_w").as("target_tokens"))
+        .orderBy($"source")
+    }),
+
     // -- pack slices: the loader-facing materialization of c04 ----------
     // Each (doc, pack) intersection as an exact token slice: which
     // range of the doc fills which position of which context window.
@@ -154,6 +180,28 @@ object Corpus extends QueryPack {
            |    - tok_start // 2048 + 1) AS BIGINT) AS max_spanned
            |FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin
       },
+
+      // SUM(BIGINT) is HUGEINT in DuckDB — cast totals back to BIGINT
+      // before the integer divisions
+      "c06_temperature_mix" ->
+        """WITH bysrc AS (
+          |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |    CAST(SUM(len(regexp_split_to_array(text, '\s+'))) AS BIGINT)
+          |      AS n_tokens
+          |  FROM documents GROUP BY source),
+          |w AS (
+          |  SELECT source, n_docs, n_tokens,
+          |    CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w
+          |  FROM bysrc),
+          |tot AS (
+          |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+          |    CAST(SUM(w) AS BIGINT) AS tot_w FROM w)
+          |SELECT source, n_docs, n_tokens,
+          |  CAST(n_tokens * 1000000 // tot_tokens AS BIGINT)
+          |    AS raw_share_ppm,
+          |  CAST(w * 1000000 // tot_w AS BIGINT) AS temp_share_ppm,
+          |  CAST((1000000000 * w) // tot_w AS BIGINT) AS target_tokens
+          |FROM w, tot ORDER BY source""".stripMargin,
 
       // generate_series is inclusive in DuckDB, matching Spark's
       // sequence(0, spans-1)

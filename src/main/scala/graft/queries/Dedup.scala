@@ -228,6 +228,31 @@ object Dedup extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // -- duplicated-span profile: cross-doc repeated 8-grams ------------
+    // The exact-substring-dedup signal (Lee et al.'s "Deduplicating
+    // Training Data Makes Language Models Better" shape): how much of
+    // each document's 8-gram set also appears in some OTHER document.
+    // The inverted 8-shingle index is aggregated to a per-hash
+    // document frequency, then joined back — two keyed aggregates and
+    // one co-keyed join on the hash, no pair explosion anywhere (this
+    // profiles spans, it never enumerates doc pairs). Docs shorter
+    // than 8 tokens have no 8-grams and drop out on both sides.
+    "d09_span_dedup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val sh = graft.operators.TextDedup
+        .shingleHashes(Tables(s, dir).documents, "doc_id", "text", n = 8)
+        .persist()
+      val dfh = sh.groupBy($"h").agg(count(lit(1)).as("df"))
+      sh.join(dfh, Seq("h"))
+        .groupBy($"id".as("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+        .select($"doc_id", $"n_grams", $"n_dup_grams",
+          expr("n_dup_grams * 1000 div n_grams").as("dup_span_pm"))
+        .withColumn("near_exact_dup", $"dup_span_pm" >= 500)
+        .orderBy($"doc_id")
+    }),
+
     "d05_simhash" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       graft.operators.TextDedup
@@ -299,6 +324,33 @@ object Dedup extends QueryPack {
            |FROM sh5 JOIN split USING (doc_id) JOIN ev ON sh5.h = ev.h
            |WHERE split.b < 800
            |GROUP BY sh5.doc_id ORDER BY sh5.doc_id""".stripMargin
+      },
+
+      // same tokenization/shingling pipeline as d08, n = 8; SUMs cast
+      // back from HUGEINT
+      "d09_span_dedup" -> {
+        val eight = (0 until 8).map(j => s"t[i+$j]").mkString(", ")
+        s"""WITH toks AS (
+           |  SELECT doc_id,
+           |    string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+           |      ' ') AS t
+           |  FROM documents),
+           |sh8 AS (
+           |  SELECT doc_id, ${duckHash56("s")} AS h FROM (
+           |    SELECT doc_id, unnest(list_distinct(
+           |      list_transform(generate_series(1, len(t) - 7),
+           |        i -> concat_ws(' ', $eight)))) AS s
+           |    FROM toks)),
+           |dfh AS (SELECT h, COUNT(*) AS df FROM sh8 GROUP BY h),
+           |per AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           |    CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_dup_grams
+           |  FROM sh8 JOIN dfh USING (h) GROUP BY doc_id)
+           |SELECT doc_id, n_grams, n_dup_grams,
+           |  CAST(n_dup_grams * 1000 // n_grams AS BIGINT) AS dup_span_pm,
+           |  (n_dup_grams * 1000 // n_grams >= 500) AS near_exact_dup
+           |FROM per ORDER BY doc_id""".stripMargin
       },
 
       "d01_exact_dedup" ->

@@ -52,6 +52,25 @@ object Graphs extends QueryPack {
         .orderBy($"deg")
     }),
 
+    // -- G4: multi-source BFS hop profile -------------------------------
+    // Blast-radius query: how far do the first ten customers reach
+    // through the (undirected) trade graph in ≤ 4 hops? The graph is
+    // bipartite, so even levels are customers and odd levels
+    // suppliers; the per-level histogram with min/max node ids pins
+    // the exact frontier contents. [[graft.operators.Bfs]] shuffles
+    // only the frontier per round — the edge list is cache-partitioned
+    // once, the same loop-invariant shape as PageRank/CC.
+    "g04_bfs_distance" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val edges = tradeEdges(s, dir)
+      val seeds = edges.filter($"src" <= 10).select($"src".as("id"))
+      graft.operators.Bfs.distances(edges, seeds, maxHops = 4)
+        .groupBy($"dist")
+        .agg(count(lit(1)).as("n_nodes"),
+          min($"id").as("min_id"), max($"id").as("max_id"))
+        .orderBy($"dist")
+    }),
+
     // -- G3: exact triangle count on the co-purchase graph --------------
     // The trade graph is bipartite (zero triangles by construction), so
     // triangles live on its projection: same-nation suppliers that
@@ -111,6 +130,32 @@ object Graphs extends QueryPack {
            |${iterCte(2)},
            |${iterCte(3)}
            |SELECT id, rank_ppm FROM r3 ORDER BY id""".stripMargin,
+
+      // recursive reach bounded by d < 4; UNION (distinct) dedups
+      // (id, d) pairs so the recursion terminates on the cyclic graph;
+      // MIN(d) per id = BFS level
+      "g04_bfs_distance" ->
+        s"""WITH RECURSIVE edges0 AS (
+           |  SELECT DISTINCT o_custkey AS src,
+           |    l_suppkey + $SupplierOffset AS dst
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |edges AS (
+           |  SELECT src, dst FROM edges0
+           |  UNION SELECT dst, src FROM edges0),
+           |seeds AS (
+           |  SELECT DISTINCT src AS id FROM edges0 WHERE src <= 10),
+           |reach(id, d) AS (
+           |  SELECT id, 0 FROM seeds
+           |  UNION
+           |  SELECT e.dst, r.d + 1
+           |  FROM reach r JOIN edges e ON e.src = r.id WHERE r.d < 4),
+           |dist AS (
+           |  SELECT id, MIN(d) AS dist FROM reach GROUP BY id)
+           |SELECT CAST(dist AS BIGINT) AS dist,
+           |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           |  CAST(MIN(id) AS BIGINT) AS min_id,
+           |  CAST(MAX(id) AS BIGINT) AS max_id
+           |FROM dist GROUP BY dist ORDER BY dist""".stripMargin,
 
       "g02_degree_histogram" ->
         s"""WITH edges AS (

@@ -88,6 +88,39 @@ object TextAnalysis extends QueryPack {
         .limit(20)
     }),
 
+    // -- repetition stats: the Gopher-style repetition filters ----------
+    // Per-doc duplicate-token fraction, duplicate-2-gram fraction and
+    // top-token fraction (all integer per-mille), plus the keep/drop
+    // decision a quality-filtering stage would make. The token and
+    // 2-gram ratios are row-local array arithmetic (no shuffle at
+    // all); the top-token count is the one aggregate — explode → two
+    // map-side-combinable keyed aggregates, then a co-keyed join back
+    // to the row-local stats. Shape at 100 TB: one scan + one
+    // doc_id-keyed exchange, independent of corpus size.
+    "t13_repetition_stats" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+        .withColumn("toks", split(lower($"text"), "\\s+"))
+        .withColumn("g2", shingleExpr("toks", 2))
+      val base = docs.select($"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        size(array_distinct($"toks")).cast("long").as("nd"),
+        size($"g2").cast("long").as("n2"),
+        size(array_distinct($"g2")).cast("long").as("nd2"))
+      val top = docs
+        .select($"doc_id", explode($"toks").as("w"))
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("cnt"))
+        .groupBy($"doc_id").agg(max($"cnt").as("top_cnt"))
+      base.join(top, "doc_id")
+        .select($"doc_id", $"n_tokens",
+          expr("(n_tokens - nd) * 1000 div n_tokens").as("dup_token_pm"),
+          expr("(n2 - nd2) * 1000 div greatest(n2, 1)").as("dup_2gram_pm"),
+          expr("top_cnt * 1000 div n_tokens").as("top_token_pm"))
+        .withColumn("keep_doc",
+          $"dup_2gram_pm" < 200 && $"top_token_pm" < 200)
+        .orderBy($"doc_id")
+    }),
+
     // -- corpus word frequency: top 20 ----------------------------------
     "t02_word_freq" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -342,6 +375,38 @@ object TextAnalysis extends QueryPack {
         |  CAST(SUM(tf) AS BIGINT) AS n_hits
         |FROM co GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // 2-grams: range(1, len) is [1, len-1] in DuckDB, so toks[i] ||
+    // ' ' || toks[i+1] mirrors Spark's transform(sequence(0, n-2),
+    // concat_ws(' ', slice(..))) exactly; all ratios are floor
+    // division on non-negatives (// = Spark div)
+    "t13_repetition_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+        |    CAST(len(toks) - 1 AS BIGINT) AS n2,
+        |    CAST(len(list_distinct(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1]))) AS BIGINT) AS nd2
+        |  FROM t),
+        |top AS (
+        |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_cnt
+        |  FROM (SELECT doc_id, w, COUNT(*) AS c
+        |        FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+        |        GROUP BY doc_id, w)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id, b.n AS n_tokens,
+        |  CAST((b.n - b.nd) * 1000 // b.n AS BIGINT) AS dup_token_pm,
+        |  CAST((b.n2 - b.nd2) * 1000 // GREATEST(b.n2, 1) AS BIGINT)
+        |    AS dup_2gram_pm,
+        |  CAST(top_cnt * 1000 // b.n AS BIGINT) AS top_token_pm,
+        |  ((b.n2 - b.nd2) * 1000 // GREATEST(b.n2, 1) < 200
+        |    AND top_cnt * 1000 // b.n < 200) AS keep_doc
+        |FROM base b JOIN top USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "t03_language_id" ->
       """WITH tokens AS (
