@@ -157,6 +157,72 @@ object VectorSearch {
     centroids
   }
 
+  /** Product-quantization sub-codebook from the exploded labeled
+    * vector table `(id, label, dim, v)`: per-(subspace, code, dim)
+    * floor-quantized means, where subspace = `dim div subDims` and
+    * the training partition (→ code) is the label column. 10 labels ×
+    * 64 dims stays a few hundred rows — broadcast at any corpus
+    * scale. (For unlabeled corpora, train codes per subspace with
+    * [[kmeansQuantized]] instead; serving shape is identical.)
+    */
+  def pqCodebook(byDimLabeled: DataFrame, subDims: Int): DataFrame =
+    byDimLabeled
+      .groupBy((col("dim") / subDims).cast("long").as("sub"),
+        col("label").cast("long").as("code"), col("dim"))
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+        .cast("long").as("cv"))
+
+  /** PQ encoding: each vector's nearest code per subspace, with the
+    * sub-distortion — `(id, sub, code, dist2)`. One broadcast join +
+    * one keyed aggregate + one per-(id, sub) argmin; the output is
+    * M·log2(k) bits per vector where the input was d floats — the
+    * compression that makes billion-scale ANN serviceable from RAM.
+    */
+  def pqEncode(byDim: DataFrame, codebook: DataFrame,
+      subDims: Int): DataFrame = {
+    val w = Window.partitionBy(col("id"), col("sub"))
+      .orderBy(col("dist2"), col("code"))
+    byDim
+      .withColumn("sub", (col("dim") / subDims).cast("long"))
+      .join(broadcast(codebook), Seq("sub", "dim"))
+      .groupBy(col("id"), col("sub"), col("code"))
+      .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist2"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("id"), col("sub"), col("code"), col("dist2"))
+  }
+
+  /** Asymmetric-distance top-k over PQ codes: full-precision queries
+    * `(id, dim, v)` against the encoded corpus `(id, sub, code)`.
+    * Builds the per-query lookup table (query × subspace × code →
+    * exact integer sub-distance to that sub-centroid), then scores
+    * every corpus vector by summing M table lookups — the classic ADC
+    * of Jégou et al. 2011. Scale shape: the LUT is
+    * queries × M × k rows (tiny → broadcast); scoring is one
+    * broadcast join + keyed aggregate over the CODES table, never
+    * touching the original vectors.
+    */
+  def pqAdcTopK(queryByDim: DataFrame, codes: DataFrame,
+      codebook: DataFrame, subDims: Int, k: Int): DataFrame = {
+    val lut = queryByDim
+      .withColumn("sub", (col("dim") / subDims).cast("long"))
+      .join(broadcast(codebook), Seq("sub", "dim"))
+      .groupBy(col("id").as("query_id"), col("sub"), col("code"))
+      .agg(sum((col("v") - col("cv")) * (col("v") - col("cv")))
+        .as("sub_dist2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist2"), col("neighbor_id"))
+    codes.select(col("id").as("neighbor_id"), col("sub"), col("code"))
+      .join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("sub_dist2")).as("adist2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("adist2"))
+  }
+
   /** Near-duplicate pairs above a cosine threshold, evaluated as the
     * exact integer inequality `dot > 0 ∧ dot²·den ≥ num·|a|²·|b|²`
     * for threshold² = num/den — no float comparison anywhere.

@@ -164,6 +164,57 @@ object Similarity extends QueryPack {
         .orderBy($"recall_at_3")
     }),
 
+    // -- product quantization: encode the corpus into M×log2(k) bits ----
+    // PQ splits each 64-d vector into 4 subspaces of 16 dims and
+    // stores only the id of the nearest sub-centroid per subspace
+    // (codebook = per-label sub-means, the same labeled coarse
+    // quantizer as s03/s05). Output = the 4 codes + total distortion
+    // per vector — the compressed representation ADC search (s08)
+    // serves from. 4 codes ≤ 4 bytes vs 256 bytes of floats: the
+    // compression that keeps a billion-vector index in memory.
+    "s07_pq_encode" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.VectorSearch
+      val emb = VectorSearch.quantize(Tables(s, dir).embeddings, "embedding")
+        .select($"vec_id", $"label", $"eq")
+      val byDim = emb.select($"vec_id".as("id"), $"label",
+        posexplode($"eq").as(Seq("dim", "v")))
+      val book = VectorSearch.pqCodebook(byDim, subDims = 16)
+      val enc = VectorSearch.pqEncode(
+        byDim.select($"id", $"dim", $"v"), book, subDims = 16)
+      enc.groupBy($"id".as("vec_id"))
+        .agg(max(when($"sub" === 0, $"code")).as("c0"),
+          max(when($"sub" === 1, $"code")).as("c1"),
+          max(when($"sub" === 2, $"code")).as("c2"),
+          max(when($"sub" === 3, $"code")).as("c3"),
+          sum($"dist2").as("err2"))
+        .orderBy($"vec_id")
+    }),
+
+    // -- ADC search: asymmetric-distance top-3 over the PQ codes --------
+    // The serving half of PQ (Jégou et al. 2011): queries stay full
+    // precision; each builds a 4×10 lookup table of exact integer
+    // sub-distances to every sub-centroid, and corpus vectors are
+    // scored by summing 4 table hits on their CODES — the original
+    // vectors are never touched at query time. LUT broadcasts; the
+    // scan is over the 16-byte-per-vector code table.
+    "s08_pq_adc_topk" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.VectorSearch
+      val emb = VectorSearch.quantize(Tables(s, dir).embeddings, "embedding")
+        .select($"vec_id", $"label", $"eq")
+      val byDim = emb.select($"vec_id".as("id"), $"label",
+        posexplode($"eq").as(Seq("dim", "v"))).persist()
+      val book = VectorSearch.pqCodebook(byDim, subDims = 16)
+        .persist()
+      val codes = VectorSearch.pqEncode(
+        byDim.select($"id", $"dim", $"v"), book, subDims = 16)
+      VectorSearch.pqAdcTopK(
+          byDim.filter($"id" < 100).select($"id", $"dim", $"v"),
+          codes, book, subDims = 16, k = 3)
+        .orderBy($"query_id", $"rank")
+    }),
+
     // -- per-label centroid distance: vector agg + argmin ---------------
     // Quantized per-dimension mean (integer division by count) keeps
     // centroids portable; assignment = argmin of exact integer distance.
@@ -349,6 +400,79 @@ object Similarity extends QueryPack {
         |SELECT query_id, neighbor_id, rank, dot FROM (
         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY dot DESC, neighbor_id) AS INTEGER) AS rank FROM p) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // shared PQ pipeline: subspace = dim // 16, codebook = per-label
+    // sub-means (floor-quantized like s03), encode = argmin per
+    // (id, sub) with ties to the lower code
+    "s07_pq_encode" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS eq
+        |  FROM embeddings),
+        |bd AS (
+        |  SELECT vec_id, label, i - 1 AS dim, eq[i] AS v
+        |  FROM e CROSS JOIN LATERAL
+        |    (SELECT unnest(generate_series(1, len(eq))) AS i)),
+        |book AS (
+        |  SELECT dim // 16 AS sub, CAST(label AS BIGINT) AS code, dim,
+        |    CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+        |  FROM bd GROUP BY sub, code, dim),
+        |sd AS (
+        |  SELECT bd.vec_id AS id, book.sub, book.code,
+        |    CAST(SUM((bd.v - book.cv) * (bd.v - book.cv)) AS BIGINT)
+        |      AS dist2
+        |  FROM bd JOIN book ON bd.dim = book.dim
+        |  GROUP BY id, book.sub, book.code),
+        |enc AS (
+        |  SELECT id, sub, code, dist2 FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id, sub
+        |      ORDER BY dist2, code) AS rk FROM sd) t
+        |  WHERE rk = 1)
+        |SELECT id AS vec_id,
+        |  MAX(CASE WHEN sub = 0 THEN code END) AS c0,
+        |  MAX(CASE WHEN sub = 1 THEN code END) AS c1,
+        |  MAX(CASE WHEN sub = 2 THEN code END) AS c2,
+        |  MAX(CASE WHEN sub = 3 THEN code END) AS c3,
+        |  CAST(SUM(dist2) AS BIGINT) AS err2
+        |FROM enc GROUP BY id ORDER BY vec_id""".stripMargin,
+
+    "s08_pq_adc_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS eq
+        |  FROM embeddings),
+        |bd AS (
+        |  SELECT vec_id, label, i - 1 AS dim, eq[i] AS v
+        |  FROM e CROSS JOIN LATERAL
+        |    (SELECT unnest(generate_series(1, len(eq))) AS i)),
+        |book AS (
+        |  SELECT dim // 16 AS sub, CAST(label AS BIGINT) AS code, dim,
+        |    CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+        |  FROM bd GROUP BY sub, code, dim),
+        |sd AS (
+        |  SELECT bd.vec_id AS id, book.sub, book.code,
+        |    CAST(SUM((bd.v - book.cv) * (bd.v - book.cv)) AS BIGINT)
+        |      AS dist2
+        |  FROM bd JOIN book ON bd.dim = book.dim
+        |  GROUP BY id, book.sub, book.code),
+        |enc AS (
+        |  SELECT id, sub, code FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id, sub
+        |      ORDER BY dist2, code) AS rk FROM sd) t
+        |  WHERE rk = 1),
+        |lut AS (
+        |  SELECT id AS query_id, sub, code, dist2 AS sub_dist2
+        |  FROM sd WHERE id < 100),
+        |sc AS (
+        |  SELECT l.query_id, c.id AS neighbor_id,
+        |    CAST(SUM(l.sub_dist2) AS BIGINT) AS adist2
+        |  FROM enc c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+        |  WHERE l.query_id <> c.id
+        |  GROUP BY l.query_id, c.id)
+        |SELECT query_id, neighbor_id, rank, adist2 FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY adist2, neighbor_id) AS INTEGER) AS rank FROM sc) t
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "s03_centroid_assign" ->

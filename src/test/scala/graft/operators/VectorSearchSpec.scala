@@ -69,4 +69,82 @@ class VectorSearchSpec extends AnyFunSuite {
       }, s"inertia not non-increasing: $inertias")
     } finally vecs.unpersist()
   }
+
+  test("PQ encode matches a brute-force per-subspace argmin model") {
+    import spark.implicits._
+    val labeled = VectorSearch.quantize(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+        "embedding")
+      .select($"vec_id".as("id"), $"label",
+        posexplode($"eq").as(Seq("dim", "v")))
+    val subDims = 16
+    val rows = labeled.collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("label").longValue(),
+        r.getInt(2), r.getLong(3)))
+    // model codebook: per (sub, label, dim) floored mean
+    val book = rows.groupBy(t => (t._3 / subDims, t._2, t._3))
+      .map { case ((sub, code, dim), vs) =>
+        (sub, code, dim) ->
+          math.floor(vs.map(_._4).sum.toDouble / vs.size).toLong
+      }
+    val codesByLabel = rows.map(_._2).distinct.sorted
+    // model encode: argmin over codes of the sub-distance, tie → low code
+    val expected = rows.groupBy(_._1).map { case (id, vs) =>
+      id -> (0 until 4).map { sub =>
+        codesByLabel.map { code =>
+          val d2 = vs.filter(_._3 / subDims == sub)
+            .map(t => { val d = t._4 - book((sub, code, t._3)); d * d }).sum
+          (d2, code)
+        }.min
+      }
+    }
+    val got = VectorSearch.pqEncode(
+        labeled.select($"id", $"dim", $"v"),
+        VectorSearch.pqCodebook(labeled, subDims), subDims)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).toSeq
+          .map(r => (r.getLong(3), r.getLong(2)))
+      }
+    assert(got === expected)
+  }
+
+  test("ADC distance equals the sum of encoded sub-distances") {
+    import spark.implicits._
+    // self-query sanity: scoring the corpus against ITS OWN lut means
+    // adist2(q, n) = Σ_sub lut(q, code_n(sub)) — check one query's
+    // top-1 against a hand-summed model
+    val labeled = VectorSearch.quantize(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+        "embedding")
+      .select($"vec_id".as("id"), $"label",
+        posexplode($"eq").as(Seq("dim", "v")))
+    val book = VectorSearch.pqCodebook(labeled, 16).persist()
+    val byDim = labeled.select($"id", $"dim", $"v").persist()
+    try {
+      val codes = VectorSearch.pqEncode(byDim, book, 16).persist()
+      val top = VectorSearch.pqAdcTopK(
+          byDim.filter($"id" === 0L), codes, book, 16, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getLong(3)))
+      assert(top.length === 3)
+      assert(top.map(_._3).toSeq === Seq(1, 2, 3))
+      // model: lut from query 0's sub-distances × every vector's codes
+      val lut = byDim.filter($"id" === 0L)
+        .withColumn("sub", ($"dim" / 16).cast("long"))
+        .join(broadcast(book), Seq("sub", "dim"))
+        .groupBy($"sub", $"code")
+        .agg(sum(($"v" - $"cv") * ($"v" - $"cv")).as("d2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val allScores = codes.filter($"id" =!= 0L).collect()
+        .groupBy(_.getLong(0))
+        .map { case (id, rs) =>
+          id -> rs.map(r => lut((r.getLong(1), r.getLong(2)))).sum
+        }
+      val bestModel = allScores.toSeq.sortBy(t => (t._2, t._1)).take(3)
+      assert(top.map(t => (t._2, t._4)).toSeq === bestModel)
+    } finally { book.unpersist(); byDim.unpersist() }
+  }
 }
