@@ -107,6 +107,23 @@ object Corpus extends QueryPack {
         .orderBy($"source")
     }),
 
+    // -- weighted systematic sample: k docs per source by char mass ----
+    // The "pick k representative documents per domain, long docs
+    // proportionally more often" selection step (labeling/eval-set
+    // assembly). Selection positions are the k midpoints of the
+    // per-source cumulative n_chars axis — pure integer arithmetic,
+    // no RNG and no pow/log ([[graft.operators.Sampling]]
+    // weightedSystematic), so the sample is bit-stable across engines
+    // and cluster sizes.
+    "c07_weighted_sample" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.operators.Sampling.weightedSystematic(
+          Tables(s, dir).documents.select($"doc_id", $"source", $"n_chars"),
+          stratum = "source", order = "doc_id", weight = "n_chars", k = 3)
+        .select($"source", $"sample_idx", $"doc_id", $"n_chars")
+        .orderBy($"source", $"sample_idx")
+    }),
+
     // -- pack slices: the loader-facing materialization of c04 ----------
     // Each (doc, pack) intersection as an exact token slice: which
     // range of the doc fills which position of which context window.
@@ -202,6 +219,26 @@ object Corpus extends QueryPack {
           |  CAST(w * 1000000 // tot_w AS BIGINT) AS temp_share_ppm,
           |  CAST((1000000000 * w) // tot_w AS BIGINT) AS target_tokens
           |FROM w, tot ORDER BY source""".stripMargin,
+
+      // window SUM(BIGINT) is HUGEINT in DuckDB — cast the cumulative
+      // and total back to BIGINT before the position arithmetic
+      "c07_weighted_sample" ->
+        """WITH c AS (
+          |  SELECT source, doc_id, n_chars,
+          |    CAST(SUM(n_chars) OVER (PARTITION BY source
+          |      ORDER BY doc_id) AS BIGINT) AS cum_end
+          |  FROM documents),
+          |t AS (
+          |  SELECT source, MAX(cum_end) AS w FROM c GROUP BY source),
+          |p AS (
+          |  SELECT source, CAST(i AS BIGINT) AS sample_idx,
+          |    (w * (2 * i + 1)) // 6 AS tpos
+          |  FROM t CROSS JOIN LATERAL
+          |    (SELECT unnest(generate_series(0, 2)) AS i))
+          |SELECT p.source, p.sample_idx, c.doc_id, c.n_chars
+          |FROM p JOIN c ON p.source = c.source
+          |  AND p.tpos >= c.cum_end - c.n_chars AND p.tpos < c.cum_end
+          |ORDER BY p.source, p.sample_idx""".stripMargin,
 
       // generate_series is inclusive in DuckDB, matching Spark's
       // sequence(0, spans-1)

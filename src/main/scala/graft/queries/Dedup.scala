@@ -289,6 +289,49 @@ object Dedup extends QueryPack {
         .select($"v1", $"v2", $"dot",
           expr("dot * 1000000 div n1").as("rel_n1_ppm"))
         .orderBy($"v1", $"v2")
+    }),
+
+    // -- SemDeDup: semantic dedup inside coarse-quantizer cells ---------
+    // The SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540):
+    // cluster the corpus embeddings with a coarse quantizer, then
+    // compare pairs ONLY inside a cell and drop all but one member of
+    // each ε-ball — pairwise cost falls from corpus² to Σ cell².
+    // Here the quantizer is the per-label centroid assignment (the
+    // same deterministic cells s03/s05 serve from; production would
+    // train them with VectorSearch.kmeansQuantized — identical shape),
+    // the ε-ball test is the exact-integer cosine ≥ 0.3 of
+    // nearDupPairs, and the keep rule is lowest-vec_id-wins (a vector
+    // is pruned iff a lower-id neighbor in its cell clears the
+    // threshold). Output = the per-cell dedup ledger.
+    // Scale: assignment is a broadcast join + combinable aggregate;
+    // pairs meet only within a cell (at rest: partition by cell).
+    "d10_semdedup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.VectorSearch
+      val emb = VectorSearch.quantize(Tables(s, dir).embeddings, "embedding")
+        .select($"vec_id", $"label", $"eq").persist()
+      val byDim = emb.select($"vec_id".as("id"), $"label",
+        posexplode($"eq").as(Seq("dim", "v")))
+      val cent = byDim.groupBy($"label".as("cell"), $"dim")
+        .agg(floor(sum($"v").cast("double") / count(lit(1))).cast("long")
+          .as("cv"))
+      val assign = VectorSearch.nearestCells(
+        byDim.select($"id", $"dim", $"v"), cent, nprobe = 1)
+      val vecs = emb
+        .join(assign.select($"id".as("vec_id"), $"cell"), "vec_id")
+        .select($"vec_id", $"eq", $"cell".as("bucket"))
+      val pruned = VectorSearch
+        .nearDupPairs(vecs, cos2Num = 9, cos2Den = 100)
+        .select($"v2".as("vec_id")).distinct()
+        .withColumn("is_pruned", lit(1L))
+      vecs.select($"vec_id", $"bucket".as("cell"))
+        .join(pruned, Seq("vec_id"), "left")
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(coalesce($"is_pruned", lit(0L))).as("n_pruned"),
+          (count(lit(1)) - sum(coalesce($"is_pruned", lit(0L))))
+            .as("n_kept"))
+        .orderBy($"cell")
     })
   )
 
@@ -456,7 +499,54 @@ object Dedup extends QueryPack {
           |SELECT v1, v2, CAST(dot AS BIGINT) AS dot,
           |  CAST(dot * 1000000 // n1 AS BIGINT) AS rel_n1_ppm
           |FROM p WHERE dot > 0 AND dot * dot * 4 >= n1 * n2
-          |ORDER BY v1, v2""".stripMargin
+          |ORDER BY v1, v2""".stripMargin,
+
+      // the coarse-quantizer CTEs mirror s03/s05; the pair predicate
+      // mirrors d06 with cell blocking and cos >= 0.3 (dot²·100 ≥
+      // 9·|a|²·|b|², HUGEINT-exact in DuckDB)
+      "d10_semdedup" ->
+        """WITH e AS (
+          |  SELECT vec_id, label, list_transform(embedding,
+          |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS eq
+          |  FROM embeddings),
+          |bd AS (
+          |  SELECT vec_id, label, i - 1 AS dim, eq[i] AS v
+          |  FROM e CROSS JOIN LATERAL
+          |    (SELECT unnest(generate_series(1, len(eq))) AS i)),
+          |cent AS (
+          |  SELECT label AS cell, dim,
+          |    CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+          |  FROM bd GROUP BY label, dim),
+          |dist AS (
+          |  SELECT bd.vec_id, cent.cell,
+          |    SUM((bd.v - cent.cv) * (bd.v - cent.cv)) AS dist2
+          |  FROM bd JOIN cent ON bd.dim = cent.dim
+          |  GROUP BY bd.vec_id, cent.cell),
+          |ranked AS (
+          |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+          |    ORDER BY dist2, cell) AS rk FROM dist),
+          |assign AS (SELECT vec_id, cell FROM ranked WHERE rk = 1),
+          |qn AS (
+          |  SELECT e.vec_id, a.cell, e.eq,
+          |    list_sum(list_transform(generate_series(1, len(eq)),
+          |      i -> eq[i] * eq[i])) AS nrm
+          |  FROM e JOIN assign a USING (vec_id)),
+          |p AS (
+          |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+          |    list_sum(list_transform(generate_series(1, len(a.eq)),
+          |      i -> a.eq[i] * b.eq[i])) AS dot,
+          |    a.nrm AS n1, b.nrm AS n2
+          |  FROM qn a JOIN qn b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+          |pruned AS (
+          |  SELECT DISTINCT v2 AS vec_id FROM p
+          |  WHERE dot > 0 AND dot * dot * 100 >= n1 * n2 * 9)
+          |SELECT q.cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+          |  CAST(SUM(CASE WHEN pr.vec_id IS NULL THEN 0 ELSE 1 END)
+          |    AS BIGINT) AS n_pruned,
+          |  CAST(SUM(CASE WHEN pr.vec_id IS NULL THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_kept
+          |FROM qn q LEFT JOIN pruned pr ON q.vec_id = pr.vec_id
+          |GROUP BY q.cell ORDER BY q.cell""".stripMargin
     )
   }
 }

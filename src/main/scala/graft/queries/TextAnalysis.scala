@@ -121,6 +121,43 @@ object TextAnalysis extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // -- LM commonness buckets: the CCNet head/middle/tail split --------
+    // CCNet (Wenzek et al. 2020) buckets each language's documents into
+    // perplexity tertiles under a small LM and keeps the head. This is
+    // that pipeline stage with a LOG-FREE unigram score (same policy as
+    // t06/t12's log-free idf): a doc's commonness is the mean corpus
+    // frequency of its tokens, as the exact integer
+    // `Σ count(w) · 10⁶ div (n_tokens · total_lang_tokens)` — a
+    // monotone proxy for (negated) unigram log-perplexity that is
+    // bit-identical across engines. Tertiles per language via NTILE
+    // over the total order (score desc, doc_id). Shape at 100 TB: the
+    // (lang, token) frequency aggregate combines map-side, the doc
+    // score is one co-keyed join + doc aggregate, the per-lang totals
+    // broadcast; NTILE partitions by lang (never a global sort).
+    "t14_lm_buckets" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val toks = Tables(s, dir).documents
+        .select($"doc_id", $"lang",
+          explode(split(lower($"text"), "\\s+")).as("w"))
+      val tokCnt = toks.groupBy($"lang", $"w")
+        .agg(count(lit(1)).as("cnt"))
+      val langTot = tokCnt.groupBy($"lang").agg(sum($"cnt").as("tot"))
+      val wB = Window.partitionBy($"lang")
+        .orderBy($"common_ppm".desc, $"doc_id")
+      toks.join(tokCnt, Seq("lang", "w"))
+        .groupBy($"doc_id", $"lang")
+        .agg(count(lit(1)).as("n_tokens"), sum($"cnt").as("sum_cnt"))
+        .join(broadcast(langTot), Seq("lang"))
+        .withColumn("common_ppm",
+          expr("sum_cnt * 1000000 div (n_tokens * tot)"))
+        .withColumn("bucket", ntile(3).over(wB).cast("long"))
+        .groupBy($"lang", $"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"common_ppm").as("min_ppm"),
+          max($"common_ppm").as("max_ppm"))
+        .orderBy($"lang", $"bucket")
+    }),
+
     // -- corpus word frequency: top 20 ----------------------------------
     "t02_word_freq" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -407,6 +444,39 @@ object TextAnalysis extends QueryPack {
         |    AND top_cnt * 1000 // b.n < 200) AS keep_doc
         |FROM base b JOIN top USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // SUM(BIGINT) → HUGEINT: cast cnt/tot/sum_cnt back to BIGINT
+    // before the ppm division; NTILE over the same total order
+    "t14_lm_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |tc AS (
+        |  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM toks GROUP BY lang, w),
+        |lt AS (
+        |  SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tot
+        |  FROM tc GROUP BY lang),
+        |ds AS (
+        |  SELECT t.doc_id, t.lang,
+        |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(tc.cnt) AS BIGINT) AS sum_cnt
+        |  FROM toks t JOIN tc ON t.lang = tc.lang AND t.w = tc.w
+        |  GROUP BY t.doc_id, t.lang),
+        |scored AS (
+        |  SELECT ds.doc_id, ds.lang,
+        |    CAST(ds.sum_cnt * 1000000 // (ds.n_tokens * lt.tot) AS BIGINT)
+        |      AS common_ppm
+        |  FROM ds JOIN lt ON ds.lang = lt.lang),
+        |b AS (
+        |  SELECT lang, common_ppm,
+        |    CAST(NTILE(3) OVER (PARTITION BY lang
+        |      ORDER BY common_ppm DESC, doc_id) AS BIGINT) AS bucket
+        |  FROM scored)
+        |SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(common_ppm) AS min_ppm, MAX(common_ppm) AS max_ppm
+        |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
 
     "t03_language_id" ->
       """WITH tokens AS (

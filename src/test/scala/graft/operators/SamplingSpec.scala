@@ -83,6 +83,39 @@ class SamplingSpec extends AnyFunSuite {
     assert(nullKept === 0L || nullKept === 100L, s"split nulls: $nullKept")
   }
 
+  test("weightedSystematic: exactly k per stratum, weight-proportional") {
+    import spark.implicits._
+    val df = Seq(
+      // stratum a: one heavy row dominating the axis
+      ("a", 1L, 1000L), ("a", 2L, 10L), ("a", 3L, 10L),
+      // stratum b: uniform weights
+      ("b", 1L, 100L), ("b", 2L, 100L), ("b", 3L, 100L), ("b", 4L, 100L)
+    ).toDF("s", "id", "w")
+    val out = Sampling.weightedSystematic(df, "s", "id", "w", k = 3)
+      .select($"s", $"sample_idx", $"id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // each position selects exactly one row → exactly k rows per stratum
+    assert(out.count(_._1 == "a") === 3)
+    assert(out.count(_._1 == "b") === 3)
+    // a's heavy row (≈98% of the axis) takes all three positions
+    assert(out.filter(_._1 == "a").map(_._3).toSet === Set(1L))
+    // b: midpoints of thirds of [0,400) = 66, 200, 333 → rows 1, 3, 4
+    assert(out.filter(_._1 == "b").sortBy(_._2).map(_._3).toSeq ===
+      Seq(1L, 3L, 4L))
+  }
+
+  test("weightedSystematic: zero-weight rows never selected, repartition-stable") {
+    import spark.implicits._
+    val df = spark.range(1, 1001)
+      .select(($"id" % 7).cast("string").as("s"), $"id",
+        when($"id" % 5 === 0, 0L).otherwise($"id" % 50 + 1).as("w"))
+    val a = Sampling.weightedSystematic(df, "s", "id", "w", k = 4)
+    assert(a.filter($"w" === 0).count() === 0L)
+    assert(a.count() === 7L * 4)
+    val b = Sampling.weightedSystematic(df.repartition(13), "s", "id", "w", 4)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("sampleByRate applies per-row rates (domain mixing)") {
     import spark.implicits._
     val df = spark.range(20000)
