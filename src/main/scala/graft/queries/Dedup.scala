@@ -317,9 +317,13 @@ object Dedup extends QueryPack {
           .as("cv"))
       val assign = VectorSearch.nearestCells(
         byDim.select($"id", $"dim", $"v"), cent, nprobe = 1)
+      // persisted: feeds both sides of the pair self-join AND the
+      // final ledger — without it the centroid-assignment pipeline
+      // (explode + broadcast join + argmin window) runs three times
       val vecs = emb
         .join(assign.select($"id".as("vec_id"), $"cell"), "vec_id")
         .select($"vec_id", $"eq", $"cell".as("bucket"))
+        .persist()
       val pruned = VectorSearch
         .nearDupPairs(vecs, cos2Num = 9, cos2Den = 100)
         .select($"v2".as("vec_id")).distinct()

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.queries.SqlDet.dec
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -215,10 +215,76 @@ object Extensions extends QueryPack {
           ($"le50" >= $"n" * 0.45 && $"lt50" <= $"n" * 0.55).as("p50_ok"),
           ($"le95" >= $"n" * 0.93 && $"lt95" <= $"n" * 0.97).as("p95_ok"))
         .orderBy($"l_returnflag")
+    }),
+
+    // -- count-min sketch heavy hitters ---------------------------------
+    // Frequency estimation in FIXED memory: the sketch is d=4 hash
+    // rows × w=256 buckets = 1024 counters regardless of key
+    // cardinality — the structure that answers "how often did key k
+    // appear" over a keyspace too large for an exact per-key
+    // aggregate. Unlike x04's HLL, the estimate here is DETERMINISTIC
+    // given the hash family (portable md5-56), so the oracle
+    // reproduces `cms_est` bit-for-bit — and the CMS guarantee
+    // est ≥ exact shows up as a provably non-negative `overestimate`
+    // column. The exact side exists to validate at test scale; at
+    // 100 TB you keep only the 1024-cell sketch (one combinable
+    // aggregate) and probe candidate keys against it.
+    "x09_cms_heavy_hitters" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import PortableHash._
+      val d = 4
+      val wdt = 256
+      def bucketOf(i: Column, k: Column): Column =
+        sparkHash56(concat(i.cast("string"), lit(":"), k.cast("string"))) % wdt
+      val keys = Tables(s, dir).orders.select($"o_custkey".as("k"))
+      val cms = keys
+        .select($"k", explode(sequence(lit(0), lit(d - 1))).as("i"))
+        .withColumn("bucket", bucketOf($"i", $"k"))
+        .groupBy($"i", $"bucket").agg(count(lit(1)).as("c"))
+      val top = keys.groupBy($"k").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy($"exact_cnt".desc, $"k").limit(10)
+      val probes = top
+        .select($"k", $"exact_cnt",
+          explode(sequence(lit(0), lit(d - 1))).as("i"))
+        .withColumn("bucket", bucketOf($"i", $"k"))
+      broadcast(probes).join(cms, Seq("i", "bucket"))
+        .groupBy($"k", $"exact_cnt")
+        .agg(min($"c").as("cms_est"))
+        .select($"k".as("custkey"), $"exact_cnt", $"cms_est",
+          ($"cms_est" - $"exact_cnt").as("overestimate"))
+        .orderBy($"exact_cnt".desc, $"custkey")
     })
   )
 
   override def oracles: Map[String, String] = Map(
+    // same portable-hash CMS cells; SUM/COUNT cast back from HUGEINT
+    "x09_cms_heavy_hitters" -> {
+      val h = graft.queries.PortableHash
+        .duckHash56("CAST(i AS VARCHAR) || ':' || CAST(k AS VARCHAR)")
+      s"""WITH keys AS (SELECT o_custkey AS k FROM orders),
+         |cells AS (
+         |  SELECT k, i, $h % 256 AS bucket
+         |  FROM keys CROSS JOIN LATERAL
+         |    (SELECT unnest(generate_series(0, 3)) AS i)),
+         |cms AS (
+         |  SELECT i, bucket, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM cells GROUP BY i, bucket),
+         |top AS (
+         |  SELECT k, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+         |  FROM keys GROUP BY k
+         |  ORDER BY exact_cnt DESC, k LIMIT 10),
+         |probes AS (
+         |  SELECT t.k, t.exact_cnt, i, $h % 256 AS bucket
+         |  FROM top t CROSS JOIN LATERAL
+         |    (SELECT unnest(generate_series(0, 3)) AS i))
+         |SELECT p.k AS custkey, p.exact_cnt,
+         |  CAST(MIN(c.c) AS BIGINT) AS cms_est,
+         |  CAST(MIN(c.c) - p.exact_cnt AS BIGINT) AS overestimate
+         |FROM probes p JOIN cms c ON p.i = c.i AND p.bucket = c.bucket
+         |GROUP BY p.k, p.exact_cnt
+         |ORDER BY p.exact_cnt DESC, custkey""".stripMargin
+    },
+
     "x01_typed_udaf" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)

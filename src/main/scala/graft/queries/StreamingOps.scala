@@ -465,6 +465,32 @@ object StreamingOps extends QueryPack {
         .orderBy($"side")
     }),
 
+    // -- streaming count-min sketch: fixed state, unbounded keys --------
+    // The streaming face of x09: per-key frequency tracking where the
+    // keyspace is unbounded but state must not be. A per-key streaming
+    // aggregate grows its state store with every new key forever; the
+    // CMS keeps EXACTLY d×w = 4×64 = 256 counters no matter how many
+    // distinct users arrive — each event increments one bucket per
+    // hash row, and the count-per-bucket aggregate is map-side
+    // combinable, so micro-batch increments merge associatively into
+    // the store. Probing (min over the key's d buckets) happens
+    // downstream of the drain; the portable hash makes the final
+    // sketch bit-identical to the batch CMS the oracle computes.
+    "st16_stream_cms" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import PortableHash._
+      val cms = eventStream(s, dir)
+        .select($"user_id",
+          explode(sequence(lit(0), lit(3))).as("i"))
+        .withColumn("bucket",
+          sparkHash56(concat($"i".cast("string"), lit(":"),
+            $"user_id".cast("string"))) % 64)
+        .groupBy($"i", $"bucket")
+        .agg(count(lit(1)).as("c"))
+      drain(s, cms, OutputMode.Complete())
+        .orderBy($"i", $"bucket")
+    }),
+
     // -- streaming upsert into a serving table (foreachBatch + MERGE) ---
     // The production pattern for "keep a queryable table current from a
     // stream": update-mode deltas (only keys whose aggregate changed
@@ -539,6 +565,17 @@ object StreamingOps extends QueryPack {
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    // the final streaming sketch equals the batch CMS over the full
+    // input — same portable-hash cells as x09
+    "st16_stream_cms" -> {
+      val h = PortableHash
+        .duckHash56("CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")
+      s"""SELECT i, $h % 64 AS bucket, CAST(COUNT(*) AS BIGINT) AS c
+         |FROM events CROSS JOIN LATERAL
+         |  (SELECT unnest(generate_series(0, 3)) AS i)
+         |GROUP BY i, bucket ORDER BY i, bucket""".stripMargin
+    },
 
     "st2_stream_dedup_keys" ->
       """SELECT DISTINCT user_id, event_type FROM events
