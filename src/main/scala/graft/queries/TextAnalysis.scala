@@ -158,6 +158,52 @@ object TextAnalysis extends QueryPack {
         .orderBy($"lang", $"bucket")
     }),
 
+    // -- DSIR importance weights + deterministic resampling -------------
+    // Data Selection via Importance Resampling (Xie et al. 2023,
+    // arXiv:2302.03169): score raw documents by how target-like their
+    // hashed n-gram features are, then resample proportional to the
+    // weight. Here: features = unigrams hashed into 1024 buckets
+    // (hashed-feature space size is FIXED no matter the vocabulary,
+    // like the paper); target = sources src0–src4; the per-bucket
+    // likelihood ratio is Laplace-smoothed and log-free (arithmetic-
+    // mean ratio in ppm, same integer-exact policy as t14), and the
+    // resampling coin is the salted portable hash, so selection is
+    // deterministic and partitioning-independent. Keep probability =
+    // min(1, weight). Shape at 100 TB: bucket counts are one
+    // map-side-combinable aggregate onto 1024 cells (broadcast back),
+    // doc scoring is explode + broadcast join + doc-keyed aggregate —
+    // no shuffle grows with vocabulary.
+    "t15_dsir_weights" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val toks = Tables(s, dir).documents
+        .select($"doc_id", $"source",
+          explode(split(lower($"text"), "\\s+")).as("w"))
+        .withColumn("b", sparkHash56($"w") % 1024)
+        .withColumn("is_t",
+          (substring($"source", 4, 10).cast("int") < 5).cast("long"))
+      val buckets = toks.groupBy($"b")
+        .agg(sum($"is_t").as("ct"), sum(lit(1L) - $"is_t").as("cr"))
+      val totals = buckets.agg(sum($"ct").as("tt"), sum($"cr").as("tr"))
+      val ratios = buckets.crossJoin(broadcast(totals))
+        .select($"b", expr(
+          "((ct + 1) * (tr + 1024) * 1000000) div ((cr + 1) * (tt + 1024))")
+          .as("ratio_ppm"))
+      val weights = toks
+        .join(broadcast(ratios), Seq("b"))
+        .groupBy($"doc_id", $"source")
+        .agg(expr("sum(ratio_ppm) div count(1)").as("weight_ppm"))
+      val kept = graft.operators.Sampling
+        .hashBucketPm($"doc_id", "dsir") * 1000 <
+          least($"weight_ppm", lit(1000000L))
+      weights
+        .withColumn("keep", kept.cast("long"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"keep").as("n_kept"),
+          expr("sum(weight_ppm) div count(1)").as("avg_weight_ppm"),
+          max($"weight_ppm").as("max_weight_ppm"))
+        .orderBy($"source")
+    }),
+
     // -- corpus word frequency: top 20 ----------------------------------
     "t02_word_freq" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -477,6 +523,44 @@ object TextAnalysis extends QueryPack {
         |SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  MIN(common_ppm) AS min_ppm, MAX(common_ppm) AS max_ppm
         |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+
+    // hashed-feature buckets and the resampling coin both come from
+    // the portable hash; SUMs cast back from HUGEINT
+    "t15_dsir_weights" -> {
+      val hw = duckHash56("w")
+      val coin = graft.operators.Sampling.duckHashBucketPm("doc_id", "dsir")
+      s"""WITH toks AS (
+         |  SELECT doc_id, source,
+         |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+         |  FROM documents),
+         |tb AS (
+         |  SELECT doc_id, source, $hw % 1024 AS b,
+         |    CASE WHEN CAST(substr(source, 4) AS INTEGER) < 5
+         |      THEN 1 ELSE 0 END AS is_t
+         |  FROM toks),
+         |buckets AS (
+         |  SELECT b, CAST(SUM(is_t) AS BIGINT) AS ct,
+         |    CAST(SUM(1 - is_t) AS BIGINT) AS cr
+         |  FROM tb GROUP BY b),
+         |tot AS (
+         |  SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+         |    CAST(SUM(cr) AS BIGINT) AS tr FROM buckets),
+         |ratios AS (
+         |  SELECT b, ((ct + 1) * (tr + 1024) * 1000000)
+         |    // ((cr + 1) * (tt + 1024)) AS ratio_ppm
+         |  FROM buckets, tot),
+         |weights AS (
+         |  SELECT tb.doc_id, tb.source,
+         |    CAST(SUM(r.ratio_ppm) // COUNT(*) AS BIGINT) AS weight_ppm
+         |  FROM tb JOIN ratios r ON tb.b = r.b
+         |  GROUP BY tb.doc_id, tb.source)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN ($coin) * 1000 < LEAST(weight_ppm, 1000000)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(weight_ppm) // COUNT(*) AS BIGINT) AS avg_weight_ppm,
+         |  CAST(MAX(weight_ppm) AS BIGINT) AS max_weight_ppm
+         |FROM weights GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "t03_language_id" ->
       """WITH tokens AS (
