@@ -81,4 +81,40 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,100)]")
       || plan.contains("LessThan(vec_id,100)"))
   }
+
+  test("c07: per-stratum window + broadcast positions, nothing global") {
+    val plan = planOf("c07_weighted_sample")
+    // the running sum must be a per-stratum window, not a global sort
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Window") || l.contains("RunningWindowFunction")))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "position join degenerated into a cross product")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the n_strata x k position table should broadcast")
+  }
+
+  test("d10: semdedup pairs meet only on the cell equi-key") {
+    val plan = planOf("d10_semdedup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "intra-cell pair join degenerated into all-pairs")
+    // centroid/probe sides broadcast somewhere in the assignment
+    assert(plan.contains("BroadcastExchange"))
+    // the persisted assigned-vector frame must actually be cached
+    assert(plan.contains("InMemoryTableScan") ||
+      plan.contains("InMemoryRelation"),
+      "assigned-vector frame lost its persist — assignment runs 3x")
+  }
+
+  test("x09: CMS probe side broadcasts against the cell table") {
+    val plan = planOf("x09_cms_heavy_hitters")
+    assert(plan.contains("BroadcastHashJoin"),
+      "top-k probes should broadcast against the 1024-cell sketch")
+    assert(!plan.contains("CartesianProduct"))
+    // top-10 selection must be a bounded TakeOrderedAndProject, not a
+    // global sort + limit
+    assert(plan.contains("TakeOrderedAndProject"),
+      "exact top-10 fell back to a global sort")
+  }
 }
