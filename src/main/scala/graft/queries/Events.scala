@@ -286,6 +286,28 @@ object Events extends QueryPack {
         .orderBy($"event_type", $"next_type")
     }),
 
+    // -- sequential path mining: top 3-step event paths -----------------
+    // e13's transition matrix extended to order-3 patterns: the most
+    // common event_type trigrams across user timelines (the "what do
+    // users do next" funnel-discovery query). Same per-user window
+    // (never global); trigram assembly is two LEADs over one sort, the
+    // count is map-side combinable, and the top-10 is a bounded
+    // TakeOrderedAndProject — per-partition heaps, no global sort.
+    "e19_event_paths" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables(s, dir).events
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("e2", lead($"event_type", 1).over(w))
+        .withColumn("e3", lead($"event_type", 2).over(w))
+        .filter($"e3".isNotNull)
+        .select(concat_ws(">", $"event_type", $"e2", $"e3").as("path"))
+        .groupBy($"path")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"path")
+        .limit(10)
+    }),
+
     // -- typed downcast of the open payload: from_json with schema ------
     // The engine's honest analog of the reference's checked downcast
     // (EventBox::get_event, src/event.rs:90-98): parse `props` against
@@ -484,6 +506,19 @@ object Events extends QueryPack {
          |    PARTITION BY event_type ORDER BY day
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS locf_value
          |FROM j ORDER BY event_type, day""".stripMargin,
+
+    "e19_event_paths" ->
+      """SELECT event_type || '>' || e2 || '>' || e3 AS path,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (
+        |  SELECT event_type,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS e2,
+        |    LEAD(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS e3
+        |  FROM events) t
+        |WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
 
     "e13_event_transitions" ->
       """SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
