@@ -42,6 +42,47 @@ object Multimodal extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // -- media near-dup: banded perceptual-feature pairs ----------------
+    // The image-dedup step of a multimodal pipeline (LAION-style):
+    // decoded features → a compact perceptual signature → candidate
+    // pairs ONLY inside a blocking band → exact verification. Here the
+    // signature is the stub's decoded features (mean "luminance" +
+    // 4-bin histogram, all integer per-mille), the band is
+    // `lum_pm div 4`, and verification is |Δlum| ≤ 1 ∧ histogram
+    // L1 ≤ 8. Cross-band near-pairs are forgone by construction (the
+    // same documented recall trade as d06's sign buckets and t07's
+    // length band — the oracle blocks identically, so semantics are
+    // pinned). The feature frame is persisted: it feeds both sides of
+    // the self-join, and the mapPartitions decode must run once, not
+    // twice. At 100 TB: decode once, store features; the pair join
+    // touches only the fixed-width feature table, banded.
+    "m05_media_neardup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val binary = Tables(s, dir).documents
+        .select($"doc_id", $"text".cast("binary").as("payload"))
+      val sgn = BinaryDecode.extractFeatures(s, binary).toDF()
+        .select($"doc_id",
+          expr("byte_sum * 1000 div n_bytes").as("lum_pm"),
+          expr("(byte_sum * 1000 div n_bytes) div 4").as("band"),
+          expr("h0 * 1000 div n_bytes").as("p0"),
+          expr("h1 * 1000 div n_bytes").as("p1"),
+          expr("h2 * 1000 div n_bytes").as("p2"),
+          expr("h3 * 1000 div n_bytes").as("p3"))
+        .persist()
+      def side(tag: String) = sgn.select(
+        $"doc_id".as(s"d$tag"), $"band", $"lum_pm".as(s"lum$tag"),
+        $"p0".as(s"p0$tag"), $"p1".as(s"p1$tag"),
+        $"p2".as(s"p2$tag"), $"p3".as(s"p3$tag"))
+      side("1").join(side("2"), Seq("band"))
+        .filter($"d1" < $"d2")
+        .withColumn("dl", abs($"lum1" - $"lum2"))
+        .withColumn("l1", abs($"p01" - $"p02") + abs($"p11" - $"p12") +
+          abs($"p21" - $"p22") + abs($"p31" - $"p32"))
+        .filter($"dl" <= 1 && $"l1" <= 8)
+        .select($"d1", $"d2", $"dl", $"l1")
+        .orderBy($"d1", $"d2")
+    }),
+
     // -- deterministic frame sampling: every 10th token as a "frame" ----
     "m03_frame_sample" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -101,6 +142,38 @@ object Multimodal extends QueryPack {
         |  CAST(len(list_filter(bytes, v -> v // 32 = 2)) AS BIGINT) AS h2,
         |  CAST(len(list_filter(bytes, v -> v // 32 >= 3)) AS BIGINT) AS h3
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // same banded blocking in the oracle — semantics pinned, not
+    // accidental; SUMs/abs arithmetic all integer
+    "m05_media_neardup" ->
+      """WITH b AS (
+        |  SELECT doc_id, list_transform(string_split(text, ''),
+        |    x -> ascii(x)) AS bytes
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(len(bytes) AS BIGINT) AS n_bytes,
+        |    CAST(list_sum(bytes) AS BIGINT) AS byte_sum,
+        |    CAST(len(list_filter(bytes, v -> v // 32 = 0)) AS BIGINT) AS h0,
+        |    CAST(len(list_filter(bytes, v -> v // 32 = 1)) AS BIGINT) AS h1,
+        |    CAST(len(list_filter(bytes, v -> v // 32 = 2)) AS BIGINT) AS h2,
+        |    CAST(len(list_filter(bytes, v -> v // 32 >= 3)) AS BIGINT) AS h3
+        |  FROM b),
+        |s AS (
+        |  SELECT doc_id, byte_sum * 1000 // n_bytes AS lum_pm,
+        |    (byte_sum * 1000 // n_bytes) // 4 AS band,
+        |    h0 * 1000 // n_bytes AS p0, h1 * 1000 // n_bytes AS p1,
+        |    h2 * 1000 // n_bytes AS p2, h3 * 1000 // n_bytes AS p3
+        |  FROM f)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(abs(a.lum_pm - b.lum_pm) AS BIGINT) AS dl,
+        |  CAST(abs(a.p0-b.p0) + abs(a.p1-b.p1) + abs(a.p2-b.p2)
+        |    + abs(a.p3-b.p3) AS BIGINT) AS l1
+        |FROM s a JOIN s b ON a.band = b.band AND a.doc_id < b.doc_id
+        |WHERE abs(a.lum_pm - b.lum_pm) <= 1
+        |  AND abs(a.p0-b.p0) + abs(a.p1-b.p1) + abs(a.p2-b.p2)
+        |    + abs(a.p3-b.p3) <= 8
+        |ORDER BY d1, d2""".stripMargin,
 
     "m03_frame_sample" ->
       s"""WITH t AS (
