@@ -253,10 +253,53 @@ object Extensions extends QueryPack {
         .select($"k".as("custkey"), $"exact_cnt", $"cms_est",
           ($"cms_est" - $"exact_cnt").as("overestimate"))
         .orderBy($"exact_cnt".desc, $"custkey")
+    }),
+
+    // -- incremental view maintenance: merge deltas, never rescan -------
+    // The materialized-view update path: the per-customer order
+    // aggregate is maintained by merging each CDC batch's PARTIAL
+    // aggregate into the snapshot ([[graft.operators.IncrementalAgg]])
+    // — a late-arrival batch ADDS contributions, a delete batch
+    // arrives with negated contributions (retraction), and groups
+    // whose count reaches zero are compacted away. The oracle is the
+    // full recompute over the equivalent final row set: incremental ≡
+    // rescan is the correctness claim, hash-checked. At 100 TB the
+    // base is never rescanned — each update touches one small delta
+    // and a key-co-partitioned merge join.
+    "x10_incremental_agg" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.IncrementalAgg
+      val o = Tables(s, dir).orders
+        .select($"o_custkey", $"o_orderkey",
+          expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").as("cents"))
+      def aggOf(df: DataFrame) = df.groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"), sum($"cents").as("total_cents"))
+      val base = o.filter($"o_orderkey" % 97 =!= 0)
+      val lateArrivals = aggOf(o.filter($"o_orderkey" % 97 === 0))
+      val retractions = o
+        .filter($"o_orderkey" % 97 === 0 && $"o_custkey" < 100)
+        .groupBy($"o_custkey")
+        .agg((count(lit(1)) * -1).as("n_orders"),
+          (sum($"cents") * -1).as("total_cents"))
+      val v1 = IncrementalAgg.mergeAdditive(
+        aggOf(base), lateArrivals, Seq("o_custkey"))
+      IncrementalAgg.mergeAdditive(v1, retractions, Seq("o_custkey"))
+        .filter($"n_orders" > 0)
+        .orderBy($"o_custkey")
     })
   )
 
   override def oracles: Map[String, String] = Map(
+    // the incremental result must equal the full recompute over the
+    // final row set (base + late arrivals − retracted subset)
+    "x10_incremental_agg" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders
+        |WHERE NOT (o_orderkey % 97 = 0 AND o_custkey < 100)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
     // same portable-hash CMS cells; SUM/COUNT cast back from HUGEINT
     "x09_cms_heavy_hitters" -> {
       val h = graft.queries.PortableHash

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.streaming.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental-view-maintenance invariants: merging deltas in ANY
+  * batching equals the one-shot aggregate, and a full retraction
+  * returns exactly to the prior snapshot.
+  */
+class IncrementalAggSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def aggOf(df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.groupBy($"k").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+  }
+
+  private def same(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("merging deltas in any batching equals the one-shot aggregate") {
+    import spark.implicits._
+    val rows = spark.range(10000)
+      .select(($"id" % 37).as("k"), ($"id" % 101).as("v"), $"id")
+    val oneShot = aggOf(rows.drop("id"))
+    // three uneven batches, merged sequentially
+    val batches = Seq(
+      rows.filter($"id" % 5 === 0), rows.filter($"id" % 5 === 1),
+      rows.filter($"id" % 5 >= 2)).map(df => aggOf(df.drop("id")))
+    val merged = batches.reduce(
+      IncrementalAgg.mergeAdditive(_, _, Seq("k")))
+    assert(same(merged, oneShot))
+  }
+
+  test("retraction (negated delta) returns to the prior snapshot; empty groups compact") {
+    import spark.implicits._
+    val base = spark.range(1000)
+      .select(($"id" % 11).as("k"), ($"id" % 7).as("v"))
+    val delta = spark.range(50)
+      .select(($"id" % 3 + 100).as("k"), lit(1L).as("v"))
+    val snap = aggOf(base)
+    val grown = IncrementalAgg.mergeAdditive(snap, aggOf(delta), Seq("k"))
+    val retract = aggOf(delta)
+      .select($"k", ($"n" * -1).as("n"), ($"s" * -1).as("s"))
+    val back = IncrementalAgg.mergeAdditive(grown, retract, Seq("k"))
+      .filter($"n" > 0)
+    assert(same(back, snap))
+    // the new-key groups existed before compaction
+    assert(IncrementalAgg.mergeAdditive(grown, retract, Seq("k"))
+      .filter($"n" === 0).count() === 3L)
+  }
+
+  test("schema mismatch and keys-only snapshots are rejected") {
+    import spark.implicits._
+    val a = Seq((1L, 2L)).toDF("k", "n")
+    val b = Seq((1L, 2L)).toDF("k", "other")
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.mergeAdditive(a, b, Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.mergeAdditive(a.select($"k"), b.select($"k"), Seq("k"))
+    }
+  }
+}
