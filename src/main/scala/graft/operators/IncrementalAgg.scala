@@ -30,6 +30,13 @@ object IncrementalAgg {
     * same schema: `keys` identify the group, every other column is an
     * additive measure (LONG). Groups absent from one side pass
     * through; contributions add where both sides have the group.
+    *
+    * Keys join NULL-SAFELY (`<=>`): Spark's `groupBy` emits a NULL-key
+    * group like any other, and a plain equi-join would never match it
+    * across batches — the snapshot would accumulate duplicate NULL-key
+    * rows whose contributions never re-merge, silently breaking the
+    * batching-independence contract (pinned by IncrementalAggSpec's
+    * null-key case).
     */
   def mergeAdditive(snapshot: DataFrame, deltaAgg: DataFrame,
       keys: Seq[String]): DataFrame = {
@@ -38,13 +45,16 @@ object IncrementalAgg {
     require(deltaAgg.columns.sorted.sameElements(snapshot.columns.sorted),
       s"schema mismatch: ${snapshot.columns.mkString(",")} vs " +
         deltaAgg.columns.mkString(","))
-    val d = measures.foldLeft(deltaAgg) { (df, c) =>
+    val d = deltaAgg.columns.foldLeft(deltaAgg) { (df, c) =>
       df.withColumnRenamed(c, s"__d_$c")
     }
-    measures.foldLeft(snapshot.join(d, keys, "full_outer")) { (df, c) =>
-        df.withColumn(c,
-          coalesce(col(c), lit(0L)) + coalesce(col(s"__d_$c"), lit(0L)))
-      }
-      .select(keys.map(col) ++ measures.map(col): _*)
+    val joinCond = keys.map(k => snapshot(k) <=> d(s"__d_$k"))
+      .reduce(_ && _)
+    val joined = snapshot.join(d, joinCond, "full_outer")
+    val outKeys = keys.map(k =>
+      coalesce(snapshot(k), d(s"__d_$k")).as(k))
+    val outMeasures = measures.map(c =>
+      (coalesce(col(c), lit(0L)) + coalesce(col(s"__d_$c"), lit(0L))).as(c))
+    joined.select(outKeys ++ outMeasures: _*)
   }
 }

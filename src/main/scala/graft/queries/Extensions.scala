@@ -234,8 +234,7 @@ object Extensions extends QueryPack {
       import PortableHash._
       val d = 4
       val wdt = 256
-      def bucketOf(i: Column, k: Column): Column =
-        sparkHash56(concat(i.cast("string"), lit(":"), k.cast("string"))) % wdt
+      def bucketOf(i: Column, k: Column): Column = cmsBucket(i, k, wdt)
       val keys = Tables(s, dir).orders.select($"o_custkey".as("k"))
       val cms = keys
         .select($"k", explode(sequence(lit(0), lit(d - 1))).as("i"))
@@ -302,11 +301,10 @@ object Extensions extends QueryPack {
 
     // same portable-hash CMS cells; SUM/COUNT cast back from HUGEINT
     "x09_cms_heavy_hitters" -> {
-      val h = graft.queries.PortableHash
-        .duckHash56("CAST(i AS VARCHAR) || ':' || CAST(k AS VARCHAR)")
+      val b = graft.queries.PortableHash.duckCmsBucket("i", "k", 256)
       s"""WITH keys AS (SELECT o_custkey AS k FROM orders),
          |cells AS (
-         |  SELECT k, i, $h % 256 AS bucket
+         |  SELECT k, i, $b AS bucket
          |  FROM keys CROSS JOIN LATERAL
          |    (SELECT unnest(generate_series(0, 3)) AS i)),
          |cms AS (
@@ -317,7 +315,7 @@ object Extensions extends QueryPack {
          |  FROM keys GROUP BY k
          |  ORDER BY exact_cnt DESC, k LIMIT 10),
          |probes AS (
-         |  SELECT t.k, t.exact_cnt, i, $h % 256 AS bucket
+         |  SELECT t.k, t.exact_cnt, i, $b AS bucket
          |  FROM top t CROSS JOIN LATERAL
          |    (SELECT unnest(generate_series(0, 3)) AS i))
          |SELECT p.k AS custkey, p.exact_cnt,

@@ -37,6 +37,20 @@ object PortableHash {
   def duckHash56(sqlExpr: String): String =
     s"CAST(('0x' || substring(md5($sqlExpr), 1, 14)) AS BIGINT)"
 
+  /** Count-min-sketch cell of `(hash row i, key k)` in `[0, w)` — the
+    * ONE spelling of the pairing convention (both operands cast to
+    * string, `:` separator, i before k) that makes the x09/st16
+    * sketches bit-identical across engines. Keep [[duckCmsBucket]] in
+    * lockstep.
+    */
+  def cmsBucket(i: Column, k: Column, w: Int): Column =
+    sparkHash56(concat(i.cast("string"), lit(":"), k.cast("string"))) % w
+
+  /** DuckDB mirror of [[cmsBucket]] over SQL expressions. */
+  def duckCmsBucket(iExpr: String, kExpr: String, w: Int): String =
+    duckHash56(s"CAST($iExpr AS VARCHAR) || ':' || CAST($kExpr AS VARCHAR)") +
+      s" % $w"
+
   /** Mersenne prime 2^31-1: modulus for MinHash permutations
     * `(a*h + b) mod p` — products of 31-bit values stay within 62
     * bits, so the arithmetic is exact in BIGINT in both engines.

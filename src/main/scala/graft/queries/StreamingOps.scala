@@ -482,9 +482,7 @@ object StreamingOps extends QueryPack {
       val cms = eventStream(s, dir)
         .select($"user_id",
           explode(sequence(lit(0), lit(3))).as("i"))
-        .withColumn("bucket",
-          sparkHash56(concat($"i".cast("string"), lit(":"),
-            $"user_id".cast("string"))) % 64)
+        .withColumn("bucket", cmsBucket($"i", $"user_id", 64))
         .groupBy($"i", $"bucket")
         .agg(count(lit(1)).as("c"))
       drain(s, cms, OutputMode.Complete())
@@ -569,9 +567,8 @@ object StreamingOps extends QueryPack {
     // the final streaming sketch equals the batch CMS over the full
     // input — same portable-hash cells as x09
     "st16_stream_cms" -> {
-      val h = PortableHash
-        .duckHash56("CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")
-      s"""SELECT i, $h % 64 AS bucket, CAST(COUNT(*) AS BIGINT) AS c
+      val b = PortableHash.duckCmsBucket("i", "user_id", 64)
+      s"""SELECT i, $b AS bucket, CAST(COUNT(*) AS BIGINT) AS c
          |FROM events CROSS JOIN LATERAL
          |  (SELECT unnest(generate_series(0, 3)) AS i)
          |GROUP BY i, bucket ORDER BY i, bucket""".stripMargin

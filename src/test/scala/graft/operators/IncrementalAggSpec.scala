@@ -53,6 +53,20 @@ class IncrementalAggSpec extends AnyFunSuite {
       .filter($"n" === 0).count() === 3L)
   }
 
+  test("NULL-key groups merge across batches (null-safe join)") {
+    import spark.implicits._
+    val snap = Seq((Some(1L), 5L, 10L), (None, 5L, 10L))
+      .toDF("k", "n", "s")
+    val delta = Seq((Some(1L), 2L, 4L), (None, 2L, 4L))
+      .toDF("k", "n", "s")
+    val merged = IncrementalAgg.mergeAdditive(snap, delta, Seq("k"))
+    // exactly one NULL-key row, with both contributions summed
+    val nullRows = merged.filter($"k".isNull).collect()
+    assert(nullRows.length === 1, s"NULL-key group duplicated: $nullRows")
+    assert(nullRows(0).getLong(1) === 7L && nullRows(0).getLong(2) === 14L)
+    assert(merged.count() === 2L)
+  }
+
   test("schema mismatch and keys-only snapshots are rejected") {
     import spark.implicits._
     val a = Seq((1L, 2L)).toDF("k", "n")

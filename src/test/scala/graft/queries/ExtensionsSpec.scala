@@ -62,8 +62,7 @@ class ExtensionsSpec extends AnyFunSuite {
     val keys = spark.range(50000)
       .select(floor(sqrt($"id".cast("double"))).cast("long").as("k"))
     def bucketOf(i: org.apache.spark.sql.Column,
-        k: org.apache.spark.sql.Column) =
-      sparkHash56(concat(i.cast("string"), lit(":"), k.cast("string"))) % 256
+        k: org.apache.spark.sql.Column) = cmsBucket(i, k, 256)
     val cms = keys
       .select($"k", explode(sequence(lit(0), lit(3))).as("i"))
       .withColumn("bucket", bucketOf($"i", $"k"))
