@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.queries.PortableHash
+
+/** Count-min sketch over a key column — frequency estimation in FIXED
+  * memory: `d` hash rows × `w` buckets of counters regardless of key
+  * cardinality. Build is one map-side-combinable aggregate (the
+  * sketch merges associatively, so it works identically as a batch
+  * aggregate, a streaming Complete-mode aggregate, or a union of
+  * per-partition sketches); probe is a broadcast of the candidate
+  * keys against the cell table, estimate = min over the key's `d`
+  * cells (never an underestimate — pinned by ExtensionsSpec).
+  *
+  * Hashes come from [[graft.queries.PortableHash.cmsBucket]], so the
+  * sketch — and every estimate — is deterministic and bit-identical
+  * across engines (the x09/st16 oracles reproduce it in DuckDB).
+  */
+object Cms {
+
+  /** Build the `(i, bucket, c)` cell table from `df`'s `key` column. */
+  def build(df: DataFrame, key: Column, d: Int = 4,
+      w: Int = 256): DataFrame = {
+    require(d >= 1 && w >= 1, s"need d >= 1, w >= 1; got d=$d, w=$w")
+    df.select(key.as("__k"), explode(sequence(lit(0), lit(d - 1))).as("i"))
+      .withColumn("bucket", PortableHash.cmsBucket(col("i"), col("__k"), w))
+      .groupBy(col("i"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Estimate counts for `keys` (a frame with a `key` column) against
+    * a built sketch: returns the input columns plus `cms_est`. The
+    * probe side broadcasts; `d` and `w` must match the build.
+    */
+  def probe(sketch: DataFrame, keys: DataFrame, key: Column, d: Int = 4,
+      w: Int = 256): DataFrame = {
+    val keyCols = keys.columns.map(col).toSeq
+    val probes = keys
+      .withColumn("i", explode(sequence(lit(0), lit(d - 1))))
+      .withColumn("bucket", PortableHash.cmsBucket(col("i"), key, w))
+    broadcast(probes).join(sketch, Seq("i", "bucket"))
+      .groupBy(keyCols: _*)
+      .agg(min(col("c")).as("cms_est"))
+  }
+}
