@@ -231,24 +231,12 @@ object Extensions extends QueryPack {
     // aggregate) and probe candidate keys against it.
     "x09_cms_heavy_hitters" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      import PortableHash._
-      val d = 4
-      val wdt = 256
-      def bucketOf(i: Column, k: Column): Column = cmsBucket(i, k, wdt)
+      import graft.operators.Cms
       val keys = Tables(s, dir).orders.select($"o_custkey".as("k"))
-      val cms = keys
-        .select($"k", explode(sequence(lit(0), lit(d - 1))).as("i"))
-        .withColumn("bucket", bucketOf($"i", $"k"))
-        .groupBy($"i", $"bucket").agg(count(lit(1)).as("c"))
+      val cms = Cms.build(keys, $"k", d = 4, w = 256)
       val top = keys.groupBy($"k").agg(count(lit(1)).as("exact_cnt"))
         .orderBy($"exact_cnt".desc, $"k").limit(10)
-      val probes = top
-        .select($"k", $"exact_cnt",
-          explode(sequence(lit(0), lit(d - 1))).as("i"))
-        .withColumn("bucket", bucketOf($"i", $"k"))
-      broadcast(probes).join(cms, Seq("i", "bucket"))
-        .groupBy($"k", $"exact_cnt")
-        .agg(min($"c").as("cms_est"))
+      Cms.probe(cms, top, $"k", d = 4, w = 256)
         .select($"k".as("custkey"), $"exact_cnt", $"cms_est",
           ($"cms_est" - $"exact_cnt").as("overestimate"))
         .orderBy($"exact_cnt".desc, $"custkey")

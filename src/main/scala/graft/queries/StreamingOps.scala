@@ -478,13 +478,8 @@ object StreamingOps extends QueryPack {
     // sketch bit-identical to the batch CMS the oracle computes.
     "st16_stream_cms" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      import PortableHash._
-      val cms = eventStream(s, dir)
-        .select($"user_id",
-          explode(sequence(lit(0), lit(3))).as("i"))
-        .withColumn("bucket", cmsBucket($"i", $"user_id", 64))
-        .groupBy($"i", $"bucket")
-        .agg(count(lit(1)).as("c"))
+      val cms = graft.operators.Cms.build(
+        eventStream(s, dir), $"user_id", d = 4, w = 64)
       drain(s, cms, OutputMode.Complete())
         .orderBy($"i", $"bucket")
     }),

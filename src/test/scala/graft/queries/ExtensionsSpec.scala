@@ -56,26 +56,16 @@ class ExtensionsSpec extends AnyFunSuite {
 
   test("x09 CMS never underestimates, for EVERY key (zipf-skewed input)") {
     import spark.implicits._
-    import PortableHash._
+    import graft.operators.Cms
     // zipf-ish skew: key = floor(sqrt(id)) gives heavy low keys and a
     // long tail — the regime CMS exists for
     val keys = spark.range(50000)
       .select(floor(sqrt($"id".cast("double"))).cast("long").as("k"))
-    def bucketOf(i: org.apache.spark.sql.Column,
-        k: org.apache.spark.sql.Column) = cmsBucket(i, k, 256)
-    val cms = keys
-      .select($"k", explode(sequence(lit(0), lit(3))).as("i"))
-      .withColumn("bucket", bucketOf($"i", $"k"))
-      .groupBy($"i", $"bucket").agg(count(lit(1)).as("c"))
+    val cms = Cms.build(keys, $"k", d = 4, w = 256)
     val exact = keys.groupBy($"k").agg(count(lit(1)).as("exact_cnt"))
-    val est = exact
-      .select($"k", $"exact_cnt",
-        explode(sequence(lit(0), lit(3))).as("i"))
-      .withColumn("bucket", bucketOf($"i", $"k"))
-      .join(cms, Seq("i", "bucket"))
-      .groupBy($"k", $"exact_cnt").agg(min($"c").as("est"))
+    val est = Cms.probe(cms, exact, $"k", d = 4, w = 256)
     // the CMS guarantee: est >= exact for every key, no exception
-    assert(est.filter($"est" < $"exact_cnt").count() === 0L)
+    assert(est.filter($"cms_est" < $"exact_cnt").count() === 0L)
     // and the sketch is actually small: at most d*w cells
     assert(cms.count() <= 4L * 256)
     // sanity: the heaviest key's estimate is within sketch error
