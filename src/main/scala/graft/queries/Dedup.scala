@@ -291,6 +291,40 @@ object Dedup extends QueryPack {
         .orderBy($"v1", $"v2")
     }),
 
+    // -- LSH estimator quality: MinHash-estimated vs exact Jaccard ------
+    // The estimator-evaluation query for the dedup family (s06's
+    // recall@k, but for MinHash): per candidate pair, the estimated
+    // Jaccard is the fraction of agreeing signature components
+    // (n_agree/K — the unbiased MinHash estimator) against the exact
+    // shingle-set Jaccard. Everything is deterministic integers under
+    // the portable hash family, so the ESTIMATES hash-match the
+    // oracle, not just the exacts. Signatures come from the persisted
+    // shingle index (one combinable aggregate); the pair set is the
+    // d02 candidate generator, so evaluation cost is bounded by the
+    // candidate set.
+    "d11_lsh_jaccard_quality" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.TextDedup
+      val sh = shingleHashes(s, dir).persist()
+      val pairs = TextDedup.jaccardPairs(sh, minCommon = 10,
+          minJaccardPm = 100, maxShingleDf = 10000)
+        .select($"d1", $"d2", $"jaccard_pm")
+      val wide = TextDedup.minhashSignatures(sh, K)
+      val a = wide.toDF(wide.columns
+        .map(c => if (c == "id") "d1" else s"a_$c"): _*)
+      val b = wide.toDF(wide.columns
+        .map(c => if (c == "id") "d2" else s"b_$c"): _*)
+      val agree = (0 until K)
+        .map(j => when(col(s"a_s$j") === col(s"b_s$j"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      pairs.join(a, "d1").join(b, "d2")
+        .withColumn("n_agree", agree)
+        .withColumn("est_pm", expr(s"n_agree * 1000 div $K"))
+        .select($"d1", $"d2", $"jaccard_pm", $"est_pm",
+          abs($"jaccard_pm" - $"est_pm").as("abs_err_pm"))
+        .orderBy($"d1", $"d2")
+    }),
+
     // -- SemDeDup: semantic dedup inside coarse-quantizer cells ---------
     // The SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540):
     // cluster the corpus embeddings with a coarse quantizer, then
@@ -504,6 +538,38 @@ object Dedup extends QueryPack {
           |  CAST(dot * 1000000 // n1 AS BIGINT) AS rel_n1_ppm
           |FROM p WHERE dot > 0 AND dot * dot * 4 >= n1 * n2
           |ORDER BY v1, v2""".stripMargin,
+
+      // d02's candidate pairs × the d03 signature CTE; the agreement
+      // sum is spelled per component so both engines evaluate the
+      // same 16 integer comparisons
+      "d11_lsh_jaccard_quality" -> {
+        val agreeSql = (0 until K)
+          .map(j => s"CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH $duckSignatureCte,
+           |inter AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+           |    CAST(COUNT(*) AS BIGINT) AS inter
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2 HAVING COUNT(*) >= 10),
+           |pairs AS (
+           |  SELECT d1, d2,
+           |    CAST(inter * 1000 // (n1.n + n2.n - inter) AS BIGINT)
+           |      AS jaccard_pm
+           |  FROM inter
+           |  JOIN ns n1 ON inter.d1 = n1.doc_id
+           |  JOIN ns n2 ON inter.d2 = n2.doc_id
+           |  WHERE inter * 1000 // (n1.n + n2.n - inter) >= 100),
+           |est AS (
+           |  SELECT p.d1, p.d2, p.jaccard_pm,
+           |    CAST(($agreeSql) * 1000 // $K AS BIGINT) AS est_pm
+           |  FROM pairs p
+           |  JOIN wide a ON p.d1 = a.doc_id
+           |  JOIN wide b ON p.d2 = b.doc_id)
+           |SELECT d1, d2, jaccard_pm, est_pm,
+           |  CAST(abs(jaccard_pm - est_pm) AS BIGINT) AS abs_err_pm
+           |FROM est ORDER BY d1, d2""".stripMargin
+      },
 
       // the coarse-quantizer CTEs mirror s03/s05; the pair predicate
       // mirrors d06 with cell blocking and cos >= 0.3 (dot²·100 ≥
