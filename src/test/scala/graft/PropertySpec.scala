@@ -80,6 +80,36 @@ object PropertySpec extends Properties("graft") {
       got == want
     }
 
+  property("weightedSystematic == integer-midpoint model for any data") =
+    forAll(
+      Gen.listOfN(60,
+        Gen.zip(Gen.chooseNum(0, 4), Gen.chooseNum(0L, 100L))),
+      Gen.chooseNum(1, 5)) { (rows, k) =>
+      import spark.implicits._
+      // unique id per row makes the per-stratum order total
+      val data = rows.zipWithIndex.map { case ((s, w), i) =>
+        (s.toString, i.toLong, w)
+      }
+      val got = graft.operators.Sampling
+        .weightedSystematic(data.toDF("s", "id", "w"), "s", "id", "w", k)
+        .select("s", "sample_idx", "id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toList.sorted
+      // reference model: same integer arithmetic in plain Scala
+      val want = data.groupBy(_._1).toList.flatMap { case (s, rs) =>
+        val sorted = rs.sortBy(_._2)
+        val total = sorted.map(_._3).sum
+        val cums = sorted.scanLeft(0L)(_ + _._3).tail
+        (0 until k).flatMap { i =>
+          val t = total * (2L * i + 1) / (2L * k)
+          sorted.zip(cums).find { case ((_, _, w), cumEnd) =>
+            t >= cumEnd - w && t < cumEnd
+          }.map { case ((_, id, _), _) => (s, i.toLong, id) }
+        }
+      }.sorted
+      got == want
+    }
+
   property("hub delivers any sequence exactly once, in order") =
     forAll(Gen.listOfN(25, Gen.chooseNum(Int.MinValue, Int.MaxValue))) { xs =>
       val engine = new graft.streaming.EventEngine(spark)
