@@ -32,7 +32,11 @@ object Cms {
 
   /** Estimate counts for `keys` (a frame with a `key` column) against
     * a built sketch: returns the input columns plus `cms_est`. The
-    * probe side broadcasts; `d` and `w` must match the build.
+    * SKETCH broadcasts (it is the fixed ≤ d·w-row side; the probe
+    * frame may be arbitrarily large), and the join is LEFT OUTER with
+    * absent cells counting as zero — a key never seen at build time
+    * must estimate 0, not drop from the output or take the min of
+    * only its populated cells. `d` and `w` must match the build.
     */
   def probe(sketch: DataFrame, keys: DataFrame, key: Column, d: Int = 4,
       w: Int = 256): DataFrame = {
@@ -40,8 +44,8 @@ object Cms {
     val probes = keys
       .withColumn("i", explode(sequence(lit(0), lit(d - 1))))
       .withColumn("bucket", PortableHash.cmsBucket(col("i"), key, w))
-    broadcast(probes).join(sketch, Seq("i", "bucket"))
+    probes.join(broadcast(sketch), Seq("i", "bucket"), "left")
       .groupBy(keyCols: _*)
-      .agg(min(col("c")).as("cms_est"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
   }
 }

@@ -172,7 +172,10 @@ object TextAnalysis extends QueryPack {
     // min(1, weight). Shape at 100 TB: bucket counts are one
     // map-side-combinable aggregate onto 1024 cells (broadcast back),
     // doc scoring is explode + broadcast join + doc-keyed aggregate —
-    // no shuffle grows with vocabulary.
+    // no shuffle grows with vocabulary. Arithmetic ceiling: the
+    // ratio's (ct+1)·(tr+1024)·10⁶ product approaches Long range
+    // around 10¹² corpus tokens — past that, evaluate the ratio in
+    // DECIMAL(38,0) (the d06 pattern); the plan shape is unchanged.
     "t15_dsir_weights" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val toks = Tables(s, dir).documents

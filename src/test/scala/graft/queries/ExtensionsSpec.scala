@@ -72,6 +72,15 @@ class ExtensionsSpec extends AnyFunSuite {
     // (eps = e/w of the 50k total) of its true count
     val worst = est.orderBy($"exact_cnt".desc).limit(1).collect()(0)
     assert(worst.getLong(2) - worst.getLong(1) <= (2.72 * 50000 / 256).toLong)
+    // keys never seen at build time estimate to at most the collision
+    // mass of their cells — and a key whose cells are all empty
+    // estimates EXACTLY 0 (left join, not inner: the row must not
+    // drop, and a partially-empty cell set must not inflate the min)
+    val tiny = Cms.build(Seq(7L).toDF("k"), $"k", d = 4, w = 256)
+    val absent = Cms.probe(tiny, Seq(900001L).toDF("k"), $"k",
+      d = 4, w = 256).collect()
+    assert(absent.length === 1 && absent(0).getLong(1) === 0L,
+      s"absent key must estimate 0: ${absent.mkString}")
   }
 
   test("typed UDAF merges partial aggregates correctly across partitions") {
