@@ -92,6 +92,29 @@ object Graphs extends QueryPack {
         .select($"u", $"v").distinct()
       graft.operators.Triangles.stats(edges)
         .orderBy($"n_nodes")
+    }),
+
+    // -- G5: k-core of the co-purchase projection -----------------------
+    // The dense-community extraction step (the subgraph where every
+    // supplier co-occurs with ≥ 3 others that themselves stay in the
+    // core): synchronous peeling over the same projection g03 counts
+    // triangles on. 8 fixed rounds — well past this graph's
+    // convergence (KCoreSpec pins rounds-stability), and fixed rounds
+    // keep the Spark loop and the unrolled-CTE oracle computing the
+    // identical well-defined result ([[graft.operators.KCore]]).
+    "g05_kcore" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val ps = t.lineitem.select($"l_orderkey".as("o"), $"l_suppkey".as("sk"))
+        .join(t.supplier.select($"s_suppkey".as("sk"),
+          $"s_nationkey".as("nat")), Seq("sk"))
+        .select($"o", $"sk", $"nat").distinct()
+      val edges = ps.select($"o", $"nat", $"sk".as("u"))
+        .join(ps.select($"o", $"nat", $"sk".as("v")), Seq("o", "nat"))
+        .filter($"u" < $"v")
+        .select($"u", $"v").distinct()
+      graft.operators.KCore.survivors(edges, k = 3, rounds = 8)
+        .orderBy($"id")
     })
   )
 
@@ -170,6 +193,36 @@ object Graphs extends QueryPack {
 
       // same orientation, wedge, and closure logic in SQL; SUMs cast
       // back from HUGEINT
+      // one (degree, filter) CTE pair per peel round — the same
+      // fixed-round semantics as KCore.survivors(k=3, rounds=8)
+      "g05_kcore" -> {
+        def peel(i: Int): String =
+          s"""d$i AS (
+             |  SELECT s.a AS id, CAST(COUNT(*) AS BIGINT) AS deg
+             |  FROM sym s
+             |  JOIN a${i - 1} x ON s.a = x.id
+             |  JOIN a${i - 1} y ON s.b = y.id
+             |  GROUP BY s.a),
+             |a$i AS (SELECT id FROM d$i WHERE deg >= 3)""".stripMargin
+        s"""WITH ps AS (
+           |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk,
+           |    s_nationkey AS nat
+           |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+           |edges AS (
+           |  SELECT DISTINCT a.sk AS u, b.sk AS v
+           |  FROM ps a JOIN ps b ON a.o = b.o AND a.nat = b.nat
+           |    AND a.sk < b.sk),
+           |sym AS (
+           |  SELECT u AS a, v AS b FROM edges
+           |  UNION SELECT v AS a, u AS b FROM edges),
+           |d1 AS (
+           |  SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS deg
+           |  FROM sym GROUP BY a),
+           |a1 AS (SELECT id FROM d1 WHERE deg >= 3),
+           |${(2 to 8).map(peel).mkString(",\n")}
+           |SELECT id, deg FROM d8 WHERE deg >= 3 ORDER BY id""".stripMargin
+      },
+
       "g03_triangles" ->
         """WITH ps AS (
           |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk, s_nationkey AS nat
