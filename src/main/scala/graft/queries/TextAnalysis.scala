@@ -207,6 +207,39 @@ object TextAnalysis extends QueryPack {
         .orderBy($"source")
     }),
 
+    // -- statistical outlier trim: 3-sigma length filter per source -----
+    // The data-quality trim step (drop truncated fragments and
+    // concatenation blowups before training): a doc is an outlier iff
+    // |x − μ| > 3σ within its source. Evaluated as the EXACT integer
+    // inequality (n·x − Σx)² > 9·(n·Σx² − (Σx)²) (both sides of the
+    // float form scaled by n²) — no float mean/stddev anywhere, so
+    // the keep/drop decision
+    // hash-matches the oracle. Arithmetic runs in DECIMAL(38,0) (the
+    // d06 pattern): at 10⁹ docs/source the squared terms leave Long
+    // range. Shape at 100 TB: one scan → one source-keyed moment
+    // aggregate (n, Σx, Σx² — map-side combinable) broadcast back
+    // onto the scan; the decision is row-local.
+    "t16_outlier_trim" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+        .select($"doc_id", $"source", $"n_chars")
+      val moments = docs.groupBy($"source")
+        .agg(count(lit(1)).as("n"), sum($"n_chars").as("sx"),
+          sum($"n_chars" * $"n_chars").as("sxx"))
+      docs.join(broadcast(moments), Seq("source"))
+        .withColumn("is_outlier",
+          expr("""CAST(n * n_chars - sx AS DECIMAL(38,0))
+                 |  * (n * n_chars - sx)
+                 |  > 9 * (CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)""".stripMargin)
+            .cast("long"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"is_outlier").as("n_outliers"),
+          min(when($"is_outlier" === 0L, $"n_chars")).as("kept_min_chars"),
+          max(when($"is_outlier" === 0L, $"n_chars")).as("kept_max_chars"))
+        .orderBy($"source")
+    }),
+
     // -- corpus word frequency: top 20 ----------------------------------
     "t02_word_freq" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -526,6 +559,28 @@ object TextAnalysis extends QueryPack {
         |SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  MIN(common_ppm) AS min_ppm, MAX(common_ppm) AS max_ppm
         |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+
+    // the same n²-scaled integer 3-sigma inequality in DECIMAL;
+    // moments cast back from HUGEINT
+    "t16_outlier_trim" ->
+      """WITH m AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sx,
+        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+        |  FROM documents GROUP BY source),
+        |f AS (
+        |  SELECT d.source, d.n_chars,
+        |    CASE WHEN CAST(m.n * d.n_chars - m.sx AS DECIMAL(38,0))
+        |           * (m.n * d.n_chars - m.sx)
+        |         > 9 * (CAST(m.n AS DECIMAL(38,0)) * m.sxx
+        |                - CAST(m.sx AS DECIMAL(38,0)) * m.sx)
+        |    THEN 1 ELSE 0 END AS is_outlier
+        |  FROM documents d JOIN m ON d.source = m.source)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(is_outlier) AS BIGINT) AS n_outliers,
+        |  MIN(CASE WHEN is_outlier = 0 THEN n_chars END) AS kept_min_chars,
+        |  MAX(CASE WHEN is_outlier = 0 THEN n_chars END) AS kept_max_chars
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
     // hashed-feature buckets and the resampling coin both come from
     // the portable hash; SUMs cast back from HUGEINT
