@@ -194,31 +194,35 @@ object Graphs extends QueryPack {
       // same orientation, wedge, and closure logic in SQL; SUMs cast
       // back from HUGEINT
       // one (degree, filter) CTE pair per peel round — the same
-      // fixed-round semantics as KCore.survivors(k=3, rounds=8)
+      // fixed-round semantics as KCore.survivors(k=3, rounds=8).
+      // Every CTE is MATERIALIZED: each round references the previous
+      // survivor set TWICE, so an inlining engine would re-evaluate
+      // the whole chain 2^rounds times (measured: >300 s and >26 GB
+      // of spill at sf0.1 inlined vs 0.3 s materialized).
       "g05_kcore" -> {
         def peel(i: Int): String =
-          s"""d$i AS (
+          s"""d$i AS MATERIALIZED (
              |  SELECT s.a AS id, CAST(COUNT(*) AS BIGINT) AS deg
              |  FROM sym s
              |  JOIN a${i - 1} x ON s.a = x.id
              |  JOIN a${i - 1} y ON s.b = y.id
              |  GROUP BY s.a),
-             |a$i AS (SELECT id FROM d$i WHERE deg >= 3)""".stripMargin
-        s"""WITH ps AS (
+             |a$i AS MATERIALIZED (SELECT id FROM d$i WHERE deg >= 3)""".stripMargin
+        s"""WITH ps AS MATERIALIZED (
            |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk,
            |    s_nationkey AS nat
            |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
-           |edges AS (
+           |edges AS MATERIALIZED (
            |  SELECT DISTINCT a.sk AS u, b.sk AS v
            |  FROM ps a JOIN ps b ON a.o = b.o AND a.nat = b.nat
            |    AND a.sk < b.sk),
-           |sym AS (
+           |sym AS MATERIALIZED (
            |  SELECT u AS a, v AS b FROM edges
            |  UNION SELECT v AS a, u AS b FROM edges),
-           |d1 AS (
+           |d1 AS MATERIALIZED (
            |  SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS deg
            |  FROM sym GROUP BY a),
-           |a1 AS (SELECT id FROM d1 WHERE deg >= 3),
+           |a1 AS MATERIALIZED (SELECT id FROM d1 WHERE deg >= 3),
            |${(2 to 8).map(peel).mkString(",\n")}
            |SELECT id, deg FROM d8 WHERE deg >= 3 ORDER BY id""".stripMargin
       },
