@@ -18,11 +18,13 @@ import org.apache.spark.sql.functions._
   * suffices (KCoreSpec pins convergence-stability).
   *
   * Scale shape (100 TB): the symmetrized edge list is cached once
-  * with its partitioning; each round is two semi-joins against the
-  * (shrinking) survivor set plus one map-side-combinable degree
-  * aggregate; the survivor frame is `localCheckpoint`ed per round so
-  * plan depth stays flat in `rounds` (the Clusters/PageRank/Bfs
-  * discipline).
+  * with its partitioning and never re-shuffled; each round anti-joins
+  * it against only the per-round `dead` delta (checkpointed, tiny —
+  * AQE broadcasts it) plus one map-side-combinable degree aggregate.
+  * The filtered-subgraph plan grows by two broadcast anti-joins per
+  * round (linear in `rounds`, all map-side over the cached list); the
+  * final result is eagerly checkpointed so the cache can be released
+  * before returning (the Clusters/PageRank discipline).
   */
 object KCore {
 
@@ -46,16 +48,19 @@ object KCore {
       .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
       .distinct()
       .persist()
-    var cur = sym
-    var deg = cur.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
-    for (_ <- 1 until rounds) {
-      val dead = deg.filter(col("deg") < k).select(col("id"))
-        .localCheckpoint(true)
-      cur = cur
-        .join(dead.select(col("id").as("a")), Seq("a"), "left_anti")
-        .join(dead.select(col("id").as("b")), Seq("b"), "left_anti")
-      deg = cur.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
-    }
-    deg.filter(col("deg") >= k)
+    try {
+      var cur = sym
+      var deg = cur.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+      for (_ <- 1 until rounds) {
+        val dead = deg.filter(col("deg") < k).select(col("id"))
+          .localCheckpoint(true)
+        cur = cur
+          .join(dead.select(col("id").as("a")), Seq("a"), "left_anti")
+          .join(dead.select(col("id").as("b")), Seq("b"), "left_anti")
+        deg = cur.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+      }
+      // eager: the returned frame must not depend on the cache below
+      deg.filter(col("deg") >= k).localCheckpoint(true)
+    } finally sym.unpersist(blocking = false)
   }
 }

@@ -309,7 +309,9 @@ object Dedup extends QueryPack {
       val pairs = TextDedup.jaccardPairs(sh, minCommon = 10,
           minJaccardPm = 100, maxShingleDf = 10000)
         .select($"d1", $"d2", $"jaccard_pm")
-      val wide = TextDedup.minhashSignatures(sh, K)
+      // persisted: the signature frame feeds BOTH join sides below —
+      // unpersisted, the 16-conditional-min aggregate runs twice
+      val wide = TextDedup.minhashSignatures(sh, K).persist()
       val a = wide.toDF(wide.columns
         .map(c => if (c == "id") "d1" else s"a_$c"): _*)
       val b = wide.toDF(wide.columns

@@ -223,9 +223,12 @@ object TextAnalysis extends QueryPack {
       import s.implicits._
       val docs = Tables(s, dir).documents
         .select($"doc_id", $"source", $"n_chars")
+      // sxx accumulates in DECIMAL, not LONG: at the 10⁹-docs/source
+      // scale the doc claims, Σx² passes 10²¹ and a LONG sum would
+      // overflow before the inequality's DECIMAL cast ever ran
       val moments = docs.groupBy($"source")
         .agg(count(lit(1)).as("n"), sum($"n_chars").as("sx"),
-          sum($"n_chars" * $"n_chars").as("sxx"))
+          sum($"n_chars".cast("decimal(38,0)") * $"n_chars").as("sxx"))
       docs.join(broadcast(moments), Seq("source"))
         .withColumn("is_outlier",
           expr("""CAST(n * n_chars - sx AS DECIMAL(38,0))
@@ -566,7 +569,8 @@ object TextAnalysis extends QueryPack {
       """WITH m AS (
         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(SUM(n_chars) AS BIGINT) AS sx,
-        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+        |    CAST(SUM(CAST(n_chars AS DECIMAL(38,0)) * n_chars)
+        |      AS DECIMAL(38,0)) AS sxx
         |  FROM documents GROUP BY source),
         |f AS (
         |  SELECT d.source, d.n_chars,

@@ -107,10 +107,14 @@ class PlanRegressionSpec extends AnyFunSuite {
       "assigned-vector frame lost its persist — assignment runs 3x")
   }
 
-  test("x09: CMS probe side broadcasts against the cell table") {
+  test("x09: the fixed cell table broadcasts under the probe stream") {
     val plan = planOf("x09_cms_heavy_hitters")
-    assert(plan.contains("BroadcastHashJoin"),
-      "top-k probes should broadcast against the 1024-cell sketch")
+    // Cms.probe broadcasts the SKETCH side (<= d*w rows) in a LEFT
+    // OUTER join — the probe frame may be the whole corpus, so it
+    // must never be the built side
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftOuter"),
+      "the 1024-cell sketch should broadcast-left-outer under the probes")
     assert(!plan.contains("CartesianProduct"))
     // top-10 selection must be a bounded TakeOrderedAndProject, not a
     // global sort + limit
