@@ -242,6 +242,38 @@ object Extensions extends QueryPack {
         .orderBy($"exact_cnt".desc, $"custkey")
     }),
 
+    // -- sketch rollup: merge daily HLL sketches into monthly -----------
+    // The reaggregation pattern x04 doesn't cover: distinct counts
+    // CANNOT re-aggregate from counts (Σ daily distincts ≠ monthly
+    // distinct), but sketches merge losslessly — build one
+    // DataSketches HLL per (month, day), union per month, estimate.
+    // At 100 TB this is the only viable shape: the daily sketch table
+    // is tiny and append-only; month/quarter/year rollups never
+    // rescan events. Correctness is restated exactly (the x04
+    // policy): the query emits the exact per-month distinct plus a
+    // within-bound boolean on the merged estimate, both of which
+    // DuckDB reproduces bit-for-bit — a merge that lost keys or an
+    // estimate drifting past lgK=14's ~1% rsd flips the boolean.
+    "x11_sketch_rollup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val o = Tables(s, dir).orders
+        .select($"o_custkey",
+          date_trunc("day", $"o_orderdate").as("day"),
+          date_trunc("month", $"o_orderdate").as("month"))
+      val daily = o.groupBy($"month", $"day")
+        .agg(expr("hll_sketch_agg(o_custkey, 14)").as("sk"))
+      val monthly = daily.groupBy($"month")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))")
+          .as("est"))
+      o.groupBy($"month")
+        .agg(countDistinct($"o_custkey").as("exact_nd"))
+        .join(monthly, Seq("month"))
+        .select($"month", $"exact_nd",
+          (abs($"est" - $"exact_nd") <= $"exact_nd" * 0.05)
+            .as("merged_ok"))
+        .orderBy($"month")
+    }),
+
     // -- incremental view maintenance: merge deltas, never rescan -------
     // The materialized-view update path: the per-customer order
     // aggregate is maintained by merging each CDC batch's PARTIAL
@@ -277,6 +309,13 @@ object Extensions extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // exact distinct + always-TRUE bound boolean (the x04 policy)
+    "x11_sketch_rollup" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_nd,
+        |  TRUE AS merged_ok
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
     // the incremental result must equal the full recompute over the
     // final row set (base + late arrivals − retracted subset)
     "x10_incremental_agg" ->
