@@ -8,8 +8,9 @@ import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Source/sink format breadth beyond parquet (SURVEY §2.3 sources
-  * row): JSON, CSV and ORC round-trips preserve the documents table
-  * exactly; the built-in rate streaming source drives a query; and
+  * row): JSON, CSV, ORC and XML (Spark 4 native) round-trips preserve
+  * the documents table exactly; the text source covers raw-line
+  * ingest; the built-in rate streaming source drives a query; and
   * dropDuplicatesWithinWatermark bounds streaming dedup state.
   */
 class SourceFormatsSpec extends AnyFunSuite {
@@ -44,6 +45,30 @@ class SourceFormatsSpec extends AnyFunSuite {
     Tables(spark, dir).documents.write.mode("overwrite").orc(out)
     assert(spark.read.orc(out).orderBy("doc_id").collect()
       .map(_.toString).toList === docsSorted)
+  }
+
+  test("xml round-trip preserves the table (Spark 4 native xml source)") {
+    val out = Files.createTempDirectory("graft-xml").toString
+    Tables(spark, dir).documents.write.mode("overwrite")
+      .option("rowTag", "doc").xml(out)
+    val back = spark.read.option("rowTag", "doc")
+      .schema(Tables(spark, dir).documents.schema).xml(out)
+    assert(back.orderBy("doc_id").collect().map(_.toString).toList ===
+      docsSorted)
+  }
+
+  test("text source reads raw lines (one-column ingest surface)") {
+    val out = Files.createTempDirectory("graft-text").toString
+    Tables(spark, dir).documents
+      .select(concat_ws("\t", col("doc_id"), col("lang")).as("value"))
+      .write.mode("overwrite").text(out)
+    val back = spark.read.text(out)
+      .select(split(col("value"), "\t").as("p"))
+      .select(col("p").getItem(0).cast("long").as("doc_id"),
+        col("p").getItem(1).as("lang"))
+    val want = Tables(spark, dir).documents.select("doc_id", "lang")
+      .orderBy("doc_id").collect().map(_.toString).toList
+    assert(back.orderBy("doc_id").collect().map(_.toString).toList === want)
   }
 
   test("rate streaming source feeds a query") {
