@@ -484,6 +484,31 @@ object StreamingOps extends QueryPack {
         .orderBy($"i", $"bucket")
     }),
 
+    // -- streaming HLL daily sketches: distinct counts on a stream ------
+    // The streaming face of x11: per-day DataSketches HLL built AS THE
+    // STREAM ARRIVES (the sketch buffer is the aggregation state —
+    // micro-batch partials merge associatively into the store), where
+    // an exact streaming distinct would hold every key forever. The
+    // drained estimates are checked against the batch-exact per-day
+    // distincts with within-bound booleans (the x04 restatement
+    // policy) — DuckDB reproduces day, exact and boolean bit-for-bit.
+    "st17_stream_hll_daily" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val sk = eventStream(s, dir)
+        .select($"user_id", date_trunc("day", $"ts").as("day"))
+        .groupBy($"day")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))")
+          .as("est"))
+      val est = drain(s, sk, OutputMode.Complete())
+      val exact = Tables(s, dir).events
+        .select($"user_id", date_trunc("day", $"ts").as("day"))
+        .groupBy($"day").agg(countDistinct($"user_id").as("exact_nd"))
+      est.join(exact, Seq("day"))
+        .select($"day", $"exact_nd",
+          (abs($"est" - $"exact_nd") <= $"exact_nd" * 0.05).as("est_ok"))
+        .orderBy($"day")
+    }),
+
     // -- streaming upsert into a serving table (foreachBatch + MERGE) ---
     // The production pattern for "keep a queryable table current from a
     // stream": update-mode deltas (only keys whose aggregate changed
@@ -558,6 +583,13 @@ object StreamingOps extends QueryPack {
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    // exact per-day distinct + always-TRUE bound boolean (x04 policy)
+    "st17_stream_hll_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_nd,
+        |  TRUE AS est_ok
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
 
     // the final streaming sketch equals the batch CMS over the full
     // input — same portable-hash cells as x09
