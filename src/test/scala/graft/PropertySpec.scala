@@ -110,6 +110,36 @@ object PropertySpec extends Properties("graft") {
       got == want
     }
 
+  property("CMS estimate == min-of-cells model; never below exact") =
+    forAll(Gen.listOfN(300, Gen.chooseNum(0L, 40L)),
+      Gen.chooseNum(2, 4)) { (ks, d) =>
+      import spark.implicits._
+      val w = 32
+      val cms = graft.operators.Cms.build(ks.toDF("k"),
+        org.apache.spark.sql.functions.col("k"), d, w)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      // in-memory model of the same portable-hash cells
+      def bucket(i: Int, k: Long): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$i:$k".getBytes("UTF-8"))
+        val hex = md.map("%02x".format(_)).mkString.take(14)
+        java.lang.Long.parseLong(hex, 16) % w
+      }
+      val exact = ks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val probed = graft.operators.Cms
+        .probe(graft.operators.Cms.build(ks.toDF("k"),
+            org.apache.spark.sql.functions.col("k"), d, w),
+          exact.keys.toSeq.toDF("k"),
+          org.apache.spark.sql.functions.col("k"), d, w)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      exact.forall { case (k, cnt) =>
+        val model = (0 until d)
+          .map(i => cms.getOrElse((i, bucket(i, k)), 0L)).min
+        probed(k) == model && probed(k) >= cnt
+      }
+    }
+
   property("hub delivers any sequence exactly once, in order") =
     forAll(Gen.listOfN(25, Gen.chooseNum(Int.MinValue, Int.MaxValue))) { xs =>
       val engine = new graft.streaming.EventEngine(spark)
