@@ -122,6 +122,48 @@ object Extensions extends QueryPack {
         .orderBy($"o_custkey", $"version")
     }),
 
+    // -- temporal (point-in-time) join against the SCD2 dimension -------
+    // The lookup half of x06: every event is enriched with the
+    // dimension VERSION in effect at event time (the join every
+    // versioned warehouse needs — "which status did this customer
+    // have when the event happened", never the current row). The
+    // version valid at t is the latest valid_from ≤ t, so the lookup
+    // IS a backward as-of join ([[graft.operators.AsofJoin]]:
+    // union+window, one shuffle, no range cross-product). Versions
+    // are collapsed to one per (key, valid_from) first so the as-of
+    // pick is tie-free and both engines choose identically; events
+    // before the first version carry NULL (left semantics).
+    "x12_temporal_join" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"valid_from", $"version")
+      val dimAll = Tables(s, dir).orders
+        .filter($"o_custkey" <= 20)
+        .select($"o_custkey".as("user_id"),
+          $"o_orderdate".as("valid_from"), $"o_orderkey",
+          $"o_orderstatus".as("status"))
+        .withColumn("version", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"user_id")
+            .orderBy($"valid_from", $"o_orderkey")))
+      // one version per (key, valid_from): the last order of that day
+      val dim = dimAll
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"user_id", $"valid_from")
+            .orderBy($"version".desc)))
+        .filter($"rk" === 1)
+        .select($"user_id", $"valid_from", $"version", $"status")
+      val ev = Tables(s, dir).events
+        .filter($"user_id" <= 20).select($"user_id", $"ts")
+      graft.operators.AsofJoin.asofBackward(ev, dim,
+          on = Seq("user_id"), leftTs = "ts", rightTs = "valid_from",
+          pick = Seq("version" -> "dim_version", "status" -> "dim_status"))
+        .groupBy($"user_id", $"dim_version", $"dim_status")
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy($"user_id", $"dim_version")
+    }),
+
     // -- A/B experiment readout over the deterministic split ------------
     // Composition of operators.Sampling with event aggregation: users
     // hash into control/treatment (stable under data growth — no
@@ -309,6 +351,35 @@ object Extensions extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // the as-of pick restated as MAX(valid_from <= ts) + rejoin;
+    // dup-(user, ts) events survive via the join back to ev
+    "x12_temporal_join" ->
+      """WITH dimall AS (
+        |  SELECT o_custkey AS user_id, o_orderdate AS valid_from,
+        |    o_orderkey, o_orderstatus AS status,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS version
+        |  FROM orders WHERE o_custkey <= 20),
+        |dim AS (
+        |  SELECT user_id, valid_from, version, status FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, valid_from
+        |      ORDER BY version DESC) AS rk FROM dimall) t
+        |  WHERE rk = 1),
+        |ev AS (SELECT user_id, ts FROM events WHERE user_id <= 20),
+        |mv AS (
+        |  SELECT e.user_id, e.ts, MAX(d.valid_from) AS vf
+        |  FROM ev e LEFT JOIN dim d
+        |    ON d.user_id = e.user_id AND d.valid_from <= e.ts
+        |  GROUP BY e.user_id, e.ts),
+        |en AS (
+        |  SELECT e.user_id, m.vf
+        |  FROM ev e JOIN mv m ON e.user_id = m.user_id AND e.ts = m.ts)
+        |SELECT en.user_id, d.version AS dim_version,
+        |  d.status AS dim_status, CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM en LEFT JOIN dim d
+        |  ON d.user_id = en.user_id AND d.valid_from = en.vf
+        |GROUP BY 1, 2, 3 ORDER BY en.user_id, dim_version""".stripMargin,
+
     // exact distinct + always-TRUE bound boolean (the x04 policy)
     "x11_sketch_rollup" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
