@@ -378,7 +378,8 @@ object Extensions extends QueryPack {
         |  d.status AS dim_status, CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM en LEFT JOIN dim d
         |  ON d.user_id = en.user_id AND d.valid_from = en.vf
-        |GROUP BY 1, 2, 3 ORDER BY en.user_id, dim_version""".stripMargin,
+        |GROUP BY 1, 2, 3
+        |ORDER BY en.user_id, dim_version NULLS FIRST""".stripMargin,
 
     // exact distinct + always-TRUE bound boolean (the x04 policy)
     "x11_sketch_rollup" ->

@@ -42,13 +42,23 @@ object PortableHash {
     * string, `:` separator, i before k) that makes the x09/st16
     * sketches bit-identical across engines. Keep [[duckCmsBucket]] in
     * lockstep.
+    *
+    * NULL keys hash via the `"\u0000null"` sentinel (the same
+    * convention as [[graft.operators.Sampling.hashBucketPm]]) rather
+    * than null-propagating: a NULL bucket would put build-side NULL
+    * counts in a cell no equi-join probe can ever reach, so a NULL key
+    * seen n times would estimate 0 — silently breaking the sketch's
+    * no-underestimate guarantee. With the sentinel, NULL is just one
+    * more key: counted at build, estimable at probe, in both engines.
     */
   def cmsBucket(i: Column, k: Column, w: Int): Column =
-    sparkHash56(concat(i.cast("string"), lit(":"), k.cast("string"))) % w
+    sparkHash56(concat(i.cast("string"), lit(":"),
+      coalesce(k.cast("string"), lit("\u0000null")))) % w
 
   /** DuckDB mirror of [[cmsBucket]] over SQL expressions. */
   def duckCmsBucket(iExpr: String, kExpr: String, w: Int): String =
-    duckHash56(s"CAST($iExpr AS VARCHAR) || ':' || CAST($kExpr AS VARCHAR)") +
+    duckHash56(s"CAST($iExpr AS VARCHAR) || ':' || " +
+      s"COALESCE(CAST($kExpr AS VARCHAR), chr(0) || 'null')") +
       s" % $w"
 
   /** Mersenne prime 2^31-1: modulus for MinHash permutations

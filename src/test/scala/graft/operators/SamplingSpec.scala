@@ -116,6 +116,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("weightedSystematic: duplicate order keys violate the contract LOUDLY") {
+    import spark.implicits._
+    // two rows tied on `order` share one RANGE-frame cumulative endpoint,
+    // so their weight intervals overlap and one position selects both —
+    // the documented failure mode for breaking the total-order contract.
+    // This pins that the violation is visible (extra rows), not silent.
+    val tied = Seq(("a", 1L, 10L), ("a", 1L, 10L)).toDF("s", "id", "w")
+    assert(Sampling.weightedSystematic(tied, "s", "id", "w", k = 1)
+      .count() === 2L, "tied order keys must surface as >k rows")
+    // and a composite unique order restores exactly-k
+    val fixed = Seq(("a", "1:0", 10L), ("a", "1:1", 10L)).toDF("s", "id", "w")
+    assert(Sampling.weightedSystematic(fixed, "s", "id", "w", k = 1)
+      .count() === 1L)
+  }
+
   test("sampleByRate applies per-row rates (domain mixing)") {
     import spark.implicits._
     val df = spark.range(20000)

@@ -83,6 +83,24 @@ class ExtensionsSpec extends AnyFunSuite {
       s"absent key must estimate 0: ${absent.mkString}")
   }
 
+  test("CMS counts NULL keys like any other key (sentinel bucket)") {
+    import spark.implicits._
+    import graft.operators.Cms
+    // 30 NULL keys among 100 non-null: NULL must estimate >= 30, not 0
+    // (cmsBucket hashes NULL via the \u0000-sentinel; a null-propagated
+    // bucket would strand the build-side counts in an unjoinable cell)
+    val keys = spark.range(130)
+      .select(when($"id" < 30, lit(null).cast("long"))
+        .otherwise($"id" % 10).as("k"))
+    val cms = Cms.build(keys, $"k", d = 4, w = 64)
+    assert(cms.filter($"bucket".isNull).count() === 0L,
+      "no NULL bucket may exist in the sketch")
+    val est = Cms.probe(cms, Seq[Option[Long]](None).toDF("k"), $"k",
+      d = 4, w = 64).collect()
+    assert(est.length === 1 && est(0).getLong(1) >= 30L,
+      s"NULL key seen 30 times must estimate >= 30: ${est.mkString}")
+  }
+
   test("typed UDAF merges partial aggregates correctly across partitions") {
     import spark.implicits._
     // same rows, pathological partitioning: result must be identical
