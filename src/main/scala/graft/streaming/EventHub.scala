@@ -197,18 +197,29 @@ final class Subscription[T] private[streaming] (
       }
     }
 
-  private def startQuery(sink: Seq[Envelope[T]] => Unit): StreamingQuery = {
+  private def startQuery(sink: Iterator[Envelope[T]] => Unit): StreamingQuery = {
     require(query.isEmpty,
       "subscription already has a running consumer (foreachOrdered/" +
         "pipeTo may be called once); subscribe() again for another")
+    import org.apache.spark.sql.functions.{coalesce, col}
     val q = dataset.writeStream
       .queryName(s"${hub.name}-sub-$subSeq")
       .trigger(Trigger.ProcessingTime(0L))
       .foreachBatch { (ds: Dataset[Envelope[T]], _: Long) =>
         val mark = clearBelow
-        val rows = ds.collect().filter(_.event_id >= mark)
-          .sortBy(e => (e.rootId, e.event_id))
-        EventEngine.runInSink { sink(rows.toSeq) }
+        // Filter and order INSIDE the plan (codegen'd comparison, range-
+        // partitioned sort), then stream the batch to the driver handler
+        // one partition at a time: after a global sort, toLocalIterator
+        // yields partitions in range order, so iteration order == total
+        // (rootId, event_id) causal order — the R8/R12 contract — while
+        // the driver holds at most one partition, never the whole batch.
+        val ordered = ds
+          .filter(col("event_id") >= mark)
+          .sort(coalesce(col("source_id"), col("event_id")), col("event_id"))
+        EventEngine.runInSink {
+          import scala.jdk.CollectionConverters._
+          sink(ordered.toLocalIterator().asScala)
+        }
       }
       .start()
     query = Some(q)
