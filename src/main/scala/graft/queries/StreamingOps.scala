@@ -521,7 +521,12 @@ object StreamingOps extends QueryPack {
     // format's MERGE INTO plays this role in production). The input is
     // split into 4 files consumed one per trigger, so the merge
     // genuinely runs across multiple incremental micro-batches —
-    // asserted, not assumed.
+    // asserted, not assumed. Superseded snapshots are deleted as soon
+    // as the next version is fully written (write v(n), THEN drop
+    // v(n-1) — never the reverse, so a crash between the two steps
+    // leaves a complete snapshot either way): the serving root holds
+    // at most two versions at any instant instead of one copy per
+    // micro-batch forever — asserted at drain.
     "st11_streaming_upsert" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val agg = eventStreamMultiBatch(s, dir, parts = 4)
@@ -547,6 +552,13 @@ object StreamingOps extends QueryPack {
             }
             val next = s"$servingRoot/v$batches"
             merged.write.mode("overwrite").parquet(next)
+            // GC: the new snapshot is durable, the previous one is
+            // garbage — drop it now so storage stays O(1) in batches
+            latest.foreach { p =>
+              val fs = new org.apache.hadoop.fs.Path(p)
+              fs.getFileSystem(s.sparkContext.hadoopConfiguration)
+                .delete(fs, true)
+            }
             latest = Some(next)
             batches += 1
           }
@@ -556,6 +568,10 @@ object StreamingOps extends QueryPack {
       require(batches >= 4,
         s"expected >= 4 incremental micro-batches, saw $batches — the " +
           "multi-file split is not driving the trigger")
+      val live = new java.io.File(servingRoot).listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("v"))
+      require(live <= 2,
+        s"snapshot GC failed: $live versions live under $servingRoot")
       s.read.parquet(latest.get).orderBy($"user_id")
     }),
 
