@@ -8,14 +8,15 @@ import org.apache.spark.sql.functions._
   * enough rounds the survivor set is exactly the k-core (the maximal
   * subgraph where every node has ≥ k neighbors inside it).
   *
-  * Rounds are FIXED (`rounds`), not peeled to fixpoint: both the
-  * Spark loop and a SQL oracle can then compute the identical
+  * Two modes. [[survivors]] peels a FIXED round count — the oracle
+  * mode: both the Spark loop and a SQL oracle compute the identical
   * well-defined result (survivors of round `rounds`, with the degree
-  * measured during that round), and the per-round plan is the
-  * production shape either way — a fixpoint loop just adds an
-  * emptiness check per round. Peeling converges in at most
-  * O(max-degeneracy-ordering) rounds; on real graphs a handful
-  * suffices (KCoreSpec pins convergence-stability).
+  * measured during that round). [[survivorsToFixpoint]] peels until a
+  * round removes nothing — the production mode: the true k-core with
+  * no round count to guess, at the cost of one emptiness check per
+  * round. Peeling converges in at most O(max-degeneracy-ordering)
+  * rounds; on real graphs a handful suffices (KCoreSpec pins
+  * convergence-stability and fixpoint == fixed-rounds).
   *
   * Scale shape (100 TB): the symmetrized edge list is cached once
   * with its partitioning and never re-shuffled; each round anti-joins
@@ -61,6 +62,52 @@ object KCore {
       }
       // eager: the returned frame must not depend on the cache below
       deg.filter(col("deg") >= k).localCheckpoint(true)
+    } finally sym.unpersist(blocking = false)
+  }
+
+  /** Peel to FIXPOINT — the production mode: rounds continue until a
+    * round removes nothing (the peeled delta is empty), which is the
+    * defining property of the k-core, instead of a caller-guessed
+    * round count. Identical per-round plan to [[survivors]] (cached
+    * symmetrized edges, delta-only broadcast anti-joins); the only
+    * addition is one emptiness check on the already-checkpointed
+    * `dead` delta per round — a metadata-cheap action, since the
+    * delta is materialized for the anti-joins anyway. `maxRounds` is
+    * a runaway backstop (peeling converges in at most the degeneracy
+    * ordering's length; hitting the cap throws rather than silently
+    * returning a non-core).
+    *
+    * Once [[survivors]] has converged, both modes return the same
+    * frame (KCoreSpec pins fixpoint == fixed-rounds).
+    */
+  def survivorsToFixpoint(edges: DataFrame, k: Int,
+      maxRounds: Int = 200): DataFrame = {
+    require(k >= 1 && maxRounds >= 1, s"need k >= 1, maxRounds >= 1")
+    val sym = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+      .distinct()
+      .persist()
+    try {
+      var cur = sym
+      var deg = cur.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+      var round = 0
+      var converged = false
+      while (!converged) {
+        round += 1
+        if (round > maxRounds)
+          throw new IllegalStateException(
+            s"k-core peeling did not converge in $maxRounds rounds")
+        val dead = deg.filter(col("deg") < k).select(col("id"))
+          .localCheckpoint(true)
+        if (dead.isEmpty) converged = true
+        else {
+          cur = cur
+            .join(dead.select(col("id").as("a")), Seq("a"), "left_anti")
+            .join(dead.select(col("id").as("b")), Seq("b"), "left_anti")
+          deg = cur.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+        }
+      }
+      deg.localCheckpoint(true) // all remaining degrees are >= k
     } finally sym.unpersist(blocking = false)
   }
 }

@@ -48,4 +48,19 @@ class KCoreSpec extends AnyFunSuite {
     import spark.implicits._
     assert(KCore.survivors(cliqueChain, k = 1, rounds = 4).count() === 7L)
   }
+
+  test("fixpoint mode equals fixed-rounds once converged") {
+    import spark.implicits._
+    val fixed = KCore.survivors(cliqueChain, k = 3, rounds = 8)
+    val fp = KCore.survivorsToFixpoint(cliqueChain, k = 3)
+    assert(fp.exceptAll(fixed).isEmpty && fixed.exceptAll(fp).isEmpty)
+    // cascading case: fixpoint discovers the empty 2-core of a path
+    // without being told how many rounds the cascade needs
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    assert(KCore.survivorsToFixpoint(path, k = 2).count() === 0L)
+    // runaway backstop trips instead of silently returning a non-core
+    intercept[IllegalStateException] {
+      KCore.survivorsToFixpoint(path, k = 2, maxRounds = 1)
+    }
+  }
 }
