@@ -47,15 +47,22 @@ object Multimodal extends QueryPack {
     // decoded features → a compact perceptual signature → candidate
     // pairs ONLY inside a blocking band → exact verification. Here the
     // signature is the stub's decoded features (mean "luminance" +
-    // 4-bin histogram, all integer per-mille), the band is
-    // `lum_pm div 4`, and verification is |Δlum| ≤ 1 ∧ histogram
-    // L1 ≤ 8. Cross-band near-pairs are forgone by construction (the
-    // same documented recall trade as d06's sign buckets and t07's
-    // length band — the oracle blocks identically, so semantics are
-    // pinned). The feature frame is persisted: it feeds both sides of
-    // the self-join, and the mapPartitions decode must run once, not
-    // twice. At 100 TB: decode once, store features; the pair join
-    // touches only the fixed-width feature table, banded.
+    // 4-bin histogram, all integer per-mille) and verification is
+    // |Δlum| ≤ 1 ∧ histogram L1 ≤ 8. Blocking is TWO-BAND: every
+    // signature probes both its floor- and ceil-quantized luminance
+    // band (`lum div 4` and `(lum+3) div 4`), so a pair straddling a
+    // band edge — |Δlum| = 1 with the boundary between them, which a
+    // single floor band forgoes by construction — still meets in one
+    // of the two (the ceil band of the lower equals the floor band of
+    // the higher). With the verify threshold Δ ≤ 1 < band width 4,
+    // the two bands make blocking recall EXACT: no true pair is lost,
+    // at ≤ 2× candidate cost (the standard adjacent-band trick).
+    // Pairs meeting in both bands are deduped. The oracle blocks
+    // identically, so semantics stay pinned. The feature frame is
+    // persisted: it feeds both sides of the self-join, and the
+    // mapPartitions decode must run once, not twice. At 100 TB:
+    // decode once, store features; the pair join touches only the
+    // fixed-width feature table, banded.
     "m05_media_neardup" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val binary = Tables(s, dir).documents
@@ -63,11 +70,12 @@ object Multimodal extends QueryPack {
       val sgn = BinaryDecode.extractFeatures(s, binary).toDF()
         .select($"doc_id",
           expr("byte_sum * 1000 div n_bytes").as("lum_pm"),
-          expr("(byte_sum * 1000 div n_bytes) div 4").as("band"),
           expr("h0 * 1000 div n_bytes").as("p0"),
           expr("h1 * 1000 div n_bytes").as("p1"),
           expr("h2 * 1000 div n_bytes").as("p2"),
           expr("h3 * 1000 div n_bytes").as("p3"))
+        .withColumn("band", explode(array_distinct(array(
+          expr("lum_pm div 4"), expr("(lum_pm + 3) div 4")))))
         .persist()
       def side(tag: String) = sgn.select(
         $"doc_id".as(s"d$tag"), $"band", $"lum_pm".as(s"lum$tag"),
@@ -80,6 +88,7 @@ object Multimodal extends QueryPack {
           abs($"p21" - $"p22") + abs($"p31" - $"p32"))
         .filter($"dl" <= 1 && $"l1" <= 8)
         .select($"d1", $"d2", $"dl", $"l1")
+        .distinct()
         .orderBy($"d1", $"d2")
     }),
 
@@ -143,8 +152,9 @@ object Multimodal extends QueryPack {
         |  CAST(len(list_filter(bytes, v -> v // 32 >= 3)) AS BIGINT) AS h3
         |FROM b ORDER BY doc_id""".stripMargin,
 
-    // same banded blocking in the oracle — semantics pinned, not
-    // accidental; SUMs/abs arithmetic all integer
+    // same TWO-BAND blocking in the oracle (floor + ceil luminance
+    // bands, pairs deduped) — semantics pinned, not accidental;
+    // SUMs/abs arithmetic all integer
     "m05_media_neardup" ->
       """WITH b AS (
         |  SELECT doc_id, list_transform(string_split(text, ''),
@@ -159,13 +169,17 @@ object Multimodal extends QueryPack {
         |    CAST(len(list_filter(bytes, v -> v // 32 = 2)) AS BIGINT) AS h2,
         |    CAST(len(list_filter(bytes, v -> v // 32 >= 3)) AS BIGINT) AS h3
         |  FROM b),
-        |s AS (
+        |s0 AS (
         |  SELECT doc_id, byte_sum * 1000 // n_bytes AS lum_pm,
-        |    (byte_sum * 1000 // n_bytes) // 4 AS band,
         |    h0 * 1000 // n_bytes AS p0, h1 * 1000 // n_bytes AS p1,
         |    h2 * 1000 // n_bytes AS p2, h3 * 1000 // n_bytes AS p3
-        |  FROM f)
-        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  FROM f),
+        |s AS (
+        |  SELECT doc_id, lum_pm, p0, p1, p2, p3, band
+        |  FROM s0 CROSS JOIN LATERAL (
+        |    SELECT unnest(list_distinct(
+        |      [lum_pm // 4, (lum_pm + 3) // 4])) AS band))
+        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
         |  CAST(abs(a.lum_pm - b.lum_pm) AS BIGINT) AS dl,
         |  CAST(abs(a.p0-b.p0) + abs(a.p1-b.p1) + abs(a.p2-b.p2)
         |    + abs(a.p3-b.p3) AS BIGINT) AS l1
