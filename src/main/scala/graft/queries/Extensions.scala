@@ -347,6 +347,36 @@ object Extensions extends QueryPack {
       IncrementalAgg.mergeAdditive(v1, retractions, Seq("o_custkey"))
         .filter($"n_orders" > 0)
         .orderBy($"o_custkey")
+    }),
+
+    // -- insert-only min/max/count/sum maintenance ----------------------
+    // The monotonic sibling of x10: per-customer MIN/MAX order value
+    // maintained alongside COUNT/SUM by merging each batch's partial
+    // aggregate with least/greatest + addition
+    // ([[graft.operators.IncrementalAgg.mergeMonotonic]]). Sound for
+    // the append-only half of CDC only — min/max cannot be retracted
+    // (documented + pinned in IncrementalAggSpec) — which is exactly
+    // the immutable-event-log shape most warehouse facts have. The
+    // oracle is the full recompute: incremental ≡ rescan, hash-checked.
+    "x13_monotonic_agg" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.IncrementalAgg
+      val o = Tables(s, dir).orders
+        .select($"o_custkey", $"o_orderkey",
+          expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").as("cents"))
+      def aggOf(df: DataFrame) = df.groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"), sum($"cents").as("total_cents"),
+          min($"cents").as("min_cents"), max($"cents").as("max_cents"))
+      // three uneven insert batches — the merge must be
+      // batching-independent, so ANY split works
+      val snap0 = aggOf(o.filter($"o_orderkey" % 3 === 0))
+      val b1 = aggOf(o.filter($"o_orderkey" % 3 === 1))
+      val b2 = aggOf(o.filter($"o_orderkey" % 3 === 2))
+      Seq(b1, b2).foldLeft(snap0)(
+          IncrementalAgg.mergeMonotonic(_, _, Seq("o_custkey"),
+            addCols = Seq("n_orders", "total_cents"),
+            minCols = Seq("min_cents"), maxCols = Seq("max_cents")))
+        .orderBy($"o_custkey")
     })
   )
 
@@ -387,6 +417,17 @@ object Extensions extends QueryPack {
         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_nd,
         |  TRUE AS merged_ok
         |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    // insert-only incremental min/max/count/sum == full recompute
+    "x13_monotonic_agg" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  CAST(MIN(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS min_cents,
+        |  CAST(MAX(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS max_cents
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     // the incremental result must equal the full recompute over the
     // final row set (base + late arrivals − retracted subset)

@@ -67,6 +67,68 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(merged.count() === 2L)
   }
 
+  private def monoAggOf(df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.groupBy($"k").agg(count(lit(1)).as("n"), sum($"v").as("s"),
+      min($"v").as("lo"), max($"v").as("hi"))
+  }
+
+  private def monoMerge(a: DataFrame, b: DataFrame): DataFrame =
+    IncrementalAgg.mergeMonotonic(a, b, Seq("k"),
+      addCols = Seq("n", "s"), minCols = Seq("lo"), maxCols = Seq("hi"))
+
+  test("mergeMonotonic: any batching equals the one-shot aggregate") {
+    import spark.implicits._
+    val rows = spark.range(10000)
+      .select(($"id" % 37).as("k"), ($"id" % 101 - 50).as("v"), $"id")
+    val oneShot = monoAggOf(rows.drop("id"))
+    val batches = Seq(
+      rows.filter($"id" % 5 === 0), rows.filter($"id" % 5 === 1),
+      rows.filter($"id" % 5 >= 2)).map(df => monoAggOf(df.drop("id")))
+    assert(same(batches.reduce(monoMerge), oneShot))
+    // merge order is immaterial too (least/greatest are commutative)
+    assert(same(Seq(batches(2), batches(0), batches(1)).reduce(monoMerge),
+      oneShot))
+    // one-sided groups pass through with their own extrema
+    val disjoint = monoAggOf(Seq((999L, 7L)).toDF("k", "v"))
+    val grown = monoMerge(oneShot, disjoint)
+    val row = grown.filter($"k" === 999L).collect()(0)
+    assert(row.getLong(2) === 7L && row.getLong(3) === 7L)
+  }
+
+  test("mergeMonotonic: deletes leave a STALE extremum (the documented failure)") {
+    import spark.implicits._
+    // group's min row (v=1) is later deleted; remaining rows have min 5
+    val before = monoAggOf(Seq((1L, 1L), (1L, 5L), (1L, 9L)).toDF("k", "v"))
+    val afterDeleteTruth = monoAggOf(Seq((1L, 5L), (1L, 9L)).toDF("k", "v"))
+    // the only delta a CDC delete could offer: negated additive parts,
+    // extremum columns carrying the deleted value — no spelling of
+    // least/greatest can RAISE the min back to 5
+    val deleteDelta = Seq((1L, -1L, -1L, 1L, 1L)).toDF("k", "n", "s", "lo", "hi")
+    val merged = monoMerge(before, deleteDelta)
+    val got = merged.collect()(0)
+    val want = afterDeleteTruth.collect()(0)
+    // additive parts track the delete fine...
+    assert(got.getLong(1) === want.getLong(1) &&
+      got.getLong(2) === want.getLong(2))
+    // ...but the min is STALE at 1, not the true 5: pinned, so the
+    // non-retractability contract is a measured fact, not a comment
+    assert(got.getLong(3) === 1L && want.getLong(3) === 5L)
+  }
+
+  test("mergeMonotonic: declared columns must cover the schema") {
+    import spark.implicits._
+    val a = Seq((1L, 2L, 3L)).toDF("k", "n", "lo")
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.mergeMonotonic(a, a, Seq("k"),
+        addCols = Seq("n"), minCols = Seq.empty, maxCols = Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.mergeMonotonic(a.select($"k"), a.select($"k"),
+        Seq("k"), Seq.empty, Seq.empty, Seq.empty)
+    }
+  }
+
   test("schema mismatch and keys-only snapshots are rejected") {
     import spark.implicits._
     val a = Seq((1L, 2L)).toDF("k", "n")
