@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable quantile sketch as a log-scale histogram (the HDR-
+  * histogram shape): positive integer values bucket by octave
+  * (floor(log2 v), spelled `length(bin(v)) - 1` — pure integer, no
+  * floating log whose last ulp could differ across engines) times `k`
+  * linear sub-buckets per octave. A sketch is then just a
+  * `(group, bucket, c)` count table, which makes it the quantile
+  * sibling of the HLL rollup (x11): per-day sketches merge to
+  * monthly by ADDING bucket counts — one combinable aggregate, no
+  * rescan of the base data, unlike percentiles themselves (Σ of
+  * daily p95s is meaningless).
+  *
+  * Quantile estimation reads the merged histogram: the rank-r value
+  * lives in the first bucket whose cumulative count reaches r, and
+  * the estimate is that bucket's upper edge. Guarantee (the x04
+  * exact-plus-bound policy leans on this):
+  *
+  *   exact ≤ est ≤ exact · (k+1)/k
+  *
+  * Proof sketch: the r-th smallest value t has fewer than r values
+  * in buckets before its own (all are < t), so the first bucket with
+  * cum ≥ r IS t's bucket; est = upperEdge ≥ t by the sub-bucket
+  * inequality `(v - 2^o)·k div 2^o = s  ⇒  v < 2^o(k+s+1)/k`, and
+  * t ≥ 2^o(k+s)/k gives est/t ≤ (k+s+1)/(k+s) ≤ (k+1)/k. All
+  * arithmetic is 64-bit integer, so the bound booleans are
+  * deterministic and the DuckDB oracle reproduces them bit-for-bit.
+  *
+  * Scale shape (100 TB): the sketch table has at most
+  * `octaves × k` rows per group (≤ ~1000 for 64-bit values, k=16) —
+  * a map-side-combinable `groupBy(bucket).count()` regardless of row
+  * count, and rollups (day → month → quarter) touch only sketch
+  * rows. Memory is FIXED like the CMS (x09), but for ranks instead
+  * of frequencies.
+  */
+object LogHistogram {
+
+  /** Bucket id of a POSITIVE integer column: `octave * k + sub`,
+    * octave = floor(log2 v) via binary-string length, sub ∈ [0, k)
+    * by linear split of the octave. Callers must filter v ≥ 1 first
+    * (bin(0) has no set bit; zero/negative values have no octave).
+    */
+  def bucket(v: String, k: Int): Column = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val pow = s"shiftleft(CAST(1 AS BIGINT), length(bin($v)) - 1)"
+    expr(s"(length(bin($v)) - 1) * $k + ((($v - $pow) * $k) div $pow)")
+  }
+
+  /** Upper edge of a bucket id: `2^o · (k + s + 1) div k` — the
+    * integer-floor of the real sub-bucket boundary, still an upper
+    * bound for every integer value in the bucket (see object doc).
+    */
+  def upperEdge(bucketCol: String, k: Int): Column = {
+    require(k >= 1, s"need k >= 1, got $k")
+    expr(s"(shiftleft(CAST(1 AS BIGINT), $bucketCol div $k) * " +
+      s"($k + $bucketCol % $k + 1)) div $k")
+  }
+
+  /** Estimate quantiles from a merged `(groupCols..., bucket, c)`
+    * histogram: for each requested `(name, numer, denom)` the
+    * discrete rank is `ceil(numer·n / denom)` (n = Σ c within the
+    * group, derived from the sketch itself) and the estimate is the
+    * upper edge of the first bucket whose cumulative count reaches
+    * it. Two windows over the tiny sketch table — never the data.
+    */
+  def estimateQuantiles(hist: DataFrame, groupCols: Seq[String], k: Int,
+      quantiles: Seq[(String, Int, Int)]): DataFrame = {
+    require(quantiles.nonEmpty, "no quantiles requested")
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("bucket"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val cum = hist
+      .withColumn("__cum", sum(col("c")).over(wCum))
+      .withColumn("__n", sum(col("c")).over(wAll))
+    val ests = quantiles.map { case (name, numer, denom) =>
+      val rank = expr(s"($numer * __n + $denom - 1) div $denom")
+      min(when(col("__cum") >= rank, upperEdge("bucket", k))).as(name)
+    }
+    cum.groupBy(groupCols.map(col): _*).agg(ests.head, ests.tail: _*)
+  }
+}

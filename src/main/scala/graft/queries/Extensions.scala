@@ -377,6 +377,57 @@ object Extensions extends QueryPack {
             addCols = Seq("n_orders", "total_cents"),
             minCols = Seq("min_cents"), maxCols = Seq("max_cents")))
         .orderBy($"o_custkey")
+    }),
+
+    // -- quantile sketch rollup: daily log-histograms → monthly ---------
+    // The quantile sibling of x11: percentiles cannot re-aggregate
+    // from percentiles (Σ daily p95 is meaningless), but the
+    // [[graft.operators.LogHistogram]] sketch — (day, bucket, count)
+    // rows under a pure-integer HDR bucketing — merges to monthly by
+    // ADDING bucket counts, never rescanning orders. p50/p95 are then
+    // estimated from the merged histogram with the provable bound
+    // exact ≤ est ≤ exact·(k+1)/k, restated per the x04 policy: the
+    // query emits the exact rank-based percentiles plus within-bound
+    // booleans, all integer arithmetic, which DuckDB reproduces
+    // bit-for-bit — a lost bucket or a broken bound flips a boolean.
+    "x14_quantile_rollup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.LogHistogram
+      val K = 16
+      val o = Tables(s, dir).orders
+        .select(date_trunc("month", $"o_orderdate").as("month"),
+          date_trunc("day", $"o_orderdate").as("day"),
+          expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .filter($"cents" >= 1)
+      // daily sketch table (the only thing kept at 100 TB) ...
+      val daily = o.withColumn("bucket", LogHistogram.bucket("cents", K))
+        .groupBy($"month", $"day", $"bucket")
+        .agg(count(lit(1)).as("c"))
+      // ... merged to monthly WITHOUT rescan: counts just add
+      val monthly = daily.groupBy($"month", $"bucket")
+        .agg(sum($"c").as("c"))
+      val est = LogHistogram.estimateQuantiles(monthly, Seq("month"), K,
+        Seq(("p50_est", 1, 2), ("p95_est", 19, 20)))
+      // exact rank-based percentiles: value at rank ceil(q·n) — pure
+      // integer, same spelling as the oracle, no interpolation
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy($"month").orderBy($"cents")
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy($"month")
+      val exact = o
+        .withColumn("rn", row_number().over(wr))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy($"month")
+        .agg(max(when($"rn" === expr("(n + 1) div 2"), $"cents"))
+            .as("exact_p50"),
+          max(when($"rn" === expr("(19 * n + 19) div 20"), $"cents"))
+            .as("exact_p95"))
+      exact.join(est, Seq("month"))
+        .select($"month", $"exact_p50", $"exact_p95",
+          ($"p50_est" >= $"exact_p50" &&
+            $"p50_est" * K <= $"exact_p50" * (K + 1)).as("p50_ok"),
+          ($"p95_est" >= $"exact_p95" &&
+            $"p95_est" * K <= $"exact_p95" * (K + 1)).as("p95_ok"))
+        .orderBy($"month")
     })
   )
 
@@ -417,6 +468,28 @@ object Extensions extends QueryPack {
         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_nd,
         |  TRUE AS merged_ok
         |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    // exact rank-based percentiles + always-TRUE bound booleans (the
+    // x04 policy): rank = ceil(q*n) via integer arithmetic, value at
+    // that rank in sort order — deterministic even under ties
+    "x14_quantile_rollup" ->
+      """WITH o AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |  WHERE CAST(FLOOR(o_totalprice * 100) AS BIGINT) >= 1),
+        |r AS (
+        |  SELECT month, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY month ORDER BY cents) AS rn,
+        |    COUNT(*) OVER (PARTITION BY month) AS n
+        |  FROM o)
+        |SELECT CAST(month AS TIMESTAMP) AS month,
+        |  CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+        |    AS BIGINT) AS exact_p50,
+        |  CAST(MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN cents END)
+        |    AS BIGINT) AS exact_p95,
+        |  TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM r GROUP BY month ORDER BY month""".stripMargin,
 
     // insert-only incremental min/max/count/sum == full recompute
     "x13_monotonic_agg" ->
