@@ -247,6 +247,86 @@ object StreamingOps extends QueryPack {
         .orderBy($"p_id", $"c_id".asc_nulls_first)
     }),
 
+    // -- stream-stream AS-OF enrichment (the streaming face of x12) -----
+    // Events enriched with the dimension version in effect at event
+    // time, where the VERSIONED DIMENSION IS ITSELF A STREAM that
+    // arrives late: the x06/x12 SCD2 dimension is staged as three
+    // files drained one per trigger, so most events meet most of
+    // their dimension versions in a LATER micro-batch. Spark has no
+    // native streaming as-of join, so the spelling is the standard
+    // two-phase one: (1) a stream-stream INNER join on the key with
+    // `valid_from <= ts` — deliberately with no eviction bound, so no
+    // pair can be watermark-dropped and the drained pair set is
+    // BATCHING-INDEPENDENT (every qualifying (event, version) pair
+    // emits exactly once, whenever the two sides meet); (2) a
+    // post-drain latest-version pick (max valid_from per event — the
+    // as-of backward pick of [[graft.operators.AsofJoin]], tie-free
+    // because the dimension is collapsed per (key, valid_from) like
+    // x12) plus a left completion so events preceding every version
+    // keep x12's NULL semantics. The oracle is x12's batch as-of
+    // verbatim — streaming and batch as-of must agree row-for-row.
+    // At scale: the unbounded join state IS the dimension history —
+    // bounded by versions, not events (events pair and leave;
+    // production additionally ages out versions superseded beyond the
+    // lateness SLA with the st6 range-bound shape).
+    "st18_stream_asof_enrich" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.expressions.Window
+      // the x12 dimension, built batch-side (row_number is not a
+      // streaming op), collapsed to one version per (key, valid_from)
+      val dimAll = Tables(s, dir).orders
+        .filter($"o_custkey" <= 20)
+        .select($"o_custkey".as("user_id"),
+          $"o_orderdate".as("valid_from"), $"o_orderkey",
+          $"o_orderstatus".as("status"))
+        .withColumn("version", row_number().over(
+          Window.partitionBy($"user_id")
+            .orderBy($"valid_from", $"o_orderkey")))
+      val dim = dimAll
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"user_id", $"valid_from")
+            .orderBy($"version".desc)))
+        .filter($"rk" === 1)
+        .select($"user_id".as("d_user"), $"valid_from", $"version",
+          $"status")
+      // stage the dimension as a 3-file directory; one file per
+      // trigger makes the versions genuinely late-arriving
+      val stageDir = "/tmp/graft-stream-dimv-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val done = Paths.get(stageDir, "_STAGED")
+      if (!Files.exists(done)) synchronized {
+        if (!Files.exists(done)) {
+          dim.repartition(3, $"d_user")
+            .write.mode("overwrite").parquet(stageDir)
+          Files.createFile(done)
+        }
+      }
+      val dimStream = s.readStream.schema(dim.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDir)
+      val ev = eventStream(s, dir)
+        .filter($"user_id" <= 20)
+        .select($"event_id", $"user_id", $"ts")
+      val pairs = drain(s,
+        ev.join(dimStream,
+          $"user_id" === $"d_user" && $"valid_from" <= $"ts")
+          .select($"event_id", $"valid_from", $"version", $"status"),
+        OutputMode.Append())
+      // post-drain: as-of = the latest valid_from per event
+      val picked = pairs
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"event_id").orderBy($"valid_from".desc)))
+        .filter($"rk" === 1)
+        .select($"event_id", $"version".as("dim_version"),
+          $"status".as("dim_status"))
+      Tables(s, dir).events
+        .filter($"user_id" <= 20).select($"event_id", $"user_id")
+        .join(picked, Seq("event_id"), "left")
+        .groupBy($"user_id", $"dim_version", $"dim_status")
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy($"user_id", $"dim_version")
+    }),
+
     // -- streaming session windows (gap-merged state) -------------------
     "st7_stream_session" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -664,6 +744,36 @@ object StreamingOps extends QueryPack {
         |WHERE c.event_id IS NOT NULL
         |   OR epoch_us(p.ts) < (SELECT w_us FROM wm)
         |ORDER BY p_id, c_id NULLS FIRST""".stripMargin,
+
+    // x12's batch as-of oracle VERBATIM: the streaming enrichment and
+    // the batch point-in-time join must agree row-for-row
+    "st18_stream_asof_enrich" ->
+      """WITH dimall AS (
+        |  SELECT o_custkey AS user_id, o_orderdate AS valid_from,
+        |    o_orderkey, o_orderstatus AS status,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS version
+        |  FROM orders WHERE o_custkey <= 20),
+        |dim AS (
+        |  SELECT user_id, valid_from, version, status FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, valid_from
+        |      ORDER BY version DESC) AS rk FROM dimall) t
+        |  WHERE rk = 1),
+        |ev AS (SELECT user_id, ts FROM events WHERE user_id <= 20),
+        |mv AS (
+        |  SELECT e.user_id, e.ts, MAX(d.valid_from) AS vf
+        |  FROM ev e LEFT JOIN dim d
+        |    ON d.user_id = e.user_id AND d.valid_from <= e.ts
+        |  GROUP BY e.user_id, e.ts),
+        |en AS (
+        |  SELECT e.user_id, m.vf
+        |  FROM ev e JOIN mv m ON e.user_id = m.user_id AND e.ts = m.ts)
+        |SELECT en.user_id, d.version AS dim_version,
+        |  d.status AS dim_status, CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM en LEFT JOIN dim d
+        |  ON d.user_id = en.user_id AND d.valid_from = en.vf
+        |GROUP BY 1, 2, 3
+        |ORDER BY en.user_id, dim_version NULLS FIRST""".stripMargin,
 
     // e11's session CTE + the watermark-timeout emission cutoff: a
     // session emits iff its end (last event + 30 min) is strictly
