@@ -53,21 +53,26 @@ object TextDedup {
     * (it's an aggregate of only the over-cap hashes) so the anti-join
     * broadcasts.
     */
+  /** The df-capped inverted index shared by the pair generators: see
+    * [[jaccardPairs]] for the stop-shingle rationale.
+    */
+  private def cappedIndex(sh: DataFrame, maxShingleDf: Long): DataFrame =
+    if (maxShingleDf == Long.MaxValue) sh
+    else {
+      val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxShingleDf).select(col("h"))
+      // explicit hint: the planner's size estimate for a post-filter
+      // aggregate derives from the FULL index's stats and can exceed
+      // the auto-broadcast threshold — a sort-merge anti-join here
+      // would shuffle the entire shingle index, the exact cost the
+      // cap exists to avoid
+      sh.join(broadcast(hot), Seq("h"), "left_anti")
+    }
+
   def jaccardPairs(sh: DataFrame, minCommon: Long = 10,
       minJaccardPm: Long = 0,
       maxShingleDf: Long = Long.MaxValue): DataFrame = {
-    val idx =
-      if (maxShingleDf == Long.MaxValue) sh
-      else {
-        val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("__df"))
-          .filter(col("__df") > maxShingleDf).select(col("h"))
-        // explicit hint: the planner's size estimate for a post-filter
-        // aggregate derives from the FULL index's stats and can exceed
-        // the auto-broadcast threshold — a sort-merge anti-join here
-        // would shuffle the entire shingle index, the exact cost the
-        // cap exists to avoid
-        sh.join(broadcast(hot), Seq("h"), "left_anti")
-      }
+    val idx = cappedIndex(sh, maxShingleDf)
     val ns = idx.groupBy(col("id")).agg(count(lit(1)).as("n"))
     idx.select(col("id").as("d1"), col("h"))
       .join(idx.select(col("id").as("d2"), col("h")), Seq("h"))
@@ -80,6 +85,34 @@ object TextDedup {
         (col("n1") + col("n2") - col("inter")).as("un"),
         expr("inter * 1000 div (n1 + n2 - inter)").as("jaccard_pm"))
       .filter(col("jaccard_pm") >= minJaccardPm)
+  }
+
+  /** Candidate pairs scored by CONTAINMENT as well as resemblance:
+    * `containment_pm = inter · 1000 div min(n1, n2)` — the asymmetric
+    * near-dup signal Jaccard misses. A short document fully embedded
+    * in a long one (quote, syndicated excerpt, boilerplate-wrapped
+    * copy) has containment ≈ 1000 but Jaccard ≈ n_small/n_large,
+    * which slips under any resemblance threshold as the length ratio
+    * grows; dedup pipelines filter on BOTH (Broder's resemblance vs
+    * containment distinction). Same capped inverted-index self-join
+    * and cost bound as [[jaccardPairs]].
+    */
+  def containmentPairs(sh: DataFrame, minCommon: Long = 10,
+      minContainmentPm: Long = 0,
+      maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    val idx = cappedIndex(sh, maxShingleDf)
+    val ns = idx.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    idx.select(col("id").as("d1"), col("h"))
+      .join(idx.select(col("id").as("d2"), col("h")), Seq("h"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+      .filter(col("inter") >= minCommon)
+      .join(ns.select(col("id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(ns.select(col("id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+        expr("inter * 1000 div (n1 + n2 - inter)").as("jaccard_pm"),
+        expr("inter * 1000 div least(n1, n2)").as("containment_pm"))
+      .filter(col("containment_pm") >= minContainmentPm)
   }
 
   /** Exact Jaccard (no candidate threshold) for externally-supplied

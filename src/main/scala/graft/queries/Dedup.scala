@@ -210,6 +210,26 @@ object Dedup extends QueryPack {
         .orderBy($"d1", $"d2")
     }),
 
+    // -- containment near-dup: the asymmetric partial-duplicate signal --
+    // Jaccard (d02) scores RESEMBLANCE — symmetric, length-punishing:
+    // a short doc fully embedded in a long one scores n_small/n_large
+    // and slips under any resemblance threshold as the length ratio
+    // grows. Containment (inter / min(n1, n2)) is the asymmetric
+    // complement — quotes, syndicated excerpts and boilerplate-wrapped
+    // copies light up at ~1000 per-mille regardless of length ratio.
+    // Same memoized shingle index and capped self-join as d02;
+    // `partial_dup` flags high-containment/low-resemblance pairs, the
+    // class a Jaccard-only pipeline silently keeps.
+    "d12_containment" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.operators.TextDedup
+        .containmentPairs(shingleHashes(s, dir),
+          minCommon = 10, minContainmentPm = 300, maxShingleDf = 10000)
+        .withColumn("partial_dup",
+          $"containment_pm" >= 800 && $"jaccard_pm" < 500)
+        .orderBy($"d1", $"d2")
+    }),
+
     // -- MinHash signatures + LSH band hashes per doc -------------------
     "d03_minhash_bands" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -490,6 +510,24 @@ object Dedup extends QueryPack {
            |  inter * 1000 // (n1.n + n2.n - inter) AS jaccard_pm
            |FROM inter JOIN ns n1 ON d1 = n1.doc_id JOIN ns n2 ON d2 = n2.doc_id
            |WHERE inter * 1000 // (n1.n + n2.n - inter) >= 100
+           |ORDER BY d1, d2""".stripMargin,
+
+      "d12_containment" ->
+        s"""WITH $duckShingleCte,
+           |inter AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+           |    CAST(COUNT(*) AS BIGINT) AS inter
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2 HAVING COUNT(*) >= 10)
+           |SELECT d1, d2, inter, n1.n AS n1, n2.n AS n2,
+           |  inter * 1000 // (n1.n + n2.n - inter) AS jaccard_pm,
+           |  inter * 1000 // least(n1.n, n2.n) AS containment_pm,
+           |  (inter * 1000 // least(n1.n, n2.n) >= 800
+           |    AND inter * 1000 // (n1.n + n2.n - inter) < 500)
+           |    AS partial_dup
+           |FROM inter JOIN ns n1 ON d1 = n1.doc_id
+           |           JOIN ns n2 ON d2 = n2.doc_id
+           |WHERE inter * 1000 // least(n1.n, n2.n) >= 300
            |ORDER BY d1, d2""".stripMargin,
 
       "d03_minhash_bands" ->

@@ -379,6 +379,31 @@ object Extensions extends QueryPack {
         .orderBy($"o_custkey")
     }),
 
+    // -- salted join for skewed fact keys -------------------------------
+    // The proactive skew treatment ([[graft.operators.SkewJoin]]): the
+    // fact side gets a uniform salt in [0, 8), the dimension is
+    // replicated once per salt value, and the join key becomes
+    // (key, salt) — each hot key spreads over 8 reducers instead of
+    // melting one. AQE's skew split is the reactive sibling; salting
+    // is what you reach for when the hot keys are known up front
+    // (power-law user ids) or the join sits under an operator AQE
+    // cannot re-plan. Correctness is salt-independent by construction
+    // — the oracle is the plain unsalted join, hash-checked.
+    "x15_skew_join" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val fact = Tables(s, dir).events
+        .select($"user_id", $"event_type",
+          expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+      val dim = Tables(s, dir).customer
+        .select($"c_custkey".as("user_id"), $"c_mktsegment")
+      graft.operators.SkewJoin.saltedJoin(fact, dim, "user_id",
+          saltFactor = 8)
+        .groupBy($"c_mktsegment", $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"cents").as("total_cents"))
+        .orderBy($"c_mktsegment", $"event_type")
+    }),
+
     // -- quantile sketch rollup: daily log-histograms → monthly ---------
     // The quantile sibling of x11: percentiles cannot re-aggregate
     // from percentiles (Σ daily p95 is meaningless), but the
@@ -468,6 +493,15 @@ object Extensions extends QueryPack {
         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_nd,
         |  TRUE AS merged_ok
         |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    // the plain unsalted join: salting must be invisible in results
+    "x15_skew_join" ->
+      """SELECT c_mktsegment, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin,
 
     // exact rank-based percentiles + always-TRUE bound booleans (the
     // x04 policy): rank = ceil(q*n) via integer arithmetic, value at

@@ -69,4 +69,22 @@ class TextDedupSpec extends AnyFunSuite {
     assert(p.getAs[Long]("d1") === 0L && p.getAs[Long]("d2") === 1L)
     assert(p.getAs[Long]("jaccard_pm") === 1000L)
   }
+
+  test("containment catches a short doc embedded in a long one") {
+    import spark.implicits._
+    // doc 0 = 8 tokens; doc 1 = doc 0 verbatim + 24 more tokens:
+    // every shingle of 0 appears in 1, so containment = 1000 while
+    // jaccard = n0/(n1) stays low — the partial-dup class a
+    // resemblance-only threshold misses
+    val short0 = "alpha beta gamma delta epsilon zeta eta theta"
+    val long1 = short0 + " " + (1 to 24).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((0L, short0), (1L, long1)).toDF("doc_id", "text")
+    val sh = TextDedup.shingleHashes(docs, "doc_id", "text", 3)
+    val p = TextDedup.containmentPairs(sh, minCommon = 1).collect().head
+    // short side: 6 shingles, long side: 30; all 6 shared
+    assert(p.getAs[Long]("containment_pm") === 1000L)
+    assert(p.getAs[Long]("jaccard_pm") === 6L * 1000 / 30)
+    // and the symmetric spelling would have rejected it at >= 500
+    assert(p.getAs[Long]("jaccard_pm") < 500)
+  }
 }
