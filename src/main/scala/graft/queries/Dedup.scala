@@ -230,6 +230,57 @@ object Dedup extends QueryPack {
         .orderBy($"d1", $"d2")
     }),
 
+    // -- incremental dedup: new batch probed against the corpus index ---
+    // THE production dedup shape: yesterday's corpus is already
+    // indexed (signatures + band hashes — here the memoized shared
+    // stages standing in for the persisted index table); today's new
+    // batch probes its band hashes against the CORPUS side only.
+    // Candidates are new×corpus band collisions — the corpus is never
+    // re-paired with itself (d04 re-scores all O(corpus²) band
+    // collisions every run; this scores O(new × collisions), the
+    // difference between a daily job that grows quadratically and one
+    // that stays proportional to the day's arrivals). Each new doc
+    // then gets an admit/reject row: candidates verified by exact
+    // Jaccard, dup iff any corpus neighbor clears 500 pm; docs with
+    // no candidates (or too short to shingle) admit with zeros via
+    // the left completion. Corpus/new membership is the deterministic
+    // c01-style hash split, so the oracle reproduces it exactly.
+    "d13_incremental_dedup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.{Sampling, TextDedup}
+      val parts = Tables(s, dir).documents
+        .withColumn("part", Sampling.splitColumn($"doc_id",
+          Seq("corpus" -> 900, "new" -> 100), salt = "inc"))
+        .select($"doc_id".as("id"), $"part")
+      val sh = shingleHashes(s, dir)
+      val withBands = TextDedup.withBandHashes(
+        sharedSignatures(s, dir), K, Bands)
+      val banded = bandCols.zipWithIndex.map { case ((name, _), bi) =>
+        withBands.select($"id", lit(bi).as("band"), col(name).as("bh"))
+      }.reduce(_ unionByName _).join(parts, Seq("id"))
+      val cand = banded.filter($"part" === "new")
+        .select($"id".as("new_id"), $"band", $"bh")
+        .join(banded.filter($"part" === "corpus")
+          .select($"id".as("corpus_id"), $"band", $"bh"), Seq("band", "bh"))
+        .select($"new_id", $"corpus_id").distinct()
+        .persist() // feeds jaccardVerify three times (QueryPack contract)
+      val verified = TextDedup.jaccardVerify(sh,
+        cand.select($"new_id".as("d1"), $"corpus_id".as("d2"),
+          $"new_id", $"corpus_id"))
+      val agg = verified.groupBy($"new_id")
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when($"jaccard_pm" >= 500, 1L).otherwise(0L)).as("n_dup"),
+          max($"jaccard_pm").as("best_jaccard_pm"))
+      parts.filter($"part" === "new").select($"id".as("new_doc"))
+        .join(agg, $"new_doc" === $"new_id", "left")
+        .select($"new_doc",
+          coalesce($"n_cand", lit(0L)).as("n_cand"),
+          coalesce($"n_dup", lit(0L)).as("n_dup"),
+          coalesce($"best_jaccard_pm", lit(0L)).as("best_jaccard_pm"),
+          (coalesce($"n_dup", lit(0L)) > 0).as("is_dup"))
+        .orderBy($"new_doc")
+    }),
+
     // -- MinHash signatures + LSH band hashes per doc -------------------
     "d03_minhash_bands" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -488,6 +539,58 @@ object Dedup extends QueryPack {
            |  CAST(n_dup_grams * 1000 // n_grams AS BIGINT) AS dup_span_pm,
            |  (n_dup_grams * 1000 // n_grams >= 500) AS near_exact_dup
            |FROM per ORDER BY doc_id""".stripMargin
+      },
+
+      "d13_incremental_dedup" -> {
+        val bucket = graft.operators.Sampling.duckHashBucketPm(
+          "doc_id", "inc")
+        val bandedUnion = bandCols.zipWithIndex.map {
+          case ((_, sigCols), bi) =>
+            s"SELECT doc_id, $bi AS band, " +
+              duckHash56("concat_ws(',', " +
+                sigCols.map(c => s"CAST($c AS VARCHAR)").mkString(", ") +
+                ")") + " AS bh FROM wide"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH $duckSignatureCte,
+           |split AS (SELECT doc_id, $bucket AS b FROM documents),
+           |banded AS (
+           |  $bandedUnion),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.bh = b.bh
+           |  JOIN split sa ON a.doc_id = sa.doc_id
+           |  JOIN split sb ON b.doc_id = sb.doc_id
+           |  WHERE sa.b >= 900 AND sb.b < 900),
+           |inter AS (
+           |  SELECT c.new_id, c.corpus_id, CAST(COUNT(*) AS BIGINT) AS i
+           |  FROM cand c
+           |  JOIN sh a ON a.doc_id = c.new_id
+           |  JOIN sh b ON b.doc_id = c.corpus_id AND b.h = a.h
+           |  GROUP BY 1, 2),
+           |scored AS (
+           |  SELECT c.new_id,
+           |    COALESCE(i.i, 0) * 1000
+           |      // (n1.n + n2.n - COALESCE(i.i, 0)) AS j
+           |  FROM cand c
+           |  LEFT JOIN inter i
+           |    ON c.new_id = i.new_id AND c.corpus_id = i.corpus_id
+           |  JOIN ns n1 ON c.new_id = n1.doc_id
+           |  JOIN ns n2 ON c.corpus_id = n2.doc_id),
+           |agg AS (
+           |  SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_cand,
+           |    CAST(SUM(CASE WHEN j >= 500 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_dup,
+           |    CAST(MAX(j) AS BIGINT) AS best_jaccard_pm
+           |  FROM scored GROUP BY new_id)
+           |SELECT d.doc_id AS new_doc,
+           |  COALESCE(n_cand, 0) AS n_cand,
+           |  COALESCE(n_dup, 0) AS n_dup,
+           |  COALESCE(best_jaccard_pm, 0) AS best_jaccard_pm,
+           |  COALESCE(n_dup, 0) > 0 AS is_dup
+           |FROM (SELECT doc_id FROM split WHERE b >= 900) d
+           |LEFT JOIN agg ON d.doc_id = agg.new_id
+           |ORDER BY new_doc""".stripMargin
       },
 
       "d01_exact_dedup" ->

@@ -589,6 +589,55 @@ object StreamingOps extends QueryPack {
         .orderBy($"day")
     }),
 
+    // -- streaming per-day quantile histograms (the x14 sketch live) ----
+    // The quantile sibling of st17: per-(day, bucket) counts of the
+    // LogHistogram sketch built AS THE STREAM ARRIVES — a plain
+    // streaming count aggregate in Complete mode, because the sketch
+    // IS just counts (micro-batch partials merge by addition, the
+    // same property that lets x14 roll days into months). The
+    // histogram is tiny (≤ octaves×k rows per day) where an exact
+    // streaming percentile would buffer every value forever. Post-
+    // drain, p50/p95 estimates come off the final histogram and are
+    // restated per the x04 policy: exact rank-based percentiles plus
+    // within-bound booleans (exact ≤ est ≤ exact·(k+1)/k), which
+    // DuckDB reproduces bit-for-bit.
+    "st19_stream_quantile_daily" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.LogHistogram
+      val K = 16
+      val sk = eventStream(s, dir)
+        .select(date_trunc("day", $"ts").as("day"),
+          expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+        .filter($"cents" >= 1)
+        .withColumn("bucket", LogHistogram.bucket("cents", K))
+        .groupBy($"day", $"bucket")
+        .agg(count(lit(1)).as("c"))
+      val hist = drain(s, sk, OutputMode.Complete())
+      val est = LogHistogram.estimateQuantiles(hist, Seq("day"), K,
+        Seq(("p50_est", 1, 2), ("p95_est", 19, 20)))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy($"day").orderBy($"cents")
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy($"day")
+      val exact = Tables(s, dir).events
+        .select(date_trunc("day", $"ts").as("day"),
+          expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+        .filter($"cents" >= 1)
+        .withColumn("rn", row_number().over(wr))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy($"day")
+        .agg(max(when($"rn" === expr("(n + 1) div 2"), $"cents"))
+            .as("exact_p50"),
+          max(when($"rn" === expr("(19 * n + 19) div 20"), $"cents"))
+            .as("exact_p95"))
+      exact.join(est, Seq("day"))
+        .select($"day", $"exact_p50", $"exact_p95",
+          ($"p50_est" >= $"exact_p50" &&
+            $"p50_est" * K <= $"exact_p50" * (K + 1)).as("p50_ok"),
+          ($"p95_est" >= $"exact_p95" &&
+            $"p95_est" * K <= $"exact_p95" * (K + 1)).as("p95_ok"))
+        .orderBy($"day")
+    }),
+
     // -- streaming upsert into a serving table (foreachBatch + MERGE) ---
     // The production pattern for "keep a queryable table current from a
     // stream": update-mode deltas (only keys whose aggregate changed
@@ -744,6 +793,27 @@ object StreamingOps extends QueryPack {
         |WHERE c.event_id IS NOT NULL
         |   OR epoch_us(p.ts) < (SELECT w_us FROM wm)
         |ORDER BY p_id, c_id NULLS FIRST""".stripMargin,
+
+    // exact rank-based percentiles + always-TRUE bound booleans (the
+    // x04 policy, same integer spelling as x14 but per day)
+    "st19_stream_quantile_daily" ->
+      """WITH o AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE CAST(FLOOR(value * 100) AS BIGINT) >= 1),
+        |r AS (
+        |  SELECT day, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY day ORDER BY cents) AS rn,
+        |    COUNT(*) OVER (PARTITION BY day) AS n
+        |  FROM o)
+        |SELECT day,
+        |  CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+        |    AS BIGINT) AS exact_p50,
+        |  CAST(MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN cents END)
+        |    AS BIGINT) AS exact_p95,
+        |  TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM r GROUP BY day ORDER BY day""".stripMargin,
 
     // x12's batch as-of oracle VERBATIM: the streaming enrichment and
     // the batch point-in-time join must agree row-for-row
