@@ -115,6 +115,33 @@ object Graphs extends QueryPack {
         .select($"u", $"v").distinct()
       graft.operators.KCore.survivors(edges, k = 3, rounds = 8)
         .orderBy($"id")
+    }),
+
+    // -- G6: weighted SSSP over the trade graph -------------------------
+    // Cheapest-path profile from the first ten customers where an
+    // edge costs the *minimum* quantity ever shipped across it (min
+    // lineitem quantity per (customer, supplier) pair): the weighted
+    // generalization of g04's hop BFS, 4 fixed Bellman-Ford rounds so
+    // the Spark delta-frontier loop and the unrolled-CTE oracle
+    // compute the identical ≤4-edge-path minimum
+    // ([[graft.operators.Sssp]]; SsspSpec pins frontier ≡ full
+    // relaxation and fixpoint convergence).
+    "g06_weighted_sssp" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val edges = t.lineitem
+        .select($"l_orderkey", $"l_suppkey", $"l_quantity")
+        .join(t.orders.select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_custkey".as("src"),
+          ($"l_suppkey" + SupplierOffset).as("dst"))
+        .agg(min(floor($"l_quantity")).as("w"))
+      val seeds = edges.filter($"src" <= 10).select($"src".as("id")).distinct()
+      graft.operators.Sssp.distances(edges, seeds, rounds = 4)
+        .groupBy($"dist")
+        .agg(count(lit(1)).as("n_nodes"),
+          min($"id").as("min_id"), max($"id").as("max_id"))
+        .orderBy($"dist")
     })
   )
 
@@ -269,7 +296,41 @@ object Graphs extends QueryPack {
           |  CAST(CASE WHEN n_wedges = 0 THEN 0
           |       ELSE (3 * n_triangles * 1000000) // n_wedges END AS BIGINT)
           |    AS cc_ppm
-          |FROM agg ORDER BY n_nodes""".stripMargin
+          |FROM agg ORDER BY n_nodes""".stripMargin,
+
+      // one (relax, merge) CTE pair per Bellman-Ford round — full
+      // relaxation here vs the Spark side's delta frontier, which are
+      // equivalent after the same round count (see Sssp scaladoc;
+      // SsspSpec pins it). MATERIALIZED for the same reason as g05:
+      // each d_i is referenced twice downstream.
+      "g06_weighted_sssp" -> {
+        def relax(i: Int): String =
+          s"""c$i AS MATERIALIZED (
+             |  SELECT e.dst AS id, MIN(d${i - 1}.d + e.w) AS d
+             |  FROM d${i - 1} JOIN edges e ON e.src = d${i - 1}.id
+             |  GROUP BY e.dst),
+             |d$i AS MATERIALIZED (
+             |  SELECT id, CAST(MIN(d) AS BIGINT) AS d FROM (
+             |    SELECT id, d FROM d${i - 1}
+             |    UNION ALL SELECT id, d FROM c$i)
+             |  GROUP BY id)""".stripMargin
+        s"""WITH e0 AS MATERIALIZED (
+           |  SELECT o_custkey AS src, l_suppkey + $SupplierOffset AS dst,
+           |    CAST(MIN(FLOOR(l_quantity)) AS BIGINT) AS w
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  GROUP BY 1, 2),
+           |edges AS MATERIALIZED (
+           |  SELECT src, dst, w FROM e0
+           |  UNION ALL SELECT dst, src, w FROM e0),
+           |d0 AS MATERIALIZED (
+           |  SELECT DISTINCT src AS id, CAST(0 AS BIGINT) AS d
+           |  FROM e0 WHERE src <= 10),
+           |${(1 to 4).map(relax).mkString(",\n")}
+           |SELECT d AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           |  CAST(MIN(id) AS BIGINT) AS min_id,
+           |  CAST(MAX(id) AS BIGINT) AS max_id
+           |FROM d4 GROUP BY d ORDER BY dist""".stripMargin
+      }
     )
   }
 }
