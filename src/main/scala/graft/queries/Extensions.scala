@@ -453,6 +453,44 @@ object Extensions extends QueryPack {
           ($"p95_est" >= $"exact_p95" &&
             $"p95_est" * K <= $"exact_p95" * (K + 1)).as("p95_ok"))
         .orderBy($"month")
+    }),
+
+    // -- Z-order layout: Morton clustering + block-stat pruning ---------
+    // The write-side companion of x08's read-side bloom prune: bucket
+    // (customer, order-day) to 0..255 each, interleave the bits
+    // ([[graft.operators.Zorder]]), and cut the curve into 64 aligned
+    // blocks (z >> 10 — each exactly a 32×32 tile of the 2-D bucket
+    // grid). The emitted per-block min/max stats are precisely the
+    // parquet footer stats a clustered write would produce, and
+    // `probe_overlap` evaluates them against a 32×32 predicate
+    // rectangle: exactly the tiles intersecting the rectangle
+    // overlap, every other block is pruned — against a one-dimension
+    // sort, the same rectangle overlaps every block holding its
+    // custkey strip regardless of date (ZorderSpec pins both the
+    // interleave model and this pruning win; StorageLayoutSpec covers
+    // the physical write path).
+    "x16_zorder_layout" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.Zorder
+      val o = Tables(s, dir).orders
+      val mx = o.agg(max($"o_custkey").as("mx_cust"))
+      val z = o.crossJoin(broadcast(mx))
+        .select(
+          Zorder.bucket256($"o_custkey", $"mx_cust" + 1).as("bx"),
+          Zorder.bucket256(
+            datediff($"o_orderdate".cast("date"),
+              lit("1995-01-01").cast("date")),
+            lit(2405)).as("b2"))
+        .withColumn("z", Zorder.interleave16($"bx", $"b2"))
+      z.withColumn("block", shiftright($"z", 10))
+        .groupBy($"block")
+        .agg(count(lit(1)).as("n"),
+          min($"bx").as("min_bx"), max($"bx").as("max_bx"),
+          min($"b2").as("min_b2"), max($"b2").as("max_b2"))
+        .withColumn("probe_overlap",
+          !($"max_bx" < 64 || $"min_bx" > 95 ||
+            $"max_b2" < 64 || $"min_b2" > 95))
+        .orderBy($"block")
     })
   )
 
@@ -660,6 +698,33 @@ object Extensions extends QueryPack {
         |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_nd_parts,
         |  TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p95_ok
         |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // identical Morton arithmetic spelled in DuckDB bit operators
+    "x16_zorder_layout" -> {
+      val interleave = (0 until 8).flatMap { i =>
+        Seq(s"(((bx >> $i) & 1) << ${2 * i + 1})",
+          s"(((b2 >> $i) & 1) << ${2 * i})")
+      }.mkString(" | ")
+      s"""WITH b AS (
+         |  SELECT
+         |    CAST(FLOOR(o_custkey * 256.0 /
+         |      ((SELECT MAX(o_custkey) FROM orders) + 1)) AS BIGINT) AS bx,
+         |    CAST(FLOOR(date_diff('day', DATE '1995-01-01',
+         |      CAST(o_orderdate AS DATE)) * 256.0 / 2405) AS BIGINT) AS b2
+         |  FROM orders),
+         |z AS (SELECT bx, b2, ($interleave) AS z FROM b),
+         |blk AS (
+         |  SELECT z >> 10 AS block, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(MIN(bx) AS BIGINT) AS min_bx,
+         |    CAST(MAX(bx) AS BIGINT) AS max_bx,
+         |    CAST(MIN(b2) AS BIGINT) AS min_b2,
+         |    CAST(MAX(b2) AS BIGINT) AS max_b2
+         |  FROM z GROUP BY 1)
+         |SELECT block, n, min_bx, max_bx, min_b2, max_b2,
+         |  NOT (max_bx < 64 OR min_bx > 95 OR max_b2 < 64 OR min_b2 > 95)
+         |    AS probe_overlap
+         |FROM blk ORDER BY block""".stripMargin
+    }
   )
 }

@@ -81,4 +81,47 @@ class StorageLayoutSpec extends AnyFunSuite {
       .count()
     assert(pruned.count() === expected && expected > 0)
   }
+
+  test("z-ordered write: a 2-D probe's file footprint beats a 1-D sort") {
+    import graft.operators.Zorder
+    val t = Tables(spark, dir)
+    val mx = t.orders.agg(max(col("o_custkey")).as("mx")).head().getLong(0)
+    val z = t.orders
+      .select(Zorder.bucket256(col("o_custkey"), lit(mx + 1)).as("bx"),
+        Zorder.bucket256(
+          datediff(col("o_orderdate").cast("date"),
+            lit("1995-01-01").cast("date")),
+          lit(2405)).as("b2"))
+      .withColumn("z", Zorder.interleave16(col("bx"), col("b2")))
+
+    // per-file min/max of the two ORIGINAL dims — the footer stats a
+    // reader would prune on — under each clustering
+    def filesOverlappingProbe(clustered: org.apache.spark.sql.DataFrame)
+        : (Long, Long) = {
+      val out = Files.createTempDirectory("graft-zorder").toString
+      clustered.write.mode("overwrite").parquet(out)
+      val stats = spark.read.parquet(out)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("bx")).as("minx"), max(col("bx")).as("maxx"),
+          min(col("b2")).as("miny"), max(col("b2")).as("maxy"))
+      val total = stats.count()
+      val hit = stats.filter(!(col("maxx") < 64 || col("minx") > 95 ||
+        col("maxy") < 64 || col("miny") > 95)).count()
+      (hit, total)
+    }
+    val (zHit, zTotal) =
+      filesOverlappingProbe(z.repartitionByRange(64, col("z"))
+        .sortWithinPartitions(col("z")))
+    val (xHit, xTotal) =
+      filesOverlappingProbe(z.repartitionByRange(64, col("bx"))
+        .sortWithinPartitions(col("bx")))
+    // range partitioner may leave a few boundary partitions empty —
+    // only written files count
+    assert(zTotal >= 32 && xTotal >= 32)
+    // z-clustering confines the 32×32 probe to a few curve-contiguous
+    // files; the bx-sorted layout can prune on bx but its surviving
+    // strip files span every date
+    assert(zHit < xHit, s"z-order hit $zHit of $zTotal vs 1-D $xHit")
+    assert(zHit <= 4, s"z-order probe footprint too large: $zHit files")
+  }
 }
