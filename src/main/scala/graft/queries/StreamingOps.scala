@@ -638,6 +638,34 @@ object StreamingOps extends QueryPack {
         .orderBy($"day")
     }),
 
+    // -- chained streaming aggregation (multiple stateful operators) ----
+    // Window-over-window in ONE streaming query: 10-minute per-type
+    // counts re-aggregated into hourly totals/peaks, both stateful
+    // operators live in the same plan (`window($"window", ...)` — the
+    // Spark 3.4+ chained-time-window surface, append mode required).
+    // At 100 TB this is the shape that avoids materializing the
+    // fine-grained tier: the 10-minute state evicts as the watermark
+    // passes, the hourly tier consumes finalized windows in-flight,
+    // and nothing lands on storage between them. Emission contract:
+    // an hourly window flushes only once the watermark (max ts − 1 h,
+    // floored to ms) passes its end — the oracle applies the same
+    // cutoff, the st13 discipline.
+    "st20_stream_chained_agg" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val tenMin = eventStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "10 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n10"))
+      val hourly = tenMin
+        .groupBy(window($"window", "1 hour"), $"event_type")
+        .agg(sum($"n10").as("n"), max($"n10").as("peak10"),
+          count(lit(1)).as("n_slots"))
+      drain(s, hourly, OutputMode.Append())
+        .select($"window.start".as("ws"), $"event_type",
+          $"n", $"peak10", $"n_slots")
+        .orderBy($"ws", $"event_type")
+    }),
+
     // -- streaming upsert into a serving table (foreachBatch + MERGE) ---
     // The production pattern for "keep a queryable table current from a
     // stream": update-mode deltas (only keys whose aggregate changed
@@ -814,6 +842,27 @@ object StreamingOps extends QueryPack {
         |    AS BIGINT) AS exact_p95,
         |  TRUE AS p50_ok, TRUE AS p95_ok
         |FROM r GROUP BY day ORDER BY day""".stripMargin,
+
+    // the same two-tier aggregation in batch + the append-mode
+    // watermark cutoff on the OUTER window (st13 discipline): an
+    // hourly window emits iff its end is strictly before the final
+    // watermark (max ts floored to ms − 1 h)
+    "st20_stream_chained_agg" ->
+      """WITH wm AS (
+        |  SELECT (epoch_us(max(ts)) // 1000 - 3600000) * 1000 AS w_us
+        |  FROM events),
+        |m AS (
+        |  SELECT time_bucket(INTERVAL '10 minutes', ts) AS w10, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n10
+        |  FROM events GROUP BY 1, 2),
+        |h AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', w10) AS ws, event_type,
+        |    CAST(SUM(n10) AS BIGINT) AS n, CAST(MAX(n10) AS BIGINT) AS peak10,
+        |    CAST(COUNT(*) AS BIGINT) AS n_slots
+        |  FROM m GROUP BY 1, 2)
+        |SELECT ws, event_type, n, peak10, n_slots
+        |FROM h WHERE epoch_us(ws) + 3600000000 < (SELECT w_us FROM wm)
+        |ORDER BY ws, event_type""".stripMargin,
 
     // x12's batch as-of oracle VERBATIM: the streaming enrichment and
     // the batch point-in-time join must agree row-for-row
