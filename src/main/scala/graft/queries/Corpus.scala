@@ -124,6 +124,38 @@ object Corpus extends QueryPack {
         .orderBy($"source", $"sample_idx")
     }),
 
+    // -- deterministic epoch shuffle: reproducible training order -------
+    // The "shuffle the corpus differently every epoch, identically on
+    // every re-run" step a training pipeline needs between packing
+    // and serving: global order = (portable hash of epoch salt +
+    // doc_id), shard = hash mod nShards, position = rank within
+    // shard. No RNG state anywhere — the order is a pure function of
+    // (epoch, doc_id), so a preempted job resumes bit-identically and
+    // any engine can audit it. At 100 TB this is ONE hash shuffle
+    // (partition by shard) + a per-shard local sort — never a global
+    // sort; the per-shard order is what the loader consumes. The
+    // emitted per-shard profile (count + the first two docs of the
+    // epoch order + the hash-range endpoints) pins both the balance
+    // and the exact order head.
+    "c08_epoch_shuffle" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val nShards = 8
+      val h = PortableHash.sparkHash56(
+        concat(lit("epoch7:"), $"doc_id".cast("string")))
+      val keyed = Tables(s, dir).documents
+        .select($"doc_id", h.as("hkey"))
+        .withColumn("shard", pmod($"hkey", lit(nShards)).cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"shard").orderBy($"hkey", $"doc_id")
+      keyed.withColumn("pos", row_number().over(w).cast("long"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          min(when($"pos" === 1, $"doc_id")).as("first_doc"),
+          min(when($"pos" === 2, $"doc_id")).as("second_doc"),
+          min($"hkey").as("min_hkey"), max($"hkey").as("max_hkey"))
+        .orderBy($"shard")
+    }),
+
     // -- pack slices: the loader-facing materialization of c04 ----------
     // Each (doc, pack) intersection as an exact token slice: which
     // range of the doc fills which position of which context window.
@@ -239,6 +271,29 @@ object Corpus extends QueryPack {
           |FROM p JOIN c ON p.source = c.source
           |  AND p.tpos >= c.cum_end - c.n_chars AND p.tpos < c.cum_end
           |ORDER BY p.source, p.sample_idx""".stripMargin,
+
+      // same portable 56-bit hash, shard, and rank arithmetic; the
+      // 56-bit hash is non-negative so % ≡ pmod across engines
+      "c08_epoch_shuffle" -> {
+        val h = PortableHash.duckHash56(
+          "'epoch7:' || CAST(doc_id AS VARCHAR)")
+        s"""WITH k AS (
+           |  SELECT doc_id, $h AS hkey FROM documents),
+           |s AS (
+           |  SELECT doc_id, hkey, hkey % 8 AS shard,
+           |    ROW_NUMBER() OVER (PARTITION BY hkey % 8
+           |      ORDER BY hkey, doc_id) AS pos
+           |  FROM k)
+           |SELECT CAST(shard AS BIGINT) AS shard,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(MIN(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT)
+           |    AS first_doc,
+           |  CAST(MIN(CASE WHEN pos = 2 THEN doc_id END) AS BIGINT)
+           |    AS second_doc,
+           |  CAST(MIN(hkey) AS BIGINT) AS min_hkey,
+           |  CAST(MAX(hkey) AS BIGINT) AS max_hkey
+           |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+      },
 
       // generate_series is inclusive in DuckDB, matching Spark's
       // sequence(0, spans-1)
