@@ -215,6 +215,49 @@ object Similarity extends QueryPack {
         .orderBy($"query_id", $"rank")
     }),
 
+    // -- hybrid retrieval: BM25 + dense top-20 fused by RRF --------------
+    // Reciprocal-rank fusion (Cormack et al., SIGIR 2009): every
+    // document in an arm's top-20 contributes 1e6 div (60 + rank); the
+    // fused ranking is the sum. Arms are composed from the already
+    // verified shapes — the lexical arm IS the t12 BM25 query, the
+    // dense arm IS the s01 exact scorer (query = vec 0) — so the only
+    // new work is the fusion itself. Integer RRF keeps the fusion
+    // portable across engines.
+    //
+    // Scale notes (100 TB): both arms END in k-row frames (TakeOrdered
+    // per arm), so the full-outer fusion join touches ≤2k rows no
+    // matter the corpus size — the heavy lifting stays inside the two
+    // arm shapes, each already scale-audited (t12: df-bounded term
+    // postings; s01: broadcast query × one corpus scan).
+    "s09_hybrid_rrf" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.VectorSearch
+      val lex = TextAnalysis.queries("t12_bm25_search")(s, dir)
+        .withColumn("lex_rank",
+          row_number().over(Window.orderBy($"score".desc, $"doc_id")))
+        .select($"doc_id", $"lex_rank")
+      val emb = VectorSearch.quantize(Tables(s, dir).embeddings, "embedding")
+        .select($"vec_id", $"eq")
+      val dense = VectorSearch.topKBruteForce(
+          emb.filter($"vec_id" === 0)
+            .select($"vec_id".as("query_id"), $"eq".as("qe")),
+          emb.select($"vec_id".as("neighbor_id"), $"eq".as("ce")),
+          k = 20)
+        .select($"neighbor_id".as("doc_id"), $"rank".as("dense_rank"))
+      lex.join(dense, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_pm",
+          (coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L))
+            + coalesce(expr("1000000 div (60 + dense_rank)"), lit(0L)))
+            .cast("long"))
+        .orderBy($"rrf_pm".desc, $"doc_id").limit(10)
+        .withColumn("fused_rank",
+          row_number().over(Window.orderBy($"rrf_pm".desc, $"doc_id"))
+            .cast("int"))
+        .select($"doc_id", $"lex_rank", $"dense_rank", $"rrf_pm",
+          $"fused_rank")
+        .orderBy($"fused_rank")
+    }),
+
     // -- per-label centroid distance: vector agg + argmin ---------------
     // Quantized per-dimension mean (integer division by count) keeps
     // centroids portable; assignment = argmin of exact integer distance.
@@ -474,6 +517,73 @@ object Similarity extends QueryPack {
         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY adist2, neighbor_id) AS INTEGER) AS rank FROM sc) t
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // fusion mirrors t12's integer BM25 CTEs and s01's integer dot
+    // product exactly; ROW_NUMBER casts to INTEGER to match Spark's
+    // row_number, RRF terms are floor division on non-negatives
+    "s09_hybrid_rrf" ->
+      """WITH dd AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+        |      AS dl,
+        |    regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+        |    CAST(SUM(dl) * 1000 // COUNT(*) AS BIGINT) AS av_pm FROM dd),
+        |tf AS (
+        |  SELECT doc_id, dl, w, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS w FROM dd)
+        |  WHERE w IN ('join', 'hash', 'scan')
+        |  GROUP BY doc_id, dl, w),
+        |dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.tf,
+        |    (SELECT 250 + (750 * tf.dl * 1000) // av_pm FROM st) AS norm_pm,
+        |    (SELECT (1000000 * (nd - dfq.df + 1)) // (dfq.df + 1) FROM st)
+        |      AS idf_pm
+        |  FROM tf JOIN dfq ON tf.w = dfq.w),
+        |co AS (
+        |  SELECT doc_id, tf,
+        |    (idf_pm * ((tf * 2200 * 1000)
+        |      // (tf * 1000 + (1200 * norm_pm) // 1000))) // 1000 AS contrib
+        |  FROM sc),
+        |lexs AS (
+        |  SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score
+        |  FROM co GROUP BY doc_id
+        |  ORDER BY score DESC, doc_id LIMIT 20),
+        |lex AS (
+        |  SELECT doc_id, CAST(ROW_NUMBER() OVER
+        |    (ORDER BY score DESC, doc_id) AS INTEGER) AS lex_rank
+        |  FROM lexs),
+        |e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS eq
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT c.vec_id AS doc_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(q.eq)),
+        |      i -> q.eq[i] * c.eq[i])) AS BIGINT) AS dot
+        |  FROM e q JOIN e c ON q.vec_id = 0 AND q.vec_id <> c.vec_id),
+        |dense AS (
+        |  SELECT doc_id, dense_rank FROM (
+        |    SELECT doc_id, CAST(ROW_NUMBER() OVER
+        |      (ORDER BY dot DESC, doc_id) AS INTEGER) AS dense_rank
+        |    FROM p) t
+        |  WHERE dense_rank <= 20),
+        |fused AS (
+        |  SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+        |    lex.lex_rank, dense.dense_rank,
+        |    CAST(COALESCE(1000000 // (60 + lex.lex_rank), 0)
+        |      + COALESCE(1000000 // (60 + dense.dense_rank), 0) AS BIGINT)
+        |      AS rrf_pm
+        |  FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id),
+        |top AS (
+        |  SELECT * FROM fused ORDER BY rrf_pm DESC, doc_id LIMIT 10)
+        |SELECT doc_id, lex_rank, dense_rank, rrf_pm,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY rrf_pm DESC, doc_id) AS INTEGER)
+        |    AS fused_rank
+        |FROM top ORDER BY fused_rank""".stripMargin,
 
     "s03_centroid_assign" ->
       """WITH e AS (
