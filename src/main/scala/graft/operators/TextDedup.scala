@@ -22,6 +22,56 @@ object TextDedup {
   def contentHash(text: Column): Column =
     sparkHash56(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Cross-doc duplicated-span REMOVAL — the transform whose signal
+    * d09 profiles (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better": drop verbatim spans shared across
+    * documents, keep the rest of the doc). A token position is covered
+    * when any positional n-gram through it appears in ≥2 DISTINCT
+    * documents; the document is re-assembled from the surviving tokens
+    * in order.
+    *
+    * Output: `(id, n_tokens, n_removed, clean_text)`.
+    *
+    * Scale shape (100 TB): positional n-gram index (one row per token,
+    * ~corpus size) → distinct-doc frequency per hash (two map-side
+    * combinable aggregates) → join back on the hash → ×n position
+    * explode → per-doc covered-position set. The rewrite itself is
+    * row-local (`filter` lambda over the token array against the
+    * covered set). No doc-pair enumeration anywhere — cost is linear
+    * in corpus tokens, exactly like d09's profile.
+    */
+  def spanRewrite(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val toks = docs
+      .withColumn("__norm", regexp_replace(lower(col(textCol)), "\\s+", " "))
+      .withColumn("__toks", split(col("__norm"), " "))
+      .select(col(idCol).as("id"), col("__toks"))
+    // positional n-grams; hash after the explode (codegen, see above)
+    val pg = toks
+      .select(col("id"),
+        posexplode(shingleExpr("__toks", n)).as(Seq("pos", "__sh")))
+      .select(col("id"), col("pos"), sparkHash56(col("__sh")).as("h"))
+    val dupHashes = pg.select(col("h"), col("id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("ddf"))
+      .filter(col("ddf") >= 2)
+      .select(col("h"))
+    val covered = pg.join(dupHashes, Seq("h"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .distinct()
+      .groupBy(col("id")).agg(collect_set(col("p")).as("covered"))
+    toks.join(covered, Seq("id"), "left")
+      .withColumn("covered",
+        coalesce(col("covered"), expr("CAST(array() AS ARRAY<INT>)")))
+      .select(col("id"), size(col("__toks")).cast("long").as("n_tokens"),
+        expr("filter(__toks, (x, i) -> NOT array_contains(covered, i))")
+          .as("__kept"))
+      .select(col("id"), col("n_tokens"),
+        (col("n_tokens") - size(col("__kept"))).cast("long")
+          .as("n_removed"),
+        concat_ws(" ", col("__kept")).as("clean_text"))
+  }
+
   /** (id, h): distinct n-token-shingle 56-bit hashes per document,
     * exploded — the inverted shingle index feeding candidate-pair
     * joins and signatures. Hashing happens AFTER the explode so the

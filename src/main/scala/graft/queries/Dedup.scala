@@ -358,6 +358,22 @@ object Dedup extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // -- duplicated-span REWRITE: drop cross-doc spans, keep the doc ----
+    // The transform d09's profile exists to drive: token positions
+    // covered by an 8-gram shared with another document are removed
+    // and the document re-assembled (operators.TextDedup.spanRewrite).
+    // Output pins the cleaned text itself (80-char prefix), not just
+    // counts — the oracle must reproduce the rewrite byte-for-byte.
+    "d14_span_rewrite" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.operators.TextDedup
+        .spanRewrite(Tables(s, dir).documents, "doc_id", "text", n = 8)
+        .select($"id".as("doc_id"), $"n_tokens", $"n_removed",
+          expr("n_removed * 1000 div n_tokens").as("removed_pm"),
+          substring($"clean_text", 1, 80).as("clean_prefix"))
+        .orderBy($"doc_id")
+    }),
+
     "d05_simhash" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       graft.operators.TextDedup
@@ -539,6 +555,54 @@ object Dedup extends QueryPack {
            |  CAST(n_dup_grams * 1000 // n_grams AS BIGINT) AS dup_span_pm,
            |  (n_dup_grams * 1000 // n_grams >= 500) AS near_exact_dup
            |FROM per ORDER BY doc_id""".stripMargin
+      },
+
+      // POSITIONAL 8-grams (no list_distinct — within-doc repeats keep
+      // their positions); dup = appears in >= 2 DISTINCT docs; covered
+      // positions [pos, pos+7], tokens rebuilt by ORDER BY idx.
+      // string_agg over zero kept rows is NULL -> COALESCE '' to match
+      // Spark's concat_ws over an empty array.
+      "d14_span_rewrite" -> {
+        val eight = (0 until 8).map(j => s"t[i+$j]").mkString(", ")
+        s"""WITH toks AS (
+           |  SELECT doc_id,
+           |    string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+           |      ' ') AS t
+           |  FROM documents),
+           |pg AS (
+           |  SELECT doc_id, i - 1 AS pos, ${duckHash56("s")} AS h FROM (
+           |    SELECT doc_id, i, concat_ws(' ', $eight) AS s
+           |    FROM toks CROSS JOIN LATERAL
+           |      (SELECT unnest(generate_series(1, len(t) - 7)) AS i))),
+           |duph AS (
+           |  SELECT h FROM (
+           |    SELECT h, COUNT(DISTINCT doc_id) AS ddf FROM pg GROUP BY h)
+           |  WHERE ddf >= 2),
+           |cov AS (
+           |  SELECT DISTINCT pg.doc_id, pp.p
+           |  FROM pg JOIN duph ON pg.h = duph.h
+           |  CROSS JOIN LATERAL
+           |    (SELECT unnest(generate_series(pg.pos, pg.pos + 7)) AS p) pp),
+           |tok AS (
+           |  SELECT doc_id, i - 1 AS idx, t[i] AS tok
+           |  FROM toks CROSS JOIN LATERAL
+           |    (SELECT unnest(generate_series(1, len(t))) AS i)),
+           |kept AS (
+           |  SELECT tok.doc_id,
+           |    COALESCE(string_agg(tok.tok, ' ' ORDER BY tok.idx), '')
+           |      AS clean_text,
+           |    CAST(COUNT(*) AS BIGINT) AS n_kept
+           |  FROM tok LEFT JOIN cov
+           |    ON tok.doc_id = cov.doc_id AND tok.idx = cov.p
+           |  WHERE cov.p IS NULL
+           |  GROUP BY tok.doc_id)
+           |SELECT toks.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+           |  CAST(len(t) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+           |  CAST((len(t) - COALESCE(k.n_kept, 0)) * 1000 // len(t)
+           |    AS BIGINT) AS removed_pm,
+           |  substring(COALESCE(k.clean_text, ''), 1, 80) AS clean_prefix
+           |FROM toks LEFT JOIN kept k USING (doc_id)
+           |ORDER BY toks.doc_id""".stripMargin
       },
 
       "d13_incremental_dedup" -> {

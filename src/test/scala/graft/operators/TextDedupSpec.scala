@@ -87,4 +87,51 @@ class TextDedupSpec extends AnyFunSuite {
     // and the symmetric spelling would have rejected it at >= 500
     assert(p.getAs[Long]("jaccard_pm") < 500)
   }
+
+  test("spanRewrite drops only cross-doc spans and keeps the rest") {
+    import spark.implicits._
+    val shared = "one two three four"   // the 4-gram both docs carry
+    val docs = Seq(
+      (0L, s"intro words here $shared tail zero"),
+      (1L, s"other opening stuff $shared ending one"),
+      (2L, "completely unrelated text with enough tokens here"),
+      (3L, "tiny")                       // shorter than n: untouched
+    ).toDF("doc_id", "text")
+    val out = TextDedup.spanRewrite(docs, "doc_id", "text", n = 4)
+      .orderBy($"id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // only the shared 4-gram's positions are covered; surrounding
+    // tokens survive in order
+    assert(byId(0L) === ((9L, 4L, "intro words here tail zero")))
+    assert(byId(1L) === ((9L, 4L, "other opening stuff ending one")))
+    assert(byId(2L)._2 === 0L)
+    assert(byId(2L)._3 === "completely unrelated text with enough tokens here")
+    assert(byId(3L) === ((1L, 0L, "tiny")))
+  }
+
+  test("spanRewrite removes identical documents entirely") {
+    import spark.implicits._
+    val dup = "a b c d e f g h i j"
+    val docs = Seq((0L, dup), (1L, dup)).toDF("doc_id", "text")
+    val out = TextDedup.spanRewrite(docs, "doc_id", "text", n = 4)
+      .orderBy($"id").collect()
+    out.foreach { r =>
+      assert(r.getLong(1) === 10L && r.getLong(2) === 10L)
+      assert(r.getString(3) === "")
+    }
+  }
+
+  test("spanRewrite ignores within-doc repeats (cross-doc only)") {
+    import spark.implicits._
+    // doc 0 repeats its own 4-gram twice but shares nothing with doc 1
+    val docs = Seq(
+      (0L, "p q r s p q r s trailer"),
+      (1L, "unrelated second document with several tokens")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.spanRewrite(docs, "doc_id", "text", n = 4)
+      .orderBy($"id").collect()
+    assert(out(0).getLong(2) === 0L)
+    assert(out(0).getString(3) === "p q r s p q r s trailer")
+  }
 }
