@@ -144,6 +144,23 @@ object Graphs extends QueryPack {
         .orderBy($"id")
     }),
 
+    // -- G7: label-propagation communities on the co-purchase graph -----
+    // The community-detection complement of d07's connected
+    // components: CC merges everything reachable; LPA splits the
+    // co-purchase projection into locally-dense supplier communities.
+    // 3 synchronous rounds, deterministic min-label tie-break
+    // ([[graft.operators.LabelProp]]); the per-community size profile
+    // with min/max member pins the exact final labeling.
+    "g07_label_communities" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.operators.LabelProp
+        .communities(coPurchaseEdges(s, dir), rounds = 3)
+        .groupBy($"label".as("community"))
+        .agg(count(lit(1)).as("n_members"),
+          min($"id").as("min_member"), max($"id").as("max_member"))
+        .orderBy($"community")
+    }),
+
     // -- G6: weighted SSSP over the trade graph -------------------------
     // Cheapest-path profile from the first ten customers where an
     // edge costs the *minimum* quantity ever shipped across it (min
@@ -274,6 +291,40 @@ object Graphs extends QueryPack {
            |a1 AS MATERIALIZED (SELECT id FROM d1 WHERE deg >= 3),
            |${(2 to 8).map(peel).mkString(",\n")}
            |SELECT id, deg FROM d8 WHERE deg >= 3 ORDER BY id""".stripMargin
+      },
+
+      // one (vote, relabel) CTE pair per synchronous LPA round; the
+      // argmax tie rule (cnt desc, label asc) is ROW_NUMBER's order —
+      // identical to Spark's min(struct(-cnt, label)). MATERIALIZED
+      // for the same reason as g05: each l_i feeds the next round.
+      "g07_label_communities" -> {
+        def round(i: Int): String =
+          s"""v$i AS MATERIALIZED (
+             |  SELECT s.src, l.label, CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM sym s JOIN l${i - 1} l ON s.dst = l.id
+             |  GROUP BY s.src, l.label),
+             |l$i AS MATERIALIZED (
+             |  SELECT src AS id, label FROM (
+             |    SELECT src, label, ROW_NUMBER() OVER (PARTITION BY src
+             |      ORDER BY cnt DESC, label) AS rk FROM v$i) t
+             |  WHERE rk = 1)""".stripMargin
+        s"""WITH ps AS MATERIALIZED (
+           |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk,
+           |    s_nationkey AS nat
+           |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+           |edges AS MATERIALIZED (
+           |  SELECT DISTINCT a.sk AS u, b.sk AS v
+           |  FROM ps a JOIN ps b ON a.o = b.o AND a.nat = b.nat
+           |    AND a.sk < b.sk),
+           |sym AS MATERIALIZED (
+           |  SELECT u AS src, v AS dst FROM edges
+           |  UNION SELECT v AS src, u AS dst FROM edges),
+           |l0 AS MATERIALIZED (
+           |  SELECT DISTINCT src AS id, src AS label FROM sym),
+           |${(1 to 3).map(round).mkString(",\n")}
+           |SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+           |  MIN(id) AS min_member, MAX(id) AS max_member
+           |FROM l3 GROUP BY label ORDER BY community""".stripMargin
       },
 
       "g03_triangles" ->
