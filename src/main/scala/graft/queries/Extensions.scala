@@ -491,6 +491,32 @@ object Extensions extends QueryPack {
           !($"max_bx" < 64 || $"min_bx" > 95 ||
             $"max_b2" < 64 || $"min_b2" > 95))
         .orderBy($"block")
+    }),
+
+    // -- snapshot diff: backfill/migration reconciliation ---------------
+    // Old = the orders snapshot; new = the same snapshot after a
+    // simulated backfill (1-in-7 keys dropped, custkey<10 repriced ×2
+    // — exact in doubles, custkey<5 re-keyed past the range as
+    // inserts). operators.SnapshotDiff classifies every key null-safely
+    // in ONE full-outer pass; the per-class profile pins the exact
+    // partition of the key space.
+    "x17_snapshot_diff" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val base = Tables(s, dir).orders
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice")
+      val newSnap = base.filter($"o_orderkey" % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when($"o_custkey" < 10, $"o_totalprice" * 2)
+            .otherwise($"o_totalprice"))
+        .unionByName(base.filter($"o_custkey" < 5)
+          .withColumn("o_orderkey", $"o_orderkey" + 10000000L))
+      graft.operators.SnapshotDiff.diff(base, newSnap, Seq("o_orderkey"))
+        .groupBy($"change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          min($"o_orderkey").as("min_key"),
+          max($"o_orderkey").as("max_key"))
+        .orderBy($"change_type")
     })
   )
 
@@ -725,6 +751,36 @@ object Extensions extends QueryPack {
          |  NOT (max_bx < 64 OR min_bx > 95 OR max_b2 < 64 OR min_b2 > 95)
          |    AS probe_overlap
          |FROM blk ORDER BY block""".stripMargin
-    }
+    },
+
+    // IS DISTINCT FROM = Spark's NOT(<=>); ×2 on doubles is exact in
+    // both engines (exponent bump), so 'changed' is bit-deterministic
+    "x17_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders),
+        |news AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_custkey < 10 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        |    o_totalprice
+        |  FROM base WHERE o_custkey < 5),
+        |d AS (
+        |  SELECT COALESCE(b.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    CASE WHEN b.o_orderkey IS NULL THEN 'added'
+        |         WHEN n.o_orderkey IS NULL THEN 'removed'
+        |         WHEN b.o_custkey IS DISTINCT FROM n.o_custkey
+        |           OR b.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |           OR b.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |           THEN 'changed'
+        |         ELSE 'unchanged' END AS change_type
+        |  FROM base b FULL OUTER JOIN news n
+        |    ON b.o_orderkey = n.o_orderkey)
+        |SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM d GROUP BY change_type ORDER BY change_type""".stripMargin
   )
 }
