@@ -107,6 +107,33 @@ class PlanRegressionSpec extends AnyFunSuite {
       "assigned-vector frame lost its persist — assignment runs 3x")
   }
 
+  test("d14: span rewrite is index joins + row-local reassembly, no window") {
+    val plan = planOf("d14_span_rewrite")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "span rewrite grew a pair enumeration")
+    // the rebuild must stay a row-local array filter — a Window here
+    // would mean per-token sort/reassembly through the exchange
+    assert(!plan.contains("Window"),
+      "token reassembly stopped being row-local")
+  }
+
+  test("s09: both fusion arms end in bounded top-k, fusion is equi-join") {
+    val plan = planOf("s09_hybrid_rrf")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "an arm's top-k fell back to a global sort")
+    assert(!plan.contains("CartesianProduct"),
+      "rank fusion degenerated into a cross join")
+  }
+
+  test("x17: snapshot diff is one equi full-outer pass") {
+    val plan = planOf("x17_snapshot_diff")
+    assert(plan.contains("FullOuter"), "diff lost its full-outer join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "diff join degenerated — key equi-join expected")
+  }
+
   test("x09: the fixed cell table broadcasts under the probe stream") {
     val plan = planOf("x09_cms_heavy_hitters")
     // Cms.probe broadcasts the SKETCH side (<= d*w rows) in a LEFT
