@@ -517,6 +517,48 @@ object Extensions extends QueryPack {
           min($"o_orderkey").as("min_key"),
           max($"o_orderkey").as("max_key"))
         .orderBy($"change_type")
+    }),
+
+    // -- CDC change feed: the incremental daily-job changelog -----------
+    // The dbt-snapshot / SCD change-capture shape: the event month is
+    // split into three portable epochs (days 1-10 / 11-20 / 21-30);
+    // each epoch's per-user delta aggregate merges into the running
+    // snapshot (IncrementalAgg.mergeAdditive — the base is never
+    // rescanned) and the change feed for the epoch is
+    // SnapshotDiff(prev, next) minus 'unchanged'. Composes the two
+    // verified operators into the artifact downstream consumers
+    // actually subscribe to. At scale each epoch is one delta
+    // aggregate + one key-partitioned merge+diff pass; with the
+    // snapshot bucketed on user_id the exchanges vanish.
+    "x18_cdc_changelog" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.{IncrementalAgg, SnapshotDiff}
+      // high-value events at (user, type) grain: ~45% of the key space
+      // is active per epoch, so every epoch's feed carries BOTH
+      // 'added' (first activity) and 'changed' (accumulating) classes
+      def delta(e: Int) = Tables(s, dir).events
+        .filter(expr(s"(dayofmonth(ts) - 1) div 10 = $e") && $"value" > 97)
+        .groupBy($"user_id", $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(FLOOR(value * 100) AS BIGINT)")).as("total_cents"))
+      val keys = Seq("user_id", "event_type")
+      var snap: DataFrame = null
+      val logs = (0 to 2).map { e =>
+        val next =
+          if (snap == null) delta(e)
+          else IncrementalAgg.mergeAdditive(snap, delta(e), keys)
+        val prev = if (snap == null) next.limit(0) else snap
+        val log = SnapshotDiff.diff(prev, next, keys)
+          .filter($"change_type" =!= "unchanged")
+          .withColumn("epoch", lit(e))
+        snap = next
+        log
+      }
+      logs.reduce(_ unionByName _)
+        .groupBy($"epoch", $"change_type")
+        .agg(count(lit(1)).as("n_keys"),
+          min($"user_id").as("min_key"), max($"user_id").as("max_key"))
+        .orderBy($"epoch", $"change_type")
     })
   )
 
@@ -781,6 +823,55 @@ object Extensions extends QueryPack {
         |    ON b.o_orderkey = n.o_orderkey)
         |SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
-        |FROM d GROUP BY change_type ORDER BY change_type""".stripMargin
+        |FROM d GROUP BY change_type ORDER BY change_type""".stripMargin,
+
+    // unrolled 3-epoch merge+diff chain; the additive merge is
+    // COALESCE(+) over a FULL OUTER join and the diff classes use
+    // IS DISTINCT FROM, both mirroring the operators exactly
+    "x18_cdc_changelog" -> {
+      def deltaCte(e: Int): String =
+        s"""d$e AS (
+           |  SELECT user_id, event_type,
+           |    CAST(COUNT(*) AS BIGINT) AS n_events,
+           |    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+           |      AS total_cents
+           |  FROM events WHERE (day(ts) - 1) // 10 = $e AND value > 97
+           |  GROUP BY user_id, event_type)""".stripMargin
+      def mergeCte(e: Int): String =
+        s"""s$e AS (
+           |  SELECT COALESCE(p.user_id, d.user_id) AS user_id,
+           |    COALESCE(p.event_type, d.event_type) AS event_type,
+           |    COALESCE(p.n_events, 0) + COALESCE(d.n_events, 0)
+           |      AS n_events,
+           |    COALESCE(p.total_cents, 0) + COALESCE(d.total_cents, 0)
+           |      AS total_cents
+           |  FROM s${e - 1} p FULL OUTER JOIN d$e d
+           |    ON p.user_id = d.user_id AND p.event_type = d.event_type)""".stripMargin
+      def diffCte(e: Int): String = {
+        val prev = if (e == 0) "(SELECT * FROM s0 WHERE FALSE)" else s"s${e - 1}"
+        s"""l$e AS (
+           |  SELECT COALESCE(p.user_id, n.user_id) AS user_id,
+           |    CAST($e AS INTEGER) AS epoch,
+           |    CASE WHEN p.user_id IS NULL THEN 'added'
+           |         WHEN n.user_id IS NULL THEN 'removed'
+           |         WHEN p.n_events IS DISTINCT FROM n.n_events
+           |           OR p.total_cents IS DISTINCT FROM n.total_cents
+           |           THEN 'changed'
+           |         ELSE 'unchanged' END AS change_type
+           |  FROM $prev p FULL OUTER JOIN s$e n
+           |    ON p.user_id = n.user_id AND p.event_type = n.event_type)""".stripMargin
+      }
+      s"""WITH ${deltaCte(0)}, ${deltaCte(1)}, ${deltaCte(2)},
+         |s0 AS (SELECT * FROM d0),
+         |${mergeCte(1)}, ${mergeCte(2)},
+         |${diffCte(0)}, ${diffCte(1)}, ${diffCte(2)},
+         |cl AS (
+         |  SELECT * FROM l0 UNION ALL SELECT * FROM l1
+         |  UNION ALL SELECT * FROM l2)
+         |SELECT epoch, change_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  MIN(user_id) AS min_key, MAX(user_id) AS max_key
+         |FROM cl WHERE change_type <> 'unchanged'
+         |GROUP BY epoch, change_type ORDER BY epoch, change_type""".stripMargin
+    }
   )
 }
