@@ -99,4 +99,48 @@ object BinaryDecode {
         }
       }
   }
+
+  /** Perceptual average-hash row: the media fingerprint a dedup index
+    * serves from (`n_samples` ≤ grid; `ahash` uses bits `0..n-1`).
+    */
+  final case class PerceptualHash(doc_id: Long, n_samples: Long,
+      ahash: Long)
+
+  /** Stubbed aHash (the classic average-hash of image dedup): stride-
+    * sample the payload to ≤ `grid` values ([[resizeStub]] — a real
+    * build downsamples pixels to the grid), then bit i = 1 iff
+    * sample_i is strictly above the sample mean. The compare is the
+    * integer cross-multiplication `s_i · n > sum` — no division, so
+    * the bit pattern is reproducible exactly in any engine. `grid`
+    * must be ≤ 63 so the hash stays in non-negative BIGINT range.
+    */
+  def aHashStub(docId: Long, bytes: Array[Byte],
+      grid: Int): PerceptualHash = {
+    val s = resizeStub(bytes, grid)
+    val n = s.length
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += (s(i) & 0xff); i += 1 }
+    var h = 0L
+    i = 0
+    while (i < n) {
+      if ((s(i) & 0xff).toLong * n > sum) h |= (1L << i)
+      i += 1
+    }
+    PerceptualHash(docId, n.toLong, h)
+  }
+
+  /** Batched perceptual hashing over a (id, payload) projection —
+    * the fingerprint index build of a LAION-style media dedup: the
+    * wide binary dies here, 12 bytes/row flow on.
+    */
+  def perceptualHashes(spark: SparkSession, binary: DataFrame,
+      grid: Int = 32): Dataset[PerceptualHash] = {
+    import spark.implicits._
+    require(grid >= 1 && grid <= 63, s"grid must be in [1, 63], got $grid")
+    binary.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        aHashStub(id, bytes, grid)
+      })
+  }
 }

@@ -92,6 +92,29 @@ object Multimodal extends QueryPack {
         .orderBy($"d1", $"d2")
     }),
 
+    // -- perceptual average-hash: the media fingerprint INDEX -----------
+    // The aHash of classic image dedup, over the stub-decoded samples:
+    // stride-sample to a 32-cell grid (the resize stub = a real
+    // build's pixel downsample), bit i = sample_i above the grid mean
+    // (integer cross-multiplication, no division). Output is the
+    // serving index a LAION-style pipeline stores per image — the
+    // 32-bit hash plus its four 8-bit bands, which is exactly what a
+    // banded Hamming-distance candidate join (the m05 machinery)
+    // blocks on. 12 bytes/row flow out of the decode boundary; the
+    // wide binary never leaves it.
+    "m06_perceptual_hash" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val binary = Tables(s, dir).documents
+        .select($"doc_id", $"text".cast("binary").as("payload"))
+      BinaryDecode.perceptualHashes(s, binary, grid = 32).toDF()
+        .select($"doc_id", $"n_samples", $"ahash",
+          ($"ahash" % 256).as("b0"),
+          (expr("shiftright(ahash, 8)") % 256).as("b1"),
+          (expr("shiftright(ahash, 16)") % 256).as("b2"),
+          expr("shiftright(ahash, 24)").as("b3"))
+        .orderBy($"doc_id")
+    }),
+
     // -- deterministic frame sampling: every 10th token as a "frame" ----
     "m03_frame_sample" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -188,6 +211,38 @@ object Multimodal extends QueryPack {
         |  AND abs(a.p0-b.p0) + abs(a.p1-b.p1) + abs(a.p2-b.p2)
         |    + abs(a.p3-b.p3) <= 8
         |ORDER BY d1, d2""".stripMargin,
+
+    // resizeStub's stride arithmetic mirrored in list ops (1-based
+    // lists: sample j lives at bytes[j*stride + 1]); the bit compare
+    // is the same integer cross-multiplication, bits 0..31 so the
+    // BIGINT sum is exact and non-negative
+    "m06_perceptual_hash" ->
+      """WITH b AS (
+        |  SELECT doc_id, list_transform(string_split(text, ''),
+        |    x -> ascii(x)) AS bytes
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, bytes, len(bytes) AS n,
+        |    greatest(1, len(bytes) // 32) AS stride
+        |  FROM b),
+        |sm AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0,
+        |      least(32, (n - 1) // stride + 1) - 1),
+        |      j -> bytes[j * stride + 1]) AS s
+        |  FROM r),
+        |h AS (
+        |  SELECT doc_id, CAST(len(s) AS BIGINT) AS n_samples,
+        |    CAST(COALESCE(list_sum(list_transform(
+        |      generate_series(1, len(s)),
+        |      j -> CASE WHEN s[j] * len(s) > list_sum(s)
+        |           THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END)), 0)
+        |      AS BIGINT) AS ahash
+        |  FROM sm)
+        |SELECT doc_id, n_samples, ahash,
+        |  ahash % 256 AS b0, (ahash >> 8) % 256 AS b1,
+        |  (ahash >> 16) % 256 AS b2, ahash >> 24 AS b3
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "m03_frame_sample" ->
       s"""WITH t AS (
