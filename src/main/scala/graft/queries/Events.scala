@@ -308,6 +308,38 @@ object Events extends QueryPack {
         .limit(10)
     }),
 
+    // -- OHLC bars: deterministic argmin/argmax first/last --------------
+    // The financial-bars shape (open/high/low/close per (user, day)
+    // over purchase events): open and close are FIRST/LAST-in-group,
+    // computed as `min(struct(ts, event_id, cents))` /
+    // `max(struct(...))` — lexicographic struct order IS the
+    // (ts, event_id) total order, so the extremum carries its payload
+    // deterministically even under ts ties, with NO window and NO
+    // per-group sort: one combinable aggregate, map-side partials and
+    // all. The oracle spells the same thing as DuckDB's ordered-set
+    // first/last. At 100 TB this is one keyed exchange over the
+    // event scan — the cheapest correct spelling of "first value per
+    // group".
+    "e20_ohlc_bars" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .filter($"event_type" === "purchase")
+        .select($"user_id", date_trunc("day", $"ts").as("day"),
+          $"ts", $"event_id",
+          expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+      ev.groupBy($"user_id", $"day")
+        .agg(
+          min(struct($"ts", $"event_id", $"cents")).getField("cents")
+            .as("open_cents"),
+          max($"cents").as("high_cents"),
+          min($"cents").as("low_cents"),
+          max(struct($"ts", $"event_id", $"cents")).getField("cents")
+            .as("close_cents"),
+          count(lit(1)).as("n_trades"),
+          sum($"cents").as("volume_cents"))
+        .orderBy($"user_id", $"day")
+    }),
+
     // -- typed downcast of the open payload: from_json with schema ------
     // The engine's honest analog of the reference's checked downcast
     // (EventBox::get_event, src/event.rs:90-98): parse `props` against
@@ -519,6 +551,23 @@ object Events extends QueryPack {
         |  FROM events) t
         |WHERE e3 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
+
+    // ordered-set first/last mirror Spark's min/max(struct(ts,
+    // event_id, cents)) exactly: (ts, event_id) is a total order
+    "e20_ohlc_bars" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, ts, event_id,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+        |  first(cents ORDER BY ts, event_id) AS open_cents,
+        |  CAST(MAX(cents) AS BIGINT) AS high_cents,
+        |  CAST(MIN(cents) AS BIGINT) AS low_cents,
+        |  last(cents ORDER BY ts, event_id) AS close_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n_trades,
+        |  CAST(SUM(cents) AS BIGINT) AS volume_cents
+        |FROM e GROUP BY user_id, day
+        |ORDER BY user_id, day""".stripMargin,
 
     "e13_event_transitions" ->
       """SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
