@@ -308,6 +308,28 @@ object Events extends QueryPack {
         .limit(10)
     }),
 
+    // -- VARIANT ingest tier: parse once, extract cheaply ---------------
+    // Spark 4's VARIANT type is the production JSON-ingest shape at
+    // 100 TB: `parse_json` once at the scan boundary into the binary
+    // variant encoding, then every downstream path extraction
+    // (`variant_get`) is a cheap binary probe instead of a re-parse —
+    // e01's `get_json_object` re-tokenizes the string per call. The
+    // query also pins `schema_of_variant`'s inferred shape, so a
+    // payload drift (a new field, a type change) becomes a hash
+    // mismatch instead of a silent NULL.
+    "e21_variant_extract" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir).events
+        .withColumn("v", expr("parse_json(props)"))
+        .select($"event_type",
+          expr("variant_get(v, '$.k', 'long')").as("k"),
+          expr("schema_of_variant(v)").as("vschema"))
+        .groupBy($"event_type", $"vschema")
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+        .orderBy($"event_type")
+    }),
+
     // -- OHLC bars: deterministic argmin/argmax first/last --------------
     // The financial-bars shape (open/high/low/close per (user, day)
     // over purchase events): open and close are FIRST/LAST-in-group,
@@ -551,6 +573,21 @@ object Events extends QueryPack {
         |  FROM events) t
         |WHERE e3 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
+
+    // the payload is uniformly {"k": N}, so Spark's inferred variant
+    // schema is the literal OBJECT<k: BIGINT> for every row — the
+    // oracle pins it as a constant; json_extract mirrors variant_get
+    "e21_variant_extract" ->
+      """SELECT event_type,
+        |  'OBJECT<k: BIGINT>' AS vschema,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k,
+        |  CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS min_k,
+        |  CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // ordered-set first/last mirror Spark's min/max(struct(ts,
     // event_id, cents)) exactly: (ts, event_id) is a total order
