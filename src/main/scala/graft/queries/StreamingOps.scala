@@ -525,6 +525,46 @@ object StreamingOps extends QueryPack {
       }
     }),
 
+    // -- transformWithState: bounded-heap streaming top-k ---------------
+    // The streaming face of q32's native top-k: per user, the running
+    // top-3 purchases live in ListState — state is O(k) per key FOREVER,
+    // not O(events) (a collect-then-rank spelling grows without bound;
+    // this is the continuous-leaderboard shape). Each batch merges its
+    // rows into the bounded list and emits the current top-k; prefix
+    // top-k lists only ever improve, so per (user, rank) the final
+    // answer is the lexicographic max of (cents, -event_id) across
+    // emissions — the same monotone-output contract as st8/st15, and
+    // the post-drain pick makes the result batching-independent.
+    "st21_stream_topk" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = eventStream(s, dir)
+          .filter($"event_type" === "purchase")
+          .select($"user_id",
+            expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"),
+            $"event_id")
+          .as[(Long, Long, Long)]
+        val top = src.groupByKey(_._1)
+          .transformWithState(new TopKPurchasesProcessor(3),
+            TimeMode.None(), OutputMode.Update())
+          .toDF("user_id", "rank", "cents", "event_id")
+        drain(s, top, OutputMode.Update())
+          .groupBy($"user_id", $"rank")
+          .agg(max(struct($"cents", (-$"event_id").as("neg_id"))).as("m"))
+          .select($"user_id", $"rank", $"m.cents".as("cents"),
+            (-$"m.neg_id").as("event_id"))
+          .orderBy($"user_id", $"rank")
+      } finally prev match {
+        case Some(p) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }),
+
     // -- stream union (the reference's merge, U3, as real streams) ------
     // Two independently-filtered streams over the source re-interleave
     // via union — the Spark form of `futures::stream::select`
@@ -961,6 +1001,18 @@ object StreamingOps extends QueryPack {
         |FROM events GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
 
+    // the streaming bounded heap's final answer IS the batch top-3
+    "st21_stream_topk" ->
+      """SELECT user_id, rank, cents, event_id FROM (
+        |  SELECT user_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY cents DESC, event_id) AS INTEGER) AS rank,
+        |    cents, event_id
+        |  FROM (SELECT user_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+        |          event_id
+        |        FROM events WHERE event_type = 'purchase') t) r
+        |WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin,
+
     // per-user journal flush: a user's digest emits iff their flush
     // timer (last event floored to ms + 30 min) expired strictly
     // before the final watermark (global max ts floored to ms - 1h)
@@ -1003,6 +1055,36 @@ object StreamingOps extends QueryPack {
 /** Per-user map event_type → count in MapState, updated in place;
   * emits the key's current map after each input batch (st15).
   */
+/** Per-user bounded top-k heap in ListState (st21): the list never
+  * holds more than k `(cents, event_id)` pairs — merge the batch's
+  * rows, re-sort by (cents desc, event_id asc), truncate to k, store
+  * back, emit the current ranking. O(k) state per key under unbounded
+  * input is the point; the emitted prefix rankings only improve over
+  * batches (see the query's post-drain pick).
+  */
+class TopKPurchasesProcessor(k: Int)
+    extends StatefulProcessor[Long, (Long, Long, Long), (Long, Int, Long, Long)] {
+  @transient private var top: ListState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    top = getHandle.getListState[(Long, Long)]("top",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Int, Long, Long)] = {
+    val merged = (top.get().toSeq ++
+        rows.map { case (_, cents, id) => (cents, id) })
+      .sortBy { case (cents, id) => (-cents, id) }
+      .take(k)
+    top.put(merged.toArray)
+    merged.iterator.zipWithIndex.map { case ((cents, id), i) =>
+      (key, i + 1, cents, id)
+    }
+  }
+}
+
 class TypeCountsProcessor
     extends StatefulProcessor[Long, (Long, String), (Long, String, Long)] {
   @transient private var counts: MapState[String, Long] = _
