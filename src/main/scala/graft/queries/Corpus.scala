@@ -137,6 +137,37 @@ object Corpus extends QueryPack {
     // emitted per-shard profile (count + the first two docs of the
     // epoch order + the hash-range endpoints) pins both the balance
     // and the exact order head.
+    // -- curriculum schedule: quality gate → difficulty phases ----------
+    // Curriculum learning's data-side artifact: the keep-gated corpus
+    // (t04's quality annotation) split into easy→hard phases by token
+    // count — row-local value bands, NOT quantiles, so phase
+    // assignment needs no global pass and scales like a filter — with
+    // the c08 deterministic hash order WITHIN each phase (salt
+    // "cur1"). The per-phase profile (count, token range, first two
+    // docs of the phase order) pins both the phase partition and the
+    // exact training order head a loader would consume.
+    "c09_curriculum_schedule" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val phased = graft.operators.TextQuality
+        .annotate(Tables(s, dir).documents, "text")
+        .filter($"keep" === 1)
+        .withColumn("phase",
+          when($"n_tokens" < 50, 0).when($"n_tokens" < 70, 1)
+            .when($"n_tokens" < 85, 2).otherwise(3).cast("int"))
+        .withColumn("hkey", PortableHash.sparkHash56(
+          concat(lit("cur1:"), $"doc_id".cast("string"))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"phase").orderBy($"hkey", $"doc_id")
+      phased.withColumn("pos", row_number().over(w).cast("long"))
+        .groupBy($"phase")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"n_tokens").as("min_tokens"),
+          max($"n_tokens").as("max_tokens"),
+          min(when($"pos" === 1, $"doc_id")).as("first_doc"),
+          min(when($"pos" === 2, $"doc_id")).as("second_doc"))
+        .orderBy($"phase")
+    }),
+
     "c08_epoch_shuffle" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val nShards = 8
@@ -271,6 +302,43 @@ object Corpus extends QueryPack {
           |FROM p JOIN c ON p.source = c.source
           |  AND p.tpos >= c.cum_end - c.n_chars AND p.tpos < c.cum_end
           |ORDER BY p.source, p.sample_idx""".stripMargin,
+
+      // t04's keep gate verbatim + the same value-band phases and
+      // salted-hash within-phase order
+      "c09_curriculum_schedule" -> {
+        val h = PortableHash.duckHash56("'cur1:' || CAST(doc_id AS VARCHAR)")
+        s"""WITH x AS (
+           |  SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS toks
+           |  FROM documents),
+           |y AS (
+           |  SELECT doc_id,
+           |    CAST(len(toks) AS BIGINT) AS n_tokens,
+           |    CAST(len(list_filter(toks,
+           |      t -> t IN ('the','a','of','and','to'))) AS BIGINT)
+           |      AS stop_hits
+           |  FROM x),
+           |kept AS (
+           |  SELECT doc_id, n_tokens,
+           |    CASE WHEN n_tokens < 50 THEN 0 WHEN n_tokens < 70 THEN 1
+           |         WHEN n_tokens < 85 THEN 2 ELSE 3 END AS phase,
+           |    $h AS hkey
+           |  FROM y
+           |  WHERE n_tokens >= 30
+           |    AND stop_hits * 1000 // n_tokens BETWEEN 20 AND 400),
+           |s AS (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY phase
+           |    ORDER BY hkey, doc_id) AS pos
+           |  FROM kept)
+           |SELECT CAST(phase AS INTEGER) AS phase,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           |  CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           |  CAST(MIN(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT)
+           |    AS first_doc,
+           |  CAST(MIN(CASE WHEN pos = 2 THEN doc_id END) AS BIGINT)
+           |    AS second_doc
+           |FROM s GROUP BY phase ORDER BY phase""".stripMargin
+      },
 
       // same portable 56-bit hash, shard, and rank arithmetic; the
       // 56-bit hash is non-negative so % ≡ pmod across engines
