@@ -28,6 +28,13 @@ object SnapshotDiff {
     * snapshot, not a log — dedup first if not).
     */
   def diff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+    // the marker/rename scheme below owns the "__" prefix; a data
+    // column named __old/__new/__n_* would collide silently and
+    // misclassify rows — reject instead
+    val reserved = (oldDf.columns ++ newDf.columns)
+      .filter(c => c == "__old" || c == "__new" || c.startsWith("__n_"))
+    require(reserved.isEmpty,
+      s"column names reserved by diff(): ${reserved.mkString(", ")}")
     val compareCols = oldDf.columns
       .filterNot(keys.contains).filter(newDf.columns.contains).toSeq
     val o = oldDf.select((keys ++ compareCols).map(col): _*)

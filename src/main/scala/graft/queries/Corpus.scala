@@ -137,6 +137,25 @@ object Corpus extends QueryPack {
     // emitted per-shard profile (count + the first two docs of the
     // epoch order + the hash-range endpoints) pins both the balance
     // and the exact order head.
+    "c08_epoch_shuffle" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val nShards = 8
+      val h = PortableHash.sparkHash56(
+        concat(lit("epoch7:"), $"doc_id".cast("string")))
+      val keyed = Tables(s, dir).documents
+        .select($"doc_id", h.as("hkey"))
+        .withColumn("shard", pmod($"hkey", lit(nShards)).cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"shard").orderBy($"hkey", $"doc_id")
+      keyed.withColumn("pos", row_number().over(w).cast("long"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          min(when($"pos" === 1, $"doc_id")).as("first_doc"),
+          min(when($"pos" === 2, $"doc_id")).as("second_doc"),
+          min($"hkey").as("min_hkey"), max($"hkey").as("max_hkey"))
+        .orderBy($"shard")
+    }),
+
     // -- curriculum schedule: quality gate → difficulty phases ----------
     // Curriculum learning's data-side artifact: the keep-gated corpus
     // (t04's quality annotation) split into easy→hard phases by token
@@ -166,25 +185,6 @@ object Corpus extends QueryPack {
           min(when($"pos" === 1, $"doc_id")).as("first_doc"),
           min(when($"pos" === 2, $"doc_id")).as("second_doc"))
         .orderBy($"phase")
-    }),
-
-    "c08_epoch_shuffle" -> ((s: SparkSession, dir: String) => {
-      import s.implicits._
-      val nShards = 8
-      val h = PortableHash.sparkHash56(
-        concat(lit("epoch7:"), $"doc_id".cast("string")))
-      val keyed = Tables(s, dir).documents
-        .select($"doc_id", h.as("hkey"))
-        .withColumn("shard", pmod($"hkey", lit(nShards)).cast("long"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"shard").orderBy($"hkey", $"doc_id")
-      keyed.withColumn("pos", row_number().over(w).cast("long"))
-        .groupBy($"shard")
-        .agg(count(lit(1)).as("n_docs"),
-          min(when($"pos" === 1, $"doc_id")).as("first_doc"),
-          min(when($"pos" === 2, $"doc_id")).as("second_doc"),
-          min($"hkey").as("min_hkey"), max($"hkey").as("max_hkey"))
-        .orderBy($"shard")
     }),
 
     // -- pack slices: the loader-facing materialization of c04 ----------
@@ -303,28 +303,20 @@ object Corpus extends QueryPack {
           |  AND p.tpos >= c.cum_end - c.n_chars AND p.tpos < c.cum_end
           |ORDER BY p.source, p.sample_idx""".stripMargin,
 
-      // t04's keep gate verbatim + the same value-band phases and
-      // salted-hash within-phase order
+      // t04's keep gate by REFERENCE (TextAnalysis.duckQualityCtes +
+      // duckKeepPredicate — a tune of the gate moves both oracles
+      // together) + the same value-band phases and salted-hash
+      // within-phase order
       "c09_curriculum_schedule" -> {
         val h = PortableHash.duckHash56("'cur1:' || CAST(doc_id AS VARCHAR)")
-        s"""WITH x AS (
-           |  SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS toks
-           |  FROM documents),
-           |y AS (
-           |  SELECT doc_id,
-           |    CAST(len(toks) AS BIGINT) AS n_tokens,
-           |    CAST(len(list_filter(toks,
-           |      t -> t IN ('the','a','of','and','to'))) AS BIGINT)
-           |      AS stop_hits
-           |  FROM x),
+        s"""WITH ${TextAnalysis.duckQualityCtes},
            |kept AS (
            |  SELECT doc_id, n_tokens,
            |    CASE WHEN n_tokens < 50 THEN 0 WHEN n_tokens < 70 THEN 1
            |         WHEN n_tokens < 85 THEN 2 ELSE 3 END AS phase,
            |    $h AS hkey
            |  FROM y
-           |  WHERE n_tokens >= 30
-           |    AND stop_hits * 1000 // n_tokens BETWEEN 20 AND 400),
+           |  WHERE ${TextAnalysis.duckKeepPredicate}),
            |s AS (
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY phase
            |    ORDER BY hkey, doc_id) AS pos

@@ -544,9 +544,14 @@ object Extensions extends QueryPack {
       val keys = Seq("user_id", "event_type")
       var snap: DataFrame = null
       val logs = (0 to 2).map { e =>
-        val next =
+        // each snapshot is checkpointed: it feeds BOTH the next
+        // epoch's merge and this epoch's diff, and without truncation
+        // epoch e's plan would re-aggregate every earlier delta
+        // (O(epochs²) event scans)
+        val next = (
           if (snap == null) delta(e)
           else IncrementalAgg.mergeAdditive(snap, delta(e), keys)
+        ).localCheckpoint(true)
         val prev = if (snap == null) next.limit(0) else snap
         val log = SnapshotDiff.diff(prev, next, keys)
           .filter($"change_type" =!= "unchanged")

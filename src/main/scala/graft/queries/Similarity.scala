@@ -518,36 +518,13 @@ object Similarity extends QueryPack {
         |    ORDER BY adist2, neighbor_id) AS INTEGER) AS rank FROM sc) t
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
-    // fusion mirrors t12's integer BM25 CTEs and s01's integer dot
-    // product exactly; ROW_NUMBER casts to INTEGER to match Spark's
+    // fusion composes t12's BM25 CTE chain VERBATIM (the shared
+    // [[TextAnalysis.duckBm25Ctes]] constant — the Spark side calls
+    // t12's query, so both arms reuse by reference) and s01's integer
+    // dot product; ROW_NUMBER casts to INTEGER to match Spark's
     // row_number, RRF terms are floor division on non-negatives
     "s09_hybrid_rrf" ->
-      """WITH dd AS (
-        |  SELECT doc_id,
-        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
-        |      AS dl,
-        |    regexp_split_to_array(lower(text), '\s+') AS toks
-        |  FROM documents),
-        |st AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS nd,
-        |    CAST(SUM(dl) * 1000 // COUNT(*) AS BIGINT) AS av_pm FROM dd),
-        |tf AS (
-        |  SELECT doc_id, dl, w, CAST(COUNT(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, dl, unnest(toks) AS w FROM dd)
-        |  WHERE w IN ('join', 'hash', 'scan')
-        |  GROUP BY doc_id, dl, w),
-        |dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
-        |sc AS (
-        |  SELECT tf.doc_id, tf.tf,
-        |    (SELECT 250 + (750 * tf.dl * 1000) // av_pm FROM st) AS norm_pm,
-        |    (SELECT (1000000 * (nd - dfq.df + 1)) // (dfq.df + 1) FROM st)
-        |      AS idf_pm
-        |  FROM tf JOIN dfq ON tf.w = dfq.w),
-        |co AS (
-        |  SELECT doc_id, tf,
-        |    (idf_pm * ((tf * 2200 * 1000)
-        |      // (tf * 1000 + (1200 * norm_pm) // 1000))) // 1000 AS contrib
-        |  FROM sc),
+      s"""WITH ${TextAnalysis.duckBm25Ctes},
         |lexs AS (
         |  SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score
         |  FROM co GROUP BY doc_id

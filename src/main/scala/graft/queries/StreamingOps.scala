@@ -1049,12 +1049,28 @@ object StreamingOps extends QueryPack {
   )
 }
 
-/** Per-user running (count, cents) via the Spark 4 `StatefulProcessor`
-  * API — typed ValueState handle, updated per micro-batch (st8).
-  */
 /** Per-user map event_type → count in MapState, updated in place;
   * emits the key's current map after each input batch (st15).
   */
+class TypeCountsProcessor
+    extends StatefulProcessor[Long, (Long, String), (Long, String, Long)] {
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long]("counts",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+      timerValues: TimerValues): Iterator[(Long, String, Long)] = {
+    rows.foreach { case (_, tpe) =>
+      val cur = if (counts.containsKey(tpe)) counts.getValue(tpe) else 0L
+      counts.updateValue(tpe, cur + 1L)
+    }
+    counts.iterator().map { case (tpe, n) => (key, tpe, n) }.toList.iterator
+  }
+}
+
 /** Per-user bounded top-k heap in ListState (st21): the list never
   * holds more than k `(cents, event_id)` pairs — merge the batch's
   * rows, re-sort by (cents desc, event_id asc), truncate to k, store
@@ -1082,25 +1098,6 @@ class TopKPurchasesProcessor(k: Int)
     merged.iterator.zipWithIndex.map { case ((cents, id), i) =>
       (key, i + 1, cents, id)
     }
-  }
-}
-
-class TypeCountsProcessor
-    extends StatefulProcessor[Long, (Long, String), (Long, String, Long)] {
-  @transient private var counts: MapState[String, Long] = _
-
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    counts = getHandle.getMapState[String, Long]("counts",
-      org.apache.spark.sql.Encoders.STRING,
-      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
-
-  override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
-      timerValues: TimerValues): Iterator[(Long, String, Long)] = {
-    rows.foreach { case (_, tpe) =>
-      val cur = if (counts.containsKey(tpe)) counts.getValue(tpe) else 0L
-      counts.updateValue(tpe, cur + 1L)
-    }
-    counts.iterator().map { case (tpe, n) => (key, tpe, n) }.toList.iterator
   }
 }
 
@@ -1147,6 +1144,9 @@ class JournalFlushProcessor
   }
 }
 
+/** Per-user running (count, cents) via the Spark 4 `StatefulProcessor`
+  * API — typed ValueState handle, updated per micro-batch (st8).
+  */
 class RunningTotalsProcessor
     extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
   @transient private var totals: ValueState[(Long, Long)] = _

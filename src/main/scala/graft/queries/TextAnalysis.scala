@@ -446,6 +446,61 @@ object TextAnalysis extends QueryPack {
     })
   )
 
+  /** DuckDB integer-BM25 CTE chain (terms 'join','hash','scan',
+    * k1=1.2 b=0.75 in per-mille), ending in `co(doc_id, tf, contrib)`
+    * — the ONE spelling shared by t12's ranking and s09's lexical arm
+    * so a constant tune can never drift the two oracles apart.
+    */
+  private[queries] val duckBm25Ctes: String =
+    """dd AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+      |      AS dl,
+      |    regexp_split_to_array(lower(text), '\s+') AS toks
+      |  FROM documents),
+      |st AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+      |    CAST(SUM(dl) * 1000 // COUNT(*) AS BIGINT) AS av_pm FROM dd),
+      |tf AS (
+      |  SELECT doc_id, dl, w, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS w FROM dd)
+      |  WHERE w IN ('join', 'hash', 'scan')
+      |  GROUP BY doc_id, dl, w),
+      |dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.tf,
+      |    (SELECT 250 + (750 * tf.dl * 1000) // av_pm FROM st) AS norm_pm,
+      |    (SELECT (1000000 * (nd - dfq.df + 1)) // (dfq.df + 1) FROM st)
+      |      AS idf_pm
+      |  FROM tf JOIN dfq ON tf.w = dfq.w),
+      |co AS (
+      |  SELECT doc_id, tf,
+      |    (idf_pm * ((tf * 2200 * 1000)
+      |      // (tf * 1000 + (1200 * norm_pm) // 1000))) // 1000 AS contrib
+      |  FROM sc)""".stripMargin
+
+  /** DuckDB mirror of [[graft.operators.TextQuality.annotate]]'s token
+    * statistics, ending in `y(doc_id, text, n_tokens, stop_hits,
+    * short_hits)` — shared by t04 and c09's keep gate.
+    */
+  private[queries] val duckQualityCtes: String =
+    """x AS (
+      |  SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS toks
+      |  FROM documents),
+      |y AS (
+      |  SELECT doc_id, text,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to'))) AS BIGINT) AS stop_hits,
+      |    CAST(len(list_filter(toks, t -> length(t) <= 2)) AS BIGINT) AS short_hits
+      |  FROM x)""".stripMargin
+
+  /** The keep-gate predicate over `y`'s columns (mirrors
+    * `TextQuality.annotate`'s `keep` flag; MinTokens=30, stopword
+    * window [20,400] pm).
+    */
+  private[queries] val duckKeepPredicate: String =
+    "n_tokens >= 30 AND stop_hits * 1000 // n_tokens BETWEEN 20 AND 400"
+
   override def oracles: Map[String, String] = Map(
     "t01_token_stats" ->
       """SELECT doc_id, lang, source,
@@ -464,39 +519,14 @@ object TextAnalysis extends QueryPack {
 
     // integer-quantized BM25 — every division is floor on non-negative
     // integers, so // here mirrors Spark's div exactly; SUMs cast back
-    // from HUGEINT
+    // from HUGEINT. CTEs shared with s09's lexical arm ([[duckBm25Ctes]]).
     "t12_bm25_search" ->
-      """WITH dd AS (
-        |  SELECT doc_id,
-        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
-        |      AS dl,
-        |    regexp_split_to_array(lower(text), '\s+') AS toks
-        |  FROM documents),
-        |st AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS nd,
-        |    CAST(SUM(dl) * 1000 // COUNT(*) AS BIGINT) AS av_pm FROM dd),
-        |tf AS (
-        |  SELECT doc_id, dl, w, CAST(COUNT(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, dl, unnest(toks) AS w FROM dd)
-        |  WHERE w IN ('join', 'hash', 'scan')
-        |  GROUP BY doc_id, dl, w),
-        |dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
-        |sc AS (
-        |  SELECT tf.doc_id, tf.tf,
-        |    (SELECT 250 + (750 * tf.dl * 1000) // av_pm FROM st) AS norm_pm,
-        |    (SELECT (1000000 * (nd - dfq.df + 1)) // (dfq.df + 1) FROM st)
-        |      AS idf_pm
-        |  FROM tf JOIN dfq ON tf.w = dfq.w),
-        |co AS (
-        |  SELECT doc_id, tf,
-        |    (idf_pm * ((tf * 2200 * 1000)
-        |      // (tf * 1000 + (1200 * norm_pm) // 1000))) // 1000 AS contrib
-        |  FROM sc)
-        |SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score,
-        |  CAST(COUNT(*) AS BIGINT) AS n_terms,
-        |  CAST(SUM(tf) AS BIGINT) AS n_hits
-        |FROM co GROUP BY doc_id
-        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+      s"""WITH $duckBm25Ctes
+         |SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score,
+         |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |  CAST(SUM(tf) AS BIGINT) AS n_hits
+         |FROM co GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     // 2-grams: range(1, len) is [1, len-1] in DuckDB, so toks[i] ||
     // ' ' || toks[i+1] mirrors Spark's transform(sequence(0, n-2),
@@ -645,24 +675,16 @@ object TextAnalysis extends QueryPack {
         |FROM best b JOIN documents d ON b.doc_id = d.doc_id
         |ORDER BY b.doc_id""".stripMargin,
 
+    // CTEs + keep predicate shared with c09's gate ([[duckQualityCtes]])
     "t04_quality_score" ->
-      """WITH x AS (
-        |  SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS toks
-        |  FROM documents),
-        |y AS (
-        |  SELECT doc_id, text,
-        |    CAST(len(toks) AS BIGINT) AS n_tokens,
-        |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to'))) AS BIGINT) AS stop_hits,
-        |    CAST(len(list_filter(toks, t -> length(t) <= 2)) AS BIGINT) AS short_hits
-        |  FROM x)
-        |SELECT doc_id, n_tokens,
-        |  stop_hits * 1000 // n_tokens AS stopword_pm,
-        |  short_hits * 1000 // n_tokens AS short_token_pm,
-        |  length(text) * 1000 // n_tokens AS chars_per_token_pm,
-        |  CAST(CASE WHEN n_tokens >= 30
-        |    AND stop_hits * 1000 // n_tokens BETWEEN 20 AND 400
-        |    THEN 1 ELSE 0 END AS INTEGER) AS keep
-        |FROM y ORDER BY doc_id""".stripMargin,
+      s"""WITH $duckQualityCtes
+         |SELECT doc_id, n_tokens,
+         |  stop_hits * 1000 // n_tokens AS stopword_pm,
+         |  short_hits * 1000 // n_tokens AS short_token_pm,
+         |  length(text) * 1000 // n_tokens AS chars_per_token_pm,
+         |  CAST(CASE WHEN $duckKeepPredicate
+         |    THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM y ORDER BY doc_id""".stripMargin,
 
     "t05_fingerprint" ->
       s"""WITH x AS (

@@ -43,6 +43,15 @@ class SnapshotDiffSpec extends AnyFunSuite {
     assert(got === Map(1L -> "removed", 2L -> "unchanged", 3L -> "added"))
   }
 
+  test("reserved __-prefixed column names are rejected, not mangled") {
+    import spark.implicits._
+    val old = Seq((1L, true)).toDF("k", "__old")
+    val neu = Seq((1L, false)).toDF("k", "__old")
+    intercept[IllegalArgumentException] {
+      SnapshotDiff.diff(old, neu, Seq("k"))
+    }
+  }
+
   test("columns missing from one side are ignored") {
     import spark.implicits._
     val old = Seq((1L, "a", 10)).toDF("k", "v", "old_only")
