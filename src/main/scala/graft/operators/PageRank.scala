@@ -38,7 +38,28 @@ object PageRank {
     * bipartite).
     */
   def ranksPpm(edges: DataFrame, iters: Int,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    core(edges, None, iters, srcCol, dstCol)
+
+  /** PERSONALIZED PageRank: teleport mass lands only on `seeds`
+    * (`id` column) instead of uniformly — the recommendation /
+    * similar-entities primitive ("rank everything by proximity to
+    * this user's seeds"). Same exact-integer recurrence with the base
+    * term conditional on seed membership:
+    *
+    *   `(seed ? 150000 : 0) + (850 * Σ_in (rank_nb div outdeg_nb)) div 1000`
+    *
+    * and initial rank 1,000,000 ppm on seeds / 0 elsewhere. Seeds are
+    * broadcast (a seed set is tiny by construction); everything else
+    * — edge caching, per-iteration shuffle of only the rank vector —
+    * is the [[ranksPpm]] loop unchanged.
+    */
+  def personalizedPpm(edges: DataFrame, seeds: DataFrame, iters: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    core(edges, Some(seeds), iters, srcCol, dstCol)
+
+  private def core(edges: DataFrame, seeds: Option[DataFrame], iters: Int,
+      srcCol: String, dstCol: String): DataFrame = {
     val n = edges.sparkSession.sessionState.conf.numShufflePartitions
     val dedup = edges
       .select(col(srcCol).cast("long").as("src"),
@@ -58,12 +79,25 @@ object PageRank {
         org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .persist()
     try {
-      val nodes = e.select(col("src").as("id"))
+      val nodesBare = e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id")))
         .distinct()
-        .persist()
+      // seed flag attached once (broadcast — seed sets are tiny);
+      // uniform mode = every node is a "seed" of the classic formula
+      val nodes = (seeds match {
+        case Some(s) =>
+          nodesBare.join(
+            broadcast(s.select(col("id").cast("long").as("id"))
+              .filter(col("id").isNotNull).distinct()
+              .withColumn("__seed", lit(true))),
+            Seq("id"), "left")
+            .withColumn("__seed", coalesce(col("__seed"), lit(false)))
+        case None => nodesBare.withColumn("__seed", lit(true))
+      }).persist()
       try {
-        var ranks = nodes.withColumn("rank_ppm", lit(1000000L))
+        var ranks = nodes.select(col("id"),
+          when(col("__seed"), lit(1000000L)).otherwise(lit(0L))
+            .as("rank_ppm"))
         for (_ <- 1 to iters) {
           val contribs = e
             .join(ranks.select(col("id").as("src"),
@@ -73,7 +107,7 @@ object PageRank {
             .groupBy(col("id")).agg(sum(col("contrib")).as("csum"))
           ranks = nodes.join(contribs, Seq("id"), "left")
             .select(col("id"),
-              (lit(150000L) +
+              (when(col("__seed"), lit(150000L)).otherwise(lit(0L)) +
                 expr("(850 * coalesce(csum, 0L)) div 1000")).as("rank_ppm"))
         }
         // fixed small iteration count → bounded lineage; materialize

@@ -144,6 +144,23 @@ object Graphs extends QueryPack {
         .orderBy($"id")
     }),
 
+    // -- G8: personalized PageRank from a seed set ----------------------
+    // The recommendation primitive ("entities nearest these customers
+    // by random-walk proximity"): teleport mass lands only on the
+    // first five customers, so rank decays with graph distance from
+    // them — suppliers they trade with outrank the rest, two-hop
+    // customers follow. Same exact-integer loop as g01 with a
+    // seed-conditional base term ([[graft.operators.PageRank
+    // .personalizedPpm]]); top-20 by (rank desc, id) is a bounded
+    // TakeOrdered, not a global sort.
+    "g08_personalized_pagerank" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val edges = tradeEdges(s, dir)
+      val seeds = edges.filter($"src" <= 5).select($"src".as("id")).distinct()
+      PageRank.personalizedPpm(edges, seeds, iters = 3)
+        .orderBy($"rank_ppm".desc, $"id").limit(20)
+    }),
+
     // -- G7: label-propagation communities on the co-purchase graph -----
     // The community-detection complement of d07's connected
     // components: CC merges everything reachable; LPA splits the
@@ -202,7 +219,46 @@ object Graphs extends QueryPack {
          |      AS rank_ppm
          |  FROM nodes n LEFT JOIN c$i c ON c.id = n.id)""".stripMargin
     }
+    // the personalized variant: base term conditional on seed
+    // membership (mirrors PageRank.personalizedPpm's when(__seed))
+    def pprIterCte(i: Int): String = {
+      val prev = s"r${i - 1}"
+      s"""c$i AS (
+         |  SELECT e.dst AS id,
+         |    CAST(SUM(r.rank_ppm // d.outdeg) AS BIGINT) AS csum
+         |  FROM edges e
+         |  JOIN $prev r ON r.id = e.src
+         |  JOIN outdeg d ON d.src = e.src
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT n.id,
+         |    CAST(CASE WHEN n.id IN (SELECT id FROM seeds)
+         |           THEN 150000 ELSE 0 END
+         |      + (850 * COALESCE(c.csum, 0)) // 1000 AS BIGINT)
+         |      AS rank_ppm
+         |  FROM nodes n LEFT JOIN c$i c ON c.id = n.id)""".stripMargin
+    }
     Map(
+      "g08_personalized_pagerank" ->
+        s"""WITH edges AS (
+           |  SELECT DISTINCT o_custkey AS src,
+           |    l_suppkey + $SupplierOffset AS dst
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |nodes AS (
+           |  SELECT src AS id FROM edges
+           |  UNION SELECT dst AS id FROM edges),
+           |outdeg AS (
+           |  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+           |seeds AS (SELECT DISTINCT src AS id FROM edges WHERE src <= 5),
+           |r0 AS (
+           |  SELECT id, CAST(CASE WHEN id IN (SELECT id FROM seeds)
+           |    THEN 1000000 ELSE 0 END AS BIGINT) AS rank_ppm FROM nodes),
+           |${pprIterCte(1)},
+           |${pprIterCte(2)},
+           |${pprIterCte(3)}
+           |SELECT id, rank_ppm FROM r3
+           |ORDER BY rank_ppm DESC, id LIMIT 20""".stripMargin,
+
       "g01_pagerank" ->
         s"""WITH edges AS (
            |  SELECT DISTINCT o_custkey AS src,
