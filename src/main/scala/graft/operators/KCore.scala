@@ -101,9 +101,15 @@ object KCore {
           .localCheckpoint(true)
         if (dead.isEmpty) converged = true
         else {
+          // unbounded round count ⇒ the survivor edge list itself must
+          // checkpoint each round (the PLANS §20 discipline): without
+          // this, round r re-derives through 2r stacked anti-joins and
+          // analysis cost grows O(rounds²). Fixed-rounds survivors()
+          // skips this — its lineage is bounded by construction.
           cur = cur
             .join(dead.select(col("id").as("a")), Seq("a"), "left_anti")
             .join(dead.select(col("id").as("b")), Seq("b"), "left_anti")
+            .localCheckpoint(true)
           deg = cur.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
         }
       }

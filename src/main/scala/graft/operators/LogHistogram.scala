@@ -42,21 +42,36 @@ object LogHistogram {
     * octave = floor(log2 v) via binary-string length, sub ∈ [0, k)
     * by linear split of the octave. Callers must filter v ≥ 1 first
     * (bin(0) has no set bit; zero/negative values have no octave).
+    *
+    * `k` must be a power of two: the sub-bucket is then computed
+    * DIVISION-FIRST — `(v - 2^o) div (2^o div k)` — which is exactly
+    * `((v - 2^o)·k) div 2^o` for 2^o ≥ k but never overflows, keeping
+    * the full documented domain v ∈ [1, 2^62) correct where the
+    * multiply-first spelling wraps negative from octave ~59 up (the
+    * DuckDB oracle multiplies in HUGEINT and was never at risk — the
+    * two engines agree across the whole domain).
     */
   def bucket(v: String, k: Int): Column = {
-    require(k >= 1, s"need k >= 1, got $k")
+    require(k >= 1 && (k & (k - 1)) == 0, s"need a power-of-two k, got $k")
     val pow = s"shiftleft(CAST(1 AS BIGINT), length(bin($v)) - 1)"
-    expr(s"(length(bin($v)) - 1) * $k + ((($v - $pow) * $k) div $pow)")
+    expr(s"(length(bin($v)) - 1) * $k + (CASE WHEN $pow >= $k " +
+      s"THEN ($v - $pow) div ($pow div $k) " +
+      s"ELSE (($v - $pow) * $k) div $pow END)")
   }
 
   /** Upper edge of a bucket id: `2^o · (k + s + 1) div k` — the
     * integer-floor of the real sub-bucket boundary, still an upper
     * bound for every integer value in the bucket (see object doc).
+    * Same division-first overflow discipline as [[bucket]]: for
+    * 2^o ≥ k this is exactly `2^(o - log2 k) · (k + s + 1)`, in-range
+    * for every bucket of the v < 2^62 domain.
     */
   def upperEdge(bucketCol: String, k: Int): Column = {
-    require(k >= 1, s"need k >= 1, got $k")
-    expr(s"(shiftleft(CAST(1 AS BIGINT), $bucketCol div $k) * " +
-      s"($k + $bucketCol % $k + 1)) div $k")
+    require(k >= 1 && (k & (k - 1)) == 0, s"need a power-of-two k, got $k")
+    val pow = s"shiftleft(CAST(1 AS BIGINT), $bucketCol div $k)"
+    expr(s"CASE WHEN $pow >= $k " +
+      s"THEN ($pow div $k) * ($k + $bucketCol % $k + 1) " +
+      s"ELSE ($pow * ($k + $bucketCol % $k + 1)) div $k END")
   }
 
   /** Estimate quantiles from a merged `(groupCols..., bucket, c)`

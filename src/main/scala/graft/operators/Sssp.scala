@@ -72,6 +72,7 @@ object Sssp {
       .withColumn("dist", lit(0L))
       .localCheckpoint(true)
     var frontier = dist
+    var converged = false
     try {
       var r = 1
       var done = false
@@ -88,7 +89,8 @@ object Sssp {
           .filter(col("dist").isNull || col("cand") < col("dist"))
           .select(col("id"), col("cand").as("dist"))
         done = fixpoint && frontier.isEmpty
-        if (!done) {
+        if (done) converged = true
+        else {
           dist = merged
             .select(col("id"),
               least(coalesce(col("dist"), lit(Long.MaxValue)),
@@ -97,6 +99,14 @@ object Sssp {
         }
         r += 1
       }
+      // fixpoint mode promises EXACT distances — a rounds cap hit
+      // before the frontier empties means the result is still a
+      // ≤ rounds-edge approximation; fail loudly (the
+      // KCore.survivorsToFixpoint discipline), never return it as
+      // converged. The cap only backstops runaway graphs.
+      if (fixpoint && !converged && !frontier.isEmpty)
+        throw new IllegalStateException(
+          s"SSSP did not converge within $rounds rounds — raise the cap")
     } finally {
       sym.unpersist(blocking = false)
     }

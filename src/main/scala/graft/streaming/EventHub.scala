@@ -207,15 +207,20 @@ final class Subscription[T] private[streaming] (
       .trigger(Trigger.ProcessingTime(0L))
       .foreachBatch { (ds: Dataset[Envelope[T]], _: Long) =>
         val mark = clearBelow
-        // Filter and order INSIDE the plan (codegen'd comparison, range-
-        // partitioned sort), then stream the batch to the driver handler
-        // one partition at a time: after a global sort, toLocalIterator
-        // yields partitions in range order, so iteration order == total
-        // (rootId, event_id) causal order — the R8/R12 contract — while
-        // the driver holds at most one partition, never the whole batch.
+        // Filter and order INSIDE the plan, then stream the batch to
+        // the driver handler: iteration order == total (rootId,
+        // event_id) causal order — the R8/R12 contract — while the
+        // driver holds at most one partition, never the whole batch.
+        // Embedded-tier batches are a handful of rows, so collapse to
+        // ONE partition first and sort within it: one task, one
+        // toLocalIterator job, no RangePartitioner sampling pass — a
+        // global .sort here would cost a sampling job plus up to
+        // shuffle.partitions single-partition fetch jobs per batch.
         val ordered = ds
           .filter(col("event_id") >= mark)
-          .sort(coalesce(col("source_id"), col("event_id")), col("event_id"))
+          .coalesce(1)
+          .sortWithinPartitions(
+            coalesce(col("source_id"), col("event_id")), col("event_id"))
         EventEngine.runInSink {
           import scala.jdk.CollectionConverters._
           sink(ordered.toLocalIterator().asScala)

@@ -31,6 +31,31 @@ class LogHistogramSpec extends AnyFunSuite {
     assert(inv.filter($"prev" > $"bucket").count() === 0L)
   }
 
+  test("high octaves stay exact — no 64-bit overflow up to 2^62") {
+    import spark.implicits._
+    // values whose (v - 2^o)·k would wrap a signed 64-bit multiply:
+    // the division-first spelling must keep the bound and monotonicity
+    // all the way to the documented 2^62 domain edge
+    val top = (58 to 61).flatMap { o =>
+      val base = 1L << o
+      Seq(base, base + 1, base + base / 2, base + base - 1)
+    }
+    val vs = top.toDF("v")
+      .withColumn("bucket", LogHistogram.bucket("v", K))
+      .withColumn("ue", LogHistogram.upperEdge("bucket", K))
+    val rows = vs.orderBy($"v").collect()
+    rows.foreach { r =>
+      val (v, b, ue) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(b >= 0L, s"negative bucket for $v")
+      assert(ue >= v, s"edge $ue below value $v")
+      // (k+1)/k bound via BigInt so the CHECK itself can't overflow
+      assert(BigInt(ue) * K <= BigInt(v) * (K + 1),
+        s"edge $ue above bound for $v")
+    }
+    assert(rows.map(_.getLong(1)).sameElements(
+      rows.map(_.getLong(1)).sorted), "buckets not monotone in v")
+  }
+
   test("histograms merge by adding counts (day rollup == direct build)") {
     import spark.implicits._
     val rows = spark.range(30000)
