@@ -97,4 +97,35 @@ object LogHistogram {
     }
     cum.groupBy(groupCols.map(col): _*).agg(ests.head, ests.tail: _*)
   }
+
+  /** The exact-plus-bound p50/p95 restatement shared by x14 and st19
+    * (the x04 policy): exact rank-based percentiles over `values`
+    * (`groupCol`, `cents`) joined to the sketch estimates `est`
+    * (`groupCol`, `p50_est`, `p95_est`) with the (k+1)/k bound
+    * booleans. ONE spelling, so the two queries — and their mirrored
+    * oracle skeleton, [[graft.queries.SqlDet.sqlPercentileBound]] —
+    * can never drift apart.
+    */
+  def exactWithBounds(values: DataFrame, est: DataFrame,
+      groupCol: String, k: Int): DataFrame = {
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("cents"))
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    val exact = values
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy(col(groupCol))
+      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("cents")))
+          .as("exact_p50"),
+        max(when(col("rn") === expr("(19 * n + 19) div 20"), col("cents")))
+          .as("exact_p95"))
+    exact.join(est, Seq(groupCol))
+      .select(col(groupCol), col("exact_p50"), col("exact_p95"),
+        (col("p50_est") >= col("exact_p50") &&
+          col("p50_est") * k <= col("exact_p50") * (k + 1)).as("p50_ok"),
+        (col("p95_est") >= col("exact_p95") &&
+          col("p95_est") * k <= col("exact_p95") * (k + 1)).as("p95_ok"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -119,9 +119,14 @@ object TextDedup {
       sh.join(broadcast(hot), Seq("h"), "left_anti")
     }
 
-  def jaccardPairs(sh: DataFrame, minCommon: Long = 10,
-      minJaccardPm: Long = 0,
-      maxShingleDf: Long = Long.MaxValue): DataFrame = {
+  /** The shared pair scorer behind [[jaccardPairs]] and
+    * [[containmentPairs]]: capped-index self-join → per-pair shingle
+    * intersection (≥ `minCommon`) → sizes joined back. Emits
+    * `(d1, d2, inter, n1, n2)`; callers derive their similarity
+    * columns so a future cap/skew change lands in ONE place.
+    */
+  private def scoredPairs(sh: DataFrame, minCommon: Long,
+      maxShingleDf: Long): DataFrame = {
     val idx = cappedIndex(sh, maxShingleDf)
     val ns = idx.groupBy(col("id")).agg(count(lit(1)).as("n"))
     idx.select(col("id").as("d1"), col("h"))
@@ -131,11 +136,16 @@ object TextDedup {
       .filter(col("inter") >= minCommon)
       .join(ns.select(col("id").as("d1"), col("n").as("n1")), Seq("d1"))
       .join(ns.select(col("id").as("d2"), col("n").as("n2")), Seq("d2"))
+  }
+
+  def jaccardPairs(sh: DataFrame, minCommon: Long = 10,
+      minJaccardPm: Long = 0,
+      maxShingleDf: Long = Long.MaxValue): DataFrame =
+    scoredPairs(sh, minCommon, maxShingleDf)
       .select(col("d1"), col("d2"), col("inter"),
         (col("n1") + col("n2") - col("inter")).as("un"),
         expr("inter * 1000 div (n1 + n2 - inter)").as("jaccard_pm"))
       .filter(col("jaccard_pm") >= minJaccardPm)
-  }
 
   /** Candidate pairs scored by CONTAINMENT as well as resemblance:
     * `containment_pm = inter · 1000 div min(n1, n2)` — the asymmetric
@@ -149,21 +159,12 @@ object TextDedup {
     */
   def containmentPairs(sh: DataFrame, minCommon: Long = 10,
       minContainmentPm: Long = 0,
-      maxShingleDf: Long = Long.MaxValue): DataFrame = {
-    val idx = cappedIndex(sh, maxShingleDf)
-    val ns = idx.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    idx.select(col("id").as("d1"), col("h"))
-      .join(idx.select(col("id").as("d2"), col("h")), Seq("h"))
-      .filter(col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
-      .filter(col("inter") >= minCommon)
-      .join(ns.select(col("id").as("d1"), col("n").as("n1")), Seq("d1"))
-      .join(ns.select(col("id").as("d2"), col("n").as("n2")), Seq("d2"))
+      maxShingleDf: Long = Long.MaxValue): DataFrame =
+    scoredPairs(sh, minCommon, maxShingleDf)
       .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
         expr("inter * 1000 div (n1 + n2 - inter)").as("jaccard_pm"),
         expr("inter * 1000 div least(n1, n2)").as("containment_pm"))
       .filter(col("containment_pm") >= minContainmentPm)
-  }
 
   /** Exact Jaccard (no candidate threshold) for externally-supplied
     * pairs — the LSH verification step. The shingle index is

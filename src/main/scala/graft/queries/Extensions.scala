@@ -433,26 +433,10 @@ object Extensions extends QueryPack {
         .agg(sum($"c").as("c"))
       val est = LogHistogram.estimateQuantiles(monthly, Seq("month"), K,
         Seq(("p50_est", 1, 2), ("p95_est", 19, 20)))
-      // exact rank-based percentiles: value at rank ceil(q·n) — pure
-      // integer, same spelling as the oracle, no interpolation
-      val wr = org.apache.spark.sql.expressions.Window
-        .partitionBy($"month").orderBy($"cents")
-      val wn = org.apache.spark.sql.expressions.Window.partitionBy($"month")
-      val exact = o
-        .withColumn("rn", row_number().over(wr))
-        .withColumn("n", count(lit(1)).over(wn))
-        .groupBy($"month")
-        .agg(max(when($"rn" === expr("(n + 1) div 2"), $"cents"))
-            .as("exact_p50"),
-          max(when($"rn" === expr("(19 * n + 19) div 20"), $"cents"))
-            .as("exact_p95"))
-      exact.join(est, Seq("month"))
-        .select($"month", $"exact_p50", $"exact_p95",
-          ($"p50_est" >= $"exact_p50" &&
-            $"p50_est" * K <= $"exact_p50" * (K + 1)).as("p50_ok"),
-          ($"p95_est" >= $"exact_p95" &&
-            $"p95_est" * K <= $"exact_p95" * (K + 1)).as("p95_ok"))
-        .orderBy($"month")
+      // exact rank-based percentiles + bound booleans: the shared
+      // exact-plus-bound spelling (also st19's — one place to tune)
+      LogHistogram.exactWithBounds(o.select($"month", $"cents"), est,
+        "month", K)
     }),
 
     // -- Z-order layout: Morton clustering + block-stat pruning ---------
@@ -615,26 +599,14 @@ object Extensions extends QueryPack {
         |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin,
 
     // exact rank-based percentiles + always-TRUE bound booleans (the
-    // x04 policy): rank = ceil(q*n) via integer arithmetic, value at
-    // that rank in sort order — deterministic even under ties
-    "x14_quantile_rollup" ->
-      """WITH o AS (
-        |  SELECT date_trunc('month', o_orderdate) AS month,
+    // x04 policy): the shared skeleton mirrored from
+    // LogHistogram.exactWithBounds — one spelling with st19
+    "x14_quantile_rollup" -> SqlDet.sqlPercentileBound(
+      """SELECT date_trunc('month', o_orderdate) AS month,
         |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
         |  FROM orders
-        |  WHERE CAST(FLOOR(o_totalprice * 100) AS BIGINT) >= 1),
-        |r AS (
-        |  SELECT month, cents,
-        |    ROW_NUMBER() OVER (PARTITION BY month ORDER BY cents) AS rn,
-        |    COUNT(*) OVER (PARTITION BY month) AS n
-        |  FROM o)
-        |SELECT CAST(month AS TIMESTAMP) AS month,
-        |  CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END)
-        |    AS BIGINT) AS exact_p50,
-        |  CAST(MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN cents END)
-        |    AS BIGINT) AS exact_p95,
-        |  TRUE AS p50_ok, TRUE AS p95_ok
-        |FROM r GROUP BY month ORDER BY month""".stripMargin,
+        |  WHERE CAST(FLOOR(o_totalprice * 100) AS BIGINT) >= 1""".stripMargin,
+      "month", "CAST(month AS TIMESTAMP) AS month"),
 
     // insert-only incremental min/max/count/sum == full recompute
     "x13_monotonic_agg" ->

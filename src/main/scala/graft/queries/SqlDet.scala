@@ -20,4 +20,26 @@ object SqlDet {
   /** DuckDB SQL fragment mirroring [[dsum]]. */
   def sqlDsum(col: String): String =
     s"CAST(SUM(CAST($col AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** DuckDB skeleton of the exact-plus-bound percentile restatement
+    * (mirrors [[graft.operators.LogHistogram.exactWithBounds]] — x14
+    * and st19 share this one spelling). `srcSql` must select
+    * `(<group>, cents)`; `groupSelect` is the output spelling of the
+    * group column (e.g. a TIMESTAMP cast).
+    */
+  def sqlPercentileBound(srcSql: String, group: String,
+      groupSelect: String): String =
+    s"""WITH o AS ($srcSql),
+       |r AS (
+       |  SELECT $group, cents,
+       |    ROW_NUMBER() OVER (PARTITION BY $group ORDER BY cents) AS rn,
+       |    COUNT(*) OVER (PARTITION BY $group) AS n
+       |  FROM o)
+       |SELECT $groupSelect,
+       |  CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+       |    AS BIGINT) AS exact_p50,
+       |  CAST(MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN cents END)
+       |    AS BIGINT) AS exact_p95,
+       |  TRUE AS p50_ok, TRUE AS p95_ok
+       |FROM r GROUP BY $group ORDER BY $group""".stripMargin
 }

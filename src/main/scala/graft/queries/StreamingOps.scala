@@ -655,27 +655,13 @@ object StreamingOps extends QueryPack {
       val hist = drain(s, sk, OutputMode.Complete())
       val est = LogHistogram.estimateQuantiles(hist, Seq("day"), K,
         Seq(("p50_est", 1, 2), ("p95_est", 19, 20)))
-      val wr = org.apache.spark.sql.expressions.Window
-        .partitionBy($"day").orderBy($"cents")
-      val wn = org.apache.spark.sql.expressions.Window.partitionBy($"day")
-      val exact = Tables(s, dir).events
-        .select(date_trunc("day", $"ts").as("day"),
-          expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
-        .filter($"cents" >= 1)
-        .withColumn("rn", row_number().over(wr))
-        .withColumn("n", count(lit(1)).over(wn))
-        .groupBy($"day")
-        .agg(max(when($"rn" === expr("(n + 1) div 2"), $"cents"))
-            .as("exact_p50"),
-          max(when($"rn" === expr("(19 * n + 19) div 20"), $"cents"))
-            .as("exact_p95"))
-      exact.join(est, Seq("day"))
-        .select($"day", $"exact_p50", $"exact_p95",
-          ($"p50_est" >= $"exact_p50" &&
-            $"p50_est" * K <= $"exact_p50" * (K + 1)).as("p50_ok"),
-          ($"p95_est" >= $"exact_p95" &&
-            $"p95_est" * K <= $"exact_p95" * (K + 1)).as("p95_ok"))
-        .orderBy($"day")
+      // the shared exact-plus-bound spelling (also x14's)
+      LogHistogram.exactWithBounds(
+        Tables(s, dir).events
+          .select(date_trunc("day", $"ts").as("day"),
+            expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+          .filter($"cents" >= 1),
+        est, "day", K)
     }),
 
     // -- chained streaming aggregation (multiple stateful operators) ----
@@ -863,25 +849,14 @@ object StreamingOps extends QueryPack {
         |ORDER BY p_id, c_id NULLS FIRST""".stripMargin,
 
     // exact rank-based percentiles + always-TRUE bound booleans (the
-    // x04 policy, same integer spelling as x14 but per day)
-    "st19_stream_quantile_daily" ->
-      """WITH o AS (
-        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+    // x04 policy): the shared skeleton mirrored from
+    // LogHistogram.exactWithBounds — one spelling with x14
+    "st19_stream_quantile_daily" -> SqlDet.sqlPercentileBound(
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
         |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
         |  FROM events
-        |  WHERE CAST(FLOOR(value * 100) AS BIGINT) >= 1),
-        |r AS (
-        |  SELECT day, cents,
-        |    ROW_NUMBER() OVER (PARTITION BY day ORDER BY cents) AS rn,
-        |    COUNT(*) OVER (PARTITION BY day) AS n
-        |  FROM o)
-        |SELECT day,
-        |  CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END)
-        |    AS BIGINT) AS exact_p50,
-        |  CAST(MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN cents END)
-        |    AS BIGINT) AS exact_p95,
-        |  TRUE AS p50_ok, TRUE AS p95_ok
-        |FROM r GROUP BY day ORDER BY day""".stripMargin,
+        |  WHERE CAST(FLOOR(value * 100) AS BIGINT) >= 1""".stripMargin,
+      "day", "day"),
 
     // the same two-tier aggregation in batch + the append-mode
     // watermark cutoff on the OUTER window (st13 discipline): an
