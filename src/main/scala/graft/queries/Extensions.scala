@@ -548,6 +548,50 @@ object Extensions extends QueryPack {
         .agg(count(lit(1)).as("n_keys"),
           min($"user_id").as("min_key"), max($"user_id").as("max_key"))
         .orderBy($"epoch", $"change_type")
+    }),
+
+    // -- KMV set-operation sketch: month-over-month repeat customers ----
+    // The INTERSECTION question x11's HLL rollup cannot answer:
+    // distinct counts merge by union only, but "how many customers
+    // ordered in month m AND month m+1" needs set intersection. A KMV
+    // (bottom-k) sketch — the k smallest portable 56-bit key hashes
+    // per month ([[graft.operators.Kmv]]) — supports it: overlap is
+    // estimated from the two k-row sketches alone. At 100 TB the
+    // monthly sketch table is k rows per month; every pairwise
+    // retention/overlap readout downstream never rescans orders.
+    // Correctness is STRONGER than the x04 exact-plus-bound policy:
+    // the estimator is pure integer arithmetic over the portable
+    // hash, so the oracle reproduces every estimate bit-for-bit
+    // alongside the exact counts (the d11 estimator-quality pattern).
+    "x19_kmv_overlap" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.Kmv
+      val K = 64
+      val o = Tables(s, dir).orders
+        .select(date_trunc("month", $"o_orderdate").as("month"),
+          $"o_custkey".as("ck")).distinct()
+      // ONE sketch table serves both sides of every adjacent pair:
+      // the (m+1) side is the same frame relabeled one month back
+      val sk = Kmv.sketch(o, Seq("month"), $"ck", K)
+        .persist()
+      val skNext = sk.withColumn("month",
+        $"month" - expr("INTERVAL 1 MONTH"))
+      val est = Kmv.intersectEstimate(sk, skNext, Seq("month"), K)
+      val oNext = o.withColumn("month", $"month" - expr("INTERVAL 1 MONTH"))
+      val exactUnion = o.unionByName(oNext)
+        .groupBy($"month").agg(countDistinct($"ck").as("exact_union"))
+      val exactInter = o.join(oNext, Seq("month", "ck"))
+        .groupBy($"month").agg(countDistinct($"ck").as("exact_inter"))
+      val months = o.select($"month").distinct()
+      val pairs = months
+        .join(months.withColumn("month",
+          $"month" - expr("INTERVAL 1 MONTH")), Seq("month"))
+      pairs.join(exactUnion, Seq("month")).join(est, Seq("month"))
+        .join(exactInter, Seq("month"), "left")
+        .select($"month", $"exact_union", $"kmv_union",
+          coalesce($"exact_inter", lit(0L)).as("exact_inter"),
+          $"kmv_inter")
+        .orderBy($"month")
     })
   )
 
@@ -849,6 +893,76 @@ object Extensions extends QueryPack {
          |  MIN(user_id) AS min_key, MAX(user_id) AS max_key
          |FROM cl WHERE change_type <> 'unchanged'
          |GROUP BY epoch, change_type ORDER BY epoch, change_type""".stripMargin
+    },
+
+    // the full KMV pipeline reproduced in SQL: same portable hash,
+    // same bottom-k ranks, same integer estimators — estimates are
+    // hash-compared bit-for-bit, not just bounded (K = 64, so the
+    // union constant is 63 · 2^56 and SUMs cast to BIGINT to dodge
+    // DuckDB's HUGEINT)
+    "x19_kmv_overlap" -> {
+      val k = 64
+      val unionNum = (k - 1) * (1L << 56)
+      s"""WITH o AS (
+         |  SELECT DISTINCT
+         |    CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         |    o_custkey AS ck
+         |  FROM orders),
+         |h AS (
+         |  SELECT DISTINCT month,
+         |    ${PortableHash.duckHash56("CAST(ck AS VARCHAR)")} AS h
+         |  FROM o),
+         |sk AS (
+         |  SELECT month, h FROM (
+         |    SELECT month, h,
+         |      ROW_NUMBER() OVER (PARTITION BY month ORDER BY h) AS rn
+         |    FROM h) WHERE rn <= $k),
+         |mrg AS (
+         |  SELECT COALESCE(a.month, b.month) AS month,
+         |    COALESCE(a.h, b.h) AS h,
+         |    a.h IS NOT NULL AS in_a, b.h IS NOT NULL AS in_b
+         |  FROM sk a FULL OUTER JOIN
+         |    (SELECT month - INTERVAL 1 MONTH AS month, h FROM sk) b
+         |    ON a.month = b.month AND a.h = b.h),
+         |rk AS (
+         |  SELECT month, h, in_a, in_b,
+         |    ROW_NUMBER() OVER (PARTITION BY month ORDER BY h) AS rn
+         |  FROM mrg),
+         |agg AS (
+         |  SELECT month, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |    MAX(h) AS kth,
+         |    CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS rho
+         |  FROM rk WHERE rn <= $k GROUP BY month),
+         |est AS (
+         |  SELECT month,
+         |    CASE WHEN cnt < $k THEN cnt
+         |         ELSE $unionNum // kth END AS kmv_union, cnt, rho
+         |  FROM agg),
+         |eu AS (
+         |  SELECT month, CAST(COUNT(DISTINCT ck) AS BIGINT) AS exact_union
+         |  FROM (SELECT month, ck FROM o UNION ALL
+         |        SELECT month - INTERVAL 1 MONTH AS month, ck FROM o)
+         |  GROUP BY month),
+         |ei AS (
+         |  SELECT a.month, CAST(COUNT(DISTINCT a.ck) AS BIGINT)
+         |    AS exact_inter
+         |  FROM o a JOIN
+         |    (SELECT month - INTERVAL 1 MONTH AS month, ck FROM o) b
+         |    ON a.month = b.month AND a.ck = b.ck
+         |  GROUP BY a.month),
+         |pairs AS (
+         |  SELECT a.month FROM (SELECT DISTINCT month FROM o) a
+         |  JOIN (SELECT DISTINCT month - INTERVAL 1 MONTH AS month
+         |        FROM o) b ON a.month = b.month)
+         |SELECT p.month, eu.exact_union, est.kmv_union,
+         |  COALESCE(ei.exact_inter, 0) AS exact_inter,
+         |  est.rho * est.kmv_union // est.cnt AS kmv_inter
+         |FROM pairs p
+         |JOIN eu ON p.month = eu.month
+         |JOIN est ON p.month = est.month
+         |LEFT JOIN ei ON p.month = ei.month
+         |ORDER BY p.month""".stripMargin
     }
   )
 }
