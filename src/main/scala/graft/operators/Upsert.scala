@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** MERGE/upsert as a pure transformation: rows from `updates` replace
@@ -38,6 +39,46 @@ object Upsert {
     val updatePresent = col(s"u.$key").isNotNull
     val cols = target.columns.map { c =>
       when(updatePresent, col(s"u.$c")).otherwise(col(s"t.$c")).as(c)
+    }
+    merged.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Last-writer-wins merge by a VERSION column: the surviving row per
+    * key is the one with the greatest `ver` across target and updates
+    * (target wins a version tie — replaying the same feed is a no-op).
+    * This is the CDC-apply primitive that makes ingestion ORDER- and
+    * BATCHING-independent: ops commute under max-version, so a replayed
+    * epoch, a coalesced pair of micro-batches, or files arriving out of
+    * order all converge to the same state (st22 drives it under a
+    * shuffled multi-batch stream; deletes ride along as tombstone rows
+    * the reader filters).
+    *
+    * Shape: the delta reduces to its max-version row per key FIRST (a
+    * window over the SMALL side only), then one full-outer key join
+    * against the target — the target is never windowed or rescanned.
+    * (key, ver) must be unique per side; NULL-keyed and NULL-versioned
+    * update rows are malformed CDC and dropped as in [[merge]] (a NULL
+    * version would silently lose to every real one).
+    */
+  def mergeVersioned(target: DataFrame, updates: DataFrame, key: String,
+      ver: String): DataFrame = {
+    require(target.columns.sameElements(updates.columns),
+      s"schema mismatch: ${target.columns.mkString(",")} vs " +
+        updates.columns.mkString(","))
+    require(Seq(key, ver).forall(target.columns.contains),
+      s"key '$key' / version '$ver' not both columns of the inputs " +
+        s"(${target.columns.mkString(",")})")
+    val w = Window.partitionBy(col(key)).orderBy(col(ver).desc)
+    val u = updates.filter(col(key).isNotNull && col(ver).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .alias("u")
+    val t = target.alias("t")
+    val merged = t.join(u, col(s"t.$key") === col(s"u.$key"), "full_outer")
+    val takeUpdate = col(s"t.$key").isNull ||
+      (col(s"u.$key").isNotNull && col(s"u.$ver") > col(s"t.$ver"))
+    val cols = target.columns.map { c =>
+      when(takeUpdate, col(s"u.$c")).otherwise(col(s"t.$c")).as(c)
     }
     merged.select(cols.toIndexedSeq: _*)
   }

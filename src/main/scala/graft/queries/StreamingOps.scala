@@ -758,6 +758,86 @@ object StreamingOps extends QueryPack {
       s.read.parquet(latest.get).orderBy($"user_id")
     }),
 
+    // -- streaming CDC apply: versioned changelog → serving table -------
+    // The streaming face of x18's change feed. A changelog of
+    // ('U' upsert / 'D' tombstone) ops, each stamped with its source
+    // epoch, applies micro-batch by micro-batch to a parquet serving
+    // table via [[graft.operators.Upsert.mergeVersioned]] — LAST-
+    // WRITER-WINS on the epoch, so the apply is order- and batching-
+    // independent: the stage is deliberately hash-split on
+    // (user, epoch), scattering each user's ops across files in
+    // arbitrary relative order, and the drained result is still
+    // exactly the batch answer. Tombstones stay IN the table (the
+    // compaction-deferred design every LSM/Delta-style store uses)
+    // and are filtered at read; the serving dir keeps O(1) snapshots
+    // via the st11 GC discipline.
+    "st22_stream_cdc_apply" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import java.nio.file.{Files, Paths}
+      val changelog = Tables(s, dir).events
+        .groupBy(expr("CAST((dayofmonth(ts) - 1) div 8 AS INT)")
+          .as("epoch"), $"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(FLOOR(value * 100) AS BIGINT)")).as("total_cents"))
+        .select($"epoch", $"user_id",
+          when($"user_id" % 13 === $"epoch", "D").otherwise("U").as("op"),
+          $"n_events", $"total_cents")
+      val stageDir =
+        s"/tmp/graft-cdc-stage-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val done = Paths.get(stageDir, "_STAGED")
+      if (!Files.exists(done)) synchronized {
+        if (!Files.exists(done)) {
+          changelog.repartition(4, $"user_id", $"epoch")
+            .write.mode("overwrite").parquet(stageDir)
+          Files.createFile(done)
+        }
+      }
+      val schema = s.read.parquet(stageDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDir)
+      val servingRoot = Files
+        .createTempDirectory("graft-cdc-serving-").toString
+      var latest: Option[String] = None
+      var batches = 0
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = stream.writeStream
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val target = latest match {
+              case None    => batch.limit(0)
+              case Some(p) => s.read.parquet(p)
+            }
+            val merged = graft.operators.Upsert
+              .mergeVersioned(target, batch, "user_id", "epoch")
+            val next = s"$servingRoot/v$batches"
+            merged.write.mode("overwrite").parquet(next)
+            latest.foreach { p =>
+              val fs = new org.apache.hadoop.fs.Path(p)
+              fs.getFileSystem(s.sparkContext.hadoopConfiguration)
+                .delete(fs, true)
+            }
+            latest = Some(next)
+            batches += 1
+          }
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      require(batches >= 4,
+        s"expected >= 4 incremental micro-batches, saw $batches — the " +
+          "multi-file split is not driving the trigger")
+      val live = new java.io.File(servingRoot).listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("v"))
+      require(live <= 2,
+        s"snapshot GC failed: $live versions live under $servingRoot")
+      s.read.parquet(latest.get).filter($"op" =!= "D")
+        .select($"user_id", $"epoch".as("last_epoch"),
+          $"n_events", $"total_cents")
+        .orderBy($"user_id")
+    }),
+
     // -- dropDuplicatesWithinWatermark (state-evictable dedup) ----------
     // The production spelling of streaming dedup: state for a key is
     // dropped once the watermark passes it, so the store is bounded by
@@ -1008,6 +1088,30 @@ object StreamingOps extends QueryPack {
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // last-writer-wins over the changelog: the surviving row per user
+    // is its max-epoch op, kept iff that op is not a delete — batch
+    // CDC semantics the streaming apply must converge to regardless
+    // of file arrival order
+    "st22_stream_cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT CAST((day(ts) - 1) // 8 AS INTEGER) AS epoch, user_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS total_cents
+        |  FROM events GROUP BY 1, 2),
+        |cl AS (
+        |  SELECT epoch, user_id,
+        |    CASE WHEN user_id % 13 = epoch THEN 'D' ELSE 'U' END AS op,
+        |    n_events, total_cents
+        |  FROM ch),
+        |last AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY epoch DESC) AS rn
+        |  FROM cl)
+        |SELECT user_id, epoch AS last_epoch, n_events, total_cents
+        |FROM last WHERE rn = 1 AND op <> 'D'
+        |ORDER BY user_id""".stripMargin,
 
     "st10_stream_union" ->
       """SELECT CASE WHEN event_type = 'purchase' THEN 'purchase'

@@ -44,4 +44,46 @@ class UpsertSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Upsert.merge(a, a.toDF("k", "v"), "nope"))
   }
+
+  test("mergeVersioned: last-writer-wins, order/batching-independent") {
+    import spark.implicits._
+    // ops for key 1 (v1 'a', v3 'c'), key 2 (v2 'b'), key 3 (v1 'z')
+    val ops = Seq((1L, 1L, "a"), (1L, 3L, "c"), (2L, 2L, "b"),
+      (3L, 1L, "z")).toDF("k", "ver", "v")
+    val empty = ops.limit(0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList
+    val expected = List((1L, 3L, "c"), (2L, 2L, "b"), (3L, 1L, "z"))
+    // every batching and arrival order converges to the same state
+    val splits = Seq(
+      Seq(ops), // one batch
+      Seq(ops.filter($"ver" === 3), ops.filter($"ver" =!= 3)), // new first
+      Seq(ops.filter($"ver" =!= 3), ops.filter($"ver" === 3)), // new last
+      ops.collect().toSeq.reverse.map(r => // one row at a time, reversed
+        Seq((r.getLong(0), r.getLong(1), r.getString(2))).toDF("k", "ver", "v")))
+    splits.foreach { batches =>
+      val state = batches.foldLeft(empty)(
+        (t, b) => Upsert.mergeVersioned(t, b, "k", "ver"))
+      assert(rows(state) === expected)
+    }
+  }
+
+  test("mergeVersioned: replay is a no-op; stale and NULL versions lose") {
+    import spark.implicits._
+    val state0 = Seq((1L, 5L, "new")).toDF("k", "ver", "v")
+    // replaying the SAME version must not flap the row (target wins tie)
+    val replay = Upsert.mergeVersioned(state0,
+      Seq((1L, 5L, "other")).toDF("k", "ver", "v"), "k", "ver")
+    assert(replay.collect().head.getString(2) === "new")
+    // a late-arriving OLDER version must lose
+    val stale = Upsert.mergeVersioned(state0,
+      Seq((1L, 2L, "old")).toDF("k", "ver", "v"), "k", "ver")
+    assert(stale.collect().head.getString(2) === "new")
+    // NULL-versioned rows are malformed and dropped, not inserted
+    val nullVer = Upsert.mergeVersioned(state0,
+      Seq((Some(9L), None: Option[Long], "bad")).toDF("k", "ver", "v"),
+      "k", "ver")
+    assert(nullVer.count() === 1L)
+  }
 }
