@@ -52,18 +52,72 @@ object Kmv {
   private def checkK(k: Int): Unit =
     require(k >= 2 && k <= 128, s"need 2 <= k <= 128, got $k")
 
+  /** Combinable bottom-k DISTINCT aggregate over hash values — the
+    * piece that makes the sketch build scale: partial aggregation
+    * keeps at most k longs per group per task, so raw hashes are
+    * NEVER shuffled (no `distinct()` pass, no per-group global sort
+    * of billions of rows — only ≤ k·tasks values per group move).
+    * Dedup is internal, so multiset inputs need no pre-distinct.
+    *
+    * Buffer invariant: once full, slot 0 holds the current MAX, so
+    * the steady-state row (one that can't improve the sketch) is
+    * rejected in O(1); improving or duplicate-candidate rows pay an
+    * O(k) scan, which happens O(k log n) times per task-group.
+    */
+  private final class BottomK(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Long, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(buf: Array[Long], h: Long): Array[Long] =
+      if (buf.length < k) {
+        var i = 0
+        while (i < buf.length) { if (buf(i) == h) return buf; i += 1 }
+        val out = java.util.Arrays.copyOf(buf, buf.length + 1)
+        out(buf.length) = h
+        if (out(0) < h) { out(buf.length) = out(0); out(0) = h }
+        out
+      } else if (h >= buf(0)) buf
+      else {
+        var i = 1
+        while (i < k) { if (buf(i) == h) return buf; i += 1 }
+        buf(0) = h
+        var m = 0; i = 1
+        while (i < k) { if (buf(i) > buf(m)) m = i; i += 1 }
+        if (m != 0) { val t = buf(0); buf(0) = buf(m); buf(m) = t }
+        buf
+      }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        val s = (a ++ b).distinct.sorted
+        val kept = if (s.length > k) java.util.Arrays.copyOf(s, k) else s
+        // restore the slot-0 max invariant for further reduces
+        val last = kept.length - 1
+        val t = kept(0); kept(0) = kept(last); kept(last) = t
+        kept
+      }
+    override def finish(buf: Array[Long]): Array[Long] = buf.sorted
+    override def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
   /** Build the `(group..., h, rn)` sketch: k smallest distinct key
-    * hashes per group.
+    * hashes per group, via the combinable [[BottomK]] aggregate.
     */
   def sketch(df: DataFrame, groupCols: Seq[String], key: Column,
       k: Int): DataFrame = {
     checkK(k)
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("h"))
+    val bottomK = udaf(new BottomK(k))
     df.select(groupCols.map(col) :+
         PortableHash.sparkHash56(key.cast("string")).as("h"): _*)
-      .distinct()
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+      .groupBy(groupCols.map(col): _*)
+      .agg(bottomK(col("h")).as("__sk"))
+      .select(groupCols.map(col) :+ posexplode(col("__sk")): _*)
+      .select(groupCols.map(col) ++
+        Seq(col("col").as("h"), (col("pos") + 1).as("rn")): _*)
   }
 
   /** Per-group distinct-count estimate from a sketch: `(group...,
