@@ -90,4 +90,45 @@ object Packing {
         (col("__g1") - col("__g0")).as("slice_len"),
         (col("__g0") - col("__p") * budget).as("pos_in_pack"))
   }
+
+  /** Overlapping sliding-window chunking of per-document token arrays
+    * — the retrieval/RAG prep step (and long-document training-window
+    * step) that [[chunkPack]]'s concat-then-chunk is NOT: here every
+    * chunk stays inside one document, windows OVERLAP (stride <
+    * window) so no boundary context is lost, and a token belongs to
+    * up to ⌈window/stride⌉ chunks. Chunk starts are 0, stride,
+    * 2·stride, … up to the last start < n_tokens (trailing chunks may
+    * be shorter than `window`; an empty token array yields one empty
+    * chunk).
+    *
+    * Output: input columns plus `chunk_id` (= start div stride,
+    * dense per doc), `start_tok`, `n_tok`, `chunk_text` (the window's
+    * tokens re-joined with single spaces).
+    *
+    * Scale: entirely row-local — the explode fans each doc out to its
+    * ~n/stride chunks with no shuffle (chunking at 100 TB is a
+    * map-only pass); slice-on-array avoids re-tokenizing per chunk.
+    */
+  def slidingChunks(docs: DataFrame, toksCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window], got $stride")
+    val reserved = Seq("chunk_id", "start_tok", "n_tok", "chunk_text")
+    val collisions = docs.columns.filter(reserved.contains)
+    require(collisions.isEmpty,
+      s"input already has column(s) ${collisions.mkString(", ")} — " +
+        "slidingChunks would silently overwrite them; rename them first")
+    docs
+      .withColumn("__n", size(col(toksCol)).cast("long"))
+      .withColumn("start_tok", explode(expr(
+        s"sequence(0L, greatest(__n - 1L, 0L), ${stride}L)")))
+      .withColumn("chunk_id", expr(s"start_tok div ${stride}L"))
+      .withColumn("n_tok",
+        least(lit(window.toLong), col("__n") - col("start_tok")))
+      .withColumn("chunk_text", array_join(
+        slice(col(toksCol), (col("start_tok") + 1).cast("int"),
+          col("n_tok").cast("int")), " "))
+      .drop("__n")
+  }
 }

@@ -19,28 +19,19 @@ import org.apache.spark.sql.functions._
   * correction and no duplicate shuffles.
   *
   * All three joins key on node ids (shuffle-partitioned); nothing
-  * collects to the driver; output is one summary row.
+  * collects to the driver; output is one summary row ([[stats]]) or a
+  * per-node profile ([[perNode]]).
   */
 object Triangles {
 
-  /** `edges`: one row per undirected edge, columns `u`, `v` (either
-    * endpoint order — orientation is re-derived from degrees, not from
-    * the stored order), distinct per unordered pair, no self-loops.
-    * Returns one row: n_nodes, n_edges,
-    * n_wedges (open wedge count Σ d(d−1)/2), n_triangles, and the
-    * global clustering coefficient in ppm (3·triangles/wedges).
-    *
-    * The oriented edge list is referenced three times (both wedge
-    * sides + the closing semi-join) and is persisted here; release is
-    * the harness' clearCache-after-query contract (same as the query
-    * packs' other multi-reference subtrees).
+  /** Degree table (`node`, `d`) and oriented edge list (`a`, `b`,
+    * `db`) for an undirected edge set. Both persisted — each feeds
+    * multiple joins downstream (un-persisted, the whole upstream
+    * edge-construction pipeline re-executes per consumer; g03 at
+    * sf0.1: 6.5 s → 4.3 s from these persists). Released by the
+    * harness' clearCache-after-query contract.
     */
-  def stats(edges: DataFrame): DataFrame = {
-    // the edge list feeds the degree pass AND the orientation join, and
-    // the degree table feeds multiple consumers — un-persisted, the
-    // whole upstream edge-construction pipeline re-executes per
-    // consumer (g03 at sf0.1: 6.5 s → 4.3 s from these two persists).
-    // Released by the harness' clearCache-after-query contract.
+  private def degOrient(edges: DataFrame): (DataFrame, DataFrame) = {
     val und = edges.select(col("u"), col("v")).persist()
     val deg = und.select(col("u").as("node"))
       .unionByName(und.select(col("v").as("node")))
@@ -57,7 +48,15 @@ object Triangles {
         when(col("fwd"), col("v")).otherwise(col("u")).as("b"),
         when(col("fwd"), col("dv")).otherwise(col("du")).as("db"))
       .persist()
-    val wedges = orient.select(col("a"), col("b").as("y"), col("db").as("dy"))
+    (deg, orient)
+  }
+
+  /** One row `(a, y, z)` per triangle: wedge center `a` is the
+    * (degree, id)-smallest vertex, `y`/`z` the other two corners in
+    * orientation order — each triangle produced exactly once.
+    */
+  private def closedWedges(orient: DataFrame): DataFrame =
+    orient.select(col("a"), col("b").as("y"), col("db").as("dy"))
       .join(orient.select(col("a"), col("b").as("z"), col("db").as("dz")),
         Seq("a"))
       // keep each unordered wedge once, ordered by the same total
@@ -65,9 +64,20 @@ object Triangles {
       // then exactly y→z in the oriented list
       .filter(col("dy") < col("dz") ||
         (col("dy") === col("dz") && col("y") < col("z")))
-    val closed = wedges
       .join(orient.select(col("a").as("y"), col("b").as("z")),
         Seq("y", "z"), "left_semi")
+      .select(col("a"), col("y"), col("z"))
+
+  /** `edges`: one row per undirected edge, columns `u`, `v` (either
+    * endpoint order — orientation is re-derived from degrees, not from
+    * the stored order), distinct per unordered pair, no self-loops.
+    * Returns one row: n_nodes, n_edges,
+    * n_wedges (open wedge count Σ d(d−1)/2), n_triangles, and the
+    * global clustering coefficient in ppm (3·triangles/wedges).
+    */
+  def stats(edges: DataFrame): DataFrame = {
+    val (deg, orient) = degOrient(edges)
+    val closed = closedWedges(orient)
     // node count and open-wedge count come from ONE pass over deg
     val degStats = deg.agg(count(lit(1)).as("n_nodes"),
       coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
@@ -79,5 +89,36 @@ object Triangles {
           .otherwise(expr("3 * n_triangles * 1000000 div n_wedges")))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"), col("cc_ppm"))
+  }
+
+  /** Per-node triangle participation and LOCAL clustering coefficient
+    * (Watts–Strogatz): for every node of degree ≥ 2,
+    * `lcc_ppm = 2·n_tri·10⁶ div (d·(d−1))` — what fraction of the
+    * node's neighbor pairs are themselves connected. The per-node
+    * face of [[stats]]' global coefficient; same oriented pipeline,
+    * plus one corner-explode (each triangle contributes one count to
+    * each of its three corners) and a count keyed on node id.
+    *
+    * Scale: the corner union triples the (already m^{3/2}-bounded)
+    * triangle frame, then collapses immediately in a map-side
+    * combinable count — no new fan-out beyond the counting join
+    * itself. Degree-1 nodes are excluded (coefficient undefined),
+    * triangle-free nodes report 0.
+    */
+  def perNode(edges: DataFrame): DataFrame = {
+    val (deg, orient) = degOrient(edges)
+    val closed = closedWedges(orient)
+    val corners = closed.select(col("a").as("id"))
+      .unionByName(closed.select(col("y").as("id")))
+      .unionByName(closed.select(col("z").as("id")))
+    val triPerNode = corners.groupBy(col("id"))
+      .agg(count(lit(1)).as("tri"))
+    deg.filter(col("d") >= 2)
+      .select(col("node").as("id"), col("d").as("degree"))
+      .join(triPerNode, Seq("id"), "left")
+      .withColumn("n_tri", coalesce(col("tri"), lit(0L)))
+      .select(col("id"), col("degree"), col("n_tri"),
+        expr("2 * n_tri * 1000000 div (degree * (degree - 1))")
+          .as("lcc_ppm"))
   }
 }

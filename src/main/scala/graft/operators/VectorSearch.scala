@@ -48,6 +48,27 @@ object VectorSearch {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("dot"))
   }
 
+  /** Exact threshold (radius) search: every corpus vector whose
+    * integer inner product with a query meets `minDot` — the range
+    * query of the ANN family (top-k's sibling: "everything this
+    * similar", not "the k most similar"). Queries carry
+    * (query_id, qe), corpus (neighbor_id, ce); output is the
+    * qualifying (query_id, neighbor_id, dot) pairs.
+    *
+    * Scale: strictly cheaper than [[topKBruteForce]] — the broadcast
+    * query set rides one corpus scan and the threshold is a plain
+    * filter fused into the scan's codegen stage, so there is NO
+    * shuffle at all (top-k needs its per-query window). Output size
+    * is governed by the threshold, not k·|queries|.
+    */
+  def rangeSearch(queries: DataFrame, corpus: DataFrame,
+      minDot: Long): DataFrame =
+    broadcast(queries)
+      .join(corpus, col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", expr("graft_dotl(qe, ce)"))
+      .filter(col("dot") >= minDot)
+      .select(col("query_id"), col("neighbor_id"), col("dot"))
+
   /** Approximate top-k: candidates restricted to the query's sign
     * bucket (both inputs must carry a `bucket` column).
     */

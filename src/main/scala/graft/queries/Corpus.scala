@@ -187,6 +187,26 @@ object Corpus extends QueryPack {
         .orderBy($"phase")
     }),
 
+    // -- overlapping chunking: the RAG/long-context window step ---------
+    // The other chunking regime next to c04's concat-then-pack: each
+    // document slides a 16-token window at stride 8 over ITS OWN
+    // tokens (50% overlap, trailing chunk may be short) — the
+    // retrieval-indexing prep where boundary context must not be lost
+    // to a hard split. The 56-bit fingerprint of every chunk's exact
+    // re-joined text pins the chunk CONTENT, not just its coordinates
+    // ([[graft.operators.Packing.slidingChunks]]; map-only — no
+    // shuffle at any scale).
+    "c10_chunk_overlap" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents.filter($"doc_id" < 100)
+        .select($"doc_id", split($"text", "\\s+").as("toks"))
+      graft.operators.Packing
+        .slidingChunks(docs, "toks", window = 16, stride = 8)
+        .select($"doc_id", $"chunk_id", $"start_tok", $"n_tok",
+          PortableHash.sparkHash56($"chunk_text").as("chunk_fp"))
+        .orderBy($"doc_id", $"chunk_id")
+    }),
+
     // -- pack slices: the loader-facing materialization of c04 ----------
     // Each (doc, pack) intersection as an exact token slice: which
     // range of the doc fills which position of which context window.
@@ -233,6 +253,28 @@ object Corpus extends QueryPack {
            |       WHEN CAST(substr(source, 4) AS INTEGER) < 14 THEN 500
            |       ELSE 200 END
            |GROUP BY source ORDER BY source""".stripMargin,
+
+      // list_slice is 1-based inclusive = Spark's slice(arr, start+1,
+      // len); regexp_split_to_array ≡ split (established c04/c06/t02
+      // equivalence); start // 8 = div on non-negatives
+      "c10_chunk_overlap" -> {
+        val fp = PortableHash.duckHash56(
+          "array_to_string(list_slice(toks, start + 1, " +
+            "start + LEAST(16, n - start)), ' ')")
+        s"""WITH d AS (
+           |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+           |  FROM documents WHERE doc_id < 100),
+           |st AS (
+           |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+           |    unnest(generate_series(0,
+           |      GREATEST(CAST(len(toks) AS BIGINT) - 1, 0), 8)) AS start
+           |  FROM d)
+           |SELECT doc_id, CAST(start // 8 AS BIGINT) AS chunk_id,
+           |  CAST(start AS BIGINT) AS start_tok,
+           |  CAST(LEAST(16, n - start) AS BIGINT) AS n_tok,
+           |  $fp AS chunk_fp
+           |FROM st ORDER BY doc_id, chunk_id""".stripMargin
+      },
 
       // window SUM over BIGINT is HUGEINT in DuckDB — cast tok_start
       // back to BIGINT before the division or the output column type

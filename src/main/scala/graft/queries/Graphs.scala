@@ -144,6 +144,23 @@ object Graphs extends QueryPack {
         .orderBy($"id")
     }),
 
+    // -- G9: local clustering coefficient per node ----------------------
+    // The node-level face of g03: for every supplier of co-purchase
+    // degree ≥ 2, what fraction of its neighbor pairs are themselves
+    // connected (Watts–Strogatz lcc, ppm-quantized). Distinguishes
+    // hub-of-a-clique suppliers (lcc → 10⁶) from brokers bridging
+    // otherwise-unconnected partners (lcc → 0) — the ego-network
+    // density profile community detection thresholds on. Same
+    // degree-oriented machinery as g03 ([[graft.operators.Triangles
+    // .perNode]]): each triangle contributes one count to each corner,
+    // so the extra cost over the global count is one corner union and
+    // one keyed count.
+    "g09_local_clustering" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.operators.Triangles.perNode(coPurchaseEdges(s, dir))
+        .orderBy($"id")
+    }),
+
     // -- G8: personalized PageRank from a seed set ----------------------
     // The recommendation primitive ("entities nearest these customers
     // by random-walk proximity"): teleport mass lands only on the
@@ -238,6 +255,41 @@ object Graphs extends QueryPack {
          |      AS rank_ppm
          |  FROM nodes n LEFT JOIN c$i c ON c.id = n.id)""".stripMargin
     }
+    // shared orientation chain for the co-purchase triangle oracles —
+    // g03 (global count) and g09 (per-node lcc) reference it rather
+    // than repeat it, mirroring how both Spark queries ride the same
+    // Triangles.degOrient/closedWedges pipeline
+    val triCtes: String =
+      """ps AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk, s_nationkey AS nat
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+        |edges AS (
+        |  SELECT DISTINCT a.sk AS u, b.sk AS v
+        |  FROM ps a JOIN ps b ON a.o = b.o AND a.nat = b.nat AND a.sk < b.sk),
+        |deg AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        |  FROM (SELECT u AS node FROM edges
+        |        UNION ALL SELECT v AS node FROM edges)
+        |  GROUP BY node),
+        |wd AS (
+        |  SELECT e.u, e.v, du.d AS du, dv.d AS dv,
+        |    (du.d < dv.d OR (du.d = dv.d AND e.u < e.v)) AS fwd
+        |  FROM edges e
+        |  JOIN deg du ON du.node = e.u
+        |  JOIN deg dv ON dv.node = e.v),
+        |orient AS (
+        |  SELECT CASE WHEN fwd THEN u ELSE v END AS a,
+        |         CASE WHEN fwd THEN v ELSE u END AS b,
+        |         CASE WHEN fwd THEN dv ELSE du END AS db
+        |  FROM wd),
+        |wedge AS (
+        |  SELECT o1.a, o1.b AS y, o2.b AS z
+        |  FROM orient o1 JOIN orient o2 ON o1.a = o2.a
+        |  WHERE o1.db < o2.db OR (o1.db = o2.db AND o1.b < o2.b)),
+        |closed AS (
+        |  SELECT a, y, z FROM wedge w
+        |  WHERE EXISTS (SELECT 1 FROM orient o
+        |                WHERE o.a = w.y AND o.b = w.z))""".stripMargin
     Map(
       "g08_personalized_pagerank" ->
         s"""WITH edges AS (
@@ -384,36 +436,9 @@ object Graphs extends QueryPack {
       },
 
       "g03_triangles" ->
-        """WITH ps AS (
-          |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk, s_nationkey AS nat
-          |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
-          |edges AS (
-          |  SELECT DISTINCT a.sk AS u, b.sk AS v
-          |  FROM ps a JOIN ps b ON a.o = b.o AND a.nat = b.nat AND a.sk < b.sk),
-          |deg AS (
-          |  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
-          |  FROM (SELECT u AS node FROM edges
-          |        UNION ALL SELECT v AS node FROM edges)
-          |  GROUP BY node),
-          |wd AS (
-          |  SELECT e.u, e.v, du.d AS du, dv.d AS dv,
-          |    (du.d < dv.d OR (du.d = dv.d AND e.u < e.v)) AS fwd
-          |  FROM edges e
-          |  JOIN deg du ON du.node = e.u
-          |  JOIN deg dv ON dv.node = e.v),
-          |orient AS (
-          |  SELECT CASE WHEN fwd THEN u ELSE v END AS a,
-          |         CASE WHEN fwd THEN v ELSE u END AS b,
-          |         CASE WHEN fwd THEN dv ELSE du END AS db
-          |  FROM wd),
-          |wedge AS (
-          |  SELECT o1.a, o1.b AS y, o2.b AS z
-          |  FROM orient o1 JOIN orient o2 ON o1.a = o2.a
-          |  WHERE o1.db < o2.db OR (o1.db = o2.db AND o1.b < o2.b)),
+        s"""WITH $triCtes,
           |tri AS (
-          |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM wedge w
-          |  WHERE EXISTS (SELECT 1 FROM orient o
-          |                WHERE o.a = w.y AND o.b = w.z)),
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM closed),
           |agg AS (
           |  SELECT
           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
@@ -426,6 +451,25 @@ object Graphs extends QueryPack {
           |       ELSE (3 * n_triangles * 1000000) // n_wedges END AS BIGINT)
           |    AS cc_ppm
           |FROM agg ORDER BY n_nodes""".stripMargin,
+
+      // per-node lcc: the corner union mirrors Triangles.perNode —
+      // each closed triangle counts once at each of its three corners
+      "g09_local_clustering" ->
+        s"""WITH $triCtes,
+          |corners AS (
+          |  SELECT a AS id FROM closed
+          |  UNION ALL SELECT y FROM closed
+          |  UNION ALL SELECT z FROM closed),
+          |pt AS (
+          |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri
+          |  FROM corners GROUP BY id)
+          |SELECT deg.node AS id, deg.d AS degree,
+          |  CAST(COALESCE(pt.n_tri, 0) AS BIGINT) AS n_tri,
+          |  CAST(2 * COALESCE(pt.n_tri, 0) * 1000000
+          |    // (deg.d * (deg.d - 1)) AS BIGINT) AS lcc_ppm
+          |FROM deg LEFT JOIN pt ON deg.node = pt.id
+          |WHERE deg.d >= 2
+          |ORDER BY id""".stripMargin,
 
       // one (relax, merge) CTE pair per Bellman-Ford round — full
       // relaxation here vs the Spark side's delta frontier, which are

@@ -68,6 +68,27 @@ object Similarity extends QueryPack {
         .orderBy($"query_id", $"rank")
     }),
 
+    // -- range search: all neighbors above a similarity threshold -------
+    // The radius query ("everything at least this similar"), the shape
+    // behind near-duplicate sweeps and recall-oriented retrieval where
+    // k is unknowable a priori. Exact: one broadcast of the query set
+    // against one corpus scan with the threshold fused as a scan-level
+    // filter — no shuffle anywhere (contrast s01's per-query top-k
+    // window). Threshold 300000 ≈ the 99.2th percentile of the
+    // quantized dot distribution at sf0.01.
+    "s10_range_search" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.VectorSearch
+      val emb = VectorSearch.quantize(Tables(s, dir).embeddings, "embedding")
+        .select($"vec_id", $"eq")
+      VectorSearch.rangeSearch(
+          emb.filter($"vec_id" < 100)
+            .select($"vec_id".as("query_id"), $"eq".as("qe")),
+          emb.select($"vec_id".as("neighbor_id"), $"eq".as("ce")),
+          minDot = 300000L)
+        .orderBy($"query_id", $"neighbor_id")
+    }),
+
     // -- k-NN classification: majority label of the 5 nearest -----------
     "s04_knn_classify" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -320,6 +341,19 @@ object Similarity extends QueryPack {
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY dot DESC, neighbor_id) AS INTEGER) AS rank FROM p) t
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "s10_range_search" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS eq
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(q.eq)),
+        |      i -> q.eq[i] * c.eq[i])) AS BIGINT) AS dot
+        |  FROM e q JOIN e c ON q.vec_id < 100 AND q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, dot FROM p
+        |WHERE dot >= 300000 ORDER BY query_id, neighbor_id""".stripMargin,
 
     "s04_knn_classify" ->
       """WITH e AS (

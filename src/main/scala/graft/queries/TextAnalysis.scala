@@ -243,6 +243,42 @@ object TextAnalysis extends QueryPack {
         .orderBy($"source")
     }),
 
+    // -- tokenizer-vocabulary coverage: induced vocab + per-doc OOV -----
+    // The tokenizer-design readout: induce a frequency vocabulary (the
+    // top-V tokens by count, ties to the lexicographically smaller —
+    // a total order, so the cutoff is exact in both engines) and
+    // profile how much of each document it fails to cover. The
+    // OOV-permille histogram (50-pm buckets) is what you inspect
+    // before fixing a vocab size: mass in high buckets = the vocab is
+    // too small or the corpus too heterogeneous. V is a parameter;
+    // 16 here because the synthetic corpus has only 31 distinct
+    // tokens — production vocabs are 10⁴-10⁵ and change nothing
+    // structural.
+    //
+    // Scale notes (100 TB): the vocab is a map-side-combinable count
+    // + a bounded TakeOrdered (never a global sort), and re-joins as a
+    // BROADCAST against the token stream — one scan, one keyed
+    // aggregate; no shuffle grows with vocab size.
+    "t17_vocab_coverage" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val toks = Tables(s, dir).documents
+        .select($"doc_id", explode(split($"text", "\\s+")).as("word"))
+        .persist()
+      val vocab = toks.groupBy($"word").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"word").limit(16)
+        .select($"word", lit(1).as("in_v"))
+      toks.join(broadcast(vocab), Seq("word"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when($"in_v".isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_bucket", expr("(n_oov * 1000 div n_tok) div 50"))
+        .groupBy($"oov_bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").cast("long").as("total_tokens"),
+          sum($"n_oov").cast("long").as("total_oov"))
+        .orderBy($"oov_bucket")
+    }),
+
     // -- corpus word frequency: top 20 ----------------------------------
     "t02_word_freq" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -597,6 +633,28 @@ object TextAnalysis extends QueryPack {
         |SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  MIN(common_ppm) AS min_ppm, MAX(common_ppm) AS max_ppm
         |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+
+    // the vocab cutoff is the same (cnt DESC, word) total order; both
+    // integer divisions are floor on non-negatives (// = Spark div)
+    "t17_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT word FROM (
+        |    SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word
+        |    ORDER BY cnt DESC, word LIMIT 16)),
+        |pd AS (
+        |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |    CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_oov
+        |  FROM tok t LEFT JOIN vocab v ON t.word = v.word
+        |  GROUP BY t.doc_id)
+        |SELECT CAST((n_oov * 1000 // n_tok) // 50 AS BIGINT) AS oov_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_oov) AS BIGINT) AS total_oov
+        |FROM pd GROUP BY oov_bucket ORDER BY oov_bucket""".stripMargin,
 
     // the same n²-scaled integer 3-sigma inequality in DECIMAL;
     // moments cast back from HUGEINT

@@ -81,4 +81,64 @@ class PackingSpec extends AnyFunSuite {
       .select(cols.map(col): _*).orderBy($"doc_id").collect().toSeq
     assert(a === b)
   }
+
+  test("slidingChunks: known doc, window 3 stride 2") {
+    import spark.implicits._
+    val d = Seq((1L, Seq("a", "b", "c", "d", "e"))).toDF("doc_id", "toks")
+    val got = Packing.slidingChunks(d, "toks", window = 3, stride = 2)
+      .orderBy($"chunk_id")
+      .select($"chunk_id", $"start_tok", $"n_tok", $"chunk_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(got.toSeq === Seq((0L, 0L, 3L, "a b c"), (1L, 2L, 3L, "c d e"),
+      (2L, 4L, 1L, "e")))
+  }
+
+  test("slidingChunks: stride = window tiles the doc exactly") {
+    import spark.implicits._
+    val toks = (0 until 23).map(i => s"t$i")
+    val d = Seq((1L, toks)).toDF("doc_id", "toks")
+    val chunks = Packing.slidingChunks(d, "toks", window = 8, stride = 8)
+      .orderBy($"chunk_id").select($"chunk_text").as[String].collect()
+    assert(chunks.mkString(" ") === toks.mkString(" "))
+    assert(chunks.length === 3) // ceil(23/8)
+  }
+
+  test("slidingChunks: every token covered; full chunks overlap by " +
+      "window - stride") {
+    import spark.implicits._
+    val (window, stride) = (16, 8)
+    val d = spark.range(50).select($"id".as("doc_id"),
+      expr("transform(sequence(0, CAST(abs(hash(id)) % 40 AS INT)), " +
+        "i -> concat('w', i))").as("toks"))
+    val chunks = Packing.slidingChunks(d, "toks", window, stride)
+    // coverage: max(start + n_tok) per doc == token count, and chunk
+    // ids are dense 0..floor((n-1)/stride)
+    val bad = chunks.groupBy($"doc_id")
+      .agg(max($"start_tok" + $"n_tok").as("covered"),
+        max(size($"toks")).as("n"),
+        count(lit(1)).as("n_chunks"),
+        max($"chunk_id").as("max_id"))
+      .filter($"covered" =!= $"n" ||
+        $"n_chunks" =!= $"max_id" + 1 ||
+        $"n_chunks" =!= floor(($"n" - 1) / stride) + 1)
+      .count()
+    assert(bad === 0)
+    // overlap: consecutive chunks start exactly `stride` apart
+    val gaps = chunks.groupBy($"doc_id")
+      .agg(countDistinct($"start_tok").as("nd"), count(lit(1)).as("n"),
+        max($"start_tok").as("last"))
+      .filter($"nd" =!= $"n" || $"last" =!= ($"n" - 1) * stride)
+      .count()
+    assert(gaps === 0)
+  }
+
+  test("slidingChunks rejects reserved output columns") {
+    import spark.implicits._
+    val d = Seq((1L, Seq("a"), 9L)).toDF("doc_id", "toks", "chunk_id")
+    val e = intercept[IllegalArgumentException] {
+      Packing.slidingChunks(d, "toks", 4, 2)
+    }
+    assert(e.getMessage.contains("chunk_id"))
+  }
 }

@@ -67,4 +67,53 @@ class TrianglesSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_wedges") === 5)
     assert(r.getAs[Long]("cc_ppm") === 600000L)
   }
+
+  private def perNode(edges: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    Triangles.perNode(edges.toDF("u", "v")).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("n_tri"),
+          r.getAs[Long]("lcc_ppm")))).toMap
+  }
+
+  test("perNode on K4: every node in 3 triangles, lcc = 1") {
+    val m = perNode(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)))
+    assert(m.keySet === Set(1L, 2L, 3L, 4L))
+    m.values.foreach { case (d, t, lcc) =>
+      assert(d === 3L); assert(t === 3L); assert(lcc === 1000000L)
+    }
+  }
+
+  test("perNode: pendant excluded, broker vs clique corner coefficients") {
+    // triangle 1-2-3 with pendant 3-4: nodes 1,2 see a fully-connected
+    // neighborhood (lcc 1), corner 3 bridges the pendant (2 of its 3
+    // neighbor pairs unconnected), degree-1 node 4 is excluded
+    val m = perNode(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)))
+    assert(m.keySet === Set(1L, 2L, 3L))
+    assert(m(1L) === ((2L, 1L, 1000000L)))
+    assert(m(2L) === ((2L, 1L, 1000000L)))
+    assert(m(3L) === ((3L, 1L, 333333L)))
+  }
+
+  test("perNode: triangle-free nodes of degree >= 2 report zero") {
+    val m = perNode(Seq((1L, 2L), (2L, 3L)))
+    assert(m.keySet === Set(2L)) // endpoints have degree 1
+    assert(m(2L) === ((2L, 0L, 0L)))
+  }
+
+  test("perNode corner counts sum to 3x the global triangle count") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val n = 10
+      val edges = for {
+        i <- 0L until n
+        j <- (i + 1) until n
+        if ((seed * 31L + i * 7L + j * 131L) ^ (i * j + seed)) % 3 == 0
+      } yield (i, j)
+      val global = stats(edges).getAs[Long]("n_triangles")
+      val cornerSum = perNode(edges).values.map(_._2).sum
+      assert(cornerSum === 3 * global, s"seed=$seed")
+    }
+  }
 }

@@ -147,4 +147,27 @@ class VectorSearchSpec extends AnyFunSuite {
       assert(top.map(t => (t._2, t._4)).toSeq === bestModel)
     } finally { book.unpersist(); byDim.unpersist() }
   }
+
+  test("rangeSearch = threshold filter of the exhaustive ranking " +
+      "(window path vs filter path)") {
+    import spark.implicits._
+    val emb = VectorSearch.quantize(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+        "embedding")
+      .select($"vec_id", $"eq")
+    val q = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"eq".as("qe"))
+    val c = emb.select($"vec_id".as("neighbor_id"), $"eq".as("ce"))
+    val thr = 250000L
+    // k larger than the corpus => the top-k window ranks EVERY pair;
+    // its >= thr subset must equal the rangeSearch output exactly
+    val viaTopK = VectorSearch.topKBruteForce(q, c, k = 1000)
+      .filter($"dot" >= thr)
+      .select($"query_id", $"neighbor_id", $"dot")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaRange = VectorSearch.rangeSearch(q, c, thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaRange === viaTopK)
+    assert(viaRange.nonEmpty)
+  }
 }
