@@ -150,8 +150,73 @@ object Multimodal extends QueryPack {
           length($"payload").cast("long").as("n_out"),
           lower(md5($"payload")).as("digest"))
         .orderBy($"doc_id")
+    }),
+
+    // -- contrastive pair mining: positives + banded hard negatives -----
+    // The CLIP-style training-prep step a multimodal corpus needs:
+    // each document anchors a POSITIVE pair with its own media
+    // (m06's perceptual hash) and a HARD NEGATIVE — the most
+    // text-similar OTHER document (max integer embedding dot, ties to
+    // the lower id) among its perceptual-band mates. Mining inside
+    // the band keeps negatives "hard on the media axis" (visually
+    // close) while the dot makes them hard on the text axis — and
+    // bounds the search: candidates meet only within a band (118
+    // bands at sf0.01, max 47 docs each), never all-pairs. Docs whose
+    // band has no other member yield no row (no negative exists at
+    // this hardness level — the standard fallback is a wider band).
+    // At 100 TB: band the fingerprint table at rest
+    // (partitionBy(band)) and the mining join is partition-local.
+    "m07_contrastive_pairs" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.VectorSearch
+      val binary = Tables(s, dir).documents
+        .select($"doc_id", $"text".cast("binary").as("payload"))
+      val ph = BinaryDecode.perceptualHashes(s, binary, grid = 32).toDF()
+        .select($"doc_id", $"ahash", expr("shiftright(ahash, 24)").as("band"))
+      val emb = VectorSearch.quantize(Tables(s, dir).embeddings, "embedding")
+        .select($"vec_id".as("doc_id"), $"eq")
+      val sig = ph.join(emb, Seq("doc_id")).persist()
+      val pairs = sig.select($"band", $"doc_id".as("a"),
+          $"ahash".as("pos_hash"), $"eq".as("ea"))
+        .join(sig.select($"band", $"doc_id".as("b"),
+          $"ahash".as("neg_hash"), $"eq".as("eb")), Seq("band"))
+        .filter($"a" =!= $"b")
+        .withColumn("neg_dot", expr("graft_dotl(ea, eb)"))
+      val w = Window.partitionBy($"a").orderBy($"neg_dot".desc, $"b")
+      pairs.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+        .select($"a".as("doc_id"), $"pos_hash", $"b".as("neg_doc"),
+          $"neg_hash", $"neg_dot")
+        .orderBy($"doc_id")
     })
   )
+
+  /** m06's average-hash chain (bytes → stride samples → 32-bit hash),
+    * shared by the m06 and m07 oracles — one spelling, referenced.
+    */
+  private val duckAhashCtes: String =
+    """b AS (
+      |  SELECT doc_id, list_transform(string_split(text, ''),
+      |    x -> ascii(x)) AS bytes
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, bytes, len(bytes) AS n,
+      |    greatest(1, len(bytes) // 32) AS stride
+      |  FROM b),
+      |sm AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(0,
+      |      least(32, (n - 1) // stride + 1) - 1),
+      |      j -> bytes[j * stride + 1]) AS s
+      |  FROM r),
+      |h AS (
+      |  SELECT doc_id, CAST(len(s) AS BIGINT) AS n_samples,
+      |    CAST(COALESCE(list_sum(list_transform(
+      |      generate_series(1, len(s)),
+      |      j -> CASE WHEN s[j] * len(s) > list_sum(s)
+      |           THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END)), 0)
+      |      AS BIGINT) AS ahash
+      |  FROM sm)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     "m01_binary_meta" ->
@@ -217,32 +282,36 @@ object Multimodal extends QueryPack {
     // is the same integer cross-multiplication, bits 0..31 so the
     // BIGINT sum is exact and non-negative
     "m06_perceptual_hash" ->
-      """WITH b AS (
-        |  SELECT doc_id, list_transform(string_split(text, ''),
-        |    x -> ascii(x)) AS bytes
-        |  FROM documents),
-        |r AS (
-        |  SELECT doc_id, bytes, len(bytes) AS n,
-        |    greatest(1, len(bytes) // 32) AS stride
-        |  FROM b),
-        |sm AS (
-        |  SELECT doc_id,
-        |    list_transform(generate_series(0,
-        |      least(32, (n - 1) // stride + 1) - 1),
-        |      j -> bytes[j * stride + 1]) AS s
-        |  FROM r),
-        |h AS (
-        |  SELECT doc_id, CAST(len(s) AS BIGINT) AS n_samples,
-        |    CAST(COALESCE(list_sum(list_transform(
-        |      generate_series(1, len(s)),
-        |      j -> CASE WHEN s[j] * len(s) > list_sum(s)
-        |           THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END)), 0)
-        |      AS BIGINT) AS ahash
-        |  FROM sm)
+      s"""WITH $duckAhashCtes
         |SELECT doc_id, n_samples, ahash,
         |  ahash % 256 AS b0, (ahash >> 8) % 256 AS b1,
         |  (ahash >> 16) % 256 AS b2, ahash >> 24 AS b3
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // the hard-negative pick is the same (dot DESC, id) total order
+    // as the Spark window; dot is the s01 integer inner product
+    "m07_contrastive_pairs" ->
+      s"""WITH $duckAhashCtes,
+        |band AS (
+        |  SELECT doc_id, ahash, ahash >> 24 AS band FROM h),
+        |e AS (
+        |  SELECT vec_id AS doc_id, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS eq
+        |  FROM embeddings),
+        |sig AS (
+        |  SELECT b.doc_id, b.ahash, b.band, e.eq
+        |  FROM band b JOIN e ON b.doc_id = e.doc_id),
+        |p AS (
+        |  SELECT a.doc_id, a.ahash AS pos_hash, b.doc_id AS neg_doc,
+        |    b.ahash AS neg_hash,
+        |    CAST(list_sum(list_transform(generate_series(1, len(a.eq)),
+        |      i -> a.eq[i] * b.eq[i])) AS BIGINT) AS neg_dot
+        |  FROM sig a JOIN sig b
+        |    ON a.band = b.band AND a.doc_id <> b.doc_id)
+        |SELECT doc_id, pos_hash, neg_doc, neg_hash, neg_dot FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY neg_dot DESC, neg_doc) AS rk FROM p) t
+        |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
 
     "m03_frame_sample" ->
       s"""WITH t AS (
