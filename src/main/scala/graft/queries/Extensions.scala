@@ -484,6 +484,66 @@ object Extensions extends QueryPack {
     // inserts). operators.SnapshotDiff classifies every key null-safely
     // in ONE full-outer pass; the per-class profile pins the exact
     // partition of the key space.
+    // -- declarative data-quality audit ---------------------------------
+    // The publish-gate every production table needs (dbt test / Deequ
+    // shape, [[graft.operators.Audit]]): six constraints across three
+    // classes — row-local predicates (domain, range, cross-field),
+    // key uniqueness, referential integrity — each reduced to one
+    // (rule, n_checked, n_violations, pass) row. The acctbal rule
+    // genuinely FIRES on TPC-H data (negative balances exist), so the
+    // report pins both the pass and fail paths. Scale: predicates are
+    // conditional aggregates fused into their scans; uniqueness is
+    // one keyed count; the FK anti-join broadcasts the parent's
+    // distinct keys (at 100 TB: bloom-prune the child first).
+    "x20_quality_audit" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.Audit
+      val t = Tables(s, dir)
+      Audit.reportOf(
+          Audit.predicateRule("customer_acctbal_nonneg",
+            t.customer, $"c_acctbal" < 0),
+          Audit.predicateRule("lineitem_discount_range",
+            t.lineitem, $"l_discount" < 0 || $"l_discount" > 0.2),
+          Audit.predicateRule("orders_status_domain",
+            t.orders, !$"o_orderstatus".isin("O", "F", "P")),
+          Audit.predicateRule("orders_totalprice_positive",
+            t.orders, $"o_totalprice" <= 0),
+          Audit.uniqueRule("orders_orderkey_unique",
+            t.orders, Seq("o_orderkey")),
+          Audit.fkRule("orders_custkey_fk_customer",
+            t.orders, "o_custkey", t.customer, "c_custkey"))
+        .orderBy($"rule")
+    }),
+
+    // -- k-anonymity audit: quasi-identifier group sizes ----------------
+    // The privacy-governance readout before releasing a table: under
+    // quasi-identifiers (nation, market segment, $1000 balance band),
+    // how many rows sit in groups smaller than k=4 — the rows
+    // re-identifiable by joining public attributes, which a release
+    // would suppress or generalize. Per-nation profile pins group
+    // structure exactly. floor(double/1000) is the established
+    // portable banding (IEEE-identical in both engines, correct on
+    // negatives where integer div would truncate the wrong way).
+    // Scale: one scan → one (QI) keyed count → one nation rollup;
+    // both aggregates map-side combinable.
+    "x21_k_anonymity" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val k = 4
+      val groups = Tables(s, dir).customer
+        .select($"c_nationkey", $"c_mktsegment",
+          expr("CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT)")
+            .as("bal_band"))
+        .groupBy($"c_nationkey", $"c_mktsegment", $"bal_band")
+        .agg(count(lit(1)).as("n"))
+      groups.groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_groups"),
+          sum($"n").cast("long").as("n_rows"),
+          sum(when($"n" < k, 1L).otherwise(0L)).as("n_small_groups"),
+          sum(when($"n" < k, $"n").otherwise(0L)).as("n_suppressed"),
+          min($"n").as("min_group_size"))
+        .orderBy($"c_nationkey")
+    }),
+
     "x17_snapshot_diff" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val base = Tables(s, dir).orders
@@ -815,6 +875,69 @@ object Extensions extends QueryPack {
          |    AS probe_overlap
          |FROM blk ORDER BY block""".stripMargin
     },
+
+    // one scalar-aggregate SELECT per rule, unioned; every COUNT/SUM
+    // cast back from HUGEINT
+    "x20_quality_audit" ->
+      """WITH rules AS (
+        |  SELECT 'customer_acctbal_nonneg' AS rule,
+        |    CAST(COUNT(*) AS BIGINT) AS n_checked,
+        |    CAST(COALESCE(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END),
+        |      0) AS BIGINT) AS n_violations
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_range',
+        |    CAST(COUNT(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.2
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders_status_domain',
+        |    CAST(COUNT(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_totalprice_positive',
+        |    CAST(COUNT(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN o_totalprice <= 0
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_orderkey_unique',
+        |    CAST(COALESCE(SUM(n), 0) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n ELSE 0 END), 0)
+        |      AS BIGINT)
+        |  FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'orders_custkey_fk_customer',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        |     WHERE o_custkey IS NOT NULL),
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        |     WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+        |       SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)))
+        |SELECT rule, n_checked, n_violations,
+        |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS pass
+        |FROM rules ORDER BY rule""".stripMargin,
+
+    // floor(double/1000) banding — IEEE-identical in both engines
+    "x21_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT)
+        |      AS bal_band,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT c_nationkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN n < 4 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_small_groups,
+        |  CAST(SUM(CASE WHEN n < 4 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_suppressed,
+        |  MIN(n) AS min_group_size
+        |FROM g GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     // IS DISTINCT FROM = Spark's NOT(<=>); ×2 on doubles is exact in
     // both engines (exponent bump), so 'changed' is bit-deterministic
