@@ -91,6 +91,57 @@ object Packing {
         (col("__g0") - col("__p") * budget).as("pos_in_pack"))
   }
 
+  /** One packed doc of [[greedyPack]]: which pack the doc landed in
+    * and how full that pack was before it.
+    */
+  final case class GreedyPacked(shard: Long, doc_id: Long,
+    n_tokens: Long, pack_id: Long, used_before: Long)
+
+  /** NO-SPLIT greedy (next-fit) packing — the OTHER packing regime
+    * next to [[chunkPack]]: documents are never split across packs
+    * (SFT/instruction-tuning batches, where a truncated example is a
+    * corrupted example). Within each hash shard, docs are taken in
+    * `idCol` order and a doc OPENS A NEW PACK when it does not fit in
+    * the remaining budget; a doc larger than the whole budget
+    * occupies its pack alone (next-fit semantics — no lookahead, no
+    * reordering, so the assignment is a pure function of the shard's
+    * doc sequence).
+    *
+    * Unlike chunkPack's prefix sum, next-fit is an inherently
+    * SEQUENTIAL recurrence (pack state resets depend on every prior
+    * decision), so this is the engine's one legitimate
+    * per-partition-imperative tier: `groupByKey(shard)` +
+    * `flatMapSortedGroups` streams each shard's docs in doc_id order
+    * through a two-register fold (pack, used). Scale: one shuffle on
+    * the shard key (same as chunkPack), per-shard state is two longs,
+    * shard count scales with the cluster — the sequence is per-shard,
+    * never global.
+    */
+  def greedyPack(docs: DataFrame, idCol: String, tokens: Column,
+      budget: Long, shards: Int, salt: String = "pack"): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    require(shards > 0, s"shard count must be positive, got $shards")
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(shardColumn(col(idCol), shards, salt).as("shard"),
+        col(idCol).cast("long").as("doc_id"),
+        tokens.cast("long").as("n_tokens"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"doc_id") { (shard, it) =>
+        var pack = 0L
+        var used = 0L
+        it.map { case (_, id, n) =>
+          if (used > 0 && used + n > budget) { pack += 1; used = 0L }
+          val before = used
+          used += n
+          GreedyPacked(shard, id, n, pack, before)
+        }
+      }
+      .toDF()
+  }
+
   /** Overlapping sliding-window chunking of per-document token arrays
     * — the retrieval/RAG prep step (and long-document training-window
     * step) that [[chunkPack]]'s concat-then-chunk is NOT: here every

@@ -207,6 +207,34 @@ object Corpus extends QueryPack {
         .orderBy($"doc_id", $"chunk_id")
     }),
 
+    // -- no-split greedy packing: the SFT batch-assembly regime ---------
+    // chunkPack (c04) splits docs across window boundaries — right for
+    // pretraining, wrong for instruction tuning where a truncated
+    // example is a corrupted example. c11 is the no-split regime
+    // ([[graft.operators.Packing.greedyPack]]): next-fit per shard, a
+    // doc opens a new pack when it doesn't fit the remaining budget.
+    // Inherently sequential per shard (pack state depends on every
+    // prior decision — NOT a prefix sum), so the Spark side is the
+    // engine's one legitimate per-partition-imperative tier
+    // (flatMapSortedGroups) and the oracle is a genuine recursive
+    // CTE walking each shard's doc sequence. Per-pack stats pin the
+    // full assignment; max_fill ≤ budget proves no pack overflows
+    // (single-doc-over-budget packs excepted, none at this budget).
+    "c11_greedy_pack" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.operators.Packing.greedyPack(
+          Tables(s, dir).documents.select($"doc_id", $"text"),
+          "doc_id", size(split($"text", "\\s+")).cast("long"),
+          budget = 512L, shards = 8, salt = "gpk")
+        .groupBy($"shard", $"pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("tokens_used"),
+          min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"),
+          max($"used_before" + $"n_tokens").as("max_fill"))
+        .orderBy($"shard", $"pack_id")
+    }),
+
     // -- pack slices: the loader-facing materialization of c04 ----------
     // Each (doc, pack) intersection as an exact token slice: which
     // range of the doc fills which position of which context window.
@@ -253,6 +281,50 @@ object Corpus extends QueryPack {
            |       WHEN CAST(substr(source, 4) AS INTEGER) < 14 THEN 500
            |       ELSE 200 END
            |GROUP BY source ORDER BY source""".stripMargin,
+
+      // a genuine recursive CTE: the walk steps each shard's doc
+      // sequence one row per iteration carrying (pack_id, used_after)
+      // — the same two-register fold as greedyPack's flatMapSorted
+      // Groups; used_after > 0 always holds past the base row (every
+      // doc has >= 1 token), matching the Spark guard exactly
+      "c11_greedy_pack" -> {
+        val shard = graft.operators.Packing.duckShard("doc_id", 8, "gpk")
+        s"""WITH RECURSIVE t AS (
+           |  SELECT doc_id,
+           |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+           |      AS n_tokens,
+           |    $shard AS shard
+           |  FROM documents),
+           |seqd AS (
+           |  SELECT shard, doc_id, n_tokens,
+           |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id)
+           |      AS seq
+           |  FROM t),
+           |walk AS (
+           |  SELECT shard, doc_id, n_tokens, seq,
+           |    CAST(0 AS BIGINT) AS pack_id,
+           |    CAST(0 AS BIGINT) AS used_before,
+           |    n_tokens AS used_after
+           |  FROM seqd WHERE seq = 1
+           |  UNION ALL
+           |  SELECT s.shard, s.doc_id, s.n_tokens, s.seq,
+           |    CASE WHEN w.used_after + s.n_tokens > 512
+           |         THEN w.pack_id + 1 ELSE w.pack_id END,
+           |    CASE WHEN w.used_after + s.n_tokens > 512
+           |         THEN CAST(0 AS BIGINT) ELSE w.used_after END,
+           |    CASE WHEN w.used_after + s.n_tokens > 512
+           |         THEN s.n_tokens ELSE w.used_after + s.n_tokens END
+           |  FROM walk w JOIN seqd s
+           |    ON s.shard = w.shard AND s.seq = w.seq + 1)
+           |SELECT shard, pack_id,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_used,
+           |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           |  CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+           |  CAST(MAX(used_before + n_tokens) AS BIGINT) AS max_fill
+           |FROM walk GROUP BY shard, pack_id
+           |ORDER BY shard, pack_id""".stripMargin
+      },
 
       // list_slice is 1-based inclusive = Spark's slice(arr, start+1,
       // len); regexp_split_to_array ≡ split (established c04/c06/t02

@@ -133,6 +133,61 @@ class PackingSpec extends AnyFunSuite {
     assert(gaps === 0)
   }
 
+  test("greedyPack: no split, no overflow, packs dense and contiguous") {
+    import spark.implicits._
+    val packed = Packing.greedyPack(docs, "doc_id", $"toks",
+      budget = 600L, shards = 4, salt = "g").persist()
+    try {
+      // no pack overflows the budget unless a single doc does (token
+      // counts here are <= 500 < 600, so: never)
+      assert(packed.filter($"used_before" + $"n_tokens" > 600L)
+        .count() === 0)
+      // a doc is never split: every doc appears exactly once
+      assert(packed.count() === 100)
+      assert(packed.select($"doc_id").distinct().count() === 100)
+      // pack ids are dense from 0 per shard
+      val dense = packed.groupBy($"shard")
+        .agg(max($"pack_id").as("mx"),
+          countDistinct($"pack_id").as("nd"))
+        .filter($"nd" =!= $"mx" + 1).count()
+      assert(dense === 0)
+      // next-fit order: within a shard, pack_id is non-decreasing in
+      // doc_id (docs in a pack are contiguous in the shard sequence)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"shard").orderBy($"doc_id")
+      assert(packed.withColumn("prev",
+          lag($"pack_id", 1, 0L).over(w))
+        .filter($"pack_id" < $"prev").count() === 0)
+    } finally packed.unpersist()
+  }
+
+  test("greedyPack is independent of input partitioning") {
+    import spark.implicits._
+    val cols = Seq("shard", "doc_id", "n_tokens", "pack_id", "used_before")
+    val a = Packing.greedyPack(docs, "doc_id", $"toks", 600L, 4, "g")
+      .select(cols.map(col): _*).orderBy($"doc_id").collect().toSeq
+    val b = Packing.greedyPack(docs.repartition(13), "doc_id", $"toks",
+        600L, 4, "g")
+      .select(cols.map(col): _*).orderBy($"doc_id").collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("greedyPack: an over-budget doc occupies a pack alone-ish " +
+      "(next-fit: it closes the previous pack and overflows its own)") {
+    import spark.implicits._
+    val d = Seq((1L, 100L), (2L, 900L), (3L, 100L))
+      .toDF("doc_id", "toks")
+    val got = Packing.greedyPack(d, "doc_id", $"toks",
+        budget = 512L, shards = 1, salt = "g")
+      .orderBy($"doc_id")
+      .select($"doc_id", $"pack_id", $"used_before")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 2 doesn't fit after doc 1 -> new pack, overflows it alone;
+    // doc 3 doesn't fit after doc 2 -> third pack
+    assert(got.toSeq === Seq((1L, 0L, 0L), (2L, 1L, 0L), (3L, 2L, 0L)))
+  }
+
   test("slidingChunks rejects reserved output columns") {
     import spark.implicits._
     val d = Seq((1L, Seq("a"), 9L)).toDF("doc_id", "toks", "chunk_id")
