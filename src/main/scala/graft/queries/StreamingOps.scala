@@ -758,6 +758,35 @@ object StreamingOps extends QueryPack {
       s.read.parquet(latest.get).orderBy($"user_id")
     }),
 
+    // -- streaming data-quality monitor: per-day rule violations --------
+    // The streaming face of x20's audit (data observability): the
+    // event stream carries its constraint checks as conditional
+    // aggregates per day window — one streaming aggregate, rules
+    // added as columns at zero extra passes — and the drained result
+    // unpivots to the same (rule, n_checked, n_violations, pass) rows
+    // a batch audit emits. The no_error_events rule genuinely FIRES
+    // every day (the monitor's alert path); the other two pin the
+    // pass path. At scale this is the always-on quality dashboard: a
+    // windowed aggregate whose state is one row per (day, ruleset),
+    // independent of event volume.
+    "st23_stream_quality_monitor" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val agg = eventStream(s, dir)
+        .groupBy(window($"ts", "1 day").as("w"))
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when($"event_type" === "error", 1L).otherwise(0L))
+            .as("v_err"),
+          sum(when($"user_id".isNull, 1L).otherwise(0L)).as("v_usr"),
+          sum(when($"value" < 0, 1L).otherwise(0L)).as("v_val"))
+      drain(s, agg, OutputMode.Complete())
+        .select($"w.start".as("day"), $"n_checked",
+          expr("stack(3, 'no_error_events', v_err, " +
+            "'user_id_present', v_usr, 'value_nonneg', v_val) " +
+            "AS (rule, n_violations)"))
+        .withColumn("pass", ($"n_violations" === 0L).cast("int"))
+        .orderBy($"day", $"rule")
+    }),
+
     // -- streaming CDC apply: versioned changelog → serving table -------
     // The streaming face of x18's change feed. A changelog of
     // ('U' upsert / 'D' tombstone) ops, each stamped with its source
@@ -1088,6 +1117,31 @@ object StreamingOps extends QueryPack {
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // per-day conditional sums unioned into rule rows — the same
+    // report shape as x20's batch audit
+    "st23_stream_quality_monitor" ->
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_checked,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_err,
+        |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_usr,
+        |    CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_val
+        |  FROM events GROUP BY 1),
+        |u AS (
+        |  SELECT day, n_checked, 'no_error_events' AS rule,
+        |    v_err AS n_violations FROM d
+        |  UNION ALL
+        |  SELECT day, n_checked, 'user_id_present', v_usr FROM d
+        |  UNION ALL
+        |  SELECT day, n_checked, 'value_nonneg', v_val FROM d)
+        |SELECT day, n_checked, rule, n_violations,
+        |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS pass
+        |FROM u ORDER BY day, rule""".stripMargin,
 
     // last-writer-wins over the changelog: the surviving row per user
     // is its max-epoch op, kept iff that op is not a delete — batch
