@@ -515,6 +515,40 @@ object Extensions extends QueryPack {
         .orderBy($"rule")
     }),
 
+    // -- association rules: market-basket support/confidence/lift -------
+    // The classic co-occurrence mining readout (Agrawal's apriori
+    // first pass, integer-quantized): baskets are orders, items the
+    // suppliers involved; for every supplier pair seen in ≥ 10
+    // baskets, support = co-occurrence count, confidence = P(v|u) and
+    // lift = P(u,v)/(P(u)P(v)) in ppm — all floor-division integers,
+    // so the ranking is bit-portable. Top-20 by (lift desc, u, v).
+    // Scale: pair generation is ORDER-BLOCKED (the g03 projection
+    // discipline — fan-out bounded by per-basket item count², never
+    // |items|²); counts are map-side-combinable aggregates and the
+    // one-row basket total broadcasts into the scoring projection.
+    "x22_association_rules" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val baskets = Tables(s, dir).lineitem
+        .select($"l_orderkey".as("o"), $"l_suppkey".as("item"))
+        .distinct().persist()
+      val nOrders = baskets.select($"o").distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val itemCnt = baskets.groupBy($"item").agg(count(lit(1)).as("cnt"))
+      baskets.select($"o", $"item".as("u"))
+        .join(baskets.select($"o", $"item".as("v")), Seq("o"))
+        .filter($"u" < $"v")
+        .groupBy($"u", $"v").agg(count(lit(1)).as("support"))
+        .filter($"support" >= 10)
+        .join(itemCnt.select($"item".as("u"), $"cnt".as("cnt_u")), Seq("u"))
+        .join(itemCnt.select($"item".as("v"), $"cnt".as("cnt_v")), Seq("v"))
+        .crossJoin(broadcast(nOrders))
+        .select($"u", $"v", $"support", $"cnt_u", $"cnt_v",
+          expr("support * 1000000 div cnt_u").as("conf_u_to_v_ppm"),
+          expr("support * n_orders * 1000000 div (cnt_u * cnt_v)")
+            .as("lift_ppm"))
+        .orderBy($"lift_ppm".desc, $"u", $"v").limit(20)
+    }),
+
     // -- k-anonymity audit: quasi-identifier group sizes ----------------
     // The privacy-governance readout before releasing a table: under
     // quasi-identifiers (nation, market segment, $1000 balance band),
@@ -920,6 +954,33 @@ object Extensions extends QueryPack {
         |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INTEGER)
         |    AS pass
         |FROM rules ORDER BY rule""".stripMargin,
+
+    // all ratios are floor division on non-negatives (// = Spark div);
+    // counts cast back from HUGEINT before the arithmetic
+    "x22_association_rules" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS item
+        |  FROM lineitem),
+        |n AS (
+        |  SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM b),
+        |ic AS (
+        |  SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY item),
+        |p AS (
+        |  SELECT a.item AS u, c.item AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS support
+        |  FROM b a JOIN b c ON a.o = c.o AND a.item < c.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 10)
+        |SELECT p.u, p.v, p.support, cu.cnt AS cnt_u, cv.cnt AS cnt_v,
+        |  CAST(p.support * 1000000 // cu.cnt AS BIGINT)
+        |    AS conf_u_to_v_ppm,
+        |  CAST(p.support * n.n_orders * 1000000 // (cu.cnt * cv.cnt)
+        |    AS BIGINT) AS lift_ppm
+        |FROM p
+        |JOIN ic cu ON cu.item = p.u
+        |JOIN ic cv ON cv.item = p.v
+        |CROSS JOIN n
+        |ORDER BY lift_ppm DESC, p.u, p.v LIMIT 20""".stripMargin,
 
     // floor(double/1000) banding — IEEE-identical in both engines
     "x21_k_anonymity" ->
