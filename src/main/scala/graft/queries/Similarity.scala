@@ -89,6 +89,38 @@ object Similarity extends QueryPack {
         .orderBy($"query_id", $"neighbor_id")
     }),
 
+    // -- filtered ANN: attribute-constrained top-k ----------------------
+    // "Nearest neighbors WHERE label = X" — the filtered vector
+    // search every retrieval stack needs (metadata-constrained RAG,
+    // per-tenant search). The discipline that matters is PRE-filter:
+    // the constraint joins as a candidate blocker BEFORE any scoring
+    // (here: label equality keys the join itself, so candidates are
+    // exactly the query's label partition), never post-filtering a
+    // top-k that may then return < k rows. At rest the corpus would
+    // be partitioned by the filter attribute → partition-pruned
+    // probes; the plan shape is identical to the s02 bucket join with
+    // the attribute in place of the hash bucket.
+    "s11_filtered_ann" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.VectorSearch
+      val emb = VectorSearch.quantize(Tables(s, dir).embeddings, "embedding")
+        .select($"vec_id", $"label", $"eq")
+      val queries = emb.filter($"vec_id" < 100)
+        .select($"vec_id".as("query_id"), $"label", $"eq".as("qe"))
+      val corpus = emb
+        .select($"vec_id".as("neighbor_id"), $"label", $"eq".as("ce"))
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"dot".desc, $"neighbor_id")
+      broadcast(queries)
+        .join(corpus, Seq("label"))
+        .filter($"query_id" =!= $"neighbor_id")
+        .withColumn("dot", expr("graft_dotl(qe, ce)"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"query_id", $"label", $"neighbor_id", $"rank", $"dot")
+        .orderBy($"query_id", $"rank")
+    }),
+
     // -- k-NN classification: majority label of the 5 nearest -----------
     "s04_knn_classify" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -354,6 +386,22 @@ object Similarity extends QueryPack {
         |  FROM e q JOIN e c ON q.vec_id < 100 AND q.vec_id <> c.vec_id)
         |SELECT query_id, neighbor_id, dot FROM p
         |WHERE dot >= 300000 ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "s11_filtered_ann" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS eq
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, q.label, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(q.eq)),
+        |      i -> q.eq[i] * c.eq[i])) AS BIGINT) AS dot
+        |  FROM e q JOIN e c ON q.label = c.label
+        |    AND q.vec_id < 100 AND q.vec_id <> c.vec_id)
+        |SELECT query_id, label, neighbor_id, rank, dot FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY dot DESC, neighbor_id) AS INTEGER) AS rank FROM p) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "s04_knn_classify" ->
       """WITH e AS (
