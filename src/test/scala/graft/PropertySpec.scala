@@ -140,6 +140,38 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("greedyPack matches the sequential next-fit model") =
+    forAll(Gen.listOfN(60, Gen.chooseNum(1L, 400L)),
+      Gen.chooseNum(100L, 600L)) { (toks, budget) =>
+      import spark.implicits._
+      import graft.operators.Packing
+      val docs = toks.zipWithIndex
+        .map { case (n, i) => (i.toLong, n) }.toDF("doc_id", "toks")
+      val got = Packing.greedyPack(docs, "doc_id", org.apache.spark.sql
+          .functions.col("toks"), budget, shards = 3, salt = "prop")
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("shard"), r.getAs[Long]("pack_id"),
+            r.getAs[Long]("used_before"))))
+        .toMap
+      // in-memory model: the same two-register fold per shard over
+      // the doc_id-sorted sequence, shard from the portable hash of
+      // the Spark run itself (shard assignment is pinned by the model
+      // CONSISTENCY check: same shard -> same sequence walk)
+      val byShard = got.toSeq.groupBy(_._2._1)
+      byShard.forall { case (_, ds) =>
+        val ordered = ds.sortBy(_._1)
+        var pack = 0L; var used = 0L
+        ordered.forall { case (id, (_, gotPack, gotBefore)) =>
+          val n = toks(id.toInt)
+          if (used > 0 && used + n > budget) { pack += 1; used = 0L }
+          val ok = gotPack == pack && gotBefore == used
+          used += n
+          ok
+        }
+      } && got.size == toks.size
+    }
+
   property("hub delivers any sequence exactly once, in order") =
     forAll(Gen.listOfN(25, Gen.chooseNum(Int.MinValue, Int.MaxValue))) { xs =>
       val engine = new graft.streaming.EventEngine(spark)
