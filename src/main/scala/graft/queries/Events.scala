@@ -270,6 +270,55 @@ object Events extends QueryPack {
         .orderBy($"event_type", $"day")
     }),
 
+    // -- linear-interpolation gap fill: the other time-series repair ----
+    // e12 carries the last observation forward; e22 INTERPOLATES —
+    // the resampling a metrics store does for sparse series (here:
+    // daily purchase cent-totals per user, ~13 obs across 30 days, so
+    // interior gaps genuinely exist). Missing interior days take the
+    // integer weighted average
+    //   (prev·(next_i − i) + next·(i − prev_i)) div (next_i − prev_i)
+    // — algebraically the linear interpolant, but spelled so the
+    // numerator is a sum of NON-NEGATIVE products: portable floor
+    // division, never a negative operand where the engines' integer
+    // divisions could round apart. Head gaps backfill, tail gaps
+    // LOCF. Two windows (run-forward, run-backward) over one
+    // user-partitioned sort — same exchange structure as e12.
+    "e22_interp_fill" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val events = Tables(s, dir).events
+      val daily = events
+        .filter($"event_type" === "purchase" && $"user_id" <= 20)
+        .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+        .agg(sum(expr("CAST(FLOOR(value * 100) AS BIGINT)")).as("cents"))
+      val bounds = events.agg(
+        date_trunc("day", min($"ts")).as("d0"),
+        date_trunc("day", max($"ts")).as("d1"))
+      val spine = daily.select($"user_id").distinct()
+        .crossJoin(broadcast(bounds))
+        .select($"user_id", $"d0",
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val wPrev = Window.partitionBy($"user_id").orderBy($"idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy($"user_id").orderBy($"idx")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("idx", datediff($"day", $"d0").cast("long"))
+        .withColumn("obs_idx", when($"cents".isNotNull, $"idx"))
+        .withColumn("prev_c", last($"cents", ignoreNulls = true).over(wPrev))
+        .withColumn("prev_i", last($"obs_idx", ignoreNulls = true).over(wPrev))
+        .withColumn("next_c", first($"cents", ignoreNulls = true).over(wNext))
+        .withColumn("next_i", first($"obs_idx", ignoreNulls = true).over(wNext))
+        .select($"user_id", $"day",
+          when($"cents".isNotNull, 1).otherwise(0).cast("int").as("is_obs"),
+          when($"cents".isNotNull, $"cents")
+            .when($"prev_c".isNotNull && $"next_c".isNotNull,
+              expr("(prev_c * (next_i - idx) + next_c * (idx - prev_i)) " +
+                "div (next_i - prev_i)"))
+            .when($"prev_c".isNotNull, $"prev_c")
+            .otherwise($"next_c").as("interp_cents"))
+        .orderBy($"user_id", $"day")
+    }),
+
     // -- behavioral transition matrix: event_type → next event_type -----
     // Per-user lead() over the event-time order, then one aggregate —
     // the first-order Markov surface (funnel generalization). One
@@ -538,6 +587,58 @@ object Events extends QueryPack {
          |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
          |  ${sqlDsum("value")} AS total_value
          |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // same non-negative weighted-average spelling; IGNORE NULLS
+    // navigation mirrors Spark's last/first(ignoreNulls)
+    "e22_interp_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND user_id <= 20
+        |  GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS d0,
+        |    CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP) AS d1
+        |  FROM events),
+        |spine AS (
+        |  SELECT u.user_id, b.d0, CAST(s.day AS TIMESTAMP) AS day
+        |  FROM (SELECT DISTINCT user_id FROM daily) u
+        |  CROSS JOIN bounds b
+        |  CROSS JOIN LATERAL (SELECT unnest(generate_series(b.d0, b.d1,
+        |    INTERVAL 1 DAY)) AS day) s),
+        |j AS (
+        |  SELECT sp.user_id, sp.day,
+        |    CAST(date_diff('day', sp.d0, sp.day) AS BIGINT) AS idx,
+        |    d.cents,
+        |    CASE WHEN d.cents IS NOT NULL
+        |      THEN CAST(date_diff('day', sp.d0, sp.day) AS BIGINT)
+        |    END AS obs_idx
+        |  FROM spine sp LEFT JOIN daily d
+        |    ON sp.user_id = d.user_id AND sp.day = d.day),
+        |nav AS (
+        |  SELECT user_id, day, idx, cents,
+        |    last_value(cents IGNORE NULLS) OVER wp AS prev_c,
+        |    last_value(obs_idx IGNORE NULLS) OVER wp AS prev_i,
+        |    first_value(cents IGNORE NULLS) OVER wn AS next_c,
+        |    first_value(obs_idx IGNORE NULLS) OVER wn AS next_i
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY user_id ORDER BY idx
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day,
+        |  CAST(CASE WHEN cents IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+        |    AS is_obs,
+        |  CAST(CASE
+        |    WHEN cents IS NOT NULL THEN cents
+        |    WHEN prev_c IS NOT NULL AND next_c IS NOT NULL THEN
+        |      (prev_c * (next_i - idx) + next_c * (idx - prev_i))
+        |        // (next_i - prev_i)
+        |    WHEN prev_c IS NOT NULL THEN prev_c
+        |    ELSE next_c END AS BIGINT) AS interp_cents
+        |FROM nav ORDER BY user_id, day""".stripMargin,
 
     "e12_gap_fill" ->
       s"""WITH daily AS (
