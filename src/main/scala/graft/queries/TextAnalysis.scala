@@ -279,6 +279,38 @@ object TextAnalysis extends QueryPack {
         .orderBy($"oov_bucket")
     }),
 
+    // -- vocabulary growth curve (Heaps' law readout) -------------------
+    // How fast does the 2-gram vocabulary grow as the corpus is
+    // ingested in doc_id order? The curation readout behind "is more
+    // data still adding diversity": cum_vocab vs cum_grams per
+    // 50-doc bucket. A gram's contribution lands in the bucket of its
+    // FIRST occurrence (min doc_id — an aggregate, not a scan-order
+    // artifact), so the curve is exact and order-stable. Scale: the
+    // heavy work is two keyed aggregates over the gram stream; the
+    // running sums scan only the BUCKET summary (rows = docs/50 —
+    // size the bucket to keep it small at any corpus scale), so the
+    // inherently-sequential cumulative part never touches row data.
+    "t18_vocab_growth" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val grams = Tables(s, dir).documents
+        .withColumn("toks", split(lower($"text"), "\\s+"))
+        .select($"doc_id",
+          explode(PortableHash.shingleExpr("toks", 2)).as("g"))
+        .persist()
+      val totals = grams.groupBy(expr("doc_id div 50").as("bucket"))
+        .agg(count(lit(1)).as("n_grams"))
+      val firstSeen = grams.groupBy($"g").agg(min($"doc_id").as("first_doc"))
+        .groupBy(expr("first_doc div 50").as("bucket"))
+        .agg(count(lit(1)).as("new_grams"))
+      val w = Window.orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      totals.join(firstSeen, Seq("bucket"), "left")
+        .withColumn("new_grams", coalesce($"new_grams", lit(0L)))
+        .withColumn("cum_grams", sum($"n_grams").over(w))
+        .withColumn("cum_vocab", sum($"new_grams").over(w))
+        .orderBy($"bucket")
+    }),
+
     // -- corpus word frequency: top 20 ----------------------------------
     "t02_word_freq" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -633,6 +665,35 @@ object TextAnalysis extends QueryPack {
         |SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  MIN(common_ppm) AS min_ppm, MAX(common_ppm) AS max_ppm
         |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+
+    // 2-grams via the t13 range(1, len) spelling; cumulative sums
+    // cast back from HUGEINT
+    "t18_vocab_growth" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+        |  FROM toks CROSS JOIN LATERAL
+        |    (SELECT unnest(range(1, len(t))) AS i)),
+        |tot AS (
+        |  SELECT doc_id // 50 AS bucket, CAST(COUNT(*) AS BIGINT)
+        |    AS n_grams
+        |  FROM g GROUP BY 1),
+        |fo AS (SELECT g, MIN(doc_id) AS first_doc FROM g GROUP BY g),
+        |nw AS (
+        |  SELECT first_doc // 50 AS bucket, CAST(COUNT(*) AS BIGINT)
+        |    AS new_grams
+        |  FROM fo GROUP BY 1)
+        |SELECT t.bucket, t.n_grams,
+        |  CAST(COALESCE(n.new_grams, 0) AS BIGINT) AS new_grams,
+        |  CAST(SUM(t.n_grams) OVER w AS BIGINT) AS cum_grams,
+        |  CAST(SUM(COALESCE(n.new_grams, 0)) OVER w AS BIGINT)
+        |    AS cum_vocab
+        |FROM tot t LEFT JOIN nw n ON t.bucket = n.bucket
+        |WINDOW w AS (ORDER BY t.bucket
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY t.bucket""".stripMargin,
 
     // the vocab cutoff is the same (cnt DESC, word) total order; both
     // integer divisions are floor on non-negatives (// = Spark div)
