@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.PageRank
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over the customer→supplier trade graph (edges =
@@ -74,6 +75,25 @@ object Graphs extends QueryPack {
           .select($"o", $"sk", $"nat").distinct()
         ps.select($"o", $"nat", $"sk".as("u"))
           .join(ps.select($"o", $"nat", $"sk".as("v")), Seq("o", "nat"))
+          .filter($"u" < $"v")
+          .select($"u", $"v").distinct()
+          .localCheckpoint(true)
+      })
+
+  /** Distinct part co-purchase pairs (u < v) within an order — the
+    * g10 projection ("bought together at least once"). Orders average
+    * ~4 lineitems, so the per-order pair fan-out is constant and the
+    * edge list stays linear in lineitem.
+    */
+  private def partCoEdges(s: SparkSession, dir: String): DataFrame =
+    edgeMemo.computeIfAbsent(
+      (s.sparkContext.applicationId, dir, "partco"),
+      _ => {
+        import s.implicits._
+        val li = Tables(s, dir).lineitem
+          .select($"l_orderkey".as("o"), $"l_partkey".as("pk"))
+        li.select($"o", $"pk".as("u"))
+          .join(li.select($"o", $"pk".as("v")), Seq("o"))
           .filter($"u" < $"v")
           .select($"u", $"v").distinct()
           .localCheckpoint(true)
@@ -159,6 +179,37 @@ object Graphs extends QueryPack {
       import s.implicits._
       graft.operators.Triangles.perNode(coPurchaseEdges(s, dir))
         .orderBy($"id")
+    }),
+
+    // -- G10: link prediction on the part co-purchase graph -------------
+    // "Which parts SHOULD be bought together next": part pairs never
+    // co-purchased directly, ranked by resource-allocation overlap of
+    // their co-purchase neighborhoods ([[graft.operators.LinkPredict]])
+    // — collaborative-filtering candidate generation, graph-flavored
+    // (x22 scores pairs that DID co-occur; g10 predicts pairs that
+    // should). RA = Σ floor(10⁶/deg(w)) over common neighbors
+    // discounts hub witnesses exactly where the wedge self-join would
+    // explode, so the center cap (here far above this projection's max
+    // degree — cap-free result, the d02 discipline) removes only
+    // evidence the score already sends to zero. Top-20 by (ra desc,
+    // cn desc, u, v) is a bounded TakeOrdered over the candidate
+    // aggregate. The supplier co-purchase projection (g03/g05) is NOT
+    // used here: its same-nation blocks are so dense that every
+    // distance-2 pair is already an edge — zero candidates by
+    // construction.
+    "g10_link_prediction" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      // orderBy+limit = TakeOrdered (per-partition top-20, merged on
+      // the driver); the rank window then runs over 20 rows only —
+      // never a single-partition global sort of the candidate set
+      graft.operators.LinkPredict
+        .raScores(partCoEdges(s, dir), maxCenterDeg = 100000L)
+        .orderBy($"ra_ppm".desc, $"cn".desc, $"u", $"v").limit(20)
+        .withColumn("rank", row_number()
+          .over(Window.orderBy($"ra_ppm".desc, $"cn".desc, $"u", $"v"))
+          .cast("int"))
+        .select($"u", $"v", $"cn", $"ra_ppm", $"rank")
+        .orderBy($"rank")
     }),
 
     // -- G8: personalized PageRank from a seed set ----------------------
@@ -470,6 +521,41 @@ object Graphs extends QueryPack {
           |FROM deg LEFT JOIN pt ON deg.node = pt.id
           |WHERE deg.d >= 2
           |ORDER BY id""".stripMargin,
+
+      // link prediction on the part co-purchase graph; wedges derive
+      // from the full adjacency (no orientation) since candidate pairs
+      // need EVERY common neighbor as a witness
+      "g10_link_prediction" ->
+        s"""WITH pe AS (
+          |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+          |    AND a.l_partkey < b.l_partkey),
+          |pdeg AS (
+          |  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+          |    SELECT u AS node FROM pe UNION ALL SELECT v FROM pe)
+          |  GROUP BY node),
+          |adj AS (
+          |  SELECT u AS w, v AS n FROM pe
+          |  UNION ALL SELECT v, u FROM pe),
+          |cap AS (
+          |  SELECT a.w, a.n, pdeg.d FROM adj a
+          |  JOIN pdeg ON pdeg.node = a.w WHERE pdeg.d <= 100000),
+          |wedge2 AS (
+          |  SELECT c1.n AS a, c2.n AS b, c1.d
+          |  FROM cap c1 JOIN cap c2 ON c1.w = c2.w AND c1.n < c2.n),
+          |nonadj AS (
+          |  SELECT a, b, d FROM wedge2 x
+          |  WHERE NOT EXISTS (SELECT 1 FROM pe e
+          |                    WHERE e.u = x.a AND e.v = x.b)),
+          |sc AS (
+          |  SELECT a AS u, b AS v, CAST(COUNT(*) AS BIGINT) AS cn,
+          |    CAST(SUM(1000000 // d) AS BIGINT) AS ra_ppm
+          |  FROM nonadj GROUP BY a, b)
+          |SELECT u, v, cn, ra_ppm, rank FROM (
+          |  SELECT *, CAST(ROW_NUMBER() OVER (
+          |    ORDER BY ra_ppm DESC, cn DESC, u, v) AS INTEGER) AS rank
+          |  FROM sc) t
+          |WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
       // one (relax, merge) CTE pair per Bellman-Ford round — full
       // relaxation here vs the Spark side's delta frontier, which are

@@ -121,6 +121,77 @@ object Similarity extends QueryPack {
         .orderBy($"query_id", $"rank")
     }),
 
+    // -- MMR diversified re-rank: relevance − redundancy selection ------
+    // Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98):
+    // after retrieval, greedily pick items maximizing
+    //   λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)
+    // so the final k answers are both relevant AND mutually diverse —
+    // the standard re-rank between ANN retrieval and an LLM context
+    // window (dedups near-identical passages the plain top-k returns).
+    // All-integer: sims are quantized dots, λ = 700 per-mille, so
+    // score = 700·rel − 300·maxSel never leaves BIGINT and the greedy
+    // argmax (ties → smaller neighbor_id) is engine-portable.
+    //
+    // Scale notes (100 TB): MMR only ever runs on the RETRIEVED POOL,
+    // never the corpus — here top-8 per query from the s01 broadcast
+    // scan. Every downstream frame is keyed by query_id and bounded by
+    // pool size (≤8 rows, ≤56 pairs per query), so the k selection
+    // rounds unroll as k tiny keyed joins — fully declarative, no
+    // per-group imperative loop, no driver sequencing; cost is
+    // O(queries · pool²) independent of corpus size.
+    "s12_mmr_rerank" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.VectorSearch
+      val emb = VectorSearch.quantize(Tables(s, dir).embeddings, "embedding")
+        .select($"vec_id", $"eq")
+      val pool0 = VectorSearch.topKBruteForce(
+          emb.filter($"vec_id" < 20)
+            .select($"vec_id".as("query_id"), $"eq".as("qe")),
+          emb.select($"vec_id".as("neighbor_id"), $"eq".as("ce")),
+          k = 8)
+        .select($"query_id", $"neighbor_id", $"dot")
+      // re-attach candidate vectors for the pairwise redundancy dots
+      val pool = pool0
+        .join(emb.select($"vec_id".as("neighbor_id"), $"eq".as("ce")),
+          Seq("neighbor_id"))
+        .persist()
+      val pairs = pool.select($"query_id", $"neighbor_id".as("a_id"),
+          $"ce".as("ae"))
+        .join(pool.select($"query_id", $"neighbor_id".as("b_id"),
+          $"ce".as("be")), Seq("query_id"))
+        .filter($"a_id" =!= $"b_id")
+        .withColumn("pd", expr("graft_dotl(ae, be)"))
+        .select($"query_id", $"a_id", $"b_id", $"pd")
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"score".desc, $"neighbor_id")
+      def pick(scored: DataFrame): DataFrame = scored
+        .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+        .select($"query_id", $"neighbor_id", $"dot", $"score")
+      val s1 = pick(pool.withColumn("score", lit(700L) * $"dot"))
+      val s2 = pick(pool
+        .join(s1.select($"query_id", $"neighbor_id".as("p1")), Seq("query_id"))
+        .filter($"neighbor_id" =!= $"p1")
+        .join(pairs.select($"query_id", $"a_id".as("neighbor_id"),
+          $"b_id".as("p1"), $"pd".as("pd1")), Seq("query_id", "neighbor_id", "p1"))
+        .withColumn("score", lit(700L) * $"dot" - lit(300L) * $"pd1"))
+      val s3 = pick(pool
+        .join(s1.select($"query_id", $"neighbor_id".as("p1")), Seq("query_id"))
+        .join(s2.select($"query_id", $"neighbor_id".as("p2")), Seq("query_id"))
+        .filter($"neighbor_id" =!= $"p1" && $"neighbor_id" =!= $"p2")
+        .join(pairs.select($"query_id", $"a_id".as("neighbor_id"),
+          $"b_id".as("p1"), $"pd".as("pd1")), Seq("query_id", "neighbor_id", "p1"))
+        .join(pairs.select($"query_id", $"a_id".as("neighbor_id"),
+          $"b_id".as("p2"), $"pd".as("pd2")), Seq("query_id", "neighbor_id", "p2"))
+        .withColumn("score",
+          lit(700L) * $"dot" - lit(300L) * greatest($"pd1", $"pd2")))
+      s1.withColumn("step", lit(1))
+        .unionByName(s2.withColumn("step", lit(2)))
+        .unionByName(s3.withColumn("step", lit(3)))
+        .select($"query_id", $"step".cast("int"),
+          $"neighbor_id", $"dot".as("rel_dot"), $"score")
+        .orderBy($"query_id", $"step")
+    }),
+
     // -- k-NN classification: majority label of the 5 nearest -----------
     "s04_knn_classify" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -402,6 +473,73 @@ object Similarity extends QueryPack {
         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY dot DESC, neighbor_id) AS INTEGER) AS rank FROM p) t
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // MMR unrolled: pool = top-8 by dot, then 3 greedy rounds; each
+    // round's argmax mirrors the Spark window (score DESC, id ASC).
+    "s12_mmr_rerank" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS eq
+        |  FROM embeddings),
+        |cand AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.eq,
+        |    CAST(list_sum(list_transform(generate_series(1, len(q.eq)),
+        |      i -> q.eq[i] * c.eq[i])) AS BIGINT) AS dot
+        |  FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        |pool AS (
+        |  SELECT query_id, neighbor_id, eq, dot FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY dot DESC, neighbor_id) AS rnk FROM cand) t
+        |  WHERE rnk <= 8),
+        |pr AS (
+        |  SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(a.eq)),
+        |      i -> a.eq[i] * b.eq[i])) AS BIGINT) AS pd
+        |  FROM pool a JOIN pool b ON a.query_id = b.query_id
+        |    AND a.neighbor_id <> b.neighbor_id),
+        |s1 AS (
+        |  SELECT query_id, neighbor_id, dot, 700 * dot AS score FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY 700 * dot DESC, neighbor_id) AS rk FROM pool) t
+        |  WHERE rk = 1),
+        |s2 AS (
+        |  SELECT query_id, neighbor_id, dot, score FROM (
+        |    SELECT p.query_id, p.neighbor_id, p.dot,
+        |      700 * p.dot - 300 * pr.pd AS score,
+        |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+        |        ORDER BY 700 * p.dot - 300 * pr.pd DESC, p.neighbor_id) AS rk
+        |    FROM pool p
+        |    JOIN s1 ON s1.query_id = p.query_id
+        |      AND p.neighbor_id <> s1.neighbor_id
+        |    JOIN pr ON pr.query_id = p.query_id
+        |      AND pr.a_id = p.neighbor_id AND pr.b_id = s1.neighbor_id) t
+        |  WHERE rk = 1),
+        |s3 AS (
+        |  SELECT query_id, neighbor_id, dot, score FROM (
+        |    SELECT p.query_id, p.neighbor_id, p.dot,
+        |      700 * p.dot - 300 * GREATEST(p1.pd, p2.pd) AS score,
+        |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+        |        ORDER BY 700 * p.dot - 300 * GREATEST(p1.pd, p2.pd) DESC,
+        |          p.neighbor_id) AS rk
+        |    FROM pool p
+        |    JOIN s1 ON s1.query_id = p.query_id
+        |      AND p.neighbor_id <> s1.neighbor_id
+        |    JOIN s2 ON s2.query_id = p.query_id
+        |      AND p.neighbor_id <> s2.neighbor_id
+        |    JOIN pr p1 ON p1.query_id = p.query_id
+        |      AND p1.a_id = p.neighbor_id AND p1.b_id = s1.neighbor_id
+        |    JOIN pr p2 ON p2.query_id = p.query_id
+        |      AND p2.a_id = p.neighbor_id AND p2.b_id = s2.neighbor_id) t
+        |  WHERE rk = 1)
+        |SELECT query_id, CAST(step AS INTEGER) AS step, neighbor_id,
+        |  rel_dot, score FROM (
+        |  SELECT query_id, 1 AS step, neighbor_id, dot AS rel_dot, score
+        |  FROM s1
+        |  UNION ALL
+        |  SELECT query_id, 2, neighbor_id, dot, score FROM s2
+        |  UNION ALL
+        |  SELECT query_id, 3, neighbor_id, dot, score FROM s3) u
+        |ORDER BY query_id, step""".stripMargin,
 
     "s04_knn_classify" ->
       """WITH e AS (
