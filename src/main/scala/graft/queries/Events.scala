@@ -155,6 +155,49 @@ object Events extends QueryPack {
         .orderBy($"event_id")
     }),
 
+    // -- multi-touch attribution: U-shaped credit per conversion --------
+    // The marketing-analytics staple: every click/view/signup touch
+    // attributes forward to the user's NEXT purchase within a 24h
+    // lookback (the e17 as-of-forward shape — each touch credits
+    // exactly one conversion, so credit never double-counts), then
+    // position-based (U-shaped) credit in integer per-mille: 40% to
+    // the first touch, 40% to the last, 20% split across the middle
+    // (n=1 → 1000, n=2 → 500/500), with the integer-division
+    // remainder pinned to the last touch so every conversion's credit
+    // sums to exactly 1000. Channel rollup = credited conversions ×
+    // 1000. Scale: one as-of merge-sort per user partition plus two
+    // conv_id-keyed windows — no self-join, no driver state.
+    "e23_attribution" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val ev = Tables(s, dir).events
+      val att = graft.operators.AsofJoin.asofForward(
+          ev.filter($"event_type".isin("click", "view", "signup"))
+            .select($"user_id", $"ts", $"event_id", $"event_type"),
+          ev.filter($"event_type" === "purchase")
+            .select($"user_id", $"ts", $"event_id"),
+          on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          pick = Seq("event_id" -> "conv_id", "ts" -> "conv_ts"),
+          tieBreak = Some("event_id"))
+        .filter($"conv_ts".isNotNull &&
+          expr("unix_micros(conv_ts) - unix_micros(ts) <= 86400000000"))
+      val wp = Window.partitionBy($"conv_id").orderBy($"ts", $"event_id")
+      att.withColumn("pos", row_number().over(wp).cast("long"))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy($"conv_id")))
+        .withColumn("credit", expr(
+          """CASE WHEN n = 1 THEN 1000
+            |     WHEN n = 2 THEN 500
+            |     WHEN pos = 1 THEN 400
+            |     WHEN pos = n THEN
+            |       400 + (200 - (200 div (n - 2)) * (n - 2))
+            |     ELSE 200 div (n - 2) END""".stripMargin))
+        .groupBy($"event_type".as("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          countDistinct($"conv_id").as("n_conversions"),
+          sum($"credit").cast("long").as("credit_total_pm"))
+        .orderBy($"channel")
+    }),
+
     // -- keep-first dedup by business key (deterministic) ---------------
     "e06_dedup_first" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -762,6 +805,41 @@ object Events extends QueryPack {
         |    AND p.ts >= c.ts
         |  ORDER BY p.ts, p.event_id LIMIT 1) n ON TRUE
         |ORDER BY c.event_id""".stripMargin,
+
+    // same e17 LATERAL next-purchase semantics (ts >= touch, ties by
+    // event_id), then the identical integer U-shaped credit CASE
+    "e23_attribution" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, ts, event_type FROM events
+        |  WHERE event_type IN ('click', 'view', 'signup')),
+        |a AS (
+        |  SELECT t.event_id, t.event_type, t.ts, n.conv_id
+        |  FROM t JOIN LATERAL (
+        |    SELECT p.event_id AS conv_id, p.ts AS conv_ts FROM events p
+        |    WHERE p.event_type = 'purchase' AND p.user_id = t.user_id
+        |      AND p.ts >= t.ts
+        |    ORDER BY p.ts, p.event_id LIMIT 1) n ON TRUE
+        |  WHERE epoch_us(n.conv_ts) - epoch_us(t.ts) <= 86400000000),
+        |pos AS (
+        |  SELECT event_type, conv_id,
+        |    ROW_NUMBER() OVER (PARTITION BY conv_id
+        |      ORDER BY ts, event_id) AS pos,
+        |    COUNT(*) OVER (PARTITION BY conv_id) AS n
+        |  FROM a),
+        |cr AS (
+        |  SELECT event_type, conv_id,
+        |    CASE WHEN n = 1 THEN 1000
+        |         WHEN n = 2 THEN 500
+        |         WHEN pos = 1 THEN 400
+        |         WHEN pos = n THEN
+        |           400 + (200 - (200 // (n - 2)) * (n - 2))
+        |         ELSE 200 // (n - 2) END AS credit
+        |  FROM pos)
+        |SELECT event_type AS channel,
+        |  CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+        |  CAST(SUM(credit) AS BIGINT) AS credit_total_pm
+        |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "e16_daily_leaderboard" ->
       """WITH daily AS (

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.queries.SqlDet.dec
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** The engine's user-extension surface (SURVEY §2.3 last row — the
@@ -578,6 +578,49 @@ object Extensions extends QueryPack {
         .orderBy($"c_nationkey")
     }),
 
+    // -- x23: join-key skew diagnostic — the pre-salting report ---------
+    // The readout you run BEFORE choosing x15's salting factor: the
+    // per-key weight distribution of a prospective join/agg key, as
+    // top-10 heavy keys annotated with exact global shape (n_keys,
+    // p50/p99 per-key rows, share and ratio-to-mean in per-mille).
+    // Exact percentiles WITHOUT ranking all keys: the count-of-counts
+    // histogram (g02's trick) is tiny — bounded by distinct count
+    // VALUES, not key count — so the cumulative window runs over it,
+    // never over the key set; heavy keys come via TakeOrdered. Every
+    // stage is a keyed aggregate or a bounded sort: the report itself
+    // survives the skew it measures (a billion-key column yields the
+    // same plan).
+    "x23_skew_report" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val counts = Tables(s, dir).orders
+        .groupBy($"o_custkey".as("key"))
+        .agg(count(lit(1)).as("n_rows")).persist()
+      val stats = counts
+        .agg(count(lit(1)).as("n_keys"),
+          sum($"n_rows").cast("long").as("total_rows"))
+      val hist = counts.groupBy($"n_rows").agg(count(lit(1)).as("nk"))
+      val cum = hist
+        .withColumn("cum", sum($"nk").over(Window.orderBy($"n_rows")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(stats))
+      // percentile-at-ceil-rank over the cumulative histogram:
+      // p = min count value whose cum covers ceil(q·n_keys) keys
+      val p50 = cum.filter(expr("cum >= (n_keys + 1) div 2"))
+        .agg(min($"n_rows").as("p50_rows"))
+      val p99 = cum.filter(expr("cum >= (99 * n_keys + 99) div 100"))
+        .agg(min($"n_rows").as("p99_rows"))
+      counts.orderBy($"n_rows".desc, $"key").limit(10)
+        .withColumn("rank", row_number()
+          .over(Window.orderBy($"n_rows".desc, $"key")).cast("int"))
+        .crossJoin(broadcast(stats))
+        .crossJoin(broadcast(p50)).crossJoin(broadcast(p99))
+        .select($"rank", $"key", $"n_rows",
+          expr("n_rows * 1000 div total_rows").as("share_pm"),
+          expr("n_rows * 1000 * n_keys div total_rows").as("ratio_mean_pm"),
+          $"n_keys", $"p50_rows", $"p99_rows")
+        .orderBy($"rank")
+    }),
+
     "x17_snapshot_diff" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val base = Tables(s, dir).orders
@@ -999,6 +1042,39 @@ object Extensions extends QueryPack {
         |    AS n_suppressed,
         |  MIN(n) AS min_group_size
         |FROM g GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // percentiles via the cumulative count-of-counts histogram — the
+    // same ceil-rank definition as the Spark side; hist n_rows values
+    // are distinct so the default RANGE window frame equals ROWS
+    "x23_skew_report" ->
+      """WITH c AS (
+        |  SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM orders GROUP BY 1),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(n_rows) AS BIGINT) AS total_rows FROM c),
+        |hist AS (
+        |  SELECT n_rows, CAST(COUNT(*) AS BIGINT) AS nk
+        |  FROM c GROUP BY n_rows),
+        |cum AS (
+        |  SELECT n_rows, SUM(nk) OVER (ORDER BY n_rows) AS cum
+        |  FROM hist),
+        |p50 AS (
+        |  SELECT CAST(MIN(n_rows) AS BIGINT) AS p50_rows
+        |  FROM cum, st WHERE cum >= (n_keys + 1) // 2),
+        |p99 AS (
+        |  SELECT CAST(MIN(n_rows) AS BIGINT) AS p99_rows
+        |  FROM cum, st WHERE cum >= (99 * n_keys + 99) // 100),
+        |top AS (
+        |  SELECT key, n_rows, CAST(ROW_NUMBER() OVER (
+        |    ORDER BY n_rows DESC, key) AS INTEGER) AS rank FROM c)
+        |SELECT rank, key, n_rows,
+        |  CAST(n_rows * 1000 // total_rows AS BIGINT) AS share_pm,
+        |  CAST(n_rows * 1000 * n_keys // total_rows AS BIGINT)
+        |    AS ratio_mean_pm,
+        |  n_keys, p50_rows, p99_rows
+        |FROM top, st, p50, p99 WHERE rank <= 10
+        |ORDER BY rank""".stripMargin,
 
     // IS DISTINCT FROM = Spark's NOT(<=>); ×2 on doubles is exact in
     // both engines (exponent bump), so 'changed' is bit-deterministic
