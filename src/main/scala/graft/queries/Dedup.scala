@@ -230,6 +230,38 @@ object Dedup extends QueryPack {
         .orderBy($"d1", $"d2")
     }),
 
+    // -- cross-source duplication flow matrix ---------------------------
+    // WHO copies from WHOM: verified near-dup pairs (the d04 LSH
+    // candidates at ≥300‰ Jaccard) rolled up to (source, source)
+    // cells — the governance readout that tells a corpus owner which
+    // ingest feeds syndicate each other's content (and how strongly)
+    // before any per-document action is taken. Rides the memoized
+    // shingle index + signatures; the only new work past d04 is two
+    // broadcast-size dimension joins and a keyed rollup, so the
+    // matrix costs nothing beyond the pair verification it reuses.
+    "d15_dup_matrix" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.TextDedup
+      val sh = shingleHashes(s, dir)
+      val wide = sharedSignatures(s, dir)
+      val cand = TextDedup.lshCandidates(wide, K, Bands).persist()
+      val src = Tables(s, dir).documents.select($"doc_id", $"source")
+      TextDedup.jaccardVerify(sh, cand)
+        .filter($"jaccard_pm" >= 300)
+        .join(src.select($"doc_id".as("d1"), $"source".as("s1")), Seq("d1"))
+        .join(src.select($"doc_id".as("d2"), $"source".as("s2")), Seq("d2"))
+        .withColumn("src_a", least($"s1", $"s2"))
+        .withColumn("src_b", greatest($"s1", $"s2"))
+        .groupBy($"src_a", $"src_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum($"jaccard_pm").as("sum_j"),
+          max($"jaccard_pm").as("max_jaccard_pm"))
+        .withColumn("avg_jaccard_pm", expr("sum_j div n_pairs"))
+        .select($"src_a", $"src_b", $"n_pairs", $"avg_jaccard_pm",
+          $"max_jaccard_pm")
+        .orderBy($"src_a", $"src_b")
+    }),
+
     // -- incremental dedup: new batch probed against the corpus index ---
     // THE production dedup shape: yesterday's corpus is already
     // indexed (signatures + band hashes — here the memoized shared
@@ -728,6 +760,45 @@ object Dedup extends QueryPack {
            |LEFT JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
            |JOIN ns n1 ON c.d1 = n1.doc_id JOIN ns n2 ON c.d2 = n2.doc_id
            |ORDER BY c.d1, c.d2""".stripMargin,
+
+      // the d04 chain verbatim, then threshold + source rollup;
+      // SUM(j)//COUNT(*) is floor on non-negatives = Spark's div
+      "d15_dup_matrix" ->
+        s"""WITH $duckSignatureCte,
+           |banded AS (
+           |  ${bandCols.zipWithIndex.map { case ((_, sigCols), bi) =>
+                s"SELECT doc_id, $bi AS band, " +
+                  duckHash56("concat_ws(',', " +
+                    sigCols.map(c => s"CAST($c AS VARCHAR)").mkString(", ") + ")") +
+                  " AS bh FROM wide"
+              }.mkString("\n  UNION ALL\n  ")}),
+           |cand AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |inter AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |scored AS (
+           |  SELECT c.d1, c.d2,
+           |    COALESCE(i.inter, 0) * 1000 //
+           |      (n1.n + n2.n - COALESCE(i.inter, 0)) AS j
+           |  FROM cand c
+           |  LEFT JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
+           |  JOIN ns n1 ON c.d1 = n1.doc_id JOIN ns n2 ON c.d2 = n2.doc_id),
+           |m AS (
+           |  SELECT LEAST(a.source, b.source) AS src_a,
+           |    GREATEST(a.source, b.source) AS src_b, j
+           |  FROM scored
+           |  JOIN documents a ON scored.d1 = a.doc_id
+           |  JOIN documents b ON scored.d2 = b.doc_id
+           |  WHERE j >= 300)
+           |SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |  CAST(SUM(j) // COUNT(*) AS BIGINT) AS avg_jaccard_pm,
+           |  CAST(MAX(j) AS BIGINT) AS max_jaccard_pm
+           |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "d05_simhash" ->
         s"""WITH tok AS (

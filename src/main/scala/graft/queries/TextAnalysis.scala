@@ -311,6 +311,33 @@ object TextAnalysis extends QueryPack {
         .orderBy($"bucket")
     }),
 
+    // -- feature hashing: vocabulary-free sparse features ---------------
+    // The hashing trick (Weinberger et al. 2009; fastText / Vowpal
+    // Wabbit): token → hash56 mod D buckets with a second-hash ±1 sign
+    // so collisions cancel in expectation — classifier-ready sparse
+    // vectors with NO vocabulary build, no global state, no second
+    // pass. The per-doc output grain is (doc_id, idx, w, n_tok) with
+    // exact zero-weight features dropped (fully-cancelled buckets).
+    // Scale: map-only explode + one keyed aggregate; D is a constant,
+    // the vocabulary (the thing that grows with corpus size — t18
+    // measures HOW it grows) never materializes anywhere. doc_id < 20
+    // bounds the readout; production emits every doc identically.
+    "t19_feature_hash" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val D = 64
+      Tables(s, dir).documents
+        .filter($"doc_id" < 20)
+        .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("tok"))
+        .withColumn("idx", PortableHash.sparkHash56($"tok") % D)
+        .withColumn("sgn",
+          when(PortableHash.sparkHash56(concat($"tok", lit("#s"))) % 2 === 0,
+            1L).otherwise(-1L))
+        .groupBy($"doc_id", $"idx")
+        .agg(sum($"sgn").as("w"), count(lit(1)).as("n_tok"))
+        .filter($"w" =!= 0)
+        .orderBy($"doc_id", $"idx")
+    }),
+
     // -- corpus word frequency: top 20 ----------------------------------
     "t02_word_freq" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -694,6 +721,25 @@ object TextAnalysis extends QueryPack {
         |WINDOW w AS (ORDER BY t.bucket
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY t.bucket""".stripMargin,
+
+    // hash56 is non-negative (56-bit md5 prefix) so % 64 agrees with
+    // Spark's %; the sign hash salts with '#s' in both engines
+    "t19_feature_hash" -> {
+      val idx = PortableHash.duckHash56("tok")
+      val sgn = PortableHash.duckHash56("tok || '#s'")
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+'))
+        |    AS tok
+        |  FROM documents WHERE doc_id < 20),
+        |f AS (
+        |  SELECT doc_id, $idx % 64 AS idx,
+        |    CAST(SUM(CASE WHEN $sgn % 2 = 0 THEN 1 ELSE -1 END)
+        |      AS BIGINT) AS w,
+        |    CAST(COUNT(*) AS BIGINT) AS n_tok
+        |  FROM tok GROUP BY 1, 2)
+        |SELECT doc_id, idx, w, n_tok FROM f
+        |WHERE w <> 0 ORDER BY doc_id, idx""".stripMargin
+    },
 
     // the vocab cutoff is the same (cnt DESC, word) total order; both
     // integer divisions are floor on non-negatives (// = Spark div)
