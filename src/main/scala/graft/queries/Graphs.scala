@@ -99,6 +99,34 @@ object Graphs extends QueryPack {
           .localCheckpoint(true)
       })
 
+  /** Exact symmetrized degree-assortativity readout for g11, shared
+    * with GraphsSpec (which pins the negative-numerator path a
+    * positive-r oracle never exercises). DuckDB's `//` and Spark's
+    * `div` BOTH truncate toward zero on negatives (verified: -20000
+    * // 28 = -714 in DuckDB), so plain `div` is already the portable
+    * spelling — an earlier floor-"corrected" draft diverged by 1 on
+    * negative r at sf0.001. den (a variance) is 0 only on regular
+    * graphs, where r is undefined → NULL.
+    */
+  private[queries] def assortativity(e: DataFrame): DataFrame = {
+    val adjPairs = e.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+    val deg = adjPairs.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("d"))
+    adjPairs
+      .join(deg.select(col("node").as("a"), col("d").as("dx")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("dy")), Seq("b"))
+      .agg(count(lit(1)).as("n2"), sum(col("dx")).as("sx"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"))
+      .select(expr("n2 div 2").as("n_edges"), col("sx"), col("sxy"),
+        col("sxx"),
+        ((col("n2") * col("sxy")) - (col("sx") * col("sx"))).as("num"),
+        ((col("n2") * col("sxx")) - (col("sx") * col("sx"))).as("den"))
+      .withColumn("r_pm", expr(
+        "CASE WHEN den = 0 THEN NULL ELSE 1000 * num div den END"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- G1: integer PageRank, 3 synchronous iterations -----------------
     "g01_pagerank" -> ((s: SparkSession, dir: String) => {
@@ -211,6 +239,20 @@ object Graphs extends QueryPack {
         .select($"u", $"v", $"cn", $"ra_ppm", $"rank")
         .orderBy($"rank")
     }),
+
+    // -- G11: degree assortativity of the part co-purchase graph --------
+    // Newman's r: do high-degree parts co-purchase with high-degree
+    // parts (r > 0) or with accessories (r < 0)? Computed over BOTH
+    // edge orientations, which symmetrizes the accumulators (Σx = Σy,
+    // Σx² = Σy²) so Pearson's sqrt cancels ALGEBRAICALLY:
+    //   r = (n·Σxy − Σx²) / (n·Σx² − (Σx)²)
+    // — every term an exact BIGINT, no float ever. r_pm truncates
+    // toward zero in BOTH engines (Spark div ≡ DuckDB // on
+    // negatives — see [[assortativity]]). Scale: two keyed joins
+    // against the degree table and one global 4-accumulator
+    // aggregate — map-side combinable, one row out, no sort anywhere.
+    "g11_assortativity" -> ((s: SparkSession, dir: String) =>
+      assortativity(partCoEdges(s, dir))),
 
     // -- G8: personalized PageRank from a seed set ----------------------
     // The recommendation primitive ("entities nearest these customers
@@ -556,6 +598,37 @@ object Graphs extends QueryPack {
           |    ORDER BY ra_ppm DESC, cn DESC, u, v) AS INTEGER) AS rank
           |  FROM sc) t
           |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+      // symmetrized Newman r over both orientations — the sqrt cancels,
+      // everything stays BIGINT; // truncates toward zero on negatives
+      // exactly like Spark's div (GraphsSpec pins the negative path)
+      "g11_assortativity" ->
+        """WITH pe AS (
+          |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+          |    AND a.l_partkey < b.l_partkey),
+          |adj AS (
+          |  SELECT u AS a, v AS b FROM pe
+          |  UNION ALL SELECT v, u FROM pe),
+          |pdeg AS (
+          |  SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d
+          |  FROM adj GROUP BY a),
+          |j AS (
+          |  SELECT dx.d AS dx, dy.d AS dy FROM adj
+          |  JOIN pdeg dx ON dx.node = adj.a
+          |  JOIN pdeg dy ON dy.node = adj.b),
+          |acc AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n2,
+          |    CAST(SUM(dx) AS BIGINT) AS sx,
+          |    CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+          |    CAST(SUM(dx * dx) AS BIGINT) AS sxx
+          |  FROM j)
+          |SELECT n2 // 2 AS n_edges, sx, sxy, sxx,
+          |  n2 * sxy - sx * sx AS num,
+          |  n2 * sxx - sx * sx AS den,
+          |  (1000 * (n2 * sxy - sx * sx)) // (n2 * sxx - sx * sx)
+          |    AS r_pm
+          |FROM acc""".stripMargin,
 
       // one (relax, merge) CTE pair per Bellman-Ford round — full
       // relaxation here vs the Spark side's delta frontier, which are
