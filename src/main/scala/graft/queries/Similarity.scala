@@ -34,7 +34,7 @@ object Similarity extends QueryPack {
     * per bucket at sf0.01; at 100 TB the same shape uses more bits
     * plus multi-probe of bit-flip neighbor buckets.
     */
-  private val duckBucketExpr: String =
+  private[queries] val duckBucketExpr: String =
     (0 until 8).map(i => s"CAST(embedding[${i + 1}] > 0 AS BIGINT) * ${1L << i}")
       .mkString(" + ")
 

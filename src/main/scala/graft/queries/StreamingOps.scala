@@ -787,6 +787,45 @@ object StreamingOps extends QueryPack {
         .orderBy($"day", $"rule")
     }),
 
+    // -- streaming ANN serving: per-event nearest neighbor --------------
+    // The real-time personalization shape: each purchase event looks
+    // up its user's embedding (user_id mod 500 keys the vector dim —
+    // a stand-in for a profile-embedding lookup), probes the STATIC
+    // sign-bucket LSH index (the s02 layout) for same-bucket
+    // candidates, and emits the single nearest corpus vector by exact
+    // integer dot. Both dimension frames broadcast, so the stream
+    // never shuffles until the final per-event argmax — at production
+    // scale the bucketed corpus is the partition-pruned ANN index and
+    // the argmax state is one struct per in-flight event. The
+    // lexicographic struct-max (dot, -neighbor_id) makes ties
+    // deterministic under any batching; singleton-bucket events drop
+    // via inner-join semantics, which the oracle mirrors.
+    "st24_stream_ann_serving" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.VectorSearch
+      val emb = VectorSearch.signBucket(
+        VectorSearch.quantize(Tables(s, dir).embeddings, "embedding"),
+        "embedding", bits = 8)
+      val qdim = broadcast(emb.select($"vec_id".as("qvec"),
+        $"eq".as("qe"), $"bucket"))
+      val corpus = broadcast(emb.select($"vec_id".as("neighbor_id"),
+        $"eq".as("ce"), $"bucket"))
+      val served = eventStream(s, dir)
+        .filter($"event_type" === "purchase")
+        .withColumn("qvec", $"user_id" % 500)
+        .join(qdim, Seq("qvec"))
+        .join(corpus, Seq("bucket"))
+        .filter($"neighbor_id" =!= $"qvec")
+        .withColumn("dot", expr("graft_dotl(qe, ce)"))
+        .groupBy($"event_id", $"user_id", $"qvec")
+        .agg(max(struct($"dot", (-$"neighbor_id").as("negid")))
+          .as("best"))
+      drain(s, served, OutputMode.Complete())
+        .select($"event_id", $"user_id", $"qvec",
+          (-$"best.negid").as("nn_id"), $"best.dot".as("dot"))
+        .orderBy($"event_id")
+    }),
+
     // -- streaming CDC apply: versioned changelog → serving table -------
     // The streaming face of x18's change feed. A changelog of
     // ('U' upsert / 'D' tombstone) ops, each stamped with its source
@@ -920,6 +959,29 @@ object StreamingOps extends QueryPack {
         |FROM events JOIN customer ON user_id = c_custkey
         |WHERE event_type = 'purchase'
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // the s02 bucket layout + e17-style per-event argmax; inner joins
+    // drop singleton-bucket events exactly like the stream
+    "st24_stream_ann_serving" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS eq,
+        |    ${Similarity.duckBucketExpr} AS bucket
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT event_id, user_id, user_id % 500 AS qvec
+        |  FROM events WHERE event_type = 'purchase'),
+        |cand AS (
+        |  SELECT q.event_id, q.user_id, q.qvec, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(qe.eq)),
+        |      i -> qe.eq[i] * c.eq[i])) AS BIGINT) AS dot
+        |  FROM q
+        |  JOIN e qe ON qe.vec_id = q.qvec
+        |  JOIN e c ON c.bucket = qe.bucket AND c.vec_id <> q.qvec)
+        |SELECT event_id, user_id, qvec, neighbor_id AS nn_id, dot FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+        |    ORDER BY dot DESC, neighbor_id) AS rk FROM cand) t
+        |WHERE rk = 1 ORDER BY event_id""".stripMargin,
 
     "st5_stream_sliding" ->
       """SELECT time_bucket(INTERVAL '15 minutes', ts) - j * INTERVAL '15 minutes' AS ws,
