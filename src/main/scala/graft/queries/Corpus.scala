@@ -235,6 +235,34 @@ object Corpus extends QueryPack {
         .orderBy($"shard", $"pack_id")
     }),
 
+    // -- equi-depth feature binning: ntile discretization ---------------
+    // The feature-engineering step quantile binning (equi-depth
+    // histogram): per source, documents are ranked by (n_chars,
+    // doc_id) — a total order, so ties can't float between bins —
+    // and dealt into 8 equal-depth bins by ntile (SQL-standard
+    // remainder rule: the first n%8 bins take one extra row, same in
+    // Spark and DuckDB). Output is the bin SUMMARY (count + [lo, hi]
+    // boundaries): the discretizer table a trainer would broadcast to
+    // bin the full corpus map-side. Scale: one sort per source
+    // partition; sources parallelize, but ONE giant source serializes
+    // into a single task — at 100 TB with few sources, swap the exact
+    // rank for LogHistogram boundaries (x14) and keep this query as
+    // the exactness reference; the row-band spelling (c06) is the
+    // row-local alternative when bins may be value-based.
+    "c12_quantile_binning" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")
+      Tables(s, dir).documents
+        .select($"source", $"doc_id", $"n_chars")
+        .withColumn("bin", ntile(8).over(w).cast("long"))
+        .groupBy($"source", $"bin")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"n_chars").as("lo_chars"),
+          max($"n_chars").as("hi_chars"))
+        .orderBy($"source", $"bin")
+    }),
+
     // -- pack slices: the loader-facing materialization of c04 ----------
     // Each (doc, pack) intersection as an exact token slice: which
     // range of the doc fills which position of which context window.
@@ -508,7 +536,23 @@ object Corpus extends QueryPack {
            |  CAST(g0 - pack_id * 2048 AS BIGINT) AS pos_in_pack
            |FROM sl WHERE g1 > g0
            |ORDER BY shard, pack_id, pos_in_pack""".stripMargin
-      }
+      },
+
+      // ntile follows the SQL-standard remainder rule in both engines
+      // (first n%8 bins one row deeper); (n_chars, doc_id) is a total
+      // order so the deal is deterministic
+      "c12_quantile_binning" ->
+        """WITH r AS (
+          |  SELECT source, n_chars,
+          |    ntile(8) OVER (PARTITION BY source
+          |      ORDER BY n_chars, doc_id) AS bin
+          |  FROM documents)
+          |SELECT source, CAST(bin AS BIGINT) AS bin,
+          |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(MIN(n_chars) AS BIGINT) AS lo_chars,
+          |  CAST(MAX(n_chars) AS BIGINT) AS hi_chars
+          |FROM r GROUP BY source, bin
+          |ORDER BY source, bin""".stripMargin
     )
   }
 }

@@ -428,6 +428,36 @@ object Dedup extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // -- canonical pick: the APPLY step of near-dup dedup ---------------
+    // d07 labels clusters; this query makes the keep/drop DECISION —
+    // per cluster, keep the doc with the most content (n_chars DESC,
+    // doc_id ASC tie-break: a total order, so the pick is
+    // deterministic), report what dropping the rest saves. The
+    // combinable argmax is max(struct(n_chars, -doc_id)) — one hash
+    // aggregate over the cluster grain, no window sort, no second
+    // join back to rows. Scale: cluster labels come from the capped
+    // LSH pipeline (d07); everything after is keyed aggregates, and
+    // the kept-set (anti-join of documents against the dropped ids)
+    // stays a plan users compose downstream — the decision table
+    // itself is what materializes.
+    "d16_cluster_canonical" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val comp = graft.operators.Clusters
+        .connectedComponents(clusterEdges(s, dir, minJaccardPm = 500))
+      val docs = Tables(s, dir).documents.select($"doc_id", $"n_chars")
+      comp.join(docs, comp("id") === docs("doc_id"))
+        .groupBy($"comp")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct($"n_chars".as("nc"), (-$"doc_id").as("negid")))
+            .as("best"),
+          sum($"n_chars").as("chars_total"))
+        .select($"comp".as("cluster_id"), $"n_members",
+          (-$"best.negid").as("keep_doc_id"),
+          $"best.nc".as("keep_n_chars"),
+          ($"chars_total" - $"best.nc").as("chars_dropped"))
+        .orderBy($"cluster_id")
+    }),
+
     // -- embedding near-dup: sign-bucket blocking + exact-int cosine ----
     // cos(a,b) ≥ 0.5  ⇔  dot > 0 ∧ 4·dot² ≥ |a|²·|b|²  (integer-exact
     // over floor(x·1000) quantization; no float comparisons).
@@ -826,6 +856,28 @@ object Dedup extends QueryPack {
            |JOIN (SELECT cluster_id, COUNT(*) AS n FROM comp
            |      GROUP BY cluster_id) n USING (cluster_id)
            |ORDER BY doc_id""".stripMargin,
+
+      // same recursive closure as d07; the pick is ROW_NUMBER over the
+      // (n_chars DESC, doc_id) total order — identical to Spark's
+      // struct-argmax because the order is total
+      "d16_cluster_canonical" ->
+        s"""WITH RECURSIVE ${duckClusterCte(500)},
+           |j AS (
+           |  SELECT c.cluster_id, d.doc_id, d.n_chars
+           |  FROM comp c JOIN documents d ON c.id = d.doc_id),
+           |r AS (
+           |  SELECT cluster_id, doc_id, n_chars,
+           |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+           |      ORDER BY n_chars DESC, doc_id) AS rn,
+           |    COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+           |    SUM(n_chars) OVER (PARTITION BY cluster_id) AS chars_total
+           |  FROM j)
+           |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           |  CAST(n_members AS BIGINT) AS n_members,
+           |  CAST(doc_id AS BIGINT) AS keep_doc_id,
+           |  CAST(n_chars AS BIGINT) AS keep_n_chars,
+           |  CAST(chars_total - n_chars AS BIGINT) AS chars_dropped
+           |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
       "d06_embedding_neardup" ->
         """WITH q AS (

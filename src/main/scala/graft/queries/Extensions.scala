@@ -621,6 +621,42 @@ object Extensions extends QueryPack {
         .orderBy($"rank")
     }),
 
+    // -- robust outliers: median/MAD in doubled-integer units -----------
+    // 3-sigma trimming (t16) breaks when the outliers themselves
+    // inflate sigma; the robust spelling is |x − median| > k·MAD
+    // (Leys et al. 2013, k = 3.5). Both medians stay EXACT integers
+    // by working in doubled units: med2 = 2·median(n_chars) (integer
+    // even when n is even — lo+hi), dev2 = |2x − med2|, mad4 =
+    // 2·median(dev2); the flag 4·dev2 > 7·mad4 is then
+    // dev > 3.5·MAD with no float anywhere. Scale: two grouped exact
+    // percentiles over the doc grain + a broadcast join of the tiny
+    // per-source stats back onto rows; `percentile` holds each
+    // group's value MULTISET on the reducer, so at 100 TB swap it
+    // for the LogHistogram bound spelling (x14) — this query is the
+    // exactness reference at oracle scale.
+    "x24_mad_outliers" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+        .select($"source", $"doc_id", $"n_chars")
+      val med = docs.groupBy($"source")
+        .agg((expr("percentile(n_chars, 0.5)") * 2)
+          .cast("long").as("med2"))
+      val dev = docs.join(broadcast(med), "source")
+        .withColumn("dev2", abs($"n_chars" * 2 - $"med2"))
+      val mad = dev.groupBy($"source")
+        .agg(max($"med2").as("med2"),
+          (expr("percentile(dev2, 0.5)") * 2).cast("long").as("mad4"))
+      dev.drop("med2").join(broadcast(mad), "source")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          max($"med2").as("med2"),
+          max($"mad4").as("mad4"),
+          sum(when($"dev2" * 4 > $"mad4" * 7, 1L).otherwise(0L))
+            .as("n_outliers"),
+          max($"dev2").as("max_dev2"))
+        .orderBy($"source")
+    }),
+
     "x17_snapshot_diff" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val base = Tables(s, dir).orders
@@ -1075,6 +1111,31 @@ object Extensions extends QueryPack {
         |  n_keys, p50_rows, p99_rows
         |FROM top, st, p50, p99 WHERE rank <= 10
         |ORDER BY rank""".stripMargin,
+
+    // quantile_cont mirrors Spark's percentile ((n−1)·q linear
+    // interpolation); ×2 of a .5-fraction double is exact, so med2 /
+    // mad4 are bit-identical integers in both engines
+    "x24_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT source,
+        |    CAST(quantile_cont(n_chars, 0.5) * 2 AS BIGINT) AS med2
+        |  FROM documents GROUP BY source),
+        |dev AS (
+        |  SELECT d.source, d.n_chars,
+        |    ABS(d.n_chars * 2 - m.med2) AS dev2, m.med2
+        |  FROM documents d JOIN med m ON d.source = m.source),
+        |mad AS (
+        |  SELECT source, MAX(med2) AS med2,
+        |    CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+        |  FROM dev GROUP BY source)
+        |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MAX(m.med2) AS BIGINT) AS med2,
+        |  CAST(MAX(m.mad4) AS BIGINT) AS mad4,
+        |  CAST(SUM(CASE WHEN d.dev2 * 4 > m.mad4 * 7 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  CAST(MAX(d.dev2) AS BIGINT) AS max_dev2
+        |FROM dev d JOIN mad m ON d.source = m.source
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     // IS DISTINCT FROM = Spark's NOT(<=>); ×2 on doubles is exact in
     // both engines (exponent bump), so 'changed' is bit-deterministic

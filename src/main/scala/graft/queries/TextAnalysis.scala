@@ -338,6 +338,47 @@ object TextAnalysis extends QueryPack {
         .orderBy($"doc_id", $"idx")
     }),
 
+    // -- PMI collocations: phrase mining by pointwise mutual info -------
+    // word2vec-style phrase detection (Mikolov et al. 2013 §4): rank
+    // bigrams by the association ratio p(xy)/(p(x)·p(y)) =
+    // c_xy·N/(c_x·c_y), restated as the exact integer
+    // c_xy·N·10⁶ div (c_x·c_y) (ppm) — log-PMI is a monotone
+    // transform of this ratio, so the RANKING is identical and no
+    // float ever touches the result. Min-support c_xy ≥ 5 prunes the
+    // bigram table BEFORE the two vocabulary joins (the apriori
+    // trick), so only surviving candidates probe the unigram counts.
+    // The product c_xy·N·10⁶ runs in DECIMAL(38,0) (`div` returns
+    // BIGINT): at 100 TB N is ~10¹³ and BIGINT×10⁶ would wrap.
+    // Scale: two keyed equi-joins + one global top-k; both joins are
+    // support-filtered to a small candidate side, and the 2-gram
+    // spelling is the t18-pinned one, shared with the oracle.
+    "t20_pmi_collocations" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val grams = docs
+        .withColumn("toks", split(lower($"text"), "\\s+"))
+        .select(explode(shingleExpr("toks", 2)).as("g"))
+      val uni = docs
+        .select(explode(split(lower($"text"), "\\s+")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+      val big = grams.groupBy($"g").agg(count(lit(1)).as("c_xy"))
+        .filter($"c_xy" >= 5)
+        .withColumn("w1", split($"g", " ").getItem(0))
+        .withColumn("w2", split($"g", " ").getItem(1))
+      val tot = grams.agg(count(lit(1)).as("n_tot"))
+      big
+        .join(uni.select($"w".as("w1"), $"c".as("c1")), "w1")
+        .join(uni.select($"w".as("w2"), $"c".as("c2")), "w2")
+        .crossJoin(broadcast(tot))
+        .withColumn("pmi_ppm", expr(
+          """CAST(CAST(c_xy AS DECIMAL(38,0)) * n_tot * 1000000
+            |  div (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)"""
+            .stripMargin))
+        .select($"w1", $"w2", $"c_xy", $"c1", $"c2", $"pmi_ppm")
+        .orderBy($"pmi_ppm".desc, $"w1", $"w2")
+        .limit(50)
+    }),
+
     // -- corpus word frequency: top 20 ----------------------------------
     "t02_word_freq" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -740,6 +781,35 @@ object TextAnalysis extends QueryPack {
         |SELECT doc_id, idx, w, n_tok FROM f
         |WHERE w <> 0 ORDER BY doc_id, idx""".stripMargin
     },
+
+    // bigrams via the t18 range(1, len) spelling; the ppm ratio runs
+    // in HUGEINT (Spark: DECIMAL(38,0)) and both integral divisions
+    // floor non-negatives identically; (pmi_ppm DESC, w1, w2) is a
+    // total order so LIMIT 50 is deterministic
+    "t20_pmi_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM toks CROSS JOIN LATERAL
+        |    (SELECT unnest(range(1, len(t))) AS i)),
+        |uc AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |    FROM documents) GROUP BY w),
+        |bc AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+        |  FROM g GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM g)
+        |SELECT b.w1, b.w2, b.c_xy, u1.c AS c1, u2.c AS c2,
+        |  CAST(CAST(b.c_xy AS HUGEINT) * t.n_tot * 1000000
+        |    // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS pmi_ppm
+        |FROM bc b
+        |JOIN uc u1 ON b.w1 = u1.w
+        |JOIN uc u2 ON b.w2 = u2.w
+        |CROSS JOIN tot t
+        |ORDER BY pmi_ppm DESC, b.w1, b.w2 LIMIT 50""".stripMargin,
 
     // the vocab cutoff is the same (cnt DESC, word) total order; both
     // integer divisions are floor on non-negatives (// = Spark div)
