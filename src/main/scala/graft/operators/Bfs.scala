@@ -79,4 +79,65 @@ object Bfs {
     }
     visited
   }
+
+  /** `(seed, id, dist)` — per-SEED hop distances: each seed's own BFS
+    * tree, not the pooled minimum of [[distances]]. This is the
+    * landmark primitive: harmonic/closeness centrality estimated from
+    * a sampled landmark set (Eppstein & Wang 2004) needs the distance
+    * from EVERY landmark separately, as do seed-attribution questions
+    * over the dup graph ("which eval doc leaks into this cluster, and
+    * from how far").
+    *
+    * Same loop discipline as [[distances]] with the frontier keyed by
+    * (seed, id): the per-round join still shuffles only the frontier
+    * against the cached symmetric edge list, and the visited anti-join
+    * suppresses revisits per seed. State is bounded by
+    * |seeds| × |k-hop ball|, linear in the landmark count — the reason
+    * landmark estimation samples seeds instead of running all-pairs.
+    */
+  def labeledDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val sym = edges
+      .select(explode(array(
+        struct(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst")),
+        struct(col(dstCol).cast("long").as("src"),
+          col(srcCol).cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .repartition(shufflePartitions(edges), col("src"))
+      .persist()
+
+    var visited = seeds.select(col("id").cast("long").as("seed"))
+      .filter(col("seed").isNotNull).distinct()
+      .select(col("seed"), col("seed").as("id"))
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var frontier = visited.select(col("seed"), col("id"))
+    try {
+      var h = 1
+      var exhausted = false
+      while (h <= maxHops && !exhausted) {
+        val next = sym
+          .join(frontier.select(col("seed"), col("id").as("src"))
+            .hint("SHUFFLE_HASH"), "src")
+          .select(col("seed"), col("dst").as("id")).distinct()
+          .join(visited.select(col("seed"), col("id")).hint("SHUFFLE_HASH"),
+            Seq("seed", "id"), "left_anti")
+          .withColumn("dist", lit(h.toLong))
+          .localCheckpoint(true)
+        exhausted = next.isEmpty
+        if (!exhausted) {
+          visited = visited.union(next).localCheckpoint(true)
+          frontier = next.select(col("seed"), col("id"))
+        }
+        h += 1
+      }
+    } finally {
+      sym.unpersist(blocking = false)
+    }
+    visited
+  }
 }

@@ -163,6 +163,28 @@ object Graphs extends QueryPack {
         .orderBy($"dist")
     }),
 
+    // -- G12: landmark harmonic centrality ------------------------------
+    // Closeness estimated the only way that scales: per-LANDMARK BFS
+    // ([[graft.operators.Bfs.labeledDistances]], Eppstein & Wang
+    // 2004) instead of all-pairs shortest paths. Each of the 10
+    // customer landmarks gets its own 4-hop tree over the trade
+    // graph; harmonic centrality Σ 1/d is restated in exact twelfths
+    // (12 = lcm(1..4), so 12 div d ∈ {12,6,4,3} — integer arithmetic,
+    // no float sum to drift). n_reached is the landmark's 4-hop ball
+    // size; dist 0 (the landmark itself) is excluded from both.
+    "g12_harmonic_centrality" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val edges = tradeEdges(s, dir)
+      val seeds = edges.filter($"src" <= 10).select($"src".as("id")).distinct()
+      graft.operators.Bfs.labeledDistances(edges, seeds, maxHops = 4)
+        .filter($"dist" >= 1)
+        .groupBy($"seed")
+        .agg(count(lit(1)).as("n_reached"),
+          sum(expr("12 div dist")).as("harmonic_x12"),
+          max($"dist").as("max_dist"))
+        .orderBy($"seed")
+    }),
+
     // -- G3: exact triangle count on the co-purchase graph --------------
     // The trade graph is bipartite (zero triangles by construction), so
     // triangles live on its projection: same-nation suppliers that
@@ -446,6 +468,35 @@ object Graphs extends QueryPack {
            |  CAST(MIN(id) AS BIGINT) AS min_id,
            |  CAST(MAX(id) AS BIGINT) AS max_id
            |FROM dist GROUP BY dist ORDER BY dist""".stripMargin,
+
+      // per-seed reach: the g04 recursion with the seed label carried
+      // through; MIN(d) per (seed, id) = that seed's BFS level, and
+      // 12 // d is the exact-twelfths harmonic term (floor division
+      // is exact here: 12 is a common multiple of every d ≤ 4)
+      "g12_harmonic_centrality" ->
+        s"""WITH RECURSIVE edges0 AS (
+           |  SELECT DISTINCT o_custkey AS src,
+           |    l_suppkey + $SupplierOffset AS dst
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |edges AS (
+           |  SELECT src, dst FROM edges0
+           |  UNION SELECT dst, src FROM edges0),
+           |seeds AS (
+           |  SELECT DISTINCT src AS id FROM edges0 WHERE src <= 10),
+           |reach(seed, id, d) AS (
+           |  SELECT id, id, 0 FROM seeds
+           |  UNION
+           |  SELECT r.seed, e.dst, r.d + 1
+           |  FROM reach r JOIN edges e ON e.src = r.id WHERE r.d < 4),
+           |dist AS (
+           |  SELECT seed, id, MIN(d) AS dist FROM reach
+           |  GROUP BY seed, id)
+           |SELECT CAST(seed AS BIGINT) AS seed,
+           |  CAST(COUNT(*) AS BIGINT) AS n_reached,
+           |  CAST(SUM(12 // dist) AS BIGINT) AS harmonic_x12,
+           |  CAST(MAX(dist) AS BIGINT) AS max_dist
+           |FROM dist WHERE dist >= 1
+           |GROUP BY seed ORDER BY seed""".stripMargin,
 
       "g02_degree_histogram" ->
         s"""WITH edges AS (

@@ -72,4 +72,24 @@ class BfsSpec extends AnyFunSuite {
     val got = run(Seq((1L, 2L)), Seq(1L), maxHops = 0)
     assert(got === Map(1L -> 0L))
   }
+
+  test("labeledDistances: each seed gets its own tree (= per-seed model)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 30
+    val edges = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+    val seeds = Seq(0L, 1L, 2L)
+    val got = Bfs
+      .labeledDistances(edges.toDF("src", "dst"), seeds.toDF("id"), 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = seeds.flatMap(sd =>
+      model(edges, Seq(sd), 3).map { case (id, d) => (sd, id) -> d }).toMap
+    assert(got === want)
+    // pooled minimum over the labels must equal the unlabeled BFS
+    val pooled = got.groupBy(_._1._2).map { case (id, m) =>
+      id -> m.values.min }
+    assert(pooled === model(edges, seeds, 3))
+  }
 }
