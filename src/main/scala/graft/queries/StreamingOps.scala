@@ -826,6 +826,47 @@ object StreamingOps extends QueryPack {
         .orderBy($"event_id")
     }),
 
+    // -- streaming contamination guard: d08 at ingest time --------------
+    // The streaming face of d08: documents ARRIVING (the landing
+    // directory a crawler drops into) are checked against the STATIC
+    // eval split's 5-shingle set before they ever reach the training
+    // corpus — contamination caught at ingest, not in a nightly
+    // batch. Per-row shingling is stateless ([[graft.operators
+    // .TextDedup.shingleHashes]] — `array_distinct` makes each doc's
+    // shingles unique BEFORE the join, so a plain streaming count per
+    // doc equals d08's countDistinct without unsupported-in-streaming
+    // distinct aggregation); the eval set joins as a broadcast
+    // stream-static join (the stream never shuffles); the per-doc
+    // count is the only stateful op. The per-source rollup and the
+    // source lookup run post-drain on the materialized hits — tiny by
+    // then. Same split discipline as d08 (row-local hash: train
+    // b < 800, test b ≥ 900), so the two queries pin each other.
+    "st25_stream_contamination" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.{Sampling, TextDedup}
+      val w = Seq("train" -> 800, "val" -> 100, "test" -> 100)
+      val docs = Tables(s, dir).documents
+      val evalSh = broadcast(
+        TextDedup.shingleHashes(
+          docs.filter(Sampling.splitColumn($"doc_id", w) === "test"),
+          "doc_id", "text", n = 5)
+          .select($"h").distinct())
+      val hits = TextDedup.shingleHashes(
+        tableStream(s, dir, "documents")
+          .filter(Sampling.splitColumn($"doc_id", w) === "train"),
+        "doc_id", "text", n = 5)
+        .join(evalSh, Seq("h"))
+        .groupBy($"id".as("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+      drain(s, hits, OutputMode.Complete())
+        .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs_contaminated"),
+          sum($"n_shared").as("n_shared_total"),
+          max($"n_shared").as("max_shared"))
+        .orderBy($"source")
+    }),
+
     // -- streaming CDC apply: versioned changelog → serving table -------
     // The streaming face of x18's change feed. A changelog of
     // ('U' upsert / 'D' tombstone) ops, each stamped with its source
@@ -982,6 +1023,43 @@ object StreamingOps extends QueryPack {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
         |    ORDER BY dot DESC, neighbor_id) AS rk FROM cand) t
         |WHERE rk = 1 ORDER BY event_id""".stripMargin,
+
+    // d08's shingle/split pipeline (same tokenization, same row-local
+    // split hash) rolled up per source — the batch restatement of the
+    // final streaming state
+    "st25_stream_contamination" -> {
+      val bucket = graft.operators.Sampling.duckHashBucketPm(
+        "doc_id", "split")
+      val five = (0 until 5).map(j => s"t[i+$j]").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+         |      ' ') AS t
+         |  FROM documents),
+         |sh5 AS (
+         |  SELECT doc_id, ${PortableHash.duckHash56("s")} AS h FROM (
+         |    SELECT doc_id, unnest(list_distinct(
+         |      list_transform(generate_series(1, len(t) - 4),
+         |        i -> concat_ws(' ', $five)))) AS s
+         |    FROM toks)),
+         |split AS (
+         |  SELECT doc_id, $bucket AS b FROM documents),
+         |ev AS (
+         |  SELECT DISTINCT h FROM sh5 JOIN split USING (doc_id)
+         |  WHERE b >= 900),
+         |hits AS (
+         |  SELECT sh5.doc_id,
+         |    CAST(COUNT(DISTINCT sh5.h) AS BIGINT) AS n_shared
+         |  FROM sh5 JOIN split USING (doc_id) JOIN ev ON sh5.h = ev.h
+         |  WHERE split.b < 800
+         |  GROUP BY sh5.doc_id)
+         |SELECT d.source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs_contaminated,
+         |  CAST(SUM(h.n_shared) AS BIGINT) AS n_shared_total,
+         |  CAST(MAX(h.n_shared) AS BIGINT) AS max_shared
+         |FROM hits h JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
+    },
 
     "st5_stream_sliding" ->
       """SELECT time_bucket(INTERVAL '15 minutes', ts) - j * INTERVAL '15 minutes' AS ws,
