@@ -284,6 +284,35 @@ object Events extends QueryPack {
         .orderBy($"day")
     }),
 
+    // -- e24: rolling 7-day active users (DAU/WAU stickiness) -----------
+    // The engagement dashboard headline: per day, how many distinct
+    // users were active in the trailing 7 days, and the DAU/WAU
+    // stickiness ratio. A sliding DISTINCT doesn't decompose into
+    // window frames, so it is restated map-side: each distinct
+    // (user, day) pair is exploded to the 7 window-END days it
+    // contributes to (sequence + explode — row-local, no window
+    // state), then one exact keyed distinct per end day. 7× row
+    // amplification, two hash aggregates, one co-keyed join — every
+    // stage combinable. At 100 TB the exact per-day distinct swaps
+    // for the x11 HLL-sketch rollup (re-aggregatable across days by
+    // construction); this query is the exactness reference. Only
+    // days with actual activity emit (inner join against DAU).
+    "e24_rolling_active_users" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val ud = Tables(s, dir).events
+        .select(to_date($"ts").as("d"), $"user_id").distinct()
+      val wau = ud
+        .select(explode(sequence($"d", date_add($"d", 6))).as("d"),
+          $"user_id")
+        .distinct()
+        .groupBy($"d").agg(count(lit(1)).as("wau"))
+      val dau = ud.groupBy($"d").agg(count(lit(1)).as("dau"))
+      dau.join(wau, Seq("d"))
+        .select($"d".cast("timestamp").as("day"), $"dau", $"wau",
+          expr("dau * 1000 div wau").as("stickiness_pm"))
+        .orderBy($"day")
+    }),
+
     // -- time-series gap fill: complete day spine + LOCF ----------------
     // Missing (event_type, day) buckets appear as zero rows, and the
     // last observed daily value carries forward — the two standard
@@ -630,6 +659,26 @@ object Events extends QueryPack {
          |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
          |  ${sqlDsum("value")} AS total_value
          |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // the same explode restatement (a (user, day) pair reaches the 7
+    // window-end days day..day+6); integer division floors alike
+    "e24_rolling_active_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d,
+        |    user_id
+        |  FROM events),
+        |contrib AS (
+        |  SELECT DISTINCT d + CAST(i AS INTEGER) AS d, user_id
+        |  FROM ud CROSS JOIN LATERAL
+        |    (SELECT unnest(generate_series(0, 6)) AS i) _),
+        |wau AS (
+        |  SELECT d, CAST(COUNT(*) AS BIGINT) AS wau
+        |  FROM contrib GROUP BY d),
+        |dau AS (
+        |  SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d)
+        |SELECT CAST(dau.d AS TIMESTAMP) AS day, dau.dau, wau.wau,
+        |  CAST(dau.dau * 1000 // wau.wau AS BIGINT) AS stickiness_pm
+        |FROM dau JOIN wau USING (d) ORDER BY day""".stripMargin,
 
     // same non-negative weighted-average spelling; IGNORE NULLS
     // navigation mirrors Spark's last/first(ignoreNulls)

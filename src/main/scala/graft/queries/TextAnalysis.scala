@@ -352,6 +352,40 @@ object TextAnalysis extends QueryPack {
     // Scale: two keyed equi-joins + one global top-k; both joins are
     // support-filtered to a small candidate side, and the 2-gram
     // spelling is the t18-pinned one, shared with the oracle.
+    // -- keyness: which words mark one sub-corpus against another -------
+    // The corpus-comparison step (Monroe et al. 2008 "Fightin'
+    // Words"): rank words by how strongly they distinguish the 'en'
+    // sub-corpus from 'de'. The add-one-smoothed odds ratio
+    // ((a+1)/(A−a+1)) / ((b+1)/(B−b+1)) is a monotone transform of
+    // the log-odds score, so the RANKING is identical and the ratio
+    // restates exactly as (a+1)·(B−b+1)·10⁶ div ((b+1)·(A−a+1)) —
+    // ppm integers, no float. Min-support a+b ≥ 20 prunes the vocab
+    // BEFORE the totals join (the t20 apriori trick); the totals are
+    // one broadcast row. Scale: explode → one combinable keyed agg
+    // over the vocab grain → bounded top-30 TakeOrdered; nothing
+    // holds more than the (support-filtered) vocabulary.
+    "t21_log_odds_keyness" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val toks = Tables(s, dir).documents
+        .filter($"lang".isin("en", "de"))
+        .select($"lang", explode(split(lower($"text"), "\\s+")).as("w"))
+      val counts = toks.groupBy($"w")
+        .agg(sum(when($"lang" === "en", 1L).otherwise(0L)).as("a"),
+          sum(when($"lang" === "de", 1L).otherwise(0L)).as("b"))
+        .filter($"a" + $"b" >= 20)
+      val tot = toks.agg(
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("ta"),
+        sum(when($"lang" === "de", 1L).otherwise(0L)).as("tb"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("keyness_ppm", expr(
+          """CAST(CAST(a + 1 AS DECIMAL(38,0)) * (tb - b + 1) * 1000000
+            |  div (CAST(b + 1 AS DECIMAL(38,0)) * (ta - a + 1))
+            |  AS BIGINT)""".stripMargin))
+        .select($"w", $"a", $"b", $"keyness_ppm")
+        .orderBy($"keyness_ppm".desc, $"w")
+        .limit(30)
+    }),
+
     "t20_pmi_collocations" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val docs = Tables(s, dir).documents
@@ -781,6 +815,36 @@ object TextAnalysis extends QueryPack {
         |SELECT doc_id, idx, w, n_tok FROM f
         |WHERE w <> 0 ORDER BY doc_id, idx""".stripMargin
     },
+
+    // the smoothed odds ratio in HUGEINT (Spark: DECIMAL(38,0));
+    // add-one smoothing keeps every denominator positive, and
+    // (keyness_ppm DESC, w) is a total order so LIMIT 30 is
+    // deterministic
+    "t21_log_odds_keyness" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(regexp_split_to_array(lower(text), '\s+'))
+        |    AS w
+        |  FROM documents WHERE lang IN ('en', 'de')),
+        |counts AS (
+        |  SELECT w,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a,
+        |    CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS b
+        |  FROM toks GROUP BY w HAVING COUNT(*) >= 20),
+        |tot AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ta,
+        |    CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tb
+        |  FROM toks)
+        |SELECT c.w, c.a, c.b,
+        |  CAST(CAST(c.a + 1 AS HUGEINT) * (t.tb - c.b + 1) * 1000000
+        |    // (CAST(c.b + 1 AS HUGEINT) * (t.ta - c.a + 1)) AS BIGINT)
+        |    AS keyness_ppm
+        |FROM counts c CROSS JOIN tot t
+        |ORDER BY keyness_ppm DESC, c.w LIMIT 30""".stripMargin,
 
     // bigrams via the t18 range(1, len) spelling; the ppm ratio runs
     // in HUGEINT (Spark: DECIMAL(38,0)) and both integral divisions
