@@ -99,6 +99,32 @@ object Graphs extends QueryPack {
           .localCheckpoint(true)
       })
 
+  /** Brand-blocked part co-purchase pairs: co-occurrence within an
+    * (order, brand) group — the g03 projection discipline applied to
+    * parts. The UNRESTRICTED co-purchase projection converges to a
+    * clique as SF grows (every popular part eventually co-occurs
+    * with every other: at sf0.1 it is already 1.2M edges of average
+    * degree ~120, 148M wedges), which is a projection problem, not a
+    * scoring problem — so the projection carries the blocking key.
+    * In-brand candidates are also the ones a recommender wants.
+    */
+  private def brandCoEdges(s: SparkSession, dir: String): DataFrame =
+    edgeMemo.computeIfAbsent(
+      (s.sparkContext.applicationId, dir, "partco_brand"),
+      _ => {
+        import s.implicits._
+        val t = Tables(s, dir)
+        val li = t.lineitem
+          .select($"l_orderkey".as("o"), $"l_partkey".as("pk"))
+          .join(t.part.select($"p_partkey".as("pk"), $"p_brand".as("b")),
+            Seq("pk"))
+        li.select($"o", $"b", $"pk".as("u"))
+          .join(li.select($"o", $"b", $"pk".as("v")), Seq("o", "b"))
+          .filter($"u" < $"v")
+          .select($"u", $"v").distinct()
+          .localCheckpoint(true)
+      })
+
   /** Exact symmetrized degree-assortativity readout for g11, shared
     * with GraphsSpec (which pins the negative-numerator path a
     * positive-r oracle never exercises). DuckDB's `//` and Spark's
@@ -231,29 +257,35 @@ object Graphs extends QueryPack {
         .orderBy($"id")
     }),
 
-    // -- G10: link prediction on the part co-purchase graph -------------
+    // -- G10: link prediction on the brand-blocked co-purchase graph ----
     // "Which parts SHOULD be bought together next": part pairs never
     // co-purchased directly, ranked by resource-allocation overlap of
     // their co-purchase neighborhoods ([[graft.operators.LinkPredict]])
     // — collaborative-filtering candidate generation, graph-flavored
     // (x22 scores pairs that DID co-occur; g10 predicts pairs that
-    // should). RA = Σ floor(10⁶/deg(w)) over common neighbors
-    // discounts hub witnesses exactly where the wedge self-join would
-    // explode, so the center cap (here far above this projection's max
-    // degree — cap-free result, the d02 discipline) removes only
-    // evidence the score already sends to zero. Top-20 by (ra desc,
-    // cn desc, u, v) is a bounded TakeOrdered over the candidate
-    // aggregate. The supplier co-purchase projection (g03/g05) is NOT
-    // used here: its same-nation blocks are so dense that every
-    // distance-2 pair is already an edge — zero candidates by
-    // construction.
+    // should). The projection is BRAND-blocked ([[brandCoEdges]]):
+    // the unrestricted part co-purchase graph converges to a clique
+    // as SF grows (sf0.1: avg degree ~120, 148M wedges — measured
+    // 111 s where the blocked spelling runs in ~4 s over 564k
+    // wedges, edge build included), so the blocking key belongs IN
+    // the projection, and
+    // in-brand candidates are what a recommender serves anyway. RA =
+    // Σ floor(10⁶/deg(w)) over common neighbors discounts hub
+    // witnesses exactly where the wedge self-join would explode; the
+    // center cap (operator default 1000, far above this projection's
+    // max degree) is the d02 backstop for skew the blocking misses.
+    // Top-20 by (ra desc, cn desc, u, v) is a bounded TakeOrdered
+    // over the candidate aggregate. The supplier co-purchase
+    // projection (g03/g05) is NOT used here: its same-nation blocks
+    // are so dense that every distance-2 pair is already an edge —
+    // zero candidates by construction.
     "g10_link_prediction" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       // orderBy+limit = TakeOrdered (per-partition top-20, merged on
       // the driver); the rank window then runs over 20 rows only —
       // never a single-partition global sort of the candidate set
       graft.operators.LinkPredict
-        .raScores(partCoEdges(s, dir), maxCenterDeg = 100000L)
+        .raScores(brandCoEdges(s, dir))
         .orderBy($"ra_ppm".desc, $"cn".desc, $"u", $"v").limit(20)
         .withColumn("rank", row_number()
           .over(Window.orderBy($"ra_ppm".desc, $"cn".desc, $"u", $"v"))
@@ -619,10 +651,14 @@ object Graphs extends QueryPack {
       // from the full adjacency (no orientation) since candidate pairs
       // need EVERY common neighbor as a witness
       "g10_link_prediction" ->
-        s"""WITH pe AS (
-          |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-          |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-          |    AND a.l_partkey < b.l_partkey),
+        s"""WITH pp AS (
+          |  SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS pk,
+          |    p.p_brand AS b
+          |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+          |pe AS (
+          |  SELECT DISTINCT x.pk AS u, y.pk AS v
+          |  FROM pp x JOIN pp y ON x.o = y.o AND x.b = y.b
+          |    AND x.pk < y.pk),
           |pdeg AS (
           |  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
           |    SELECT u AS node FROM pe UNION ALL SELECT v FROM pe)
@@ -632,7 +668,7 @@ object Graphs extends QueryPack {
           |  UNION ALL SELECT v, u FROM pe),
           |cap AS (
           |  SELECT a.w, a.n, pdeg.d FROM adj a
-          |  JOIN pdeg ON pdeg.node = a.w WHERE pdeg.d <= 100000),
+          |  JOIN pdeg ON pdeg.node = a.w WHERE pdeg.d <= 1000),
           |wedge2 AS (
           |  SELECT c1.n AS a, c2.n AS b, c1.d
           |  FROM cap c1 JOIN cap c2 ON c1.w = c2.w AND c1.n < c2.n),

@@ -867,6 +867,77 @@ object StreamingOps extends QueryPack {
         .orderBy($"source")
     }),
 
+    // -- streaming monotonic view maintenance: x13 live -----------------
+    // The streaming face of x10/x13: a serving table of per-user
+    // (count, sum, min, max) maintained WITHOUT any streaming state
+    // at all. The stream stays stateless; each micro-batch is
+    // partially aggregated batch-side inside foreachBatch (the
+    // map-side-combine of a 100 TB pipeline, one tiny frame per
+    // batch) and folded into the parquet snapshot by
+    // [[graft.operators.IncrementalAgg.mergeMonotonic]] — add for
+    // count/sum, least/greatest for min/max, all associative-
+    // commutative, so the drained result is batching-independent and
+    // equals the one-shot batch aggregate the oracle computes. The
+    // base snapshot is never rescanned (one full-outer key join per
+    // batch against the DELTA only) and the serving dir keeps O(1)
+    // snapshots via the st11 GC discipline. Contrast st11: that
+    // query demonstrates Spark's own stateful Update-mode aggregate
+    // with replace-merge; this one moves the state out of the engine
+    // into the snapshot, the shape you choose when the key space is
+    // too large to hold in a state store.
+    "st26_stream_monotonic_view" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val raw = eventStreamMultiBatch(s, dir, parts = 4)
+        .select($"user_id",
+          expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+      val servingRoot = java.nio.file.Files
+        .createTempDirectory("graft-monoview-").toString
+      var latest: Option[String] = None
+      var batches = 0
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = raw.writeStream
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch {
+            (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+              val delta = batch.groupBy($"user_id")
+                .agg(count(lit(1)).as("n_events"),
+                  sum($"cents").as("total_cents"),
+                  min($"cents").as("min_cents"),
+                  max($"cents").as("max_cents"))
+              val merged = latest match {
+                case None => delta
+                case Some(p) => graft.operators.IncrementalAgg
+                  .mergeMonotonic(s.read.parquet(p), delta,
+                    keys = Seq("user_id"),
+                    addCols = Seq("n_events", "total_cents"),
+                    minCols = Seq("min_cents"), maxCols = Seq("max_cents"))
+              }
+              val next = s"$servingRoot/v$batches"
+              merged.write.mode("overwrite").parquet(next)
+              latest.foreach { p =>
+                val fs = new org.apache.hadoop.fs.Path(p)
+                fs.getFileSystem(s.sparkContext.hadoopConfiguration)
+                  .delete(fs, true)
+              }
+              latest = Some(next)
+              batches += 1
+          }
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      require(batches >= 4,
+        s"expected >= 4 incremental micro-batches, saw $batches — the " +
+          "multi-file split is not driving the trigger")
+      val live = new java.io.File(servingRoot).listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("v"))
+      require(live <= 2,
+        s"snapshot GC failed: $live versions live under $servingRoot")
+      s.read.parquet(latest.get).orderBy($"user_id")
+    }),
+
     // -- streaming CDC apply: versioned changelog → serving table -------
     // The streaming face of x18's change feed. A changelog of
     // ('U' upsert / 'D' tombstone) ops, each stamped with its source
@@ -1256,6 +1327,19 @@ object StreamingOps extends QueryPack {
     "st11_streaming_upsert" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the incremental merges must reproduce the one-shot batch
+    // aggregate exactly (add/least/greatest are associative, so any
+    // micro-batch split folds to the same answer)
+    "st26_stream_monotonic_view" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  CAST(MIN(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS min_cents,
+        |  CAST(MAX(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS max_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // per-day conditional sums unioned into rule rows — the same
