@@ -148,4 +148,32 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       "exact top-10 fell back to a global sort")
   }
+
+  test("e24: sliding distinct stays keyed — no cartesian, no global window") {
+    val plan = planOf("e24_rolling_active_users")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the DAU/WAU join degenerated from its day equi-key")
+    assert(!plan.contains("Window"),
+      "rolling distinct must be the explode restatement, not window state")
+  }
+
+  test("t21: support filter precedes the totals cross, totals broadcast") {
+    val plan = planOf("t21_log_odds_keyness")
+    // the one-row totals frame joins via broadcast nested loop (a
+    // deliberate 1-row cross); the vocab side must already be
+    // support-filtered and the final top-30 bounded
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-30 fell back to a global sort")
+  }
+
+  test("g10: candidate pairs meet only inside the wedge equi-key") {
+    val plan = planOf("g10_link_prediction")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "wedge enumeration degenerated into a cross join")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-20 fell back to a global sort")
+  }
 }
