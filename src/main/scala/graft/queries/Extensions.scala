@@ -578,6 +578,39 @@ object Extensions extends QueryPack {
         .orderBy($"c_nationkey")
     }),
 
+    // -- x25: l-diversity — x21's second governance axis ----------------
+    // k-anonymity (x21) bounds re-identification but not attribute
+    // disclosure: a group of 50 identical rows is 50-anonymous and
+    // still leaks its sensitive value if all 50 share it. l-diversity
+    // (Machanavajjhala et al. 2007) requires ≥ l DISTINCT sensitive
+    // values per quasi-identifier group — here order priority per
+    // (nation, segment) cell, the released attribute a marketer
+    // would query. Per nation: groups, the worst (min) diversity,
+    // and how many groups/rows sit below l = 3. Scale: one fact⨝dim
+    // equi-join, then keyed aggregates; the distinct count is over a
+    // 5-value domain so even the exact spelling is a tiny hash per
+    // group (use x11's HLL rollup when the sensitive domain is
+    // unbounded).
+    "x25_l_diversity" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val l = 3
+      val t = Tables(s, dir)
+      val j = t.orders
+        .join(t.customer.select($"c_custkey", $"c_nationkey",
+          $"c_mktsegment"), $"o_custkey" === $"c_custkey")
+        .select($"c_nationkey", $"c_mktsegment", $"o_orderpriority")
+      val g = j.groupBy($"c_nationkey", $"c_mktsegment")
+        .agg(countDistinct($"o_orderpriority").as("ldiv"),
+          count(lit(1)).as("n_rows"))
+      g.groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_groups"),
+          min($"ldiv").as("min_l"),
+          sum(when($"ldiv" < l, 1L).otherwise(0L)).as("n_weak_groups"),
+          sum(when($"ldiv" < l, $"n_rows").otherwise(0L))
+            .as("n_rows_at_risk"))
+        .orderBy($"c_nationkey")
+    }),
+
     // -- x23: join-key skew diagnostic — the pre-salting report ---------
     // The readout you run BEFORE choosing x15's salting factor: the
     // per-key weight distribution of a prospective join/agg key, as
@@ -1077,6 +1110,24 @@ object Extensions extends QueryPack {
         |  CAST(SUM(CASE WHEN n < 4 THEN n ELSE 0 END) AS BIGINT)
         |    AS n_suppressed,
         |  MIN(n) AS min_group_size
+        |FROM g GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "x25_l_diversity" ->
+      """WITH j AS (
+        |  SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |g AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS ldiv,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM j GROUP BY 1, 2)
+        |SELECT c_nationkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  MIN(ldiv) AS min_l,
+        |  CAST(SUM(CASE WHEN ldiv < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_weak_groups,
+        |  CAST(SUM(CASE WHEN ldiv < 3 THEN n_rows ELSE 0 END) AS BIGINT)
+        |    AS n_rows_at_risk
         |FROM g GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     // percentiles via the cumulative count-of-counts histogram — the
