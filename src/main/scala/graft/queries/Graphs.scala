@@ -362,8 +362,59 @@ object Graphs extends QueryPack {
         .agg(count(lit(1)).as("n_nodes"),
           min($"id").as("min_id"), max($"id").as("max_id"))
         .orderBy($"dist")
+    }),
+
+    // -- G13: neighborhood feature aggregation (GNN message passing) ----
+    // The GraphSAGE/GCN data-prep step: per-node aggregates of
+    // neighbor features (hop 1 = sparse A·f), then aggregates of the
+    // hop-1 aggregates (hop 2 = A²·f) — each hop is one keyed join +
+    // aggregate over the edge list, one shuffle per hop, and the
+    // adjacency is never materialized beyond the (node, nbr) pairs.
+    // Features are supplier account balances in exact integer cents
+    // (the FLOOR(x*100) portable spelling). Sums and counts — not
+    // means — are emitted deliberately: they are the re-aggregatable
+    // form a sampling/training pipeline ships between hops (mean =
+    // sum/deg downstream at full precision; a pre-divided mean of
+    // means would be wrong and unmergeable). n_walks2 counts 2-walks
+    // including backtracks — the A² convention, so Σ n_walks2 =
+    // Σ deg² holds as a free invariant. At 100 TB each hop is an
+    // equi-join shuffled on node id; k-hop cost is k shuffles, linear
+    // in edges — never a k-hop neighborhood explosion.
+    "g13_neighbor_features" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val feat = t.supplier.select($"s_suppkey".as("id"),
+        expr("CAST(FLOOR(s_acctbal * 100) AS BIGINT)").as("f"))
+      neighborFeatures(coPurchaseEdges(s, dir), feat).orderBy($"id")
     })
   )
+
+  /** Two-hop neighbor feature aggregation over undirected `(u, v)`
+    * edges (distinct, u < v) and a `(id, f)` feature frame — the g13
+    * core, shared with GraphsSpec. Hop 1 joins features onto the
+    * symmetrized adjacency and aggregates per node; hop 2 aggregates
+    * the hop-1 rows the same way. Emits one row per node with a
+    * featured neighbor: deg, h1_sum/min/max, n_walks2 (= Σ over
+    * neighbors of THEIR degree — the A² diagonal-inclusive 2-walk
+    * count, so Σ n_walks2 = Σ deg² graph-wide), h2_sum (= A²·f).
+    */
+  private[queries] def neighborFeatures(edges: DataFrame,
+      feat: DataFrame): DataFrame = {
+    val adj = edges.select(col("u").as("node"), col("v").as("nbr"))
+      .unionByName(edges.select(col("v").as("node"), col("u").as("nbr")))
+    val h1 = adj.join(feat.select(col("id").as("nbr"), col("f")), Seq("nbr"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("deg"), sum(col("f")).as("h1_sum"),
+        min(col("f")).as("h1_min"), max(col("f")).as("h1_max"))
+    val h2 = adj
+      .join(h1.select(col("node").as("nbr"), col("deg").as("nd"),
+        col("h1_sum").as("ns")), Seq("nbr"))
+      .groupBy(col("node"))
+      .agg(sum(col("nd")).as("n_walks2"), sum(col("ns")).as("h2_sum"))
+    h1.join(h2, Seq("node"))
+      .select(col("node").as("id"), col("deg"), col("h1_sum"),
+        col("h1_min"), col("h1_max"), col("n_walks2"), col("h2_sum"))
+  }
 
   override def oracles: Map[String, String] = {
     // one CTE per synchronous iteration — same integer recurrence as
@@ -749,7 +800,39 @@ object Graphs extends QueryPack {
            |  CAST(MIN(id) AS BIGINT) AS min_id,
            |  CAST(MAX(id) AS BIGINT) AS max_id
            |FROM d4 GROUP BY d ORDER BY dist""".stripMargin
-      }
+      },
+
+      // two sparse mat-vec hops in SQL: h2 aggregates h1's aggregates
+      // over the same symmetrized adjacency; UNION ALL is safe (edges
+      // are distinct u < v pairs so symmetrization cannot duplicate)
+      "g13_neighbor_features" ->
+        """WITH ps AS MATERIALIZED (
+          |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk,
+          |    s_nationkey AS nat
+          |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+          |edges AS MATERIALIZED (
+          |  SELECT DISTINCT a.sk AS u, b.sk AS v
+          |  FROM ps a JOIN ps b ON a.o = b.o AND a.nat = b.nat
+          |    AND a.sk < b.sk),
+          |adj AS MATERIALIZED (
+          |  SELECT u AS node, v AS nbr FROM edges
+          |  UNION ALL SELECT v AS node, u AS nbr FROM edges),
+          |feat AS (
+          |  SELECT s_suppkey AS id,
+          |    CAST(FLOOR(s_acctbal * 100) AS BIGINT) AS f
+          |  FROM supplier),
+          |h1 AS MATERIALIZED (
+          |  SELECT a.node, CAST(COUNT(*) AS BIGINT) AS deg,
+          |    CAST(SUM(f.f) AS BIGINT) AS h1_sum,
+          |    MIN(f.f) AS h1_min, MAX(f.f) AS h1_max
+          |  FROM adj a JOIN feat f ON a.nbr = f.id GROUP BY a.node),
+          |h2 AS (
+          |  SELECT a.node, CAST(SUM(h.deg) AS BIGINT) AS n_walks2,
+          |    CAST(SUM(h.h1_sum) AS BIGINT) AS h2_sum
+          |  FROM adj a JOIN h1 h ON a.nbr = h.node GROUP BY a.node)
+          |SELECT h1.node AS id, h1.deg, h1.h1_sum, h1.h1_min,
+          |  h1.h1_max, h2.n_walks2, h2.h2_sum
+          |FROM h1 JOIN h2 ON h1.node = h2.node ORDER BY id""".stripMargin
     )
   }
 }

@@ -34,6 +34,40 @@ class GraphsSpec extends AnyFunSuite {
     assert(r === -714L)
   }
 
+  test("neighborFeatures: hand path graph, both hops exact") {
+    // path 1-2-3 with f = (10, 100, 1000):
+    //   node 1: deg 1, h1 = {100},        n_walks2 = deg(2) = 2, h2 = 1010
+    //   node 2: deg 2, h1 = {10, 1000},   n_walks2 = 1+1 = 2,    h2 = 200
+    //   node 3: deg 1, h1 = {100},        n_walks2 = 2,          h2 = 1010
+    // (h2 of 1 = h1_sum(2) = 10+1000; h2 of 2 = h1_sum(1)+h1_sum(3))
+    import spark.implicits._
+    val out = Graphs.neighborFeatures(
+      Seq((1L, 2L), (2L, 3L)).toDF("u", "v"),
+      Seq((1L, 10L), (2L, 100L), (3L, 1000L)).toDF("id", "f"))
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getAs[Long]("id"), r.getAs[Long]("deg"),
+      r.getAs[Long]("h1_sum"), r.getAs[Long]("h1_min"),
+      r.getAs[Long]("h1_max"), r.getAs[Long]("n_walks2"),
+      r.getAs[Long]("h2_sum"))).toSeq === Seq(
+      (1L, 1L, 100L, 100L, 100L, 2L, 1010L),
+      (2L, 2L, 1010L, 10L, 1000L, 2L, 200L),
+      (3L, 1L, 100L, 100L, 100L, 2L, 1010L)))
+  }
+
+  test("neighborFeatures: sum of n_walks2 equals sum of squared degrees") {
+    // triangle + pendant: degrees (2, 2, 3, 1) → Σ deg² = 18; the A²
+    // trace identity holds for any graph, free invariant of the hop-2
+    // aggregation (backtracking walks included by construction)
+    import spark.implicits._
+    val out = Graphs.neighborFeatures(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("u", "v"),
+      Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("id", "f"))
+      .collect()
+    assert(out.map(_.getAs[Long]("n_walks2")).sum === 18L)
+    assert(out.map(r => r.getAs[Long]("deg") * r.getAs[Long]("deg")).sum
+      === 18L)
+  }
+
   test("regular graph is exactly assortative-degenerate: den = 0 guard") {
     // 4-cycle: all degrees equal → den = 0, r undefined; the query
     // runs on real data where den > 0, but the helper must not crash —
