@@ -11,17 +11,17 @@ final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table is written with TIMESTAMP(NANOS) `ts`, which the
-    * Spark parquet reader rejects by default. Read nanos as LONG and
-    * convert to a microsecond timestamp (`div 1000` — truncation,
-    * matching DuckDB's ns→µs conversion; the generated data has zero
-    * sub-microsecond remainder anyway).
+  /** The events table's `ts` has been generated with two physical
+    * types across harness revisions: TIMESTAMP(NANOS) (which the Spark
+    * reader rejects by default — read nanos as LONG, truncate to µs,
+    * matching DuckDB's ns→µs conversion) and plain TIMESTAMP(MICROS)
+    * (arrives as TIMESTAMP_NTZ — cast to session-time TIMESTAMP, an
+    * identity under the engine's fixed UTC session). Normalization is
+    * schema-driven so either vintage of the data reads identically.
     */
   private def eventsDf: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    Tables.normalizeEventTs(t("events"))
   }
 
   def region: DataFrame = t("region")
@@ -34,4 +34,26 @@ final case class Tables(spark: SparkSession, dir: String) {
   def events: DataFrame = eventsDf
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+
+  /** Normalize an events frame's `ts` onto session-time TIMESTAMP
+    * (µs) regardless of how the parquet was written: nanos-as-LONG
+    * (legacy TIMESTAMP(NANOS) files under
+    * `spark.sql.legacy.parquet.nanosAsLong`) truncates ns→µs exactly
+    * like DuckDB; TIMESTAMP_NTZ (plain micros files) casts to the
+    * session zone, an identity under the engine's fixed UTC session
+    * (GraftSession). Already-LTZ frames pass through untouched.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
 }

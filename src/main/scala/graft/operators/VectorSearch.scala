@@ -249,6 +249,56 @@ object VectorSearch {
         col("adist2"))
   }
 
+  /** IVF+PQ asymmetric-distance top-k — the two index layers composed
+    * the way production ANN serves (FAISS `IVFPQ`, Jégou et al. 2011
+    * §V): the coarse quantizer restricts the scan to each query's
+    * `nprobe` cells, and WITHIN those cells vectors are scored from
+    * their PQ codes by LUT summation — full-precision corpus vectors
+    * are touched by neither layer at query time. Inputs: `queryCells`
+    * `(query_id, cell)` (one row per probed cell, from
+    * [[nearestCells]]), `queryByDim` `(id, dim, v)` full-precision
+    * queries, `codes` `(id, cell, sub, code)` the encoded corpus WITH
+    * its coarse-cell assignment, and the shared `codebook`.
+    *
+    * Deviation from the paper, documented: codes are computed on raw
+    * vectors, not residuals (v − coarse centroid). Residual encoding
+    * needs per-cell LUTs (nprobe× LUT cost) for a precision gain the
+    * exact-integer oracle regime can't express portably; the serving
+    * plan shape — the part that matters at scale — is identical.
+    *
+    * Scale shape (100 TB): both join sides against the corpus are
+    * broadcasts (probed-cells table: queries × nprobe rows; LUT:
+    * queries × M × k rows), so the whole query is ONE pass over the
+    * 16-byte-per-vector code table with the cell restriction applied
+    * BEFORE scoring — at rest, partition the code table by cell and
+    * the pass becomes a partition-pruned read of nprobe/ncells of the
+    * corpus.
+    */
+  def ivfPqAdcTopK(queryByDim: DataFrame, queryCells: DataFrame,
+      codes: DataFrame, codebook: DataFrame, subDims: Int,
+      k: Int): DataFrame = {
+    val lut = queryByDim
+      .withColumn("sub", (col("dim") / subDims).cast("long"))
+      .join(broadcast(codebook), Seq("sub", "dim"))
+      .groupBy(col("id").as("query_id"), col("sub"), col("code"))
+      .agg(sum((col("v") - col("cv")) * (col("v") - col("cv")))
+        .as("sub_dist2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist2"), col("neighbor_id"))
+    codes.select(col("id").as("neighbor_id"), col("cell"), col("sub"),
+        col("code"))
+      .join(broadcast(queryCells.select(col("query_id"), col("cell"))),
+        Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("sub_dist2")).as("adist2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("adist2"))
+  }
+
   /** Near-duplicate pairs above a cosine threshold, evaluated as the
     * exact integer inequality `dot > 0 ∧ dot²·den ≥ num·|a|²·|b|²`
     * for threshold² = num/den — no float comparison anywhere.

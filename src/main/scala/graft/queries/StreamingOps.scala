@@ -44,8 +44,7 @@ object StreamingOps extends QueryPack {
     */
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tableStream(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventTs(tableStream(s, dir, "events"))
   }
 
   /** Streaming view of any single-file parquet table under `dir` (the
@@ -105,10 +104,10 @@ object StreamingOps extends QueryPack {
       }
     }
     val schema = s.read.parquet(src).schema
-    s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(stageDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventTs(
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stageDir))
   }
 
   /** Run a streaming DataFrame to a memory sink, drain with
