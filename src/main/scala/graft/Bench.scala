@@ -28,6 +28,11 @@ object Bench {
         catch { case _: Throwable => }
       }
     spark.catalog.clearCache()
+    // the warm-up populated the shared shingle/edge memos for the warm
+    // dir — release those checkpoint blocks so measurement starts from
+    // a bounded block-manager footprint
+    graft.queries.Dedup.releaseShared(spark, warmDir)
+    graft.queries.Graphs.releaseShared(spark, warmDir)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val selected =
@@ -58,6 +63,8 @@ object Bench {
     // distinct metric name: a consumer filtering metric=="total" must
     // not see the same value twice
     println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"top5_slowest":$top5,"sf":"$sfDir"}""")
+    graft.queries.Dedup.releaseShared(spark, sfDir)
+    graft.queries.Graphs.releaseShared(spark, sfDir)
     spark.stop()
   }
 }

@@ -38,7 +38,7 @@ final case class Tables(spark: SparkSession, dir: String) {
 
 object Tables {
   import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-  import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
   /** Normalize an events frame's `ts` onto session-time TIMESTAMP
     * (µs) regardless of how the parquet was written: nanos-as-LONG
@@ -54,6 +54,10 @@ object Tables {
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
         df.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => df
+      case TimestampType => df
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts has unsupported physical type $other; expected " +
+            "LONG (nanosAsLong), TIMESTAMP_NTZ, or TIMESTAMP")
     }
 }

@@ -38,6 +38,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // bounded memo lifecycle: free the shared shingle/edge checkpoint
+    // blocks this run accumulated (clearCache above can't — they live
+    // at the RDD layer by design)
+    graft.queries.Dedup.releaseShared(spark, sfDir)
+    graft.queries.Graphs.releaseShared(spark, sfDir)
     spark.stop()
   }
 }

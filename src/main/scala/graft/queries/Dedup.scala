@@ -78,6 +78,64 @@ object Dedup extends QueryPack {
         .minhashSignatures(shingleHashes(s, dir), K)
         .localCheckpoint(true))
 
+  /** d17's Job 1 — the nightly index build, persisted THROUGH the
+    * engine's own writer: the corpus split's LSH band hashes and its
+    * shingle index written as bucketed parquet tables (band table
+    * bucketed by the probe key `bh`, shingle table by the verify key
+    * `id`), built once per session catalog per input dir. The daily
+    * probe job (d17) then reads BOTH sides from storage — the corpus
+    * is never re-shingled, re-signed, or re-banded at probe time,
+    * which is the production contract d13's in-session memo stands in
+    * for (queries/Dedup.scala d13 comment). At 100 TB the new-batch
+    * side of the probe join is the day's arrivals (broadcastable);
+    * the index side is a bucketed scan, so the probe shuffles
+    * nothing corpus-sized.
+    */
+  private def persistedIndexTables(s: SparkSession,
+      dir: String): (String, String) = {
+    import s.implicits._
+    import graft.operators.{Sampling, TextDedup}
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val bandsTbl = s"graft_dedup_bands_$key"
+    val shTbl = s"graft_dedup_shingles_$key"
+    this.synchronized {
+      if (!s.catalog.tableExists(bandsTbl) ||
+          !s.catalog.tableExists(shTbl)) {
+        val corpusIds = Tables(s, dir).documents
+          .withColumn("part", Sampling.splitColumn($"doc_id",
+            Seq("corpus" -> 900, "new" -> 100), salt = "inc"))
+          .filter($"part" === "corpus")
+          .select($"doc_id".as("id"))
+        val withBands = TextDedup.withBandHashes(
+          sharedSignatures(s, dir), K, Bands)
+        bandCols.zipWithIndex.map { case ((name, _), bi) =>
+          withBands.select($"id", lit(bi).as("band"), col(name).as("bh"))
+        }.reduce(_ unionByName _)
+          .join(corpusIds, Seq("id"), "left_semi")
+          .write.mode("overwrite").bucketBy(8, "bh")
+          .saveAsTable(bandsTbl)
+        shingleHashes(s, dir)
+          .join(corpusIds, Seq("id"), "left_semi")
+          .write.mode("overwrite").bucketBy(8, "id")
+          .saveAsTable(shTbl)
+      }
+    }
+    (bandsTbl, shTbl)
+  }
+
+  /** Release the memoized checkpoint blocks for `dir` (every n-gram
+    * and signature entry of the current application): the
+    * Bench/Verify teardown hook that keeps the block-manager
+    * footprint bounded when one session scans many directories. Safe
+    * at any quiescent point — the next d-query rebuilds the index
+    * from the source parquet.
+    */
+  def releaseShared(s: SparkSession, dir: String): Unit = {
+    val app = s.sparkContext.applicationId
+    SharedFrames.release(shingleMemo, app, dir)
+    SharedFrames.release(sigMemo, app, dir)
+  }
+
   /** DuckDB mirror of [[shingleHashes]] as CTEs ending in
     * `sh(doc_id, h)` and per-doc counts `ns(doc_id, n)`.
     */
@@ -304,6 +362,56 @@ object Dedup extends QueryPack {
           sum(when($"jaccard_pm" >= 500, 1L).otherwise(0L)).as("n_dup"),
           max($"jaccard_pm").as("best_jaccard_pm"))
       parts.filter($"part" === "new").select($"id".as("new_doc"))
+        .join(agg, $"new_doc" === $"new_id", "left")
+        .select($"new_doc",
+          coalesce($"n_cand", lit(0L)).as("n_cand"),
+          coalesce($"n_dup", lit(0L)).as("n_dup"),
+          coalesce($"best_jaccard_pm", lit(0L)).as("best_jaccard_pm"),
+          (coalesce($"n_dup", lit(0L)) > 0).as("is_dup"))
+        .orderBy($"new_doc")
+    }),
+
+    // -- incremental dedup against the PERSISTED index ------------------
+    // d13's production face made end-to-end real: Job 1 (the nightly
+    // build, [[persistedIndexTables]]) writes the corpus band-hash and
+    // shingle indexes as bucketed parquet tables; Job 2 (this query's
+    // plan) shingles/signs ONLY the new batch and probes the stored
+    // tables — the corpus parquet text column is never read at probe
+    // time (the probe plan's only scans are the two index tables plus
+    // the new split of documents; see PLANS.md). Result is
+    // row-identical to d13 by construction: per-doc signatures depend
+    // only on the doc's own shingles, so index-side values match the
+    // memoized in-session stages exactly.
+    "d17_persisted_index_dedup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.{Sampling, TextDedup}
+      val (bandsTbl, shTbl) = persistedIndexTables(s, dir)
+      val newDocs = Tables(s, dir).documents
+        .withColumn("part", Sampling.splitColumn($"doc_id",
+          Seq("corpus" -> 900, "new" -> 100), salt = "inc"))
+        .filter($"part" === "new")
+        .select($"doc_id", $"text")
+      val newSh = TextDedup.shingleHashes(newDocs, "doc_id", "text", n = 3)
+      val newBands = TextDedup.withBandHashes(
+        TextDedup.minhashSignatures(newSh, K), K, Bands)
+      val newBanded = bandCols.zipWithIndex.map { case ((name, _), bi) =>
+        newBands.select($"id", lit(bi).as("band"), col(name).as("bh"))
+      }.reduce(_ unionByName _)
+      val cand = newBanded.select($"id".as("new_id"), $"band", $"bh")
+        .join(s.table(bandsTbl)
+          .select($"id".as("corpus_id"), $"band", $"bh"),
+          Seq("band", "bh"))
+        .select($"new_id", $"corpus_id").distinct()
+        .persist() // feeds jaccardVerify three times (QueryPack contract)
+      val sh = s.table(shTbl).unionByName(newSh)
+      val verified = TextDedup.jaccardVerify(sh,
+        cand.select($"new_id".as("d1"), $"corpus_id".as("d2"),
+          $"new_id", $"corpus_id"))
+      val agg = verified.groupBy($"new_id")
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when($"jaccard_pm" >= 500, 1L).otherwise(0L)).as("n_dup"),
+          max($"jaccard_pm").as("best_jaccard_pm"))
+      newDocs.select($"doc_id".as("new_doc"))
         .join(agg, $"new_doc" === $"new_id", "left")
         .select($"new_doc",
           coalesce($"n_cand", lit(0L)).as("n_cand"),
@@ -558,6 +666,64 @@ object Dedup extends QueryPack {
     })
   )
 
+  /** DuckDB spelling of the incremental-dedup readout, shared
+    * verbatim by d13 (in-session memoized index) and d17 (persisted
+    * bucketed-table index): the two spellings differ only in where
+    * the corpus index lives, which is invisible to results — one SQL
+    * text keeps that equivalence honest.
+    */
+  private lazy val incrementalDedupOracleSql: String = {
+    val bucket = graft.operators.Sampling.duckHashBucketPm(
+      "doc_id", "inc")
+    val bandedUnion = bandCols.zipWithIndex.map {
+      case ((_, sigCols), bi) =>
+        s"SELECT doc_id, $bi AS band, " +
+          duckHash56("concat_ws(',', " +
+            sigCols.map(c => s"CAST($c AS VARCHAR)").mkString(", ") +
+            ")") + " AS bh FROM wide"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $duckSignatureCte,
+       |split AS (SELECT doc_id, $bucket AS b FROM documents),
+       |banded AS (
+       |  $bandedUnion),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bh = b.bh
+       |  JOIN split sa ON a.doc_id = sa.doc_id
+       |  JOIN split sb ON b.doc_id = sb.doc_id
+       |  WHERE sa.b >= 900 AND sb.b < 900),
+       |inter AS (
+       |  SELECT c.new_id, c.corpus_id, CAST(COUNT(*) AS BIGINT) AS i
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.new_id
+       |  JOIN sh b ON b.doc_id = c.corpus_id AND b.h = a.h
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT c.new_id,
+       |    COALESCE(i.i, 0) * 1000
+       |      // (n1.n + n2.n - COALESCE(i.i, 0)) AS j
+       |  FROM cand c
+       |  LEFT JOIN inter i
+       |    ON c.new_id = i.new_id AND c.corpus_id = i.corpus_id
+       |  JOIN ns n1 ON c.new_id = n1.doc_id
+       |  JOIN ns n2 ON c.corpus_id = n2.doc_id),
+       |agg AS (
+       |  SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_cand,
+       |    CAST(SUM(CASE WHEN j >= 500 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dup,
+       |    CAST(MAX(j) AS BIGINT) AS best_jaccard_pm
+       |  FROM scored GROUP BY new_id)
+       |SELECT d.doc_id AS new_doc,
+       |  COALESCE(n_cand, 0) AS n_cand,
+       |  COALESCE(n_dup, 0) AS n_dup,
+       |  COALESCE(best_jaccard_pm, 0) AS best_jaccard_pm,
+       |  COALESCE(n_dup, 0) > 0 AS is_dup
+       |FROM (SELECT doc_id FROM split WHERE b >= 900) d
+       |LEFT JOIN agg ON d.doc_id = agg.new_id
+       |ORDER BY new_doc""".stripMargin
+  }
+
   override def oracles: Map[String, String] = {
     val bandSelects = bandCols.map { case (name, sigCols) =>
       duckHash56("concat_ws(',', " +
@@ -667,57 +833,12 @@ object Dedup extends QueryPack {
            |ORDER BY toks.doc_id""".stripMargin
       },
 
-      "d13_incremental_dedup" -> {
-        val bucket = graft.operators.Sampling.duckHashBucketPm(
-          "doc_id", "inc")
-        val bandedUnion = bandCols.zipWithIndex.map {
-          case ((_, sigCols), bi) =>
-            s"SELECT doc_id, $bi AS band, " +
-              duckHash56("concat_ws(',', " +
-                sigCols.map(c => s"CAST($c AS VARCHAR)").mkString(", ") +
-                ")") + " AS bh FROM wide"
-        }.mkString("\n  UNION ALL\n  ")
-        s"""WITH $duckSignatureCte,
-           |split AS (SELECT doc_id, $bucket AS b FROM documents),
-           |banded AS (
-           |  $bandedUnion),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
-           |  FROM banded a JOIN banded b
-           |    ON a.band = b.band AND a.bh = b.bh
-           |  JOIN split sa ON a.doc_id = sa.doc_id
-           |  JOIN split sb ON b.doc_id = sb.doc_id
-           |  WHERE sa.b >= 900 AND sb.b < 900),
-           |inter AS (
-           |  SELECT c.new_id, c.corpus_id, CAST(COUNT(*) AS BIGINT) AS i
-           |  FROM cand c
-           |  JOIN sh a ON a.doc_id = c.new_id
-           |  JOIN sh b ON b.doc_id = c.corpus_id AND b.h = a.h
-           |  GROUP BY 1, 2),
-           |scored AS (
-           |  SELECT c.new_id,
-           |    COALESCE(i.i, 0) * 1000
-           |      // (n1.n + n2.n - COALESCE(i.i, 0)) AS j
-           |  FROM cand c
-           |  LEFT JOIN inter i
-           |    ON c.new_id = i.new_id AND c.corpus_id = i.corpus_id
-           |  JOIN ns n1 ON c.new_id = n1.doc_id
-           |  JOIN ns n2 ON c.corpus_id = n2.doc_id),
-           |agg AS (
-           |  SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_cand,
-           |    CAST(SUM(CASE WHEN j >= 500 THEN 1 ELSE 0 END) AS BIGINT)
-           |      AS n_dup,
-           |    CAST(MAX(j) AS BIGINT) AS best_jaccard_pm
-           |  FROM scored GROUP BY new_id)
-           |SELECT d.doc_id AS new_doc,
-           |  COALESCE(n_cand, 0) AS n_cand,
-           |  COALESCE(n_dup, 0) AS n_dup,
-           |  COALESCE(best_jaccard_pm, 0) AS best_jaccard_pm,
-           |  COALESCE(n_dup, 0) > 0 AS is_dup
-           |FROM (SELECT doc_id FROM split WHERE b >= 900) d
-           |LEFT JOIN agg ON d.doc_id = agg.new_id
-           |ORDER BY new_doc""".stripMargin
-      },
+      // d17 probes the same pipeline from the persisted index — the
+      // storage layer is invisible to results, so the oracle is
+      // identical by design (the equality of the two spellings IS the
+      // check).
+      "d13_incremental_dedup" -> incrementalDedupOracleSql,
+      "d17_persisted_index_dedup" -> incrementalDedupOracleSql,
 
       "d01_exact_dedup" ->
         s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,

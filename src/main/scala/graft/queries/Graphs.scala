@@ -125,6 +125,13 @@ object Graphs extends QueryPack {
           .localCheckpoint(true)
       })
 
+  /** Release the memoized edge-list checkpoint blocks for `dir` —
+    * the Bench/Verify teardown hook mirroring [[Dedup.releaseShared]].
+    * The next g-query rebuilds the edge list from the source parquet.
+    */
+  def releaseShared(s: SparkSession, dir: String): Unit =
+    SharedFrames.release(edgeMemo, s.sparkContext.applicationId, dir)
+
   /** Exact symmetrized degree-assortativity readout for g11, shared
     * with GraphsSpec (which pins the negative-numerator path a
     * positive-r oracle never exercises). DuckDB's `//` and Spark's

@@ -93,8 +93,17 @@ object StreamingOps extends QueryPack {
     val stageDir =
       s"/tmp/graft-stream-multi$parts-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
     val done = Paths.get(stageDir, "_STAGED")
-    if (!Files.exists(done)) synchronized {
-      if (!Files.exists(done)) {
+    val schema = s.read.parquet(src).schema
+    // the sentinel alone can go stale: if the source parquet is
+    // regenerated in place with the other ts vintage, the staged files
+    // keep the old physical type under a schema freshly read from the
+    // new source — so a sentinel only counts when the staged schema
+    // still matches the source schema
+    def staged: Boolean = Files.exists(done) &&
+      s.read.parquet(stageDir).schema == schema
+    if (!staged) synchronized {
+      if (!staged) {
+        Files.deleteIfExists(done)
         // deterministic split: repartition by a stable key hash, not
         // round-robin (which is partitioning-dependent)
         s.read.parquet(src)
@@ -103,7 +112,6 @@ object StreamingOps extends QueryPack {
         Files.createFile(done)
       }
     }
-    val schema = s.read.parquet(src).schema
     graft.Tables.normalizeEventTs(
       s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")

@@ -176,4 +176,20 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       "top-20 fell back to a global sort")
   }
+
+  test("d17: probe reads the stored index — corpus text is never " +
+      "re-shingled") {
+    // force the index build (Job 1), then inspect the PROBE plan only
+    val plan = planOf("d17_persisted_index_dedup")
+    assert(plan.contains("graft_dedup_bands") &&
+      plan.contains("graft_dedup_shingles"),
+      "probe no longer reads the persisted index tables")
+    // the only documents scans are the new-split side: both prune away
+    // every column but (doc_id, text) / (doc_id); a corpus-side
+    // re-shingle would show a third documents scan feeding the index
+    val docScans = plan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("documents"))
+    assert(docScans <= 2,
+      s"expected ≤2 documents scans (new split only), got $docScans")
+  }
 }

@@ -148,6 +148,48 @@ class VectorSearchSpec extends AnyFunSuite {
     } finally { book.unpersist(); byDim.unpersist() }
   }
 
+  test("ivfPqAdcTopK = pqAdcTopK restricted to each query's probed cells") {
+    import spark.implicits._
+    val labeled = VectorSearch.quantize(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+        "embedding")
+      .select($"vec_id".as("id"), $"label",
+        posexplode($"eq").as(Seq("dim", "v")))
+    val byDim = labeled.select($"id", $"dim", $"v").persist()
+    val book = VectorSearch.pqCodebook(labeled, 16).persist()
+    try {
+      val cents = VectorSearch.kmeansQuantized(byDim, k = 4, iters = 3)
+      val corpusCells = VectorSearch.nearestCells(byDim, cents, nprobe = 1)
+        .select($"id", $"cell")
+      val codes = VectorSearch.pqEncode(byDim, book, 16)
+        .join(corpusCells, Seq("id")).persist()
+      val queries = byDim.filter($"id" < 10)
+      val queryCells = VectorSearch.nearestCells(queries, cents, nprobe = 2)
+        .select($"id".as("query_id"), $"cell")
+      val got = VectorSearch.ivfPqAdcTopK(queries, queryCells, codes,
+          book, subDims = 16, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getLong(3))).toSet
+      // model: the FULL ADC ranking (k ≥ corpus so nothing is cut),
+      // kept only where the neighbor's cell is probed by the query,
+      // re-ranked per query by (adist2, neighbor_id)
+      val model = VectorSearch.pqAdcTopK(queries, codes, book,
+          subDims = 16, k = 1000000)
+        .join(corpusCells.select($"id".as("neighbor_id"), $"cell"),
+          Seq("neighbor_id"))
+        .join(queryCells, Seq("query_id", "cell"))
+        .select($"query_id", $"neighbor_id", $"adist2")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.groupBy(_._1).toSeq.flatMap { case (q, rs) =>
+          rs.sortBy(t => (t._3, t._2)).take(3).zipWithIndex
+            .map { case ((_, n, d), i) => (q, n, i + 1, d) }
+        }.toSet
+      assert(got === model)
+      assert(got.nonEmpty)
+      codes.unpersist()
+    } finally { book.unpersist(); byDim.unpersist() }
+  }
+
   test("rangeSearch = threshold filter of the exhaustive ranking " +
       "(window path vs filter path)") {
     import spark.implicits._
