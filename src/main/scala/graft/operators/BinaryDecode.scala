@@ -14,11 +14,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * decoder per partition, not per row) happens once at iterator
   * construction.
   *
-  * STUB: the environment has no image/audio codecs, so [[decodeStub]]
-  * is a deterministic fake — byte statistics standing in for decoded
-  * features. The Spark-side shape (schema, encoders, partition
-  * batching, column pruning before the decode) is real and tested; a
-  * production build swaps `decodeStub`'s body for the codec call.
+  * The byte-level kernels live behind the [[MediaCodec]] trait;
+  * every operator here takes the codec as a parameter defaulting to
+  * [[StubMediaCodec]] (this container ships no codec libraries). A
+  * production deployment passes its real codec and NOTHING else
+  * changes — schemas, pruning, batching, and downstream plans are
+  * codec-independent.
   *
   * Scale notes (100 TB): the input projection selects only (id, bytes)
   * so the parquet scan prunes all other columns; decode parallelism =
@@ -28,7 +29,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 object BinaryDecode {
 
-  /** Features a decoder would emit (deterministic stub values). */
+  /** Features a decoder emits (see [[MediaCodec.decode]]). */
   final case class MediaFeatures(
       doc_id: Long,
       n_bytes: Long,
@@ -39,29 +40,21 @@ object BinaryDecode {
       h3: Long // [96,128+) — ASCII payloads never exceed 127
   )
 
-  /** The stubbed decode: bytes → features. Deterministic, total. */
-  def decodeStub(docId: Long, bytes: Array[Byte]): MediaFeatures = {
-    var sum = 0L
-    val hist = new Array[Long](4)
-    var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i) & 0xff
-      sum += b
-      hist(math.min(b >> 5, 3L).toInt) += 1
-      i += 1
-    }
-    MediaFeatures(docId, bytes.length.toLong, sum, hist(0), hist(1),
-      hist(2), hist(3))
-  }
+  /** The stub decode kernel — kept as a named entry point because the
+    * oracle SQL mirrors it term-for-term; delegates to
+    * [[StubMediaCodec]].
+    */
+  def decodeStub(docId: Long, bytes: Array[Byte]): MediaFeatures =
+    StubMediaCodec.decode(docId, bytes)
 
   /** Batched decode over a (id, payload) projection. */
-  def extractFeatures(spark: SparkSession, binary: DataFrame)
-      : Dataset[MediaFeatures] = {
+  def extractFeatures(spark: SparkSession, binary: DataFrame,
+      codec: MediaCodec = StubMediaCodec): Dataset[MediaFeatures] = {
     import spark.implicits._
     binary.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // per-partition decoder setup would go here (one codec instance)
-        rows.map { case (id, bytes) => decodeStub(id, bytes) }
+        rows.map { case (id, bytes) => codec.decode(id, bytes) }
       }
   }
 
@@ -70,32 +63,23 @@ object BinaryDecode {
     */
   final case class Resized(doc_id: Long, n_in: Long, payload: Array[Byte])
 
-  /** Stubbed resize: stride-downsample to ≤ `target` bytes (every
-    * `max(1, n/target)`-th byte, capped at `target` samples) — the
-    * deterministic stand-in for an image resample: bytes → smaller
-    * bytes, metadata updated, payload stays opaque BINARY.
+  /** The stub resample kernel (oracle-mirrored); delegates to
+    * [[StubMediaCodec]].
     */
-  def resizeStub(bytes: Array[Byte], target: Int): Array[Byte] = {
-    val n = bytes.length
-    val stride = math.max(1, n / target)
-    val count = math.min(target, (n - 1) / stride + 1)
-    val out = new Array[Byte](math.max(count, 0))
-    var j = 0
-    while (j < count) { out(j) = bytes(j * stride); j += 1 }
-    out
-  }
+  def resizeStub(bytes: Array[Byte], target: Int): Array[Byte] =
+    StubMediaCodec.resize(bytes, target)
 
   /** Batched resize over a (id, payload) projection — same partition
     * shape as [[extractFeatures]]: the wide input binary dies at this
     * boundary; only the bounded output payload flows on.
     */
-  def resize(spark: SparkSession, binary: DataFrame,
-      target: Int): Dataset[Resized] = {
+  def resize(spark: SparkSession, binary: DataFrame, target: Int,
+      codec: MediaCodec = StubMediaCodec): Dataset[Resized] = {
     import spark.implicits._
     binary.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          Resized(id, bytes.length.toLong, resizeStub(bytes, target))
+          Resized(id, bytes.length.toLong, codec.resize(bytes, target))
         }
       }
   }
@@ -106,41 +90,27 @@ object BinaryDecode {
   final case class PerceptualHash(doc_id: Long, n_samples: Long,
       ahash: Long)
 
-  /** Stubbed aHash (the classic average-hash of image dedup): stride-
-    * sample the payload to ≤ `grid` values ([[resizeStub]] — a real
-    * build downsamples pixels to the grid), then bit i = 1 iff
-    * sample_i is strictly above the sample mean. The compare is the
-    * integer cross-multiplication `s_i · n > sum` — no division, so
-    * the bit pattern is reproducible exactly in any engine. `grid`
-    * must be ≤ 63 so the hash stays in non-negative BIGINT range.
+  /** The stub aHash kernel (oracle-mirrored); delegates to
+    * [[StubMediaCodec]].
     */
   def aHashStub(docId: Long, bytes: Array[Byte],
-      grid: Int): PerceptualHash = {
-    val s = resizeStub(bytes, grid)
-    val n = s.length
-    var sum = 0L
-    var i = 0
-    while (i < n) { sum += (s(i) & 0xff); i += 1 }
-    var h = 0L
-    i = 0
-    while (i < n) {
-      if ((s(i) & 0xff).toLong * n > sum) h |= (1L << i)
-      i += 1
-    }
-    PerceptualHash(docId, n.toLong, h)
-  }
+      grid: Int): PerceptualHash =
+    StubMediaCodec.perceptualHash(docId, bytes, grid)
 
   /** Batched perceptual hashing over a (id, payload) projection —
     * the fingerprint index build of a LAION-style media dedup: the
-    * wide binary dies here, 12 bytes/row flow on.
+    * wide binary dies here, 12 bytes/row flow on. The `grid ≤ 63`
+    * bound is the ENGINE's contract (the hash must fit non-negative
+    * BIGINT for the oracle), not the codec's.
     */
   def perceptualHashes(spark: SparkSession, binary: DataFrame,
-      grid: Int = 32): Dataset[PerceptualHash] = {
+      grid: Int = 32,
+      codec: MediaCodec = StubMediaCodec): Dataset[PerceptualHash] = {
     import spark.implicits._
     require(grid >= 1 && grid <= 63, s"grid must be in [1, 63], got $grid")
     binary.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        aHashStub(id, bytes, grid)
+        codec.perceptualHash(id, bytes, grid)
       })
   }
 }

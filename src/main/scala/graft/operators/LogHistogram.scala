@@ -74,6 +74,45 @@ object LogHistogram {
       s"ELSE ($pow * ($k + $bucketCol % $k + 1)) div $k END")
   }
 
+  /** Lower edge of a bucket id: `2^o · (k + s) div k` — at or below
+    * every integer value in the bucket (the floor can only lower it).
+    * Same division-first overflow discipline as [[upperEdge]].
+    */
+  def lowerEdge(bucketCol: String, k: Int): Column = {
+    require(k >= 1 && (k & (k - 1)) == 0, s"need a power-of-two k, got $k")
+    val pow = s"shiftleft(CAST(1 AS BIGINT), $bucketCol div $k)"
+    expr(s"CASE WHEN $pow >= $k " +
+      s"THEN ($pow div $k) * ($k + $bucketCol % $k) " +
+      s"ELSE ($pow * ($k + $bucketCol % $k)) div $k END")
+  }
+
+  /** DELETABLE min/max estimates from a live `(groupCols..., bucket,
+    * c)` histogram — the piece [[graft.operators.IncrementalAgg]]'s
+    * monotone merge cannot express: bucket counts DECREMENT cleanly
+    * (a CDC delete is a negative-count delta through
+    * `mergeAdditive`), and after any mix of inserts and deletes the
+    * group's min lives in its first live bucket, the max in its
+    * last. Emits the bucket edges on both sides of each extremum:
+    *
+    *   min_est = lowerEdge(first live bucket) ≤ exact min ≤ min_hi
+    *   max_lo  ≤ exact max ≤ upperEdge(last live bucket) = max_est
+    *
+    * — containment the caller restates as bound booleans (the x04
+    * policy). Width of the bracket is one sub-bucket, i.e. a (k+1)/k
+    * relative bound. Scale shape: one aggregate over the tiny sketch
+    * table (≤ octaves·k rows per group), never the data.
+    */
+  def extremaEstimates(hist: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame =
+    hist.filter(col("c") > 0)
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col("bucket")).as("__bmin"), max(col("bucket")).as("__bmax"))
+      .select(groupCols.map(col) ++ Seq(
+        lowerEdge("__bmin", k).as("min_est"),
+        upperEdge("__bmin", k).as("min_hi"),
+        lowerEdge("__bmax", k).as("max_lo"),
+        upperEdge("__bmax", k).as("max_est")): _*)
+
   /** Estimate quantiles from a merged `(groupCols..., bucket, c)`
     * histogram: for each requested `(name, numer, denom)` the
     * discrete rank is `ceil(numer·n / denom)` (n = Σ c within the

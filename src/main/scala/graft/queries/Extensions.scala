@@ -379,6 +379,57 @@ object Extensions extends QueryPack {
         .orderBy($"o_custkey")
     }),
 
+    // -- deletable-extremum IVM: min/max under CDC deletes --------------
+    // Closes the one documented IncrementalAgg gap
+    // ([[graft.operators.IncrementalAgg.mergeMonotonic]]'s NOT-
+    // retractable contract): MIN/MAX under deletion, maintained from
+    // a per-group [[graft.operators.LogHistogram]] bucket-count state
+    // instead of the bare extremum. Counts are additive, so a CDC
+    // delete is just a negative delta through mergeAdditive — and the
+    // group's live min/max stay readable as the edges of the
+    // first/last live bucket, with the provable one-sub-bucket
+    // bracket restated as bound booleans per the x04 policy (oracle
+    // pins them TRUE; exact min/max recomputed over the live rows).
+    // The delete batch (every 5th order) removes the row holding the
+    // current min or max for most customers — the exact case the
+    // monotone merge cannot express. Scale shape: state is ≤
+    // octaves·k rows per group regardless of row count; the delete
+    // path touches only the delta's groups, never rescans the base.
+    "x26_deletable_extrema" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.{IncrementalAgg, LogHistogram}
+      val K = 16
+      val o = Tables(s, dir).orders
+        .select($"o_custkey", $"o_orderkey",
+          expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .filter($"cents" >= 1)
+      def histOf(df: DataFrame, sign: Int) = df
+        .withColumn("bucket", LogHistogram.bucket("cents", K))
+        .groupBy($"o_custkey", $"bucket")
+        .agg((count(lit(1)) * sign).as("c"))
+      val snapshot = histOf(o, 1)
+      val deleteHist = histOf(o.filter($"o_orderkey" % 5 === 0), -1)
+      val live = IncrementalAgg.mergeAdditive(
+        snapshot, deleteHist, Seq("o_custkey", "bucket"))
+      val est = LogHistogram.extremaEstimates(live, Seq("o_custkey"), K)
+      val nLive = live.groupBy($"o_custkey").agg(sum($"c").as("n_live"))
+      // the verification face: exact extrema over the surviving rows
+      // (at 100 TB this rescan is only ever run per-audit or on the
+      // delta's groups; the sketch answers the live query)
+      val exact = o.filter($"o_orderkey" % 5 =!= 0)
+        .groupBy($"o_custkey")
+        .agg(min($"cents").as("exact_min"), max($"cents").as("exact_max"))
+      nLive.filter($"n_live" > 0)
+        .join(est, Seq("o_custkey"))
+        .join(exact, Seq("o_custkey"))
+        .select($"o_custkey", $"n_live", $"exact_min", $"exact_max",
+          ($"min_est" <= $"exact_min" && $"exact_min" <= $"min_hi")
+            .as("min_ok"),
+          ($"max_lo" <= $"exact_max" && $"exact_max" <= $"max_est")
+            .as("max_ok"))
+        .orderBy($"o_custkey")
+    }),
+
     // -- salted join for skewed fact keys -------------------------------
     // The proactive skew treatment ([[graft.operators.SkewJoin]]): the
     // fact side gets a uniform salt in [0, 8), the dimension is
@@ -868,6 +919,20 @@ object Extensions extends QueryPack {
         |  CAST(MAX(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS max_cents
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // exact extrema over the surviving rows; the sketch brackets are
+    // pinned TRUE (a lost bucket count or a broken edge flips one)
+    "x26_deletable_extrema" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_live,
+        |  CAST(MIN(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS exact_min,
+        |  CAST(MAX(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS exact_max,
+        |  TRUE AS min_ok, TRUE AS max_ok
+        |FROM orders
+        |WHERE o_orderkey % 5 <> 0
+        |  AND CAST(FLOOR(o_totalprice * 100) AS BIGINT) >= 1
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     // the incremental result must equal the full recompute over the
     // final row set (base + late arrivals − retracted subset)

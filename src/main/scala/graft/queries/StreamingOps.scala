@@ -794,6 +794,38 @@ object StreamingOps extends QueryPack {
         .orderBy($"day", $"rule")
     }),
 
+    // -- streaming governance monitor: windowed k-anonymity -------------
+    // The streaming face of x21 (privacy audits run continuously, not
+    // in nightly batches): per day window, events bucket into
+    // quasi-identifier cells (event_type × user band) via one
+    // watermarked streaming aggregate, and a CHAINED second aggregate
+    // (the st20 machinery) rolls the cell sizes up to the x21 report —
+    // cells, rows, sub-k cells, rows that suppression would drop, and
+    // the worst cell size. Append mode: only watermark-finalized days
+    // emit, and the oracle applies the same final-watermark cutoff as
+    // st20. State at scale: one row per (day, cell) in flight — QI
+    // cardinality, independent of event volume — then one row per day.
+    "st27_stream_k_anonymity" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val k = 4
+      val cells = eventStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 day"), $"event_type",
+          ($"user_id" % 100).as("band"))
+        .agg(count(lit(1)).as("n"))
+      val report = cells
+        .groupBy(window($"window", "1 day"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum($"n").as("n_rows"),
+          sum(when($"n" < k, 1L).otherwise(0L)).as("n_small_cells"),
+          sum(when($"n" < k, $"n").otherwise(0L)).as("n_suppressed"),
+          min($"n").as("min_cell_size"))
+      drain(s, report, OutputMode.Append())
+        .select($"window.start".as("day"), $"n_cells", $"n_rows",
+          $"n_small_cells", $"n_suppressed", $"min_cell_size")
+        .orderBy($"day")
+    }),
+
     // -- streaming ANN serving: per-event nearest neighbor --------------
     // The real-time personalization shape: each purchase event looks
     // up its user's embedding (user_id mod 500 keys the vector dim —
@@ -1373,6 +1405,31 @@ object StreamingOps extends QueryPack {
         |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INTEGER)
         |    AS pass
         |FROM u ORDER BY day, rule""".stripMargin,
+
+    // x21's k-anonymity rollup per day, with st20's final-watermark
+    // cutoff (append mode emits only finalized day windows)
+    "st27_stream_k_anonymity" ->
+      """WITH wm AS (
+        |  SELECT (epoch_us(max(ts)) // 1000 - 3600000) * 1000 AS w_us
+        |  FROM events),
+        |cells AS (
+        |  SELECT time_bucket(INTERVAL '1 day', ts) AS day, event_type,
+        |    user_id % 100 AS band, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |rep AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |    CAST(SUM(n) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN n < 4 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_small_cells,
+        |    CAST(SUM(CASE WHEN n < 4 THEN n ELSE 0 END) AS BIGINT)
+        |      AS n_suppressed,
+        |    CAST(MIN(n) AS BIGINT) AS min_cell_size
+        |  FROM cells GROUP BY day)
+        |SELECT day, n_cells, n_rows, n_small_cells, n_suppressed,
+        |  min_cell_size
+        |FROM rep
+        |WHERE epoch_us(day) + 86400000000 < (SELECT w_us FROM wm)
+        |ORDER BY day""".stripMargin,
 
     // last-writer-wins over the changelog: the surviving row per user
     // is its max-epoch op, kept iff that op is not a delete — batch

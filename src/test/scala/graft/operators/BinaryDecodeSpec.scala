@@ -36,6 +36,29 @@ class BinaryDecodeSpec extends AnyFunSuite {
     assert(h.ahash === expected)
   }
 
+  test("codec boundary: a swapped MediaCodec flows through the same " +
+      "operator, same schema") {
+    val spark = graft.streaming.TestSpark.spark
+    import spark.implicits._
+    // a "real" codec stand-in that disagrees with the stub on values
+    object NegCodec extends MediaCodec {
+      override def decode(id: Long, b: Array[Byte]) =
+        BinaryDecode.MediaFeatures(id, -b.length.toLong, -1L, 0L, 0L, 0L, 0L)
+      override def resize(b: Array[Byte], t: Int) = b.take(1)
+      override def perceptualHash(id: Long, b: Array[Byte], g: Int) =
+        BinaryDecode.PerceptualHash(id, 1L, 42L)
+    }
+    val df = Seq((1L, Array[Byte](1, 2, 3)), (2L, Array[Byte](9)))
+      .toDF("doc_id", "payload")
+    val stub = BinaryDecode.extractFeatures(spark, df).collect()
+    val neg = BinaryDecode.extractFeatures(spark, df, NegCodec).collect()
+    // identical schema/ids, codec-determined values
+    assert(stub.map(_.doc_id).sorted === neg.map(_.doc_id).sorted)
+    assert(neg.forall(_.n_bytes < 0) && stub.forall(_.n_bytes > 0))
+    assert(BinaryDecode.perceptualHashes(spark, df, 32, NegCodec)
+      .collect().forall(_.ahash === 42L))
+  }
+
   test("grid outside [1, 63] is rejected") {
     val spark = graft.streaming.TestSpark.spark
     import spark.implicits._

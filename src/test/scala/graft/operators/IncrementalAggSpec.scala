@@ -116,6 +116,32 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(got.getLong(3) === 1L && want.getLong(3) === 5L)
   }
 
+  test("LogHistogram bucket state RECOVERS extrema after their delete " +
+      "(the x26 path closing the gap above)") {
+    import spark.implicits._
+    val K = 16
+    def histOf(df: DataFrame, sign: Int) = df
+      .withColumn("bucket", LogHistogram.bucket("v", K))
+      .groupBy($"k", $"bucket").agg((count(lit(1)) * sign).as("c"))
+    val base = Seq((1L, 3L), (1L, 500L), (1L, 90000L)).toDF("k", "v")
+    // CDC deletes remove BOTH current extrema; the survivor is 500
+    val del = Seq((1L, 3L), (1L, 90000L)).toDF("k", "v")
+    val live = IncrementalAgg.mergeAdditive(
+      histOf(base, 1), histOf(del, -1), Seq("k", "bucket"))
+    val est = LogHistogram.extremaEstimates(live, Seq("k"), K).collect()(0)
+    val (minEst, minHi) = (est.getLong(1), est.getLong(2))
+    val (maxLo, maxEst) = (est.getLong(3), est.getLong(4))
+    // both brackets moved to the surviving value — what mergeMonotonic
+    // (previous test) provably cannot do...
+    assert(minEst <= 500L && 500L <= minHi, s"min bracket [$minEst,$minHi]")
+    assert(maxLo <= 500L && 500L <= maxEst, s"max bracket [$maxLo,$maxEst]")
+    // ...and the bracket is one sub-bucket wide: est within (K+1)/K
+    assert(minHi * K <= 500L * (K + 1))
+    assert(maxEst * K <= 500L * (K + 1))
+    // exact values for K=16: 500 lives in octave 8 sub-bucket 15
+    assert(minEst === 496L && maxEst === 512L)
+  }
+
   test("mergeMonotonic: declared columns must cover the schema") {
     import spark.implicits._
     val a = Seq((1L, 2L, 3L)).toDF("k", "n", "lo")
