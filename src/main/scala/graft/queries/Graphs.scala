@@ -405,7 +405,7 @@ object Graphs extends QueryPack {
     * neighbors of THEIR degree — the A² diagonal-inclusive 2-walk
     * count, so Σ n_walks2 = Σ deg² graph-wide), h2_sum (= A²·f).
     */
-  private[queries] def neighborFeatures(edges: DataFrame,
+  private[graft] def neighborFeatures(edges: DataFrame,
       feat: DataFrame): DataFrame = {
     val adj = edges.select(col("u").as("node"), col("v").as("nbr"))
       .unionByName(edges.select(col("v").as("node"), col("u").as("nbr")))

@@ -339,6 +339,40 @@ object Similarity extends QueryPack {
         .orderBy($"query_id", $"rank")
     }),
 
+    // -- IVF+PQ: both index layers composed, the production ANN serve ---
+    // FAISS-IVFPQ's serving shape (Jégou et al. 2011 §V) as one plan:
+    // the coarse quantizer (s05's per-label cells) restricts scoring
+    // to each query's 2 probed cells, and WITHIN those cells vectors
+    // are scored from their PQ codes by LUT summation (s08's ADC) —
+    // full-precision corpus vectors are touched by neither layer at
+    // query time. Both corpus-side joins are broadcasts (probed-cells
+    // table and LUT are queries-sized); at rest the code table
+    // partitions by cell and the probe is a partition-pruned read of
+    // nprobe/ncells of the corpus.
+    "s13_ivfpq_topk" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.VectorSearch
+      val emb = VectorSearch.quantize(Tables(s, dir).embeddings, "embedding")
+        .select($"vec_id", $"label", $"eq")
+      val byDim = emb.select($"vec_id".as("id"), $"label",
+        posexplode($"eq").as(Seq("dim", "v"))).persist()
+      val vecsByDim = byDim.select($"id", $"dim", $"v")
+      val cent = byDim.groupBy($"label".as("cell"), $"dim")
+        .agg(floor(sum($"v").cast("double") / count(lit(1))).cast("long")
+          .as("cv"))
+      val book = VectorSearch.pqCodebook(byDim, subDims = 16)
+      val codes = VectorSearch.pqEncode(vecsByDim, book, subDims = 16)
+        .join(VectorSearch.nearestCells(vecsByDim, cent, nprobe = 1)
+          .select($"id", $"cell"), Seq("id"))
+      val queryCells = VectorSearch.nearestCells(
+          vecsByDim.filter($"id" < 100), cent, nprobe = 2)
+        .select($"id".as("query_id"), $"cell")
+      VectorSearch.ivfPqAdcTopK(
+          vecsByDim.filter($"id" < 100), queryCells, codes, book,
+          subDims = 16, k = 3)
+        .orderBy($"query_id", $"rank")
+    }),
+
     // -- hybrid retrieval: BM25 + dense top-20 fused by RRF --------------
     // Reciprocal-rank fusion (Cormack et al., SIGIR 2009): every
     // document in an arm's top-20 contributes 1e6 div (60 + rank); the
@@ -731,6 +765,65 @@ object Similarity extends QueryPack {
         |  SELECT l.query_id, c.id AS neighbor_id,
         |    CAST(SUM(l.sub_dist2) AS BIGINT) AS adist2
         |  FROM enc c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+        |  WHERE l.query_id <> c.id
+        |  GROUP BY l.query_id, c.id)
+        |SELECT query_id, neighbor_id, rank, adist2 FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY adist2, neighbor_id) AS INTEGER) AS rank FROM sc) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // s05's coarse-cell CTEs + s08's PQ CTEs composed; scoring joins
+    // the probed-cell restriction BEFORE the LUT sum
+    "s13_ivfpq_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS eq
+        |  FROM embeddings),
+        |bd AS (
+        |  SELECT vec_id, label, i - 1 AS dim, eq[i] AS v
+        |  FROM e CROSS JOIN LATERAL
+        |    (SELECT unnest(generate_series(1, len(eq))) AS i)),
+        |cent AS (
+        |  SELECT label AS cell, dim,
+        |    CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+        |  FROM bd GROUP BY label, dim),
+        |dist AS (
+        |  SELECT bd.vec_id, cent.cell,
+        |    SUM((bd.v - cent.cv) * (bd.v - cent.cv)) AS dist2
+        |  FROM bd JOIN cent ON bd.dim = cent.dim
+        |  GROUP BY bd.vec_id, cent.cell),
+        |ranked AS (
+        |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY dist2, cell) AS rk FROM dist),
+        |assign AS (SELECT vec_id, cell FROM ranked WHERE rk = 1),
+        |qc AS (SELECT vec_id, cell FROM ranked
+        |       WHERE rk <= 2 AND vec_id < 100),
+        |book AS (
+        |  SELECT dim // 16 AS sub, CAST(label AS BIGINT) AS code, dim,
+        |    CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+        |  FROM bd GROUP BY sub, code, dim),
+        |sd AS (
+        |  SELECT bd.vec_id AS id, book.sub, book.code,
+        |    CAST(SUM((bd.v - book.cv) * (bd.v - book.cv)) AS BIGINT)
+        |      AS dist2
+        |  FROM bd JOIN book ON bd.dim = book.dim
+        |  GROUP BY id, book.sub, book.code),
+        |enc AS (
+        |  SELECT id, sub, code FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id, sub
+        |      ORDER BY dist2, code) AS rk FROM sd) t
+        |  WHERE rk = 1),
+        |lut AS (
+        |  SELECT id AS query_id, sub, code, dist2 AS sub_dist2
+        |  FROM sd WHERE id < 100),
+        |sc AS (
+        |  SELECT l.query_id, c.id AS neighbor_id,
+        |    CAST(SUM(l.sub_dist2) AS BIGINT) AS adist2
+        |  FROM enc c
+        |  JOIN assign a ON c.id = a.vec_id
+        |  JOIN qc ON qc.cell = a.cell
+        |  JOIN lut l ON l.query_id = qc.vec_id
+        |    AND c.sub = l.sub AND c.code = l.code
         |  WHERE l.query_id <> c.id
         |  GROUP BY l.query_id, c.id)
         |SELECT query_id, neighbor_id, rank, adist2 FROM (

@@ -72,6 +72,49 @@ class EventGenSourceSpec extends AnyFunSuite {
       batch.exceptAll(spark.table(name)).isEmpty)
   }
 
+  test("continuous read under a SLOW consumer: no drop, no dup, " +
+      "parked stripes stay quiet after drain") {
+    import spark.implicits._
+    // rate mismatch: the consumer burns ~1ms per row (a throttled
+    // projection), the producer is unbounded. The readers are PULL-
+    // based — a row is generated only when the epoch poll asks for it
+    // — so admission is inherently bounded by consumption (no queue to
+    // grow), and the drained stripes park in interruptible sleep
+    // instead of re-emitting. The assertions: exactly-once delivery
+    // across the many epochs a slow drain spans, and ZERO extra rows
+    // while the query keeps running a full second past drain.
+    val name = "eventgen_slow_consumer"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-continuous-slow-").toString
+    val throttle = udf { (id: Long) => Thread.sleep(1); id }
+    val q = spark.readStream.format(fmt)
+      .option("totalRows", "1500").option("numPartitions", "3")
+      .load()
+      .select(throttle($"event_id").as("event_id"), $"user_id")
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.Continuous("100 milliseconds"))
+      .start()
+    try {
+      val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+      var n = 0L
+      while (n < 1500 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        n = spark.table(name).count()
+      }
+      assert(n >= 1500, s"slow consumer received only $n of 1500 rows")
+      // parked stripes: one more second of continuous execution must
+      // deliver nothing new (no wraparound, no replays from parking)
+      Thread.sleep(1000)
+      val after = spark.table(name)
+        .agg(count(lit(1)), countDistinct($"event_id")).head()
+      assert(after.getLong(0) === 1500L,
+        s"rows appeared after drain: ${after.getLong(0)}")
+      assert(after.getLong(1) === 1500L, "duplicate event_ids delivered")
+    } finally q.stop()
+  }
+
   test("micro-batch streaming read drains with AvailableNow") {
     import spark.implicits._
     val name = "eventgen_drain"
