@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   * but ONLY insert-only ([[mergeMonotonic]]): a deletion of the
   * current extremum cannot be undone from the aggregate alone (the
   * runner-up was never retained), so deletes need a rescan or a
-  * sketch. Holistic aggregates (exact median, distinct count) do not
-  * merge at all and need either a sketch (x04/x09) or a rescan.
+  * sketch — the engine ships the sketch:
+  * [[LogHistogram.extremaEstimates]] over per-group bucket counts
+  * maintained by [[mergeAdditive]] (x26). Holistic aggregates (exact
+  * median, distinct count) do not merge at all and need either a
+  * sketch (x04/x09) or a rescan.
   *
   * Scale shape (100 TB): the delta aggregate is one
   * map-side-combinable pass over the (small) delta; the merge is a
@@ -76,9 +79,13 @@ object IncrementalAgg {
     * no negated-delta spelling can express "forget the extremum".
     * Feeding deletes through this merge leaves the stale extremum in
     * place (IncrementalAggSpec pins this failure mode). Under
-    * deletion, maintain MIN/MAX by rescan of the affected groups
-    * only, or keep a per-group top-k ledger sized to the expected
-    * delete depth.
+    * deletion, maintain MIN/MAX from a per-group
+    * [[LogHistogram]] bucket-count state instead — counts decrement
+    * through [[mergeAdditive]] and the live extrema read off the
+    * first/last live bucket with a (k+1)/k bracket
+    * ([[LogHistogram.extremaEstimates]], x26; the recovery is the
+    * spec case paired with the stale-extremum pin) — or rescan the
+    * affected groups.
     */
   def mergeMonotonic(snapshot: DataFrame, deltaAgg: DataFrame,
       keys: Seq[String], addCols: Seq[String], minCols: Seq[String],
