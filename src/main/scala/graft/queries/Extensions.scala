@@ -430,6 +430,45 @@ object Extensions extends QueryPack {
         .orderBy($"o_custkey")
     }),
 
+    // -- join-view IVM: the delta-join decomposition --------------------
+    // x10 maintains an aggregate over ONE table; real materialized
+    // views aggregate over JOINS, and their delta is the textbook
+    // decomposition (DBToaster/incremental view maintenance
+    // literature):  Δ(A ⋈ B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB.  Each term
+    // joins a DELTA against a base (or delta) — the view itself is
+    // never rescanned and neither base is re-joined against the
+    // other's old rows. The three delta aggregates then fold into the
+    // snapshot through the same additive merge as x10, so retraction
+    // (negated deltas) composes for free. Scale shape (100 TB): each
+    // term's cost is bounded by a delta side (broadcast the delta, or
+    // bucket the base on the join key and the probe is co-located);
+    // the view merge is a key-equi full-outer on the view key. The
+    // oracle is the full recompute over the final state of both
+    // bases — incremental ≡ rescan, hash-checked.
+    "x27_join_view_ivm" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.IncrementalAgg
+      val t = Tables(s, dir)
+      val o = t.orders.select($"o_custkey", $"o_orderkey",
+        expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val c = t.customer
+        .select($"c_custkey", $"c_nationkey", $"c_mktsegment")
+      // yesterday's bases and today's arrivals, both deterministic
+      val oOld = o.filter($"o_orderkey" % 13 =!= 0)
+      val dO = o.filter($"o_orderkey" % 13 === 0)
+      val cOld = c.filter($"c_custkey" % 11 =!= 0)
+      val dC = c.filter($"c_custkey" % 11 === 0)
+      def aggOf(oo: DataFrame, cc: DataFrame) = oo
+        .join(cc, $"o_custkey" === $"c_custkey")
+        .groupBy($"c_nationkey", $"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), sum($"cents").as("total_cents"))
+      val v0 = aggOf(oOld, cOld)
+      Seq(aggOf(dO, cOld), aggOf(oOld, dC), aggOf(dO, dC))
+        .foldLeft(v0)(IncrementalAgg.mergeAdditive(_, _,
+          Seq("c_nationkey", "c_mktsegment")))
+        .orderBy($"c_nationkey", $"c_mktsegment")
+    }),
+
     // -- salted join for skewed fact keys -------------------------------
     // The proactive skew treatment ([[graft.operators.SkewJoin]]): the
     // fact side gets a uniform salt in [0, 8), the dimension is
@@ -919,6 +958,17 @@ object Extensions extends QueryPack {
         |  CAST(MAX(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS max_cents
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // the incremental join view must equal the full recompute over the
+    // final state of both bases
+    "x27_join_view_ivm" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
     // exact extrema over the surviving rows; the sketch brackets are
     // pinned TRUE (a lost bucket count or a broken edge flips one)

@@ -116,6 +116,25 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(got.getLong(3) === 1L && want.getLong(3) === 5L)
   }
 
+  test("join-view delta decomposition composes with retraction " +
+      "(the x27 path): deleting fact rows via a negated delta-join") {
+    import spark.implicits._
+    val fact = spark.range(2000)
+      .select(($"id" % 40).as("k"), ($"id" % 7).as("v"), $"id")
+    val dim = spark.range(40).select($"id".as("k"), ($"id" % 5).as("g"))
+    def viewOf(f: DataFrame) = f.join(dim, Seq("k"))
+      .groupBy($"g").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+    val v0 = viewOf(fact.drop("id"))
+    // CDC delete of a fact slice: the delta term is ΔA⋈B, negated
+    val dA = fact.filter($"id" % 9 === 0).drop("id")
+    val retract = viewOf(dA).select($"g", (-$"n").as("n"), (-$"s").as("s"))
+    val v1 = IncrementalAgg.mergeAdditive(v0, retract, Seq("g"))
+      .filter($"n" > 0)
+    val truth = viewOf(fact.filter($"id" % 9 =!= 0).drop("id"))
+    assert(same(v1, truth))
+    assert(v1.count() > 0)
+  }
+
   test("LogHistogram bucket state RECOVERS extrema after their delete " +
       "(the x26 path closing the gap above)") {
     import spark.implicits._
