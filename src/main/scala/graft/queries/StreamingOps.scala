@@ -977,6 +977,71 @@ object StreamingOps extends QueryPack {
       s.read.parquet(latest.get).orderBy($"user_id")
     }),
 
+    // -- streaming join-view maintenance: x27's stream face -------------
+    // The enrichment half of the x27 delta-join decomposition run
+    // continuously: the dimension is static, so each micro-batch's
+    // view delta is exactly ΔA⋈B — the batch's events broadcast-join
+    // the customer dim, aggregate to the view key, and fold into the
+    // parquet-backed serving view through the same additive merge
+    // (the st26 serving-loop machinery: versioned snapshots, write
+    // v(n) THEN drop v(n-1), O(1) storage asserted at drain). The
+    // view is never rescanned and the dim is never re-joined against
+    // old events; a dimension THAT CHANGES is st18's stream-stream
+    // territory. Oracle: the full batch recompute of the join view —
+    // incremental ≡ rescan, hash-checked, batching-independent.
+    "st28_stream_join_view" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val dim = broadcast(Tables(s, dir).customer
+        .select($"c_custkey".as("user_id"), $"c_mktsegment"))
+      val raw = eventStreamMultiBatch(s, dir, parts = 4)
+        .select($"user_id", $"event_type",
+          expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+      val servingRoot = java.nio.file.Files
+        .createTempDirectory("graft-joinview-").toString
+      var latest: Option[String] = None
+      var batches = 0
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = raw.writeStream
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch {
+            (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+              val delta = batch.join(dim, Seq("user_id"))
+                .groupBy($"c_mktsegment", $"event_type")
+                .agg(count(lit(1)).as("n_events"),
+                  sum($"cents").as("total_cents"))
+              val merged = latest match {
+                case None => delta
+                case Some(p) => graft.operators.IncrementalAgg
+                  .mergeAdditive(s.read.parquet(p), delta,
+                    keys = Seq("c_mktsegment", "event_type"))
+              }
+              val next = s"$servingRoot/v$batches"
+              merged.write.mode("overwrite").parquet(next)
+              latest.foreach { p =>
+                val fs = new org.apache.hadoop.fs.Path(p)
+                fs.getFileSystem(s.sparkContext.hadoopConfiguration)
+                  .delete(fs, true)
+              }
+              latest = Some(next)
+              batches += 1
+          }
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      require(batches >= 4,
+        s"expected >= 4 incremental micro-batches, saw $batches — the " +
+          "multi-file split is not driving the trigger")
+      val live = new java.io.File(servingRoot).listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("v"))
+      require(live <= 2,
+        s"snapshot GC failed: $live versions live under $servingRoot")
+      s.read.parquet(latest.get)
+        .orderBy($"c_mktsegment", $"event_type")
+    }),
+
     // -- streaming CDC apply: versioned changelog → serving table -------
     // The streaming face of x18's change feed. A changelog of
     // ('U' upsert / 'D' tombstone) ops, each stamped with its source
@@ -1430,6 +1495,17 @@ object StreamingOps extends QueryPack {
         |FROM rep
         |WHERE epoch_us(day) + 86400000000 < (SELECT w_us FROM wm)
         |ORDER BY day""".stripMargin,
+
+    // the streamed join view must equal the batch recompute of the
+    // full enrichment join (NULL user_id drops via inner-join in both)
+    "st28_stream_join_view" ->
+      """SELECT c_mktsegment, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
 
     // last-writer-wins over the changelog: the surviving row per user
     // is its max-epoch op, kept iff that op is not a delete — batch
