@@ -98,22 +98,11 @@ object Dedup extends QueryPack {
     val key = dir.replaceAll("[^A-Za-z0-9]", "_")
     val bandsTbl = s"graft_dedup_bands_$key"
     val shTbl = s"graft_dedup_shingles_$key"
-    // the catalog is in-memory but the warehouse is on disk: a table
-    // location left by a PREVIOUS session is invisible to tableExists
-    // yet blocks CREATE TABLE AS SELECT — drop the stale location and
-    // rebuild (never adopt it silently: its build provenance is gone)
-    def dropStale(tbl: String): Unit =
-      if (!s.catalog.tableExists(tbl)) {
-        val p = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
-      }
     this.synchronized {
       if (!s.catalog.tableExists(bandsTbl) ||
           !s.catalog.tableExists(shTbl)) {
-        dropStale(bandsTbl)
-        dropStale(shTbl)
+        SharedFrames.dropStaleTableLocation(s, bandsTbl)
+        SharedFrames.dropStaleTableLocation(s, shTbl)
         val corpusIds = Tables(s, dir).documents
           .withColumn("part", Sampling.splitColumn($"doc_id",
             Seq("corpus" -> 900, "new" -> 100), salt = "inc"))

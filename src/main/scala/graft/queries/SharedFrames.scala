@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.LogicalRDD
 
 /** Lifecycle helper for the memoized eagerly-`localCheckpoint`ed
@@ -24,6 +24,21 @@ private[queries] object SharedFrames {
     df.queryExecution.analyzed.foreach {
       case l: LogicalRDD => l.rdd.unpersist(blocking = true)
       case _ => ()
+    }
+
+  /** Drop a table LOCATION left behind by a previous session: the
+    * catalog is in-memory but the warehouse is on disk, so a stale
+    * location is invisible to `tableExists` yet blocks CREATE TABLE
+    * AS SELECT. Never adopt the leftover silently — its build
+    * provenance is gone; the caller rebuilds. Shared by the
+    * persisted-index builders (d17's dedup index, s14's ANN index).
+    */
+  def dropStaleTableLocation(s: SparkSession, tbl: String): Unit =
+    if (!s.catalog.tableExists(tbl)) {
+      val p = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
     }
 
   /** Remove-and-free every entry of `memo` whose key matches the

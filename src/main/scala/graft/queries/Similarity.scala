@@ -29,6 +29,51 @@ object Similarity extends QueryPack {
   // Spark-side quantization/bucketing/scoring live in
   // graft.operators.VectorSearch; only the DuckDB mirror stays here.
 
+  /** s14's Job 1 — the ANN index build persisted through the engine's
+    * own writer (d17's discipline applied to vector serving): the PQ
+    * code table WITH its coarse-cell assignment (bucketed by `cell` —
+    * at rest the probe is a cell-pruned read), plus the two tiny
+    * model tables a server needs (sub-codebook, coarse centroids),
+    * built once per session catalog per dir. The probe job (s14)
+    * reads all three from storage — the corpus embeddings are never
+    * re-quantized, re-encoded, or even scanned at query time.
+    */
+  private def persistedAnnTables(s: SparkSession,
+      dir: String): (String, String, String) = {
+    import s.implicits._
+    import graft.operators.VectorSearch
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val codesTbl = s"graft_ann_codes_$key"
+    val bookTbl = s"graft_ann_codebook_$key"
+    val centTbl = s"graft_ann_centroids_$key"
+    this.synchronized {
+      if (!s.catalog.tableExists(codesTbl) ||
+          !s.catalog.tableExists(bookTbl) ||
+          !s.catalog.tableExists(centTbl)) {
+        Seq(codesTbl, bookTbl, centTbl)
+          .foreach(SharedFrames.dropStaleTableLocation(s, _))
+        val byDim = VectorSearch.quantize(
+            Tables(s, dir).embeddings, "embedding")
+          .select($"vec_id".as("id"), $"label",
+            posexplode($"eq").as(Seq("dim", "v"))).persist()
+        val vecsByDim = byDim.select($"id", $"dim", $"v")
+        val cent = byDim.groupBy($"label".as("cell"), $"dim")
+          .agg(floor(sum($"v").cast("double") / count(lit(1)))
+            .cast("long").as("cv"))
+        val book = VectorSearch.pqCodebook(byDim, subDims = 16)
+        cent.write.mode("overwrite").saveAsTable(centTbl)
+        book.write.mode("overwrite").saveAsTable(bookTbl)
+        VectorSearch.pqEncode(vecsByDim, book, subDims = 16)
+          .join(VectorSearch.nearestCells(vecsByDim, cent, nprobe = 1)
+            .select($"id", $"cell"), Seq("id"))
+          .write.mode("overwrite").bucketBy(8, "cell")
+          .saveAsTable(codesTbl)
+        byDim.unpersist()
+      }
+    }
+    (codesTbl, bookTbl, centTbl)
+  }
+
   /** 8-bit sign bucket in DuckDB (1-based lists). Bucket width is the
     * recall/speed dial: 8 bits ≈ 256 buckets keeps a few candidates
     * per bucket at sf0.01; at 100 TB the same shape uses more bits
@@ -373,6 +418,31 @@ object Similarity extends QueryPack {
         .orderBy($"query_id", $"rank")
     }),
 
+    // -- ANN serving from the PERSISTED index ---------------------------
+    // s13's production face: the code table, codebook, and centroids
+    // come FROM STORAGE ([[persistedAnnTables]] — the nightly build),
+    // and the probe touches only the day's queries plus the three
+    // index tables. The corpus embedding column is read by nothing in
+    // the probe plan (the only embeddings scan carries the vec_id<100
+    // query pushdown). Result identical to s13 by construction: the
+    // stored codes/cells/codebook are the same per-vector values the
+    // in-session pipeline computes, so one oracle text serves both.
+    "s14_persisted_ann_serving" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.VectorSearch
+      val (codesTbl, bookTbl, centTbl) = persistedAnnTables(s, dir)
+      val qByDim = VectorSearch.quantize(
+          Tables(s, dir).embeddings.filter($"vec_id" < 100), "embedding")
+        .select($"vec_id".as("id"), posexplode($"eq").as(Seq("dim", "v")))
+        .select($"id", $"dim", $"v")
+      val queryCells = VectorSearch.nearestCells(
+          qByDim, s.table(centTbl), nprobe = 2)
+        .select($"id".as("query_id"), $"cell")
+      VectorSearch.ivfPqAdcTopK(qByDim, queryCells, s.table(codesTbl),
+          s.table(bookTbl), subDims = 16, k = 3)
+        .orderBy($"query_id", $"rank")
+    }),
+
     // -- hybrid retrieval: BM25 + dense top-20 fused by RRF --------------
     // Reciprocal-rank fusion (Cormack et al., SIGIR 2009): every
     // document in an arm's top-20 contributes 1e6 div (60 + rank); the
@@ -445,6 +515,66 @@ object Similarity extends QueryPack {
         .orderBy($"vec_id")
     })
   )
+
+  /** DuckDB spelling of the composed IVF+PQ serve, shared verbatim by
+    * s13 (in-session index) and s14 (persisted index tables).
+    */
+  private lazy val ivfPqOracleSql: String =
+    """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS eq
+        |  FROM embeddings),
+        |bd AS (
+        |  SELECT vec_id, label, i - 1 AS dim, eq[i] AS v
+        |  FROM e CROSS JOIN LATERAL
+        |    (SELECT unnest(generate_series(1, len(eq))) AS i)),
+        |cent AS (
+        |  SELECT label AS cell, dim,
+        |    CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+        |  FROM bd GROUP BY label, dim),
+        |dist AS (
+        |  SELECT bd.vec_id, cent.cell,
+        |    SUM((bd.v - cent.cv) * (bd.v - cent.cv)) AS dist2
+        |  FROM bd JOIN cent ON bd.dim = cent.dim
+        |  GROUP BY bd.vec_id, cent.cell),
+        |ranked AS (
+        |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY dist2, cell) AS rk FROM dist),
+        |assign AS (SELECT vec_id, cell FROM ranked WHERE rk = 1),
+        |qc AS (SELECT vec_id, cell FROM ranked
+        |       WHERE rk <= 2 AND vec_id < 100),
+        |book AS (
+        |  SELECT dim // 16 AS sub, CAST(label AS BIGINT) AS code, dim,
+        |    CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+        |  FROM bd GROUP BY sub, code, dim),
+        |sd AS (
+        |  SELECT bd.vec_id AS id, book.sub, book.code,
+        |    CAST(SUM((bd.v - book.cv) * (bd.v - book.cv)) AS BIGINT)
+        |      AS dist2
+        |  FROM bd JOIN book ON bd.dim = book.dim
+        |  GROUP BY id, book.sub, book.code),
+        |enc AS (
+        |  SELECT id, sub, code FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id, sub
+        |      ORDER BY dist2, code) AS rk FROM sd) t
+        |  WHERE rk = 1),
+        |lut AS (
+        |  SELECT id AS query_id, sub, code, dist2 AS sub_dist2
+        |  FROM sd WHERE id < 100),
+        |sc AS (
+        |  SELECT l.query_id, c.id AS neighbor_id,
+        |    CAST(SUM(l.sub_dist2) AS BIGINT) AS adist2
+        |  FROM enc c
+        |  JOIN assign a ON c.id = a.vec_id
+        |  JOIN qc ON qc.cell = a.cell
+        |  JOIN lut l ON l.query_id = qc.vec_id
+        |    AND c.sub = l.sub AND c.code = l.code
+        |  WHERE l.query_id <> c.id
+        |  GROUP BY l.query_id, c.id)
+        |SELECT query_id, neighbor_id, rank, adist2 FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY adist2, neighbor_id) AS INTEGER) AS rank FROM sc) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     "s01_topk_bruteforce" ->
@@ -773,63 +903,11 @@ object Similarity extends QueryPack {
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     // s05's coarse-cell CTEs + s08's PQ CTEs composed; scoring joins
-    // the probed-cell restriction BEFORE the LUT sum
-    "s13_ivfpq_topk" ->
-      """WITH e AS (
-        |  SELECT vec_id, label, list_transform(embedding,
-        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS eq
-        |  FROM embeddings),
-        |bd AS (
-        |  SELECT vec_id, label, i - 1 AS dim, eq[i] AS v
-        |  FROM e CROSS JOIN LATERAL
-        |    (SELECT unnest(generate_series(1, len(eq))) AS i)),
-        |cent AS (
-        |  SELECT label AS cell, dim,
-        |    CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
-        |  FROM bd GROUP BY label, dim),
-        |dist AS (
-        |  SELECT bd.vec_id, cent.cell,
-        |    SUM((bd.v - cent.cv) * (bd.v - cent.cv)) AS dist2
-        |  FROM bd JOIN cent ON bd.dim = cent.dim
-        |  GROUP BY bd.vec_id, cent.cell),
-        |ranked AS (
-        |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
-        |    ORDER BY dist2, cell) AS rk FROM dist),
-        |assign AS (SELECT vec_id, cell FROM ranked WHERE rk = 1),
-        |qc AS (SELECT vec_id, cell FROM ranked
-        |       WHERE rk <= 2 AND vec_id < 100),
-        |book AS (
-        |  SELECT dim // 16 AS sub, CAST(label AS BIGINT) AS code, dim,
-        |    CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
-        |  FROM bd GROUP BY sub, code, dim),
-        |sd AS (
-        |  SELECT bd.vec_id AS id, book.sub, book.code,
-        |    CAST(SUM((bd.v - book.cv) * (bd.v - book.cv)) AS BIGINT)
-        |      AS dist2
-        |  FROM bd JOIN book ON bd.dim = book.dim
-        |  GROUP BY id, book.sub, book.code),
-        |enc AS (
-        |  SELECT id, sub, code FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id, sub
-        |      ORDER BY dist2, code) AS rk FROM sd) t
-        |  WHERE rk = 1),
-        |lut AS (
-        |  SELECT id AS query_id, sub, code, dist2 AS sub_dist2
-        |  FROM sd WHERE id < 100),
-        |sc AS (
-        |  SELECT l.query_id, c.id AS neighbor_id,
-        |    CAST(SUM(l.sub_dist2) AS BIGINT) AS adist2
-        |  FROM enc c
-        |  JOIN assign a ON c.id = a.vec_id
-        |  JOIN qc ON qc.cell = a.cell
-        |  JOIN lut l ON l.query_id = qc.vec_id
-        |    AND c.sub = l.sub AND c.code = l.code
-        |  WHERE l.query_id <> c.id
-        |  GROUP BY l.query_id, c.id)
-        |SELECT query_id, neighbor_id, rank, adist2 FROM (
-        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-        |    ORDER BY adist2, neighbor_id) AS INTEGER) AS rank FROM sc) t
-        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // the probed-cell restriction BEFORE the LUT sum. s14 serves the
+    // identical pipeline from the persisted index tables — storage
+    // must be invisible to results, so ONE text pins both spellings.
+    "s13_ivfpq_topk" -> ivfPqOracleSql,
+    "s14_persisted_ann_serving" -> ivfPqOracleSql,
 
     // fusion composes t12's BM25 CTE chain VERBATIM (the shared
     // [[TextAnalysis.duckBm25Ctes]] constant — the Spark side calls

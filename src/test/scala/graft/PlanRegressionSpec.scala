@@ -177,6 +177,23 @@ class PlanRegressionSpec extends AnyFunSuite {
       "top-20 fell back to a global sort")
   }
 
+  test("s14: ANN probe reads the stored index — corpus embeddings are " +
+      "never scanned") {
+    val plan = planOf("s14_persisted_ann_serving")
+    assert(plan.contains("graft_ann_codes") &&
+      plan.contains("graft_ann_codebook") &&
+      plan.contains("graft_ann_centroids"),
+      "probe no longer reads the persisted ANN tables")
+    // the embeddings scans must carry the query-side pushdown — a
+    // corpus-wide scan means the probe re-encoded the corpus
+    assert(plan.contains("LessThan(vec_id,100)"),
+      "embeddings scans lost the query-side vec_id pushdown")
+    val pushed = plan.linesIterator
+      .filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.exists(_.contains("LessThan(vec_id,100)")),
+      s"no scan pushes the query filter: $pushed")
+  }
+
   test("d17: probe reads the stored index — corpus text is never " +
       "re-shingled") {
     // force the index build (Job 1), then inspect the PROBE plan only
