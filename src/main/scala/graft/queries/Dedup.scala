@@ -674,7 +674,7 @@ object Dedup extends QueryPack {
     * the corpus index lives, which is invisible to results — one SQL
     * text keeps that equivalence honest.
     */
-  private lazy val incrementalDedupOracleSql: String = {
+  private[queries] lazy val incrementalDedupOracleSql: String = {
     val bucket = graft.operators.Sampling.duckHashBucketPm(
       "doc_id", "inc")
     val bandedUnion = bandCols.zipWithIndex.map {

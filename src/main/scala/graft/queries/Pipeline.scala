@@ -61,6 +61,34 @@ object Pipeline extends QueryPack {
         .orderBy($"source")
     }),
 
+    // -- the INCREMENTAL daily curation job -----------------------------
+    // p01 curates a whole corpus; this is the job that runs every day
+    // after the corpus exists: today's arrivals (the d17 "new" split)
+    // gate on quality (t04's heuristic), probe the PERSISTED corpus
+    // index for near-dups (d17 — the corpus is never re-shingled),
+    // and the readout is the per-source admission funnel a pipeline
+    // owner watches: arrived → passed quality → admitted (quality ∧
+    // not-dup) → admitted token volume. Composes the operator library
+    // by reference (the dedup stage IS d17's query), so the job's
+    // cost is proportional to the day's arrivals.
+    "p04_incremental_curation" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val inc = Dedup.queries("d17_persisted_index_dedup")(s, dir)
+        .select($"new_doc".as("doc_id"), $"is_dup")
+      val q = graft.operators.TextQuality
+        .annotate(Tables(s, dir).documents, "text")
+        .select($"doc_id", $"source", $"keep", $"n_tokens")
+      q.join(inc, Seq("doc_id"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_arrived"),
+          sum($"keep".cast("long")).as("n_quality"),
+          sum(when($"keep" === 1 && !$"is_dup", 1L).otherwise(0L))
+            .as("n_admitted"),
+          sum(when($"keep" === 1 && !$"is_dup", $"n_tokens")
+            .otherwise(0L)).as("admitted_tokens"))
+        .orderBy($"source")
+    }),
+
     // -- cluster-aware retention: one representative per dup cluster ----
     // LSH edges → connected components → keep the longest doc (tie:
     // lowest id) per cluster. The policy p01's pairwise "drop the
@@ -163,6 +191,36 @@ object Pipeline extends QueryPack {
          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
          |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
          |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+
+    // the dedup CTE is d13/d17's oracle text BY REFERENCE (nested
+    // WITH inside the subquery); the quality CTE mirrors t04's gate
+    "p04_incremental_curation" ->
+      s"""WITH inc AS (
+         |${Dedup.incrementalDedupOracleSql}
+         |),
+         |q AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN n_tokens >= 30
+         |      AND stop_hits * 1000 // n_tokens BETWEEN 20 AND 400
+         |      THEN 1 ELSE 0 END AS keep,
+         |    n_tokens
+         |  FROM (
+         |    SELECT doc_id, source,
+         |      CAST(len(toks) AS BIGINT) AS n_tokens,
+         |      CAST(len(list_filter(toks,
+         |        t -> t IN ('the','a','of','and','to'))) AS BIGINT)
+         |        AS stop_hits
+         |    FROM (SELECT doc_id, source,
+         |            regexp_split_to_array(text, '\\s+') AS toks
+         |          FROM documents)))
+         |SELECT q.source, CAST(COUNT(*) AS BIGINT) AS n_arrived,
+         |  CAST(SUM(keep) AS BIGINT) AS n_quality,
+         |  CAST(SUM(CASE WHEN keep = 1 AND NOT is_dup THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_admitted,
+         |  CAST(SUM(CASE WHEN keep = 1 AND NOT is_dup THEN n_tokens
+         |    ELSE 0 END) AS BIGINT) AS admitted_tokens
+         |FROM inc JOIN q ON inc.new_doc = q.doc_id
+         |GROUP BY q.source ORDER BY q.source""".stripMargin,
 
     "p02_cluster_representatives" ->
       s"""WITH RECURSIVE ${Dedup.duckClusterCte(500)},
