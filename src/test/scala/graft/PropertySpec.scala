@@ -172,6 +172,30 @@ object PropertySpec extends Properties("graft") {
       } && got.size == toks.size
     }
 
+  property("LogHistogram bucket edges bracket every value in " +
+      "[1, 2^62), one sub-bucket wide") =
+    forAll(Gen.listOfN(30, Gen.oneOf(
+      Gen.chooseNum(1L, 1000L), // tiny octaves incl. pow < k
+      Gen.chooseNum(1L, (1L << 62) - 1), // full documented domain
+      Gen.oneOf(1L, 2L, 15L, 16L, 17L, (1L << 61) - 1, (1L << 61),
+        (1L << 62) - 1)))) { vs => // edge values pinned explicitly
+      import spark.implicits._
+      import graft.operators.LogHistogram
+      val k = 16
+      val rows = vs.toDF("v")
+        .withColumn("b", LogHistogram.bucket("v", k))
+        .select(org.apache.spark.sql.functions.col("v"),
+          LogHistogram.lowerEdge("b", k).as("lo"),
+          LogHistogram.upperEdge("b", k).as("hi"))
+        .collect()
+      rows.forall { r =>
+        val (v, lo, hi) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        // containment (the x26 bracket) and the (k+1)/k relative bound
+        lo <= v && v <= hi && hi >= 1 &&
+          BigInt(hi) * k <= BigInt(v) * (k + 1)
+      }
+    }
+
   property("hub delivers any sequence exactly once, in order") =
     forAll(Gen.listOfN(25, Gen.chooseNum(Int.MinValue, Int.MaxValue))) { xs =>
       val engine = new graft.streaming.EventEngine(spark)
