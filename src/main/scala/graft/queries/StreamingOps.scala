@@ -826,6 +826,40 @@ object StreamingOps extends QueryPack {
         .orderBy($"day")
     }),
 
+    // -- streaming trending: recency-weighted heavy hitters -------------
+    // The "what's hot" ranking every feed runs: per-day activity
+    // counts (ONE watermarked streaming aggregate — state is
+    // keys × live days, the epoch histogram) scored post-drain with
+    // exponential recency weights. The decay is spelled EXACTLY:
+    // weight = 2^(day − firstDay) as an integer shiftleft, so newer
+    // days dominate older ones in a way both engines reproduce
+    // bit-for-bit (floats would make the ranking engine-dependent).
+    // The epoch-count state is the re-aggregatable form: ANY decay
+    // constant can be applied at read time without touching the
+    // stream, which is why production decayed counters store epochs,
+    // not decayed scalars. Append mode + the st20 watermark cutoff;
+    // the min-day scalar joins via broadcast (x16's pattern), never a
+    // driver collect.
+    "st29_stream_trending" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val daily = eventStream(s, dir)
+        .filter($"user_id".isNotNull)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 day"), $"user_id")
+        .agg(count(lit(1)).as("n"))
+      val drained = drain(s, daily, OutputMode.Append())
+        .select($"window.start".as("day"), $"user_id", $"n")
+      val m = drained.agg(min($"day").as("d0"))
+      drained.crossJoin(broadcast(m))
+        .withColumn("age", datediff($"day", $"d0"))
+        .groupBy($"user_id")
+        .agg(sum(expr("n * shiftleft(CAST(1 AS BIGINT), age)"))
+          .as("score"),
+          sum($"n").as("n_events"))
+        .orderBy($"score".desc, $"user_id")
+        .limit(10)
+    }),
+
     // -- streaming ANN serving: per-event nearest neighbor --------------
     // The real-time personalization shape: each purchase event looks
     // up its user's embedding (user_id mod 500 keys the vector dim —
@@ -1495,6 +1529,28 @@ object StreamingOps extends QueryPack {
         |FROM rep
         |WHERE epoch_us(day) + 86400000000 < (SELECT w_us FROM wm)
         |ORDER BY day""".stripMargin,
+
+    // same integer 2^age recency weighting over watermark-finalized
+    // days; NULL users excluded on both sides
+    "st29_stream_trending" ->
+      """WITH wm AS (
+        |  SELECT (epoch_us(max(ts)) // 1000 - 3600000) * 1000 AS w_us
+        |  FROM events),
+        |d AS (
+        |  SELECT time_bucket(INTERVAL '1 day', ts) AS day, user_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |f AS (
+        |  SELECT * FROM d
+        |  WHERE epoch_us(day) + 86400000000 < (SELECT w_us FROM wm)),
+        |m AS (SELECT MIN(day) AS d0 FROM f)
+        |SELECT user_id,
+        |  CAST(SUM(n * (CAST(1 AS BIGINT)
+        |    << date_diff('day', (SELECT d0 FROM m), day))) AS BIGINT)
+        |    AS score,
+        |  CAST(SUM(n) AS BIGINT) AS n_events
+        |FROM f GROUP BY user_id
+        |ORDER BY score DESC, user_id LIMIT 10""".stripMargin,
 
     // the streamed join view must equal the batch recompute of the
     // full enrichment join (NULL user_id drops via inner-join in both)
