@@ -254,6 +254,40 @@ object StreamingOps extends QueryPack {
         .orderBy($"p_id", $"c_id".asc_nulls_first)
     }),
 
+    // -- stream-stream FULL OUTER join (both unmatched faces) -----------
+    // st12 with the click side's unmatched face added — the funnel
+    // analysis that needs BOTH "purchases with no prior click" and
+    // "clicks that converted to nothing" (the streaming sibling of
+    // q33). Each side's null emission is gated by ITS OWN state
+    // eviction bound, and the two bounds differ because the time-range
+    // condition is asymmetric: a purchase can be matched only by
+    // clicks in [p_ts − 1h, p_ts), so it leaves state (emitting its
+    // null face) once the watermark passes p_ts; a click can be
+    // matched only by purchases in (c_ts, c_ts + 1h], so it must
+    // outwait the watermark passing c_ts + 1h. The oracle encodes
+    // exactly those two cutoffs against the final watermark
+    // (min of both sides' floored-ms max ts − 1h, st12's discipline);
+    // unmatched rows above their cutoff stay in state and never emit,
+    // the documented Structured Streaming outer-join semantics.
+    "st31_stream_full_outer" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val p = eventStream(s, dir).filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"event_id".as("p_id"),
+          $"ts".as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val c = eventStream(s, dir).filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"event_id".as("c_id"),
+          $"ts".as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = p.join(c,
+        $"p_user" === $"c_user" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") && $"c_ts" < $"p_ts",
+        "full_outer")
+        .select($"p_id", $"c_id")
+      drain(s, joined, OutputMode.Append())
+        .orderBy($"p_id".asc_nulls_first, $"c_id".asc_nulls_first)
+    }),
+
     // -- stream-stream AS-OF enrichment (the streaming face of x12) -----
     // Events enriched with the dimension version in effect at event
     // time, where the VERSIONED DIMENSION IS ITSELF A STREAM that
@@ -272,10 +306,13 @@ object StreamingOps extends QueryPack {
     // x12) plus a left completion so events preceding every version
     // keep x12's NULL semantics. The oracle is x12's batch as-of
     // verbatim — streaming and batch as-of must agree row-for-row.
-    // At scale: the unbounded join state IS the dimension history —
-    // bounded by versions, not events (events pair and leave;
-    // production additionally ages out versions superseded beyond the
-    // lateness SLA with the st6 range-bound shape).
+    // At scale: this spelling is the EXACTNESS demo — neither input
+    // declares a watermark, so Spark retains BOTH sides' join state
+    // indefinitely (an arbitrarily-late version could still match any
+    // buffered event). That is the price of exactness under unbounded
+    // version lateness; the production deployment is st30, the
+    // SLA-bounded sibling where watermarks on both inputs plus a
+    // two-sided valid_from range let BOTH state stores evict.
     "st18_stream_asof_enrich" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import java.nio.file.{Files, Paths}
@@ -320,6 +357,85 @@ object StreamingOps extends QueryPack {
           .select($"event_id", $"valid_from", $"version", $"status"),
         OutputMode.Append())
       // post-drain: as-of = the latest valid_from per event
+      val picked = pairs
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"event_id").orderBy($"valid_from".desc)))
+        .filter($"rk" === 1)
+        .select($"event_id", $"version".as("dim_version"),
+          $"status".as("dim_status"))
+      Tables(s, dir).events
+        .filter($"user_id" <= 20).select($"event_id", $"user_id")
+        .join(picked, Seq("event_id"), "left")
+        .groupBy($"user_id", $"dim_version", $"dim_status")
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy($"user_id", $"dim_version")
+    }),
+
+    // -- SLA-bounded streaming as-of: st18 with evicting state ----------
+    // The production sibling of st18. st18 buys exactness under
+    // unbounded version lateness by keeping BOTH join state stores
+    // forever; this query pays the honest price instead: an explicit
+    // enrichment SLA. The dimension is a stream of per-user profile
+    // versions (one per purchase day, derived from the events table
+    // so versions and events share a time domain), the join condition
+    // is TWO-SIDED — `valid_from BETWEEN ts - 7 days AND ts` — and
+    // BOTH inputs declare `withWatermark`, which is exactly what
+    // Spark's StreamingSymmetricHashJoin needs to compute a state
+    // watermark for EACH side: an event row leaves state once no
+    // version within its 7-day window can still arrive; a version row
+    // leaves once no event within 7 days after it can. State bound:
+    // O(versions in SLA + lateness) + O(events in SLA + lateness) —
+    // a sliding window over both streams, never the full history
+    // (PLANS §46). Semantics change with it: an event whose latest
+    // version is older than the SLA enriches to NULL (the "profile
+    // too stale to trust" answer), which the oracle spells as the
+    // same two-sided range on the batch as-of pick. The lateness
+    // delay (35 days) exceeds the corpus' 30-day span, so within the
+    // harness no row is watermark-dropped and the drained pair set is
+    // complete — the delay is the deployment's lateness-SLA knob, not
+    // a correctness crutch; the 7-day range is what bounds state.
+    "st30_stream_asof_sla" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.expressions.Window
+      // profile versions: one per (user, purchase day), status from
+      // that day's purchase count — built batch-side like st18's dim
+      val dim = Tables(s, dir).events
+        .filter($"user_id" <= 20 && $"event_type" === "purchase")
+        .groupBy($"user_id", date_trunc("day", $"ts").as("valid_from"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .withColumn("version", row_number().over(
+          Window.partitionBy($"user_id").orderBy($"valid_from")))
+        .select($"user_id".as("d_user"), $"valid_from", $"version",
+          when($"n_purchases" >= 2, "multi").otherwise("single")
+            .as("status"))
+      // stage as a 3-file directory drained one file per trigger, so
+      // versions genuinely arrive late relative to the events
+      val stageDir = "/tmp/graft-stream-dimsla-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val done = Paths.get(stageDir, "_STAGED")
+      if (!Files.exists(done)) synchronized {
+        if (!Files.exists(done)) {
+          dim.repartition(3, $"d_user")
+            .write.mode("overwrite").parquet(stageDir)
+          Files.createFile(done)
+        }
+      }
+      val dimStream = s.readStream.schema(dim.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDir)
+        .withWatermark("valid_from", "35 days")
+      val ev = eventStream(s, dir)
+        .filter($"user_id" <= 20)
+        .select($"event_id", $"user_id", $"ts")
+        .withWatermark("ts", "35 days")
+      val pairs = drain(s,
+        ev.join(dimStream,
+          $"user_id" === $"d_user" &&
+          $"valid_from" <= $"ts" &&
+          $"valid_from" >= $"ts" - expr("INTERVAL 7 DAYS"))
+          .select($"event_id", $"valid_from", $"version", $"status"),
+        OutputMode.Append())
+      // post-drain as-of pick: latest in-SLA version per event
       val picked = pairs
         .withColumn("rk", row_number().over(
           Window.partitionBy($"event_id").orderBy($"valid_from".desc)))
@@ -831,9 +947,15 @@ object StreamingOps extends QueryPack {
     // counts (ONE watermarked streaming aggregate — state is
     // keys × live days, the epoch histogram) scored post-drain with
     // exponential recency weights. The decay is spelled EXACTLY:
-    // weight = 2^(day − firstDay) as an integer shiftleft, so newer
-    // days dominate older ones in a way both engines reproduce
+    // weight = 2^min(day − firstDay, 62) as an integer shiftleft, so
+    // newer days dominate older ones in a way both engines reproduce
     // bit-for-bit (floats would make the ranking engine-dependent).
+    // The 62 clamp keeps the shift in BIGINT range on ANY input —
+    // beyond it Spark masks the shift amount mod 64 while DuckDB
+    // does not, so an unclamped spelling would silently diverge on
+    // data spanning 63+ finalized days (days beyond the clamp all
+    // saturate at the same maximal weight, preserving the ranking
+    // intent: newest-first).
     // The epoch-count state is the re-aggregatable form: ANY decay
     // constant can be applied at read time without touching the
     // stream, which is why production decayed counters store epochs,
@@ -853,7 +975,7 @@ object StreamingOps extends QueryPack {
       drained.crossJoin(broadcast(m))
         .withColumn("age", datediff($"day", $"d0"))
         .groupBy($"user_id")
-        .agg(sum(expr("n * shiftleft(CAST(1 AS BIGINT), age)"))
+        .agg(sum(expr("n * shiftleft(CAST(1 AS BIGINT), least(age, 62))"))
           .as("score"),
           sum($"n").as("n_events"))
         .orderBy($"score".desc, $"user_id")
@@ -1306,6 +1428,29 @@ object StreamingOps extends QueryPack {
         |   OR epoch_us(p.ts) < (SELECT w_us FROM wm)
         |ORDER BY p_id, c_id NULLS FIRST""".stripMargin,
 
+    // FULL JOIN with BOTH watermark cutoffs explicit: an unmatched
+    // purchase emits iff the final watermark passed p_ts (clicks that
+    // could match it live in [p_ts − 1h, p_ts)); an unmatched click
+    // emits iff the watermark passed c_ts + 1h (purchases that could
+    // match it live in (c_ts, c_ts + 1h]). Watermark in floored
+    // milliseconds, exactly as st12 pins it.
+    "st31_stream_full_outer" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |wm AS (SELECT (least((SELECT epoch_us(max(ts)) FROM p),
+        |                     (SELECT epoch_us(max(ts)) FROM c))
+        |          // 1000 - 3600000) * 1000 AS w_us)
+        |SELECT p.event_id AS p_id, c.event_id AS c_id
+        |FROM p FULL JOIN c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        |WHERE (p.event_id IS NOT NULL AND c.event_id IS NOT NULL)
+        |   OR (c.event_id IS NULL
+        |       AND epoch_us(p.ts) < (SELECT w_us FROM wm))
+        |   OR (p.event_id IS NULL
+        |       AND epoch_us(c.ts) + 3600000000 < (SELECT w_us FROM wm))
+        |ORDER BY p_id NULLS FIRST, c_id NULLS FIRST""".stripMargin,
+
     // exact rank-based percentiles + always-TRUE bound booleans (the
     // x04 policy): the shared skeleton mirrored from
     // LogHistogram.exactWithBounds — one spelling with x14
@@ -1366,6 +1511,43 @@ object StreamingOps extends QueryPack {
         |  ON d.user_id = en.user_id AND d.valid_from = en.vf
         |GROUP BY 1, 2, 3
         |ORDER BY en.user_id, dim_version NULLS FIRST""".stripMargin,
+
+    // st18's as-of oracle with the SLA made explicit: the as-of pick
+    // ranges over versions in [ts - 7 days, ts] only — an event whose
+    // latest version is older than the SLA enriches to NULL exactly
+    // like one preceding every version
+    "st30_stream_asof_sla" ->
+      """WITH dimd AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |      AS valid_from,
+        |    CAST(COUNT(*) AS BIGINT) AS n_purchases
+        |  FROM events
+        |  WHERE user_id <= 20 AND event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |dim AS (
+        |  SELECT user_id, valid_from,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY valid_from) AS INTEGER) AS version,
+        |    CASE WHEN n_purchases >= 2 THEN 'multi' ELSE 'single' END
+        |      AS status
+        |  FROM dimd),
+        |ev AS (SELECT event_id, user_id, ts FROM events
+        |       WHERE user_id <= 20),
+        |mv AS (
+        |  SELECT e.event_id, e.user_id, MAX(d.valid_from) AS vf
+        |  FROM ev e LEFT JOIN dim d
+        |    ON d.user_id = e.user_id AND d.valid_from <= e.ts
+        |    AND d.valid_from >= e.ts - INTERVAL 7 DAY
+        |  GROUP BY 1, 2),
+        |en AS (
+        |  SELECT m.user_id, d.version AS dim_version,
+        |    d.status AS dim_status
+        |  FROM mv m LEFT JOIN dim d
+        |    ON d.user_id = m.user_id AND d.valid_from = m.vf)
+        |SELECT user_id, dim_version, dim_status,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM en GROUP BY 1, 2, 3
+        |ORDER BY user_id, dim_version NULLS FIRST""".stripMargin,
 
     // e11's session CTE + the watermark-timeout emission cutoff: a
     // session emits iff its end (last event + 30 min) is strictly
@@ -1530,8 +1712,10 @@ object StreamingOps extends QueryPack {
         |WHERE epoch_us(day) + 86400000000 < (SELECT w_us FROM wm)
         |ORDER BY day""".stripMargin,
 
-    // same integer 2^age recency weighting over watermark-finalized
-    // days; NULL users excluded on both sides
+    // same integer 2^min(age, 62) recency weighting over
+    // watermark-finalized days (the clamp keeps the shift in BIGINT
+    // range — Spark masks shift mod 64, DuckDB does not); NULL users
+    // excluded on both sides
     "st29_stream_trending" ->
       """WITH wm AS (
         |  SELECT (epoch_us(max(ts)) // 1000 - 3600000) * 1000 AS w_us
@@ -1546,7 +1730,8 @@ object StreamingOps extends QueryPack {
         |m AS (SELECT MIN(day) AS d0 FROM f)
         |SELECT user_id,
         |  CAST(SUM(n * (CAST(1 AS BIGINT)
-        |    << date_diff('day', (SELECT d0 FROM m), day))) AS BIGINT)
+        |    << least(date_diff('day', (SELECT d0 FROM m), day), 62)))
+        |    AS BIGINT)
         |    AS score,
         |  CAST(SUM(n) AS BIGINT) AS n_events
         |FROM f GROUP BY user_id
