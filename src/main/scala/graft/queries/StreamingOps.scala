@@ -1198,6 +1198,166 @@ object StreamingOps extends QueryPack {
         .orderBy($"c_mktsegment", $"event_type")
     }),
 
+    // -- streaming join-view IVM with a CHANGING dimension --------------
+    // st28 maintains the join view against a STATIC dimension, so its
+    // per-batch delta is only ΔA⋈B. This query runs x27's FULL
+    // three-term decomposition continuously: the input is ONE
+    // changelog stream carrying both fact arrivals (events) and
+    // dimension upserts (customer segments, where every 7th key is
+    // re-segmented to 'UPDATED' by a later-epoch version), so a
+    // micro-batch holds both ΔA and ΔB. The dimension delta is SIGNED
+    // — an applied upsert for a key already in B₀ emits (old row, −1)
+    // and (new row, +1) — and the view delta is
+    //   ΔV = agg±(ΔA⋈B₀) ∪ agg±(A₀⋈ΔB) ∪ agg±(ΔA⋈ΔB),
+    // folded into the versioned parquet view through the same
+    // additive merge as x10/st28. The signed algebra makes the result
+    // arrival-order-independent: facts meeting their dim row in a
+    // later batch are picked up by A₀⋈ΔB; a dim update retracts every
+    // previously-attributed fact from the old segment and reissues it
+    // under the new one (−1/+1 through the SAME merge); a stale
+    // version arriving after a newer one applies as NOTHING (epoch
+    // last-writer-wins, st22's discipline). ΔA⋈B₀ + ΔA⋈ΔB together
+    // attribute same-batch facts to the batch's FINAL segment (the
+    // −1/+1 cancels the old-segment face) — the telescoping x27
+    // proves batch-side. At scale: every term is bounded by a delta
+    // side (ΔB broadcasts; A₀ is the base fact table, bucketed by key
+    // at rest so the A₀⋈ΔB probe is co-located and key-pruned — the
+    // one full-scan-shaped term, and the price every IVM paper pays
+    // for dimension churn); the view is never rescanned. The drained
+    // view must equal the batch recompute over the FINAL state of
+    // both bases — the oracle — and the harness asserts ≥4 genuine
+    // micro-batches plus ≥1 actually-applied retraction, so the
+    // update path provably fired.
+    "st32_stream_join_view_ivm" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.expressions.Window
+      // one changelog: fact rows + dim v0 (original segment) + dim v1
+      // ('UPDATED' for every 7th key, strictly newer epoch)
+      val facts = Tables(s, dir).events.filter($"user_id".isNotNull)
+        .select(lit("fact").as("kind"), $"user_id".cast("long").as("k"),
+          expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"),
+          lit(null).cast("string").as("seg"), lit(null).cast("int").as("epoch"))
+      val cust = Tables(s, dir).customer
+      val dim0 = cust.select(lit("dim").as("kind"),
+        $"c_custkey".cast("long").as("k"), lit(null).cast("long").as("cents"),
+        $"c_mktsegment".as("seg"), lit(0).as("epoch"))
+      val dim1 = cust.filter($"c_custkey" % 7 === 0)
+        .select(lit("dim").as("kind"), $"c_custkey".cast("long").as("k"),
+          lit(null).cast("long").as("cents"), lit("UPDATED").as("seg"),
+          lit(1).as("epoch"))
+      val changelog = facts.unionByName(dim0).unionByName(dim1)
+      val stageDir = "/tmp/graft-stream-jvivm-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val done = Paths.get(stageDir, "_STAGED")
+      if (!Files.exists(done)) synchronized {
+        if (!Files.exists(done)) {
+          changelog.repartition(4, $"kind", $"k", $"epoch")
+            .write.mode("overwrite").parquet(stageDir)
+          Files.createFile(done)
+        }
+      }
+      val schema = s.read.parquet(stageDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDir)
+      val root = Files.createTempDirectory("graft-jvivm-").toString
+      val factDir = s"$root/facts"
+      var latestB: Option[String] = None
+      var latestV: Option[String] = None
+      var factsExist = false
+      var batches = 0
+      var nRetract = 0L
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = stream.writeStream
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch {
+            (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+              val dA = batch.filter($"kind" === "fact")
+                .select($"k", $"cents")
+              val ops = batch.filter($"kind" === "dim")
+                .select($"k", $"seg", $"epoch")
+                .withColumn("rn", row_number().over(
+                  Window.partitionBy($"k").orderBy($"epoch".desc)))
+                .filter($"rn" === 1).drop("rn")
+              val b0 = latestB.map(p => s.read.parquet(p)).getOrElse(
+                ops.select($"k", $"seg", $"epoch").limit(0))
+              // applied upserts: new key, or strictly newer epoch
+              // (stale arrivals fall out here — last-writer-wins)
+              val appl = ops.alias("u")
+                .join(b0.alias("t"), col("u.k") === col("t.k"), "left")
+                .filter(col("t.k").isNull || col("u.epoch") > col("t.epoch"))
+                .select(col("u.k").as("k"), col("u.seg").as("seg"),
+                  col("u.epoch").as("epoch"), col("t.seg").as("old_seg"))
+                .persist()
+              val dB = appl.filter($"old_seg".isNotNull)
+                .select($"k", $"old_seg".as("seg"), lit(-1L).as("w"))
+                .unionByName(appl.select($"k", $"seg", lit(1L).as("w")))
+              val a0 =
+                if (factsExist) s.read.parquet(factDir) else dA.limit(0)
+              def aggSigned(f: DataFrame, d: DataFrame) = f
+                .join(d, Seq("k"))
+                .groupBy($"seg")
+                .agg(sum($"w").as("n_events"),
+                  sum($"w" * $"cents").as("total_cents"))
+              val b0w = b0.select($"k", $"seg", lit(1L).as("w"))
+              val dV = Seq(aggSigned(dA, b0w), aggSigned(a0, dB),
+                  aggSigned(dA, dB))
+                .reduce(_ unionByName _)
+                .groupBy($"seg")
+                .agg(sum($"n_events").as("n_events"),
+                  sum($"total_cents").as("total_cents"))
+              val v1 = latestV match {
+                case None => dV
+                case Some(p) => graft.operators.IncrementalAgg
+                  .mergeAdditive(s.read.parquet(p), dV, Seq("seg"))
+              }
+              val nextV = s"$root/view-v$batches"
+              v1.write.mode("overwrite").parquet(nextV)
+              // dimension snapshot: B₁ = B₀ upsert applied rows
+              val b1 = b0.alias("t")
+                .join(appl.select($"k").alias("d"),
+                  col("t.k") === col("d.k"), "left_anti")
+                .select($"k", $"seg", $"epoch")
+                .unionByName(appl.select($"k", $"seg", $"epoch"))
+              val nextB = s"$root/dim-v$batches"
+              b1.write.mode("overwrite").parquet(nextB)
+              nRetract += appl.filter($"old_seg".isNotNull).count()
+              appl.unpersist()
+              // base fact table grows append-only — AFTER the view
+              // delta for this batch is materialized
+              dA.write.mode("append").parquet(factDir)
+              factsExist = true
+              // O(1) snapshots for view and dim (st26 GC discipline)
+              (latestV.toSeq ++ latestB.toSeq).foreach { p =>
+                val fs = new org.apache.hadoop.fs.Path(p)
+                fs.getFileSystem(s.sparkContext.hadoopConfiguration)
+                  .delete(fs, true)
+              }
+              latestV = Some(nextV)
+              latestB = Some(nextB)
+              batches += 1
+          }
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      require(batches >= 4,
+        s"expected >= 4 incremental micro-batches, saw $batches — the " +
+          "multi-file split is not driving the trigger")
+      require(nRetract >= 1,
+        "no dimension retraction applied: every v1 upsert landed " +
+          "before or with its v0 — the update path was not exercised")
+      val live = new java.io.File(root).listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("view-v"))
+      require(live <= 2,
+        s"snapshot GC failed: $live view versions live under $root")
+      s.read.parquet(latestV.get)
+        .filter($"n_events" =!= 0L)
+        .orderBy($"seg")
+    }),
+
     // -- streaming CDC apply: versioned changelog → serving table -------
     // The streaming face of x18's change feed. A changelog of
     // ('U' upsert / 'D' tombstone) ops, each stamped with its source
@@ -1747,6 +1907,21 @@ object StreamingOps extends QueryPack {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment, event_type
         |ORDER BY c_mktsegment, event_type""".stripMargin,
+
+    // the incrementally-maintained view must equal the batch recompute
+    // over the FINAL state of both bases: all facts joined against the
+    // dimension AFTER its upserts (every 7th key re-segmented)
+    "st32_stream_join_view_ivm" ->
+      """WITH dimf AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'UPDATED'
+        |         ELSE c_mktsegment END AS seg
+        |  FROM customer)
+        |SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM events JOIN dimf ON user_id = c_custkey
+        |GROUP BY seg ORDER BY seg""".stripMargin,
 
     // last-writer-wins over the changelog: the surviving row per user
     // is its max-epoch op, kept iff that op is not a delete — batch
