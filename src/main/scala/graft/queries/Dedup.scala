@@ -52,28 +52,35 @@ object Dedup extends QueryPack {
     * restarted sessions.
     */
   private val shingleMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String, Int), DataFrame]()
   private val sigMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
 
   /** (id, h): distinct n-shingle hashes, exploded (operator:
     * [[graft.operators.TextDedup.shingleHashes]]) — memoized per
-    * (application, dir, n), see [[shingleMemo]].
+    * (application, dir, source-fingerprint, n), see [[shingleMemo]].
+    * The fingerprint in the key makes the memo staleness-proof: a
+    * source parquet regenerated within one application misses and
+    * rebuilds instead of silently serving the old corpus (one file
+    * listing per call buys that — trivially cheap next to the query).
     */
   private[queries] def shingleHashes(s: SparkSession, dir: String,
       n: Int = 3): DataFrame =
     shingleMemo.computeIfAbsent(
-      (s.sparkContext.applicationId, dir, n),
+      (s.sparkContext.applicationId, dir,
+        SharedFrames.sourceFingerprint(s, dir, "documents"), n),
       _ => graft.operators.TextDedup
         .shingleHashes(Tables(s, dir).documents, "doc_id", "text", n)
         .localCheckpoint(true))
 
   /** Memoized MinHash signatures over the memoized 3-shingle index:
-    * `(id, s0..s{K-1})`.
+    * `(id, s0..s{K-1})`. Same fingerprint-keyed staleness contract
+    * as [[shingleHashes]].
     */
   private def sharedSignatures(s: SparkSession, dir: String): DataFrame =
     sigMemo.computeIfAbsent(
-      (s.sparkContext.applicationId, dir),
+      (s.sparkContext.applicationId, dir,
+        SharedFrames.sourceFingerprint(s, dir, "documents")),
       _ => graft.operators.TextDedup
         .minhashSignatures(shingleHashes(s, dir), K)
         .localCheckpoint(true))
@@ -95,12 +102,23 @@ object Dedup extends QueryPack {
       dir: String): (String, String) = {
     import s.implicits._
     import graft.operators.{Sampling, TextDedup}
+    // freshness + identity contract: the table name carries a
+    // fingerprint of the RAW dir string and the source files
+    // (name/length/mtime). Existence of the fingerprinted name IS
+    // the staleness check — a regenerated source (or a distinct dir
+    // whose sanitized key would collide) misses and rebuilds, and
+    // the build first vacuums every superseded generation so at most
+    // one index per (dir, table) lives in the warehouse.
+    val fp = SharedFrames.sourceFingerprint(s, dir, "documents")
     val key = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val bandsTbl = s"graft_dedup_bands_$key"
-    val shTbl = s"graft_dedup_shingles_$key"
+    val bandsTbl = s"graft_dedup_bands_${key}_$fp"
+    val shTbl = s"graft_dedup_shingles_${key}_$fp"
     this.synchronized {
       if (!s.catalog.tableExists(bandsTbl) ||
           !s.catalog.tableExists(shTbl)) {
+        SharedFrames.vacuumSuperseded(s,
+          Seq(s"graft_dedup_bands_$key", s"graft_dedup_shingles_$key"),
+          fp)
         SharedFrames.dropStaleTableLocation(s, bandsTbl)
         SharedFrames.dropStaleTableLocation(s, shTbl)
         val corpusIds = Tables(s, dir).documents
@@ -126,11 +144,17 @@ object Dedup extends QueryPack {
   }
 
   /** Release the memoized checkpoint blocks for `dir` (every n-gram
-    * and signature entry of the current application): the
-    * Bench/Verify teardown hook that keeps the block-manager
-    * footprint bounded when one session scans many directories. Safe
-    * at any quiescent point — the next d-query rebuilds the index
-    * from the source parquet.
+    * and signature entry of the current application, across all
+    * source fingerprints): the Bench/Verify teardown hook that keeps
+    * the block-manager footprint bounded when one session scans many
+    * directories. Safe at any quiescent point — the next d-query
+    * rebuilds the index from the source parquet. The PERSISTED d17
+    * index tables are deliberately NOT dropped here — their names
+    * carry the source fingerprint, so a regenerated source can never
+    * be served stale (the probe misses the new fingerprint and
+    * rebuilds, vacuuming the old generation); dropping them on a
+    * memory-lifecycle hook would throw away the nightly build the
+    * persistence exists to keep.
     */
   def releaseShared(s: SparkSession, dir: String): Unit = {
     val app = s.sparkContext.applicationId

@@ -53,4 +53,64 @@ private[queries] object SharedFrames {
         k.productElement(1) == dir)
       .foreach(k => Option(memo.remove(k)).foreach(free))
   }
+
+  /** Content fingerprint of `dir/table.parquet` (file or directory):
+    * a hex hash over the RAW dir string plus every file's
+    * (name, length, mtime), sorted. Two jobs that see different
+    * source bytes — or the same relative layout under DIFFERENT dirs
+    * whose sanitized table-name keys would collide (`/data/sf0.1` vs
+    * `/data/sf0_1`) — get different fingerprints. Used as the
+    * freshness + identity suffix of every persisted index table
+    * name: "does the index for exactly THIS source exist" becomes
+    * one catalog lookup, and a regenerated source simply misses and
+    * rebuilds (the staleness contract of d17/s14; superseded
+    * fingerprints are vacuumed at build time by
+    * [[vacuumSuperseded]]).
+    */
+  def sourceFingerprint(s: SparkSession, dir: String,
+      table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir, s"$table.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val b = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val f = it.next()
+      b += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+    }
+    val sig = dir + "|" + b.result().sorted.mkString(",")
+    f"${scala.util.hashing.MurmurHash3.stringHash(sig) & 0xffffffffL}%08x"
+  }
+
+  /** Vacuum superseded persisted-index generations: for each
+    * `prefix`, every warehouse location named `${prefix}_<fp>` with
+    * `fp != keepFp` is a previous generation of the same (dir,
+    * table) index — drop its catalog entry (if this session built
+    * it) and delete its location (covers generations left by earlier
+    * sessions, whose catalog entries died with their JVM). Called
+    * under the builder's lock, before the fresh build, so at any
+    * quiescent point at most ONE generation per index exists on
+    * disk.
+    */
+  def vacuumSuperseded(s: SparkSession, prefixes: Seq[String],
+      keepFp: String): Unit = {
+    val wh = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(wh)) return
+    prefixes.foreach { prefix =>
+      val lead = s"${prefix.toLowerCase}_"
+      val keep = s"${prefix.toLowerCase}_${keepFp.toLowerCase}"
+      fs.listStatus(wh).foreach { st =>
+        val name = st.getPath.getName
+        // the suffix must be exactly one 8-hex fingerprint: a LONGER
+        // sanitized dir key that merely starts with this prefix
+        // (".../sf0.1" vs ".../sf0.1_extra") must not be vacuumed
+        if (name.startsWith(lead) && name != keep &&
+            name.substring(lead.length).matches("[0-9a-f]{8}")) {
+          s.sql(s"DROP TABLE IF EXISTS `$name`")
+          if (fs.exists(st.getPath)) fs.delete(st.getPath, true)
+        }
+      }
+    }
+  }
 }

@@ -42,14 +42,23 @@ object Similarity extends QueryPack {
       dir: String): (String, String, String) = {
     import s.implicits._
     import graft.operators.VectorSearch
+    // d17's freshness + identity contract (see Dedup
+    // .persistedIndexTables): the fingerprint of the raw dir string
+    // and the embeddings files is the name suffix, so existence IS
+    // the staleness check and superseded generations are vacuumed
+    // before each rebuild.
+    val fp = SharedFrames.sourceFingerprint(s, dir, "embeddings")
     val key = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val codesTbl = s"graft_ann_codes_$key"
-    val bookTbl = s"graft_ann_codebook_$key"
-    val centTbl = s"graft_ann_centroids_$key"
+    val codesTbl = s"graft_ann_codes_${key}_$fp"
+    val bookTbl = s"graft_ann_codebook_${key}_$fp"
+    val centTbl = s"graft_ann_centroids_${key}_$fp"
     this.synchronized {
       if (!s.catalog.tableExists(codesTbl) ||
           !s.catalog.tableExists(bookTbl) ||
           !s.catalog.tableExists(centTbl)) {
+        SharedFrames.vacuumSuperseded(s,
+          Seq(s"graft_ann_codes_$key", s"graft_ann_codebook_$key",
+            s"graft_ann_centroids_$key"), fp)
         Seq(codesTbl, bookTbl, centTbl)
           .foreach(SharedFrames.dropStaleTableLocation(s, _))
         val byDim = VectorSearch.quantize(
