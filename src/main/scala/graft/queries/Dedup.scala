@@ -143,6 +143,21 @@ object Dedup extends QueryPack {
     (bandsTbl, shTbl)
   }
 
+  /** Bench hook: force a FROM-SCRATCH nightly index build — drop
+    * every live generation for `dir`, then build. Exists so the
+    * bench's `d17.build` line always measures a real build (the
+    * freshness contract would otherwise legitimately skip it when a
+    * prior process' generation survives in the warehouse), keeping
+    * build-cost regressions visible separately from probe-cost ones.
+    */
+  def rebuildPersistedIndex(s: SparkSession, dir: String): Unit = {
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    SharedFrames.vacuumSuperseded(s,
+      Seq(s"graft_dedup_bands_$key", s"graft_dedup_shingles_$key"), "")
+    persistedIndexTables(s, dir)
+    ()
+  }
+
   /** Release the memoized checkpoint blocks for `dir` (every n-gram
     * and signature entry of the current application, across all
     * source fingerprints): the Bench/Verify teardown hook that keeps

@@ -83,6 +83,20 @@ object Similarity extends QueryPack {
     (codesTbl, bookTbl, centTbl)
   }
 
+  /** Bench hook: force a from-scratch ANN index build (see
+    * [[Dedup.rebuildPersistedIndex]] — same rationale: the bench's
+    * `s14.build` line must measure a real build even when a prior
+    * generation survives in the warehouse).
+    */
+  def rebuildPersistedAnnIndex(s: SparkSession, dir: String): Unit = {
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    SharedFrames.vacuumSuperseded(s,
+      Seq(s"graft_ann_codes_$key", s"graft_ann_codebook_$key",
+        s"graft_ann_centroids_$key"), "")
+    persistedAnnTables(s, dir)
+    ()
+  }
+
   /** 8-bit sign bucket in DuckDB (1-based lists). Bucket width is the
     * recall/speed dial: 8 bits ≈ 256 buckets keeps a few candidates
     * per bucket at sf0.01; at 100 TB the same shape uses more bits
