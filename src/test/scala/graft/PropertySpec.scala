@@ -196,6 +196,55 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  /** Random small corpus with injected near-duplicates: most docs are
+    * fresh word soup over a 24-word vocab (so shingles genuinely
+    * collide), ~a third copy an earlier doc with zero or one appended
+    * word (high-Jaccard pairs), and lengths down to one word exercise
+    * the too-short-to-shingle left-completion path.
+    */
+  private val corpusGen: Gen[List[(Long, String)]] = {
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima",
+      "mike", "november", "oscar", "papa", "quebec", "romeo", "sierra",
+      "tango", "uniform", "victor", "whiskey", "xray")
+    for {
+      n <- Gen.chooseNum(20, 45)
+      fresh <- Gen.listOfN(n, for {
+        len <- Gen.chooseNum(1, 18)
+        ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+      } yield ws.mkString(" "))
+      dupOf <- Gen.listOfN(n, Gen.option(Gen.chooseNum(0, n - 1)))
+      extra <- Gen.listOfN(n, Gen.oneOf("" +: vocab))
+    } yield fresh.indices.toList.map { i =>
+      val text = dupOf(i) match {
+        case Some(j) if j < i =>
+          if (extra(i).isEmpty) fresh(j) else s"${fresh(j)} ${extra(i)}"
+        case _ => fresh(i)
+      }
+      (i.toLong, text)
+    }
+  }
+
+  property("persisted-index probe (d17) == in-memory probe (d13) " +
+      "for any corpus") =
+    forAll(corpusGen) { docs =>
+      import spark.implicits._
+      // the storage path under test: build THROUGH the bucketed
+      // saveAsTable writer, probe by reading back — must be
+      // row-identical to the memo-fed in-memory probe on the same dir
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-prop-d17-").toString
+      docs.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val inMem = SparkEntry.queries("d13_incremental_dedup")(spark, dir)
+        .collect().map(_.toString).toList
+      val persisted = SparkEntry
+        .queries("d17_persisted_index_dedup")(spark, dir)
+        .collect().map(_.toString).toList
+      graft.queries.Dedup.releaseShared(spark, dir)
+      persisted == inMem
+    }
+
   property("hub delivers any sequence exactly once, in order") =
     forAll(Gen.listOfN(25, Gen.chooseNum(Int.MinValue, Int.MaxValue))) { xs =>
       val engine = new graft.streaming.EventEngine(spark)
