@@ -79,6 +79,33 @@ class TopKPerGroupSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"expected a shuffle between partial and final top-k:\n$plan")
   }
 
+  test("partial stage bounds the exchange: ≤ partitions·k·groups rows " +
+      "reach the shuffle (why the win survives the codegen boundary)") {
+    // The exec is row-based while its neighbors are whole-stage-
+    // codegen'd; the 2.2× win over the window spelling survives that
+    // boundary because the PARTIAL heap pass caps what crosses the
+    // exchange — the window spelling shuffles ALL input rows. This is
+    // the deterministic (metrics-based, not timing-based) pin of that
+    // structural claim; wall numbers at 100M rows live in PLANS §48.
+    val k = 5
+    val df = TopK.perGroup(data, Seq("g"), Seq(("v", false), ("id", true)), k)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val partial = collect(plan) {
+      case t: TopKPerGroupExec if t.partial => t
+    }.head
+    val inputRows = 10000L
+    val nPartitions = partial.child.execute().getNumPartitions.toLong
+    val nGroups = 100L
+    val crossing = partial.metrics("numOutputRows").value
+    assert(crossing <= nPartitions * k * nGroups,
+      s"partial emitted $crossing rows — heap bound broken " +
+        s"($nPartitions partitions × $k × $nGroups groups)")
+    assert(crossing < inputRows,
+      s"partial emitted $crossing of $inputRows input rows — the " +
+        "exchange sees no reduction over the window spelling")
+  }
+
   test("rank-limit rewrite collapses row_number window into the operator") {
     val filtered = windowed(data, 7)
     val optimized = filtered.queryExecution.optimizedPlan
