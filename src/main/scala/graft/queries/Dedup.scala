@@ -33,8 +33,8 @@ import org.apache.spark.sql.functions._
 object Dedup extends QueryPack {
   import PortableHash._
 
-  private val K = 16 // MinHash permutations
-  private val Bands = 4 // LSH bands (4 rows each)
+  private[queries] val K = 16 // MinHash permutations
+  private[queries] val Bands = 4 // LSH bands (4 rows each)
   private val perms = permCoeffs(K)
 
   /** Memoized shared stages: the d-pack's queries (d02/d03/d04/d07/
@@ -98,7 +98,7 @@ object Dedup extends QueryPack {
     * the index side is a bucketed scan, so the probe shuffles
     * nothing corpus-sized.
     */
-  private def persistedIndexTables(s: SparkSession,
+  private[queries] def persistedIndexTables(s: SparkSession,
       dir: String): (String, String) = {
     import s.implicits._
     import graft.operators.{Sampling, TextDedup}

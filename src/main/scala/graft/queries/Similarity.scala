@@ -466,6 +466,56 @@ object Similarity extends QueryPack {
         .orderBy($"query_id", $"rank")
     }),
 
+    // -- incremental index ADD: today's vectors join WITHOUT retrain ----
+    // The missing third of the ANN lifecycle (build s13/s14, serve
+    // st24, and now MAINTAIN): the day's new vectors are encoded with
+    // the EXISTING corpus-trained codebook and assigned to the
+    // EXISTING coarse centroids — FAISS's add() contract, the reason
+    // a production index absorbs arrivals in O(new) instead of
+    // retraining nightly. Corpus/new membership is the deterministic
+    // hash split (d13's discipline, salt "ann"); the model tables
+    // (centroids, sub-codebook) are computed over the CORPUS SPLIT
+    // ONLY, then every vector — corpus and new alike — is encoded and
+    // cell-assigned under those frozen models, and queries probe the
+    // UNION index. New vectors are immediately retrievable (they
+    // surface as neighbors wherever ADC ranks them — the oracle
+    // checks exactly that); the quantization error drift that retrain
+    // policies manage is out of scope by construction because the
+    // oracle freezes the same models. At rest: append the day's code
+    // rows to the bucketed code table (cell bucketing unchanged —
+    // add() never moves old rows); cost is O(new × codebook) encode
+    // plus an append, never a corpus rescan.
+    "s15_ann_index_add" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.{Sampling, VectorSearch}
+      val emb = VectorSearch.quantize(Tables(s, dir).embeddings, "embedding")
+        .select($"vec_id", $"label", $"eq",
+          Sampling.splitColumn($"vec_id",
+            Seq("corpus" -> 900, "new" -> 100), salt = "ann").as("part"))
+      val byDim = emb.select($"vec_id".as("id"), $"label", $"part",
+        posexplode($"eq").as(Seq("dim", "v"))).persist()
+      val corpusByDim = byDim.filter($"part" === "corpus")
+        .select($"id", $"label", $"dim", $"v")
+      // frozen nightly models: corpus-only centroids + sub-codebook
+      val cent = corpusByDim.groupBy($"label".as("cell"), $"dim")
+        .agg(floor(sum($"v").cast("double") / count(lit(1))).cast("long")
+          .as("cv"))
+      val book = VectorSearch.pqCodebook(corpusByDim, subDims = 16)
+      // add(): encode + cell-assign EVERY vector under the frozen
+      // models — new rows take the exact path corpus rows took
+      val vecsByDim = byDim.select($"id", $"dim", $"v")
+      val codes = VectorSearch.pqEncode(vecsByDim, book, subDims = 16)
+        .join(VectorSearch.nearestCells(vecsByDim, cent, nprobe = 1)
+          .select($"id", $"cell"), Seq("id"))
+      val queryCells = VectorSearch.nearestCells(
+          vecsByDim.filter($"id" < 100), cent, nprobe = 2)
+        .select($"id".as("query_id"), $"cell")
+      VectorSearch.ivfPqAdcTopK(
+          vecsByDim.filter($"id" < 100), queryCells, codes, book,
+          subDims = 16, k = 3)
+        .orderBy($"query_id", $"rank")
+    }),
+
     // -- hybrid retrieval: BM25 + dense top-20 fused by RRF --------------
     // Reciprocal-rank fusion (Cormack et al., SIGIR 2009): every
     // document in an arm's top-20 contributes 1e6 div (60 + rank); the
@@ -598,6 +648,75 @@ object Similarity extends QueryPack {
         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY adist2, neighbor_id) AS INTEGER) AS rank FROM sc) t
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** s15's oracle: the s13 IVF+PQ pipeline with the model tables
+    * (centroids, sub-codebook) trained over the CORPUS hash split
+    * only, while every vector — corpus and new — is encoded and
+    * cell-assigned under those frozen models. Same row-level split
+    * spelling as d13 (salt "ann", corpus = bucket < 900).
+    */
+  private lazy val ivfPqAddOracleSql: String = {
+    val bucket = graft.operators.Sampling
+      .duckHashBucketPm("vec_id", "ann")
+    s"""WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS eq
+        |  FROM embeddings),
+        |bd AS (
+        |  SELECT vec_id, label, i - 1 AS dim, eq[i] AS v
+        |  FROM e CROSS JOIN LATERAL
+        |    (SELECT unnest(generate_series(1, len(eq))) AS i)),
+        |split AS (SELECT vec_id, $bucket AS b FROM embeddings),
+        |cbd AS (
+        |  SELECT bd.* FROM bd JOIN split USING (vec_id) WHERE b < 900),
+        |cent AS (
+        |  SELECT label AS cell, dim,
+        |    CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+        |  FROM cbd GROUP BY label, dim),
+        |dist AS (
+        |  SELECT bd.vec_id, cent.cell,
+        |    SUM((bd.v - cent.cv) * (bd.v - cent.cv)) AS dist2
+        |  FROM bd JOIN cent ON bd.dim = cent.dim
+        |  GROUP BY bd.vec_id, cent.cell),
+        |ranked AS (
+        |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY dist2, cell) AS rk FROM dist),
+        |assign AS (SELECT vec_id, cell FROM ranked WHERE rk = 1),
+        |qc AS (SELECT vec_id, cell FROM ranked
+        |       WHERE rk <= 2 AND vec_id < 100),
+        |book AS (
+        |  SELECT dim // 16 AS sub, CAST(label AS BIGINT) AS code, dim,
+        |    CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+        |  FROM cbd GROUP BY sub, code, dim),
+        |sd AS (
+        |  SELECT bd.vec_id AS id, book.sub, book.code,
+        |    CAST(SUM((bd.v - book.cv) * (bd.v - book.cv)) AS BIGINT)
+        |      AS dist2
+        |  FROM bd JOIN book ON bd.dim = book.dim
+        |  GROUP BY id, book.sub, book.code),
+        |enc AS (
+        |  SELECT id, sub, code FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id, sub
+        |      ORDER BY dist2, code) AS rk FROM sd) t
+        |  WHERE rk = 1),
+        |lut AS (
+        |  SELECT id AS query_id, sub, code, dist2 AS sub_dist2
+        |  FROM sd WHERE id < 100),
+        |sc AS (
+        |  SELECT l.query_id, c.id AS neighbor_id,
+        |    CAST(SUM(l.sub_dist2) AS BIGINT) AS adist2
+        |  FROM enc c
+        |  JOIN assign a ON c.id = a.vec_id
+        |  JOIN qc ON qc.cell = a.cell
+        |  JOIN lut l ON l.query_id = qc.vec_id
+        |    AND c.sub = l.sub AND c.code = l.code
+        |  WHERE l.query_id <> c.id
+        |  GROUP BY l.query_id, c.id)
+        |SELECT query_id, neighbor_id, rank, adist2 FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY adist2, neighbor_id) AS INTEGER) AS rank FROM sc) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
 
   override def oracles: Map[String, String] = Map(
     "s01_topk_bruteforce" ->
@@ -931,6 +1050,7 @@ object Similarity extends QueryPack {
     // must be invisible to results, so ONE text pins both spellings.
     "s13_ivfpq_topk" -> ivfPqOracleSql,
     "s14_persisted_ann_serving" -> ivfPqOracleSql,
+    "s15_ann_index_add" -> ivfPqAddOracleSql,
 
     // fusion composes t12's BM25 CTE chain VERBATIM (the shared
     // [[TextAnalysis.duckBm25Ctes]] constant — the Spark side calls

@@ -1358,6 +1358,109 @@ object StreamingOps extends QueryPack {
         .orderBy($"seg")
     }),
 
+    // -- streaming incremental dedup against the PERSISTED index --------
+    // The d13/d17 daily job run CONTINUOUSLY: d13 batches a day's
+    // arrivals, d17 probes from storage — this query closes the
+    // lifecycle by probing the SAME persisted corpus index from a
+    // stream. The "new" split arrives as a 4-file landing directory
+    // (one file per trigger); each micro-batch shingles and signs
+    // ONLY its own arrivals, joins its band hashes against the stored
+    // band table, Jaccard-verifies candidates against the stored
+    // shingle table unioned with the batch's own shingles, and
+    // appends one admit/reject row per arrival to the serving dir.
+    // The corpus index is read-only throughout (the nightly build ran
+    // once, before the stream started — [[Dedup.persistedIndexTables]]),
+    // so each arrival's verdict depends only on (its own shingles ×
+    // the fixed index): the drained result is batching-independent by
+    // construction and must equal d13/d17 row-for-row — all three
+    // queries share one oracle text. At scale this is ingest-time
+    // dedup with bounded per-batch cost: the batch side is
+    // broadcastable, the index side is a bucketed probe, and NO
+    // streaming state store exists at all (the state lives in the
+    // index tables).
+    "st33_stream_incremental_dedup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import java.nio.file.{Files, Paths}
+      import graft.operators.{Sampling, TextDedup}
+      val (bandsTbl, shTbl) = Dedup.persistedIndexTables(s, dir)
+      val newDocs = Tables(s, dir).documents
+        .withColumn("part", Sampling.splitColumn($"doc_id",
+          Seq("corpus" -> 900, "new" -> 100), salt = "inc"))
+        .filter($"part" === "new")
+        .select($"doc_id", $"text")
+      val stageDir = "/tmp/graft-stream-incdedup-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val done = Paths.get(stageDir, "_STAGED")
+      if (!Files.exists(done)) synchronized {
+        if (!Files.exists(done)) {
+          newDocs.repartition(4, $"doc_id")
+            .write.mode("overwrite").parquet(stageDir)
+          Files.createFile(done)
+        }
+      }
+      val schema = s.read.parquet(stageDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDir)
+      val servingDir = Files
+        .createTempDirectory("graft-incdedup-").toString
+      var batches = 0
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = stream.writeStream
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch {
+            (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+              val arrivals = batch.select($"doc_id", $"text").persist()
+              val newSh = TextDedup.shingleHashes(
+                arrivals, "doc_id", "text", n = 3)
+              val newBands = TextDedup.withBandHashes(
+                TextDedup.minhashSignatures(newSh, Dedup.K),
+                Dedup.K, Dedup.Bands)
+              val newBanded = TextDedup.bandCols(Dedup.K, Dedup.Bands)
+                .zipWithIndex.map { case ((name, _), bi) =>
+                  newBands.select($"id", lit(bi).as("band"),
+                    col(name).as("bh"))
+                }.reduce(_ unionByName _)
+              val cand = newBanded
+                .select($"id".as("new_id"), $"band", $"bh")
+                .join(s.table(bandsTbl)
+                  .select($"id".as("corpus_id"), $"band", $"bh"),
+                  Seq("band", "bh"))
+                .select($"new_id", $"corpus_id").distinct()
+                .persist()
+              val sh = s.table(shTbl).unionByName(newSh)
+              val verified = TextDedup.jaccardVerify(sh,
+                cand.select($"new_id".as("d1"), $"corpus_id".as("d2"),
+                  $"new_id", $"corpus_id"))
+              val agg = verified.groupBy($"new_id")
+                .agg(count(lit(1)).as("n_cand"),
+                  sum(when($"jaccard_pm" >= 500, 1L).otherwise(0L))
+                    .as("n_dup"),
+                  max($"jaccard_pm").as("best_jaccard_pm"))
+              arrivals.select($"doc_id".as("new_doc"))
+                .join(agg, $"new_doc" === $"new_id", "left")
+                .select($"new_doc",
+                  coalesce($"n_cand", lit(0L)).as("n_cand"),
+                  coalesce($"n_dup", lit(0L)).as("n_dup"),
+                  coalesce($"best_jaccard_pm", lit(0L))
+                    .as("best_jaccard_pm"),
+                  (coalesce($"n_dup", lit(0L)) > 0).as("is_dup"))
+                .write.mode("append").parquet(servingDir)
+              cand.unpersist()
+              arrivals.unpersist()
+              batches += 1
+          }
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      require(batches >= 4,
+        s"expected >= 4 incremental micro-batches, saw $batches — the " +
+          "multi-file split is not driving the trigger")
+      s.read.parquet(servingDir).orderBy($"new_doc")
+    }),
+
     // -- streaming CDC apply: versioned changelog → serving table -------
     // The streaming face of x18's change feed. A changelog of
     // ('U' upsert / 'D' tombstone) ops, each stamped with its source
@@ -1907,6 +2010,12 @@ object StreamingOps extends QueryPack {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment, event_type
         |ORDER BY c_mktsegment, event_type""".stripMargin,
+
+    // the streamed probe against the persisted corpus index must give
+    // every arrival the same verdict as the batch job — d13, d17 and
+    // st33 share this one oracle text (the storage layer AND the
+    // batching must both be invisible to results)
+    "st33_stream_incremental_dedup" -> Dedup.incrementalDedupOracleSql,
 
     // the incrementally-maintained view must equal the batch recompute
     // over the FINAL state of both bases: all facts joined against the
