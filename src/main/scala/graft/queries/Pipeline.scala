@@ -139,10 +139,79 @@ object Pipeline extends QueryPack {
           sum($"n_copies").as("n_docs"),
           sum($"n_chars").as("distinct_chars"))
         .orderBy($"source")
+    }),
+
+    // -- the forget-user job: deletion propagated by retraction ---------
+    // The GDPR Article-17 lifecycle as one query: a batch of delete
+    // requests (here the deterministic request set user_id ≡ 0
+    // mod 97) must disappear from a SERVING AGGREGATE without
+    // rescanning the base. The spelling is x10's retraction applied
+    // at pipeline level: the per-(day, event_type) serving snapshot
+    // is merged with the NEGATED aggregate of only the requested
+    // users' rows through [[graft.operators.IncrementalAgg
+    // .mergeAdditive]] — the base table contributes exactly the
+    // deleted slice, nothing else is read. Groups whose every row
+    // belonged to requested users cancel to zero and are dropped
+    // (production deletes the row); the readout pairs the post-forget
+    // serving values with the purge audit (rows and distinct users
+    // removed per group) a DPO signs off on. Oracle: full recompute
+    // on the complement + the purge counts — incremental ≡ recompute
+    // is the hash-checked claim, the same discipline as x10/x27.
+    // Scale: the delta scan is the requested users' rows only (at
+    // rest: events bucketed by user_id → partition-pruned); the merge
+    // is a keyed full-outer at the aggregate grain (days × types —
+    // tiny); the distinct-user audit runs on the deleted slice alone.
+    "p05_forget_users" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.IncrementalAgg
+      val ev = Tables(s, dir).events
+        .withColumn("day", date_trunc("day", $"ts"))
+        .withColumn("cents_v", expr("CAST(FLOOR(value * 100) AS BIGINT)"))
+      val isReq = pmod($"user_id", lit(97)) === 0
+      // the serving snapshot, as it existed before the request batch
+      val snapshot = ev.groupBy($"day", $"event_type")
+        .agg(count(lit(1)).as("n_events"), sum($"cents_v").as("cents"))
+      // the retraction delta: only the requested users' rows are read
+      val del = ev.filter(isReq)
+      val delta = del.groupBy($"day", $"event_type")
+        .agg((-count(lit(1))).as("n_events"), (-sum($"cents_v")).as("cents"))
+      val after = IncrementalAgg.mergeAdditive(snapshot, delta,
+          Seq("day", "event_type"))
+        .filter($"n_events" > 0)
+      val audit = del.groupBy($"day", $"event_type")
+        .agg(count(lit(1)).as("n_purged"),
+          countDistinct($"user_id").as("users_purged"))
+      after.join(audit, Seq("day", "event_type"), "left")
+        .select($"day", $"event_type", $"n_events", $"cents",
+          coalesce($"n_purged", lit(0L)).as("n_purged"),
+          coalesce($"users_purged", lit(0L)).as("users_purged"))
+        .orderBy($"day", $"event_type")
     })
   )
 
   override def oracles: Map[String, String] = Map(
+    "p05_forget_users" ->
+      """WITH ev AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    event_type, user_id,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents_v
+        |  FROM events),
+        |keep AS (SELECT * FROM ev WHERE user_id % 97 <> 0),
+        |del AS (SELECT * FROM ev WHERE user_id % 97 = 0),
+        |a AS (
+        |  SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(cents_v) AS BIGINT) AS cents
+        |  FROM keep GROUP BY day, event_type),
+        |p AS (
+        |  SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS n_purged,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_purged
+        |  FROM del GROUP BY day, event_type)
+        |SELECT a.day, a.event_type, a.n_events, a.cents,
+        |  COALESCE(p.n_purged, 0) AS n_purged,
+        |  COALESCE(p.users_purged, 0) AS users_purged
+        |FROM a LEFT JOIN p ON a.day = p.day
+        |  AND a.event_type = p.event_type
+        |ORDER BY a.day, a.event_type""".stripMargin,
     "p01_curation_pipeline" ->
       s"""WITH quality AS (
          |  SELECT doc_id, source, text FROM (

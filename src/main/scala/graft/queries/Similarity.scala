@@ -516,6 +516,64 @@ object Similarity extends QueryPack {
         .orderBy($"query_id", $"rank")
     }),
 
+    // -- SQ8 scalar quantization + exact re-rank: the two-tier serve ----
+    // PQ's simpler sibling (FAISS `SQ8`): each dimension is linearly
+    // mapped onto one byte under per-dimension corpus [min, max]
+    // bounds — no codebook, no training, encode/decode are pure
+    // per-row arithmetic. The serving pattern is the production
+    // TWO-TIER pass: (1) an approximate scan scores full-precision
+    // queries against the RECONSTRUCTED corpus (1 byte/dim — the tier
+    // that fits a billion vectors in RAM) and keeps the top-20
+    // candidates per query; (2) only those ≤20·|queries| candidates
+    // touch full-precision vectors for the exact re-rank to top-5.
+    // The emitted `dot` is the exact full-precision score, so any
+    // candidate the SQ8 tier ranks into the top-20 re-ranks exactly;
+    // recall loss lives only in tier-1 truncation — the knob (20) is
+    // the recall/cost dial. Scale: tier 1 is one pass over the code
+    // table with the 2·d stats broadcast (decode fuses into the
+    // scan); tier 2 is a point-lookup join of queries×20 ids against
+    // the full-precision table — at rest id-bucketed, so the re-rank
+    // is a pruned read. Nothing quadratic, nothing retrained.
+    "s16_sq8_rerank_topk" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.VectorSearch
+      val emb = VectorSearch.quantize(Tables(s, dir).embeddings, "embedding")
+        .select($"vec_id", $"eq")
+      val byDim = emb.select($"vec_id".as("id"),
+        posexplode($"eq").as(Seq("dim", "v"))).persist()
+      val stats = VectorSearch.sq8Stats(byDim)
+      val codes = VectorSearch.sq8Encode(byDim, stats)
+      // tier-1 corpus: SQ8 codes decoded back to ordered arrays
+      val recon = VectorSearch.sq8Recon(codes, stats)
+        .groupBy($"id")
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(dim, rv))), x -> x.rv)")
+          .as("re"))
+      val qArr = emb.filter($"vec_id" < 100)
+        .select($"vec_id".as("query_id"), $"eq".as("qe"))
+      val wA = Window.partitionBy($"query_id")
+        .orderBy($"dot_a".desc, $"neighbor_id")
+      val cand = broadcast(qArr)
+        .join(recon.select($"id".as("neighbor_id"), $"re"),
+          $"query_id" =!= $"neighbor_id")
+        .withColumn("dot_a", expr("graft_dotl(qe, re)"))
+        .withColumn("rk_a", row_number().over(wA))
+        .filter($"rk_a" <= 20)
+        .select($"query_id", $"neighbor_id")
+      // tier-2: exact re-rank of the surviving candidates only
+      val wE = Window.partitionBy($"query_id")
+        .orderBy($"dot".desc, $"neighbor_id")
+      cand
+        .join(emb.select($"vec_id".as("neighbor_id"), $"eq".as("ce")),
+          Seq("neighbor_id"))
+        .join(broadcast(qArr), Seq("query_id"))
+        .withColumn("dot", expr("graft_dotl(qe, ce)"))
+        .withColumn("rank", row_number().over(wE))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"neighbor_id", $"rank", $"dot")
+        .orderBy($"query_id", $"rank")
+    }),
+
     // -- hybrid retrieval: BM25 + dense top-20 fused by RRF --------------
     // Reciprocal-rank fusion (Cormack et al., SIGIR 2009): every
     // document in an arm's top-20 contributes 1e6 div (60 + rank); the
@@ -1051,6 +1109,52 @@ object Similarity extends QueryPack {
     "s13_ivfpq_topk" -> ivfPqOracleSql,
     "s14_persisted_ann_serving" -> ivfPqOracleSql,
     "s15_ann_index_add" -> ivfPqAddOracleSql,
+
+    // SQ8: per-dim [min,max] bounds, byte code by floor division
+    // (all operands non-negative → Spark div ≡ DuckDB //), decode,
+    // approximate list-dot pass to top-20, exact re-rank to top-5
+    "s16_sq8_rerank_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS eq
+        |  FROM embeddings),
+        |bd AS (
+        |  SELECT vec_id AS id, i - 1 AS dim, eq[i] AS v
+        |  FROM e CROSS JOIN LATERAL
+        |    (SELECT unnest(generate_series(1, len(eq))) AS i)),
+        |st AS (
+        |  SELECT dim, MIN(v) AS dmin, MAX(v) AS dmax
+        |  FROM bd GROUP BY dim),
+        |rv AS (
+        |  SELECT bd.id, bd.dim, st.dmin +
+        |    ((CASE WHEN st.dmax = st.dmin THEN 0
+        |       ELSE ((bd.v - st.dmin) * 255) // (st.dmax - st.dmin) END)
+        |     * (st.dmax - st.dmin)) // 255 AS rv
+        |  FROM bd JOIN st ON bd.dim = st.dim),
+        |rl AS (
+        |  SELECT id, list(rv ORDER BY dim) AS re FROM rv GROUP BY id),
+        |ap AS (
+        |  SELECT q.vec_id AS query_id, r.id AS neighbor_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(q.eq)),
+        |      i -> q.eq[i] * r.re[i])) AS BIGINT) AS dot_a
+        |  FROM (SELECT * FROM e WHERE vec_id < 100) q
+        |  CROSS JOIN rl r WHERE q.vec_id <> r.id),
+        |cand AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY dot_a DESC, neighbor_id) AS rk FROM ap) t
+        |  WHERE rk <= 20),
+        |ex AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(q.eq)),
+        |      i -> q.eq[i] * n.eq[i])) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN e q ON c.query_id = q.vec_id
+        |  JOIN e n ON c.neighbor_id = n.vec_id)
+        |SELECT query_id, neighbor_id, rank, dot FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY dot DESC, neighbor_id) AS INTEGER) AS rank FROM ex) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // fusion composes t12's BM25 CTE chain VERBATIM (the shared
     // [[TextAnalysis.duckBm25Ctes]] constant — the Spark side calls

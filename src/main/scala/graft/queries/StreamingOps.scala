@@ -288,6 +288,36 @@ object StreamingOps extends QueryPack {
         .orderBy($"p_id".asc_nulls_first, $"c_id".asc_nulls_first)
     }),
 
+    // -- stream-stream RIGHT OUTER join (the click-side face alone) -----
+    // st31 restricted to the right face — the "clicks that converted
+    // to nothing" report on its own, completing the outer-join family
+    // (st6 inner, st12 left, st31 full, st34 right). Same state
+    // machinery as st31: only the CLICK side's eviction bound gates
+    // null emission — an unmatched click emits once the watermark
+    // passes c_ts + 1h (no purchase in (c_ts, c_ts + 1h] can still
+    // arrive); matched pairs emit as they meet. The purchase side
+    // keeps no unmatched obligation, so its state evicts on the same
+    // bound as the inner join — at scale right-outer is strictly
+    // cheaper than full-outer when only one unmatched face is needed.
+    "st34_stream_right_outer" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val p = eventStream(s, dir).filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"event_id".as("p_id"),
+          $"ts".as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val c = eventStream(s, dir).filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"event_id".as("c_id"),
+          $"ts".as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = p.join(c,
+        $"p_user" === $"c_user" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") && $"c_ts" < $"p_ts",
+        "right_outer")
+        .select($"p_id", $"c_id")
+      drain(s, joined, OutputMode.Append())
+        .orderBy($"p_id".asc_nulls_first, $"c_id".asc_nulls_first)
+    }),
+
     // -- stream-stream AS-OF enrichment (the streaming face of x12) -----
     // Events enriched with the dimension version in effect at event
     // time, where the VERSIONED DIMENSION IS ITSELF A STREAM that
@@ -1712,6 +1742,24 @@ object StreamingOps extends QueryPack {
         |       AND epoch_us(p.ts) < (SELECT w_us FROM wm))
         |   OR (p.event_id IS NULL
         |       AND epoch_us(c.ts) + 3600000000 < (SELECT w_us FROM wm))
+        |ORDER BY p_id NULLS FIRST, c_id NULLS FIRST""".stripMargin,
+
+    // RIGHT JOIN: only the click side's cutoff applies (st31's second
+    // disjunct) — an unmatched click emits iff the final watermark
+    // passed c_ts + 1h; matched pairs are ungated. Watermark in
+    // floored milliseconds, exactly as st12 pins it.
+    "st34_stream_right_outer" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |wm AS (SELECT (least((SELECT epoch_us(max(ts)) FROM p),
+        |                     (SELECT epoch_us(max(ts)) FROM c))
+        |          // 1000 - 3600000) * 1000 AS w_us)
+        |SELECT p.event_id AS p_id, c.event_id AS c_id
+        |FROM p RIGHT JOIN c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        |WHERE p.event_id IS NOT NULL
+        |   OR epoch_us(c.ts) + 3600000000 < (SELECT w_us FROM wm)
         |ORDER BY p_id NULLS FIRST, c_id NULLS FIRST""".stripMargin,
 
     // exact rank-based percentiles + always-TRUE bound booleans (the

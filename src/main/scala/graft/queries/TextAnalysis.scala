@@ -386,6 +386,50 @@ object TextAnalysis extends QueryPack {
         .limit(30)
     }),
 
+    // -- bigram fluency: the log-free 2-gram LM quality readout ---------
+    // t14 scores docs by unigram commonness; this is the bigram tier
+    // of the same CCNet-style LM proxy — a well-formed sentence is
+    // made of bigrams the corpus has seen elsewhere, while boilerplate
+    // mash-ups and lorem-style noise are full of bigrams no other doc
+    // contains. "Common" = the bigram appears in ≥ 3 DISTINCT docs
+    // (document frequency over per-doc-distinct bigrams, so one doc
+    // repeating itself can't promote its own bigrams), and a doc's
+    // fluency is the permille of its distinct bigrams found in the
+    // set, bucketed to deciles per language — the histogram a
+    // curation owner reads before picking a cutoff. No log, no
+    // float: the "LM" is the df >= 3 membership set and the score is
+    // integer permille. Bigrams travel as 56-bit portable HASHES
+    // (the d-pack shingle discipline, [[graft.operators.TextDedup
+    // .shingleHashes]] with n = 2): both shuffles key on longs, never
+    // on concatenated strings — the string spelling measured 4.6×
+    // slower at sf0.1. Scale: one keyed agg at the bigram-vocabulary
+    // grain builds the set; the doc-bigram table joins against only
+    // its df≥3 subset (the t20/t21 apriori prune); two keyed
+    // aggregates end it. Nothing quadratic; the membership set is
+    // bounded by the bigram vocabulary and shards by hash.
+    "t22_bigram_fluency" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val sh = graft.operators.TextDedup
+        .shingleHashes(docs, "doc_id", "text", 2).persist()
+      val common = sh.groupBy($"h").agg(count(lit(1)).as("df"))
+        .filter($"df" >= 3)
+        .select($"h", lit(1L).as("is_common"))
+      val perDoc = sh.join(common, Seq("h"), "left")
+        .groupBy($"id")
+        .agg(count(lit(1)).as("n_bi"),
+          sum(coalesce($"is_common", lit(0L))).as("n_common"))
+        .select($"id".as("doc_id"), $"n_bi", $"n_common")
+      perDoc
+        .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+        .withColumn("band", expr("(n_common * 1000 div n_bi) div 100"))
+        .groupBy($"lang", $"band")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_bi").cast("long").as("total_bigrams"),
+          sum($"n_common").cast("long").as("total_common"))
+        .orderBy($"lang", $"band")
+    }),
+
     "t20_pmi_collocations" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val docs = Tables(s, dir).documents
@@ -874,6 +918,40 @@ object TextAnalysis extends QueryPack {
         |JOIN uc u2 ON b.w2 = u2.w
         |CROSS JOIN tot t
         |ORDER BY pmi_ppm DESC, b.w1, b.w2 LIMIT 50""".stripMargin,
+
+    // the d-pack shingle CTE with n = 2 (per-doc-distinct hashed
+    // bigrams — the [[graft.operators.TextDedup.shingleHashes]]
+    // mirror); df = COUNT(*) over the per-doc-distinct table; both
+    // integer divisions floor non-negatives identically
+    "t22_bigram_fluency" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+         |      ' ') AS t
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, ${PortableHash.duckHash56("s")} AS h FROM (
+         |    SELECT doc_id, unnest(list_distinct(
+         |      list_transform(generate_series(1, len(t) - 1),
+         |        i -> concat_ws(' ', t[i], t[i+1])))) AS s
+         |    FROM toks)),
+         |common AS (
+         |  SELECT h FROM (
+         |    SELECT h, COUNT(*) AS df FROM sh GROUP BY h) t
+         |  WHERE df >= 3),
+         |pd AS (
+         |  SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bi,
+         |    CAST(SUM(CASE WHEN c.h IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_common
+         |  FROM sh LEFT JOIN common c ON sh.h = c.h
+         |  GROUP BY sh.doc_id)
+         |SELECT d.lang,
+         |  CAST((pd.n_common * 1000 // pd.n_bi) // 100 AS BIGINT) AS band,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(pd.n_bi) AS BIGINT) AS total_bigrams,
+         |  CAST(SUM(pd.n_common) AS BIGINT) AS total_common
+         |FROM pd JOIN documents d ON pd.doc_id = d.doc_id
+         |GROUP BY d.lang, band ORDER BY d.lang, band""".stripMargin,
 
     // the vocab cutoff is the same (cnt DESC, word) total order; both
     // integer divisions are floor on non-negatives (// = Spark div)

@@ -212,4 +212,88 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(viaRange === viaTopK)
     assert(viaRange.nonEmpty)
   }
+
+  test("sq8: codes span [0, 255], hit both rails, and reconstruction " +
+      "error is bounded by the quantization step") {
+    import spark.implicits._
+    val vecs = byDim.persist()
+    try {
+      val stats = VectorSearch.sq8Stats(vecs).persist()
+      val codes = VectorSearch.sq8Encode(vecs, stats)
+      val range = codes.agg(min($"code"), max($"code"))
+        .collect().head
+      assert(range.getLong(0) === 0L)
+      assert(range.getLong(1) === 255L)
+      // every dim's min maps to 0 and max to 255 (non-constant dims)
+      val rails = codes.join(vecs, Seq("id", "dim"))
+        .join(broadcast(stats), Seq("dim"))
+        .filter($"dmax" =!= $"dmin")
+        .filter(($"v" === $"dmin" && $"code" =!= 0) ||
+          ($"v" === $"dmax" && $"code" =!= 255))
+        .count()
+      assert(rails === 0L)
+      // |v - rv| <= step = ceil(range / 255) for every cell
+      val bad = VectorSearch.sq8Recon(codes, stats)
+        .join(vecs, Seq("id", "dim"))
+        .join(broadcast(stats), Seq("dim"))
+        .filter(abs($"v" - $"rv") >
+          ($"dmax" - $"dmin" + 254) / 255)
+        .count()
+      assert(bad === 0L)
+      stats.unpersist()
+    } finally vecs.unpersist()
+  }
+
+  test("sq8 two-tier serve degenerates to exact brute force when the " +
+      "candidate tier keeps everything") {
+    import spark.implicits._
+    val emb = VectorSearch.quantize(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+        "embedding")
+      .select($"vec_id", $"eq")
+    val vecs = byDim.persist()
+    try {
+      val stats = VectorSearch.sq8Stats(vecs)
+      val recon = VectorSearch.sq8Recon(
+          VectorSearch.sq8Encode(vecs, stats), stats)
+        .groupBy($"id")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, rv)))," +
+          " x -> x.rv)").as("re"))
+      val q = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"eq".as("qe"))
+      val n = recon.count()
+      // tier 1 with R = corpus size keeps every candidate; the exact
+      // re-rank over them must therefore equal plain brute force
+      import org.apache.spark.sql.expressions.Window
+      val wA = Window.partitionBy($"query_id")
+        .orderBy($"dot_a".desc, $"neighbor_id")
+      val cand = broadcast(q)
+        .join(recon.select($"id".as("neighbor_id"), $"re"),
+          $"query_id" =!= $"neighbor_id")
+        .withColumn("dot_a", expr("graft_dotl(qe, re)"))
+        .withColumn("rk_a", org.apache.spark.sql.functions.row_number()
+          .over(wA))
+        .filter($"rk_a" <= n)
+        .select($"query_id", $"neighbor_id")
+      val wE = Window.partitionBy($"query_id")
+        .orderBy($"dot".desc, $"neighbor_id")
+      val twoTier = cand
+        .join(emb.select($"vec_id".as("neighbor_id"), $"eq".as("ce")),
+          Seq("neighbor_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("dot", expr("graft_dotl(qe, ce)"))
+        .withColumn("rank", org.apache.spark.sql.functions.row_number()
+          .over(wE))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"neighbor_id", $"rank", $"dot")
+        .orderBy($"query_id", $"rank")
+        .collect().toSeq
+      val brute = VectorSearch.topKBruteForce(q,
+          emb.select($"vec_id".as("neighbor_id"), $"eq".as("ce")), k = 5)
+        .orderBy($"query_id", $"rank")
+        .collect().toSeq
+      assert(twoTier === brute)
+      assert(twoTier.nonEmpty)
+    } finally vecs.unpersist()
+  }
 }
