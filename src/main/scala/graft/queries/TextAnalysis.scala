@@ -430,6 +430,35 @@ object TextAnalysis extends QueryPack {
         .orderBy($"lang", $"band")
     }),
 
+    // -- BPE tokenizer training: 3 merge rounds on the word-type table --
+    // The vocabulary-induction loop of every modern LLM tokenizer
+    // (Sennrich et al. 2016), run the way production trainers run it:
+    // the corpus is touched ONCE (the word-count aggregate, capped to
+    // the top-200 types under the exact (cnt DESC, word) total
+    // order — t17's cutoff discipline), and every merge round works
+    // on the word-TYPE table with counts as weights, so training cost
+    // is vocabulary × word length, independent of corpus size. Round
+    // = weighted adjacent-pair counts → combinable struct-argmax
+    // (no window) → greedy-leftmost fold applied row-locally via the
+    // `aggregate` higher-order function. The oracle replays the same
+    // three rounds with the fold as a per-word recursive CTE — merge
+    // choices, tie rule, and final segmentations are all hash-exact.
+    // See [[graft.operators.BpeTrainer]] for the scale contract.
+    "t23_bpe_train" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.BpeTrainer
+      val words = Tables(s, dir).documents
+        .select(explode(split(lower($"text"), "\\s+")).as("word"))
+        .filter($"word" =!= "")
+        .groupBy($"word").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"word").limit(200)
+      BpeTrainer.train(BpeTrainer.initSymbols(words), rounds = 3)
+        .select($"word", $"cnt",
+          size($"syms").cast("long").as("n_syms"),
+          concat_ws(" ", $"syms").as("seq"))
+        .orderBy($"cnt".desc, $"word").limit(30)
+    }),
+
     "t20_pmi_collocations" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val docs = Tables(s, dir).documents
@@ -918,6 +947,50 @@ object TextAnalysis extends QueryPack {
         |JOIN uc u2 ON b.w2 = u2.w
         |CROSS JOIN tot t
         |ORDER BY pmi_ppm DESC, b.w1, b.w2 LIMIT 50""".stripMargin,
+
+    // three BPE rounds: pair counts via the t20 range spelling, the
+    // argmax via (tot DESC, pa, pb) LIMIT 1, the greedy-leftmost
+    // merge as a per-word recursive-CTE fold (i-th step appends or
+    // coalesces symbol i+1 — exactly Spark's `aggregate` fold)
+    "t23_bpe_train" -> {
+      def round(r: Int): String =
+        s"""p$r AS (
+           |  SELECT syms[i] AS pa, syms[i+1] AS pb,
+           |    CAST(SUM(cnt) AS BIGINT) AS tot
+           |  FROM ws${r - 1} CROSS JOIN LATERAL
+           |    (SELECT unnest(range(1, len(syms))) AS i)
+           |  GROUP BY pa, pb),
+           |b$r AS (SELECT pa, pb FROM p$r ORDER BY tot DESC, pa, pb
+           |        LIMIT 1),
+           |f$r AS (
+           |  SELECT word, cnt, syms, 1 AS i, [syms[1]] AS acc FROM ws${r - 1}
+           |  UNION ALL
+           |  SELECT word, cnt, syms, i + 1,
+           |    CASE WHEN acc[-1] = (SELECT pa FROM b$r)
+           |           AND syms[i + 1] = (SELECT pb FROM b$r)
+           |      THEN list_append(acc[1:len(acc)-1], acc[-1] || syms[i + 1])
+           |      ELSE list_append(acc, syms[i + 1]) END
+           |  FROM f$r WHERE i < len(syms)),
+           |ws$r AS (SELECT word, cnt, acc AS syms FROM f$r
+           |         WHERE i = len(syms))""".stripMargin
+      s"""WITH RECURSIVE wc AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(regexp_split_to_array(lower(text), '\\s+'))
+         |      AS word
+         |    FROM documents)
+         |  WHERE word <> '' GROUP BY word
+         |  ORDER BY cnt DESC, word LIMIT 200),
+         |ws0 AS (
+         |  SELECT word, cnt, list_transform(
+         |    generate_series(1, len(word)), i -> substr(word, i, 1)) AS syms
+         |  FROM wc),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT word, cnt, CAST(len(syms) AS BIGINT) AS n_syms,
+         |  array_to_string(syms, ' ') AS seq
+         |FROM ws3 ORDER BY cnt DESC, word LIMIT 30""".stripMargin
+    },
 
     // the d-pack shingle CTE with n = 2 (per-doc-distinct hashed
     // bigrams — the [[graft.operators.TextDedup.shingleHashes]]
