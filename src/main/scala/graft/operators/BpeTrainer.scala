@@ -57,15 +57,23 @@ object BpeTrainer {
       .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .agg(sum(col("cnt")).as("tot"))
 
-  /** One merge round: pick the argmax pair and fold it into every
-    * word's symbol array. Returns the merged `(word, cnt, syms)` —
-    * the chosen pair is recoverable from [[pairCounts]] of the input.
+  /** The round's argmax pair as a one-row `(pa, pb)` frame — the
+    * combinable `min(struct(-tot, pa, pb))`, exact (tot DESC, pa, pb)
+    * tie rule, no window, no sort.
     */
-  def mergeRound(wordSyms: DataFrame): DataFrame = {
-    val best = pairCounts(wordSyms)
+  def bestPair(wordSyms: DataFrame): DataFrame =
+    pairCounts(wordSyms)
       .agg(min(struct((-col("tot")).as("nt"), col("pa"), col("pb")))
         .as("m"))
       .select(col("m.pa").as("pa"), col("m.pb").as("pb"))
+
+  /** Fold one chosen pair into every word's symbol array — greedy
+    * leftmost non-overlapping, row-local; the pair rides a one-row
+    * broadcast. Separated from [[bestPair]] so a TRAINED merge list
+    * can be applied to a different (e.g. full-vocabulary) symbol
+    * table — the tokenizer-application face (t24).
+    */
+  def applyMerge(wordSyms: DataFrame, best: DataFrame): DataFrame = {
     val folded: Column = aggregate(
       expr("slice(syms, 2, size(syms) - 1)"),
       array(element_at(col("syms"), 1)),
@@ -77,6 +85,13 @@ object BpeTrainer {
     wordSyms.crossJoin(broadcast(best))
       .select(col("word"), col("cnt"), folded.as("syms"))
   }
+
+  /** One merge round: pick the argmax pair and fold it into every
+    * word's symbol array. Returns the merged `(word, cnt, syms)` —
+    * the chosen pair is recoverable from [[pairCounts]] of the input.
+    */
+  def mergeRound(wordSyms: DataFrame): DataFrame =
+    applyMerge(wordSyms, bestPair(wordSyms))
 
   /** `rounds` merge rounds composed. Each round's plan builds on the
     * previous round's — at the round counts a trainer uses (hundreds+)

@@ -21,6 +21,11 @@ object Corpus extends QueryPack {
 
   private val SplitWeights = Seq("train" -> 800, "val" -> 100, "test" -> 100)
 
+  /** c13's per-source token budget — small enough that every scale
+    * factor leaves documents unadmitted (the boundary is exercised).
+    */
+  private val TokenBudget = 4000L
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- deterministic train/val/test split -----------------------------
     "c01_deterministic_split" -> ((s: SparkSession, dir: String) => {
@@ -261,6 +266,41 @@ object Corpus extends QueryPack {
           min($"n_chars").as("lo_chars"),
           max($"n_chars").as("hi_chars"))
         .orderBy($"source", $"bin")
+    }),
+
+    // -- token-budget selection: admit best-first until the budget ------
+    // The data-selection step every fixed-budget training run ends
+    // with: per source, rank the quality-surviving docs best-first
+    // (stopword naturalness desc — the [[graft.operators.TextQuality]]
+    // signal — ties by doc_id, a total order) and admit docs while
+    // the tokens admitted BEFORE a doc are under the per-source
+    // budget, so the doc that crosses the line is the last one in.
+    // Output is the per-source admission summary incl. the boundary
+    // doc. Scale: one scan + one cumulative window per source —
+    // sources parallelize; ONE giant source serializes its running
+    // sum into a task, at which point production swaps the exact
+    // cumsum for a two-pass band threshold (count tokens per quality
+    // band, pick the cutoff band, row-local predicate — the c06/x14
+    // machinery) and keeps this spelling as the exactness reference.
+    "c13_token_budget_select" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"source")
+        .orderBy($"stopword_pm".desc, $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      graft.operators.TextQuality
+        .annotate(Tables(s, dir).documents, "text")
+        .filter($"keep" === 1)
+        .select($"source", $"doc_id", $"stopword_pm", $"n_tokens")
+        .withColumn("cum", sum($"n_tokens").over(w))
+        .filter($"cum" - $"n_tokens" < TokenBudget)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("tokens_admitted"),
+          max($"cum").as("cum_final"),
+          max(struct($"cum", $"doc_id")).getField("doc_id")
+            .as("boundary_doc"))
+        .orderBy($"source")
     }),
 
     // -- pack slices: the loader-facing materialization of c04 ----------
@@ -537,6 +577,36 @@ object Corpus extends QueryPack {
            |FROM sl WHERE g1 > g0
            |ORDER BY shard, pack_id, pos_in_pack""".stripMargin
       },
+
+      // cum is strictly increasing within a source (n_tokens >= 30),
+      // so max-by-cum picks the boundary doc unambiguously
+      "c13_token_budget_select" ->
+        """WITH q AS (
+          |  SELECT source, doc_id,
+          |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+          |      AS n_tokens,
+          |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+          |      t -> t IN ('the','a','of','and','to'))) AS BIGINT)
+          |      AS stop_hits
+          |  FROM documents),
+          |k AS (
+          |  SELECT source, doc_id, n_tokens,
+          |    stop_hits * 1000 // n_tokens AS stopword_pm
+          |  FROM q
+          |  WHERE n_tokens >= 30
+          |    AND stop_hits * 1000 // n_tokens BETWEEN 20 AND 400),
+          |c AS (
+          |  SELECT source, doc_id, n_tokens,
+          |    SUM(n_tokens) OVER (PARTITION BY source
+          |      ORDER BY stopword_pm DESC, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM k)
+          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_admitted,
+          |  CAST(MAX(cum) AS BIGINT) AS cum_final,
+          |  CAST(arg_max(doc_id, cum) AS BIGINT) AS boundary_doc
+          |FROM c WHERE cum - n_tokens < 4000
+          |GROUP BY source ORDER BY source""".stripMargin,
 
       // ntile follows the SQL-standard remainder rule in both engines
       // (first n%8 bins one row deeper); (n_chars, doc_id) is a total

@@ -132,6 +132,43 @@ object Graphs extends QueryPack {
   def releaseShared(s: SparkSession, dir: String): Unit =
     SharedFrames.release(edgeMemo, s.sparkContext.applicationId, dir)
 
+  /** Per-community Newman-Q contribution in exact ppm for g14, shared
+    * with GraphsSpec (which pins hand-computed toy values including
+    * the negative truncate-toward-zero face a well-clustered oracle
+    * graph may not exercise). `edges` is the distinct (u < v) list;
+    * `labels` the (id, label) community map. DECIMAL(38,0)
+    * intermediates keep 4·m²·10⁶ exact at any SF; Spark decimal `div`
+    * truncates toward zero, matching the oracle's HUGEINT `//`.
+    */
+  private[queries] def modularityPpm(edges: DataFrame,
+      labels: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    val sym = edges.select($"u".as("src"), $"v".as("dst"))
+      .union(edges.select($"v".as("src"), $"u".as("dst")))
+    val deg = sym.groupBy($"src".as("id"))
+      .agg(count(lit(1)).cast("long").as("d"))
+    val m = edges.agg(count(lit(1)).cast("long").as("m"))
+    val ein = edges
+      .join(labels.select($"id".as("u"), $"label".as("la")), Seq("u"))
+      .join(labels.select($"id".as("v"), $"label".as("lb")), Seq("v"))
+      .filter($"la" === $"lb")
+      .groupBy($"la".as("community"))
+      .agg(count(lit(1)).cast("long").as("e_in"))
+    labels.join(deg, Seq("id"))
+      .groupBy($"label".as("community"))
+      .agg(count(lit(1)).as("n_members"), sum($"d").as("deg_sum"))
+      .join(ein, Seq("community"), "left")
+      .withColumn("e_in", coalesce($"e_in", lit(0L)))
+      .crossJoin(broadcast(m))
+      .withColumn("contrib_ppm", expr(
+        """CAST((CAST(4 AS DECIMAL(38,0)) * m * e_in
+          |    - CAST(deg_sum AS DECIMAL(38,0)) * deg_sum) * 1000000
+          |  div (CAST(4 AS DECIMAL(38,0)) * m * m) AS BIGINT)"""
+          .stripMargin))
+      .select($"community", $"n_members", $"e_in", $"deg_sum",
+        $"contrib_ppm")
+  }
+
   /** Exact symmetrized degree-assortativity readout for g11, shared
     * with GraphsSpec (which pins the negative-numerator path a
     * positive-r oracle never exercises). DuckDB's `//` and Spark's
@@ -349,6 +386,26 @@ object Graphs extends QueryPack {
         .orderBy($"community")
     }),
 
+    // -- G14: modularity of the g07 communities -------------------------
+    // The community-quality readout that tells you whether g07's
+    // partition means anything: per community c, Newman's Q
+    // contribution e_c/m − (deg_c/2m)², spelled exactly-integer in
+    // ppm with DECIMAL(38,0) intermediates (overflow-safe at any SF;
+    // div truncates toward zero identically in both engines — the
+    // g11 contract — which the deg²-dominated sparse communities
+    // exercise on the negative side). Scale: labels and degrees are
+    // two keyed aggregates over the cached edge list; e_in is ONE
+    // hash join of edges against the (id → label) map on each
+    // endpoint — never a per-community subgraph materialization; m
+    // rides a one-row broadcast.
+    "g14_modularity" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val edges = coPurchaseEdges(s, dir)
+      modularityPpm(edges,
+          graft.operators.LabelProp.communities(edges, rounds = 3))
+        .orderBy($"community")
+    }),
+
     // -- G6: weighted SSSP over the trade graph -------------------------
     // Cheapest-path profile from the first ten customers where an
     // edge costs the *minimum* quantity ever shipped across it (min
@@ -460,6 +517,37 @@ object Graphs extends QueryPack {
          |      AS rank_ppm
          |  FROM nodes n LEFT JOIN c$i c ON c.id = n.id)""".stripMargin
     }
+    // shared LPA chain for g07/g14: the co-purchase graph, its
+    // symmetrized edge list, and 3 synchronous label-propagation
+    // rounds (argmax neighbor label, ties by label asc — mirrors
+    // LabelProp.communities exactly)
+    val lpaCtes: String = {
+      def round(i: Int): String =
+        s"""v$i AS MATERIALIZED (
+           |  SELECT s.src, l.label, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM sym s JOIN l${i - 1} l ON s.dst = l.id
+           |  GROUP BY s.src, l.label),
+           |l$i AS MATERIALIZED (
+           |  SELECT src AS id, label FROM (
+           |    SELECT src, label, ROW_NUMBER() OVER (PARTITION BY src
+           |      ORDER BY cnt DESC, label) AS rk FROM v$i) t
+           |  WHERE rk = 1)""".stripMargin
+      s"""ps AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk,
+         |    s_nationkey AS nat
+         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+         |edges AS MATERIALIZED (
+         |  SELECT DISTINCT a.sk AS u, b.sk AS v
+         |  FROM ps a JOIN ps b ON a.o = b.o AND a.nat = b.nat
+         |    AND a.sk < b.sk),
+         |sym AS MATERIALIZED (
+         |  SELECT u AS src, v AS dst FROM edges
+         |  UNION SELECT v AS src, u AS dst FROM edges),
+         |l0 AS MATERIALIZED (
+         |  SELECT DISTINCT src AS id, src AS label FROM sym),
+         |${(1 to 3).map(round).mkString(",\n")}""".stripMargin
+    }
+
     // shared orientation chain for the co-purchase triangle oracles —
     // g03 (global count) and g09 (per-node lcc) reference it rather
     // than repeat it, mirroring how both Spark queries ride the same
@@ -639,35 +727,45 @@ object Graphs extends QueryPack {
       // argmax tie rule (cnt desc, label asc) is ROW_NUMBER's order —
       // identical to Spark's min(struct(-cnt, label)). MATERIALIZED
       // for the same reason as g05: each l_i feeds the next round.
-      "g07_label_communities" -> {
-        def round(i: Int): String =
-          s"""v$i AS MATERIALIZED (
-             |  SELECT s.src, l.label, CAST(COUNT(*) AS BIGINT) AS cnt
-             |  FROM sym s JOIN l${i - 1} l ON s.dst = l.id
-             |  GROUP BY s.src, l.label),
-             |l$i AS MATERIALIZED (
-             |  SELECT src AS id, label FROM (
-             |    SELECT src, label, ROW_NUMBER() OVER (PARTITION BY src
-             |      ORDER BY cnt DESC, label) AS rk FROM v$i) t
-             |  WHERE rk = 1)""".stripMargin
-        s"""WITH ps AS MATERIALIZED (
-           |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk,
-           |    s_nationkey AS nat
-           |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
-           |edges AS MATERIALIZED (
-           |  SELECT DISTINCT a.sk AS u, b.sk AS v
-           |  FROM ps a JOIN ps b ON a.o = b.o AND a.nat = b.nat
-           |    AND a.sk < b.sk),
-           |sym AS MATERIALIZED (
-           |  SELECT u AS src, v AS dst FROM edges
-           |  UNION SELECT v AS src, u AS dst FROM edges),
-           |l0 AS MATERIALIZED (
-           |  SELECT DISTINCT src AS id, src AS label FROM sym),
-           |${(1 to 3).map(round).mkString(",\n")}
+      "g07_label_communities" ->
+        s"""WITH $lpaCtes
            |SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
            |  MIN(id) AS min_member, MAX(id) AS max_member
-           |FROM l3 GROUP BY label ORDER BY community""".stripMargin
-      },
+           |FROM l3 GROUP BY label ORDER BY community""".stripMargin,
+
+      // modularity contribution in ppm, HUGEINT/DECIMAL(38,0)
+      // intermediates so 4·m²·10⁶ can't overflow at any SF; HUGEINT
+      // `//` and Spark decimal `div` both truncate toward zero
+      // (verified — DECIMAL `//` in DuckDB degrades to float division,
+      // hence HUGEINT here; sparse communities exercise the negative
+      // side when deg² outweighs 4·m·e_in)
+      "g14_modularity" ->
+        s"""WITH $lpaCtes,
+           |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+           |deg AS (
+           |  SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d
+           |  FROM sym GROUP BY src),
+           |ein AS (
+           |  SELECT la.label AS community, CAST(COUNT(*) AS BIGINT) AS e_in
+           |  FROM edges e
+           |  JOIN l3 la ON e.u = la.id
+           |  JOIN l3 lb ON e.v = lb.id
+           |  WHERE la.label = lb.label GROUP BY la.label),
+           |dc AS (
+           |  SELECT l3.label AS community,
+           |    CAST(COUNT(*) AS BIGINT) AS n_members,
+           |    CAST(SUM(d) AS BIGINT) AS deg_sum
+           |  FROM l3 JOIN deg USING (id) GROUP BY l3.label)
+           |SELECT dc.community, dc.n_members,
+           |  COALESCE(ein.e_in, 0) AS e_in, dc.deg_sum,
+           |  CAST((CAST(4 AS HUGEINT) * mm.m * COALESCE(ein.e_in, 0)
+           |      - CAST(dc.deg_sum AS HUGEINT) * dc.deg_sum)
+           |    * 1000000
+           |    // (CAST(4 AS HUGEINT) * mm.m * mm.m) AS BIGINT)
+           |    AS contrib_ppm
+           |FROM dc CROSS JOIN mm
+           |LEFT JOIN ein ON ein.community = dc.community
+           |ORDER BY dc.community""".stripMargin,
 
       "g03_triangles" ->
         s"""WITH $triCtes,

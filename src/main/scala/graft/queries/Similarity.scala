@@ -574,6 +574,46 @@ object Similarity extends QueryPack {
         .orderBy($"query_id", $"rank")
     }),
 
+    // -- GDPR delete on the SERVING index: tombstoned ANN ---------------
+    // p05's forget-user job reaches the vector side: the requested
+    // ids (the p05 grain, vec_id ≡ 0 mod 97) must stop being served
+    // IMMEDIATELY, without a nightly retrain. FAISS's remove_ids
+    // contract: the persisted code table is anti-joined against the
+    // broadcast tombstone list at serve time (compaction = exactly
+    // this anti-join materialized back over the bucketed table — same
+    // plan, so serve-with-tombstones ≡ serve-after-compaction, which
+    // is why one oracle covers the lifecycle); forgotten users also
+    // issue no queries. The MODEL tables (centroids, codebook) are
+    // deliberately untouched — tombstoning removes the rows from
+    // serving; what the trained model still encodes is governed by
+    // the retrain cadence, which is a policy knob, not a serving
+    // fix — and the oracle pins exactly that semantics by training
+    // on the full set and excluding only in the score CTE. Scale:
+    // the tombstone list is the broadcast side; the code scan stays
+    // cell-pruned; delete cost is O(|tombstones|), not O(corpus).
+    "s17_ann_forget" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.VectorSearch
+      val (codesTbl, bookTbl, centTbl) = persistedAnnTables(s, dir)
+      val forget = Tables(s, dir).embeddings
+        .filter(pmod($"vec_id", lit(97)) === 0)
+        .select($"vec_id".as("id"))
+      val live = s.table(codesTbl)
+        .join(broadcast(forget), Seq("id"), "left_anti")
+      val qByDim = VectorSearch.quantize(
+          Tables(s, dir).embeddings
+            .filter($"vec_id" < 100 && pmod($"vec_id", lit(97)) =!= 0),
+          "embedding")
+        .select($"vec_id".as("id"), posexplode($"eq").as(Seq("dim", "v")))
+        .select($"id", $"dim", $"v")
+      val queryCells = VectorSearch.nearestCells(
+          qByDim, s.table(centTbl), nprobe = 2)
+        .select($"id".as("query_id"), $"cell")
+      VectorSearch.ivfPqAdcTopK(qByDim, queryCells, live,
+          s.table(bookTbl), subDims = 16, k = 3)
+        .orderBy($"query_id", $"rank")
+    }),
+
     // -- hybrid retrieval: BM25 + dense top-20 fused by RRF --------------
     // Reciprocal-rank fusion (Cormack et al., SIGIR 2009): every
     // document in an arm's top-20 contributes 1e6 div (60 + rank); the
@@ -648,10 +688,14 @@ object Similarity extends QueryPack {
   )
 
   /** DuckDB spelling of the composed IVF+PQ serve, shared verbatim by
-    * s13 (in-session index) and s14 (persisted index tables).
+    * s13 (in-session index) and s14 (persisted index tables); s17
+    * re-parameterizes the query/neighbor predicates for the
+    * tombstone-excluded serve (model CTEs untouched — delete never
+    * retrains).
     */
-  private lazy val ivfPqOracleSql: String =
-    """WITH e AS (
+  private def ivfPqOracle(queryPred: String, neighborPred: String): String = {
+    val queryPredId = queryPred.replace("vec_id", "id")
+    s"""WITH e AS (
         |  SELECT vec_id, label, list_transform(embedding,
         |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS eq
         |  FROM embeddings),
@@ -673,7 +717,7 @@ object Similarity extends QueryPack {
         |    ORDER BY dist2, cell) AS rk FROM dist),
         |assign AS (SELECT vec_id, cell FROM ranked WHERE rk = 1),
         |qc AS (SELECT vec_id, cell FROM ranked
-        |       WHERE rk <= 2 AND vec_id < 100),
+        |       WHERE rk <= 2 AND $queryPred),
         |book AS (
         |  SELECT dim // 16 AS sub, CAST(label AS BIGINT) AS code, dim,
         |    CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
@@ -691,7 +735,7 @@ object Similarity extends QueryPack {
         |  WHERE rk = 1),
         |lut AS (
         |  SELECT id AS query_id, sub, code, dist2 AS sub_dist2
-        |  FROM sd WHERE id < 100),
+        |  FROM sd WHERE $queryPredId),
         |sc AS (
         |  SELECT l.query_id, c.id AS neighbor_id,
         |    CAST(SUM(l.sub_dist2) AS BIGINT) AS adist2
@@ -700,12 +744,16 @@ object Similarity extends QueryPack {
         |  JOIN qc ON qc.cell = a.cell
         |  JOIN lut l ON l.query_id = qc.vec_id
         |    AND c.sub = l.sub AND c.code = l.code
-        |  WHERE l.query_id <> c.id
+        |  WHERE l.query_id <> c.id$neighborPred
         |  GROUP BY l.query_id, c.id)
         |SELECT query_id, neighbor_id, rank, adist2 FROM (
         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY adist2, neighbor_id) AS INTEGER) AS rank FROM sc) t
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
+  private lazy val ivfPqOracleSql: String =
+    ivfPqOracle("vec_id < 100", "")
 
   /** s15's oracle: the s13 IVF+PQ pipeline with the model tables
     * (centroids, sub-codebook) trained over the CORPUS hash split
@@ -1108,6 +1156,8 @@ object Similarity extends QueryPack {
     // must be invisible to results, so ONE text pins both spellings.
     "s13_ivfpq_topk" -> ivfPqOracleSql,
     "s14_persisted_ann_serving" -> ivfPqOracleSql,
+    "s17_ann_forget" -> ivfPqOracle(
+      "vec_id < 100 AND vec_id % 97 <> 0", " AND c.id % 97 <> 0"),
     "s15_ann_index_add" -> ivfPqAddOracleSql,
 
     // SQ8: per-dim [min,max] bounds, byte code by floor division

@@ -318,6 +318,39 @@ object StreamingOps extends QueryPack {
         .orderBy($"p_id".asc_nulls_first, $"c_id".asc_nulls_first)
     }),
 
+    // -- stream-stream LEFT SEMI join (existence, not enumeration) ------
+    // "Which purchases had at least one click in the preceding hour"
+    // as EXISTENCE — the funnel-entry test answered without
+    // enumerating pairs. Completes the stream-stream join family
+    // (st6 inner, st12 left, st31 full, st34 right, st35 semi). Each
+    // matched purchase emits EXACTLY ONCE no matter how many clicks
+    // qualify or how the batches land (Spark emits the left row on
+    // its first match and marks it done); unmatched purchases never
+    // emit, so no face is watermark-gated and the drained set is
+    // batching-independent — the oracle is a plain EXISTS. At scale
+    // semi is strictly cheaper than inner-then-distinct: match fan-out
+    // never leaves the state store, and the purchase side's state
+    // drops a row the moment it matches instead of holding it for
+    // the full eviction window.
+    "st35_stream_semi_join" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val p = eventStream(s, dir).filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"event_id".as("p_id"),
+          $"ts".as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val c = eventStream(s, dir).filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"event_id".as("c_id"),
+          $"ts".as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = p.join(c,
+        $"p_user" === $"c_user" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") && $"c_ts" < $"p_ts",
+        "left_semi")
+        .select($"p_id")
+      drain(s, joined, OutputMode.Append())
+        .orderBy($"p_id")
+    }),
+
     // -- stream-stream AS-OF enrichment (the streaming face of x12) -----
     // Events enriched with the dimension version in effect at event
     // time, where the VERSIONED DIMENSION IS ITSELF A STREAM that
@@ -1761,6 +1794,17 @@ object StreamingOps extends QueryPack {
         |WHERE p.event_id IS NOT NULL
         |   OR epoch_us(c.ts) + 3600000000 < (SELECT w_us FROM wm)
         |ORDER BY p_id NULLS FIRST, c_id NULLS FIRST""".stripMargin,
+
+    // LEFT SEMI: matched purchases emit exactly once, no face is
+    // watermark-gated — a plain EXISTS, no cutoff CTE needed
+    "st35_stream_semi_join" ->
+      """SELECT p.event_id AS p_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |WHERE EXISTS (
+        |  SELECT 1 FROM events c
+        |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |    AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts)
+        |ORDER BY p_id""".stripMargin,
 
     // exact rank-based percentiles + always-TRUE bound booleans (the
     // x04 policy): the shared skeleton mirrored from

@@ -459,6 +459,51 @@ object TextAnalysis extends QueryPack {
         .orderBy($"cnt".desc, $"word").limit(30)
     }),
 
+    // -- t24: tokenizer APPLICATION — encode the corpus with t23's
+    // trained merges. The production second half of the BPE
+    // lifecycle: merges are trained once (t23's top-200 word types, 3
+    // rounds), then the FULL vocabulary is encoded under the frozen
+    // merge list and the corpus tokenized by word-type lookup. The
+    // per-language readout (types/words/tokens/chars + chars-per-
+    // token) is the compression report a tokenizer team actually
+    // ships. Scale: the corpus is touched ONCE, by the combinable
+    // (lang, word) count; the global word table DERIVES from it by
+    // re-aggregation (no second scan); encoding is merges × vocab
+    // row-local folds, each trained pair a one-row broadcast; the
+    // final join keys word-type rows against vocab-sized `enc` — at
+    // 100 TB production instead broadcasts the (tiny) merge list and
+    // folds each word at scan time, same algebra, zero joins.
+    "t24_bpe_encode" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.BpeTrainer
+      val wl = Tables(s, dir).documents
+        .select($"lang", explode(split(lower($"text"), "\\s+")).as("word"))
+        .filter($"word" =!= "")
+        .groupBy($"lang", $"word").agg(count(lit(1)).as("cnt_l"))
+      val top = wl.groupBy($"word").agg(sum($"cnt_l").as("cnt"))
+        .orderBy($"cnt".desc, $"word").limit(200)
+      val ws0 = BpeTrainer.initSymbols(top)
+      val b1 = BpeTrainer.bestPair(ws0)
+      val ws1 = BpeTrainer.applyMerge(ws0, b1)
+      val b2 = BpeTrainer.bestPair(ws1)
+      val ws2 = BpeTrainer.applyMerge(ws1, b2)
+      val b3 = BpeTrainer.bestPair(ws2)
+      val vocab = wl.select($"word").distinct()
+        .withColumn("cnt", lit(1L))
+      val enc = Seq(b1, b2, b3)
+        .foldLeft(BpeTrainer.initSymbols(vocab))(BpeTrainer.applyMerge)
+        .select($"word", size($"syms").cast("long").as("n_syms"))
+      wl.join(enc, Seq("word"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_word_types"),
+          sum($"cnt_l").as("n_words"),
+          sum($"cnt_l" * $"n_syms").as("n_tokens"),
+          sum($"cnt_l" * length($"word")).cast("long").as("n_chars"))
+        .withColumn("chars_per_token_pm",
+          expr("n_chars * 1000 div n_tokens"))
+        .orderBy($"lang")
+    }),
+
     "t20_pmi_collocations" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val docs = Tables(s, dir).documents
@@ -990,6 +1035,76 @@ object TextAnalysis extends QueryPack {
          |SELECT word, cnt, CAST(len(syms) AS BIGINT) AS n_syms,
          |  array_to_string(syms, ' ') AS seq
          |FROM ws3 ORDER BY cnt DESC, word LIMIT 30""".stripMargin
+    },
+
+    // t23's training replayed verbatim (same b1..b3), then the SAME
+    // recursive fold applied to the full DISTINCT vocabulary; corpus
+    // stats re-aggregate the (lang, word) count table
+    "t24_bpe_encode" -> {
+      def round(r: Int): String =
+        s"""p$r AS (
+           |  SELECT syms[i] AS pa, syms[i+1] AS pb,
+           |    CAST(SUM(cnt) AS BIGINT) AS tot
+           |  FROM ws${r - 1} CROSS JOIN LATERAL
+           |    (SELECT unnest(range(1, len(syms))) AS i)
+           |  GROUP BY pa, pb),
+           |b$r AS (SELECT pa, pb FROM p$r ORDER BY tot DESC, pa, pb
+           |        LIMIT 1),
+           |f$r AS (
+           |  SELECT word, cnt, syms, 1 AS i, [syms[1]] AS acc FROM ws${r - 1}
+           |  UNION ALL
+           |  SELECT word, cnt, syms, i + 1,
+           |    CASE WHEN acc[-1] = (SELECT pa FROM b$r)
+           |           AND syms[i + 1] = (SELECT pb FROM b$r)
+           |      THEN list_append(acc[1:len(acc)-1], acc[-1] || syms[i + 1])
+           |      ELSE list_append(acc, syms[i + 1]) END
+           |  FROM f$r WHERE i < len(syms)),
+           |ws$r AS (SELECT word, cnt, acc AS syms FROM f$r
+           |         WHERE i = len(syms))""".stripMargin
+      def applyRound(r: Int): String =
+        s"""a$r AS (
+           |  SELECT word, syms, 1 AS i, [syms[1]] AS acc FROM wd${r - 1}
+           |  UNION ALL
+           |  SELECT word, syms, i + 1,
+           |    CASE WHEN acc[-1] = (SELECT pa FROM b$r)
+           |           AND syms[i + 1] = (SELECT pb FROM b$r)
+           |      THEN list_append(acc[1:len(acc)-1], acc[-1] || syms[i + 1])
+           |      ELSE list_append(acc, syms[i + 1]) END
+           |  FROM a$r WHERE i < len(syms)),
+           |wd$r AS (SELECT word, acc AS syms FROM a$r
+           |         WHERE i = len(syms))""".stripMargin
+      s"""WITH RECURSIVE wl AS (
+         |  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS cnt_l FROM (
+         |    SELECT lang,
+         |      unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+         |    FROM documents)
+         |  WHERE word <> '' GROUP BY lang, word),
+         |wc AS (
+         |  SELECT word, CAST(SUM(cnt_l) AS BIGINT) AS cnt FROM wl
+         |  GROUP BY word ORDER BY cnt DESC, word LIMIT 200),
+         |ws0 AS (
+         |  SELECT word, cnt, list_transform(
+         |    generate_series(1, len(word)), i -> substr(word, i, 1)) AS syms
+         |  FROM wc),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |wd0 AS (
+         |  SELECT word, list_transform(
+         |    generate_series(1, len(word)), i -> substr(word, i, 1)) AS syms
+         |  FROM (SELECT DISTINCT word FROM wl)),
+         |${applyRound(1)},
+         |${applyRound(2)},
+         |${applyRound(3)},
+         |enc AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_syms
+         |        FROM wd3)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_word_types,
+         |  CAST(SUM(cnt_l) AS BIGINT) AS n_words,
+         |  CAST(SUM(cnt_l * n_syms) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(cnt_l * len(word)) AS BIGINT) AS n_chars,
+         |  CAST(SUM(cnt_l * len(word)) * 1000
+         |    // SUM(cnt_l * n_syms) AS BIGINT) AS chars_per_token_pm
+         |FROM wl JOIN enc USING (word) GROUP BY lang ORDER BY lang""".stripMargin
     },
 
     // the d-pack shingle CTE with n = 2 (per-doc-distinct hashed

@@ -50,6 +50,19 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(out === Map("ab" -> "ab", "cd" -> "c d"))
   }
 
+  test("applyMerge applies a FROZEN trained pair to unseen words " +
+      "(the t24 tokenizer-application face)") {
+    import spark.implicits._
+    // trained on {aaa×3, aab×2}: best pair = (a,a)
+    val b = BpeTrainer.bestPair(syms("aaa" -> 3L, "aab" -> 2L))
+    // applied to a DISJOINT vocabulary: same greedy-leftmost fold,
+    // words without the pair pass through unchanged
+    val out = BpeTrainer.applyMerge(syms("baaab" -> 1L, "cd" -> 1L), b)
+      .select($"word", concat_ws(" ", $"syms").as("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map("baaab" -> "b aa a b", "cd" -> "c d"))
+  }
+
   test("train is deterministic under repartitioning") {
     val words = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

@@ -68,6 +68,32 @@ class GraphsSpec extends AnyFunSuite {
       === 18L)
   }
 
+  test("modularityPpm: two triangles + bridge + pendant singleton, " +
+      "hand-exact incl. negative truncation") {
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4, pendant 1-7 in
+    // its own community: m = 8
+    //   A = {1,2,3}: e_in = 3, deg_sum = 3+2+3 = 8
+    //     → (4·8·3 − 64)·10⁶ div 256 = 32·10⁶/256 = 125000
+    //   B = {4,5,6}: e_in = 3, deg_sum = 3+2+2 = 7
+    //     → (96 − 49)·10⁶ div 256 = 47·10⁶/256 = 183593.75 → 183593
+    //   C = {7}: e_in = 0, deg_sum = 1
+    //     → −10⁶/256 = −3906.25 → −3906 (truncation toward zero,
+    //       NOT floor's −3907 — the HUGEINT-// contract)
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L), (1L, 7L)).toDF("u", "v")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L), (7L, 7L)).toDF("id", "label")
+    val out = Graphs.modularityPpm(edges, labels).orderBy("community")
+      .collect().map(r => (r.getAs[Long]("community"),
+        r.getAs[Long]("n_members"), r.getAs[Long]("e_in"),
+        r.getAs[Long]("deg_sum"), r.getAs[Long]("contrib_ppm")))
+    assert(out === Array(
+      (1L, 3L, 3L, 8L, 125000L),
+      (4L, 3L, 3L, 7L, 183593L),
+      (7L, 1L, 0L, 1L, -3906L)))
+  }
+
   test("regular graph is exactly assortative-degenerate: den = 0 guard") {
     // 4-cycle: all degrees equal → den = 0, r undefined; the query
     // runs on real data where den > 0, but the helper must not crash —
