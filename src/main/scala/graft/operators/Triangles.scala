@@ -68,6 +68,18 @@ object Triangles {
         Seq("y", "z"), "left_semi")
       .select(col("a"), col("y"), col("z"))
 
+  /** One row `(a, y, z)` per triangle over an undirected `(u, v)`
+    * edge list — the oriented enumeration behind [[stats]]/[[perNode]]
+    * exposed for consumers that need the triangles themselves (the
+    * [[KTruss]] per-edge support count). Corner roles follow the
+    * orientation order, so canonicalize with least/greatest when
+    * mapping corners back to undirected edges.
+    */
+  def closedTriangles(edges: DataFrame): DataFrame = {
+    val (_, orient) = degOrient(edges)
+    closedWedges(orient)
+  }
+
   /** `edges`: one row per undirected edge, columns `u`, `v` (either
     * endpoint order — orientation is re-derived from degrees, not from
     * the stored order), distinct per unordered pair, no self-loops.

@@ -567,6 +567,45 @@ object Extensions extends QueryPack {
         .orderBy($"block")
     }),
 
+    // -- zone-map skipping audit: what the layout buys the scan ---------
+    // The quantified case for x16's clustering: rows are dealt into
+    // fixed 4096-row zones (simulated parquet row groups) under two
+    // layouts — arrival order vs sorted by the filter column — and a
+    // 3-month shipdate range probe is tested against each zone's
+    // [min, max]. A zone is SKIPPED iff its range provably misses the
+    // predicate, exactly the min/max-statistics pruning every parquet
+    // reader performs from footer metadata. The per-layout skip rate
+    // is the number a table-layout decision should be made on: at
+    // 100 TB the skipped fraction is I/O that never happens. The
+    // global row_number here SIMULATES the file layout so the oracle
+    // can replay it bit-exactly (the honest cost: one total sort per
+    // layout — an audit query, not an ingest path; production reads
+    // zone stats from footers in one metadata pass, and the Spark
+    // ingest path that CREATES such layouts is x16/ScaleSmoke's
+    // range-shuffled zorder_cluster_write).
+    "x28_zone_map_skip" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val li = Tables(s, dir).lineitem
+        .select($"l_orderkey", $"l_linenumber", $"l_shipdate")
+      def audit(layout: String, order: Seq[Column]): DataFrame = {
+        val w = Window.orderBy(order: _*)
+        li.withColumn("rn", row_number().over(w))
+          .withColumn("zone", expr("(rn - 1) div 4096"))
+          .groupBy($"zone")
+          .agg(min($"l_shipdate").as("lo"), max($"l_shipdate").as("hi"))
+          .agg(count(lit(1)).as("n_zones"),
+            sum(when($"hi" < lit("1998-01-01").cast("timestamp") ||
+                $"lo" >= lit("1998-04-01").cast("timestamp"), 1L)
+              .otherwise(0L)).as("n_skipped"))
+          .select(lit(layout).as("layout"), $"n_zones", $"n_skipped",
+            expr("n_skipped * 1000 div n_zones").as("skipped_pm"))
+      }
+      audit("arrival", Seq($"l_orderkey", $"l_linenumber"))
+        .unionByName(audit("shipdate_sorted",
+          Seq($"l_shipdate", $"l_orderkey", $"l_linenumber")))
+        .orderBy($"layout")
+    }),
+
     // -- snapshot diff: backfill/migration reconciliation ---------------
     // Old = the orders snapshot; new = the same snapshot after a
     // simulated backfill (1-in-7 keys dropped, custkey<10 repriced ×2
@@ -1111,6 +1150,40 @@ object Extensions extends QueryPack {
         |ORDER BY l_returnflag""".stripMargin,
 
     // identical Morton arithmetic spelled in DuckDB bit operators
+    // zone deal replayed with the identical total orders; timestamps
+    // compare exactly, counts and permille are integer
+    "x28_zone_map_skip" ->
+      """WITH na AS (
+        |  SELECT l_shipdate, (ROW_NUMBER() OVER (
+        |    ORDER BY l_orderkey, l_linenumber) - 1) // 4096 AS zone
+        |  FROM lineitem),
+        |sa AS (
+        |  SELECT l_shipdate, (ROW_NUMBER() OVER (
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) - 1) // 4096
+        |    AS zone
+        |  FROM lineitem),
+        |nz AS (SELECT zone, min(l_shipdate) AS lo, max(l_shipdate) AS hi
+        |       FROM na GROUP BY zone),
+        |sz AS (SELECT zone, min(l_shipdate) AS lo, max(l_shipdate) AS hi
+        |       FROM sa GROUP BY zone),
+        |agg AS (
+        |  SELECT 'arrival' AS layout,
+        |    CAST(COUNT(*) AS BIGINT) AS n_zones,
+        |    CAST(SUM(CASE WHEN hi < TIMESTAMP '1998-01-01'
+        |          OR lo >= TIMESTAMP '1998-04-01' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_skipped
+        |  FROM nz
+        |  UNION ALL
+        |  SELECT 'shipdate_sorted',
+        |    CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN hi < TIMESTAMP '1998-01-01'
+        |          OR lo >= TIMESTAMP '1998-04-01' THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM sz)
+        |SELECT layout, n_zones, n_skipped,
+        |  CAST(n_skipped * 1000 // n_zones AS BIGINT) AS skipped_pm
+        |FROM agg ORDER BY layout""".stripMargin,
+
     "x16_zorder_layout" -> {
       val interleave = (0 until 8).flatMap { i =>
         Seq(s"(((bx >> $i) & 1) << ${2 * i + 1})",

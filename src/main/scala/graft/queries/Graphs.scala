@@ -140,7 +140,7 @@ object Graphs extends QueryPack {
     * intermediates keep 4·m²·10⁶ exact at any SF; Spark decimal `div`
     * truncates toward zero, matching the oracle's HUGEINT `//`.
     */
-  private[queries] def modularityPpm(edges: DataFrame,
+  private[graft] def modularityPpm(edges: DataFrame,
       labels: DataFrame): DataFrame = {
     import edges.sparkSession.implicits._
     val sym = edges.select($"u".as("src"), $"v".as("dst"))
@@ -404,6 +404,22 @@ object Graphs extends QueryPack {
       modularityPpm(edges,
           graft.operators.LabelProp.communities(edges, rounds = 3))
         .orderBy($"community")
+    }),
+
+    // -- G15: k-truss peeling profile over the co-purchase graph --------
+    // The triangle-density core: 3 synchronous rounds at k = 4 (every
+    // surviving edge must close ≥ 2 triangles among survivors), the
+    // [[graft.operators.KTruss]] recompute formulation. The emitted
+    // profile (round, n_edges) is both the result and the convergence
+    // readout — equal consecutive counts mean the truss is reached.
+    // Scale: each round is one m^{3/2}-bounded oriented triangle
+    // enumeration + a keyed count + a join back, lineage cut per
+    // round by eager checkpoints; never a per-community subgraph.
+    "g15_ktruss" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.operators.KTruss
+        .peelProfile(coPurchaseEdges(s, dir), k = 4, rounds = 3)
+        .orderBy($"round")
     }),
 
     // -- G6: weighted SSSP over the trade graph -------------------------
@@ -739,6 +755,62 @@ object Graphs extends QueryPack {
       // (verified — DECIMAL `//` in DuckDB degrades to float division,
       // hence HUGEINT here; sparse communities exercise the negative
       // side when deg² outweighs 4·m·e_in)
+      "g15_ktruss" -> {
+        // one degree-oriented triangle enumeration per round (the
+        // g03 triCtes shape re-derived over each round's survivors),
+        // support = corner-canonicalized triangle edges counted;
+        // inner join + filter drops support-0 edges correctly
+        def trussRound(r: Int): String = {
+          val e = s"e${r - 1}"
+          s"""deg$r AS MATERIALIZED (
+             |  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+             |    SELECT u AS node FROM $e
+             |    UNION ALL SELECT v FROM $e)
+             |  GROUP BY node),
+             |orient$r AS MATERIALIZED (
+             |  SELECT CASE WHEN fwd THEN u ELSE v END AS a,
+             |         CASE WHEN fwd THEN v ELSE u END AS b,
+             |         CASE WHEN fwd THEN dv ELSE du END AS db
+             |  FROM (SELECT e.u, e.v, x.d AS du, y.d AS dv,
+             |          (x.d < y.d OR (x.d = y.d AND e.u < e.v)) AS fwd
+             |        FROM $e e JOIN deg$r x ON e.u = x.node
+             |                  JOIN deg$r y ON e.v = y.node)),
+             |tri$r AS MATERIALIZED (
+             |  SELECT w.a, w.y, w.z
+             |  FROM (SELECT o1.a, o1.b AS y, o1.db AS dy,
+             |               o2.b AS z, o2.db AS dz
+             |        FROM orient$r o1 JOIN orient$r o2 ON o1.a = o2.a) w
+             |  JOIN orient$r oc ON oc.a = w.y AND oc.b = w.z
+             |  WHERE w.dy < w.dz OR (w.dy = w.dz AND w.y < w.z)),
+             |sup$r AS MATERIALIZED (
+             |  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+             |    SELECT LEAST(a, y) AS u, GREATEST(a, y) AS v FROM tri$r
+             |    UNION ALL SELECT LEAST(a, z), GREATEST(a, z) FROM tri$r
+             |    UNION ALL SELECT LEAST(y, z), GREATEST(y, z) FROM tri$r)
+             |  GROUP BY u, v),
+             |e$r AS MATERIALIZED (
+             |  SELECT e.u, e.v FROM e${r - 1} e
+             |  JOIN sup$r s ON e.u = s.u AND e.v = s.v
+             |  WHERE s.sup >= 2)""".stripMargin
+        }
+        s"""WITH ps AS MATERIALIZED (
+           |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk,
+           |    s_nationkey AS nat
+           |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+           |e0 AS MATERIALIZED (
+           |  SELECT DISTINCT a.sk AS u, b.sk AS v
+           |  FROM ps a JOIN ps b ON a.o = b.o AND a.nat = b.nat
+           |    AND a.sk < b.sk),
+           |${(1 to 3).map(trussRound).mkString(",\n")}
+           |SELECT CAST(r AS BIGINT) AS round, n_edges FROM (
+           |  SELECT 0 AS r, (SELECT CAST(COUNT(*) AS BIGINT) FROM e0)
+           |    AS n_edges
+           |  UNION ALL SELECT 1, (SELECT CAST(COUNT(*) AS BIGINT) FROM e1)
+           |  UNION ALL SELECT 2, (SELECT CAST(COUNT(*) AS BIGINT) FROM e2)
+           |  UNION ALL SELECT 3, (SELECT CAST(COUNT(*) AS BIGINT) FROM e3))
+           |ORDER BY round""".stripMargin
+      },
+
       "g14_modularity" ->
         s"""WITH $lpaCtes,
            |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
