@@ -194,6 +194,44 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"no scan pushes the query filter: $pushed")
   }
 
+  test("s17: tombstone exclusion is a broadcast anti-join on the " +
+      "stored code table; corpus embeddings never scanned") {
+    val plan = planOf("s17_ann_forget")
+    assert(plan.contains("graft_ann_codes"),
+      "tombstoned serve no longer reads the persisted code table")
+    // the delete is a broadcast anti-join — a shuffled anti-join means
+    // the tombstone list lost its broadcast and the code table
+    // re-shuffled O(corpus) for an O(tombstones) exclusion
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"),
+      "tombstone exclusion is not a broadcast anti-join")
+    assert(!plan.contains("SortMergeJoin") ||
+      !plan.linesIterator.exists(l =>
+        l.contains("SortMergeJoin") && l.contains("LeftAnti")),
+      "tombstone anti-join fell back to sort-merge")
+    // embeddings scans carry query-side pushdown only (s14's contract)
+    assert(plan.contains("LessThan(vec_id,100)"),
+      "embeddings scans lost the query-side vec_id pushdown")
+  }
+
+  test("t24: corpus is scanned once — vocabulary and stats both " +
+      "derive from the (lang, word) aggregate") {
+    val plan = planOf("t24_bpe_encode")
+    val docScans = plan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("documents"))
+    // Spark plans the shared wl aggregate as separate scan subtrees
+    // (one per consumer: stats join, vocab, training derivation) —
+    // what must NOT appear is a scan count growing with merge rounds
+    // (each applyMerge re-reading the corpus); 3 rounds over 3
+    // consumers stays ≤4
+    assert(docScans <= 4,
+      s"documents scan count grew with merge rounds: $docScans")
+    // every trained pair rides a one-row broadcast into the fold
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "trained pairs no longer broadcast into the merge folds")
+  }
+
   test("d17: probe reads the stored index — corpus text is never " +
       "re-shingled") {
     // force the index build (Job 1), then inspect the PROBE plan only
