@@ -56,6 +56,10 @@ object GraftSession {
         .contains(graft.plans.RewriteRankLimit))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RewriteRankLimit
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.MatviewRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.MatviewRewrite
     spark
   }
 }

@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (logical node + planner strategy + rank-limit rewrite rule)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
     ext.injectOptimizerRule(_ => graft.plans.RewriteRankLimit)
+    ext.injectOptimizerRule(_ => graft.plans.MatviewRewrite)
   }
 }
 

@@ -567,6 +567,41 @@ object Extensions extends QueryPack {
         .orderBy($"block")
     }),
 
+    // -- materialized-view routing: the aggregate navigator -------------
+    // The query is written against the BASE lineitem table; the
+    // registered [[graft.plans.MatviewRewrite]] rule routes the
+    // Aggregate to the persisted (returnflag, linestatus) rollup —
+    // ~6 rows — because every measure is provably re-aggregatable
+    // from it (COUNT → SUM(cnt); decimal-cast SUMs re-associate
+    // exactly — the engine's exact-sum discipline doubling as
+    // routability; MIN/MAX of extrema). The scan the plan does NOT
+    // contain is the point: at 100 TB the fact-table pass simply
+    // never happens, which is how every serving-layer OLAP engine
+    // answers dashboard aggregates. Registration carries the d17
+    // freshness contract (fingerprinted table name), and the rule's
+    // trigger is narrow enough that any OTHER session query routing
+    // through it gets a provably identical result — that is the
+    // navigator working, not a hazard. The oracle computes from the
+    // base table, so the hash-match IS the exactness proof of the
+    // routed plan; PlanRegressionSpec pins that the route actually
+    // happened (no lineitem scan in the physical plan).
+    "x29_matview_route" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      lineitemMatview(s, dir)
+      Tables(s, dir).lineitem
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec($"l_quantity")).as("sum_qty_dec"),
+          sum(dec($"l_extendedprice")).as("sum_price_dec"),
+          min($"l_quantity").as("min_qty"),
+          max($"l_quantity").as("max_qty"))
+        .select($"l_returnflag", $"l_linestatus", $"n_rows",
+          $"sum_qty_dec".cast("double").as("sum_qty"),
+          $"sum_price_dec".cast("double").as("sum_price"),
+          $"min_qty", $"max_qty")
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
     // -- zone-map skipping audit: what the layout buys the scan ---------
     // The quantified case for x16's clustering: rows are dealt into
     // fixed 4096-row zones (simulated parquet row groups) under two
@@ -930,7 +965,70 @@ object Extensions extends QueryPack {
     })
   )
 
+  /** x29's Job 1 — the persisted lineitem rollup at (returnflag,
+    * linestatus) grain, built once per session catalog per dir under
+    * the d17 freshness contract (fingerprinted name, superseded
+    * generations vacuumed), then REGISTERED with
+    * [[graft.plans.MatviewRewrite]] so base-table aggregates route to
+    * it. Measures: exact row count, decimal-exact sums of quantity
+    * and extendedprice (the [[SqlDet.dec]] cast — re-aggregation of
+    * decimal partial sums is exact, which is what makes the route
+    * provable), and quantity extrema.
+    */
+  private def lineitemMatview(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    import graft.plans.{MatviewDef, MatviewRewrite}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val fp = SharedFrames.sourceFingerprint(s, dir, "lineitem")
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val mvTbl = s"graft_mv_lineitem_${key}_$fp"
+    this.synchronized {
+      if (!s.catalog.tableExists(mvTbl)) {
+        SharedFrames.vacuumSuperseded(s, Seq(s"graft_mv_lineitem_$key"), fp)
+        SharedFrames.dropStaleTableLocation(s, mvTbl)
+        Tables(s, dir).lineitem
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("cnt"),
+            sum(dec($"l_quantity")).as("sum_qty_d"),
+            sum(dec($"l_extendedprice")).as("sum_price_d"),
+            min($"l_quantity").as("min_qty"),
+            max($"l_quantity").as("max_qty"))
+          .write.mode("overwrite").saveAsTable(mvTbl)
+      }
+      val mvPlan = s.table(mvTbl).queryExecution.analyzed
+      MatviewRewrite.register(MatviewDef(
+        pathMarker = s"$dir/lineitem.parquet",
+        keys = Set("l_returnflag", "l_linestatus"),
+        countCol = "cnt",
+        sumCols = Map.empty,
+        sumDecCols = Map(
+          ("l_quantity", org.apache.spark.sql.types.DecimalType(18, 2))
+            -> "sum_qty_d",
+          ("l_extendedprice", org.apache.spark.sql.types.DecimalType(18, 2))
+            -> "sum_price_d"),
+        minCols = Map("l_quantity" -> "min_qty"),
+        maxCols = Map("l_quantity" -> "max_qty"),
+        freshPlan = () => mvPlan.transformUp {
+          case lr: LogicalRelation => lr.newInstance()
+        }))
+    }
+    mvTbl
+  }
+
   override def oracles: Map[String, String] = Map(
+    // computed from the BASE table: the hash-match proves the routed
+    // rollup plan is exact
+    "x29_matview_route" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  MIN(l_quantity) AS min_qty,
+        |  MAX(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     // the as-of pick restated as MAX(valid_from <= ts) + rejoin;
     // dup-(user, ts) events survive via the join back to ev
     "x12_temporal_join" ->
