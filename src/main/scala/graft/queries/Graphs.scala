@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.PageRank
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -422,6 +422,43 @@ object Graphs extends QueryPack {
         .orderBy($"round")
     }),
 
+    // -- G16: deterministic hash walks (DeepWalk corpus prep) -----------
+    // The random-walk corpus an embedding trainer consumes
+    // (DeepWalk/node2vec), made oracle-exact: at step t a walker at x
+    // moves to argmin over neighbors n of hash56(x:n:t) — a
+    // deterministic pseudo-random choice both engines compute
+    // identically (min-struct argmin, ties by neighbor id). One walk
+    // per seed here; production fans out W walks per node by adding
+    // the walker id to the hash — same plan, W× the walker rows.
+    // Scale: walk state is ONE row per walker; each hop is one hash
+    // join against the cached adjacency plus a combinable argmin —
+    // cost W·L hops total, no neighborhood materialization, no
+    // fan-out retained across hops.
+    "g16_hash_walks" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val edges = coPurchaseEdges(s, dir)
+      val sym = edges.select($"u".as("src"), $"v".as("dst"))
+        .union(edges.select($"v".as("src"), $"u".as("dst")))
+      def stepHash(cur: Column, nxt: Column, t: Int): Column =
+        PortableHash.sparkHash56(concat_ws(":",
+          cur.cast("string"), nxt.cast("string"), lit(t.toString)))
+      val seeds = sym.select($"src".as("seed")).distinct()
+        .filter($"seed" <= 25)
+      val w1 = seeds.join(sym, $"seed" === $"src")
+        .withColumn("h", stepHash($"seed", $"dst", 1))
+        .groupBy($"seed")
+        .agg(min(struct($"h", $"dst")).getField("dst").as("n1"))
+      val w2 = w1.join(sym, $"n1" === $"src")
+        .withColumn("h", stepHash($"n1", $"dst", 2))
+        .groupBy($"seed", $"n1")
+        .agg(min(struct($"h", $"dst")).getField("dst").as("n2"))
+      val w3 = w2.join(sym, $"n2" === $"src")
+        .withColumn("h", stepHash($"n2", $"dst", 3))
+        .groupBy($"seed", $"n1", $"n2")
+        .agg(min(struct($"h", $"dst")).getField("dst").as("n3"))
+      w3.select($"seed", $"n1", $"n2", $"n3").orderBy($"seed")
+    }),
+
     // -- G6: weighted SSSP over the trade graph -------------------------
     // Cheapest-path profile from the first ten customers where an
     // edge costs the *minimum* quantity ever shipped across it (min
@@ -755,6 +792,46 @@ object Graphs extends QueryPack {
       // (verified — DECIMAL `//` in DuckDB degrades to float division,
       // hence HUGEINT here; sparse communities exercise the negative
       // side when deg² outweighs 4·m·e_in)
+      "g16_hash_walks" -> {
+        def hop(cur: String, t: Int): String = PortableHash.duckHash56(
+          s"concat_ws(':', CAST($cur AS VARCHAR), " +
+            s"CAST(s.dst AS VARCHAR), '$t')")
+        s"""WITH ps AS MATERIALIZED (
+           |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk,
+           |    s_nationkey AS nat
+           |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+           |ed AS MATERIALIZED (
+           |  SELECT DISTINCT a.sk AS u, b.sk AS v
+           |  FROM ps a JOIN ps b ON a.o = b.o AND a.nat = b.nat
+           |    AND a.sk < b.sk),
+           |sym AS MATERIALIZED (
+           |  SELECT u AS src, v AS dst FROM ed
+           |  UNION SELECT v, u FROM ed),
+           |w0 AS (SELECT DISTINCT src AS seed FROM sym WHERE src <= 25),
+           |s1 AS (
+           |  SELECT seed, dst AS n1 FROM (
+           |    SELECT w.seed, s.dst, ROW_NUMBER() OVER (
+           |      PARTITION BY w.seed ORDER BY ${hop("w.seed", 1)}, s.dst)
+           |      AS rk
+           |    FROM w0 w JOIN sym s ON w.seed = s.src) t
+           |  WHERE rk = 1),
+           |s2 AS (
+           |  SELECT seed, n1, dst AS n2 FROM (
+           |    SELECT p.seed, p.n1, s.dst, ROW_NUMBER() OVER (
+           |      PARTITION BY p.seed ORDER BY ${hop("p.n1", 2)}, s.dst)
+           |      AS rk
+           |    FROM s1 p JOIN sym s ON p.n1 = s.src) t
+           |  WHERE rk = 1),
+           |s3 AS (
+           |  SELECT seed, n1, n2, dst AS n3 FROM (
+           |    SELECT p.seed, p.n1, p.n2, s.dst, ROW_NUMBER() OVER (
+           |      PARTITION BY p.seed ORDER BY ${hop("p.n2", 3)}, s.dst)
+           |      AS rk
+           |    FROM s2 p JOIN sym s ON p.n2 = s.src) t
+           |  WHERE rk = 1)
+           |SELECT seed, n1, n2, n3 FROM s3 ORDER BY seed""".stripMargin
+      },
+
       "g15_ktruss" -> {
         // one degree-oriented triangle enumeration per round (the
         // g03 triCtes shape re-derived over each round's survivors),
