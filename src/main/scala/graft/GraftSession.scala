@@ -60,6 +60,10 @@ object GraftSession {
         .contains(graft.plans.MatviewRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.MatviewRewrite
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.FkJoinElimination))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.FkJoinElimination
     spark
   }
 }

@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
     ext.injectOptimizerRule(_ => graft.plans.RewriteRankLimit)
     ext.injectOptimizerRule(_ => graft.plans.MatviewRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.FkJoinElimination)
   }
 }
 

@@ -602,6 +602,34 @@ object Extensions extends QueryPack {
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
 
+    // -- audit-backed join elimination -----------------------------------
+    // The second constraint-driven rewrite next to x29: the query
+    // inner-joins orders to customer on the FK but reads only order
+    // columns, and [[graft.plans.FkJoinElimination]] drops the
+    // dimension scan + join from the plan entirely — because a
+    // key-preserving join is the identity on fact rows. The license
+    // is not a declared constraint (this engine's sources are bare
+    // parquet) but a MEASURED one: [[registerOrdersCustomerFk]] runs
+    // the x20-style integrity audit (fk non-null, pk unique, zero
+    // orphans) and registers the join only if all three pass — on a
+    // dirty dir nothing registers and the join simply executes, same
+    // result. The oracle COMPUTES THE JOIN, so the hash-match is the
+    // exactness proof of the eliminated plan; the spec pins that the
+    // customer scan is gone. At 100 TB this is a dimension broadcast
+    // (or shuffle) that never happens — what warehouse optimizers do
+    // from DDL constraints, re-derived here from data.
+    "x30_join_elimination" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      registerOrdersCustomerFk(s, dir)
+      val o = Tables(s, dir).orders
+      val c = Tables(s, dir).customer
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec($"o_totalprice")).cast("double").as("revenue"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // -- zone-map skipping audit: what the layout buys the scan ---------
     // The quantified case for x16's clustering: rows are dealt into
     // fixed 4096-row zones (simulated parquet row groups) under two
@@ -1015,7 +1043,53 @@ object Extensions extends QueryPack {
     mvTbl
   }
 
+  /** x30's license: run the three integrity checks (fk non-null, pk
+    * unique, zero orphans) on the actual data and register the
+    * orders→customer FK join for elimination only if all pass. The
+    * checks are three tiny audit jobs, memoized per (application,
+    * dir); a production deployment reads the same facts from declared
+    * constraints or a standing x20 audit instead of re-measuring.
+    */
+  private val fkAuditMemo =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
+  private def registerOrdersCustomerFk(s: SparkSession,
+      dir: String): Unit = {
+    import s.implicits._
+    val k = (s.sparkContext.applicationId, dir)
+    if (fkAuditMemo.contains(k)) return
+    this.synchronized {
+      if (fkAuditMemo.contains(k)) return
+      val o = Tables(s, dir).orders.select($"o_custkey")
+      val c = Tables(s, dir).customer.select($"c_custkey")
+      val fkNulls = o.filter($"o_custkey".isNull).count()
+      val pkDups = c.groupBy($"c_custkey").agg(count(lit(1)).as("n"))
+        .filter($"n" > 1).count()
+      val orphans = o.filter($"o_custkey".isNotNull)
+        .join(c, $"o_custkey" === $"c_custkey", "left_anti").count()
+      if (fkNulls == 0 && pkDups == 0 && orphans == 0)
+        graft.plans.FkJoinElimination.register(
+          graft.plans.VerifiedFkJoin(
+            factPathMarker = s"$dir/orders.parquet",
+            dimPathMarker = s"$dir/customer.parquet",
+            fkCol = "o_custkey", pkCol = "c_custkey"))
+      fkAuditMemo.add(k)
+      ()
+    }
+  }
+
   override def oracles: Map[String, String] = Map(
+    // the oracle COMPUTES the join the optimizer eliminated — the
+    // hash-match is the row-preservation proof
+    "x30_join_elimination" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     // computed from the BASE table: the hash-match proves the routed
     // rollup plan is exact
     "x29_matview_route" ->
