@@ -26,6 +26,11 @@ object Corpus extends QueryPack {
     */
   private val TokenBudget = 4000L
 
+  /** c14's whole-run token budget — sized so the sf0.01 plan
+    * exercises both the repeat and the epoch-cap faces.
+    */
+  private val TokenPlanBudget = 200000L
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- deterministic train/val/test split -----------------------------
     "c01_deterministic_split" -> ((s: SparkSession, dir: String) => {
@@ -303,6 +308,44 @@ object Corpus extends QueryPack {
         .orderBy($"source")
     }),
 
+    // -- epoch plan: repeat factors under a fixed token budget ----------
+    // The data-constrained-scaling worksheet (Muennighoff et al.
+    // 2023): given what each domain HAS (one combinable token count)
+    // and the target mixture (c03's source tiers as integer weights
+    // 9/5/2), how much of the budget each domain is ASKED for, how
+    // many epochs (repeats) that requires, capped at 4 — the
+    // empirical "repeating past ~4 epochs stops helping" rule — and
+    // the shortfall the cap leaves. This is the planning table a
+    // training run is provisioned from; every quantity is integer
+    // arithmetic on ONE per-source aggregate, so the plan costs one
+    // corpus scan at any scale. Budget 200k tokens: at sf0.01 the
+    // high-weight tier plans ~3 epochs, the tail 1 — the cap and the
+    // no-repeat faces are both exercised (at sf0.001 the cap binds
+    // everywhere, at sf0.1 nothing repeats; all three are correct
+    // readouts of the same arithmetic).
+    "c14_epoch_plan" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val srcNum = substring($"source", 4, 10).cast("int")
+      val w = when(srcNum < 7, 9L).when(srcNum < 14, 5L).otherwise(2L)
+      val have = Tables(s, dir).documents
+        .select($"source", w.as("w"),
+          size(split($"text", "\\s+")).cast("long").as("n_tokens"))
+        .groupBy($"source")
+        .agg(first($"w").as("w"), sum($"n_tokens").as("tokens_have"))
+      val totW = have.agg(sum($"w").as("tot_w"))
+      have.crossJoin(broadcast(totW))
+        .withColumn("tokens_wanted",
+          expr(s"$TokenPlanBudget * w div tot_w"))
+        .withColumn("epochs_planned", least(lit(4L), expr(
+          "(tokens_wanted + tokens_have - 1) div tokens_have")))
+        .withColumn("tokens_planned",
+          least($"tokens_wanted", $"epochs_planned" * $"tokens_have"))
+        .withColumn("shortfall", $"tokens_wanted" - $"tokens_planned")
+        .select($"source", $"w", $"tokens_have", $"tokens_wanted",
+          $"epochs_planned", $"tokens_planned", $"shortfall")
+        .orderBy($"source")
+    }),
+
     // -- pack slices: the loader-facing materialization of c04 ----------
     // Each (doc, pack) intersection as an exact token slice: which
     // range of the doc fills which position of which context window.
@@ -577,6 +620,31 @@ object Corpus extends QueryPack {
            |FROM sl WHERE g1 > g0
            |ORDER BY shard, pack_id, pos_in_pack""".stripMargin
       },
+
+      "c14_epoch_plan" ->
+        """WITH have AS (
+          |  SELECT source,
+          |    CASE WHEN CAST(substr(source, 4) AS INTEGER) < 7 THEN 9
+          |         WHEN CAST(substr(source, 4) AS INTEGER) < 14 THEN 5
+          |         ELSE 2 END AS w,
+          |    CAST(SUM(len(regexp_split_to_array(text, '\s+')))
+          |      AS BIGINT) AS tokens_have
+          |  FROM documents GROUP BY source),
+          |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tot_w FROM have),
+          |p AS (
+          |  SELECT source, CAST(w AS BIGINT) AS w, tokens_have,
+          |    200000 * w // tot_w AS tokens_wanted,
+          |    LEAST(4, (200000 * w // tot_w + tokens_have - 1)
+          |      // tokens_have) AS epochs_planned
+          |  FROM have CROSS JOIN t)
+          |SELECT source, w, tokens_have,
+          |  CAST(tokens_wanted AS BIGINT) AS tokens_wanted,
+          |  CAST(epochs_planned AS BIGINT) AS epochs_planned,
+          |  CAST(LEAST(tokens_wanted, epochs_planned * tokens_have)
+          |    AS BIGINT) AS tokens_planned,
+          |  CAST(tokens_wanted - LEAST(tokens_wanted,
+          |    epochs_planned * tokens_have) AS BIGINT) AS shortfall
+          |FROM p ORDER BY source""".stripMargin,
 
       // cum is strictly increasing within a source (n_tokens >= 30),
       // so max-by-cum picks the boundary doc unambiguously

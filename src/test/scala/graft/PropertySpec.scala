@@ -80,6 +80,33 @@ object PropertySpec extends Properties("graft") {
       got == want
     }
 
+  private val randomEdges: Gen[List[(Long, Long)]] =
+    Gen.listOfN(60, Gen.zip(Gen.chooseNum(0L, 14L), Gen.chooseNum(0L, 14L)))
+      .map(_.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.distinct)
+      .suchThat(_.nonEmpty)
+
+  property("KTruss.support == brute-force triangle recount; peel " +
+      "survivors all meet the threshold") =
+    forAll(randomEdges, Gen.chooseNum(3, 5)) { (es, k) =>
+      import spark.implicits._
+      val edf = es.toDF("u", "v")
+      val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      def supOf(e: (Long, Long)): Long =
+        (adj(e._1) & adj(e._2)).size.toLong
+      val got = graft.operators.KTruss.support(edf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val supportExact = got == es.map(e => e -> supOf(e)).toMap
+      // one peel round: survivors' support measured on the INPUT set
+      val peeled = graft.operators.KTruss.peelProfile(edf, k, rounds = 1)
+        .collect().map(r => r.getAs[Long]("round") ->
+          r.getAs[Long]("n_edges")).toMap
+      val wantAfter = es.count(e => supOf(e) >= k - 2).toLong
+      supportExact && peeled(0L) == es.size.toLong &&
+        peeled(1L) == wantAfter
+    }
+
   property("weightedSystematic == integer-midpoint model for any data") =
     forAll(
       Gen.listOfN(60,
