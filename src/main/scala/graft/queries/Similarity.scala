@@ -614,6 +614,62 @@ object Similarity extends QueryPack {
         .orderBy($"query_id", $"rank")
     }),
 
+    // -- retrieval-quality metrics: MRR + nDCG of the ANN arm -----------
+    // The eval harness every retrieval deployment runs nightly: the
+    // LSH arm (s02, k = 5) scored against the exact arm (s01's brute
+    // force, k = 5) as ground truth with graded relevance 5..1 by
+    // exact rank. Both metrics are EXACT integers: MRR = 1e6 div
+    // (rank of the true top-1 in the approximate list, 0 if absent);
+    // DCG uses the standard 1/log2(r+1) position discount as a FIXED
+    // integer ppm table (1000000, 630930, 500000, 430677, 386853) —
+    // the same five constants in both engines, so no float log ever
+    // runs — and nDCG normalizes by the constant ideal DCG 10271927
+    // (every query has ≥5 exact neighbors). Queries whose LSH bucket
+    // is empty surface with zero metrics via left completion, not
+    // silently dropped — an eval that drops its failures overstates
+    // itself. Scale: both arms are the already-audited s01/s02
+    // shapes ending in k-row frames; the metric join touches
+    // ≤ 2·5·|queries| rows no matter the corpus.
+    "s18_retrieval_metrics" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.VectorSearch
+      val embQ = VectorSearch.quantize(Tables(s, dir).embeddings, "embedding")
+      val emb = VectorSearch.signBucket(embQ, "embedding", bits = 8)
+      val exact = VectorSearch.topKBruteForce(
+        embQ.filter($"vec_id" < 100)
+          .select($"vec_id".as("query_id"), $"eq".as("qe")),
+        embQ.select($"vec_id".as("neighbor_id"), $"eq".as("ce")), k = 5)
+      val approx = VectorSearch.topKLsh(
+        emb.filter($"vec_id" < 100)
+          .select($"vec_id".as("query_id"), $"eq".as("qe"), $"bucket"),
+        emb.select($"vec_id".as("neighbor_id"), $"eq".as("ce"), $"bucket"),
+        k = 5)
+      val rel = exact.select($"query_id", $"neighbor_id",
+        (lit(6L) - $"rank").as("rel"))
+      val wppm = when($"rank" === 1, 1000000L)
+        .when($"rank" === 2, 630930L).when($"rank" === 3, 500000L)
+        .when($"rank" === 4, 430677L).otherwise(386853L)
+      val dcg = approx
+        .join(rel, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("rel", coalesce($"rel", lit(0L)))
+        .groupBy($"query_id")
+        .agg(sum($"rel" * wppm).as("dcg_ppm"))
+      val mrr = exact.filter($"rank" === 1)
+        .select($"query_id", $"neighbor_id")
+        .join(approx.select($"query_id", $"neighbor_id",
+          $"rank".as("arank")), Seq("query_id", "neighbor_id"), "left")
+        .select($"query_id",
+          coalesce(expr("1000000 div arank"), lit(0L)).as("mrr_ppm"))
+      embQ.filter($"vec_id" < 100).select($"vec_id".as("query_id"))
+        .join(mrr, Seq("query_id"), "left")
+        .join(dcg, Seq("query_id"), "left")
+        .select($"query_id",
+          coalesce($"mrr_ppm", lit(0L)).as("mrr_ppm"),
+          coalesce($"dcg_ppm", lit(0L)).as("dcg_ppm"))
+        .withColumn("ndcg_ppm", expr("dcg_ppm * 1000000 div 10271927"))
+        .orderBy($"query_id")
+    }),
+
     // -- hybrid retrieval: BM25 + dense top-20 fused by RRF --------------
     // Reciprocal-rank fusion (Cormack et al., SIGIR 2009): every
     // document in an arm's top-20 contributes 1e6 div (60 + rank); the
@@ -1158,6 +1214,61 @@ object Similarity extends QueryPack {
     "s14_persisted_ann_serving" -> ivfPqOracleSql,
     "s17_ann_forget" -> ivfPqOracle(
       "vec_id < 100 AND vec_id % 97 <> 0", " AND c.id % 97 <> 0"),
+
+    // exact + LSH rankings replayed, then pure-integer MRR/DCG/nDCG;
+    // the discount weights are the same five ppm constants as the
+    // Spark side — no float log in either engine
+    "s18_retrieval_metrics" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS eq,
+         |    $duckBucketExpr AS bucket
+         |  FROM embeddings),
+         |ex AS (
+         |  SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        CAST(list_sum(list_transform(
+         |          generate_series(1, len(q.eq)),
+         |          i -> q.eq[i] * c.eq[i])) AS BIGINT) DESC, c.vec_id)
+         |        AS rank
+         |    FROM e q JOIN e c ON q.vec_id < 100
+         |      AND q.vec_id <> c.vec_id) t
+         |  WHERE rank <= 5),
+         |ap AS (
+         |  SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        CAST(list_sum(list_transform(
+         |          generate_series(1, len(q.eq)),
+         |          i -> q.eq[i] * c.eq[i])) AS BIGINT) DESC, c.vec_id)
+         |        AS rank
+         |    FROM e q JOIN e c ON q.bucket = c.bucket
+         |      AND q.vec_id < 100 AND q.vec_id <> c.vec_id) t
+         |  WHERE rank <= 5),
+         |dcg AS (
+         |  SELECT ap.query_id,
+         |    CAST(SUM(COALESCE(6 - ex.rank, 0) *
+         |      CASE ap.rank WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+         |        WHEN 3 THEN 500000 WHEN 4 THEN 430677
+         |        ELSE 386853 END) AS BIGINT) AS dcg_ppm
+         |  FROM ap LEFT JOIN ex ON ap.query_id = ex.query_id
+         |    AND ap.neighbor_id = ex.neighbor_id
+         |  GROUP BY ap.query_id),
+         |mrr AS (
+         |  SELECT x.query_id,
+         |    CAST(COALESCE(1000000 // a.rank, 0) AS BIGINT) AS mrr_ppm
+         |  FROM (SELECT query_id, neighbor_id FROM ex WHERE rank = 1) x
+         |  LEFT JOIN ap a ON x.query_id = a.query_id
+         |    AND x.neighbor_id = a.neighbor_id)
+         |SELECT q.vec_id AS query_id,
+         |  COALESCE(mrr.mrr_ppm, 0) AS mrr_ppm,
+         |  COALESCE(dcg.dcg_ppm, 0) AS dcg_ppm,
+         |  COALESCE(dcg.dcg_ppm, 0) * 1000000 // 10271927 AS ndcg_ppm
+         |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 100) q
+         |LEFT JOIN mrr ON q.vec_id = mrr.query_id
+         |LEFT JOIN dcg ON q.vec_id = dcg.query_id
+         |ORDER BY query_id""".stripMargin,
     "s15_ann_index_add" -> ivfPqAddOracleSql,
 
     // SQ8: per-dim [min,max] bounds, byte code by floor division
