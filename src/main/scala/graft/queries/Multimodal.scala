@@ -33,6 +33,52 @@ object Multimodal extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // -- caption-embedding alignment: the CLIP-score filter shape -------
+    // The multimodal curation step that scores how well a caption
+    // matches its media embedding and gates on the score (LAION's
+    // CLIP-similarity filter). The real text encoder is a model; the
+    // deterministic stand-in is a 64-dim signed feature-hash of the
+    // caption's DISTINCT tokens (the t19 machinery at embedding
+    // width), scored against the stored media embedding by SPARSE
+    // inner product: the text vector stays as (doc_id, dim, weight)
+    // rows, the embedding explodes to (doc_id, dim, v), and the score
+    // is one equi-join + keyed sum — no dense-vector materialization,
+    // no UDF, and the spelling both engines replay exactly. Per-source
+    // report: docs, positive-alignment count (the gate), and the
+    // score spread. Scale: tokens and dims are both bounded fan-outs
+    // of one scan each; the join keys on (doc_id, dim) — co-located
+    // if both sides land id-bucketed at rest.
+    "m08_caption_alignment" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.VectorSearch
+      val docs = Tables(s, dir).documents
+      val tok = docs
+        .select($"doc_id", $"source",
+          explode(array_distinct(split(lower($"text"), "\\s+"))).as("w"))
+        .filter($"w" =!= "")
+      val tv = tok
+        .withColumn("h", PortableHash.sparkHash56($"w"))
+        .select($"doc_id", expr("h % 64").as("dim"),
+          expr("CASE WHEN (h div 64) % 2 = 0 THEN 1 ELSE -1 END")
+            .cast("long").as("sgn"))
+        .groupBy($"doc_id", $"dim").agg(sum($"sgn").as("tv"))
+      val ev = VectorSearch.quantize(Tables(s, dir).embeddings, "embedding")
+        .select($"vec_id".as("doc_id"), posexplode($"eq").as(Seq("dim", "v")))
+        .select($"doc_id", $"dim".cast("long").as("dim"), $"v")
+      val align = tv.join(ev, Seq("doc_id", "dim"))
+        .groupBy($"doc_id").agg(sum($"tv" * $"v").as("align"))
+      docs.select($"doc_id", $"source")
+        .join(align, Seq("doc_id"), "left")
+        .withColumn("align", coalesce($"align", lit(0L)))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"align" > 0, 1L).otherwise(0L)).as("n_aligned"),
+          sum($"align").as("sum_align"),
+          min($"align").as("min_align"),
+          max($"align").as("max_align"))
+        .orderBy($"source")
+    }),
+
     // -- stubbed decode via typed mapPartitions -------------------------
     "m02_stub_decode" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -219,6 +265,40 @@ object Multimodal extends QueryPack {
       |  FROM sm)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    // sparse inner product replayed: signed 64-dim feature hash of
+    // distinct caption tokens × the exploded quantized embedding
+    "m08_caption_alignment" -> {
+      val h = PortableHash.duckHash56("w")
+      s"""WITH tok AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(list_distinct(
+         |      regexp_split_to_array(lower(text), '\\s+'))) AS w
+         |    FROM documents)
+         |  WHERE w <> ''),
+         |tv AS (
+         |  SELECT doc_id, $h % 64 AS dim,
+         |    CAST(SUM(CASE WHEN ($h // 64) % 2 = 0 THEN 1 ELSE -1 END)
+         |      AS BIGINT) AS tv
+         |  FROM tok GROUP BY doc_id, dim),
+         |ev AS (
+         |  SELECT vec_id AS doc_id, i - 1 AS dim,
+         |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+         |      AS v
+         |  FROM embeddings CROSS JOIN LATERAL
+         |    (SELECT unnest(generate_series(1, len(embedding))) AS i)),
+         |al AS (
+         |  SELECT tv.doc_id, CAST(SUM(tv.tv * ev.v) AS BIGINT) AS align
+         |  FROM tv JOIN ev ON tv.doc_id = ev.doc_id AND tv.dim = ev.dim
+         |  GROUP BY tv.doc_id)
+         |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN COALESCE(al.align, 0) > 0 THEN 1 ELSE 0
+         |    END) AS BIGINT) AS n_aligned,
+         |  CAST(SUM(COALESCE(al.align, 0)) AS BIGINT) AS sum_align,
+         |  CAST(MIN(COALESCE(al.align, 0)) AS BIGINT) AS min_align,
+         |  CAST(MAX(COALESCE(al.align, 0)) AS BIGINT) AS max_align
+         |FROM documents d LEFT JOIN al ON d.doc_id = al.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
+    },
     "m01_binary_meta" ->
       """SELECT doc_id, source,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
