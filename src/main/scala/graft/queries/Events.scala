@@ -297,6 +297,56 @@ object Events extends QueryPack {
     // for the x11 HLL-sketch rollup (re-aggregatable across days by
     // construction); this query is the exactness reference. Only
     // days with actual activity emit (inner join against DAU).
+    // -- e25: CEP pattern with negation (MATCH_RECOGNIZE semantics) -----
+    // The complex-event-processing shape SQL:2016 spells as
+    // MATCH_RECOGNIZE and Flink ships as CEP: per user, a VIEW
+    // converts iff the FIRST purchase within a day follows it, at
+    // least one click falls strictly between, and NO error event
+    // intervenes — the negation ("absence of an event inside the
+    // match window") is what plain funnel existence (e07) cannot say.
+    // Spelled relationally: first-purchase = the as-of argmin
+    // (min-struct, no window), the click requirement a LEFT SEMI and
+    // the error veto a LEFT ANTI on the (view, purchase) interval —
+    // three keyed joins, each bounded by per-user event density
+    // inside the one-day window, no per-user sequence
+    // materialization, no quadratic pair set. Per-user rollup keeps
+    // zero-conversion users visible (left completion).
+    "e25_cep_pattern" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val ev = Tables(s, dir).events
+      val v = ev.filter($"event_type" === "view")
+        .select($"user_id", $"event_id".as("v_id"), $"ts".as("v_ts"))
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("p_id"), $"ts".as("p_ts"))
+      val firstP = v.join(p, Seq("user_id"))
+        .filter($"p_ts" > $"v_ts" &&
+          $"p_ts" <= $"v_ts" + expr("INTERVAL 1 DAY"))
+        .groupBy($"user_id", $"v_id", $"v_ts")
+        .agg(min(struct($"p_ts", $"p_id")).as("fp"))
+        .select($"user_id", $"v_id", $"v_ts",
+          $"fp.p_ts".as("p_ts"), $"fp.p_id".as("p_id"))
+      val c = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("c_ts"))
+      val x = ev.filter($"event_type" === "error")
+        .select($"user_id", $"ts".as("x_ts"))
+      val matched = firstP
+        .join(c, firstP("user_id") === c("user_id") &&
+          $"c_ts" > $"v_ts" && $"c_ts" < $"p_ts", "left_semi")
+        .join(x, firstP("user_id") === x("user_id") &&
+          $"x_ts" > $"v_ts" && $"x_ts" < $"p_ts", "left_anti")
+      val conv = matched.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_converted"),
+          min(struct($"v_ts", $"v_id", $"p_id")).as("f"))
+        .select($"user_id", $"n_converted",
+          $"f.v_id".as("first_view"), $"f.p_id".as("first_purchase"))
+      v.groupBy($"user_id").agg(count(lit(1)).as("n_views"))
+        .join(conv, Seq("user_id"), "left")
+        .select($"user_id", $"n_views",
+          coalesce($"n_converted", lit(0L)).as("n_converted"),
+          $"first_view", $"first_purchase")
+        .orderBy($"user_id")
+    }),
+
     "e24_rolling_active_users" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val ud = Tables(s, dir).events
@@ -541,6 +591,48 @@ object Events extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // first-purchase per view via ROW_NUMBER, click EXISTS, error
+    // NOT EXISTS on the open interval — MATCH_RECOGNIZE replayed
+    // relationally
+    "e25_cep_pattern" ->
+      """WITH v AS (SELECT user_id, event_id AS v_id, ts AS v_ts
+        |           FROM events WHERE event_type = 'view'),
+        |fp AS (
+        |  SELECT user_id, v_id, v_ts, p_ts, p_id FROM (
+        |    SELECT v.user_id, v.v_id, v.v_ts, p.ts AS p_ts,
+        |      p.event_id AS p_id,
+        |      ROW_NUMBER() OVER (PARTITION BY v.user_id, v.v_id
+        |        ORDER BY p.ts, p.event_id) AS rk
+        |    FROM v JOIN events p ON p.user_id = v.user_id
+        |      AND p.event_type = 'purchase'
+        |      AND p.ts > v.v_ts AND p.ts <= v.v_ts + INTERVAL 1 DAY) t
+        |  WHERE rk = 1),
+        |m AS (
+        |  SELECT * FROM fp
+        |  WHERE EXISTS (SELECT 1 FROM events c
+        |    WHERE c.user_id = fp.user_id AND c.event_type = 'click'
+        |      AND c.ts > fp.v_ts AND c.ts < fp.p_ts)
+        |    AND NOT EXISTS (SELECT 1 FROM events x
+        |      WHERE x.user_id = fp.user_id AND x.event_type = 'error'
+        |        AND x.ts > fp.v_ts AND x.ts < fp.p_ts)),
+        |conv AS (
+        |  SELECT user_id, n_converted, first_view, first_purchase FROM (
+        |    SELECT user_id,
+        |      CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+        |        AS n_converted,
+        |      v_id AS first_view, p_id AS first_purchase,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY v_ts, v_id, p_id) AS rk
+        |    FROM m) t
+        |  WHERE rk = 1)
+        |SELECT nv.user_id, nv.n_views,
+        |  COALESCE(conv.n_converted, 0) AS n_converted,
+        |  conv.first_view, conv.first_purchase
+        |FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_views
+        |      FROM v GROUP BY user_id) nv
+        |LEFT JOIN conv ON nv.user_id = conv.user_id
+        |ORDER BY nv.user_id""".stripMargin,
+
     "e00_fizzbuzz_classify" ->
       s"""SELECT CASE WHEN event_id % 15 = 0 THEN 'FIZZBUZZ'
          |            WHEN event_id % 3 = 0 THEN 'FIZZ'
