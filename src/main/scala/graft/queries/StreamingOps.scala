@@ -351,6 +351,68 @@ object StreamingOps extends QueryPack {
         .orderBy($"p_id")
     }),
 
+    // -- streaming CEP: e25's pattern with the pairing in-flight --------
+    // The MATCH_RECOGNIZE pattern (view → ≥1 click → first purchase
+    // within a day, NO intervening error) as a streaming job, split
+    // the way a production CEP engine splits it: the STATE-HEAVY part
+    // — pairing views with candidate purchases inside the one-day
+    // window — runs as a watermarked stream-stream inner join whose
+    // both state stores evict (the st6 machinery at a 1-day bound);
+    // the first-match pick and the click/error guards are the
+    // post-drain FINALIZE, computed against the landed event log (the
+    // "consult history" step — guards need no join state because the
+    // candidate set is already ≤ pairs-in-window). Drained under
+    // AvailableNow nothing is dropped, so streaming ≡ batch
+    // row-for-row: the oracle IS e25's, verbatim. State bound:
+    // O(events-in-window) per side — the pattern window is the state
+    // bound, exactly as in the batch spelling's join fan-out.
+    "st36_stream_cep" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val v = eventStream(s, dir).filter($"event_type" === "view")
+        .select($"user_id".as("v_user"), $"event_id".as("v_id"),
+          $"ts".as("v_ts"))
+        .withWatermark("v_ts", "25 hours")
+      val p = eventStream(s, dir).filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"event_id".as("p_id"),
+          $"ts".as("p_ts"))
+        .withWatermark("p_ts", "25 hours")
+      val pairs = drain(s,
+        v.join(p, $"v_user" === $"p_user" &&
+          $"p_ts" > $"v_ts" && $"p_ts" <= $"v_ts" + expr("INTERVAL 1 DAY"))
+          .select($"v_user".as("user_id"), $"v_id", $"v_ts",
+            $"p_id", $"p_ts"),
+        OutputMode.Append())
+      val firstP = pairs
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"user_id", $"v_id")
+            .orderBy($"p_ts", $"p_id")))
+        .filter($"rk" === 1)
+        .select($"user_id", $"v_id", $"v_ts", $"p_ts", $"p_id")
+      val ev = Tables(s, dir).events
+      val c = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("c_ts"))
+      val x = ev.filter($"event_type" === "error")
+        .select($"user_id", $"ts".as("x_ts"))
+      val matched = firstP
+        .join(c, firstP("user_id") === c("user_id") &&
+          $"c_ts" > $"v_ts" && $"c_ts" < $"p_ts", "left_semi")
+        .join(x, firstP("user_id") === x("user_id") &&
+          $"x_ts" > $"v_ts" && $"x_ts" < $"p_ts", "left_anti")
+      val conv = matched.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_converted"),
+          min(struct($"v_ts", $"v_id", $"p_id")).as("f"))
+        .select($"user_id", $"n_converted",
+          $"f.v_id".as("first_view"), $"f.p_id".as("first_purchase"))
+      ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(count(lit(1)).as("n_views"))
+        .join(conv, Seq("user_id"), "left")
+        .select($"user_id", $"n_views",
+          coalesce($"n_converted", lit(0L)).as("n_converted"),
+          $"first_view", $"first_purchase")
+        .orderBy($"user_id")
+    }),
+
     // -- stream-stream AS-OF enrichment (the streaming face of x12) -----
     // Events enriched with the dimension version in effect at event
     // time, where the VERSIONED DIMENSION IS ITSELF A STREAM that
@@ -1839,6 +1901,10 @@ object StreamingOps extends QueryPack {
 
     // x12's batch as-of oracle VERBATIM: the streaming enrichment and
     // the batch point-in-time join must agree row-for-row
+    // streaming ≡ batch row-for-row under the drained single batch —
+    // e25's oracle serves both spellings verbatim
+    "st36_stream_cep" -> Events.oracles("e25_cep_pattern"),
+
     "st18_stream_asof_enrich" ->
       """WITH dimall AS (
         |  SELECT o_custkey AS user_id, o_orderdate AS valid_from,
