@@ -486,6 +486,35 @@ object Dedup extends QueryPack {
         .orderBy($"d1", $"d2")
     }),
 
+    // -- LSH recall curve: the banding parameters, measured -------------
+    // The tuning readout behind every (K, bands) choice: ground truth
+    // = ALL pairs with exact Jaccard ≥ 500 pm (the capped inverted
+    // index, no candidate-count floor, so truth is unbiased), probed
+    // against the d04 band-collision candidate set; recall reported
+    // per exact-Jaccard decile. This is the LSH S-curve as data —
+    // recall should climb toward 1000 pm above the (1/b)^(1/r) ≈ 707
+    // pm inflection of the 16/4 banding and sag below it; a
+    // parameter change that moves the curve shows up as a hash
+    // mismatch, not a hunch. Scale: both sides are the already-
+    // audited d02/d04 shapes (df-capped postings, banded join); the
+    // eval join touches only truth-set rows.
+    "d18_lsh_recall" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.TextDedup
+      val truth = TextDedup.jaccardPairs(shingleHashes(s, dir),
+          minCommon = 1, minJaccardPm = 500, maxShingleDf = 10000)
+        .select($"d1", $"d2", $"jaccard_pm")
+      val cand = TextDedup.lshCandidates(sharedSignatures(s, dir), K, Bands)
+        .select($"d1", $"d2", lit(1L).as("found"))
+      truth.join(cand, Seq("d1", "d2"), "left")
+        .withColumn("jband", expr("jaccard_pm div 100"))
+        .groupBy($"jband")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce($"found", lit(0L))).as("n_found"))
+        .withColumn("recall_pm", expr("n_found * 1000 div n_true"))
+        .orderBy($"jband")
+    }),
+
     // -- SimHash: 32-bit weighted-bit fingerprint per doc ---------------
     // -- benchmark contamination: train×eval n-gram overlap -------------
     // The LLM-pipeline decontamination check: which training documents
@@ -952,6 +981,44 @@ object Dedup extends QueryPack {
            |LEFT JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
            |JOIN ns n1 ON c.d1 = n1.doc_id JOIN ns n2 ON c.d2 = n2.doc_id
            |ORDER BY c.d1, c.d2""".stripMargin,
+
+      // truth = unbiased exact-Jaccard pairs (no candidate floor),
+      // candidates = the d04 band chain; recall per decile
+      "d18_lsh_recall" ->
+        s"""WITH $duckSignatureCte,
+           |banded AS (
+           |  ${bandCols.zipWithIndex.map { case ((_, sigCols), bi) =>
+                s"SELECT doc_id, $bi AS band, " +
+                  duckHash56("concat_ws(',', " +
+                    sigCols.map(c => s"CAST($c AS VARCHAR)").mkString(", ") + ")") +
+                  " AS bh FROM wide"
+              }.mkString("\n  UNION ALL\n  ")}),
+           |cand AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |inter AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+           |    CAST(COUNT(*) AS BIGINT) AS inter
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |truth AS (
+           |  SELECT i.d1, i.d2,
+           |    i.inter * 1000 // (n1.n + n2.n - i.inter) AS j_pm
+           |  FROM inter i
+           |  JOIN ns n1 ON i.d1 = n1.doc_id
+           |  JOIN ns n2 ON i.d2 = n2.doc_id
+           |  WHERE i.inter * 1000 // (n1.n + n2.n - i.inter) >= 500)
+           |SELECT CAST(t.j_pm // 100 AS BIGINT) AS jband,
+           |  CAST(COUNT(*) AS BIGINT) AS n_true,
+           |  CAST(SUM(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_found,
+           |  CAST(SUM(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END)
+           |    * 1000 // COUNT(*) AS BIGINT) AS recall_pm
+           |FROM truth t
+           |LEFT JOIN cand c ON t.d1 = c.d1 AND t.d2 = c.d2
+           |GROUP BY jband ORDER BY jband""".stripMargin,
 
       // the d04 chain verbatim, then threshold + source rollup;
       // SUM(j)//COUNT(*) is floor on non-negatives = Spark's div

@@ -572,6 +572,45 @@ object TextAnalysis extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // -- t25: language-ID eval — confusion-derived per-class metrics ----
+    // The eval face of t03: the corpus carries labeled `lang`, so the
+    // classifier's quality is measurable, not asserted. Per true
+    // language: support, how many docs were predicted AS it, true
+    // positives, and integer-ppm precision/recall/F1 — with recall
+    // charged against ALL labeled docs (a doc the classifier could
+    // not score counts as a miss; an eval that drops unscorable
+    // inputs overstates itself — the s18 discipline). Division
+    // guards spell the zero-denominator case identically in both
+    // engines. Scale: predictions are t03's already-audited shape
+    // (broadcast profile, two keyed aggregates); the metric rollup
+    // is three tiny keyed counts joined on language.
+    "t25_langid_eval" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val preds = queries("t03_language_id")(s, dir)
+        .select($"actual_lang", $"predicted_lang")
+      val support = Tables(s, dir).documents
+        .groupBy($"lang").agg(count(lit(1)).as("support"))
+      val tp = preds.filter($"actual_lang" === $"predicted_lang")
+        .groupBy($"actual_lang".as("lang"))
+        .agg(count(lit(1)).as("tp"))
+      val predAs = preds.groupBy($"predicted_lang".as("lang"))
+        .agg(count(lit(1)).as("n_predicted_as"))
+      support.join(predAs, Seq("lang"), "left")
+        .join(tp, Seq("lang"), "left")
+        .withColumn("n_predicted_as", coalesce($"n_predicted_as", lit(0L)))
+        .withColumn("tp", coalesce($"tp", lit(0L)))
+        .withColumn("precision_ppm", when($"n_predicted_as" > 0,
+          expr("tp * 1000000 div n_predicted_as")).otherwise(0L))
+        .withColumn("recall_ppm", expr("tp * 1000000 div support"))
+        .withColumn("f1_ppm",
+          when($"precision_ppm" + $"recall_ppm" > 0,
+            expr("2 * precision_ppm * recall_ppm div " +
+              "(precision_ppm + recall_ppm)")).otherwise(0L))
+        .select($"lang", $"support", $"n_predicted_as", $"tp",
+          $"precision_ppm", $"recall_ppm", $"f1_ppm")
+        .orderBy($"lang")
+    }),
+
     // -- quality scoring: integer per-mille ratios (operator:
     // [[graft.operators.TextQuality]], shared with p01) -----------------
     "t04_quality_score" -> ((s: SparkSession, dir: String) => {
@@ -1244,6 +1283,61 @@ object TextAnalysis extends QueryPack {
         |SELECT b.doc_id, d.lang AS actual_lang, b.p_lang AS predicted_lang, b.hits
         |FROM best b JOIN documents d ON b.doc_id = d.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+
+    // the t03 prediction chain verbatim, then the per-class rollup;
+    // zero-denominator guards spelled as CASE in both engines
+    "t25_langid_eval" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, lang,
+        |    unnest(regexp_split_to_array(text, '\s+')) AS word
+        |  FROM documents),
+        |profile AS (
+        |  SELECT lang AS p_lang, word, rk FROM (
+        |    SELECT lang, word, COUNT(*) AS cnt,
+        |      ROW_NUMBER() OVER (PARTITION BY lang
+        |        ORDER BY COUNT(*) DESC, word) AS rk
+        |    FROM tokens GROUP BY lang, word) WHERE rk <= 10),
+        |scored AS (
+        |  SELECT t.doc_id, p.p_lang, CAST(COUNT(*) AS BIGINT) AS hits
+        |  FROM tokens t JOIN profile p ON t.word = p.word
+        |  GROUP BY t.doc_id, p.p_lang),
+        |best AS (
+        |  SELECT doc_id, p_lang FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY hits DESC, p_lang) AS rk FROM scored)
+        |  WHERE rk = 1),
+        |pred AS (
+        |  SELECT d.lang AS actual, b.p_lang AS predicted
+        |  FROM best b JOIN documents d ON b.doc_id = d.doc_id),
+        |sup AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS support
+        |        FROM documents GROUP BY lang),
+        |tp AS (SELECT actual AS lang, CAST(COUNT(*) AS BIGINT) AS tp
+        |       FROM pred WHERE actual = predicted GROUP BY actual),
+        |pa AS (SELECT predicted AS lang,
+        |         CAST(COUNT(*) AS BIGINT) AS n_predicted_as
+        |       FROM pred GROUP BY predicted),
+        |m AS (
+        |  SELECT s.lang, s.support,
+        |    COALESCE(pa.n_predicted_as, 0) AS n_predicted_as,
+        |    COALESCE(tp.tp, 0) AS tp
+        |  FROM sup s
+        |  LEFT JOIN pa ON s.lang = pa.lang
+        |  LEFT JOIN tp ON s.lang = tp.lang),
+        |mm AS (
+        |  SELECT lang, support, n_predicted_as, tp,
+        |    CASE WHEN n_predicted_as > 0
+        |      THEN tp * 1000000 // n_predicted_as ELSE 0 END
+        |      AS precision_ppm,
+        |    tp * 1000000 // support AS recall_ppm
+        |  FROM m)
+        |SELECT lang, support, n_predicted_as, tp,
+        |  CAST(precision_ppm AS BIGINT) AS precision_ppm,
+        |  CAST(recall_ppm AS BIGINT) AS recall_ppm,
+        |  CAST(CASE WHEN precision_ppm + recall_ppm > 0
+        |    THEN 2 * precision_ppm * recall_ppm
+        |      // (precision_ppm + recall_ppm) ELSE 0 END AS BIGINT)
+        |    AS f1_ppm
+        |FROM mm ORDER BY lang""".stripMargin,
 
     // CTEs + keep predicate shared with c09's gate ([[duckQualityCtes]])
     "t04_quality_score" ->
