@@ -64,6 +64,10 @@ object GraftSession {
         .contains(graft.plans.FkJoinElimination))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.FkJoinElimination
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.EagerAggregation))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.EagerAggregation
     spark
   }
 }

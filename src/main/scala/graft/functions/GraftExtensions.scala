@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.RewriteRankLimit)
     ext.injectOptimizerRule(_ => graft.plans.MatviewRewrite)
     ext.injectOptimizerRule(_ => graft.plans.FkJoinElimination)
+    ext.injectOptimizerRule(_ => graft.plans.EagerAggregation)
   }
 }
 

@@ -630,6 +630,40 @@ object Extensions extends QueryPack {
         .orderBy($"o_orderpriority")
     }),
 
+    // -- eager aggregation: partial group-by pushed below the join -------
+    // The third constraint-driven rewrite (x29 routes, x30 eliminates,
+    // x31 SHRINKS): the query is the textbook fact-to-dimension rollup
+    // — lineitem ⋈ supplier grouped by the dimension's s_nationkey —
+    // and [[graft.plans.EagerAggregation]] rewrites it so the fact is
+    // pre-aggregated BY THE JOIN KEY before the join (Yan & Larson,
+    // VLDB'94). Exactness needs no FK integrity: an inner equi-join
+    // duplicates a pre-aggregated key group exactly as many times as
+    // it would duplicate each of that group's rows, so SUM/COUNT
+    // re-associate over the copies and MIN/MAX are duplication-blind;
+    // the final aggregate recombines (COUNT → SUM of partial counts).
+    // The license is measured, not assumed: [[registerLineitemSupplier
+    // EagerAgg]] registers only after the audit finds ≥8× row
+    // reduction (here 600×: 600k lineitem rows → 1000 supplier keys
+    // at sf0.1). At 100 TB this is THE rollup optimization — the join
+    // and the exchange feeding it see |distinct keys| rows instead of
+    // |fact|, and a join that wasn't broadcastable becomes one. The
+    // oracle computes the unrewritten join, so the hash-match is the
+    // exactness proof of the rewritten plan; PlanRegressionSpec pins
+    // that the partial aggregate actually sits below the join.
+    "x31_eager_agg" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      registerLineitemSupplierEagerAgg(s, dir)
+      val li = Tables(s, dir).lineitem
+      val su = Tables(s, dir).supplier
+      li.join(su, li("l_suppkey") === su("s_suppkey"))
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec($"l_extendedprice")).cast("double").as("revenue"),
+          sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+          max($"l_quantity").as("max_qty"))
+        .orderBy($"s_nationkey")
+    }),
+
     // -- zone-map skipping audit: what the layout buys the scan ---------
     // The quantified case for x16's clustering: rows are dealt into
     // fixed 4096-row zones (simulated parquet row groups) under two
@@ -1078,7 +1112,43 @@ object Extensions extends QueryPack {
     }
   }
 
+  /** Measured license for [[graft.plans.EagerAggregation]]: register
+    * lineitem.l_suppkey for pre-join aggregation only if grouping by
+    * it shrinks the fact ≥8× (it does: one key per supplier). Same
+    * once-per-(app, dir) memo discipline as the FK audit.
+    */
+  private def registerLineitemSupplierEagerAgg(s: SparkSession,
+      dir: String): Unit = {
+    val k = (s.sparkContext.applicationId, s"$dir#eagerAgg")
+    if (fkAuditMemo.contains(k)) return
+    this.synchronized {
+      if (fkAuditMemo.contains(k)) return
+      import s.implicits._
+      val li = Tables(s, dir).lineitem.select($"l_suppkey")
+      val n = li.count()
+      val d = li.distinct().count()
+      if (d > 0 && n / d >= 8)
+        graft.plans.EagerAggregation.register(graft.plans.EagerAggFact(
+          factPathMarker = s"$dir/lineitem.parquet", fkCol = "l_suppkey"))
+      fkAuditMemo.add(k)
+      ()
+    }
+  }
+
   override def oracles: Map[String, String] = Map(
+    // the oracle computes the UNREWRITTEN rollup — the hash-match is
+    // the exactness proof of the eager-aggregated plan
+    "x31_eager_agg" ->
+      """SELECT s_nationkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  MAX(l_quantity) AS max_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin,
     // the oracle COMPUTES the join the optimizer eliminated — the
     // hash-match is the row-preservation proof
     "x30_join_elimination" ->

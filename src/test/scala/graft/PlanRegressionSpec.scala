@@ -247,4 +247,20 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(docScans <= 2,
       s"expected ≤2 documents scans (new split only), got $docScans")
   }
+
+  test("x31: eager aggregation puts a partial aggregate BELOW the join") {
+    val plan = planOf("x31_eager_agg")
+    // the licensed rewrite materializes geag_* partials on the fact
+    // side of the join: in tree order the join must appear between
+    // two HashAggregate layers
+    assert(plan.contains("geag_"),
+      "eager-aggregation rewrite did not fire (no partial columns)")
+    val tree = plan.linesIterator
+      .takeWhile(l => !l.trim.startsWith("(1)")).toSeq
+    val joinLine = tree.indexWhere(_.contains("BroadcastHashJoin"))
+    assert(joinLine >= 0, "fact-dim join no longer broadcasts")
+    assert(tree.take(joinLine).exists(_.contains("HashAggregate")) &&
+      tree.drop(joinLine).exists(_.contains("HashAggregate")),
+      "partial aggregate is not below the join")
+  }
 }

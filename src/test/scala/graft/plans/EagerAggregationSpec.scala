@@ -1,0 +1,105 @@
+package graft.plans
+
+import graft.Tables
+import graft.streaming.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Eager aggregation: the licensed rollup must carry its partial
+  * aggregate below the join AND equal the unrewritten computation
+  * row-for-row; shapes the rewrite cannot prove exact (DISTINCT,
+  * non-decomposable functions, outer joins, dim-side aggregate
+  * inputs) must be left alone.
+  */
+class EagerAggregationSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+  private val lic =
+    EagerAggFact(s"$sfDir/lineitem.parquet", "l_suppkey")
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  private def rollup(aggs: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val li = Tables(s, sfDir).lineitem
+    val su = Tables(s, sfDir).supplier
+    li.join(su, li("l_suppkey") === su("s_suppkey"))
+      .groupBy($"s_nationkey")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy($"s_nationkey")
+  }
+
+  private val s = spark
+  import s.implicits._
+
+  private def stdAggs = Seq(
+    count(lit(1)).as("n"),
+    sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sq"),
+    min($"l_extendedprice").as("mn"),
+    max($"l_extendedprice").as("mx"))
+
+  test("licensed rollup rewrites and equals the unrewritten result") {
+    EagerAggregation.clear()
+    val base = rollup(stdAggs).collect().toSeq
+    EagerAggregation.register(lic)
+    val df = rollup(stdAggs)
+    assert(planOf(df).contains("geag_"), "rewrite did not fire")
+    assert(df.collect().toSeq == base,
+      "eager-aggregated result diverges from the plain rollup")
+  }
+
+  test("grouping by a fact-side column too stays exact") {
+    EagerAggregation.clear()
+    val q = { () =>
+      val li = Tables(s, sfDir).lineitem
+      val su = Tables(s, sfDir).supplier
+      li.join(su, li("l_suppkey") === su("s_suppkey"))
+        .groupBy($"s_nationkey", $"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sq"))
+        .orderBy($"s_nationkey", $"l_returnflag")
+    }
+    val base = q().collect().toSeq
+    EagerAggregation.register(lic)
+    val df = q()
+    assert(planOf(df).contains("geag_"))
+    assert(df.collect().toSeq == base)
+  }
+
+  test("DISTINCT aggregate refuses the rewrite") {
+    EagerAggregation.register(lic)
+    val df = rollup(Seq(countDistinct($"l_partkey").as("d")))
+    assert(!planOf(df).contains("geag_"),
+      "count(DISTINCT) is not decomposable over partials keyed by fk")
+  }
+
+  test("avg refuses the rewrite (not a single decomposable function)") {
+    EagerAggregation.register(lic)
+    val df = rollup(Seq(avg($"l_quantity").as("a")))
+    assert(!planOf(df).contains("geag_"))
+  }
+
+  test("outer join refuses the rewrite") {
+    EagerAggregation.register(lic)
+    val li = Tables(s, sfDir).lineitem
+    val su = Tables(s, sfDir).supplier
+    val df = li.join(su, li("l_suppkey") === su("s_suppkey"), "left_outer")
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n"))
+    assert(!planOf(df).contains("geag_"),
+      "left-outer multiplicities are not constant per key group")
+  }
+
+  test("dim-side aggregate input refuses the rewrite") {
+    EagerAggregation.register(lic)
+    val df = rollup(Seq(
+      sum($"s_acctbal".cast("decimal(18,2)")).cast("double").as("sb")))
+    assert(!planOf(df).contains("geag_"),
+      "an aggregate reading the dimension cannot be pushed to the fact")
+  }
+}
