@@ -459,6 +459,25 @@ object Graphs extends QueryPack {
       w3.select($"seed", $"n1", $"n2", $"n3").orderBy($"seed")
     }),
 
+    // -- G17: HITS hubs & authorities -----------------------------------
+    // Kleinberg's other eigenvector centrality, next to g01's
+    // PageRank: hubs (customers whose purchases span the influential
+    // suppliers) and authorities (suppliers bought by the strong
+    // hubs) as the mutually-recursive power iteration, 2 rounds,
+    // integer ppm with L∞ (max) normalization per half-step — a
+    // monotone rescale, so the ranking HITS exists for is preserved
+    // and the oracle can unroll the identical recurrence as CTEs.
+    // On the bipartite trade graph the score mass splits by side
+    // (customer hubs, supplier authorities; zeros opposite), which
+    // the output makes visible. Same scale shape as g01: edges
+    // cached + src-partitioned once, per-round shuffles carry only
+    // the score vectors.
+    "g17_hits" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.operators.Hits.hubsAuthPpm(tradeEdges(s, dir), iters = 2)
+        .orderBy($"id")
+    }),
+
     // -- G6: weighted SSSP over the trade graph -------------------------
     // Cheapest-path profile from the first ten customers where an
     // edge costs the *minimum* quantity ever shipped across it (min
@@ -656,6 +675,49 @@ object Graphs extends QueryPack {
            |${pprIterCte(3)}
            |SELECT id, rank_ppm FROM r3
            |ORDER BY rank_ppm DESC, id LIMIT 20""".stripMargin,
+
+      // the same 2-round max-normalized integer recurrence, unrolled:
+      // auth-step then hub-step per round, each rescaled by its max
+      "g17_hits" ->
+        s"""WITH edges AS (
+           |  SELECT DISTINCT o_custkey AS src,
+           |    l_suppkey + $SupplierOffset AS dst
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |nodes AS (
+           |  SELECT src AS id FROM edges
+           |  UNION SELECT dst AS id FROM edges),
+           |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS s FROM nodes),
+           |a1r AS (
+           |  SELECT e.dst AS id, CAST(SUM(h.s) AS BIGINT) AS raw
+           |  FROM edges e JOIN h0 h ON h.id = e.src GROUP BY e.dst),
+           |a1 AS (SELECT id,
+           |  CAST(raw * 1000000 // (SELECT MAX(raw) FROM a1r) AS BIGINT)
+           |    AS s FROM a1r),
+           |h1r AS (
+           |  SELECT e.src AS id, CAST(SUM(a.s) AS BIGINT) AS raw
+           |  FROM edges e JOIN a1 a ON a.id = e.dst GROUP BY e.src),
+           |h1 AS (SELECT id,
+           |  CAST(raw * 1000000 // (SELECT MAX(raw) FROM h1r) AS BIGINT)
+           |    AS s FROM h1r),
+           |a2r AS (
+           |  SELECT e.dst AS id, CAST(SUM(h.s) AS BIGINT) AS raw
+           |  FROM edges e JOIN h1 h ON h.id = e.src GROUP BY e.dst),
+           |a2 AS (SELECT id,
+           |  CAST(raw * 1000000 // (SELECT MAX(raw) FROM a2r) AS BIGINT)
+           |    AS s FROM a2r),
+           |h2r AS (
+           |  SELECT e.src AS id, CAST(SUM(a.s) AS BIGINT) AS raw
+           |  FROM edges e JOIN a2 a ON a.id = e.dst GROUP BY e.src),
+           |h2 AS (SELECT id,
+           |  CAST(raw * 1000000 // (SELECT MAX(raw) FROM h2r) AS BIGINT)
+           |    AS s FROM h2r)
+           |SELECT n.id,
+           |  CAST(COALESCE(h2.s, 0) AS BIGINT) AS hub_ppm,
+           |  CAST(COALESCE(a2.s, 0) AS BIGINT) AS auth_ppm
+           |FROM nodes n
+           |LEFT JOIN h2 ON h2.id = n.id
+           |LEFT JOIN a2 ON a2.id = n.id
+           |ORDER BY n.id""".stripMargin,
 
       "g01_pagerank" ->
         s"""WITH edges AS (
