@@ -531,6 +531,41 @@ object TextAnalysis extends QueryPack {
         .limit(50)
     }),
 
+    // -- Zipf-law profile: rank-frequency mass per octave ----------------
+    // The corpus-statistics health check every tokenizer/vocab
+    // decision leans on, spelled without a single float: terms are
+    // ranked by frequency, ranks are bucketed into OCTAVES (floor
+    // log2, computed exactly as length(bin(rank))-1 — no float log),
+    // and per octave the query emits term count, total token mass,
+    // the ppm share of corpus mass, and min/max of rank×freq. For a
+    // Zipf corpus (freq ∝ 1/rank) each octave carries roughly equal
+    // mass and rank×freq is near-constant — deviations localize
+    // WHERE the law breaks (head function words, sparse tail). One
+    // explode + two keyed aggregates + a rank window over the
+    // vocabulary (|V| ≪ corpus, the t06 discipline); at 100 TB the
+    // token explode is the only corpus-sized stage and it combines
+    // map-side.
+    "t26_zipf_octaves" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val freq = Tables(s, dir).documents
+        .select(explode(split($"text", "\\s+")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("f"))
+      val ranked = freq.withColumn("rank",
+        row_number().over(Window.orderBy($"f".desc, $"w")))
+        .withColumn("octave", (length(expr("bin(rank)")) - 1).cast("int"))
+      val tot = freq.agg(sum($"f").as("n_tot"))
+      ranked.groupBy($"octave")
+        .agg(count(lit(1)).as("n_terms"),
+          sum($"f").as("mass"),
+          min(expr("rank * f")).as("min_rf"),
+          max(expr("rank * f")).as("max_rf"))
+        .crossJoin(broadcast(tot))
+        .withColumn("mass_ppm", expr("mass * 1000000 div n_tot"))
+        .select($"octave", $"n_terms", $"mass", $"mass_ppm",
+          $"min_rf", $"max_rf")
+        .orderBy($"octave")
+    }),
+
     // -- corpus word frequency: top 20 ----------------------------------
     "t02_word_freq" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -842,6 +877,30 @@ object TextAnalysis extends QueryPack {
         |  CAST(length(regexp_replace(text, '\s+', '', 'g')) * 1000
         |    // len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS avg_token_len_pm
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // identical integer spelling: octave via length(bin(rank))-1,
+    // ties in the rank window broken by word
+    "t26_zipf_octaves" ->
+      """WITH freq AS (
+        |  SELECT word AS w, CAST(COUNT(*) AS BIGINT) AS f
+        |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
+        |        FROM documents)
+        |  GROUP BY word),
+        |ranked AS (
+        |  SELECT w, f,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY f DESC, w) AS BIGINT)
+        |      AS rank
+        |  FROM freq),
+        |tot AS (SELECT CAST(SUM(f) AS BIGINT) AS n_tot FROM freq)
+        |SELECT CAST(LENGTH(BIN(rank)) - 1 AS INT) AS octave,
+        |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  CAST(SUM(f) AS BIGINT) AS mass,
+        |  CAST(CAST(SUM(f) AS BIGINT) * 1000000
+        |    // (SELECT n_tot FROM tot) AS BIGINT) AS mass_ppm,
+        |  CAST(MIN(rank * f) AS BIGINT) AS min_rf,
+        |  CAST(MAX(rank * f) AS BIGINT) AS max_rf
+        |FROM ranked
+        |GROUP BY 1 ORDER BY octave""".stripMargin,
 
     "t02_word_freq" ->
       """SELECT word, CAST(COUNT(*) AS BIGINT) AS n
