@@ -630,6 +630,44 @@ object Extensions extends QueryPack {
         .orderBy($"o_orderpriority")
     }),
 
+    // -- matview maintenance: the rollup absorbs a day, never rebuilt ----
+    // x29's serving rollup, MAINTAINED instead of recomputed: a
+    // simulated day of arrivals (the l_orderkey%10=3 slice re-shipped
+    // with +100 quantity) is rolled up alone — one aggregate over the
+    // day, every measure a combinable partial (COUNT/SUM/MIN/MAX) —
+    // and folded into the PERSISTED matview by re-aggregating 6 + 6
+    // partial rows. Inserts-only IVM: monotone MIN/MAX fold with
+    // least/greatest, so no decrement problem (deletions are x26's
+    // deletable-extrema territory). The base fact table is scanned
+    // ONLY for the day slice; at 100 TB that is the difference
+    // between touching a day and touching the table — the x27/st32
+    // delta discipline applied to the x29 serving layer, closing the
+    // build→route→maintain matview lifecycle. The oracle recomputes
+    // the rollup over base ∪ day from scratch; the hash-match proves
+    // the maintained view identical to the rebuild.
+    "x32_matview_maintain" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val mv = s.table(lineitemMatview(s, dir))
+      val day = Tables(s, dir).lineitem
+        .filter($"l_orderkey" % 10 === 3)
+        .select($"l_returnflag", $"l_linestatus",
+          ($"l_quantity" + 100.0).as("qty"), $"l_extendedprice")
+      val dV = day.groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec($"qty")).as("sum_qty_d"),
+          sum(dec($"l_extendedprice")).as("sum_price_d"),
+          min($"qty").as("min_qty"),
+          max($"qty").as("max_qty"))
+      mv.unionByName(dV)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(sum($"cnt").cast("long").as("n_rows"),
+          sum($"sum_qty_d").cast("double").as("sum_qty"),
+          sum($"sum_price_d").cast("double").as("sum_price"),
+          min($"min_qty").as("min_qty"),
+          max($"max_qty").as("max_qty"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
     // -- eager aggregation: partial group-by pushed below the join -------
     // The third constraint-driven rewrite (x29 routes, x30 eliminates,
     // x31 SHRINKS): the query is the textbook fact-to-dimension rollup
@@ -1136,6 +1174,27 @@ object Extensions extends QueryPack {
   }
 
   override def oracles: Map[String, String] = Map(
+    // full rebuild over base ∪ day — the maintained view must match it
+    "x32_matview_maintain" ->
+      """WITH both_rows AS (
+        |  SELECT l_returnflag, l_linestatus, l_quantity AS qty,
+        |    l_extendedprice
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, l_linestatus, l_quantity + 100 AS qty,
+        |    l_extendedprice
+        |  FROM lineitem WHERE l_orderkey % 10 = 3)
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  MIN(qty) AS min_qty,
+        |  MAX(qty) AS max_qty
+        |FROM both_rows
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
     // the oracle computes the UNREWRITTEN rollup — the hash-match is
     // the exactness proof of the eager-aggregated plan
     "x31_eager_agg" ->

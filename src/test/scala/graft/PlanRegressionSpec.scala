@@ -248,6 +248,19 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"expected ≤2 documents scans (new split only), got $docScans")
   }
 
+  test("x32: maintenance scans only the day slice — one filtered " +
+      "lineitem scan plus the persisted matview") {
+    val plan = planOf("x32_matview_maintain")
+    val liScans = plan.linesIterator
+      .count(l => l.contains("lineitem.parquet"))
+    assert(liScans == 1,
+      s"expected exactly 1 lineitem scan (the delta slice), got $liScans")
+    assert(plan.contains("graft_mv_lineitem_"),
+      "maintained view no longer reads the persisted rollup")
+    assert(plan.contains("PushedFilters:"),
+      "day-slice predicate does not reach the reader")
+  }
+
   test("x31: eager aggregation puts a partial aggregate BELOW the join") {
     val plan = planOf("x31_eager_agg")
     // the licensed rewrite materializes geag_* partials on the fact
