@@ -98,14 +98,30 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
       case _ => false
     })
 
+  /** The column under a join key: a bare attribute, or one inside a
+    * type-coercion Cast (e.g. int fk = bigint pk). Pre-aggregating by
+    * the RAW attribute is exact for any deterministic cast — it
+    * groups at least as fine as the join-key equivalence, and the
+    * final aggregate re-merges per group key.
+    */
+  private def keyAttr(e: Expression): Option[AttributeReference] = e match {
+    case a: AttributeReference => Some(a)
+    case c: Cast => c.child match {
+      case a: AttributeReference => Some(a)
+      case _ => None
+    }
+    case _ => None
+  }
+
   private def rewrite(agg: Aggregate, j: Join): Option[LogicalPlan] = {
     val Join(l, r, joinType, condOpt, _) = j
     if (joinType != Inner) return None
     val cond = condOpt.getOrElse(return None)
-    // equi pairs, one attr per side
-    val pairs: Seq[(AttributeReference, AttributeReference)] =
+    // equi pairs, one (possibly cast) attr per side
+    val pairs: Seq[(Expression, Expression)] =
       splitConjunctivePredicates(cond).map {
-        case EqualTo(a: AttributeReference, b: AttributeReference) => (a, b)
+        case EqualTo(a, b)
+            if keyAttr(a).isDefined && keyAttr(b).isDefined => (a, b)
         case _ => return None
       }
     if (!agg.groupingExpressions.forall(_.isInstanceOf[AttributeReference]))
@@ -118,8 +134,10 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
 
     Seq((l, true), (r, false)).flatMap { case (fact, factIsLeft) =>
       val factKeys = pairs.map { case (a, b) =>
-        if (fact.outputSet.contains(a) && !fact.outputSet.contains(b)) a
-        else if (fact.outputSet.contains(b) && !fact.outputSet.contains(a)) b
+        val (aa, ba) = (keyAttr(a).get, keyAttr(b).get)
+        if (fact.outputSet.contains(aa) && !fact.outputSet.contains(ba)) aa
+        else if (fact.outputSet.contains(ba) &&
+          !fact.outputSet.contains(aa)) ba
         else return None
       }
       val licensed = registry.asScala.exists { lic =>

@@ -71,6 +71,30 @@ class EagerAggregationSpec extends AnyFunSuite {
     assert(df.collect().toSeq == base)
   }
 
+  test("type-coerced join keys (cast around the key) still rewrite " +
+      "exactly") {
+    EagerAggregation.clear()
+    def q() = {
+      val li = Tables(s, sfDir).lineitem
+      // int dim key against the bigint fk — analysis wraps one side
+      // in a Cast; the partial aggregate must key on the RAW column
+      val dim = s.range(100)
+        .select($"id".cast("int").as("k"),
+          pmod($"id", lit(7)).as("grp"))
+      li.join(dim, li("l_suppkey") === dim("k"))
+        .groupBy($"grp")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sq"))
+        .orderBy($"grp")
+    }
+    val base = q().collect().toSeq
+    EagerAggregation.register(lic)
+    val df = q()
+    assert(planOf(df).contains("geag_"),
+      "cast-wrapped key refused the rewrite")
+    assert(df.collect().toSeq == base)
+  }
+
   test("DISTINCT aggregate refuses the rewrite") {
     EagerAggregation.register(lic)
     val df = rollup(Seq(countDistinct($"l_partkey").as("d")))
