@@ -272,6 +272,49 @@ object PropertySpec extends Properties("graft") {
       persisted == inMem
     }
 
+  private val eaggCase: Gen[(List[(Int, Int)], List[(Int, Int)])] = for {
+    nf <- Gen.chooseNum(0, 30)
+    fact <- Gen.listOfN(nf,
+      Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0, 100)))
+    nd <- Gen.chooseNum(0, 12)
+    // duplicate dim keys on purpose: the rewrite's exactness argument
+    // rests on per-key multiplicity, so the generator must produce it
+    dim <- Gen.listOfN(nd,
+      Gen.zip(Gen.chooseNum(0, 7), Gen.chooseNum(0, 2)))
+  } yield (fact, dim)
+
+  private val eaggDirSeq = new java.util.concurrent.atomic.AtomicInteger()
+
+  property("eager aggregation ≡ plain rollup on random fact/dim " +
+      "(dup dim keys included)") =
+    forAll(eaggCase) { case (fact, dim) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val dir = s"/tmp/graft-prop-eagg/${eaggDirSeq.incrementAndGet()}"
+      fact.toDF("fk", "cents").coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      def q() = {
+        val f = spark.read.parquet(dir)
+        val d = dim.toDF("k", "grp")
+        f.join(d, f("fk") === d("k")).groupBy($"grp")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("s"),
+            min($"cents").as("mn"), max($"cents").as("mx"))
+          .orderBy($"grp")
+      }
+      val base = q().collect().toSeq // dir not licensed yet: plain plan
+      graft.plans.EagerAggregation.register(
+        graft.plans.EagerAggFact(dir, "fk"))
+      val rewritten = q()
+      // an empty side is folded to an empty LocalRelation by the main
+      // optimizer before user rules run — no join left to rewrite, so
+      // the fire check only applies to non-degenerate inputs
+      val mustFire = fact.nonEmpty && dim.nonEmpty
+      (!mustFire ||
+        rewritten.queryExecution.optimizedPlan.toString
+          .contains("geag_")) &&
+        rewritten.collect().toSeq == base
+    }
+
   property("hub delivers any sequence exactly once, in order") =
     forAll(Gen.listOfN(25, Gen.chooseNum(Int.MinValue, Int.MaxValue))) { xs =>
       val engine = new graft.streaming.EventEngine(spark)
