@@ -1087,6 +1087,76 @@ object StreamingOps extends QueryPack {
     // not decayed scalars. Append mode + the st20 watermark cutoff;
     // the min-day scalar joins via broadcast (x16's pattern), never a
     // driver collect.
+    // -- streaming extrema rollup: x32's monotone fold, per batch -------
+    // The streaming face of x32's matview maintenance and the
+    // inserts-only counterpart of x26's deletable extrema: a served
+    // per-event_type rollup carrying BOTH additive measures
+    // (count/sum — st28's mergeAdditive territory) and extrema
+    // (min/max), maintained by re-aggregating snapshot ∪ batch-rollup
+    // partials each micro-batch. Under inserts MIN/MAX fold monotone
+    // (min-of-mins / max-of-maxes), so the merge is one 4+4-row
+    // aggregate per batch, the base stream is never replayed, and the
+    // result is batching-independent by combinability — the oracle is
+    // the flat rollup over all events. Snapshot versions GC'd to ≤2
+    // (st28's serving discipline); ≥4 genuine micro-batches required.
+    "st37_stream_extrema_rollup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val raw = eventStreamMultiBatch(s, dir, parts = 4)
+        .select($"event_type",
+          expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+      val servingRoot = java.nio.file.Files
+        .createTempDirectory("graft-extrema-").toString
+      var latest: Option[String] = None
+      var batches = 0
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = raw.writeStream
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch {
+            (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+              val delta = batch.groupBy($"event_type")
+                .agg(count(lit(1)).as("n_events"),
+                  sum($"cents").as("total_cents"),
+                  min($"cents").as("min_cents"),
+                  max($"cents").as("max_cents"))
+              val merged = latest match {
+                case None => delta
+                case Some(p) => s.read.parquet(p).unionByName(delta)
+                  .groupBy($"event_type")
+                  .agg(sum($"n_events").as("n_events"),
+                    sum($"total_cents").as("total_cents"),
+                    min($"min_cents").as("min_cents"),
+                    max($"max_cents").as("max_cents"))
+              }
+              val next = s"$servingRoot/v$batches"
+              merged.write.mode("overwrite").parquet(next)
+              latest.foreach { p =>
+                val fs = new org.apache.hadoop.fs.Path(p)
+                fs.getFileSystem(s.sparkContext.hadoopConfiguration)
+                  .delete(fs, true)
+              }
+              latest = Some(next)
+              batches += 1
+          }
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      require(batches >= 4,
+        s"expected >= 4 incremental micro-batches, saw $batches — the " +
+          "multi-file split is not driving the trigger")
+      val live = new java.io.File(servingRoot).listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("v"))
+      require(live <= 2,
+        s"snapshot GC failed: $live versions live under $servingRoot")
+      s.read.parquet(latest.get)
+        .select($"event_type", $"n_events".cast("long").as("n_events"),
+          $"total_cents".cast("long").as("total_cents"),
+          $"min_cents", $"max_cents")
+        .orderBy($"event_type")
+    }),
+
     "st29_stream_trending" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val daily = eventStream(s, dir)
@@ -2026,6 +2096,18 @@ object StreamingOps extends QueryPack {
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the maintained snapshot must equal the flat rollup — the
+    // combinability of count/sum/min/max IS the claim being checked
+    "st37_stream_extrema_rollup" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  CAST(MIN(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS min_cents,
+        |  CAST(MAX(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS max_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "st8_transform_with_state" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
