@@ -369,6 +369,40 @@ object Events extends QueryPack {
     // repairs before feeding a series downstream. The spine is
     // sequence()+explode (distributed; no driver-side date loop) and
     // the fill is one window pass.
+    // -- TWAP: the time-weighted mean, the step-function integral -------
+    // The metric every monitoring / pricing readout actually wants
+    // (a plain AVG over samples overweights bursts): per (event_type,
+    // day), value is held left-continuous until the next sample and
+    // integrated — Σ valueᵢ·(tᵢ₊₁−tᵢ) / Σ(tᵢ₊₁−tᵢ) — entirely in
+    // integers (cents × epoch-micros, ratio via div in milli-cents),
+    // so the integral is order-independent and oracle-exact. One
+    // keyed window (lead) + one hash aggregate; the window partitions
+    // by (type, day) so no global sort exists and state per partition
+    // is one day of one type. Zero-span groups (all samples on one
+    // timestamp) are excluded on both sides.
+    "e26_twap" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type", $"day")
+        .orderBy($"us", $"event_id")
+      Tables(s, dir).events
+        .select($"event_type", to_date($"ts").as("day"),
+          unix_micros($"ts").as("us"),
+          expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"),
+          $"event_id")
+        .withColumn("next_us", lead($"us", 1).over(w))
+        .filter($"next_us".isNotNull)
+        .withColumn("dt", $"next_us" - $"us")
+        .groupBy($"event_type", $"day")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum($"dt").as("span_us"),
+          sum($"cents" * $"dt").as("num"))
+        .filter($"span_us" > 0)
+        .withColumn("twap_millicents", expr("num * 1000 div span_us"))
+        .select($"event_type", $"day", $"n_intervals", $"span_us",
+          $"twap_millicents")
+        .orderBy($"event_type", $"day")
+    }),
+
     "e12_gap_fill" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val events = Tables(s, dir).events
@@ -823,6 +857,30 @@ object Events extends QueryPack {
         |    WHEN prev_c IS NOT NULL THEN prev_c
         |    ELSE next_c END AS BIGINT) AS interp_cents
         |FROM nav ORDER BY user_id, day""".stripMargin,
+
+    // the identical left-continuous step integral in integer
+    // cents·micros, same (us, event_id) tie-broken lead
+    "e26_twap" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    epoch_us(ts) AS us,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents, event_id
+        |  FROM events),
+        |seq AS (
+        |  SELECT event_type, day, us, cents,
+        |    LEAD(us) OVER (PARTITION BY event_type, day
+        |      ORDER BY us, event_id) AS next_us
+        |  FROM e)
+        |SELECT event_type, day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |  CAST(SUM(next_us - us) AS BIGINT) AS span_us,
+        |  CAST(CAST(SUM(cents * (next_us - us)) AS BIGINT) * 1000
+        |    // CAST(SUM(next_us - us) AS BIGINT) AS BIGINT)
+        |    AS twap_millicents
+        |FROM seq WHERE next_us IS NOT NULL
+        |GROUP BY event_type, day
+        |HAVING SUM(next_us - us) > 0
+        |ORDER BY event_type, day""".stripMargin,
 
     "e12_gap_fill" ->
       s"""WITH daily AS (
