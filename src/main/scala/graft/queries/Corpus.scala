@@ -323,6 +323,44 @@ object Corpus extends QueryPack {
     // no-repeat faces are both exercised (at sf0.001 the cap binds
     // everywhere, at sf0.1 nothing repeats; all three are correct
     // readouts of the same arithmetic).
+    // -- leakage-safe split: near-dups may not straddle train/test ------
+    // c01's hash split has a blind spot every eval pipeline gets
+    // burned by: two NEAR-DUPLICATE documents can land on opposite
+    // sides, leaking training text into test. The fix is to split by
+    // the near-dup CLUSTER, not the document: docs are keyed by their
+    // d07 connected-component root (singletons by their own id), and
+    // the c01 salted-hash split is applied to that key — every member
+    // of a cluster lands on ONE side by construction. The query
+    // proves it as data: n_leaky_clusters (clusters spanning >1
+    // split) is a column, and the oracle recomputing the same closure
+    // must also get 0. Scale: the cluster labels are the capped LSH
+    // pipeline's (d07, index-bounded); the split itself stays a
+    // per-row hash — one extra equi-join against the (small) clustered
+    // subset, broadcast at any corpus size where dup clusters are
+    // rare relative to the corpus.
+    "c15_leakage_safe_split" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val comp = graft.operators.Clusters
+        .connectedComponents(Dedup.clusterEdges(s, dir, minJaccardPm = 500))
+        .select($"id".as("doc_id"), $"comp".as("cluster_id"))
+      val keyed = Tables(s, dir).documents.select($"doc_id", $"text")
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("skey", coalesce($"cluster_id", $"doc_id"))
+        .withColumn("split", Sampling.splitColumn($"skey", SplitWeights))
+      val leaky = keyed.filter($"cluster_id".isNotNull)
+        .groupBy($"cluster_id")
+        .agg(countDistinct($"split").as("nsp"))
+        .agg(coalesce(sum(when($"nsp" > 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_leaky_clusters"))
+      keyed.groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"cluster_id".isNotNull, 1L).otherwise(0L))
+            .as("n_clustered"),
+          sum(length($"text")).cast("long").as("total_chars"))
+        .crossJoin(broadcast(leaky))
+        .orderBy($"split")
+    }),
+
     "c14_epoch_plan" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val srcNum = substring($"source", 4, 10).cast("int")
@@ -619,6 +657,35 @@ object Corpus extends QueryPack {
            |  CAST(g0 - pack_id * 2048 AS BIGINT) AS pos_in_pack
            |FROM sl WHERE g1 > g0
            |ORDER BY shard, pack_id, pos_in_pack""".stripMargin
+      },
+
+      // the same d07 recursive closure keys the split; the leakage
+      // counter must be 0 in BOTH engines for the hash to match
+      "c15_leakage_safe_split" -> {
+        val skeyBucket = Sampling.duckHashBucketPm("skey", "split")
+        s"""WITH RECURSIVE ${Dedup.duckClusterCte(500)},
+           |keyed AS (
+           |  SELECT d.doc_id, length(d.text) AS len, c.cluster_id,
+           |    COALESCE(c.cluster_id, d.doc_id) AS skey
+           |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+           |lab AS (
+           |  SELECT doc_id, len, cluster_id,
+           |    CASE WHEN $skeyBucket < 800 THEN 'train'
+           |         WHEN $skeyBucket < 900 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM keyed),
+           |leaky AS (
+           |  SELECT CAST(COALESCE(SUM(CASE WHEN nsp > 1 THEN 1 ELSE 0
+           |      END), 0) AS BIGINT) AS n_leaky_clusters
+           |  FROM (SELECT cluster_id, COUNT(DISTINCT split) AS nsp
+           |        FROM lab WHERE cluster_id IS NOT NULL
+           |        GROUP BY cluster_id) _)
+           |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0
+           |    END) AS BIGINT) AS n_clustered,
+           |  CAST(SUM(len) AS BIGINT) AS total_chars,
+           |  (SELECT n_leaky_clusters FROM leaky) AS n_leaky_clusters
+           |FROM lab GROUP BY split ORDER BY split""".stripMargin
       },
 
       "c14_epoch_plan" ->
