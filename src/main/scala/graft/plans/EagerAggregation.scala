@@ -3,7 +3,7 @@ package graft.plans
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, EqualTo, ExprId, Expression, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, EqualTo, ExprId, Expression, Literal, NamedExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
@@ -65,6 +65,7 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
     java.util.concurrent.ConcurrentHashMap.newKeySet[EagerAggFact]()
 
   def register(lic: EagerAggFact): Unit = registry.add(lic)
+  def unregister(lic: EagerAggFact): Unit = registry.remove(lic)
   def clear(): Unit = registry.clear()
 
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -193,8 +194,18 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
         }
         val nae = AggregateExpression(f, Complete, isDistinct = false)
         // Sum-of-Sum widens decimals; restore the original result type
-        if (nae.dataType == ae.dataType) nae
-        else Cast(nae, ae.dataType)
+        val merged: Expression =
+          if (nae.dataType == ae.dataType) nae
+          else Cast(nae, ae.dataType)
+        ae.aggregateFunction match {
+          // COUNT over zero join rows is 0, but Σ partial counts over
+          // an empty input is NULL — visible when the final aggregate
+          // is global (no group keys, always one output row). For
+          // grouped output a group implies ≥1 row, so the coalesce is
+          // a no-op there.
+          case _: Count => Coalesce(Seq(merged, Literal(0L)))
+          case _ => merged
+        }
     }.asInstanceOf[NamedExpression])
 
     agg.copy(aggregateExpressions = newResult, child = newJoin)

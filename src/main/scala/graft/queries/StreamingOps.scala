@@ -1108,6 +1108,14 @@ object StreamingOps extends QueryPack {
         .createTempDirectory("graft-extrema-").toString
       var latest: Option[String] = None
       var batches = 0
+      // foreachBatch can re-deliver a batchId after a task retry, and
+      // this merge is NOT idempotent (the delta would fold into the
+      // snapshot twice). The standard exactly-once discipline: record
+      // the last applied batchId alongside the snapshot — here the
+      // snapshot path itself carries it (v<batchId>) — and skip any
+      // batchId already applied. (A restartable deployment would
+      // recover `latest`/`lastApplied` by listing servingRoot.)
+      var lastApplied = -1L
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
@@ -1115,30 +1123,33 @@ object StreamingOps extends QueryPack {
           .outputMode(OutputMode.Append())
           .trigger(Trigger.AvailableNow())
           .foreachBatch {
-            (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-              val delta = batch.groupBy($"event_type")
-                .agg(count(lit(1)).as("n_events"),
-                  sum($"cents").as("total_cents"),
-                  min($"cents").as("min_cents"),
-                  max($"cents").as("max_cents"))
-              val merged = latest match {
-                case None => delta
-                case Some(p) => s.read.parquet(p).unionByName(delta)
-                  .groupBy($"event_type")
-                  .agg(sum($"n_events").as("n_events"),
-                    sum($"total_cents").as("total_cents"),
-                    min($"min_cents").as("min_cents"),
-                    max($"max_cents").as("max_cents"))
+            (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+              if (batchId > lastApplied) {
+                val delta = batch.groupBy($"event_type")
+                  .agg(count(lit(1)).as("n_events"),
+                    sum($"cents").as("total_cents"),
+                    min($"cents").as("min_cents"),
+                    max($"cents").as("max_cents"))
+                val merged = latest match {
+                  case None => delta
+                  case Some(p) => s.read.parquet(p).unionByName(delta)
+                    .groupBy($"event_type")
+                    .agg(sum($"n_events").as("n_events"),
+                      sum($"total_cents").as("total_cents"),
+                      min($"min_cents").as("min_cents"),
+                      max($"max_cents").as("max_cents"))
+                }
+                val next = s"$servingRoot/v$batchId"
+                merged.write.mode("overwrite").parquet(next)
+                latest.foreach { p =>
+                  val fs = new org.apache.hadoop.fs.Path(p)
+                  fs.getFileSystem(s.sparkContext.hadoopConfiguration)
+                    .delete(fs, true)
+                }
+                latest = Some(next)
+                lastApplied = batchId
+                batches += 1
               }
-              val next = s"$servingRoot/v$batches"
-              merged.write.mode("overwrite").parquet(next)
-              latest.foreach { p =>
-                val fs = new org.apache.hadoop.fs.Path(p)
-                fs.getFileSystem(s.sparkContext.hadoopConfiguration)
-                  .delete(fs, true)
-              }
-              latest = Some(next)
-              batches += 1
           }
           .start()
         q.awaitTermination()

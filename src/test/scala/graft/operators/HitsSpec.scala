@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.streaming.TestSpark
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 
 /** HITS on a hand-computed bipartite graph: 1→10, 2→10, 2→11, 3→11.
@@ -43,5 +44,22 @@ class HitsSpec extends AnyFunSuite {
     assert(got(10L)._2 < got(11L)._2)
     assert(got(1L)._1 == 1000000L, "1 links both authorities — top hub")
     assert(got(2L)._1 < got(1L)._1)
+  }
+
+  test("degree-1e7 star survives the rescale (old BIGINT ×1e6 overflowed)") {
+    val s = spark
+    import s.implicits._
+    // 10M leaves all pointing at node 0: raw auth(0) = 1e7·1e6 = 1e13,
+    // and the old BIGINT rescale multiplied that by 1e6 → 1e19 >
+    // Long.MaxValue. The DECIMAL(38,0) widening must return the exact
+    // max score instead of an overflowed negative.
+    val leaves = 10000000L
+    val edges = s.range(1L, leaves + 1).toDF("src")
+      .select($"src", lit(0L).as("dst"))
+    val got = Hits.hubsAuthPpm(edges, iters = 1)
+      .filter($"id" === 0L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 1000000L)),
+      "hub(0)=0, auth(0)=1e6 exactly — no overflow")
   }
 }

@@ -126,4 +126,34 @@ class EagerAggregationSpec extends AnyFunSuite {
     assert(!planOf(df).contains("geag_"),
       "an aggregate reading the dimension cannot be pushed to the fact")
   }
+
+  test("global COUNT over a join with zero matching rows stays 0") {
+    // empty groupingExpressions pass the rewrite gate, and the final
+    // aggregate is then global: one output row even over an empty
+    // join. COUNT merged as SUM(partial counts) over that empty input
+    // is NULL unless coalesced — the silent-wrong-result shape.
+    EagerAggregation.clear()
+    EagerAggregation.register(lic)
+    def q(matching: Boolean) = {
+      val li = Tables(s, sfDir).lineitem
+      // no supplier key is negative → the !matching join is empty
+      val dim = s.range(100).select(
+        (if (matching) $"id" else -$"id" - 1).as("k"))
+      li.join(dim, li("l_suppkey") === dim("k"))
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sq"))
+    }
+    val rewritten = q(matching = false)
+    assert(planOf(rewritten).contains("geag_"),
+      "global aggregate should still be licensed to rewrite")
+    val row = rewritten.collect().head
+    assert(!row.isNullAt(0) && row.getLong(0) == 0L,
+      "global COUNT over an empty join must be 0, not NULL")
+    assert(row.isNullAt(1), "SUM over empty input is NULL in both spellings")
+    // and the non-empty global case still matches the plain spelling
+    EagerAggregation.clear()
+    val base = q(matching = true).collect().toSeq
+    EagerAggregation.register(lic)
+    assert(q(matching = true).collect().toSeq == base)
+  }
 }
