@@ -79,6 +79,45 @@ object StreamingOps extends QueryPack {
     s.readStream.schema(schema).parquet(streamDir.toString)
   }
 
+  /** Stage a deterministic multi-file parquet snapshot of `df` under
+    * a /tmp dir keyed by (`tag`, input dir), guarded by a `_STAGED`
+    * sentinel that only counts when the staged schema still matches
+    * `df`'s — the sentinel alone can go stale: if the source data is
+    * regenerated in place (e.g. the other events-ts vintage), the
+    * staged files keep the old physical shape under a plan built from
+    * the new source, and a bare-sentinel stager would serve it.
+    * Split is by a stable key hash, not round-robin (which is
+    * input-partitioning-dependent). Returns the stage dir, ready for
+    * a `maxFilesPerTrigger=1` file-stream read. Exposed private[graft]
+    * for StagedStreamSpec.
+    */
+  private[graft] def stageDeterministic(s: SparkSession, tag: String,
+      dir: String, df: DataFrame, parts: Int,
+      keys: Seq[org.apache.spark.sql.Column]): String = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.{Metadata, StructType}
+    val stageDir =
+      s"/tmp/graft-$tag-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val done = Paths.get(stageDir, "_STAGED")
+    // parquet read-back normalizes nullability/metadata; compare
+    // structurally (name + type) on both sides
+    def norm(st: StructType): StructType = StructType(st.fields.map(f =>
+      f.copy(nullable = true, metadata = Metadata.empty)))
+    val schema = norm(df.schema)
+    def staged: Boolean = Files.exists(done) && (
+      try norm(s.read.parquet(stageDir).schema) == schema
+      catch { case _: Throwable => false })
+    if (!staged) synchronized {
+      if (!staged) {
+        Files.deleteIfExists(done)
+        df.repartition(parts, keys: _*)
+          .write.mode("overwrite").parquet(stageDir)
+        Files.createFile(done)
+      }
+    }
+    stageDir
+  }
+
   /** Multi-batch streaming view: the events table split once into
     * `parts` parquet files (staged per input dir), consumed one file
     * per trigger — so an AvailableNow drain runs `parts` genuine
@@ -87,33 +126,12 @@ object StreamingOps extends QueryPack {
     */
   private def eventStreamMultiBatch(s: SparkSession, dir: String,
       parts: Int): DataFrame = {
-    import java.nio.file.{Files, Paths}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = s"$dir/events.parquet"
-    val stageDir =
-      s"/tmp/graft-stream-multi$parts-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
-    val done = Paths.get(stageDir, "_STAGED")
-    val schema = s.read.parquet(src).schema
-    // the sentinel alone can go stale: if the source parquet is
-    // regenerated in place with the other ts vintage, the staged files
-    // keep the old physical type under a schema freshly read from the
-    // new source — so a sentinel only counts when the staged schema
-    // still matches the source schema
-    def staged: Boolean = Files.exists(done) &&
-      s.read.parquet(stageDir).schema == schema
-    if (!staged) synchronized {
-      if (!staged) {
-        Files.deleteIfExists(done)
-        // deterministic split: repartition by a stable key hash, not
-        // round-robin (which is partitioning-dependent)
-        s.read.parquet(src)
-          .repartition(parts, col("event_id"))
-          .write.mode("overwrite").parquet(stageDir)
-        Files.createFile(done)
-      }
-    }
+    val src = s.read.parquet(s"$dir/events.parquet")
+    val stageDir = stageDeterministic(s, s"stream-multi$parts", dir,
+      src, parts, Seq(col("event_id")))
     graft.Tables.normalizeEventTs(
-      s.readStream.schema(schema)
+      s.readStream.schema(src.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stageDir))
   }
@@ -461,16 +479,8 @@ object StreamingOps extends QueryPack {
           $"status")
       // stage the dimension as a 3-file directory; one file per
       // trigger makes the versions genuinely late-arriving
-      val stageDir = "/tmp/graft-stream-dimv-" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val done = Paths.get(stageDir, "_STAGED")
-      if (!Files.exists(done)) synchronized {
-        if (!Files.exists(done)) {
-          dim.repartition(3, $"d_user")
-            .write.mode("overwrite").parquet(stageDir)
-          Files.createFile(done)
-        }
-      }
+      val stageDir = stageDeterministic(s, "stream-dimv", dir,
+        dim, 3, Seq($"d_user"))
       val dimStream = s.readStream.schema(dim.schema)
         .option("maxFilesPerTrigger", "1").parquet(stageDir)
       val ev = eventStream(s, dir)
@@ -536,16 +546,8 @@ object StreamingOps extends QueryPack {
             .as("status"))
       // stage as a 3-file directory drained one file per trigger, so
       // versions genuinely arrive late relative to the events
-      val stageDir = "/tmp/graft-stream-dimsla-" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val done = Paths.get(stageDir, "_STAGED")
-      if (!Files.exists(done)) synchronized {
-        if (!Files.exists(done)) {
-          dim.repartition(3, $"d_user")
-            .write.mode("overwrite").parquet(stageDir)
-          Files.createFile(done)
-        }
-      }
+      val stageDir = stageDeterministic(s, "stream-dimsla", dir,
+        dim, 3, Seq($"d_user"))
       val dimStream = s.readStream.schema(dim.schema)
         .option("maxFilesPerTrigger", "1").parquet(stageDir)
         .withWatermark("valid_from", "35 days")
@@ -1453,16 +1455,8 @@ object StreamingOps extends QueryPack {
           lit(null).cast("long").as("cents"), lit("UPDATED").as("seg"),
           lit(1).as("epoch"))
       val changelog = facts.unionByName(dim0).unionByName(dim1)
-      val stageDir = "/tmp/graft-stream-jvivm-" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val done = Paths.get(stageDir, "_STAGED")
-      if (!Files.exists(done)) synchronized {
-        if (!Files.exists(done)) {
-          changelog.repartition(4, $"kind", $"k", $"epoch")
-            .write.mode("overwrite").parquet(stageDir)
-          Files.createFile(done)
-        }
-      }
+      val stageDir = stageDeterministic(s, "stream-jvivm", dir,
+        changelog, 4, Seq($"kind", $"k", $"epoch"))
       val schema = s.read.parquet(stageDir).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(stageDir)
@@ -1594,16 +1588,8 @@ object StreamingOps extends QueryPack {
           Seq("corpus" -> 900, "new" -> 100), salt = "inc"))
         .filter($"part" === "new")
         .select($"doc_id", $"text")
-      val stageDir = "/tmp/graft-stream-incdedup-" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val done = Paths.get(stageDir, "_STAGED")
-      if (!Files.exists(done)) synchronized {
-        if (!Files.exists(done)) {
-          newDocs.repartition(4, $"doc_id")
-            .write.mode("overwrite").parquet(stageDir)
-          Files.createFile(done)
-        }
-      }
+      val stageDir = stageDeterministic(s, "stream-incdedup", dir,
+        newDocs, 4, Seq($"doc_id"))
       val schema = s.read.parquet(stageDir).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(stageDir)
@@ -1691,16 +1677,8 @@ object StreamingOps extends QueryPack {
         .select($"epoch", $"user_id",
           when($"user_id" % 13 === $"epoch", "D").otherwise("U").as("op"),
           $"n_events", $"total_cents")
-      val stageDir =
-        s"/tmp/graft-cdc-stage-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
-      val done = Paths.get(stageDir, "_STAGED")
-      if (!Files.exists(done)) synchronized {
-        if (!Files.exists(done)) {
-          changelog.repartition(4, $"user_id", $"epoch")
-            .write.mode("overwrite").parquet(stageDir)
-          Files.createFile(done)
-        }
-      }
+      val stageDir = stageDeterministic(s, "cdc-stage", dir,
+        changelog, 4, Seq($"user_id", $"epoch"))
       val schema = s.read.parquet(stageDir).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(stageDir)
