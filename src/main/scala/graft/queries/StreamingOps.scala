@@ -431,6 +431,115 @@ object StreamingOps extends QueryPack {
         .orderBy($"user_id")
     }),
 
+    // -- streaming CEP, fully in-flight: every stage a join ------------
+    // st36 with NOTHING state-heavy left to finalize: the pairing
+    // join, the FIRST-match pick, the click-exists guard and the
+    // error-absent guard all run as watermarked stream-stream joins
+    // in ONE continuous plan — the deployment st36's PLANS §70 names
+    // as the last step. Four joins:
+    //   1. pairing: view ⋈ purchase inside the one-day window (st6);
+    //   2. first-pick: pairs LEFT OUTER purchases on (v_ts, p_ts],
+    //      tie-broken by event id, FILTER match-side-null — i.e. the
+    //      as-of argmin spelled as an ANTI join ("no earlier
+    //      qualifying purchase exists"), which Spark can stream
+    //      (native left_anti is the one stream-stream type it lacks;
+    //      outer+IS NULL is the exact workaround: a pair with an
+    //      earlier purchase emits only matched rows — filtered — and
+    //      never a null face, a first pair emits exactly one);
+    //   3. click guard: LEFT SEMI against clicks in (v_ts, p_ts)
+    //      (st35's machinery — emits once on first match);
+    //   4. error veto: LEFT OUTER against errors in (v_ts, p_ts),
+    //      FILTER null — anti again.
+    // Every join carries two-sided time bounds, so all EIGHT state
+    // stores evict at the 1-day pattern window + 25 h delay — state
+    // is O(events-in-window) per store, nothing grows with history.
+    // Outer-join null faces only emit when the watermark PASSES the
+    // pair's interval, so each typed source carries one far-future
+    // sentinel row (distinct users, >1 day apart — they can never
+    // pair or guard anything): the final watermark sweeps past every
+    // real event and the trailing no-data batches flush every face.
+    // Post-drain is STATELESS: the per-user conversion rollup and
+    // zero-conversion completion (a batch report, not pattern state).
+    // Drained under AvailableNow nothing drops, so the oracle is
+    // e25's verbatim — first-pick-then-guard order preserved because
+    // guard stages 3-4 run on the already-picked first pair.
+    "st38_stream_cep_inflight" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val ev = Tables(s, dir).events
+      // one staged dir per (type, role): real rows of that type plus
+      // the role's sentinel, single file (one real batch + no-data
+      // flush batches)
+      def typed(t: String, role: String, u: String, i: String,
+          ts: String, sentUser: Long, sentTs: String): DataFrame = {
+        val rows = ev.filter($"event_type" === t)
+          .select($"user_id".cast("long").as(u),
+            $"event_id".cast("long").as(i), $"ts".as(ts))
+        val sentinel = s.range(1).select(lit(sentUser).as(u),
+          lit(-1L).as(i), to_timestamp(lit(sentTs)).as(ts))
+        val staged = stageDeterministic(s, s"cep38-$role", dir,
+          rows.unionByName(sentinel), 1, Seq(col(i)))
+        s.readStream.schema(rows.schema).parquet(staged)
+          .withWatermark(ts, "25 hours")
+      }
+      val v = typed("view", "v", "v_user", "v_id", "v_ts",
+        -101L, "2100-01-01 00:00:00")
+      val p = typed("purchase", "p", "p_user", "p_id", "p_ts",
+        -102L, "2100-01-10 00:00:00")
+      val q = typed("purchase", "q", "q_user", "q_id", "q_ts",
+        -102L, "2100-01-10 00:00:00")
+      val c = typed("click", "c", "c_user", "c_id", "c_ts",
+        -103L, "2100-01-20 00:00:00")
+      val x = typed("error", "x", "x_user", "x_id", "x_ts",
+        -104L, "2100-01-30 00:00:00")
+      // Spark allows ONE event-time column per stream into a stateful
+      // operator, so after the pairing join v_ts sheds its watermark
+      // metadata (p_ts carries the clock downstream) and every guard
+      // condition adds the REDUNDANT bound it implies against p_ts
+      // (v_ts ≥ p_ts − 1d, so t > v_ts ⇒ t > p_ts − 1d): the guard
+      // joins stay two-sided-bounded on watermarked columns — the
+      // st31 eviction shape — while the v_ts comparisons ride along
+      // as plain filters.
+      val noWm = org.apache.spark.sql.types.Metadata.empty
+      val pairs = v.join(p,
+        $"v_user" === $"p_user" &&
+        $"p_ts" > $"v_ts" && $"p_ts" <= $"v_ts" + expr("INTERVAL 1 DAY"))
+        .select($"v_user", $"v_id", $"v_ts".as("v_ts", noWm),
+          $"p_id", $"p_ts")
+      val first = pairs.join(q,
+        $"v_user" === $"q_user" &&
+        $"q_ts" > $"p_ts" - expr("INTERVAL 1 DAY") &&
+        $"q_ts" <= $"p_ts" && $"q_ts" > $"v_ts" &&
+        ($"q_ts" < $"p_ts" || $"q_id" < $"p_id"),
+        "left_outer")
+        .filter($"q_id".isNull)
+        .select($"v_user", $"v_id", $"v_ts", $"p_id", $"p_ts")
+      val clicked = first.join(c,
+        $"v_user" === $"c_user" &&
+        $"c_ts" > $"p_ts" - expr("INTERVAL 1 DAY") &&
+        $"c_ts" < $"p_ts" && $"c_ts" > $"v_ts",
+        "left_semi")
+      val ok = clicked.join(x,
+        $"v_user" === $"x_user" &&
+        $"x_ts" > $"p_ts" - expr("INTERVAL 1 DAY") &&
+        $"x_ts" < $"p_ts" && $"x_ts" > $"v_ts",
+        "left_outer")
+        .filter($"x_id".isNull)
+        .select($"v_user".as("user_id"), $"v_id", $"v_ts", $"p_id")
+      val drained = drain(s, ok, OutputMode.Append())
+      val conv = drained.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_converted"),
+          min(struct($"v_ts", $"v_id", $"p_id")).as("f"))
+        .select($"user_id", $"n_converted",
+          $"f.v_id".as("first_view"), $"f.p_id".as("first_purchase"))
+      ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(count(lit(1)).as("n_views"))
+        .join(conv, Seq("user_id"), "left")
+        .select($"user_id", $"n_views",
+          coalesce($"n_converted", lit(0L)).as("n_converted"),
+          $"first_view", $"first_purchase")
+        .orderBy($"user_id")
+    }),
+
     // -- stream-stream AS-OF enrichment (the streaming face of x12) -----
     // Events enriched with the dimension version in effect at event
     // time, where the VERSIONED DIMENSION IS ITSELF A STREAM that
@@ -1963,6 +2072,8 @@ object StreamingOps extends QueryPack {
     // streaming ≡ batch row-for-row under the drained single batch —
     // e25's oracle serves both spellings verbatim
     "st36_stream_cep" -> Events.oracles("e25_cep_pattern"),
+    // e25's oracle serves the fully-in-flight spelling too
+    "st38_stream_cep_inflight" -> Events.oracles("e25_cep_pattern"),
 
     "st18_stream_asof_enrich" ->
       """WITH dimall AS (
