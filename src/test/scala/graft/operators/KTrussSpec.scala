@@ -51,4 +51,28 @@ class KTrussSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("round") -> r.getAs[Long]("n_edges"))
     assert(prof === Array(0L -> 5L, 1L -> 1L, 2L -> 0L, 3L -> 0L))
   }
+
+  test("incremental decrement profile equals the recompute profile, " +
+      "including multi-dead-edge triangles") {
+    import spark.implicits._
+    // every shape that stresses the decrement bookkeeping at once:
+    // the K4+triangle+pendant graph (partial survival), the cascade
+    // chain (edges dying in later rounds), and a bowtie whose two
+    // triangles share a vertex — dead edges from BOTH triangles
+    // destroy triangles sharing corners, and triangles with 2 dead
+    // edges must decrement survivors exactly once (the DISTINCT).
+    val graphs = Seq(
+      edges,
+      Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+        .toDF("u", "v"),
+      Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (3L, 5L), (4L, 5L),
+        (5L, 6L)).toDF("u", "v"))
+    for (g <- graphs; k <- Seq(3, 4)) {
+      val rec = KTruss.peelProfile(g, k, rounds = 3)
+        .orderBy("round").collect().map(_.toSeq).toSeq
+      val inc = KTruss.peelProfileIncremental(g, k, rounds = 3)
+        .orderBy("round").collect().map(_.toSeq).toSeq
+      assert(inc === rec, s"divergence at k=$k")
+    }
+  }
 }
