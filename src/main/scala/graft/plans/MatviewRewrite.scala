@@ -96,12 +96,19 @@ object MatviewRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** The scan must be the WHOLE registered base — the path matches
+    * only when it ends exactly at the marker (a scheme prefix like
+    * `file:` is tolerated). A read of a SUBPATH (one partition dir of
+    * a partitioned base) must never route: the rollup answers the
+    * whole base, and serving it for a partial read is silently wrong
+    * (x33's per-epoch delta rollup is exactly that shape).
+    */
   private def defFor(lr: LogicalRelation): Option[MatviewDef] =
     lr.relation match {
       case fs: HadoopFsRelation =>
-        val paths = fs.location.rootPaths.map(_.toString)
-        registry.values.asScala
-          .find(d => paths.exists(_.contains(d.pathMarker)))
+        val paths = fs.location.rootPaths.map(_.toString.stripSuffix("/"))
+        registry.values.asScala.find(d =>
+          paths.exists(_.endsWith(d.pathMarker.stripSuffix("/"))))
       case _ => None
     }
 

@@ -668,6 +668,96 @@ object Extensions extends QueryPack {
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
 
+    // -- matview auto-maintenance: the rollup subscribes to the feed ----
+    // The dbt/materialize shape closing the x29→x32 lifecycle: a
+    // LANDING directory receives one epoch of events at a time (the
+    // x18 change-feed cadence), and the registered matview maintains
+    // ITSELF on each arrival — the epoch's rollup is computed from
+    // the just-landed delta alone (never the accumulated base),
+    // folded into the serving snapshot by partial re-aggregation
+    // (x32's monotone inserts-only fold), written as the next
+    // snapshot version, and RE-REGISTERED so x29 routing serves the
+    // refreshed view. After every epoch the dashboard query — written
+    // against the BASE landing dir — must route (asserted in-op: the
+    // optimized plan reads the snapshot, not the landing files) and
+    // must hash-match a from-scratch recompute over everything landed
+    // so far: route-after-maintain exact for 3 consecutive epochs,
+    // which is the invariant an auto-refreshing serving layer has to
+    // hold. At 100 TB each epoch costs one delta rollup + a k-row
+    // merge; the base is only ever read by the (eliminated) fallback.
+    "x33_matview_autorefresh" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.plans.{MatviewDef, MatviewRewrite}
+      import org.apache.spark.sql.execution.datasources.LogicalRelation
+      import org.apache.spark.sql.types.DecimalType
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-mvauto-").toString
+      val landing = s"$root/landing"
+      val ev = Tables(s, dir).events
+        .select($"event_type", $"value",
+          expr("(dayofmonth(ts) - 1) div 10").as("epoch"))
+      var mvPath: Option[String] = None
+      val out = (0 to 2).map { e =>
+        // the feed: epoch e lands in the base directory
+        ev.filter($"epoch" === e).select($"event_type", $"value")
+          .write.mode("overwrite").parquet(s"$landing/epoch=$e")
+        // the subscription: maintain the snapshot from the DELTA alone
+        val dRoll = s.read.parquet(s"$landing/epoch=$e")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("cnt"),
+            sum(dec($"value")).as("sum_val_d"),
+            min($"value").as("min_val"), max($"value").as("max_val"))
+        val merged = mvPath match {
+          case None => dRoll
+          case Some(p) => s.read.parquet(p).unionByName(dRoll)
+            .groupBy($"event_type")
+            .agg(sum($"cnt").as("cnt"), sum($"sum_val_d").as("sum_val_d"),
+              min($"min_val").as("min_val"), max($"max_val").as("max_val"))
+        }
+        val p = s"$root/mv/v$e"
+        // snapshot schema pinned across epochs (sum-of-sum widens
+        // decimals; counts widen to long on re-sum)
+        merged.select($"event_type", $"cnt".cast("long").as("cnt"),
+            $"sum_val_d".cast(DecimalType(38, 2)).as("sum_val_d"),
+            $"min_val", $"max_val")
+          .write.mode("overwrite").parquet(p)
+        mvPath = Some(p)
+        val mvPlan = s.read.parquet(p).queryExecution.analyzed
+        MatviewRewrite.register(MatviewDef(
+          pathMarker = landing,
+          keys = Set("event_type"),
+          countCol = "cnt",
+          sumCols = Map.empty,
+          sumDecCols = Map(("value", DecimalType(18, 2)) -> "sum_val_d"),
+          minCols = Map("value" -> "min_val"),
+          maxCols = Map("value" -> "max_val"),
+          freshPlan = () => mvPlan.transformUp {
+            case lr: LogicalRelation => lr.newInstance()
+          }))
+        // the dashboard, written against the BASE — must route to the
+        // refreshed snapshot and must not touch the landing files
+        val q = s.read.parquet(landing)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(dec($"value")).cast("double").as("total_value"),
+            min($"value").as("min_value"), max($"value").as("max_value"))
+        val plan = q.queryExecution.executedPlan.toString
+        require(plan.contains(s"/mv/v$e"),
+          s"epoch $e dashboard did not route to the refreshed matview")
+        require(!plan.contains("/landing"),
+          s"epoch $e routed plan still scans the landing dir")
+        // materialize THIS epoch's routed answer now: a lazy plan
+        // would re-optimize at collection time against the FINAL
+        // registration, silently serving epoch 2's snapshot for all
+        // three epochs
+        q.withColumn("epoch", lit(e)).localCheckpoint(true)
+      }
+      out.reduce(_ unionByName _)
+        .select($"epoch", $"event_type", $"n_events", $"total_value",
+          $"min_value", $"max_value")
+        .orderBy($"epoch", $"event_type")
+    }),
+
     // -- eager aggregation: partial group-by pushed below the join -------
     // The third constraint-driven rewrite (x29 routes, x30 eliminates,
     // x31 SHRINKS): the query is the textbook fact-to-dimension rollup
@@ -1175,6 +1265,28 @@ object Extensions extends QueryPack {
 
   override def oracles: Map[String, String] = Map(
     // full rebuild over base ∪ day — the maintained view must match it
+    // per epoch the routed serving snapshot must equal the
+    // from-scratch recompute over everything landed so far
+    "x33_matview_autorefresh" -> {
+      def epochSelect(e: Int): String =
+        s"""SELECT CAST($e AS INTEGER) AS epoch, event_type,
+           |  CAST(COUNT(*) AS BIGINT) AS n_events,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS total_value,
+           |  MIN(value) AS min_value, MAX(value) AS max_value
+           |FROM eb WHERE epoch_of <= $e
+           |GROUP BY event_type""".stripMargin
+      s"""WITH eb AS (
+         |  SELECT event_type, value, (day(ts) - 1) // 10 AS epoch_of
+         |  FROM events),
+         |${Seq(0, 1, 2).map(e => s"e$e AS (${epochSelect(e)})")
+            .mkString(", ")}
+         |SELECT * FROM (
+         |  SELECT * FROM e0 UNION ALL SELECT * FROM e1
+         |  UNION ALL SELECT * FROM e2)
+         |ORDER BY epoch, event_type""".stripMargin
+    },
+
     "x32_matview_maintain" ->
       """WITH both_rows AS (
         |  SELECT l_returnflag, l_linestatus, l_quantity AS qty,

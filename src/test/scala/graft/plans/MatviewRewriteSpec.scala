@@ -97,4 +97,44 @@ class MatviewRewriteSpec extends AnyFunSuite {
     assert(sub.collect().map(_.toSeq).toSeq ===
       base.collect().map(_.toSeq).toSeq)
   }
+
+  test("a subpath read of a partitioned base must NOT route") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    // partitioned base: two epoch dirs under one landing root,
+    // registered at the root. An aggregate over ONE epoch leaf reads
+    // a strict subset of the base — answering it from the whole-base
+    // rollup would be silently wrong (the x33 delta-rollup hijack).
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mvspec-").toString
+    val landing = s"$root/landing"
+    spark.range(10).select(lit("a").as("k"), $"id".as("v"))
+      .write.parquet(s"$landing/epoch=0")
+    spark.range(5).select(lit("a").as("k"), ($"id" + 100).as("v"))
+      .write.parquet(s"$landing/epoch=1")
+    val mv = spark.read.parquet(landing).groupBy($"k")
+      .agg(count(lit(1)).as("cnt"), min($"v").as("min_v"),
+        max($"v").as("max_v"))
+    mv.write.mode("overwrite").parquet(s"$root/mv")
+    val mvPlan = spark.read.parquet(s"$root/mv").queryExecution.analyzed
+    MatviewRewrite.register(MatviewDef(
+      pathMarker = landing, keys = Set("k"), countCol = "cnt",
+      sumCols = Map.empty, sumDecCols = Map.empty,
+      minCols = Map("v" -> "min_v"), maxCols = Map("v" -> "max_v"),
+      freshPlan = () => mvPlan.transformUp {
+        case lr: LogicalRelation => lr.newInstance()
+      }))
+    // whole-base read routes
+    val whole = spark.read.parquet(landing).groupBy($"k")
+      .agg(count(lit(1)).as("n"))
+    assert(whole.queryExecution.executedPlan.toString.contains("/mv"),
+      "whole-base aggregate should route")
+    // single-epoch leaf read must not — and must return leaf counts
+    val leaf = spark.read.parquet(s"$landing/epoch=1").groupBy($"k")
+      .agg(count(lit(1)).as("n"))
+    assert(!leaf.queryExecution.executedPlan.toString.contains("/mv"),
+      "subpath read routed to the whole-base rollup")
+    assert(leaf.collect().map(r => r.getLong(1)).toSeq == Seq(5L))
+  }
 }
