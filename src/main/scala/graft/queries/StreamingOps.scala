@@ -1515,6 +1515,85 @@ object StreamingOps extends QueryPack {
         .orderBy($"c_mktsegment", $"event_type")
     }),
 
+    // -- streaming eager aggregation: partials BEFORE the broadcast -----
+    // x31's Yan–Larson license carried to the st3/st28 stream-static
+    // enrichment shape: each micro-batch is PRE-AGGREGATED by the
+    // join key (user_id) into (n, cents) partials BEFORE the
+    // broadcast dimension join, so the join and everything after it
+    // see |active users in batch| rows instead of |events in batch| —
+    // exact for the same reason x31 is (inner equi-join duplicates a
+    // pre-aggregated key group exactly as each of its rows; the
+    // segment rollup re-associates the partials). The measured
+    // reduction is REQUIRED in-op, st28-style: across the drain the
+    // partial rows must be ≤ 2/3 of the batch rows, or the eager step
+    // isn't paying for itself. At 100 TB this is the difference
+    // between broadcast-probing every event and probing once per
+    // (batch, user): the probe side of a streaming enrichment is the
+    // hot loop, and the partial aggregate is a map-side combine the
+    // planner cannot inject by itself because the rollup happens
+    // AFTER the join. Oracle: the plain (un-eager) spelling.
+    "st39_stream_eager_agg" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val dim = broadcast(Tables(s, dir).customer
+        .select($"c_custkey".as("user_id"), $"c_mktsegment"))
+      val raw = eventStreamMultiBatch(s, dir, parts = 4)
+        .select($"user_id", expr("CAST(FLOOR(value * 100) AS BIGINT)")
+          .as("cents"))
+      val servingRoot = java.nio.file.Files
+        .createTempDirectory("graft-steager-").toString
+      var latest: Option[String] = None
+      var batches = 0
+      var totBatchRows = 0L
+      var totPartialRows = 0L
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = raw.writeStream
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch {
+            (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+              val partial = batch.groupBy($"user_id")
+                .agg(count(lit(1)).as("n"), sum($"cents").as("c"))
+                .persist()
+              try {
+                totBatchRows += batch.count()
+                totPartialRows += partial.count()
+                val delta = partial.join(dim, Seq("user_id"))
+                  .groupBy($"c_mktsegment")
+                  .agg(sum($"n").as("n_events"),
+                    sum($"c").as("total_cents"))
+                val merged = latest match {
+                  case None => delta
+                  case Some(p) => graft.operators.IncrementalAgg
+                    .mergeAdditive(s.read.parquet(p), delta,
+                      keys = Seq("c_mktsegment"))
+                }
+                val next = s"$servingRoot/v$batches"
+                merged.write.mode("overwrite").parquet(next)
+                latest.foreach { p =>
+                  val fs = new org.apache.hadoop.fs.Path(p)
+                  fs.getFileSystem(s.sparkContext.hadoopConfiguration)
+                    .delete(fs, true)
+                }
+                latest = Some(next)
+                batches += 1
+              } finally partial.unpersist(blocking = false)
+          }
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      require(batches >= 4,
+        s"expected >= 4 incremental micro-batches, saw $batches")
+      require(totPartialRows * 3 <= totBatchRows * 2,
+        s"eager partials did not shrink the probe: $totPartialRows " +
+          s"partials for $totBatchRows batch rows (need >= 1.5x)")
+      s.read.parquet(latest.get)
+        .select($"c_mktsegment", $"n_events".cast("long").as("n_events"),
+          $"total_cents".cast("long").as("total_cents"))
+        .orderBy($"c_mktsegment")
+    }),
+
     // -- streaming join-view IVM with a CHANGING dimension --------------
     // st28 maintains the join view against a STATIC dimension, so its
     // per-batch delta is only ΔA⋈B. This query runs x27's FULL
@@ -2350,6 +2429,17 @@ object StreamingOps extends QueryPack {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment, event_type
         |ORDER BY c_mktsegment, event_type""".stripMargin,
+
+    // the un-eager spelling: the hash-match proves the per-batch
+    // partial aggregation before the broadcast join changed nothing
+    "st39_stream_eager_agg" ->
+      """SELECT c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     // the streamed probe against the persisted corpus index must give
     // every arrival the same verdict as the batch job — d13, d17 and
