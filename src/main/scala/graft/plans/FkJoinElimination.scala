@@ -54,6 +54,7 @@ object FkJoinElimination extends Rule[LogicalPlan] {
     java.util.concurrent.ConcurrentHashMap.newKeySet[VerifiedFkJoin]()
 
   def register(d: VerifiedFkJoin): Unit = registry.add(d)
+  def unregister(d: VerifiedFkJoin): Unit = registry.remove(d)
   def clear(): Unit = registry.clear()
 
   override def apply(plan: LogicalPlan): LogicalPlan =

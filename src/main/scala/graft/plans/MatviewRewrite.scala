@@ -72,6 +72,7 @@ object MatviewRewrite extends Rule[LogicalPlan] {
     new java.util.concurrent.ConcurrentHashMap[String, MatviewDef]()
 
   def register(d: MatviewDef): Unit = registry.put(d.pathMarker, d)
+  def unregister(pathMarker: String): Unit = registry.remove(pathMarker)
   def clear(): Unit = registry.clear()
 
   override def apply(plan: LogicalPlan): LogicalPlan =

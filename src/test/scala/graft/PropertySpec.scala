@@ -315,6 +315,182 @@ object PropertySpec extends Properties("graft") {
         rewritten.collect().toSeq == base
     }
 
+  // ---- adversarial coverage of the licensed-optimizer refusal -------
+  // surfaces: random aggregate-over-join SHAPES (join type, grouping
+  // side, measure mix, filters) against each rule, asserting the full
+  // dichotomy — rewrite-fires ⇒ result identical to the unlicensed
+  // run, rewrite-declines ⇒ optimized plan untouched (canonicalized
+  // plan equality, so exprId noise doesn't mask a silent change).
+  // register/unregister bracket each case so the global licenses of
+  // x29/x30/x31 are never disturbed.
+
+  private val propDirSeq = new java.util.concurrent.atomic.AtomicInteger()
+
+  private def canon(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.optimizedPlan.canonicalized.toString
+
+  private val eaggShape: Gen[(String, List[String], List[String])] = for {
+    jt <- Gen.oneOf("inner", "left_outer", "left_semi")
+    gb <- Gen.someOf(List("grp_d", "flag_f")).map(_.toList)
+    aggs <- Gen.atLeastOne(List("count", "sum_f", "min_f", "max_f",
+      "avg_f", "cd_f", "sum_d")).map(_.toList)
+  } yield (jt, gb, aggs)
+
+  property("eager-agg dichotomy over random join/grouping/measure " +
+      "shapes: fires ⇒ equal, declines ⇒ plan untouched") =
+    forAll(eaggShape) { case (jt, gb0, aggs0) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      // dim columns don't exist after a semi join — restrict shapes
+      // to well-formed queries
+      val gb = if (jt == "left_semi") gb0.filter(_ != "grp_d") else gb0
+      val aggs1 = if (jt == "left_semi") aggs0.filter(_ != "sum_d")
+        else aggs0
+      val aggs = if (aggs1.isEmpty) List("count") else aggs1
+      val dir = s"/tmp/graft-prop-eaggshape/${propDirSeq.incrementAndGet()}"
+      spark.range(40).select(($"id" % 6).as("fk"),
+          ($"id" % 100).as("cents"), ($"id" % 2 === 0).as("flag_f"))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      def q() = {
+        val f = spark.read.parquet(dir)
+        // duplicate dim keys on purpose (multiplicity is the rewrite's
+        // whole exactness argument)
+        val d = Seq((0, "a"), (1, "b"), (2, "a"), (3, "c"), (3, "c2"),
+          (5, "b"), (7, "z")).toDF("k", "grp_d")
+        val j = f.join(d, f("fk") === d("k"), jt)
+        val cols = aggs.map {
+          case "count" => count(lit(1)).as("n")
+          case "sum_f" => sum($"cents").as("s")
+          case "min_f" => min($"cents").as("mn")
+          case "max_f" => max($"cents").as("mx")
+          case "avg_f" => avg($"cents").as("av")
+          case "cd_f" => countDistinct($"cents").as("cd")
+          case "sum_d" => sum(length($"grp_d")).as("sd")
+        }
+        val g = if (gb.isEmpty) j.groupBy() else j.groupBy(gb.map(col): _*)
+        val a = g.agg(cols.head, cols.tail: _*)
+        if (gb.isEmpty) a else a.orderBy(gb.map(col): _*)
+      }
+      val lic = graft.plans.EagerAggFact(dir, "fk")
+      graft.plans.EagerAggregation.unregister(lic)
+      val p0 = canon(q()); val r0 = q().collect().toSeq
+      graft.plans.EagerAggregation.register(lic)
+      try {
+        val q1 = q()
+        val fired = q1.queryExecution.optimizedPlan.toString
+          .contains("geag_")
+        if (fired) q1.collect().toSeq == r0 else canon(q()) == p0
+      } finally graft.plans.EagerAggregation.unregister(lic)
+    }
+
+  private val mvShape: Gen[(Boolean, List[String], List[String])] = for {
+    withFilter <- Gen.oneOf(true, false)
+    gb <- Gen.someOf(List("k1", "k2", "nonkey")).map(_.toList)
+    aggs <- Gen.atLeastOne(List("count", "sum_dec", "min", "max",
+      "avg", "sum_plain", "cd")).map(_.toList)
+  } yield (withFilter, gb, aggs)
+
+  property("matview-route dichotomy over random filter/grouping/" +
+      "measure shapes") =
+    forAll(mvShape) { case (withFilter, gb, aggs) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.execution.datasources.LogicalRelation
+      import org.apache.spark.sql.types.DecimalType
+      val seq = propDirSeq.incrementAndGet()
+      val base = s"/tmp/graft-prop-mv/$seq/base"
+      val mvp = s"/tmp/graft-prop-mv/$seq/mv"
+      spark.range(60).select(
+          concat(lit("g"), ($"id" % 3).cast("string")).as("k1"),
+          ($"id" % 4).as("k2"), ($"id" % 7).cast("double").as("v"),
+          ($"id" % 11).as("w"), ($"id" % 5).as("nonkey"))
+        .coalesce(1).write.mode("overwrite").parquet(base)
+      spark.read.parquet(base).groupBy($"k1", $"k2")
+        .agg(count(lit(1)).as("mvprop_cnt"),
+          sum($"v".cast(DecimalType(18, 2))).as("mvprop_sum"),
+          min($"v").as("mvprop_min"), max($"v").as("mvprop_max"))
+        .write.mode("overwrite").parquet(mvp)
+      val mvPlan = spark.read.parquet(mvp).queryExecution.analyzed
+      def q() = {
+        val b0 = spark.read.parquet(base)
+        val b = if (withFilter) b0.filter($"w" >= 0) else b0
+        val cols = aggs.map {
+          case "count" => count(lit(1)).as("n")
+          case "sum_dec" => sum($"v".cast(DecimalType(18, 2)))
+            .cast("double").as("s")
+          case "min" => min($"v").as("mn")
+          case "max" => max($"v").as("mx")
+          case "avg" => avg($"v").as("av")
+          case "sum_plain" => sum($"w").as("sw")
+          case "cd" => countDistinct($"v").as("cd")
+        }
+        val g = if (gb.isEmpty) b.groupBy() else b.groupBy(gb.map(col): _*)
+        val a = g.agg(cols.head, cols.tail: _*)
+        if (gb.isEmpty) a else a.orderBy(gb.map(col): _*)
+      }
+      graft.plans.MatviewRewrite.unregister(base)
+      val p0 = canon(q()); val r0 = q().collect().toSeq
+      graft.plans.MatviewRewrite.register(graft.plans.MatviewDef(
+        pathMarker = base, keys = Set("k1", "k2"),
+        countCol = "mvprop_cnt", sumCols = Map.empty,
+        sumDecCols = Map(("v", DecimalType(18, 2)) -> "mvprop_sum"),
+        minCols = Map("v" -> "mvprop_min"),
+        maxCols = Map("v" -> "mvprop_max"),
+        freshPlan = () => mvPlan.transformUp {
+          case lr: LogicalRelation => lr.newInstance()
+        }))
+      try {
+        val q1 = q()
+        val fired = q1.queryExecution.optimizedPlan.toString
+          .contains("mvprop_")
+        if (fired) q1.collect().toSeq == r0 else canon(q()) == p0
+      } finally graft.plans.MatviewRewrite.unregister(base)
+    }
+
+  private val fkShape: Gen[(String, Boolean, Boolean)] = for {
+    jt <- Gen.oneOf("inner", "left_outer")
+    readDim <- Gen.oneOf(true, false)
+    dimFiltered <- Gen.oneOf(true, false)
+  } yield (jt, readDim, dimFiltered)
+
+  property("fk-join-elimination dichotomy over random join/column/" +
+      "filter shapes") =
+    forAll(fkShape) { case (jt, readDim, dimFiltered) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val seq = propDirSeq.incrementAndGet()
+      val factDir = s"/tmp/graft-prop-fk/$seq/fact"
+      val dimDir = s"/tmp/graft-prop-fk/$seq/dim"
+      // integrity holds by construction: fk non-null ∈ dim's unique pk
+      spark.range(50).select(($"id" % 10).as("fk"),
+          ($"id" % 3).as("cat"), ($"id" % 100).as("cents"))
+        .coalesce(1).write.mode("overwrite").parquet(factDir)
+      spark.range(10).select($"id".as("pk"),
+          concat(lit("d"), $"id").as("dname"))
+        .coalesce(1).write.mode("overwrite").parquet(dimDir)
+      def q() = {
+        val f = spark.read.parquet(factDir)
+        val d0 = spark.read.parquet(dimDir)
+        val d = if (dimFiltered) d0.filter($"pk" =!= 3L) else d0
+        val j = f.join(d, f("fk") === d("pk"), jt)
+        val g = if (readDim) j.groupBy($"cat", $"dname")
+          else j.groupBy($"cat")
+        g.agg(count(lit(1)).as("n"), sum($"cents").as("s"))
+          .orderBy($"cat")
+      }
+      val lic = graft.plans.VerifiedFkJoin(factDir, dimDir, "fk", "pk")
+      graft.plans.FkJoinElimination.unregister(lic)
+      val p0 = canon(q()); val r0 = q().collect().toSeq
+      graft.plans.FkJoinElimination.register(lic)
+      try {
+        val q1 = q()
+        // fired ⇔ the dimension scan is gone from the physical plan
+        val fired = !q1.queryExecution.executedPlan.toString
+          .contains("/dim")
+        if (fired) q1.collect().toSeq == r0 else canon(q()) == p0
+      } finally graft.plans.FkJoinElimination.unregister(lic)
+    }
+
   property("hub delivers any sequence exactly once, in order") =
     forAll(Gen.listOfN(25, Gen.chooseNum(Int.MinValue, Int.MaxValue))) { xs =>
       val engine = new graft.streaming.EventEngine(spark)
