@@ -79,6 +79,50 @@ object Multimodal extends QueryPack {
         .orderBy($"source")
     }),
 
+    // -- REAL image decode: binary PPM through the full parser ----------
+    // The codec boundary exercised with a REAL format: binary PPM
+    // (P6) is uncompressed, so decode is pure byte arithmetic and
+    // this container can run it for real — no stub. Each document
+    // gets a deterministic 8×8 RGB image generated CLOSED-FORM in
+    // SQL (pixel byte i = (doc_id·31 + i·7) mod 256, assembled
+    // hex→unhex under a fixed P6 header), and
+    // [[graft.operators.PpmMediaCodec]] decodes it with the full
+    // netpbm header grammar (comments, whitespace runs, dimension/
+    // maxval validation, truncation → sentinel). The oracle
+    // recomputes luma features from the same closed form WITHOUT
+    // parsing — a differential test: general parser vs known layout,
+    // hash-matched. At 100 TB the plan shape is m02's: prune to
+    // (id, payload), decode in mapPartitions, wide binary dies at
+    // the boundary. JPEG/PNG stay environment-bound behind the stub.
+    "m09_ppm_decode_real" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      BinaryDecode.extractFeatures(s, ppmImages(s, dir),
+          graft.operators.PpmMediaCodec)
+        .toDF().orderBy($"doc_id")
+    }),
+
+    // -- REAL resize + perceptual hash over decoded pixels --------------
+    // The other two codec kernels on the same real images: nearest-
+    // neighbor resample 8×8 → 4×4 re-emitted as a VALID P6 (the
+    // oracle rebuilds the exact output bytes — header included — so
+    // the resized payload is compared hex-for-hex), and the classic
+    // aHash over 16 nearest-neighbor luma samples (bit i set iff
+    // luma·n > Σluma, division-free). This is the LAION-style image
+    // fingerprint computed from real pixels; m05/m06 keep the stub
+    // variants for the formats the container cannot decode.
+    "m10_ppm_ahash_resize" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val imgs = ppmImages(s, dir)
+      val ph = BinaryDecode.perceptualHashes(s, imgs, grid = 16,
+        graft.operators.PpmMediaCodec).toDF()
+      val rz = BinaryDecode.resize(s, imgs, target = 4,
+          graft.operators.PpmMediaCodec).toDF()
+        .select($"doc_id", lower(hex($"payload")).as("resized_hex"))
+      ph.join(rz, Seq("doc_id"))
+        .select($"doc_id", $"n_samples", $"ahash", $"resized_hex")
+        .orderBy($"doc_id")
+    }),
+
     // -- stubbed decode via typed mapPartitions -------------------------
     "m02_stub_decode" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -264,7 +308,77 @@ object Multimodal extends QueryPack {
       |      AS BIGINT) AS ahash
       |  FROM sm)""".stripMargin
 
+  /** Deterministic 8×8 P6 images, one per document: header
+    * `P6\n8 8\n255\n` (hex 50360a3820380a3235350a) + 192 pixel bytes
+    * with byte i = (doc_id·31 + i·7) mod 256 — closed-form so the
+    * oracle can recompute decoded features without a parser.
+    */
+  private def ppmImages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).documents.select($"doc_id",
+      unhex(concat(lit("50360A3820380A3235350A"),
+        expr("concat_ws('', transform(sequence(0, 191), " +
+          "i -> lpad(hex((doc_id * 31 + i * 7) % 256), 2, '0')))")))
+        .as("payload"))
+  }
+
   override def oracles: Map[String, String] = Map(
+    // closed-form luma recompute — no parser on the oracle side; the
+    // hash-match proves the general netpbm parser read the same image
+    "m09_ppm_decode_real" ->
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |    ((d.doc_id * 31 + (3 * t.p) * 7) % 256) AS r,
+        |    ((d.doc_id * 31 + (3 * t.p + 1) * 7) % 256) AS g,
+        |    ((d.doc_id * 31 + (3 * t.p + 2) * 7) % 256) AS b
+        |  FROM documents d CROSS JOIN generate_series(0, 63) AS t(p)),
+        |lm AS (SELECT doc_id, (r + g + b) // 3 AS l FROM px)
+        |SELECT doc_id, CAST(203 AS BIGINT) AS n_bytes,
+        |  CAST(SUM(l) AS BIGINT) AS byte_sum,
+        |  CAST(SUM(CASE WHEN l // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS h0,
+        |  CAST(SUM(CASE WHEN l // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS h1,
+        |  CAST(SUM(CASE WHEN l // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS h2,
+        |  CAST(SUM(CASE WHEN l // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS h3
+        |FROM lm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // aHash samples pixel 4i (i·64/16); resize samples pixel
+    // (2·(q//4))·8 + 2·(q%4) — the oracle rebuilds the resized file
+    // byte-for-byte including its rewritten header
+    "m10_ppm_ahash_resize" ->
+      """WITH cell AS (
+        |  SELECT d.doc_id, t.i,
+        |    (((d.doc_id * 31 + (3 * (4 * t.i)) * 7) % 256)
+        |     + ((d.doc_id * 31 + (3 * (4 * t.i) + 1) * 7) % 256)
+        |     + ((d.doc_id * 31 + (3 * (4 * t.i) + 2) * 7) % 256)) // 3
+        |      AS l
+        |  FROM documents d CROSS JOIN generate_series(0, 15) AS t(i)),
+        |tot AS (SELECT doc_id, SUM(l) AS s FROM cell GROUP BY doc_id),
+        |hs AS (
+        |  SELECT c.doc_id, CAST(16 AS BIGINT) AS n_samples,
+        |    CAST(SUM(CASE WHEN c.l * 16 > t.s
+        |      THEN (CAST(1 AS BIGINT) << c.i) ELSE 0 END) AS BIGINT)
+        |      AS ahash
+        |  FROM cell c JOIN tot t USING (doc_id) GROUP BY c.doc_id),
+        |rp AS (
+        |  SELECT d.doc_id, t.q,
+        |    (2 * (t.q // 4)) * 8 + 2 * (t.q % 4) AS p
+        |  FROM documents d CROSS JOIN generate_series(0, 15) AS t(q)),
+        |rz AS (
+        |  SELECT doc_id,
+        |    '50360a3420340a3235350a' || string_agg(
+        |      lpad(lower(hex((doc_id * 31 + (3 * p) * 7) % 256)), 2, '0')
+        |      || lpad(lower(hex((doc_id * 31 + (3 * p + 1) * 7) % 256)),
+        |           2, '0')
+        |      || lpad(lower(hex((doc_id * 31 + (3 * p + 2) * 7) % 256)),
+        |           2, '0'), '' ORDER BY q) AS resized_hex
+        |  FROM rp GROUP BY doc_id)
+        |SELECT hs.doc_id, hs.n_samples, hs.ahash, rz.resized_hex
+        |FROM hs JOIN rz ON hs.doc_id = rz.doc_id
+        |ORDER BY hs.doc_id""".stripMargin,
     // sparse inner product replayed: signed 64-dim feature hash of
     // distinct caption tokens × the exploded quantized embedding
     "m08_caption_alignment" -> {
