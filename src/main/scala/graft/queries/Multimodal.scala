@@ -123,6 +123,56 @@ object Multimodal extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // -- REAL audio decode: RIFF/PCM WAV through the chunk walk ---------
+    // The audio sibling of m09: 16-bit PCM WAV is uncompressed, so
+    // [[graft.operators.WavCodec]] decodes it for real — genuine RIFF
+    // chunk grammar (foreign chunks skipped, odd sizes padded, fmt
+    // validated as integer PCM), features per frame over channel 0:
+    // absolute-amplitude mass and the sign-strict zero-crossing
+    // count (the classic cheap pitch/noisiness proxy). Payloads are
+    // closed-form mono 8 kHz files (sample j = signed 16-bit of
+    // (doc_id·37 + j·211) mod 2^16 under the canonical 44-byte
+    // header), so the oracle recomputes the features without a
+    // parser — the m09 differential-test discipline on audio bytes.
+    // MP3/AAC/FLAC remain environment-bound behind the stub.
+    "m11_wav_decode_real" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val header = "52494646a400000057415645666d7420100000000100" +
+        "0100401f0000803e00000200100064617461" + "80000000"
+      val wavs = Tables(s, dir).documents.select($"doc_id",
+        unhex(concat(lit(header),
+          expr("concat_ws('', transform(sequence(0, 63), j -> concat(" +
+            "lpad(hex((doc_id * 37 + j * 211) % 65536 % 256), 2, '0'), " +
+            "lpad(hex(((doc_id * 37 + j * 211) % 65536) div 256)," +
+            " 2, '0'))))"))).as("payload"))
+      graft.operators.WavCodec.extract(s, wavs).toDF()
+        .orderBy($"doc_id")
+    }),
+
+    // -- REAL video frame sampling: y4m through the container walk ------
+    // Completes the uncompressed-media triple (m09 image, m11 audio):
+    // YUV4MPEG2 is ffmpeg's raw interchange container, and
+    // [[graft.operators.Y4mCodec]] walks it for real — stream-header
+    // tag grammar, FRAME markers, planes sized by the colorspace tag
+    // (skipping U/V correctly IS container decoding) — emitting m03's
+    // frame sampling over DECODED frames: every 2nd frame's
+    // luma-plane sum/min/max, the per-frame feature video curation
+    // blocks on. Payloads are closed-form 4×4 C420 streams of 6
+    // frames (Y byte p of frame f = (doc_id·13 + f·101 + p·7) mod
+    // 256); the oracle recomputes the sampled stats without a parser.
+    // H.264/VP9 remain environment-bound behind the stub.
+    "m12_y4m_frames_real" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val vids = Tables(s, dir).documents.select($"doc_id",
+        unhex(concat(lit("595556344d50454732205734204834204632353a310a"),
+          expr("concat_ws('', transform(sequence(0, 5), f -> concat(" +
+            "'4652414d450a', concat_ws('', transform(sequence(0, 23), " +
+            "p -> lpad(hex((doc_id * 13 + f * 101 + p * 7) % 256), " +
+            "2, '0'))))))"))).as("payload"))
+      graft.operators.Y4mCodec.extract(s, vids, stride = 2).toDF()
+        .orderBy($"doc_id", $"frame_idx")
+    }),
+
     // -- stubbed decode via typed mapPartitions -------------------------
     "m02_stub_decode" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -344,6 +394,47 @@ object Multimodal extends QueryPack {
         |  CAST(SUM(CASE WHEN l // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS h3
         |FROM lm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // sampled frames (f % 2 = 0) recomputed closed-form over the 16
+    // Y-plane positions; chroma bytes never enter the features
+    "m12_y4m_frames_real" ->
+      """WITH yp AS (
+        |  SELECT d.doc_id, t.f, u.p,
+        |    ((d.doc_id * 13 + t.f * 101 + u.p * 7) % 256) AS y
+        |  FROM documents d
+        |  CROSS JOIN generate_series(0, 5) AS t(f)
+        |  CROSS JOIN generate_series(0, 15) AS u(p)
+        |  WHERE t.f % 2 = 0)
+        |SELECT doc_id, CAST(4 AS BIGINT) AS width,
+        |  CAST(4 AS BIGINT) AS height, CAST(6 AS BIGINT) AS n_frames,
+        |  CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(SUM(y) AS BIGINT) AS y_sum,
+        |  CAST(MIN(y) AS BIGINT) AS y_min,
+        |  CAST(MAX(y) AS BIGINT) AS y_max
+        |FROM yp GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // closed-form signed-16-bit recompute; LAG pairs adjacent frames
+    // for the sign-strict crossing count
+    "m11_wav_decode_real" ->
+      """WITH sm AS (
+        |  SELECT d.doc_id, t.j,
+        |    CASE WHEN ((d.doc_id * 37 + t.j * 211) % 65536) >= 32768
+        |         THEN ((d.doc_id * 37 + t.j * 211) % 65536) - 65536
+        |         ELSE ((d.doc_id * 37 + t.j * 211) % 65536) END AS s
+        |  FROM documents d CROSS JOIN generate_series(0, 63) AS t(j)),
+        |zc AS (
+        |  SELECT doc_id, s,
+        |    LAG(s) OVER (PARTITION BY doc_id ORDER BY j) AS prev
+        |  FROM sm)
+        |SELECT doc_id, CAST(172 AS BIGINT) AS n_bytes,
+        |  CAST(1 AS BIGINT) AS n_channels,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(64 AS BIGINT) AS n_samples,
+        |  CAST(SUM(ABS(s)) AS BIGINT) AS abs_sum,
+        |  CAST(SUM(CASE WHEN prev IS NOT NULL
+        |    AND ((s < 0) <> (prev < 0)) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS zero_crossings
+        |FROM zc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // aHash samples pixel 4i (i·64/16); resize samples pixel
     // (2·(q//4))·8 + 2·(q%4) — the oracle rebuilds the resized file
