@@ -173,6 +173,54 @@ object Multimodal extends QueryPack {
         .orderBy($"doc_id", $"frame_idx")
     }),
 
+    // -- REAL COMPRESSED-format decode: PNG via JDK zlib ----------------
+    // The claim "compressed formats are environment-bound" was never
+    // true for PNG on a JVM: DEFLATE ships in java.util.zip, and
+    // everything else in PNG is byte arithmetic. m13 runs the REAL
+    // pipeline: payloads are genuine PNGs produced by the codec's own
+    // encoder over closed-form 8×8 RGB pixels WITH a row%5 filter
+    // schedule (every filter type — None/Sub/Up/Average/Paeth — on
+    // real data), then decoded by the full parser (chunk walk with
+    // per-chunk CRC32 verification, IHDR validation, multi-IDAT
+    // inflation, bytewise filter undo). The deflate BYTES are not
+    // closed-form (so n_bytes is not emitted) but the decoded
+    // FEATURES are — the oracle recomputes them pixel-exactly, which
+    // makes the hash-match a full encoder→decoder round-trip proof
+    // including the filter algebra. JPEG stays environment-bound
+    // (entropy decode genuinely needs a library).
+    "m13_png_decode_real" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      BinaryDecode.extractFeatures(s, pngImages(s, dir),
+          graft.operators.PngMediaCodec)
+        .toDF()
+        .select($"doc_id", $"byte_sum", $"h0", $"h1", $"h2", $"h3")
+        .orderBy($"doc_id")
+    }),
+
+    // -- PNG resize + aHash: the full kernel set on compressed input ----
+    // m10's kernels through the PNG codec: aHash over the DECODED
+    // luma of the compressed payload, and nearest-neighbor resize
+    // re-encoded as a real PNG whose correctness is proven by
+    // DECODING IT AGAIN — the re-decoded luma mass is closed-form
+    // (sampled pixels), so the oracle pins the entire
+    // decode→resample→encode→decode loop without ever seeing a
+    // deflate byte.
+    "m14_png_ahash_resize" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val imgs = pngImages(s, dir)
+      val ph = BinaryDecode.perceptualHashes(s, imgs, grid = 16,
+        graft.operators.PngMediaCodec).toDF()
+      val rzf = BinaryDecode.extractFeatures(s,
+          BinaryDecode.resize(s, imgs, target = 4,
+            graft.operators.PngMediaCodec).toDF()
+            .select($"doc_id", $"payload"),
+          graft.operators.PngMediaCodec).toDF()
+        .select($"doc_id", $"byte_sum".as("rz_byte_sum"))
+      ph.join(rzf, Seq("doc_id"))
+        .select($"doc_id", $"n_samples", $"ahash", $"rz_byte_sum")
+        .orderBy($"doc_id")
+    }),
+
     // -- stubbed decode via typed mapPartitions -------------------------
     "m02_stub_decode" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -372,7 +420,76 @@ object Multimodal extends QueryPack {
         .as("payload"))
   }
 
+  /** Genuine PNGs over closed-form 8×8 RGB pixels (byte i of doc d =
+    * (d·29 + i·11) mod 256), encoded by the codec's own encoder with
+    * the row%5 filter schedule — the deflate bytes are opaque, the
+    * decoded pixels are closed-form.
+    */
+  private def pngImages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).documents.select($"doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val rgb = Array.tabulate(192)(i =>
+          ((id * 29 + i * 11) % 256).toByte)
+        (id, graft.operators.PngMediaCodec.encodeRgb8(8, 8, rgb))
+      }).toDF("doc_id", "payload")
+  }
+
   override def oracles: Map[String, String] = Map(
+    // pixel-exact closed-form recompute of the decoded luma features:
+    // the hash-match proves encode(filter row%5)→deflate→inflate→
+    // unfilter recovered every pixel
+    "m13_png_decode_real" ->
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |    ((d.doc_id * 29 + (3 * t.p) * 11) % 256) AS r,
+        |    ((d.doc_id * 29 + (3 * t.p + 1) * 11) % 256) AS g,
+        |    ((d.doc_id * 29 + (3 * t.p + 2) * 11) % 256) AS b
+        |  FROM documents d CROSS JOIN generate_series(0, 63) AS t(p)),
+        |lm AS (SELECT doc_id, (r + g + b) // 3 AS l FROM px)
+        |SELECT doc_id,
+        |  CAST(SUM(l) AS BIGINT) AS byte_sum,
+        |  CAST(SUM(CASE WHEN l // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS h0,
+        |  CAST(SUM(CASE WHEN l // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS h1,
+        |  CAST(SUM(CASE WHEN l // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS h2,
+        |  CAST(SUM(CASE WHEN l // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS h3
+        |FROM lm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // aHash samples pixel 4i; the re-decoded resize samples pixel
+    // (2y)·8 + 2x — the loop decode→resample→encode→decode pinned
+    // without a deflate byte in sight
+    "m14_png_ahash_resize" ->
+      """WITH cell AS (
+        |  SELECT d.doc_id, t.i,
+        |    (((d.doc_id * 29 + (3 * (4 * t.i)) * 11) % 256)
+        |     + ((d.doc_id * 29 + (3 * (4 * t.i) + 1) * 11) % 256)
+        |     + ((d.doc_id * 29 + (3 * (4 * t.i) + 2) * 11) % 256)) // 3
+        |      AS l
+        |  FROM documents d CROSS JOIN generate_series(0, 15) AS t(i)),
+        |tot AS (SELECT doc_id, SUM(l) AS s FROM cell GROUP BY doc_id),
+        |hs AS (
+        |  SELECT c.doc_id, CAST(16 AS BIGINT) AS n_samples,
+        |    CAST(SUM(CASE WHEN c.l * 16 > t.s
+        |      THEN (CAST(1 AS BIGINT) << c.i) ELSE 0 END) AS BIGINT)
+        |      AS ahash
+        |  FROM cell c JOIN tot t USING (doc_id) GROUP BY c.doc_id),
+        |rz AS (
+        |  SELECT d.doc_id, CAST(SUM((
+        |    ((d.doc_id * 29 + (3 * ((2 * (t.q // 4)) * 8 + 2 * (t.q % 4)))
+        |      * 11) % 256)
+        |    + ((d.doc_id * 29 + (3 * ((2 * (t.q // 4)) * 8 + 2 * (t.q % 4))
+        |        + 1) * 11) % 256)
+        |    + ((d.doc_id * 29 + (3 * ((2 * (t.q // 4)) * 8 + 2 * (t.q % 4))
+        |        + 2) * 11) % 256)) // 3) AS BIGINT) AS rz_byte_sum
+        |  FROM documents d CROSS JOIN generate_series(0, 15) AS t(q)
+        |  GROUP BY d.doc_id)
+        |SELECT hs.doc_id, hs.n_samples, hs.ahash, rz.rz_byte_sum
+        |FROM hs JOIN rz ON hs.doc_id = rz.doc_id
+        |ORDER BY hs.doc_id""".stripMargin,
     // closed-form luma recompute — no parser on the oracle side; the
     // hash-match proves the general netpbm parser read the same image
     "m09_ppm_decode_real" ->
