@@ -384,6 +384,43 @@ object Corpus extends QueryPack {
         .orderBy($"source")
     }),
 
+    // -- c16: WARC-over-gzip ingestion — the corpus front door ----------
+    // Common Crawl's actual wire format, decoded for REAL at both
+    // layers (gzip = JDK zlib, WARC/1.0 = Content-Length-framed text
+    // records — [[graft.operators.WarcIngest]]): per-record type,
+    // target URI and first-gate text stats out of a compressed
+    // archive payload. Payloads are genuine gzip members built over
+    // closed-form record bodies, so the oracle recomputes every
+    // emitted field without touching a compressed byte — same
+    // differential discipline as m13 (PLANS §79). The length framing
+    // is the load-bearing part: bodies may contain record-boundary
+    // look-alikes, and only Content-Length reads them correctly
+    // (spec-pinned). At 100 TB this mapPartitions boundary is where
+    // the archive byte stream dies and the curation funnel begins.
+    "c16_warc_ingest" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val payloads = Tables(s, dir).documents.select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          def body(r: Int) = (0 until 10)
+            .map(j => s"tok${(id * 7 + r * 3 + j) % 50}").mkString(" ")
+          val w = (0 until 3).map { r =>
+            val b = body(r)
+            s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Record-ID: <urn:uuid:$id-$r>\r\n" +
+              s"WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+              s"WARC-Target-URI: http://example.com/$id/$r\r\n" +
+              s"Content-Length: ${b.getBytes("UTF-8").length}\r\n\r\n" +
+              b + "\r\n\r\n"
+          }.mkString
+          val out = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(out)
+          g.write(w.getBytes("UTF-8")); g.close()
+          (id, out.toByteArray)
+        }).toDF("doc_id", "payload")
+      graft.operators.WarcIngest.extract(s, payloads).toDF()
+        .orderBy($"doc_id", $"rec_idx")
+    }),
+
     // -- pack slices: the loader-facing materialization of c04 ----------
     // Each (doc, pack) intersection as an exact token slice: which
     // range of the doc fills which position of which context window.
@@ -405,6 +442,27 @@ object Corpus extends QueryPack {
     val sampleBucket = Sampling.duckHashBucketPm("doc_id", "sample")
     val mixBucket = Sampling.duckHashBucketPm("doc_id", "mix")
     Map(
+      // closed-form record recompute: token v = (d·7 + r·3 + j) mod
+      // 50 renders as "tok<v>" (4 or 5 chars), 10 tokens + 9 spaces
+      "c16_warc_ingest" ->
+        """WITH tk AS (
+          |  SELECT d.doc_id, r.r,
+          |    ((d.doc_id * 7 + r.r * 3 + j.j) % 50) AS v
+          |  FROM documents d
+          |  CROSS JOIN generate_series(0, 2) AS r(r)
+          |  CROSS JOIN generate_series(0, 9) AS j(j)),
+          |agg AS (
+          |  SELECT doc_id, r,
+          |    CAST(SUM(4 + CASE WHEN v >= 10 THEN 1 ELSE 0 END) + 9
+          |      AS BIGINT) AS n_chars
+          |  FROM tk GROUP BY doc_id, r)
+          |SELECT doc_id, CAST(r AS BIGINT) AS rec_idx,
+          |  'response' AS warc_type,
+          |  'http://example.com/' || doc_id || '/' || r AS target_uri,
+          |  n_chars AS content_length, n_chars,
+          |  CAST(10 AS BIGINT) AS n_tokens
+          |FROM agg ORDER BY doc_id, rec_idx""".stripMargin,
+
       "c01_deterministic_split" ->
         s"""SELECT source,
            |  CASE WHEN $bucket < 800 THEN 'train'

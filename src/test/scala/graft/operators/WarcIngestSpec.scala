@@ -1,0 +1,72 @@
+package graft.operators
+
+import java.util.zip.GZIPOutputStream
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The real WARC-over-gzip reader: Content-Length framing (bodies
+  * containing fake record boundaries must NOT split), header grammar,
+  * multi-record streams, and the malformed classes.
+  */
+class WarcIngestSpec extends AnyFunSuite {
+
+  private def gz(s: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val g = new GZIPOutputStream(out)
+    g.write(s.getBytes("UTF-8")); g.close()
+    out.toByteArray
+  }
+
+  private def rec(typ: String, uri: String, body: String,
+      extra: String = ""): String =
+    s"WARC/1.0\r\nWARC-Type: $typ\r\n" +
+      s"WARC-Target-URI: $uri\r\n$extra" +
+      s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n" +
+      body + "\r\n\r\n"
+
+  test("two records with extra headers parse; token stats computed") {
+    val w = rec("response", "http://a/1", "hello  warc world",
+      extra = "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+        "WARC-Record-ID: <urn:uuid:x>\r\n") +
+      rec("metadata", "http://a/2", "one two")
+    val got = WarcIngest.records(5L, gz(w))
+    assert(got.map(r => (r.rec_idx, r.warc_type, r.target_uri,
+      r.n_tokens)) ===
+      Seq((0L, "response", "http://a/1", 3L),
+        (1L, "metadata", "http://a/2", 2L)))
+  }
+
+  test("length framing: a body containing WARC/1.0 does not split") {
+    val body = "decoy\r\n\r\nWARC/1.0\r\nfake: header\r\n\r\nstill body"
+    val got = WarcIngest.records(1L, gz(rec("response", "http://b", body)))
+    assert(got.size === 1)
+    assert(got.head.n_chars === body.length.toLong)
+  }
+
+  test("header names are case-insensitive") {
+    val body = "x"
+    val w = "WARC/1.0\r\nwarc-type: response\r\n" +
+      "CONTENT-LENGTH: 1\r\n\r\n" + body + "\r\n\r\n"
+    val got = WarcIngest.records(2L, gz(w))
+    assert(got.head.warc_type === "response" &&
+      got.head.content_length === 1L)
+  }
+
+  test("malformed streams yield the sentinel, never throw") {
+    val good = gz(rec("response", "http://c", "abc"))
+    val cases: Seq[Array[Byte]] = Seq(
+      "not gzip at all".getBytes("UTF-8"),
+      good.dropRight(4), // truncated gzip member (CRC missing)
+      gz("HTTP/1.1 200 OK\r\n\r\n"), // not a WARC version line
+      gz("WARC/1.0\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n"), // no length
+      gz("WARC/1.0\r\nContent-Length: 999\r\n\r\nshort\r\n\r\n"), // overrun
+      gz("WARC/1.0\r\nContent-Length: 3\r\n\r\nabcXX"), // bad separator
+      gz(""), // empty member
+      Array.emptyByteArray)
+    for (b <- cases) {
+      val got = WarcIngest.records(9L, b)
+      assert(got.map(_.rec_idx) === Seq(-1L),
+        s"expected sentinel for ${b.length}B")
+    }
+  }
+}
