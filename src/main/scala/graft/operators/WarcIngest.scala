@@ -117,3 +117,46 @@ object WarcIngest {
       .mapPartitions(_.flatMap { case (id, b) => records(id, b) })
   }
 }
+
+/** The OTHER standard corpus wire format: zstd-compressed JSONL
+  * (`.jsonl.zst` — what modern training stacks ship instead of
+  * WARC.gz). The zstd codec is REAL and already on the engine's
+  * classpath — Spark itself links zstd-jni for shuffle/parquet
+  * compression — so decoding it adds no dependency. This operator
+  * does exactly the byte-layer half (streaming decompress + line
+  * split); the JSON half belongs to Spark's NATIVE `from_json`
+  * downstream, which is the point: after the mapPartitions boundary
+  * the plan is codegen'd columnar parsing, not UDF string handling.
+  * Malformed members (bad magic, truncated frames) yield the
+  * sentinel (`rec_idx = -1`), never an exception.
+  */
+object ZstdLines {
+
+  final case class JsonlLine(doc_id: Long, rec_idx: Long, line: String)
+
+  def lines(docId: Long, zstBytes: Array[Byte]): Seq[JsonlLine] =
+    try {
+      val in = new com.github.luben.zstd.ZstdInputStream(
+        new java.io.ByteArrayInputStream(zstBytes))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      val ls = new String(out.toByteArray, "UTF-8")
+        .split("\n", -1).filter(_.nonEmpty)
+      if (ls.isEmpty) Seq(JsonlLine(docId, -1L, ""))
+      else ls.zipWithIndex.map { case (l, i) =>
+        JsonlLine(docId, i.toLong, l)
+      }.toSeq
+    } catch {
+      case _: java.io.IOException => Seq(JsonlLine(docId, -1L, ""))
+    }
+
+  def extract(spark: SparkSession,
+      binary: DataFrame): Dataset[JsonlLine] = {
+    import spark.implicits._
+    binary.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) => lines(id, b) })
+  }
+}

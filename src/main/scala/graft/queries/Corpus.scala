@@ -421,6 +421,41 @@ object Corpus extends QueryPack {
         .orderBy($"doc_id", $"rec_idx")
     }),
 
+    // -- c17: zstd JSONL ingestion — the modern corpus wire format ------
+    // What training stacks ship today instead of WARC.gz: zstd-
+    // compressed JSONL. The zstd decode is REAL (zstd-jni is already
+    // on the engine's classpath — Spark links it for shuffle
+    // compression) and deliberately stops at the byte layer
+    // ([[graft.operators.ZstdLines]]: streaming decompress + line
+    // split); the JSON parse is Spark's NATIVE from_json, so after
+    // the mapPartitions boundary the plan is codegen'd columnar
+    // parsing, not UDF string handling. Closed-form line contents →
+    // the oracle recomputes every field without a compressed byte.
+    "c17_jsonl_zstd_ingest" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val langs = Array("en", "de", "fr")
+      val payloads = Tables(s, dir).documents.select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val lines = (0 until 4).map { k =>
+            val text = (0 until k + 3).map(j => s"t$j").mkString(" ")
+            s"""{"id": ${id * 10 + k}, "lang": """ +
+              s""""${langs(((id + k) % 3).toInt)}", "text": "$text"}"""
+          }.mkString("\n")
+          val bos = new java.io.ByteArrayOutputStream()
+          val z = new com.github.luben.zstd.ZstdOutputStream(bos)
+          z.write(lines.getBytes("UTF-8")); z.close()
+          (id, bos.toByteArray)
+        }).toDF("doc_id", "payload")
+      graft.operators.ZstdLines.extract(s, payloads).toDF()
+        .select($"doc_id", $"rec_idx",
+          expr("from_json(line, 'id BIGINT, lang STRING, text STRING')")
+            .as("j"))
+        .select($"doc_id", $"rec_idx", $"j.id".as("id"),
+          $"j.lang".as("lang"),
+          size(split($"j.text", " ")).cast("long").as("n_words"))
+        .orderBy($"doc_id", $"rec_idx")
+    }),
+
     // -- pack slices: the loader-facing materialization of c04 ----------
     // Each (doc, pack) intersection as an exact token slice: which
     // range of the doc fills which position of which context window.
@@ -462,6 +497,17 @@ object Corpus extends QueryPack {
           |  n_chars AS content_length, n_chars,
           |  CAST(10 AS BIGINT) AS n_tokens
           |FROM agg ORDER BY doc_id, rec_idx""".stripMargin,
+
+      "c17_jsonl_zstd_ingest" ->
+        """WITH ln AS (
+          |  SELECT d.doc_id, k.k FROM documents d
+          |  CROSS JOIN generate_series(0, 3) AS k(k))
+          |SELECT doc_id, CAST(k AS BIGINT) AS rec_idx,
+          |  CAST(doc_id * 10 + k AS BIGINT) AS id,
+          |  CASE (doc_id + k) % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+          |    ELSE 'fr' END AS lang,
+          |  CAST(k + 3 AS BIGINT) AS n_words
+          |FROM ln ORDER BY doc_id, rec_idx""".stripMargin,
 
       "c01_deterministic_split" ->
         s"""SELECT source,

@@ -52,6 +52,19 @@ class WarcIngestSpec extends AnyFunSuite {
       got.head.content_length === 1L)
   }
 
+  test("zstd lines: round-trip split and malformed sentinel") {
+    val text = "line one\nline two\n\nline three"
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new com.github.luben.zstd.ZstdOutputStream(bos)
+    z.write(text.getBytes("UTF-8")); z.close()
+    val got = ZstdLines.lines(7L, bos.toByteArray)
+    assert(got.map(_.line) === Seq("line one", "line two", "line three"))
+    assert(got.map(_.rec_idx) === Seq(0L, 1L, 2L))
+    for (bad <- Seq("not zstd".getBytes("UTF-8"),
+        bos.toByteArray.dropRight(3), Array.emptyByteArray))
+      assert(ZstdLines.lines(9L, bad).map(_.rec_idx) === Seq(-1L))
+  }
+
   test("malformed streams yield the sentinel, never throw") {
     val good = gz(rec("response", "http://c", "abc"))
     val cases: Seq[Array[Byte]] = Seq(
