@@ -329,12 +329,19 @@ object PropertySpec extends Properties("graft") {
   private def canon(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.optimizedPlan.canonicalized.toString
 
-  private val eaggShape: Gen[(String, List[String], List[String])] = for {
-    jt <- Gen.oneOf("inner", "left_outer", "left_semi")
-    gb <- Gen.someOf(List("grp_d", "flag_f")).map(_.toList)
-    aggs <- Gen.atLeastOne(List("count", "sum_f", "min_f", "max_f",
-      "avg_f", "cd_f", "sum_d")).map(_.toList)
-  } yield (jt, gb, aggs)
+  // every generator mixes ~30% canonical KNOWN-FIRING shapes into the
+  // random stream, so both dichotomy branches (fire ⇒ equal, decline
+  // ⇒ untouched) are exercised on every run — a purely random mix
+  // could spend all 8 cases on declines and never test the fire arm
+  private val eaggShape: Gen[(String, List[String], List[String])] =
+    Gen.frequency(
+      3 -> Gen.const(("inner", List("grp_d"), List("count", "sum_f"))),
+      7 -> (for {
+        jt <- Gen.oneOf("inner", "left_outer", "left_semi")
+        gb <- Gen.someOf(List("grp_d", "flag_f")).map(_.toList)
+        aggs <- Gen.atLeastOne(List("count", "sum_f", "min_f", "max_f",
+          "avg_f", "cd_f", "sum_d")).map(_.toList)
+      } yield (jt, gb, aggs)))
 
   property("eager-agg dichotomy over random join/grouping/measure " +
       "shapes: fires ⇒ equal, declines ⇒ plan untouched") =
@@ -379,16 +386,25 @@ object PropertySpec extends Properties("graft") {
         val q1 = q()
         val fired = q1.queryExecution.optimizedPlan.toString
           .contains("geag_")
-        if (fired) q1.collect().toSeq == r0 else canon(q()) == p0
+        // the canonical seeded shape MUST fire — a silently-dead rule
+        // would otherwise pass every case through the decline branch
+        val mustFire = jt == "inner" && gb == List("grp_d") &&
+          aggs == List("count", "sum_f")
+        (!mustFire || fired) &&
+          (if (fired) q1.collect().toSeq == r0 else canon(q()) == p0)
       } finally graft.plans.EagerAggregation.unregister(lic)
     }
 
-  private val mvShape: Gen[(Boolean, List[String], List[String])] = for {
-    withFilter <- Gen.oneOf(true, false)
-    gb <- Gen.someOf(List("k1", "k2", "nonkey")).map(_.toList)
-    aggs <- Gen.atLeastOne(List("count", "sum_dec", "min", "max",
-      "avg", "sum_plain", "cd")).map(_.toList)
-  } yield (withFilter, gb, aggs)
+  private val mvShape: Gen[(Boolean, List[String], List[String])] =
+    Gen.frequency(
+      3 -> Gen.const((false, List("k1", "k2"),
+        List("count", "sum_dec"))),
+      7 -> (for {
+        withFilter <- Gen.oneOf(true, false)
+        gb <- Gen.someOf(List("k1", "k2", "nonkey")).map(_.toList)
+        aggs <- Gen.atLeastOne(List("count", "sum_dec", "min", "max",
+          "avg", "sum_plain", "cd")).map(_.toList)
+      } yield (withFilter, gb, aggs)))
 
   property("matview-route dichotomy over random filter/grouping/" +
       "measure shapes") =
@@ -443,15 +459,21 @@ object PropertySpec extends Properties("graft") {
         val q1 = q()
         val fired = q1.queryExecution.optimizedPlan.toString
           .contains("mvprop_")
-        if (fired) q1.collect().toSeq == r0 else canon(q()) == p0
+        val mustFire = !withFilter && gb == List("k1", "k2") &&
+          aggs == List("count", "sum_dec")
+        (!mustFire || fired) &&
+          (if (fired) q1.collect().toSeq == r0 else canon(q()) == p0)
       } finally graft.plans.MatviewRewrite.unregister(base)
     }
 
-  private val fkShape: Gen[(String, Boolean, Boolean)] = for {
-    jt <- Gen.oneOf("inner", "left_outer")
-    readDim <- Gen.oneOf(true, false)
-    dimFiltered <- Gen.oneOf(true, false)
-  } yield (jt, readDim, dimFiltered)
+  private val fkShape: Gen[(String, Boolean, Boolean)] =
+    Gen.frequency(
+      3 -> Gen.const(("inner", false, false)),
+      7 -> (for {
+        jt <- Gen.oneOf("inner", "left_outer")
+        readDim <- Gen.oneOf(true, false)
+        dimFiltered <- Gen.oneOf(true, false)
+      } yield (jt, readDim, dimFiltered)))
 
   property("fk-join-elimination dichotomy over random join/column/" +
       "filter shapes") =
@@ -487,7 +509,9 @@ object PropertySpec extends Properties("graft") {
         // fired ⇔ the dimension scan is gone from the physical plan
         val fired = !q1.queryExecution.executedPlan.toString
           .contains("/dim")
-        if (fired) q1.collect().toSeq == r0 else canon(q()) == p0
+        val mustFire = jt == "inner" && !readDim && !dimFiltered
+        (!mustFire || fired) &&
+          (if (fired) q1.collect().toSeq == r0 else canon(q()) == p0)
       } finally graft.plans.FkJoinElimination.unregister(lic)
     }
 
