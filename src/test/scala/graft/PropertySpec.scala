@@ -515,6 +515,63 @@ object PropertySpec extends Properties("graft") {
       } finally graft.plans.FkJoinElimination.unregister(lic)
     }
 
+  // ---- codec totality fuzz ------------------------------------------
+  // every decoder's contract is "one poison blob must not kill a
+  // 100 TB job": arbitrary garbage AND random single-byte corruptions
+  // of VALID payloads must produce a row (possibly the sentinel),
+  // never an exception. Corrupted-valid inputs are the sharper probe —
+  // they reach deep parser states that pure garbage never does.
+  private val fuzzCase: Gen[(Int, List[Byte], Int, Byte)] = for {
+    codec <- Gen.chooseNum(0, 4)
+    garbage <- Gen.listOfN(300, Gen.chooseNum(-128, 127).map(_.toByte))
+    flipAt <- Gen.chooseNum(0, 10000)
+    flipTo <- Gen.chooseNum(-128, 127).map(_.toByte)
+  } yield (codec, garbage, flipAt, flipTo)
+
+  property("codecs are total: garbage and corrupted payloads never throw") =
+    forAll(fuzzCase) { case (codec, garbage, flipAt, flipTo) =>
+      import graft.operators._
+      val valid: Array[Byte] = codec match {
+        case 0 => PngMediaCodec.encodeRgb8(6, 5,
+          Array.tabulate(90)(i => (i * 7).toByte))
+        case 1 => ("P6\n4 3\n255\n" + "x" * 36).getBytes("US-ASCII")
+        case 2 =>
+          val out = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(out)
+          g.write(("WARC/1.0\r\nWARC-Type: response\r\n" +
+            "Content-Length: 5\r\n\r\nhello\r\n\r\n").getBytes("UTF-8"))
+          g.close(); out.toByteArray
+        case 3 =>
+          val out = new java.io.ByteArrayOutputStream()
+          val z = new com.github.luben.zstd.ZstdOutputStream(out)
+          z.write("{\"a\":1}\n{\"a\":2}".getBytes("UTF-8"))
+          z.close(); out.toByteArray
+        case _ => ("YUV4MPEG2 W2 H2 F25:1\nFRAME\n" + "abcdef")
+          .getBytes("US-ASCII")
+      }
+      val corrupted = valid.clone()
+      corrupted(flipAt % corrupted.length) = flipTo
+      val inputs = Seq(garbage.toArray, corrupted, valid)
+      inputs.forall { b =>
+        codec match {
+          case 0 =>
+            PngMediaCodec.decode(1L, b)
+            PngMediaCodec.resize(b, 2)
+            PngMediaCodec.perceptualHash(1L, b, 8); true
+          case 1 =>
+            PpmMediaCodec.decode(1L, b)
+            PpmMediaCodec.resize(b, 2)
+            PpmMediaCodec.perceptualHash(1L, b, 8); true
+          case 2 => WarcIngest.records(1L, b).nonEmpty
+          case 3 => ZstdLines.lines(1L, b).nonEmpty
+          case _ => Y4mCodec.frameSample(1L, b, 2).nonEmpty
+        }
+      } && {
+        WavCodec.decode(1L, garbage.toArray) // WAV on garbage too
+        true
+      }
+    }
+
   property("hub delivers any sequence exactly once, in order") =
     forAll(Gen.listOfN(25, Gen.chooseNum(Int.MinValue, Int.MaxValue))) { xs =>
       val engine = new graft.streaming.EventEngine(spark)
