@@ -399,25 +399,8 @@ object Corpus extends QueryPack {
     // the archive byte stream dies and the curation funnel begins.
     "c16_warc_ingest" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val payloads = Tables(s, dir).documents.select($"doc_id").as[Long]
-        .mapPartitions(_.map { id =>
-          def body(r: Int) = (0 until 10)
-            .map(j => s"tok${(id * 7 + r * 3 + j) % 50}").mkString(" ")
-          val w = (0 until 3).map { r =>
-            val b = body(r)
-            s"WARC/1.0\r\nWARC-Type: response\r\n" +
-              s"WARC-Record-ID: <urn:uuid:$id-$r>\r\n" +
-              s"WARC-Date: 2024-01-01T00:00:00Z\r\n" +
-              s"WARC-Target-URI: http://example.com/$id/$r\r\n" +
-              s"Content-Length: ${b.getBytes("UTF-8").length}\r\n\r\n" +
-              b + "\r\n\r\n"
-          }.mkString
-          val out = new java.io.ByteArrayOutputStream()
-          val g = new java.util.zip.GZIPOutputStream(out)
-          g.write(w.getBytes("UTF-8")); g.close()
-          (id, out.toByteArray)
-        }).toDF("doc_id", "payload")
-      graft.operators.WarcIngest.extract(s, payloads).toDF()
+      graft.operators.WarcIngest.extract(s, Corpus.warcPayloads(s, dir))
+        .toDF()
         .orderBy($"doc_id", $"rec_idx")
     }),
 
@@ -471,6 +454,34 @@ object Corpus extends QueryPack {
         .orderBy($"shard", $"pack_id", $"pos_in_pack")
     })
   )
+
+  /** Closed-form WARC.gz archives, one per document: 3 records of 10
+    * tokens (`tok<(d·7 + r·3 + j) mod 50>`), genuine gzip members —
+    * shared by the batch (c16) and streaming (st40) front doors so
+    * both ingest the identical archive set.
+    */
+  private[queries] def warcPayloads(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).documents.select($"doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        def body(r: Int) = (0 until 10)
+          .map(j => s"tok${(id * 7 + r * 3 + j) % 50}").mkString(" ")
+        val w = (0 until 3).map { r =>
+          val b = body(r)
+          s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Record-ID: <urn:uuid:$id-$r>\r\n" +
+            s"WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+            s"WARC-Target-URI: http://example.com/$id/$r\r\n" +
+            s"Content-Length: ${b.getBytes("UTF-8").length}\r\n\r\n" +
+            b + "\r\n\r\n"
+        }.mkString
+        val out = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(out)
+        g.write(w.getBytes("UTF-8")); g.close()
+        (id, out.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
 
   override def oracles: Map[String, String] = {
     val bucket = Sampling.duckHashBucketPm("doc_id", "split")

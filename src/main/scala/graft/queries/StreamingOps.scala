@@ -1594,6 +1594,78 @@ object StreamingOps extends QueryPack {
         .orderBy($"c_mktsegment")
     }),
 
+    // -- streaming WARC ingestion: the front door runs continuously -----
+    // c16's Common Crawl shape as the job it actually is in
+    // production: archives LAND continuously and the curation funnel
+    // ingests them per micro-batch. The staged archive set (binary
+    // payloads, 4 files drained one per trigger) streams through
+    // foreachBatch; each batch runs the REAL two-layer decode
+    // (gzip + Content-Length-framed WARC walk) on just its arrivals
+    // and folds the per-position rollup into the serving snapshot
+    // additively (st37's batchId-idempotence discipline — a retried
+    // batch can never double-ingest an archive). The result is
+    // batching-independent by additivity, so the oracle is the
+    // closed-form batch recompute over ALL archives. At 100 TB this
+    // is the deployment: per-batch cost ∝ the hour's crawl, the
+    // corpus is never re-read, and the wide compressed bytes die
+    // inside the batch.
+    "st40_stream_warc_ingest" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val stageDir = stageDeterministic(s, "stream-warc", dir,
+        Corpus.warcPayloads(s, dir), 4, Seq($"doc_id"))
+      val schema = s.read.parquet(stageDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDir)
+      val servingRoot = java.nio.file.Files
+        .createTempDirectory("graft-stwarc-").toString
+      var latest: Option[String] = None
+      var batches = 0
+      var lastApplied = -1L
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = stream.writeStream
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch {
+            (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+              if (batchId > lastApplied) {
+                val delta = graft.operators.WarcIngest
+                  .extract(s, batch.toDF()).toDF()
+                  .groupBy($"rec_idx")
+                  .agg(count(lit(1)).as("n_records"),
+                    sum($"n_chars").as("total_chars"),
+                    sum($"n_tokens").as("total_tokens"))
+                val merged = latest match {
+                  case None => delta
+                  case Some(p) => graft.operators.IncrementalAgg
+                    .mergeAdditive(s.read.parquet(p), delta,
+                      keys = Seq("rec_idx"))
+                }
+                val next = s"$servingRoot/v$batchId"
+                merged.write.mode("overwrite").parquet(next)
+                latest.foreach { p =>
+                  val fs = new org.apache.hadoop.fs.Path(p)
+                  fs.getFileSystem(s.sparkContext.hadoopConfiguration)
+                    .delete(fs, true)
+                }
+                latest = Some(next)
+                lastApplied = batchId
+                batches += 1
+              }
+          }
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      require(batches >= 4,
+        s"expected >= 4 incremental micro-batches, saw $batches")
+      s.read.parquet(latest.get)
+        .select($"rec_idx", $"n_records".cast("long").as("n_records"),
+          $"total_chars".cast("long").as("total_chars"),
+          $"total_tokens".cast("long").as("total_tokens"))
+        .orderBy($"rec_idx")
+    }),
+
     // -- streaming join-view IVM with a CHANGING dimension --------------
     // st28 maintains the join view against a STATIC dimension, so its
     // per-batch delta is only ΔA⋈B. This query runs x27's FULL
@@ -2429,6 +2501,25 @@ object StreamingOps extends QueryPack {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment, event_type
         |ORDER BY c_mktsegment, event_type""".stripMargin,
+
+    // the closed-form batch recompute over ALL archives — streaming
+    // ingestion must be batching-invisible by additivity
+    "st40_stream_warc_ingest" ->
+      """WITH tk AS (
+        |  SELECT d.doc_id, r.r,
+        |    ((d.doc_id * 7 + r.r * 3 + j.j) % 50) AS v
+        |  FROM documents d
+        |  CROSS JOIN generate_series(0, 2) AS r(r)
+        |  CROSS JOIN generate_series(0, 9) AS j(j)),
+        |agg AS (
+        |  SELECT doc_id, r,
+        |    SUM(4 + CASE WHEN v >= 10 THEN 1 ELSE 0 END) + 9 AS n_chars
+        |  FROM tk GROUP BY doc_id, r)
+        |SELECT CAST(r AS BIGINT) AS rec_idx,
+        |  CAST(COUNT(*) AS BIGINT) AS n_records,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(COUNT(*) * 10 AS BIGINT) AS total_tokens
+        |FROM agg GROUP BY r ORDER BY rec_idx""".stripMargin,
 
     // the un-eager spelling: the hash-match proves the per-batch
     // partial aggregation before the broadcast join changed nothing
