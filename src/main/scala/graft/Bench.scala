@@ -109,10 +109,11 @@ object Bench {
           val nRe = """"n_queries":([0-9]+)""".r
           val oldTotal = totalRe.findFirstMatchIn(old).map(_.group(1).toDouble)
           val oldN = nRe.findFirstMatchIn(old).map(_.group(1).toInt)
-            // pre-n_queries artifacts: count per-query entries, minus
-            // the informational .build/.probe breakdown lines
-            .orElse(Some("\"[a-z0-9_]+\":[0-9]".r
-              .findAllIn(old).size - "\\.(build|probe)\":".r
+            // pre-n_queries artifacts: count per-query entries inside
+            // the queries map only (query ids carry a '_'), minus the
+            // informational .build/.probe breakdown lines
+            .orElse(Some("\"[a-z0-9]+_[a-z0-9_.]*\":[0-9]".r
+              .findAllIn(old).size - "\\.(build|probe)\":[0-9]".r
               .findAllIn(old).size))
             .filter(_ > 0)
           for (t <- oldTotal; n <- oldN) yield t / n
