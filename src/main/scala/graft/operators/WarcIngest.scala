@@ -118,6 +118,140 @@ object WarcIngest {
   }
 }
 
+/** The third archive family a corpus pipeline meets: POSIX ustar —
+  * `.tar.gz` bundles of text files (how Pile-style corpus components
+  * ship). Tar is pure 512-byte-block framing: a header block (name,
+  * 12-digit octal size, an 8-byte checksum computed with the
+  * checksum field blanked to spaces), the body rounded up to whole
+  * blocks, terminated by two zero blocks. The walk VERIFIES each
+  * header checksum (both the unsigned-sum spec form and the
+  * signed-sum historical form are accepted, per the format's
+  * compatibility rule) and skips non-regular entries (directories,
+  * symlinks) by typeflag. Gzip layer = JDK zlib, as in [[WarcIngest]].
+  * Malformed archives (bad checksum, truncated body, non-octal size)
+  * yield the sentinel (`entry_idx = -1`), never an exception.
+  */
+object TarIngest {
+
+  final case class TarEntry(
+      doc_id: Long,
+      entry_idx: Long,
+      name: String,
+      n_bytes: Long,
+      n_tokens: Long)
+
+  private def sentinel(docId: Long) =
+    Seq(TarEntry(docId, -1L, "", 0L, 0L))
+
+  private def cstr(b: Array[Byte], off: Int, len: Int): String = {
+    var end = off
+    while (end < off + len && b(end) != 0) end += 1
+    new String(b, off, end - off, "UTF-8")
+  }
+
+  private def octal(b: Array[Byte], off: Int, len: Int): Option[Long] = {
+    var v = 0L
+    var i = off
+    var seen = false
+    while (i < off + len && (b(i) == ' ' || b(i) == 0)) i += 1
+    while (i < off + len && b(i) >= '0' && b(i) <= '7') {
+      v = v * 8 + (b(i) - '0'); i += 1; seen = true
+    }
+    if (seen) Some(v) else None
+  }
+
+  def entries(docId: Long, gzBytes: Array[Byte]): Seq[TarEntry] = {
+    val bytes = WarcIngest.gunzip(gzBytes) match {
+      case None => return sentinel(docId)
+      case Some(b) => b
+    }
+    val n = bytes.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[TarEntry]
+    var i = 0
+    var idx = 0
+    while (i + 512 <= n) {
+      if ((i until i + 512).forall(bytes(_) == 0)) return finish(out, docId)
+      // checksum: header bytes summed with the chksum field (148..155)
+      // read as spaces; unsigned or (historical) signed byte sums
+      var us = 0L
+      var ss = 0L
+      var j = 0
+      while (j < 512) {
+        val raw: Int =
+          if (j >= 148 && j < 156) ' ' else bytes(i + j)
+        us += raw & 0xff
+        ss += raw.toByte
+        j += 1
+      }
+      val stored = octal(bytes, i + 148, 8).getOrElse(return sentinel(docId))
+      if (stored != us && stored != ss) return sentinel(docId)
+      val name = cstr(bytes, i, 100)
+      val size = octal(bytes, i + 124, 12).getOrElse(return sentinel(docId))
+      val typeflag = bytes(i + 156)
+      val body = i + 512
+      if (body + size > n) return sentinel(docId)
+      if (typeflag == 0 || typeflag == '0') { // regular file
+        val text = new String(bytes, body, size.toInt, "UTF-8")
+        out += TarEntry(docId, idx.toLong, name, size,
+          text.split("\\s+").count(_.nonEmpty).toLong)
+        idx += 1
+      }
+      i = body + ((size + 511) / 512 * 512).toInt
+    }
+    finish(out, docId)
+  }
+
+  private def finish(out: scala.collection.mutable.ArrayBuffer[TarEntry],
+      docId: Long): Seq[TarEntry] =
+    if (out.isEmpty) sentinel(docId) else out.toSeq
+
+  /** Real ustar writer for the generators: proper octal fields and
+    * checksum, bodies padded to blocks, two-zero-block terminator.
+    */
+  def tarGz(files: Seq[(String, String)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    files.foreach { case (name, content) =>
+      val body = content.getBytes("UTF-8")
+      val hdr = new Array[Byte](512)
+      val nb = name.getBytes("UTF-8")
+      System.arraycopy(nb, 0, hdr, 0, math.min(nb.length, 100))
+      def oct(v: Long, off: Int, len: Int): Unit = {
+        val s = v.toOctalString.reverse.padTo(len - 1, '0').reverse
+        val sb = s.getBytes("US-ASCII")
+        System.arraycopy(sb, 0, hdr, off, len - 1)
+      }
+      oct(420, 100, 8) // mode 0644
+      oct(0, 108, 8); oct(0, 116, 8)
+      oct(body.length.toLong, 124, 12)
+      oct(0, 136, 12)
+      java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
+      hdr(156) = '0'
+      System.arraycopy("ustar".getBytes("US-ASCII"), 0, hdr, 257, 5)
+      var sum = 0L
+      (0 until 512).foreach(j => sum += hdr(j) & 0xff)
+      val cs = sum.toOctalString.reverse.padTo(6, '0').reverse
+      System.arraycopy(cs.getBytes("US-ASCII"), 0, hdr, 148, 6)
+      hdr(154) = 0; hdr(155) = ' '
+      bos.write(hdr)
+      bos.write(body)
+      val pad = (512 - body.length % 512) % 512
+      bos.write(new Array[Byte](pad))
+    }
+    bos.write(new Array[Byte](1024))
+    val out = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(out)
+    g.write(bos.toByteArray); g.close()
+    out.toByteArray
+  }
+
+  def extract(spark: SparkSession,
+      binary: DataFrame): Dataset[TarEntry] = {
+    import spark.implicits._
+    binary.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) => entries(id, b) })
+  }
+}
+
 /** The OTHER standard corpus wire format: zstd-compressed JSONL
   * (`.jsonl.zst` — what modern training stacks ship instead of
   * WARC.gz). The zstd codec is REAL and already on the engine's

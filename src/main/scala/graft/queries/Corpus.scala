@@ -439,6 +439,32 @@ object Corpus extends QueryPack {
         .orderBy($"doc_id", $"rec_idx")
     }),
 
+    // -- c18: tar.gz ingestion — the bundled-files archive family -------
+    // The third real archive walk next to c16 (WARC.gz) and c17
+    // (.jsonl.zst): POSIX ustar bundles of text files, how
+    // Pile-style corpus components ship. [[graft.operators.TarIngest]]
+    // walks the genuine 512-byte-block framing — octal size fields,
+    // per-header CHECKSUM verification (unsigned + historical signed
+    // forms), block padding, the two-zero-block terminator, typeflag
+    // filtering — under the JDK gzip layer. Archives are written by
+    // the operator's own ustar encoder over closed-form file bodies,
+    // so the oracle recomputes per-entry name/size/token stats with
+    // no tar bytes in sight: the round-trip is the framing proof.
+    "c18_tar_gz_ingest" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val payloads = Tables(s, dir).documents.select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val files = (0 until 2).map { k =>
+            val body = (0 until 8)
+              .map(j => s"w${(id * 3 + k * 5 + j) % 40}").mkString(" ")
+            (s"doc$id/part$k.txt", body)
+          }
+          (id, graft.operators.TarIngest.tarGz(files))
+        }).toDF("doc_id", "payload")
+      graft.operators.TarIngest.extract(s, payloads).toDF()
+        .orderBy($"doc_id", $"entry_idx")
+    }),
+
     // -- pack slices: the loader-facing materialization of c04 ----------
     // Each (doc, pack) intersection as an exact token slice: which
     // range of the doc fills which position of which context window.
@@ -508,6 +534,22 @@ object Corpus extends QueryPack {
           |  n_chars AS content_length, n_chars,
           |  CAST(10 AS BIGINT) AS n_tokens
           |FROM agg ORDER BY doc_id, rec_idx""".stripMargin,
+
+      // per-entry recompute: token v = (d·3 + k·5 + j) mod 40 renders
+      // "w<v>" (2 or 3 chars), 8 tokens + 7 spaces
+      "c18_tar_gz_ingest" ->
+        """WITH tk AS (
+          |  SELECT d.doc_id, k.k,
+          |    ((d.doc_id * 3 + k.k * 5 + j.j) % 40) AS v
+          |  FROM documents d
+          |  CROSS JOIN generate_series(0, 1) AS k(k)
+          |  CROSS JOIN generate_series(0, 7) AS j(j))
+          |SELECT doc_id, CAST(k AS BIGINT) AS entry_idx,
+          |  'doc' || doc_id || '/part' || k || '.txt' AS name,
+          |  CAST(SUM(2 + CASE WHEN v >= 10 THEN 1 ELSE 0 END) + 7
+          |    AS BIGINT) AS n_bytes,
+          |  CAST(8 AS BIGINT) AS n_tokens
+          |FROM tk GROUP BY doc_id, k ORDER BY doc_id, entry_idx""".stripMargin,
 
       "c17_jsonl_zstd_ingest" ->
         """WITH ln AS (

@@ -65,6 +65,36 @@ class WarcIngestSpec extends AnyFunSuite {
       assert(ZstdLines.lines(9L, bad).map(_.rec_idx) === Seq(-1L))
   }
 
+  test("tar.gz entries: checksum-verified walk, padding, terminator") {
+    val t = TarIngest.tarGz(Seq(
+      ("a/one.txt", "alpha beta gamma"),
+      ("a/two.txt", "x" * 600), // body spans two blocks
+      ("a/empty.txt", "")))
+    val got = TarIngest.entries(4L, t)
+    assert(got.map(e => (e.entry_idx, e.name, e.n_bytes, e.n_tokens)) ===
+      Seq((0L, "a/one.txt", 16L, 3L), (1L, "a/two.txt", 600L, 1L),
+        (2L, "a/empty.txt", 0L, 0L)))
+  }
+
+  test("tar malformed classes yield the sentinel") {
+    val good = TarIngest.tarGz(Seq(("f.txt", "hi")))
+    val raw = WarcIngest.gunzip(good).get
+    val badCksum = raw.clone(); badCksum(0) = (badCksum(0) ^ 1).toByte
+    def regz(b: Array[Byte]) = {
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new GZIPOutputStream(out); g.write(b); g.close()
+      out.toByteArray
+    }
+    val cases = Seq(
+      "plain bytes".getBytes("UTF-8"), // not gzip
+      regz(badCksum), // header corrupted → checksum mismatch
+      regz(raw.take(512)), // truncated body
+      regz(Array.emptyByteArray))
+    for (b <- cases)
+      assert(TarIngest.entries(9L, b).map(_.entry_idx) === Seq(-1L),
+        s"expected sentinel for ${b.length}B")
+  }
+
   test("malformed streams yield the sentinel, never throw") {
     val good = gz(rec("response", "http://c", "abc"))
     val cases: Seq[Array[Byte]] = Seq(
