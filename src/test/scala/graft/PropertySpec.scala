@@ -522,7 +522,7 @@ object PropertySpec extends Properties("graft") {
   // never an exception. Corrupted-valid inputs are the sharper probe —
   // they reach deep parser states that pure garbage never does.
   private val fuzzCase: Gen[(Int, List[Byte], Int, Byte)] = for {
-    codec <- Gen.chooseNum(0, 4)
+    codec <- Gen.chooseNum(0, 5)
     garbage <- Gen.listOfN(300, Gen.chooseNum(-128, 127).map(_.toByte))
     flipAt <- Gen.chooseNum(0, 10000)
     flipTo <- Gen.chooseNum(-128, 127).map(_.toByte)
@@ -546,8 +546,9 @@ object PropertySpec extends Properties("graft") {
           val z = new com.github.luben.zstd.ZstdOutputStream(out)
           z.write("{\"a\":1}\n{\"a\":2}".getBytes("UTF-8"))
           z.close(); out.toByteArray
-        case _ => ("YUV4MPEG2 W2 H2 F25:1\nFRAME\n" + "abcdef")
+        case 4 => ("YUV4MPEG2 W2 H2 F25:1\nFRAME\n" + "abcdef")
           .getBytes("US-ASCII")
+        case _ => TarIngest.tarGz(Seq(("a.txt", "hello fuzz")))
       }
       val corrupted = valid.clone()
       corrupted(flipAt % corrupted.length) = flipTo
@@ -564,7 +565,8 @@ object PropertySpec extends Properties("graft") {
             PpmMediaCodec.perceptualHash(1L, b, 8); true
           case 2 => WarcIngest.records(1L, b).nonEmpty
           case 3 => ZstdLines.lines(1L, b).nonEmpty
-          case _ => Y4mCodec.frameSample(1L, b, 2).nonEmpty
+          case 4 => Y4mCodec.frameSample(1L, b, 2).nonEmpty
+          case _ => TarIngest.entries(1L, b).nonEmpty
         }
       } && {
         WavCodec.decode(1L, garbage.toArray) // WAV on garbage too
