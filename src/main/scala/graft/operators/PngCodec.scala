@@ -101,7 +101,11 @@ object PngMediaCodec extends MediaCodec {
       var off = 0
       while (off < raw.length && !inf.finished()) {
         val got = inf.inflate(raw, off, raw.length - off)
-        if (got == 0 && inf.needsInput()) return None // truncated stream
+        // truncated stream, or FDICT-bearing zlib header (needsDictionary
+        // stalls inflate with got==0 and needsInput()==false — without this
+        // bail-out the loop would spin forever on a crafted IDAT)
+        if (got == 0 && (inf.needsInput() || inf.needsDictionary()))
+          return None
         off += got
       }
       if (off != raw.length) return None

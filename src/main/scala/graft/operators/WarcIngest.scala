@@ -39,17 +39,37 @@ object WarcIngest {
   private def sentinel(docId: Long) =
     Seq(WarcRecord(docId, -1L, "", "", 0L, 0L, 0L))
 
+  /** Hard ceiling on inflated bytes per archive member. A crafted
+    * decompression bomb (a few KB expanding to multi-GB) must yield
+    * the sentinel, not an executor OOM — the same totality contract
+    * PngCodec enforces with its 1<<28 pixel cap.
+    */
+  private[operators] val MaxInflatedBytes: Long = 256L << 20
+
+  /** Drain `in` into a byte array, bailing out (None) once the
+    * running total exceeds [[MaxInflatedBytes]]. Shared by the gzip
+    * (WARC/tar) and zstd (jsonl) front doors.
+    */
+  private[operators] def readCapped(
+      in: java.io.InputStream): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    var n = in.read(buf)
+    while (n >= 0) {
+      total += n
+      if (total > MaxInflatedBytes) { in.close(); return None }
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
+    in.close()
+    Some(out.toByteArray)
+  }
+
   private[operators] def gunzip(bytes: Array[Byte]): Option[Array[Byte]] =
-    try {
-      val in = new GZIPInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      in.close()
-      Some(out.toByteArray)
-    } catch { case _: java.io.IOException => None }
+    try readCapped(new GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
 
   def records(docId: Long, gzBytes: Array[Byte]): Seq[WarcRecord] = {
     val bytes = gunzip(gzBytes) match {
@@ -272,12 +292,11 @@ object ZstdLines {
     try {
       val in = new com.github.luben.zstd.ZstdInputStream(
         new java.io.ByteArrayInputStream(zstBytes))
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      in.close()
-      val ls = new String(out.toByteArray, "UTF-8")
+      val inflated = WarcIngest.readCapped(in) match {
+        case None => return Seq(JsonlLine(docId, -1L, "")) // bomb cap
+        case Some(b) => b
+      }
+      val ls = new String(inflated, "UTF-8")
         .split("\n", -1).filter(_.nonEmpty)
       if (ls.isEmpty) Seq(JsonlLine(docId, -1L, ""))
       else ls.zipWithIndex.map { case (l, i) =>

@@ -62,15 +62,22 @@ object Y4mCodec {
       }
     }
     if (w < 1 || h < 1) return sentinel(docId)
-    val ySize = w * h
-    val uvSize = chroma match {
-      case c if c.startsWith("420") => (w / 2) * (h / 2)
-      case c if c.startsWith("422") => (w / 2) * h
-      case c if c.startsWith("444") => w * h
-      case "mono" => 0
+    // plane sizes in Long: W46341 H46341 overflows Int (w*h > 2^31),
+    // which would make frameBytes negative and walk `i` backwards
+    val ySizeL = w.toLong * h
+    val uvSizeL = chroma match {
+      case c if c.startsWith("420") => (w / 2).toLong * (h / 2)
+      case c if c.startsWith("422") => (w / 2).toLong * h
+      case c if c.startsWith("444") => w.toLong * h
+      case "mono" => 0L
       case _ => return sentinel(docId)
     }
-    val frameBytes = ySize + 2 * uvSize
+    val frameBytesL = ySizeL + 2L * uvSizeL
+    // a frame larger than the whole payload can never decode; this also
+    // guarantees the Int casts below are exact (n is an Int)
+    if (frameBytesL > n) return sentinel(docId)
+    val ySize = ySizeL.toInt
+    val frameBytes = frameBytesL.toInt
     val out = scala.collection.mutable.ArrayBuffer.empty[FrameFeatures]
     var i = eol + 1
     var idx = 0

@@ -1543,6 +1543,7 @@ object StreamingOps extends QueryPack {
         .createTempDirectory("graft-steager-").toString
       var latest: Option[String] = None
       var batches = 0
+      var lastApplied = -1L
       var totBatchRows = 0L
       var totPartialRows = 0L
       val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -1552,33 +1553,39 @@ object StreamingOps extends QueryPack {
           .outputMode(OutputMode.Append())
           .trigger(Trigger.AvailableNow())
           .foreachBatch {
-            (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-              val partial = batch.groupBy($"user_id")
-                .agg(count(lit(1)).as("n"), sum($"cents").as("c"))
-                .persist()
-              try {
-                totBatchRows += batch.count()
-                totPartialRows += partial.count()
-                val delta = partial.join(dim, Seq("user_id"))
-                  .groupBy($"c_mktsegment")
-                  .agg(sum($"n").as("n_events"),
-                    sum($"c").as("total_cents"))
-                val merged = latest match {
-                  case None => delta
-                  case Some(p) => graft.operators.IncrementalAgg
-                    .mergeAdditive(s.read.parquet(p), delta,
-                      keys = Seq("c_mktsegment"))
-                }
-                val next = s"$servingRoot/v$batches"
-                merged.write.mode("overwrite").parquet(next)
-                latest.foreach { p =>
-                  val fs = new org.apache.hadoop.fs.Path(p)
-                  fs.getFileSystem(s.sparkContext.hadoopConfiguration)
-                    .delete(fs, true)
-                }
-                latest = Some(next)
-                batches += 1
-              } finally partial.unpersist(blocking = false)
+            (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+              // st37/st40's idempotence discipline: mergeAdditive is
+              // NOT idempotent, so a foreachBatch redelivery after a
+              // task retry must be a no-op, guarded by batchId
+              if (batchId > lastApplied) {
+                val partial = batch.groupBy($"user_id")
+                  .agg(count(lit(1)).as("n"), sum($"cents").as("c"))
+                  .persist()
+                try {
+                  totBatchRows += batch.count()
+                  totPartialRows += partial.count()
+                  val delta = partial.join(dim, Seq("user_id"))
+                    .groupBy($"c_mktsegment")
+                    .agg(sum($"n").as("n_events"),
+                      sum($"c").as("total_cents"))
+                  val merged = latest match {
+                    case None => delta
+                    case Some(p) => graft.operators.IncrementalAgg
+                      .mergeAdditive(s.read.parquet(p), delta,
+                        keys = Seq("c_mktsegment"))
+                  }
+                  val next = s"$servingRoot/v$batchId"
+                  merged.write.mode("overwrite").parquet(next)
+                  latest.foreach { p =>
+                    val fs = new org.apache.hadoop.fs.Path(p)
+                    fs.getFileSystem(s.sparkContext.hadoopConfiguration)
+                      .delete(fs, true)
+                  }
+                  latest = Some(next)
+                  lastApplied = batchId
+                  batches += 1
+                } finally partial.unpersist(blocking = false)
+              }
           }
           .start()
         q.awaitTermination()

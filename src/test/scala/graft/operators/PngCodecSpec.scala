@@ -116,4 +116,33 @@ class PngCodecSpec extends AnyFunSuite {
     val h = PngMediaCodec.perceptualHash(5L, png, 4)
     assert(h.n_samples == 4L && h.ahash == 12L)
   }
+
+  test("FDICT zlib stream in IDAT terminates with the sentinel") {
+    // zlib header 0x78 0x20: CMF=0x78, FLG has the FDICT bit set and a
+    // valid FCHECK ((0x7820 % 31) == 0). Inflater then stalls with
+    // got==0, needsInput()==false, needsDictionary()==true — a decode
+    // loop that only bails on needsInput() spins forever here.
+    val idat = Array[Byte](0x78, 0x20, 1, 2, 3, 4, 0, 0, 0, 0)
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      (v & 0xff).toByte)
+    def chunk(t: String, b: Array[Byte]) = {
+      val tb = t.getBytes("US-ASCII")
+      val c = new CRC32(); c.update(tb); c.update(b)
+      be32(b.length.toLong) ++ tb ++ b ++ be32(c.getValue)
+    }
+    val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte) ++
+      chunk("IHDR", be32(2L) ++ be32(1L) ++ Array[Byte](8, 0, 0, 0, 0)) ++
+      chunk("IDAT", idat) ++
+      chunk("IEND", Array.emptyByteArray)
+    val done = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      val fut = done.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = PngMediaCodec.decode(13L, png).byte_sum
+      })
+      assert(fut.get(10, java.util.concurrent.TimeUnit.SECONDS) == -1L,
+        "FDICT stream must map to the sentinel, not hang or decode")
+    } finally done.shutdownNow()
+  }
 }

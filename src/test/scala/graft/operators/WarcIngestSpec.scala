@@ -112,4 +112,26 @@ class WarcIngestSpec extends AnyFunSuite {
         s"expected sentinel for ${b.length}B")
     }
   }
+
+  test("decompression bomb hits the inflated-byte cap, not the heap") {
+    // ~260 MB of zeros gzips to ~260 KB: a crafted member like this
+    // must yield the sentinel once MaxInflatedBytes is crossed rather
+    // than buffering multi-GB on an executor
+    val zeros = new Array[Byte](1 << 20)
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new GZIPOutputStream(bos)
+    for (_ <- 0 until 261) g.write(zeros)
+    g.close()
+    val gzBomb = bos.toByteArray
+    assert(gzBomb.length < (1 << 21), "bomb premise: tiny compressed")
+    assert(WarcIngest.records(10L, gzBomb).map(_.rec_idx) === Seq(-1L))
+    assert(TarIngest.entries(10L, gzBomb).map(_.entry_idx) === Seq(-1L))
+    // same for the zstd front door
+    val zos = new java.io.ByteArrayOutputStream()
+    val z = new com.github.luben.zstd.ZstdOutputStream(zos)
+    for (_ <- 0 until 261) z.write(zeros)
+    z.close()
+    assert(ZstdLines.lines(10L, zos.toByteArray).map(_.rec_idx) ===
+      Seq(-1L))
+  }
 }

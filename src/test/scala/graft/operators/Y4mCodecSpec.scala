@@ -62,4 +62,19 @@ class Y4mCodecSpec extends AnyFunSuite {
         s"expected sentinel for ${b.length}B")
     }
   }
+
+  test("Int-overflow dimensions (W46341 H46341) yield the sentinel") {
+    // 46341^2 > Int.MaxValue: a naive Int w*h goes negative, walking
+    // the frame cursor backwards into an ArrayIndexOutOfBounds — the
+    // plane sizes must be validated in Long against the payload
+    for (hdr <- Seq(
+        "YUV4MPEG2 W46341 H46341 Cmono\n",
+        "YUV4MPEG2 W46341 H46341\n", // C420 default: uv also overflows
+        "YUV4MPEG2 W2147483647 H2 C444\n")) {
+      val b = y4m(hdr, Seq(Array.fill[Byte](64)(7)))
+      val got = Y4mCodec.frameSample(11L, b, 1)
+      assert(got.map(_.n_frames) === Seq(-1L),
+        s"expected sentinel for header ${hdr.trim}")
+    }
+  }
 }
