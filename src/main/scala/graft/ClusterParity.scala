@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Multi-process parity harness: runs declared queries twice — once
+  * under plain `local[N]` and once under `local-cluster` (separate
+  * executor JVMs, see [[GraftSession.cluster]]) — and compares exact
+  * row fingerprints. local[N] shares one JVM between driver and
+  * executors, so it never exercises closure/plan serialization, codegen
+  * class shipping, or network task-result paths; this harness is the
+  * single-machine stand-in for the 1000-executor deployment target.
+  */
+object ClusterParity {
+
+  /** Canonical result fingerprint: schema DDL + every row rendered
+    * with columns sorted by name, rows sorted lexicographically —
+    * the same canonicalization discipline as the DuckDB oracle
+    * compare (column-sorted, row-sorted, exact values).
+    */
+  def fingerprint(df: DataFrame): (String, Seq[String]) = {
+    val cols = df.columns.sorted.toSeq
+    val proj = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+    val schema = proj.schema.map(f => s"${f.name}:${f.dataType.sql}")
+      .mkString(",")
+    val rows = proj.collect().map(_.toSeq.map {
+      case null => "NULL"
+      case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+      case a: scala.collection.Seq[_] => a.mkString("[", "|", "]")
+      case v => v.toString
+    }.mkString("")).sorted.toSeq
+    (schema, rows)
+  }
+
+  /** Stop whatever session is live (suites share a JVM via
+    * getOrCreate) so the next builder call really applies its master.
+    */
+  def resetSessions(): Unit = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+  }
+
+  /** Run `names` under one session factory, returning fingerprints.
+    * The session is created once, torn down at the end.
+    */
+  def runAll(mk: () => SparkSession, names: Seq[String], sfDir: String)
+      : Map[String, Either[String, (String, Seq[String])]] = {
+    resetSessions()
+    val spark = mk()
+    try names.map { n =>
+      n -> (try Right(fingerprint(SparkEntry.queries(n)(spark, sfDir)))
+      catch { case e: Throwable =>
+        Left(s"${e.getClass.getSimpleName}: ${e.getMessage}\n  at " +
+          e.getStackTrace.take(12).mkString("\n  at "))
+      })
+    }.toMap
+    finally {
+      resetSessions()
+      System.clearProperty("spark.testing")
+      System.clearProperty("spark.test.home")
+    }
+  }
+
+  /** The representative slice: every tier that serializes something
+    * custom across the executor boundary — the custom exec node
+    * (q32), codegen expressions (s01/d03), the licensed optimizer
+    * rules (x29–x33), mapPartitions codec closures (m13, c16–c18),
+    * graph iteration (g01…), persisted-index probe (d17), bucketed
+    * serving tables (s14), streaming state + foreachBatch loops
+    * (st37/st38/st40), plus the relational core.
+    */
+  val queryNames: Seq[String] = Seq(
+    "q01_pricing_summary", "q03_top_revenue", "q09_segment_top_orders",
+    "q12_rollup_acctbal", "q22_pivot", "q24_exact_median",
+    "q32_topk_native", "q35_recursive_cte",
+    "e05_asof_click", "e10_interval_join",
+    "x04_approx_sketches", "x08_bloom_prune_join", "x15_skew_join",
+    "x29_matview_route", "x30_join_elimination", "x31_eager_agg",
+    "x32_matview_maintain", "x33_matview_autorefresh",
+    "d01_exact_dedup", "d03_minhash_bands", "d17_persisted_index_dedup",
+    "s01_topk_bruteforce", "s14_persisted_ann_serving",
+    "t01_token_stats", "t23_bpe_train",
+    "c04_sequence_pack", "c16_warc_ingest", "c18_tar_gz_ingest",
+    "m13_png_decode_real", "g01_pagerank", "g15_ktruss",
+    "st37_stream_extrema_rollup", "st38_stream_cep_inflight",
+    "st40_stream_warc_ingest",
+    "p01_curation_pipeline")
+}
+
+/** Smoke main: `runMain graft.ClusterParitySmoke <sfDir> [names…]` —
+  * brings up the local-cluster session and runs the listed queries
+  * (default: a 3-query canary), printing one status line each.
+  */
+object ClusterParitySmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q01_pricing_summary", "q32_topk_native",
+        "d03_minhash_bands")
+    // "parity:" prefix on the first name runs the local pass first —
+    // reproduces the shared-JVM suite sequence (stale process-global
+    // state is exactly what that ordering smokes out)
+    val (doLocal, names2) =
+      if (names.headOption.contains("parity")) (true, names.drop(1))
+      else (false, names)
+    if (doLocal)
+      ClusterParity.runAll(() => GraftSession.local(8), names2, sfDir)
+    val got = ClusterParity.runAll(
+      () => GraftSession.cluster(), names2, sfDir)
+    names2.foreach { n =>
+      got(n) match {
+        case Right((_, rows)) => println(s"OK $n rows=${rows.size}")
+        case Left(err) => println(s"FAIL $n $err")
+      }
+    }
+    if (got.values.exists(_.isLeft)) sys.exit(1)
+  }
+}

@@ -20,12 +20,70 @@ object GraftSession {
     * cluster cores; AQE coalesces small post-shuffle partitions either
     * way.
     */
-  def local(cpus: Int = 32, appName: String = "graft"): SparkSession = {
-    val spark = SparkSession
+  def local(cpus: Int = 32, appName: String = "graft"): SparkSession =
+    finish(SparkSession
       .builder()
       .master(s"local[$cpus]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions", cpus.toString))
+
+  /** Build a MULTI-PROCESS session: `local-cluster[workers, cores,
+    * memMB]` starts a real standalone master + workers in this JVM and
+    * each executor as a SEPARATE JVM — the closest a single machine
+    * gets to cluster semantics. Everything local[N] hides is real
+    * here: closures, custom exec nodes, codegen expression classes,
+    * and optimizer-rule state all cross a process boundary through
+    * Java serialization, and task results come back over the wire.
+    *
+    * Plumbing (all standard Spark knobs, no test-only behavior on the
+    * data path): executors find the application classes via
+    * `spark.testing`'s classpath forwarding (the same mechanism
+    * Spark's own local-cluster suites use — a real cluster gets the
+    * jar via `--jars`), and the worker writes its executor sandboxes
+    * under a throwaway SPARK_HOME in java.io.tmpdir whose `jars/`
+    * symlinks the real distribution.
+    */
+  def cluster(workers: Int = 2, coresPerWorker: Int = 8,
+      workerMemMB: Int = 4096,
+      appName: String = "graft-cluster"): SparkSession = {
+    val fakeHome = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-spark-home")
+    java.nio.file.Files.createDirectories(fakeHome.resolve("conf"))
+    // the launcher infers the Scala version from this marker dir when
+    // SPARK_SCALA_VERSION is unset (test-home layout)
+    java.nio.file.Files.createDirectories(
+      fakeHome.resolve("launcher/target/scala-2.13"))
+    val jarsLink = fakeHome.resolve("jars")
+    if (!java.nio.file.Files.exists(jarsLink))
+      java.nio.file.Files.createSymbolicLink(jarsLink,
+        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_HOME",
+          "/opt/spark"), "jars"))
+    System.setProperty("spark.testing", "true")
+    System.setProperty("spark.test.home", fakeHome.toString)
+    // JDK17 module opens for the executor JVMs (the driver gets them
+    // from build.sbt javaOptions; spark-submit would inject both)
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+    finish(SparkSession
+      .builder()
+      .master(s"local-cluster[$workers,$coresPerWorker,$workerMemMB]")
+      .appName(appName)
+      .config("spark.executor.memory", s"${workerMemMB}m")
+      .config("spark.executor.extraJavaOptions", addOpens)
+      .config("spark.sql.shuffle.partitions",
+        (workers * coresPerWorker).toString))
+  }
+
+  private def finish(
+      builder: SparkSession.Builder): SparkSession = {
+    val spark = builder
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -61,10 +61,21 @@ case class EagerAggFact(factPathMarker: String, fkCol: String)
   */
 object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
 
-  private val registry =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[EagerAggFact]()
+  /** Licenses are scoped to the REGISTERING application (value =
+    * app id): a license is a measured statement about the data that
+    * each application re-verifies for itself ([[Extensions]]'
+    * fkAuditMemo is per-appId), so a stale one must not fire in a
+    * later session of the same JVM.
+    */
+  private val registry = new java.util.concurrent
+    .ConcurrentHashMap[EagerAggFact, String]()
 
-  def register(lic: EagerAggFact): Unit = registry.add(lic)
+  private def activeAppId: String =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.applicationId).getOrElse("")
+
+  def register(lic: EagerAggFact): Unit =
+    registry.put(lic, activeAppId)
   def unregister(lic: EagerAggFact): Unit = registry.remove(lic)
   def clear(): Unit = registry.clear()
 
@@ -141,8 +152,9 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
           !fact.outputSet.contains(aa)) ba
         else return None
       }
-      val licensed = registry.asScala.exists { lic =>
-        fact.collectFirst {
+      val app = activeAppId
+      val licensed = registry.asScala.exists { case (lic, owner) =>
+        owner == app && fact.collectFirst {
           case lr: LogicalRelation
             if pathOf(lr).exists(_.contains(lic.factPathMarker)) => lr
         }.exists(lr => lr.output.exists(o =>

@@ -50,10 +50,19 @@ case class VerifiedFkJoin(
   */
 object FkJoinElimination extends Rule[LogicalPlan] {
 
-  private val registry =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[VerifiedFkJoin]()
+  /** Verified-integrity facts are scoped to the REGISTERING
+    * application (value = app id), like [[EagerAggregation]]'s
+    * licenses: each application re-measures integrity for itself, so
+    * a fact must not survive into a later session of the same JVM.
+    */
+  private val registry = new java.util.concurrent
+    .ConcurrentHashMap[VerifiedFkJoin, String]()
 
-  def register(d: VerifiedFkJoin): Unit = registry.add(d)
+  private def activeAppId: String =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.applicationId).getOrElse("")
+
+  def register(d: VerifiedFkJoin): Unit = registry.put(d, activeAppId)
   def unregister(d: VerifiedFkJoin): Unit = registry.remove(d)
   def clear(): Unit = registry.clear()
 
@@ -90,8 +99,10 @@ object FkJoinElimination extends Rule[LogicalPlan] {
         b: AttributeReference)), _) =>
       Seq((l, r, a, b), (l, r, b, a), (r, l, a, b), (r, l, b, a))
         .flatMap { case (fact, dim, fk, pk) =>
-          registry.asScala.flatMap { d =>
+          val app = activeAppId
+          registry.asScala.flatMap { case (d, owner) =>
             for {
+              _ <- if (owner == app) Some(()) else None
               dimLr <- dimBase(dim, d.pkCol)
               if pathOf(dimLr).exists(_.contains(d.dimPathMarker))
               pkAttr <- dimLr.output.find(_.name == d.pkCol)

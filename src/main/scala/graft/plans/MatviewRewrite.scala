@@ -68,10 +68,23 @@ case class MatviewDef(
   */
 object MatviewRewrite extends Rule[LogicalPlan] {
 
-  private val registry =
-    new java.util.concurrent.ConcurrentHashMap[String, MatviewDef]()
+  /** Registry entries are scoped to the REGISTERING application: a
+    * MatviewDef embeds analyzed plans whose file relations are bound
+    * to one SparkContext, so an entry surviving into a later session
+    * in the same JVM (suite sequences, notebook restarts) would route
+    * a matching aggregate — including the REBUILD of the matview
+    * itself — through a stopped context. Entries from other app ids
+    * are invisible to [[apply]].
+    */
+  private val registry = new java.util.concurrent
+    .ConcurrentHashMap[String, (String, MatviewDef)]()
 
-  def register(d: MatviewDef): Unit = registry.put(d.pathMarker, d)
+  private def activeAppId: String =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.applicationId).getOrElse("")
+
+  def register(d: MatviewDef): Unit =
+    registry.put(d.pathMarker, (activeAppId, d))
   def unregister(pathMarker: String): Unit = registry.remove(pathMarker)
   def clear(): Unit = registry.clear()
 
@@ -108,7 +121,10 @@ object MatviewRewrite extends Rule[LogicalPlan] {
     lr.relation match {
       case fs: HadoopFsRelation =>
         val paths = fs.location.rootPaths.map(_.toString.stripSuffix("/"))
-        registry.values.asScala.find(d =>
+        val app = activeAppId
+        registry.values.asScala.collect {
+          case (owner, d) if owner == app => d
+        }.find(d =>
           paths.exists(_.endsWith(d.pathMarker.stripSuffix("/"))))
       case _ => None
     }
