@@ -20,10 +20,17 @@ object GraftSession {
     * cluster cores; AQE coalesces small post-shuffle partitions either
     * way.
     */
-  def local(cpus: Int = 32, appName: String = "graft"): SparkSession =
+  /** `taskRetries > 1` uses the `local[N, maxFailures]` master so an
+    * injected (or genuine) task failure is retried instead of failing
+    * the job — the single-machine stand-in for a cluster's
+    * `spark.task.maxFailures`, used by the chaos-retry gate.
+    */
+  def local(cpus: Int = 32, appName: String = "graft",
+      taskRetries: Int = 1): SparkSession =
     finish(SparkSession
       .builder()
-      .master(s"local[$cpus]")
+      .master(if (taskRetries > 1) s"local[$cpus,$taskRetries]"
+        else s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus.toString))
 
