@@ -44,9 +44,13 @@ trait MediaCodec extends Serializable {
       grid: Int): PerceptualHash
 }
 
-/** The environment-bound deterministic STUB codec — this container
-  * ships no image/audio/video libraries, so the kernels are byte-
-  * statistics stand-ins (honest fakes, same shapes): decode emits
+/** The environment-bound deterministic STUB codec. After PPM/PGM
+  * ([[PpmMediaCodec]]), PNG ([[PngMediaCodec]]), WAV/Y4M, and JPEG
+  * via the JDK's own ImageIO ([[JpegMediaCodec]]), the only formats
+  * still behind this stub are AUDIO/VIDEO entropy codecs (MP3,
+  * H.264) — the JDK genuinely ships no decoder for those. The
+  * kernels are byte-statistics stand-ins (honest fakes, same
+  * shapes): decode emits
   * byte-sum/histogram rows, resize stride-downsamples, the
   * perceptual hash is the classic aHash computed over stride samples
   * instead of pixels. All pure integer math, reproduced bit-for-bit

@@ -221,6 +221,33 @@ object Multimodal extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // -- REAL entropy-coded decode: JPEG via the JDK's own ImageIO ------
+    // The first lossy format in the codec tier. The generator encodes
+    // a per-doc RGB image (dimensions varying by doc_id) as a real
+    // baseline JPEG through [[graft.operators.JpegMediaCodec]]; the
+    // query decodes it back and emits ONLY the exact (non-lossy)
+    // surface — decode success, dimensions, band count — which the
+    // oracle recomputes closed-form. The lossy half (pixel-feature
+    // determinism, encode→decode fixed point) is spec-pinned in
+    // JpegCodecSpec, the split the oracle discipline demands for a
+    // lossy codec. Same 100-TB shape as m13: wide payloads die at the
+    // mapPartitions boundary, fixed-width rows flow on.
+    "m15_jpeg_meta_imageio" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir).documents.select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 8 + (id % 5).toInt
+          val h = 6 + (id % 3).toInt
+          val rgb = Array.tabulate(w * h * 3)(i =>
+            ((id * 31 + i * 7) % 256).toByte)
+          graft.operators.JpegMediaCodec.meta(id,
+            graft.operators.JpegMediaCodec.encodeRgb8(w, h, rgb))
+        })
+        .toDF()
+        .select($"doc_id", $"ok", $"width", $"height", $"n_bands")
+        .orderBy($"doc_id")
+    }),
+
     // -- stubbed decode via typed mapPartitions -------------------------
     "m02_stub_decode" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -490,6 +517,16 @@ object Multimodal extends QueryPack {
         |SELECT hs.doc_id, hs.n_samples, hs.ahash, rz.rz_byte_sum
         |FROM hs JOIN rz ON hs.doc_id = rz.doc_id
         |ORDER BY hs.doc_id""".stripMargin,
+    // the exact (non-lossy) surface of the ImageIO JPEG decode is
+    // closed-form from the generator: every payload decodes (ok=1)
+    // with the generated dimensions and 3 RGB bands
+    "m15_jpeg_meta_imageio" ->
+      """SELECT doc_id,
+        |  CAST(1 AS BIGINT) AS ok,
+        |  CAST(8 + doc_id % 5 AS BIGINT) AS width,
+        |  CAST(6 + doc_id % 3 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS n_bands
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // closed-form luma recompute — no parser on the oracle side; the
     // hash-match proves the general netpbm parser read the same image
     "m09_ppm_decode_real" ->
