@@ -248,6 +248,60 @@ object Multimodal extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // -- REAL compressed audio: G.711 μ-law through the RIFF walk -------
+    // The first COMPRESSED audio format in the real tier: μ-law is
+    // 8-bit logarithmic companding (2:1, the telephony standard) and
+    // its expansion is exact integer arithmetic, so unlike JPEG the
+    // decoded features stay fully closed-form for the oracle. The
+    // generator writes real mono fmt-tag-7 WAV containers whose data
+    // bytes follow (doc_id·7 + i·13) mod 256; the oracle re-derives
+    // every decoded sample with the companding formula in SQL and
+    // recomputes amplitude mass + sign-strict zero crossings — a
+    // hash-match proves container walk AND companding. MP3/AAC-class
+    // perceptual codecs remain behind the stub.
+    "m16_ulaw_decode_real" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val wavs = Tables(s, dir).documents.select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val data = Array.tabulate(400)(i =>
+            ((id * 7 + i * 13) % 256).toByte)
+          (id, graft.operators.WavCodec.wavContainer(
+            fmtTag = 7, channels = 1, rate = 8000, bitsPerSample = 8,
+            blockAlign = 1, data = data))
+        }).toDF("doc_id", "payload")
+      graft.operators.WavCodec.extract(s, wavs).toDF()
+        .select($"doc_id", $"n_channels", $"sample_rate", $"n_samples",
+          $"abs_sum", $"zero_crossings")
+        .orderBy($"doc_id")
+    }),
+
+    // -- REAL predictive audio: IMA ADPCM (4-bit, stateful) -------------
+    // The second compressed audio format: IMA ADPCM is differential
+    // prediction with the public step/index tables — 4:1, exact
+    // integer, but STATEFUL (each sample depends on the whole prefix),
+    // so the oracle pins the exact SURFACE (dimensions: channels,
+    // rate, sample count from the block structure) and the stateful
+    // half is spec-pinned (WavCodecSpec: hand-computed first steps,
+    // encode→decode tolerance on a smooth signal, determinism) — the
+    // same lossy-codec oracle split as JPEG (m15).
+    "m17_adpcm_meta" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val wavs = Tables(s, dir).documents.select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val samples = Array.tabulate(260)(i =>
+            (((id * 31 + i * i * 5) % 24000) - 12000).toInt)
+          val data = graft.operators.WavCodec
+            .adpcmEncodeMono(samples, blockAlign = 36)
+          (id, graft.operators.WavCodec.wavContainer(
+            fmtTag = 0x11, channels = 1, rate = 8000, bitsPerSample = 4,
+            blockAlign = 36, data = data, samplesPerBlock = 65))
+        }).toDF("doc_id", "payload")
+      graft.operators.WavCodec.extract(s, wavs).toDF()
+        .select($"doc_id", $"n_channels", $"sample_rate", $"n_samples",
+          ($"n_samples" >= 0L).cast("long").as("ok"))
+        .orderBy($"doc_id")
+    }),
+
     // -- stubbed decode via typed mapPartitions -------------------------
     "m02_stub_decode" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -517,6 +571,44 @@ object Multimodal extends QueryPack {
         |SELECT hs.doc_id, hs.n_samples, hs.ahash, rz.rz_byte_sum
         |FROM hs JOIN rz ON hs.doc_id = rz.doc_id
         |ORDER BY hs.doc_id""".stripMargin,
+    // closed-form μ-law expansion per byte (the CCITT formula in SQL)
+    // + amplitude mass + LAG-based sign-strict zero crossings: the
+    // hash-match proves RIFF walk AND companding, sample for sample
+    "m16_ulaw_decode_real" ->
+      """WITH smp AS (
+        |  SELECT d.doc_id, t.i,
+        |    255 - ((d.doc_id * 7 + t.i * 13) % 256) AS u
+        |  FROM documents d CROSS JOIN generate_series(0, 399) AS t(i)),
+        |dec AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN u >= 128 THEN
+        |      -((((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132)
+        |    ELSE
+        |      (((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132
+        |    END AS s
+        |  FROM smp),
+        |lagged AS (
+        |  SELECT doc_id, i, s,
+        |    LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM dec)
+        |SELECT doc_id,
+        |  CAST(1 AS BIGINT) AS n_channels,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(400 AS BIGINT) AS n_samples,
+        |  CAST(SUM(ABS(s)) AS BIGINT) AS abs_sum,
+        |  CAST(SUM(CASE WHEN i > 0 AND ((s < 0) != (prev < 0))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |FROM lagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // ADPCM's exact surface: the block structure fixes the sample
+    // count ((36-4)*2+1 per block × 4 blocks); the stateful decode is
+    // spec-pinned (see m17's scaladoc)
+    "m17_adpcm_meta" ->
+      """SELECT doc_id,
+        |  CAST(1 AS BIGINT) AS n_channels,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(260 AS BIGINT) AS n_samples,
+        |  CAST(1 AS BIGINT) AS ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the exact (non-lossy) surface of the ImageIO JPEG decode is
     // closed-form from the generator: every payload decodes (ok=1)
     // with the generated dimensions and 3 RGB bands
