@@ -45,12 +45,14 @@ trait MediaCodec extends Serializable {
 }
 
 /** The environment-bound deterministic STUB codec. After PPM/PGM
-  * ([[PpmMediaCodec]]), PNG ([[PngMediaCodec]]), WAV/Y4M, and JPEG
-  * via the JDK's own ImageIO ([[JpegMediaCodec]]), the only formats
-  * still behind this stub are AUDIO/VIDEO entropy codecs (MP3,
-  * H.264) — the JDK genuinely ships no decoder for those. The
-  * kernels are byte-statistics stand-ins (honest fakes, same
-  * shapes): decode emits
+  * ([[PpmMediaCodec]]), PNG ([[PngMediaCodec]]), PCM/μ-law/ADPCM
+  * audio ([[WavCodec]]), y4m video ([[Y4mCodec]]), JPEG via the
+  * JDK's own ImageIO ([[JpegMediaCodec]]) and MJPEG-in-AVI video
+  * ([[AviCodec]]), the only formats still behind this stub are
+  * PERCEPTUAL audio (MP3/AAC) and INTER-FRAME video (H.264/VP9) —
+  * the JDK genuinely ships no decoder for those. The kernels are
+  * byte-statistics stand-ins (honest fakes, same shapes): decode
+  * emits
   * byte-sum/histogram rows, resize stride-downsamples, the
   * perceptual hash is the classic aHash computed over stride samples
   * instead of pixels. All pure integer math, reproduced bit-for-bit

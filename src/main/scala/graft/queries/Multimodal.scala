@@ -302,6 +302,30 @@ object Multimodal extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // -- REAL compressed video: MJPEG frames in an AVI container --------
+    // Container walk (RIFF LIST hdrl/movi) + per-frame entropy decode
+    // (each 00dc chunk is a complete baseline JPEG through the JDK's
+    // ImageIO) — real compressed VIDEO, leaving only inter-frame
+    // codecs (H.264-class) behind the stub. Same oracle split as
+    // m15/m17: frame count, sampled indices and dimensions are
+    // closed-form; lossy luma values are spec-pinned (AviCodecSpec).
+    "m18_avi_mjpeg_frames" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val avis = Tables(s, dir).documents.select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val frames = (0 until 6).map { f =>
+            val rgb = Array.tabulate(8 * 8 * 3)(i =>
+              ((id * 17 + f * 41 + i * 3) % 256).toByte)
+            graft.operators.JpegMediaCodec.encodeRgb8(8, 8, rgb)
+          }
+          (id, graft.operators.AviCodec.aviMjpeg(8, 8, frames))
+        }).toDF("doc_id", "payload")
+      graft.operators.AviCodec.extract(s, avis, stride = 2).toDF()
+        .select($"doc_id", $"width", $"height", $"n_frames",
+          $"frame_idx")
+        .orderBy($"doc_id", $"frame_idx")
+    }),
+
     // -- stubbed decode via typed mapPartitions -------------------------
     "m02_stub_decode" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -599,6 +623,15 @@ object Multimodal extends QueryPack {
         |  CAST(SUM(CASE WHEN i > 0 AND ((s < 0) != (prev < 0))
         |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
         |FROM lagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the MJPEG walk's exact surface: 6 frames per container, stride-2
+    // sampling emits indices 0/2/4 at the generated dimensions
+    "m18_avi_mjpeg_frames" ->
+      """SELECT d.doc_id,
+        |  CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |  CAST(6 AS BIGINT) AS n_frames,
+        |  CAST(2 * t.k AS BIGINT) AS frame_idx
+        |FROM documents d CROSS JOIN generate_series(0, 2) AS t(k)
+        |ORDER BY d.doc_id, frame_idx""".stripMargin,
     // ADPCM's exact surface: the block structure fixes the sample
     // count ((36-4)*2+1 per block × 4 blocks); the stateful decode is
     // spec-pinned (see m17's scaladoc)
