@@ -522,7 +522,7 @@ object PropertySpec extends Properties("graft") {
   // never an exception. Corrupted-valid inputs are the sharper probe —
   // they reach deep parser states that pure garbage never does.
   private val fuzzCase: Gen[(Int, List[Byte], Int, Byte)] = for {
-    codec <- Gen.chooseNum(0, 5)
+    codec <- Gen.chooseNum(0, 8)
     garbage <- Gen.listOfN(300, Gen.chooseNum(-128, 127).map(_.toByte))
     flipAt <- Gen.chooseNum(0, 10000)
     flipTo <- Gen.chooseNum(-128, 127).map(_.toByte)
@@ -548,7 +548,14 @@ object PropertySpec extends Properties("graft") {
           z.close(); out.toByteArray
         case 4 => ("YUV4MPEG2 W2 H2 F25:1\nFRAME\n" + "abcdef")
           .getBytes("US-ASCII")
-        case _ => TarIngest.tarGz(Seq(("a.txt", "hello fuzz")))
+        case 5 => TarIngest.tarGz(Seq(("a.txt", "hello fuzz")))
+        case 6 => JpegMediaCodec.encodeRgb8(6, 5,
+          Array.tabulate(90)(i => (i * 7).toByte))
+        case 7 => WavCodec.wavContainer(7, 1, 8000, 8, 1,
+          Array.tabulate(32)(i => (i * 11).toByte))
+        case _ => AviCodec.aviMjpeg(4, 4, Seq(
+          JpegMediaCodec.encodeRgb8(4, 4,
+            Array.tabulate(48)(i => (i * 5).toByte))))
       }
       val corrupted = valid.clone()
       corrupted(flipAt % corrupted.length) = flipTo
@@ -563,10 +570,19 @@ object PropertySpec extends Properties("graft") {
             PpmMediaCodec.decode(1L, b)
             PpmMediaCodec.resize(b, 2)
             PpmMediaCodec.perceptualHash(1L, b, 8); true
-          case 2 => WarcIngest.records(1L, b).nonEmpty
+          case 2 => WarcIngest.records(1L, b).nonEmpty &&
+            WarcIngest.docs(1L, b).nonEmpty
           case 3 => ZstdLines.lines(1L, b).nonEmpty
           case 4 => Y4mCodec.frameSample(1L, b, 2).nonEmpty
-          case _ => TarIngest.entries(1L, b).nonEmpty
+          case 5 => TarIngest.entries(1L, b).nonEmpty &&
+            TarIngest.docs(1L, b).nonEmpty
+          case 6 =>
+            JpegMediaCodec.decode(1L, b)
+            JpegMediaCodec.resize(b, 2)
+            JpegMediaCodec.perceptualHash(1L, b, 8)
+            JpegMediaCodec.meta(1L, b); true
+          case 7 => WavCodec.decode(1L, b).n_samples >= -1L
+          case _ => AviCodec.frameSample(1L, b, 2).nonEmpty
         }
       } && {
         WavCodec.decode(1L, garbage.toArray) // WAV on garbage too
