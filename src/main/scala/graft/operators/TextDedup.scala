@@ -175,7 +175,6 @@ object TextDedup {
     * non-LSH path and throw the banding away).
     */
   def jaccardVerify(sh: DataFrame, pairs: DataFrame): DataFrame = {
-    val ns = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     // CACHING CONTRACT: `pairs` (usually the LSH band self-join) is
     // referenced three times in the plan below — an un-persisted
     // candidate pipeline executes three times at materialization.
@@ -195,9 +194,30 @@ object TextDedup {
     val candIds = cand.select(explode(array(col("d1"), col("d2"))).as("id"))
       .distinct()
     val shCand = sh.join(candIds, Seq("id"), "left_semi")
-    val inter = shCand.select(col("id").as("d1"), col("h"))
-      .join(shCand.select(col("id").as("d2"), col("h")), Seq("h"))
-      .filter(col("d1") < col("d2"))
+    // per-doc shingle counts over the CANDIDATE-restricted frame, not
+    // the whole corpus: ns is only ever joined on candidate ids, and
+    // at pipeline scale (190M corpus+arrival shingles vs ~100k
+    // candidate ids) aggregating the full frame was the single
+    // largest wasted shuffle in the dedup probe
+    val ns = shCand.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    // intersections are PAIR-DRIVEN, not an all-pairs self-join on h:
+    // joining shCand to itself computes intersections for EVERY
+    // co-occurring doc pair in the candidate universe — quadratic in
+    // the docs sharing a hot (boilerplate) shingle even when the
+    // requested pair set is tiny. Driving from the pairs keeps the
+    // cost linear: |pairs| × shingles(d1) intermediate rows, then an
+    // equi-join on (d2, h) keeps exactly the common shingles.
+    // Measured at the 5M-doc rehearsal: the self-join form ran
+    // minutes-long straggler aggregates over ~350M pair rows for a
+    // 173k-pair request; this form touches ~5M rows.
+    // d1 < d2 keeps the historical self-pair contract: a degenerate
+    // (d, d) request scores inter 0 (→ jaccard 0), as the self-join
+    // form's strict filter did
+    val wanted = cand.select(col("d1"), col("d2"))
+      .filter(col("d1") < col("d2")).distinct()
+    val inter = wanted
+      .join(shCand.select(col("id").as("d1"), col("h")), Seq("d1"))
+      .join(shCand.select(col("id").as("d2"), col("h")), Seq("d2", "h"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
     cand
       .join(inter, Seq("d1", "d2"), "left")

@@ -36,9 +36,6 @@ object WarcIngest {
       n_chars: Long,
       n_tokens: Long)
 
-  private def sentinel(docId: Long) =
-    Seq(WarcRecord(docId, -1L, "", "", 0L, 0L, 0L))
-
   /** Hard ceiling on inflated bytes per archive member. A crafted
     * decompression bomb (a few KB expanding to multi-GB) must yield
     * the sentinel, not an executor OOM — the same totality contract
@@ -71,12 +68,38 @@ object WarcIngest {
       new java.io.ByteArrayInputStream(bytes)))
     catch { case _: java.io.IOException => None }
 
-  def records(docId: Long, gzBytes: Array[Byte]): Seq[WarcRecord] = {
+  /** A fully-parsed record INCLUDING its body text — the curation
+    * funnel's document. [[records]] projects this to fixed-width
+    * features (metadata-only jobs); [[docs]] keeps the body (the
+    * composed ingest→gate→dedup→pack pipeline, where the document
+    * must flow on even though the compressed ARCHIVE dies at the
+    * mapPartitions boundary).
+    */
+  final case class WarcDoc(
+      doc_id: Long,
+      rec_idx: Long,
+      warc_type: String,
+      target_uri: String,
+      content_length: Long,
+      body: String)
+
+  private def docSentinel(docId: Long) =
+    Seq(WarcDoc(docId, -1L, "", "", 0L, ""))
+
+  def records(docId: Long, gzBytes: Array[Byte]): Seq[WarcRecord] =
+    docs(docId, gzBytes).map { d =>
+      if (d.rec_idx < 0) WarcRecord(docId, -1L, "", "", 0L, 0L, 0L)
+      else WarcRecord(docId, d.rec_idx, d.warc_type, d.target_uri,
+        d.content_length, d.body.length.toLong,
+        d.body.split("\\s+").count(_.nonEmpty).toLong)
+    }
+
+  def docs(docId: Long, gzBytes: Array[Byte]): Seq[WarcDoc] = {
     val bytes = gunzip(gzBytes) match {
-      case None => return sentinel(docId)
+      case None => return docSentinel(docId)
       case Some(b) => b
     }
-    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcDoc]
     var i = 0
     val n = bytes.length
     def readLine(): Option[String] = {
@@ -92,12 +115,12 @@ object WarcIngest {
     }
     var idx = 0
     while (i < n) {
-      val version = readLine().getOrElse(return sentinel(docId))
-      if (!version.startsWith("WARC/")) return sentinel(docId)
+      val version = readLine().getOrElse(return docSentinel(docId))
+      if (!version.startsWith("WARC/")) return docSentinel(docId)
       var typ = ""
       var uri = ""
       var len = -1L
-      var line = readLine().getOrElse(return sentinel(docId))
+      var line = readLine().getOrElse(return docSentinel(docId))
       while (line.nonEmpty) {
         val k = line.indexOf(':')
         if (k > 0) {
@@ -111,22 +134,20 @@ object WarcIngest {
             case _ => () // WARC-Date, WARC-Record-ID, … skipped
           }
         }
-        line = readLine().getOrElse(return sentinel(docId))
+        line = readLine().getOrElse(return docSentinel(docId))
       }
-      if (len < 0 || i + len > n) return sentinel(docId)
+      if (len < 0 || i + len > n) return docSentinel(docId)
       val body = new String(bytes, i, len.toInt, "UTF-8")
       i += len.toInt
       // two record-separator CRLFs
       if (i + 4 > n || bytes(i) != '\r' || bytes(i + 1) != '\n' ||
           bytes(i + 2) != '\r' || bytes(i + 3) != '\n')
-        return sentinel(docId)
+        return docSentinel(docId)
       i += 4
-      val toks = body.split("\\s+").count(_.nonEmpty)
-      out += WarcRecord(docId, idx.toLong, typ, uri, len,
-        body.length.toLong, toks.toLong)
+      out += WarcDoc(docId, idx.toLong, typ, uri, len, body)
       idx += 1
     }
-    if (out.isEmpty) sentinel(docId) else out.toSeq
+    if (out.isEmpty) docSentinel(docId) else out.toSeq
   }
 
   /** Batched ingestion over a (doc_id, payload) projection. */
@@ -135,6 +156,17 @@ object WarcIngest {
     import spark.implicits._
     binary.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, b) => records(id, b) })
+  }
+
+  /** Batched ingestion keeping the DOCUMENT text (the composed
+    * curation pipeline's front door — the archive dies here, the
+    * document flows on).
+    */
+  def extractDocs(spark: SparkSession,
+      binary: DataFrame): Dataset[WarcDoc] = {
+    import spark.implicits._
+    binary.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) => docs(id, b) })
   }
 }
 
@@ -160,9 +192,6 @@ object TarIngest {
       n_bytes: Long,
       n_tokens: Long)
 
-  private def sentinel(docId: Long) =
-    Seq(TarEntry(docId, -1L, "", 0L, 0L))
-
   private def cstr(b: Array[Byte], off: Int, len: Int): String = {
     var end = off
     while (end < off + len && b(end) != 0) end += 1
@@ -180,13 +209,33 @@ object TarIngest {
     if (seen) Some(v) else None
   }
 
-  def entries(docId: Long, gzBytes: Array[Byte]): Seq[TarEntry] = {
+  /** A regular-file entry INCLUDING its text — see
+    * [[WarcIngest.WarcDoc]] for the records/docs split rationale.
+    */
+  final case class TarDoc(
+      doc_id: Long,
+      entry_idx: Long,
+      name: String,
+      n_bytes: Long,
+      text: String)
+
+  private def docSentinel(docId: Long) =
+    Seq(TarDoc(docId, -1L, "", 0L, ""))
+
+  def entries(docId: Long, gzBytes: Array[Byte]): Seq[TarEntry] =
+    docs(docId, gzBytes).map { d =>
+      if (d.entry_idx < 0) TarEntry(docId, -1L, "", 0L, 0L)
+      else TarEntry(docId, d.entry_idx, d.name, d.n_bytes,
+        d.text.split("\\s+").count(_.nonEmpty).toLong)
+    }
+
+  def docs(docId: Long, gzBytes: Array[Byte]): Seq[TarDoc] = {
     val bytes = WarcIngest.gunzip(gzBytes) match {
-      case None => return sentinel(docId)
+      case None => return docSentinel(docId)
       case Some(b) => b
     }
     val n = bytes.length
-    val out = scala.collection.mutable.ArrayBuffer.empty[TarEntry]
+    val out = scala.collection.mutable.ArrayBuffer.empty[TarDoc]
     var i = 0
     var idx = 0
     while (i + 512 <= n) {
@@ -203,17 +252,18 @@ object TarIngest {
         ss += raw.toByte
         j += 1
       }
-      val stored = octal(bytes, i + 148, 8).getOrElse(return sentinel(docId))
-      if (stored != us && stored != ss) return sentinel(docId)
+      val stored = octal(bytes, i + 148, 8)
+        .getOrElse(return docSentinel(docId))
+      if (stored != us && stored != ss) return docSentinel(docId)
       val name = cstr(bytes, i, 100)
-      val size = octal(bytes, i + 124, 12).getOrElse(return sentinel(docId))
+      val size = octal(bytes, i + 124, 12)
+        .getOrElse(return docSentinel(docId))
       val typeflag = bytes(i + 156)
       val body = i + 512
-      if (body + size > n) return sentinel(docId)
+      if (body + size > n) return docSentinel(docId)
       if (typeflag == 0 || typeflag == '0') { // regular file
-        val text = new String(bytes, body, size.toInt, "UTF-8")
-        out += TarEntry(docId, idx.toLong, name, size,
-          text.split("\\s+").count(_.nonEmpty).toLong)
+        out += TarDoc(docId, idx.toLong, name, size,
+          new String(bytes, body, size.toInt, "UTF-8"))
         idx += 1
       }
       i = body + ((size + 511) / 512 * 512).toInt
@@ -221,9 +271,9 @@ object TarIngest {
     finish(out, docId)
   }
 
-  private def finish(out: scala.collection.mutable.ArrayBuffer[TarEntry],
-      docId: Long): Seq[TarEntry] =
-    if (out.isEmpty) sentinel(docId) else out.toSeq
+  private def finish(out: scala.collection.mutable.ArrayBuffer[TarDoc],
+      docId: Long): Seq[TarDoc] =
+    if (out.isEmpty) docSentinel(docId) else out.toSeq
 
   /** Real ustar writer for the generators: proper octal fields and
     * checksum, bodies padded to blocks, two-zero-block terminator.
@@ -269,6 +319,16 @@ object TarIngest {
     import spark.implicits._
     binary.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, b) => entries(id, b) })
+  }
+
+  /** Batched ingestion keeping the entry TEXT — the tar face of
+    * [[WarcIngest.extractDocs]].
+    */
+  def extractDocs(spark: SparkSession,
+      binary: DataFrame): Dataset[TarDoc] = {
+    import spark.implicits._
+    binary.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) => docs(id, b) })
   }
 }
 
