@@ -326,6 +326,52 @@ object Multimodal extends QueryPack {
         .orderBy($"doc_id", $"frame_idx")
     }),
 
+    // -- REAL MP3 framing walk (entropy payload stays stubbed) ----------
+    // What production audio curation does without decoding: hop
+    // MPEG-1 Layer III frames by the spec's length arithmetic
+    // (144·bitrate/samplerate + padding) after validating sync/
+    // version/layer and table indices, skipping a leading ID3v2 tag
+    // by its syncsafe length — yielding the VBR-aware frame census
+    // and exact duration. The generator synthesizes real headers
+    // with junk entropy payloads the walk must hop blind; every
+    // emitted column is closed-form.
+    "m19_mp3_frame_walk" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val mp3s = Tables(s, dir).documents.select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val frames = (5 + id % 4).toInt
+          val idxs = (0 until frames).map(f => (1 + (id + f) % 14).toInt)
+          (id, graft.operators.Mp3Frames.synthesize(idxs, 0, id))
+        }).toDF("doc_id", "payload")
+      graft.operators.Mp3Frames.extract(s, mp3s).toDF()
+        .select($"doc_id", $"n_frames", $"bitrate_kbps_sum",
+          $"duration_ms")
+        .orderBy($"doc_id")
+    }),
+
+    // -- REAL H.264 Annex-B NAL walk (CABAC payload stays stubbed) ------
+    // The video twin of m19: start-code delimited NAL units with the
+    // one-byte header census (SPS/PPS/IDR/non-IDR counts, payload
+    // bytes) — the gate/dedup surface a video pipeline reads without
+    // entropy decode. 4-byte start codes before parameter sets,
+    // 3-byte before slices, forbidden-bit validation, zero-length
+    // NALs to the sentinel.
+    "m20_h264_nal_walk" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val streams = Tables(s, dir).documents.select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val k = (3 + id % 3).toInt
+          val plan = Seq((7, (10 + id % 5).toInt), (8, 6), (5,
+            (50 + id % 20).toInt)) ++
+            (0 until k).map(j => (1, 40 + j))
+          (id, graft.operators.H264Nals.synthesize(plan, id))
+        }).toDF("doc_id", "payload")
+      graft.operators.H264Nals.extract(s, streams).toDF()
+        .select($"doc_id", $"n_nals", $"n_sps", $"n_pps", $"n_idr",
+          $"n_nonidr", $"payload_bytes")
+        .orderBy($"doc_id")
+    }),
+
     // -- stubbed decode via typed mapPartitions -------------------------
     "m02_stub_decode" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -623,6 +669,35 @@ object Multimodal extends QueryPack {
         |  CAST(SUM(CASE WHEN i > 0 AND ((s < 0) != (prev < 0))
         |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
         |FROM lagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the MP3 walk's census is fully closed-form: per-frame bitrate
+    // from the MPEG-1 Layer III table, duration = frames·1152/44100
+    "m19_mp3_frame_walk" ->
+      """WITH fr AS (
+        |  SELECT d.doc_id, t.f,
+        |    list_extract([32,40,48,56,64,80,96,112,128,160,192,224,
+        |      256,320], CAST(1 + (d.doc_id + t.f) % 14 AS INTEGER))
+        |      AS kbps
+        |  FROM documents d CROSS JOIN generate_series(0, 8) AS t(f)
+        |  WHERE t.f < 5 + d.doc_id % 4)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(SUM(kbps) AS BIGINT) AS bitrate_kbps_sum,
+        |  CAST(COUNT(*) * 1152 * 1000 // 44100 AS BIGINT)
+        |    AS duration_ms
+        |FROM fr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the NAL census closed-form from the generator's plan
+    "m20_h264_nal_walk" ->
+      """SELECT doc_id,
+        |  CAST(6 + doc_id % 3 AS BIGINT) AS n_nals,
+        |  CAST(1 AS BIGINT) AS n_sps,
+        |  CAST(1 AS BIGINT) AS n_pps,
+        |  CAST(1 AS BIGINT) AS n_idr,
+        |  CAST(3 + doc_id % 3 AS BIGINT) AS n_nonidr,
+        |  CAST((10 + doc_id % 5) + 6 + (50 + doc_id % 20)
+        |    + (3 + doc_id % 3) * 40
+        |    + ((3 + doc_id % 3) * (2 + doc_id % 3)) // 2
+        |    AS BIGINT) AS payload_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the MJPEG walk's exact surface: 6 frames per container, stride-2
     // sampling emits indices 0/2/4 at the generated dimensions
     "m18_avi_mjpeg_frames" ->
