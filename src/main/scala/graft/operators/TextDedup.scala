@@ -199,26 +199,40 @@ object TextDedup {
     // at pipeline scale (190M corpus+arrival shingles vs ~100k
     // candidate ids) aggregating the full frame was the single
     // largest wasted shuffle in the dedup probe
-    val ns = shCand.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    // intersections are PAIR-DRIVEN, not an all-pairs self-join on h:
-    // joining shCand to itself computes intersections for EVERY
-    // co-occurring doc pair in the candidate universe — quadratic in
-    // the docs sharing a hot (boilerplate) shingle even when the
-    // requested pair set is tiny. Driving from the pairs keeps the
-    // cost linear: |pairs| × shingles(d1) intermediate rows, then an
-    // equi-join on (d2, h) keeps exactly the common shingles.
-    // Measured at the 5M-doc rehearsal: the self-join form ran
-    // minutes-long straggler aggregates over ~350M pair rows for a
-    // 173k-pair request; this form touches ~5M rows.
+    // The candidate-restricted frame is aggregated ONCE into per-doc
+    // (count, sorted shingle array) rows, and intersections are
+    // PAIR-DRIVEN over those arrays — two structural fixes in one:
+    //   - the old self-join on h computed intersections for EVERY
+    //     co-occurring pair in the candidate universe: quadratic in
+    //     docs sharing a hot boilerplate shingle even when the
+    //     requested pair set is tiny (measured at the 5M-doc
+    //     rehearsal: minutes-long straggler aggregates over ~350M
+    //     pair rows for a 173k-pair request);
+    //   - every downstream reference (ns twice, both inter arms)
+    //     now derives from the SAME aggregate keyed by id, so the
+    //     restricted scan's exchange is planned once and reused
+    //     instead of re-evaluated per differently-keyed reference
+    //     (measured on st33: differently-keyed evaluations were 2×
+    //     the whole drain).
+    // Candidate docs carry bounded shingle sets, so the arrays are
+    // small and array_intersect stays inside codegen.
+    val docSh = shCand.groupBy(col("id")).agg(
+      count(lit(1)).as("n"),
+      sort_array(collect_list(col("h"))).as("hs"))
+    val ns = docSh.select(col("id"), col("n"))
     // d1 < d2 keeps the historical self-pair contract: a degenerate
     // (d, d) request scores inter 0 (→ jaccard 0), as the self-join
     // form's strict filter did
     val wanted = cand.select(col("d1"), col("d2"))
       .filter(col("d1") < col("d2")).distinct()
     val inter = wanted
-      .join(shCand.select(col("id").as("d1"), col("h")), Seq("d1"))
-      .join(shCand.select(col("id").as("d2"), col("h")), Seq("d2", "h"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+      .join(docSh.select(col("id").as("d1"), col("hs").as("hs1")),
+        Seq("d1"))
+      .join(docSh.select(col("id").as("d2"), col("hs").as("hs2")),
+        Seq("d2"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("hs1"), col("hs2"))).cast("long")
+          .as("inter"))
     cand
       .join(inter, Seq("d1", "d2"), "left")
       // LEFT joins + coalesce(n, 0): a doc too short to shingle has no

@@ -1865,16 +1865,15 @@ object StreamingOps extends QueryPack {
       var batches = 0
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      // the probe side is IDENTICAL in every micro-batch, but
-      // foreachBatch re-plans (and re-scans) it per trigger — cache it
-      // ONCE across the drain. Measured (BatchProfile, sf0.01): the
-      // per-batch cost is ~100% fixed probe overhead at small batch
-      // sizes, and this cache removes the rescan share of it. At
-      // 100 TB the equivalent is OS/alluxio-cached hot index buckets;
-      // the bucketed layout (no shuffle on the band join) is preserved
-      // by the in-memory scan's partitioning.
-      val bandsIdx = s.table(bandsTbl).persist()
-      val corpusSh = s.table(shTbl).persist()
+      // The probe side is identical in every micro-batch; caching it
+      // across the drain was TRIED (round 9) and reverted: at sf0.1
+      // building the in-memory copy of the corpus tables costs more
+      // than the four batches' bucketed-parquet scans it saves
+      // (16.1 s vs 7.2 s measured solo), especially now that the
+      // pair-driven jaccardVerify touches the corpus shingles only
+      // through a candidate-restricted semi-join. The bucketed
+      // storage layout IS the cache at this shape; PLANS §81 keeps
+      // the fixed-vs-marginal numbers.
       try {
         val q = stream.writeStream
           .outputMode(OutputMode.Append())
@@ -1894,12 +1893,12 @@ object StreamingOps extends QueryPack {
                 }.reduce(_ unionByName _)
               val cand = newBanded
                 .select($"id".as("new_id"), $"band", $"bh")
-                .join(bandsIdx
+                .join(s.table(bandsTbl)
                   .select($"id".as("corpus_id"), $"band", $"bh"),
                   Seq("band", "bh"))
                 .select($"new_id", $"corpus_id").distinct()
                 .persist()
-              val sh = corpusSh.unionByName(newSh)
+              val sh = s.table(shTbl).unionByName(newSh)
               val verified = TextDedup.jaccardVerify(sh,
                 cand.select($"new_id".as("d1"), $"corpus_id".as("d2"),
                   $"new_id", $"corpus_id"))
@@ -1923,11 +1922,7 @@ object StreamingOps extends QueryPack {
           }
           .start()
         q.awaitTermination()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prev)
-        bandsIdx.unpersist(blocking = false)
-        corpusSh.unpersist(blocking = false)
-      }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       require(batches >= 4,
         s"expected >= 4 incremental micro-batches, saw $batches — the " +
           "multi-file split is not driving the trigger")
