@@ -311,7 +311,12 @@ object Multimodal extends QueryPack {
     // closed-form; lossy luma values are spec-pinned (AviCodecSpec).
     "m18_avi_mjpeg_frames" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
+      // 1-in-5 doc sample: the container walk is cheap but ImageIO
+      // costs ~9 encode/decode calls per synthesized video — the
+      // sample keeps the real-codec coverage without making this the
+      // suite's tail query
       val avis = Tables(s, dir).documents.select($"doc_id").as[Long]
+        .filter(_ % 5 == 0)
         .mapPartitions(_.map { id =>
           val frames = (0 until 6).map { f =>
             val rgb = Array.tabulate(8 * 8 * 3)(i =>
@@ -706,6 +711,7 @@ object Multimodal extends QueryPack {
         |  CAST(6 AS BIGINT) AS n_frames,
         |  CAST(2 * t.k AS BIGINT) AS frame_idx
         |FROM documents d CROSS JOIN generate_series(0, 2) AS t(k)
+        |WHERE d.doc_id % 5 = 0
         |ORDER BY d.doc_id, frame_idx""".stripMargin,
     // ADPCM's exact surface: the block structure fixes the sample
     // count ((36-4)*2+1 per block × 4 blocks); the stateful decode is
