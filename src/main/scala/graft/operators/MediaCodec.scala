@@ -45,10 +45,11 @@ trait MediaCodec extends Serializable {
 }
 
 /** The environment-bound deterministic STUB codec. After PPM/PGM
-  * ([[PpmMediaCodec]]), PNG ([[PngMediaCodec]]), PCM/μ-law/ADPCM
-  * audio ([[WavCodec]]), y4m video ([[Y4mCodec]]), JPEG via the
-  * JDK's own ImageIO ([[JpegMediaCodec]]) and MJPEG-in-AVI video
-  * ([[AviCodec]]), the only formats still behind this stub are
+  * ([[PpmMediaCodec]]), PNG ([[PngMediaCodec]]), GIF with real LZW
+  * ([[GifMediaCodec]]), PCM/μ-law/ADPCM audio ([[WavCodec]]), y4m
+  * video ([[Y4mCodec]]), JPEG via the JDK's own ImageIO
+  * ([[JpegMediaCodec]]) and MJPEG-in-AVI video ([[AviCodec]]), the
+  * only formats still behind this stub are
   * PERCEPTUAL audio (MP3/AAC) and INTER-FRAME video (H.264/VP9) —
   * the JDK genuinely ships no decoder for those. The kernels are
   * byte-statistics stand-ins (honest fakes, same shapes): decode

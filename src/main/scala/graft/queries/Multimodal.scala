@@ -377,6 +377,27 @@ object Multimodal extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // -- REAL GIF decode: the SECOND entropy codec, LZW -----------------
+    // GIF's variable-width LZW is genuine entropy coding (the other
+    // is PNG's DEFLATE) and GIF is LOSSLESS, so the oracle is m13's
+    // pixel-exact discipline, not m15's surface split: the hash-match
+    // proves the entire encode→LZW→decode→palette loop — variable
+    // code widths, clear codes and the KwKwK rule included — with
+    // the oracle never seeing an LZW bit.
+    "m21_gif_decode_real" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val gifs = Tables(s, dir).documents.select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val gray = Array.tabulate(64)(p =>
+            ((id * 23 + p * 7) % 256).toByte)
+          (id, graft.operators.GifMediaCodec.encodeGray8(8, 8, gray))
+        }).toDF("doc_id", "payload")
+      BinaryDecode.extractFeatures(s, gifs,
+          graft.operators.GifMediaCodec).toDF()
+        .select($"doc_id", $"byte_sum", $"h0", $"h1", $"h2", $"h3")
+        .orderBy($"doc_id")
+    }),
+
     // -- stubbed decode via typed mapPartitions -------------------------
     "m02_stub_decode" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -674,6 +695,24 @@ object Multimodal extends QueryPack {
         |  CAST(SUM(CASE WHEN i > 0 AND ((s < 0) != (prev < 0))
         |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
         |FROM lagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // pixel-exact closed-form recompute of the GIF luma features —
+    // the LZW round trip proven without an LZW bit on the oracle side
+    "m21_gif_decode_real" ->
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |    ((d.doc_id * 23 + t.p * 7) % 256) AS l
+        |  FROM documents d CROSS JOIN generate_series(0, 63) AS t(p))
+        |SELECT doc_id,
+        |  CAST(SUM(l) AS BIGINT) AS byte_sum,
+        |  CAST(SUM(CASE WHEN l // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS h0,
+        |  CAST(SUM(CASE WHEN l // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS h1,
+        |  CAST(SUM(CASE WHEN l // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS h2,
+        |  CAST(SUM(CASE WHEN l // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS h3
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the MP3 walk's census is fully closed-form: per-frame bitrate
     // from the MPEG-1 Layer III table, duration = frames·1152/44100
     "m19_mp3_frame_walk" ->

@@ -522,7 +522,7 @@ object PropertySpec extends Properties("graft") {
   // never an exception. Corrupted-valid inputs are the sharper probe —
   // they reach deep parser states that pure garbage never does.
   private val fuzzCase: Gen[(Int, List[Byte], Int, Byte)] = for {
-    codec <- Gen.chooseNum(0, 8)
+    codec <- Gen.chooseNum(0, 9)
     garbage <- Gen.listOfN(300, Gen.chooseNum(-128, 127).map(_.toByte))
     flipAt <- Gen.chooseNum(0, 10000)
     flipTo <- Gen.chooseNum(-128, 127).map(_.toByte)
@@ -553,9 +553,11 @@ object PropertySpec extends Properties("graft") {
           Array.tabulate(90)(i => (i * 7).toByte))
         case 7 => WavCodec.wavContainer(7, 1, 8000, 8, 1,
           Array.tabulate(32)(i => (i * 11).toByte))
-        case _ => AviCodec.aviMjpeg(4, 4, Seq(
+        case 8 => AviCodec.aviMjpeg(4, 4, Seq(
           JpegMediaCodec.encodeRgb8(4, 4,
             Array.tabulate(48)(i => (i * 5).toByte))))
+        case _ => GifMediaCodec.encodeGray8(6, 5,
+          Array.tabulate(30)(i => (i * 9).toByte))
       }
       val corrupted = valid.clone()
       corrupted(flipAt % corrupted.length) = flipTo
@@ -582,7 +584,11 @@ object PropertySpec extends Properties("graft") {
             JpegMediaCodec.perceptualHash(1L, b, 8)
             JpegMediaCodec.meta(1L, b); true
           case 7 => WavCodec.decode(1L, b).n_samples >= -1L
-          case _ => AviCodec.frameSample(1L, b, 2).nonEmpty
+          case 8 => AviCodec.frameSample(1L, b, 2).nonEmpty
+          case _ =>
+            GifMediaCodec.decode(1L, b)
+            GifMediaCodec.resize(b, 2)
+            GifMediaCodec.perceptualHash(1L, b, 8); true
         }
       } && {
         WavCodec.decode(1L, garbage.toArray) // WAV on garbage too
