@@ -68,7 +68,12 @@ object ClusterParity {
     * rules (x29–x33), mapPartitions codec closures (m13, c16–c18),
     * graph iteration (g01…), persisted-index probe (d17), bucketed
     * serving tables (s14), streaming state + foreachBatch loops
-    * (st37/st38/st40), plus the relational core.
+    * (st37/st38/st40), the transformWithState processor family
+    * (st8/st14/st15 — handle + processor objects serialized to the
+    * state-store task, st8 on the RocksDB provider), signed-
+    * retraction IVM (st32), the range-shuffled Z-order write (x16),
+    * window-heavy samplers (c07/e24), cell-joined vector ops
+    * (d10/s16), multi-seed BFS (g12), plus the relational core.
     */
   val queryNames: Seq[String] = Seq(
     "q01_pricing_summary", "q03_top_revenue", "q09_segment_top_orders",
@@ -88,6 +93,11 @@ object ClusterParity {
     "g01_pagerank", "g15_ktruss",
     "st37_stream_extrema_rollup", "st38_stream_cep_inflight",
     "st40_stream_warc_ingest",
+    "st8_transform_with_state", "st14_tws_timers", "st15_tws_mapstate",
+    "st32_stream_join_view_ivm",
+    "x16_zorder_layout", "c07_weighted_sample",
+    "e24_rolling_active_users", "d10_semdedup", "s16_sq8_rerank_topk",
+    "g12_harmonic_centrality",
     "p01_curation_pipeline")
 }
 

@@ -52,7 +52,8 @@ object GraftSession {
     */
   def cluster(workers: Int = 2, coresPerWorker: Int = 8,
       workerMemMB: Int = 4096,
-      appName: String = "graft-cluster"): SparkSession = {
+      appName: String = "graft-cluster",
+      extraConf: Map[String, String] = Map.empty): SparkSession = {
     val fakeHome = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft-spark-home")
     java.nio.file.Files.createDirectories(fakeHome.resolve("conf"))
@@ -78,14 +79,16 @@ object GraftSession {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar")
       .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
-    finish(SparkSession
+    val builder = SparkSession
       .builder()
       .master(s"local-cluster[$workers,$coresPerWorker,$workerMemMB]")
       .appName(appName)
       .config("spark.executor.memory", s"${workerMemMB}m")
       .config("spark.executor.extraJavaOptions", addOpens)
       .config("spark.sql.shuffle.partitions",
-        (workers * coresPerWorker).toString))
+        (workers * coresPerWorker).toString)
+    extraConf.foreach { case (k, v) => builder.config(k, v) }
+    finish(builder)
   }
 
   private def finish(

@@ -16,10 +16,25 @@ import org.scalatest.funsuite.AnyFunSuite
   * machinery must absorb.
   */
 class ChaosLocalFileSystem extends LocalFileSystem {
+  /** Armed either by the JVM-static flag (single-JVM local mode) or
+    * by the Hadoop conf key — the conf ships to executor JVMs inside
+    * the serialized job configuration, which is what lets the same
+    * class inject failures in SEPARATE executor processes under
+    * local-cluster, where driver-side statics are invisible.
+    */
+  private def isArmed: Boolean =
+    ChaosLocalFileSystem.armed.get ||
+      (getConf != null && getConf.getBoolean("graft.chaos.firstread",
+        false))
+
   override def open(f: Path, bufferSize: Int)
       : org.apache.hadoop.fs.FSDataInputStream = {
-    if (ChaosLocalFileSystem.armed.get &&
-        TaskContext.get() != null &&
+    val tc = TaskContext.get()
+    // attemptNumber == 0 only: a retried task must succeed rather
+    // than fail on the NEXT unseen file of its split — a multi-file
+    // partition (bucketed scans) would otherwise burn every retry on
+    // a different file and exhaust spark.task.maxFailures
+    if (isArmed && tc != null && tc.attemptNumber() == 0 &&
         f.getName.endsWith(".parquet") &&
         ChaosLocalFileSystem.seen.putIfAbsent(f.toString, true) == null) {
       ChaosLocalFileSystem.fired.incrementAndGet()
@@ -93,5 +108,58 @@ class ChaosRetrySpec extends AnyFunSuite {
     assert(ChaosLocalFileSystem.fired.get > 0,
       "chaos never fired — the injection path is dead and this " +
         "spec proved nothing")
+  }
+
+  test("serving loops survive task failures ACROSS executor " +
+      "processes (local-cluster + spark.task.maxFailures)") {
+    // the sternest single-machine version: executors are separate
+    // JVMs, the chaos FS is armed via the Hadoop conf that ships with
+    // each job, failures surface as genuine task failures that the
+    // standalone scheduler retries under spark.task.maxFailures, and
+    // the failure count is read back from the driver's listener (the
+    // executor-side statics are in other processes)
+    val slice = Seq("st37_stream_extrema_rollup", "st39_stream_eager_agg",
+      "st40_stream_warc_ingest", "d17_persisted_index_dedup")
+    val clean = ClusterParity.runAll(
+      () => GraftSession.local(cpus = 8), slice, sfDir)
+
+    val failedTasks = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        e.reason match {
+          case _: org.apache.spark.Success.type => ()
+          case _ => failedTasks.incrementAndGet()
+        }
+    }
+    val chaotic = ClusterParity.runAll(
+      () => {
+        val s = GraftSession.cluster(workers = 2, coresPerWorker = 8,
+          workerMemMB = 3072, appName = "graft-cluster-chaos",
+          extraConf = Map(
+            "spark.task.maxFailures" -> "4",
+            "spark.hadoop.graft.chaos.firstread" -> "true",
+            "spark.hadoop.fs.file.impl" ->
+              classOf[ChaosLocalFileSystem].getName,
+            "spark.hadoop.fs.file.impl.disable.cache" -> "true"))
+        s.sparkContext.addSparkListener(listener)
+        s
+      },
+      slice, sfDir)
+
+    val problems = slice.flatMap { n =>
+      (clean(n), chaotic(n)) match {
+        case (Right((cs, cr)), Right((hs, hr))) =>
+          if (cs != hs) Some(s"$n: schema drift under cluster chaos")
+          else if (cr != hr) Some(
+            s"$n: ${cr.size} clean vs ${hr.size} chaos rows")
+          else None
+        case (Left(e), _) => Some(s"$n: clean run failed: $e")
+        case (_, Left(e)) => Some(s"$n: cluster-chaos run failed: $e")
+      }
+    }
+    assert(problems.isEmpty, problems.mkString("\n"))
+    assert(failedTasks.get > 0,
+      "no task failures observed — executor-side chaos never armed")
   }
 }

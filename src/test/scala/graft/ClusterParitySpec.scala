@@ -18,7 +18,7 @@ class ClusterParitySpec extends AnyFunSuite {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  test("40 representative queries are bit-identical across the " +
+  test("50 representative queries are bit-identical across the " +
       "process boundary (local[8] vs local-cluster[2,8])") {
     val names = ClusterParity.queryNames
     val localRes = ClusterParity.runAll(
@@ -41,6 +41,6 @@ class ClusterParitySpec extends AnyFunSuite {
     }
     assert(problems.isEmpty, problems.mkString("\n"))
     // and the slice really covered every tier we claim it does
-    assert(names.size >= 35 - 1)
+    assert(names.size >= 50)
   }
 }
