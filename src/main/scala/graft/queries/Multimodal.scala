@@ -398,6 +398,30 @@ object Multimodal extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // -- REAL FLAC decode: the THIRD entropy codec, Rice coding ---------
+    // FLAC's partitioned Rice residual coding is genuine entropy
+    // coding — and FLAC is LOSSLESS, so this is the first
+    // entropy-coded AUDIO format on the m13/m21 pixel-exact oracle
+    // discipline (JPEG/ADPCM only pin their surface): the hash-match
+    // proves frame sync, UTF-8 frame numbers, CRC-8/CRC-16, Rice
+    // decode, and fixed-order prediction, with the oracle never
+    // seeing a Rice bit. 600 samples over blockSize 256 force a
+    // multi-frame stream with a partial last block.
+    "m22_flac_decode_real" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val flacs = Tables(s, dir).documents.select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val sig = Array.tabulate(600)(i =>
+            (((id * 31 + i.toLong * 17) % 4001) - 2000).toInt)
+          (id, graft.operators.FlacCodec.encodeMono(sig, 8000,
+            blockSize = 256, order = 2))
+        }).toDF("doc_id", "payload")
+      graft.operators.FlacCodec.extract(s, flacs).toDF()
+        .select($"doc_id", $"sample_rate", $"n_samples", $"abs_sum",
+          $"zero_crossings", $"weighted_sum")
+        .orderBy($"doc_id")
+    }),
+
     // -- stubbed decode via typed mapPartitions -------------------------
     "m02_stub_decode" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -713,6 +737,27 @@ object Multimodal extends QueryPack {
         |  CAST(SUM(CASE WHEN l // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS h3
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // sample-exact closed-form recompute of the FLAC features — the
+    // Rice/prediction/CRC chain proven with the oracle never seeing
+    // a FLAC bit (weighted_sum is order-sensitive: a swap or shift
+    // of any two decoded samples breaks the hash)
+    "m22_flac_decode_real" ->
+      """WITH smp AS (
+        |  SELECT d.doc_id, t.i,
+        |    ((d.doc_id * 31 + t.i * 17) % 4001) - 2000 AS s
+        |  FROM documents d CROSS JOIN generate_series(0, 599) AS t(i)),
+        |lagged AS (
+        |  SELECT doc_id, i, s,
+        |    LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM smp)
+        |SELECT doc_id,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(600 AS BIGINT) AS n_samples,
+        |  CAST(SUM(ABS(s)) AS BIGINT) AS abs_sum,
+        |  CAST(SUM(CASE WHEN i > 0 AND ((s < 0) != (prev < 0))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+        |  CAST(SUM(s * (i + 1)) AS BIGINT) AS weighted_sum
+        |FROM lagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the MP3 walk's census is fully closed-form: per-frame bitrate
     // from the MPEG-1 Layer III table, duration = frames·1152/44100
     "m19_mp3_frame_walk" ->

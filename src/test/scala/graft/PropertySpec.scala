@@ -522,7 +522,7 @@ object PropertySpec extends Properties("graft") {
   // never an exception. Corrupted-valid inputs are the sharper probe —
   // they reach deep parser states that pure garbage never does.
   private val fuzzCase: Gen[(Int, List[Byte], Int, Byte)] = for {
-    codec <- Gen.chooseNum(0, 9)
+    codec <- Gen.chooseNum(0, 10)
     garbage <- Gen.listOfN(300, Gen.chooseNum(-128, 127).map(_.toByte))
     flipAt <- Gen.chooseNum(0, 10000)
     flipTo <- Gen.chooseNum(-128, 127).map(_.toByte)
@@ -556,8 +556,11 @@ object PropertySpec extends Properties("graft") {
         case 8 => AviCodec.aviMjpeg(4, 4, Seq(
           JpegMediaCodec.encodeRgb8(4, 4,
             Array.tabulate(48)(i => (i * 5).toByte))))
-        case _ => GifMediaCodec.encodeGray8(6, 5,
+        case 9 => GifMediaCodec.encodeGray8(6, 5,
           Array.tabulate(30)(i => (i * 9).toByte))
+        case _ => FlacCodec.encodeMono(
+          Array.tabulate(64)(i => (i * 37) % 2000 - 1000), 8000,
+          blockSize = 32, order = 2)
       }
       val corrupted = valid.clone()
       corrupted(flipAt % corrupted.length) = flipTo
@@ -585,10 +588,11 @@ object PropertySpec extends Properties("graft") {
             JpegMediaCodec.meta(1L, b); true
           case 7 => WavCodec.decode(1L, b).n_samples >= -1L
           case 8 => AviCodec.frameSample(1L, b, 2).nonEmpty
-          case _ =>
+          case 9 =>
             GifMediaCodec.decode(1L, b)
             GifMediaCodec.resize(b, 2)
             GifMediaCodec.perceptualHash(1L, b, 8); true
+          case _ => FlacCodec.decode(1L, b).n_samples >= -1L
         }
       } && {
         WavCodec.decode(1L, garbage.toArray) // WAV on garbage too
