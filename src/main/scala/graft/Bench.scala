@@ -101,12 +101,18 @@ object Bench {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(stamped), line + "\n")
       val target = java.nio.file.Paths.get(benchOut)
-      val priorMean: Option[Double] =
+      // (priorMean, priorSf): a mean is only comparable at the SAME
+      // scale factor — an sf0.01 dev run's tiny per-query mean must
+      // never displace the sf0.1 artifact of record (this happened
+      // once: a 0.88 s/q sf0.01 smoke "beat" the 1.19 s/q sf0.1
+      // record and overwrote it).
+      val prior: Option[(Double, Option[String])] =
         if (!java.nio.file.Files.exists(target)) None
         else {
           val old = java.nio.file.Files.readString(target)
           val totalRe = """"metric":"total","value":([0-9.eE+\-]+)""".r
           val nRe = """"n_queries":([0-9]+)""".r
+          val sfRe = """"sf":"([^"]+)"""".r
           val oldTotal = totalRe.findFirstMatchIn(old).map(_.group(1).toDouble)
           val oldN = nRe.findFirstMatchIn(old).map(_.group(1).toInt)
             // pre-n_queries artifacts: count per-query entries inside
@@ -116,11 +122,19 @@ object Bench {
               .findAllIn(old).size - "\\.(build|probe)\":[0-9]".r
               .findAllIn(old).size))
             .filter(_ > 0)
-          for (t <- oldTotal; n <- oldN) yield t / n
+          val oldSf = sfRe.findFirstMatchIn(old).map(_.group(1))
+          for (t <- oldTotal; n <- oldN) yield (t / n, oldSf)
         }
       val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
-      priorMean match {
-        case Some(pm) if newMean > pm * 1.10 && !force =>
+      prior match {
+        case Some((_, Some(oldSf))) if oldSf != sfDir && !force =>
+          System.err.println(
+            s"[bench] REFUSING to overwrite $benchOut: recorded artifact " +
+              s"is at sf '$oldSf' but this run is at '$sfDir' — means at " +
+              "different scale factors are not comparable. This run is " +
+              s"preserved at $stamped; set SPARK_GRAFT_BENCH_FORCE=1 to " +
+              "override.")
+        case Some((pm, _)) if newMean > pm * 1.10 && !force =>
           System.err.println(
             f"[bench] REFUSING to overwrite $benchOut: new mean " +
               f"$newMean%.3f s/query is ${newMean / pm}%.2f× the recorded " +
