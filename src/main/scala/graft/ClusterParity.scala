@@ -89,7 +89,8 @@ object ClusterParity {
     "c04_sequence_pack", "c16_warc_ingest", "c18_tar_gz_ingest",
     "m13_png_decode_real", "m15_jpeg_meta_imageio",
     "m16_ulaw_decode_real", "m18_avi_mjpeg_frames",
-    "m19_mp3_frame_walk", "m21_gif_decode_real",
+    "m19_mp3_frame_walk", "m21_gif_decode_real", "m22_flac_decode_real",
+    "m23_flv_screen_video",
     "g01_pagerank", "g15_ktruss",
     "st37_stream_extrema_rollup", "st38_stream_cep_inflight",
     "st40_stream_warc_ingest",

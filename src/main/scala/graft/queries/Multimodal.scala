@@ -422,6 +422,30 @@ object Multimodal extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // -- REAL inter-frame video: FLV / Sorenson Screen Video 1 ----------
+    // Screen Video's only compression is DEFLATE, so a bare JVM runs
+    // the whole format for real — FLV tag walk, bit-packed header,
+    // per-block zlib, and the property no still-image codec has:
+    // TEMPORAL composition. The generator emits a 40×24 gradient
+    // keyframe (16×16 blocks → a 3×2 grid with clipped edge blocks)
+    // plus 2–4 inter frames each rewriting one block to a constant;
+    // the decoder replays the overlay and the oracle recomputes the
+    // FINAL canvas closed-form (last-writer-wins per block) — the
+    // hash-match proves framing, inflation and inter-frame state
+    // without the oracle seeing an FLV byte. weighted_sum is
+    // position-sensitive: a block composed at the wrong offset or a
+    // stale block surviving a later write breaks it.
+    "m23_flv_screen_video" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val flvs = Tables(s, dir).documents.select($"doc_id").as[Long]
+        .mapPartitions(_.map(id => (id, svDemoStream(id))))
+        .toDF("doc_id", "payload")
+      graft.operators.FlvScreenVideo.extract(s, flvs).toDF()
+        .select($"doc_id", $"n_frames", $"n_keyframes",
+          $"blocks_updated", $"byte_sum", $"weighted_sum")
+        .orderBy($"doc_id")
+    }),
+
     // -- stubbed decode via typed mapPartitions -------------------------
     "m02_stub_decode" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -636,6 +660,38 @@ object Multimodal extends QueryPack {
       }).toDF("doc_id", "payload")
   }
 
+  /** m23's deterministic Screen Video stream for one document: 40×24,
+    * 16×16 blocks (3×2 grid, edge blocks clipped to 8 wide / 8 tall).
+    * Keyframe luma at image-space pixel p (row-major, top-left) is
+    * (id·23 + p·5) mod 256; inter frame f ∈ 1..F with F = 2 + id mod 3
+    * rewrites block k = (id+f) mod 6 to the constant
+    * (id·13 + f·29) mod 256 — all closed-form for the oracle.
+    */
+  private def svDemoStream(id: Long): Array[Byte] = {
+    import graft.operators.FlvScreenVideo.SvFrame
+    val w = 40; val h = 24; val bs = 16
+    val nbx = 3
+    def blockDims(k: Int): (Int, Int, Int, Int) = {
+      val bx = k % nbx; val by = k / nbx
+      (bx * bs, by * bs, math.min(bs, w - bx * bs), math.min(bs, h - by * bs))
+    }
+    val keyBlocks = (0 until 6).map { k =>
+      val (x0, y0, bw, bh) = blockDims(k)
+      k -> Array.tabulate(bw * bh) { q =>
+        val p = (y0 + q / bw) * w + x0 + q % bw
+        ((id * 23 + p * 5) % 256).toByte
+      }
+    }.toMap
+    val inter = (1 to (2 + id % 3).toInt).map { f =>
+      val k = ((id + f) % 6).toInt
+      val (_, _, bw, bh) = blockDims(k)
+      SvFrame(key = false, Map(k ->
+        Array.fill(bw * bh)(((id * 13 + f * 29) % 256).toByte)))
+    }
+    graft.operators.FlvScreenVideo.encode(w, h, bs, bs,
+      SvFrame(key = true, keyBlocks) +: inter)
+  }
+
   override def oracles: Map[String, String] = Map(
     // pixel-exact closed-form recompute of the decoded luma features:
     // the hash-match proves encode(filter row%5)→deflate→inflate→
@@ -758,6 +814,35 @@ object Multimodal extends QueryPack {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
         |  CAST(SUM(s * (i + 1)) AS BIGINT) AS weighted_sum
         |FROM lagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // pixel-exact closed-form recompute of the FINAL composed canvas:
+    // keyframe gradient overlaid by the last inter-frame write per
+    // block (MAX(f) over the update schedule) — the FLV walk, zlib
+    // blocks and temporal composition proven with the oracle never
+    // seeing an FLV byte
+    "m23_flv_screen_video" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, t.p,
+        |    ((d.doc_id * 23 + t.p * 5) % 256) AS keyl,
+        |    ((t.p // 40) // 16) * 3 + ((t.p % 40) // 16) AS blk
+        |  FROM documents d CROSS JOIN generate_series(0, 959) AS t(p)),
+        |upd AS (
+        |  SELECT d.doc_id, (d.doc_id + t.f) % 6 AS blk, MAX(t.f) AS fl
+        |  FROM documents d CROSS JOIN generate_series(1, 4) AS t(f)
+        |  WHERE t.f <= 2 + d.doc_id % 3
+        |  GROUP BY d.doc_id, (d.doc_id + t.f) % 6),
+        |fin AS (
+        |  SELECT px.doc_id, px.p,
+        |    CASE WHEN u.fl IS NULL THEN px.keyl
+        |         ELSE (px.doc_id * 13 + u.fl * 29) % 256 END AS l
+        |  FROM px LEFT JOIN upd u
+        |    ON px.doc_id = u.doc_id AND px.blk = u.blk)
+        |SELECT doc_id,
+        |  CAST(3 + doc_id % 3 AS BIGINT) AS n_frames,
+        |  CAST(1 AS BIGINT) AS n_keyframes,
+        |  CAST(2 + doc_id % 3 AS BIGINT) AS blocks_updated,
+        |  CAST(SUM(l) AS BIGINT) AS byte_sum,
+        |  CAST(SUM(l * (p + 1)) AS BIGINT) AS weighted_sum
+        |FROM fin GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the MP3 walk's census is fully closed-form: per-frame bitrate
     // from the MPEG-1 Layer III table, duration = frames·1152/44100
     "m19_mp3_frame_walk" ->

@@ -522,7 +522,7 @@ object PropertySpec extends Properties("graft") {
   // never an exception. Corrupted-valid inputs are the sharper probe —
   // they reach deep parser states that pure garbage never does.
   private val fuzzCase: Gen[(Int, List[Byte], Int, Byte)] = for {
-    codec <- Gen.chooseNum(0, 10)
+    codec <- Gen.chooseNum(0, 11)
     garbage <- Gen.listOfN(300, Gen.chooseNum(-128, 127).map(_.toByte))
     flipAt <- Gen.chooseNum(0, 10000)
     flipTo <- Gen.chooseNum(-128, 127).map(_.toByte)
@@ -558,9 +558,17 @@ object PropertySpec extends Properties("graft") {
             Array.tabulate(48)(i => (i * 5).toByte))))
         case 9 => GifMediaCodec.encodeGray8(6, 5,
           Array.tabulate(30)(i => (i * 9).toByte))
-        case _ => FlacCodec.encodeMono(
+        case 10 => FlacCodec.encodeMono(
           Array.tabulate(64)(i => (i * 37) % 2000 - 1000), 8000,
           blockSize = 32, order = 2)
+        case _ => FlvScreenVideo.encode(20, 20, 16, 16, Seq(
+          FlvScreenVideo.SvFrame(key = true, Map(
+            0 -> Array.tabulate(16 * 16)(i => (i * 3).toByte),
+            1 -> Array.tabulate(4 * 16)(i => (i * 5).toByte),
+            2 -> Array.tabulate(16 * 4)(i => (i * 7).toByte),
+            3 -> Array.tabulate(4 * 4)(i => (i * 11).toByte))),
+          FlvScreenVideo.SvFrame(key = false, Map(
+            3 -> Array.fill(4 * 4)(42.toByte)))))
       }
       val corrupted = valid.clone()
       corrupted(flipAt % corrupted.length) = flipTo
@@ -592,7 +600,8 @@ object PropertySpec extends Properties("graft") {
             GifMediaCodec.decode(1L, b)
             GifMediaCodec.resize(b, 2)
             GifMediaCodec.perceptualHash(1L, b, 8); true
-          case _ => FlacCodec.decode(1L, b).n_samples >= -1L
+          case 10 => FlacCodec.decode(1L, b).n_samples >= -1L
+          case _ => FlvScreenVideo.decode(1L, b).n_frames >= -1L
         }
       } && {
         WavCodec.decode(1L, garbage.toArray) // WAV on garbage too
