@@ -446,6 +446,26 @@ object Multimodal extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // -- REAL perceptual-audio PAYLOAD: MPEG-1 Layer I ------------------
+    // Unlike m19's MP3 frame walk (headers only), this decodes INSIDE
+    // the psychoacoustic frame payload: 4-bit subband allocations,
+    // CRC-16 over the protected span, 6-bit scalefactors, and the
+    // 12-slot interleave of nb-bit quantized sample codes — all exact
+    // integers, so the oracle recomputes the full census closed-form
+    // (weighted_sum names frame, slot and subband: any interleave
+    // mis-parse breaks the hash). Only the float synthesis filterbank
+    // (pure DSP, no parsing) stays out of scope.
+    "m24_mp1_subband_census" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val mp1s = Tables(s, dir).documents.select($"doc_id").as[Long]
+        .mapPartitions(_.map(id => (id, mp1DemoStream(id))))
+        .toDF("doc_id", "payload")
+      graft.operators.Mp1Codec.extract(s, mp1s).toDF()
+        .select($"doc_id", $"n_frames", $"kbps_sum", $"n_alloc",
+          $"scf_sum", $"code_sum", $"weighted_sum")
+        .orderBy($"doc_id")
+    }),
+
     // -- stubbed decode via typed mapPartitions -------------------------
     "m02_stub_decode" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -692,6 +712,29 @@ object Multimodal extends QueryPack {
       SvFrame(key = true, keyBlocks) +: inter)
   }
 
+  /** m24's deterministic Layer I stream for one document: F = 3 + id
+    * mod 3 frames at 224 kbps / 32 kHz mono; frame f allocates the 8
+    * subbands with (id+f+sb) mod 4 = 0 at nb = 2 + (id+sb) mod 8 bits,
+    * scalefactor (id·3+f·5+sb·7) mod 63, and sample code
+    * (id + f·13 + sb·29 + q·3) mod 2^nb in slot q — all closed-form
+    * for the oracle.
+    */
+  private def mp1DemoStream(id: Long): Array[Byte] = {
+    import graft.operators.Mp1Codec.Mp1Frame
+    val frames = (0 until (3 + id % 3).toInt).map { f =>
+      val alloc = Array.tabulate(32)(sb =>
+        if ((id + f + sb) % 4 == 0) (2 + (id + sb) % 8).toInt else 0)
+      val scf = Array.tabulate(32)(sb =>
+        ((id * 3 + f * 5 + sb * 7) % 63).toInt)
+      val codes = Array.tabulate(32, 12) { (sb, q) =>
+        if (alloc(sb) == 0) 0
+        else ((id + f * 13 + sb * 29 + q * 3) % (1L << alloc(sb))).toInt
+      }
+      Mp1Frame(alloc, scf, codes)
+    }
+    graft.operators.Mp1Codec.encodeMono(frames)
+  }
+
   override def oracles: Map[String, String] = Map(
     // pixel-exact closed-form recompute of the decoded luma features:
     // the hash-match proves encode(filter row%5)→deflate→inflate→
@@ -843,6 +886,44 @@ object Multimodal extends QueryPack {
         |  CAST(SUM(l) AS BIGINT) AS byte_sum,
         |  CAST(SUM(l * (p + 1)) AS BIGINT) AS weighted_sum
         |FROM fin GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // sample-code-exact closed-form recompute of the Layer I payload
+    // census: allocation schedule, scalefactors and the quantized
+    // codes all replayed in SQL — the bit-level frame parse (CRC-16,
+    // 4-bit allocations, 6-bit scf, nb-bit interleaved codes) proven
+    // with the oracle never seeing an MPEG bit
+    "m24_mp1_subband_census" ->
+      """WITH fr AS (
+        |  SELECT d.doc_id, t.f
+        |  FROM documents d CROSS JOIN generate_series(0, 4) AS t(f)
+        |  WHERE t.f < 3 + d.doc_id % 3),
+        |al AS (
+        |  SELECT fr.doc_id, fr.f, s.sb,
+        |    2 + (fr.doc_id + s.sb) % 8 AS nb,
+        |    (fr.doc_id * 3 + fr.f * 5 + s.sb * 7) % 63 AS scf
+        |  FROM fr CROSS JOIN generate_series(0, 31) AS s(sb)
+        |  WHERE (fr.doc_id + fr.f + s.sb) % 4 = 0),
+        |co AS (
+        |  SELECT al.doc_id,
+        |    (al.doc_id + al.f * 13 + al.sb * 29 + q.q * 3)
+        |      % (CAST(1 AS BIGINT) << al.nb) AS code,
+        |    al.f * 384 + q.q * 32 + al.sb + 1 AS w
+        |  FROM al CROSS JOIN generate_series(0, 11) AS q(q)),
+        |a1 AS (
+        |  SELECT doc_id, COUNT(*) AS n_alloc, SUM(scf) AS scf_sum
+        |  FROM al GROUP BY doc_id),
+        |a2 AS (
+        |  SELECT doc_id, SUM(code) AS code_sum,
+        |    SUM(code * w) AS weighted_sum
+        |  FROM co GROUP BY doc_id)
+        |SELECT a1.doc_id,
+        |  CAST(3 + a1.doc_id % 3 AS BIGINT) AS n_frames,
+        |  CAST(224 * (3 + a1.doc_id % 3) AS BIGINT) AS kbps_sum,
+        |  CAST(a1.n_alloc AS BIGINT) AS n_alloc,
+        |  CAST(a1.scf_sum AS BIGINT) AS scf_sum,
+        |  CAST(a2.code_sum AS BIGINT) AS code_sum,
+        |  CAST(a2.weighted_sum AS BIGINT) AS weighted_sum
+        |FROM a1 JOIN a2 ON a1.doc_id = a2.doc_id
+        |ORDER BY a1.doc_id""".stripMargin,
     // the MP3 walk's census is fully closed-form: per-frame bitrate
     // from the MPEG-1 Layer III table, duration = frames·1152/44100
     "m19_mp3_frame_walk" ->

@@ -522,7 +522,7 @@ object PropertySpec extends Properties("graft") {
   // never an exception. Corrupted-valid inputs are the sharper probe —
   // they reach deep parser states that pure garbage never does.
   private val fuzzCase: Gen[(Int, List[Byte], Int, Byte)] = for {
-    codec <- Gen.chooseNum(0, 11)
+    codec <- Gen.chooseNum(0, 12)
     garbage <- Gen.listOfN(300, Gen.chooseNum(-128, 127).map(_.toByte))
     flipAt <- Gen.chooseNum(0, 10000)
     flipTo <- Gen.chooseNum(-128, 127).map(_.toByte)
@@ -561,7 +561,7 @@ object PropertySpec extends Properties("graft") {
         case 10 => FlacCodec.encodeMono(
           Array.tabulate(64)(i => (i * 37) % 2000 - 1000), 8000,
           blockSize = 32, order = 2)
-        case _ => FlvScreenVideo.encode(20, 20, 16, 16, Seq(
+        case 11 => FlvScreenVideo.encode(20, 20, 16, 16, Seq(
           FlvScreenVideo.SvFrame(key = true, Map(
             0 -> Array.tabulate(16 * 16)(i => (i * 3).toByte),
             1 -> Array.tabulate(4 * 16)(i => (i * 5).toByte),
@@ -569,6 +569,12 @@ object PropertySpec extends Properties("graft") {
             3 -> Array.tabulate(4 * 4)(i => (i * 11).toByte))),
           FlvScreenVideo.SvFrame(key = false, Map(
             3 -> Array.fill(4 * 4)(42.toByte)))))
+        case _ => Mp1Codec.encodeMono(Seq(Mp1Codec.Mp1Frame(
+          Array.tabulate(32)(sb => if (sb % 4 == 0) 2 + sb % 8 else 0),
+          Array.tabulate(32)(sb => (sb * 7) % 63),
+          Array.tabulate(32, 12)((sb, q) =>
+            if (sb % 4 == 0) (sb * 29 + q * 3) % (1 << (2 + sb % 8))
+            else 0))))
       }
       val corrupted = valid.clone()
       corrupted(flipAt % corrupted.length) = flipTo
@@ -601,7 +607,8 @@ object PropertySpec extends Properties("graft") {
             GifMediaCodec.resize(b, 2)
             GifMediaCodec.perceptualHash(1L, b, 8); true
           case 10 => FlacCodec.decode(1L, b).n_samples >= -1L
-          case _ => FlvScreenVideo.decode(1L, b).n_frames >= -1L
+          case 11 => FlvScreenVideo.decode(1L, b).n_frames >= -1L
+          case _ => Mp1Codec.decode(1L, b).n_frames >= -1L
         }
       } && {
         WavCodec.decode(1L, garbage.toArray) // WAV on garbage too
