@@ -466,6 +466,29 @@ object Multimodal extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // -- from-scratch JPEG: the Huffman entropy layer -------------------
+    // Huffman is the fourth from-scratch entropy codec (DEFLATE, LZW,
+    // Rice, now this) and the one behind the classic lossy formats.
+    // The generator emits REAL baseline JFIF (Annex K tables, DC
+    // prediction, ZRL runs past 15 zeros, restart markers every 7
+    // blocks) from closed-form quantized coefficients; the decoder
+    // replays the whole entropy layer — canonical code construction
+    // from DHT, EXTEND's one's-complement negatives, byte
+    // unstuffing, RST-resync prediction resets — and the oracle
+    // recomputes the coefficient census without seeing a JPEG bit.
+    // JpegScratchSpec proves realness both directions against the
+    // JDK's own ImageIO. The float IDCT half stays m15's territory.
+    "m25_jpeg_coeff_census" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val jpgs = Tables(s, dir).documents.select($"doc_id").as[Long]
+        .mapPartitions(_.map(id => (id, jpegDemoStream(id))))
+        .toDF("doc_id", "payload")
+      graft.operators.JpegScratch.extract(s, jpgs).toDF()
+        .select($"doc_id", $"width", $"height", $"n_blocks",
+          $"dc_sum", $"ac_nonzero", $"coeff_weighted")
+        .orderBy($"doc_id")
+    }),
+
     // -- stubbed decode via typed mapPartitions -------------------------
     "m02_stub_decode" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -735,6 +758,26 @@ object Multimodal extends QueryPack {
     graft.operators.Mp1Codec.encodeMono(frames)
   }
 
+  /** m25's deterministic baseline JFIF for one document: 48×32 (24
+    * blocks), restart interval 7. Block b carries three quantized
+    * coefficients, closed-form: DC (id·17 + b·11) mod 256 − 128, an
+    * early AC at zigzag 1 + (id+b) mod 5 valued (id + b·7) mod 31 −
+    * 15 (may be zero — then it simply isn't coded), and a late AC at
+    * zigzag 50 + b mod 10 valued 1 + (id + b·3) mod 7, whose ≥44-zero
+    * gap forces real ZRL codes.
+    */
+  private def jpegDemoStream(id: Long): Array[Byte] = {
+    val blocks = Array.tabulate(24) { b =>
+      val zz = new Array[Int](64)
+      zz(0) = (((id * 17 + b * 11) % 256) - 128).toInt
+      zz(1 + ((id + b) % 5).toInt) = (((id + b * 7) % 31) - 15).toInt
+      zz(50 + b % 10) = (1 + (id + b * 3) % 7).toInt
+      zz
+    }
+    graft.operators.JpegScratch.encodeCoeffs(48, 32, blocks,
+      restartInterval = 7)
+  }
+
   override def oracles: Map[String, String] = Map(
     // pixel-exact closed-form recompute of the decoded luma features:
     // the hash-match proves encode(filter row%5)→deflate→inflate→
@@ -924,6 +967,29 @@ object Multimodal extends QueryPack {
         |  CAST(a2.weighted_sum AS BIGINT) AS weighted_sum
         |FROM a1 JOIN a2 ON a1.doc_id = a2.doc_id
         |ORDER BY a1.doc_id""".stripMargin,
+    // coefficient-exact closed-form recompute of the JPEG census: DC
+    // prediction chain, ZRL runs and restart resets all replayed by
+    // the decoder, while the oracle only ever sees the generator's
+    // coefficient formulas — the Huffman layer proven end to end
+    "m25_jpeg_coeff_census" ->
+      """WITH blk AS (
+        |  SELECT d.doc_id, t.b,
+        |    ((d.doc_id * 17 + t.b * 11) % 256) - 128 AS dc,
+        |    1 + (d.doc_id + t.b) % 5 AS z1,
+        |    ((d.doc_id + t.b * 7) % 31) - 15 AS v1,
+        |    50 + (t.b % 10) AS z2,
+        |    1 + (d.doc_id + t.b * 3) % 7 AS v2
+        |  FROM documents d CROSS JOIN generate_series(0, 23) AS t(b))
+        |SELECT doc_id,
+        |  CAST(48 AS BIGINT) AS width,
+        |  CAST(32 AS BIGINT) AS height,
+        |  CAST(24 AS BIGINT) AS n_blocks,
+        |  CAST(SUM(dc) AS BIGINT) AS dc_sum,
+        |  CAST(SUM(CASE WHEN v1 != 0 THEN 2 ELSE 1 END) AS BIGINT)
+        |    AS ac_nonzero,
+        |  CAST(SUM(dc * (b * 64 + 1) + v1 * (b * 64 + z1 + 1)
+        |    + v2 * (b * 64 + z2 + 1)) AS BIGINT) AS coeff_weighted
+        |FROM blk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the MP3 walk's census is fully closed-form: per-frame bitrate
     // from the MPEG-1 Layer III table, duration = frames·1152/44100
     "m19_mp3_frame_walk" ->

@@ -522,7 +522,7 @@ object PropertySpec extends Properties("graft") {
   // never an exception. Corrupted-valid inputs are the sharper probe —
   // they reach deep parser states that pure garbage never does.
   private val fuzzCase: Gen[(Int, List[Byte], Int, Byte)] = for {
-    codec <- Gen.chooseNum(0, 12)
+    codec <- Gen.chooseNum(0, 13)
     garbage <- Gen.listOfN(300, Gen.chooseNum(-128, 127).map(_.toByte))
     flipAt <- Gen.chooseNum(0, 10000)
     flipTo <- Gen.chooseNum(-128, 127).map(_.toByte)
@@ -569,12 +569,17 @@ object PropertySpec extends Properties("graft") {
             3 -> Array.tabulate(4 * 4)(i => (i * 11).toByte))),
           FlvScreenVideo.SvFrame(key = false, Map(
             3 -> Array.fill(4 * 4)(42.toByte)))))
-        case _ => Mp1Codec.encodeMono(Seq(Mp1Codec.Mp1Frame(
+        case 12 => Mp1Codec.encodeMono(Seq(Mp1Codec.Mp1Frame(
           Array.tabulate(32)(sb => if (sb % 4 == 0) 2 + sb % 8 else 0),
           Array.tabulate(32)(sb => (sb * 7) % 63),
           Array.tabulate(32, 12)((sb, q) =>
             if (sb % 4 == 0) (sb * 29 + q * 3) % (1 << (2 + sb % 8))
             else 0))))
+        case _ => JpegScratch.encodeCoeffs(16, 16, Array.tabulate(4) { b =>
+          val zz = new Array[Int](64)
+          zz(0) = b * 40 - 60; zz(1 + b) = 7 - b * 3; zz(55) = 1 + b
+          zz
+        }, restartInterval = 2)
       }
       val corrupted = valid.clone()
       corrupted(flipAt % corrupted.length) = flipTo
@@ -608,7 +613,8 @@ object PropertySpec extends Properties("graft") {
             GifMediaCodec.perceptualHash(1L, b, 8); true
           case 10 => FlacCodec.decode(1L, b).n_samples >= -1L
           case 11 => FlvScreenVideo.decode(1L, b).n_frames >= -1L
-          case _ => Mp1Codec.decode(1L, b).n_frames >= -1L
+          case 12 => Mp1Codec.decode(1L, b).n_frames >= -1L
+          case _ => JpegScratch.decode(1L, b).n_blocks >= -1L
         }
       } && {
         WavCodec.decode(1L, garbage.toArray) // WAV on garbage too
