@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -41,6 +41,53 @@ object Upsert {
       when(updatePresent, col(s"u.$c")).otherwise(col(s"t.$c")).as(c)
     }
     merged.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Delta-Lake-style multi-action MERGE in ONE full-outer pass — the
+    * table-format workhorse, as a pure transformation:
+    *
+    *   WHEN MATCHED AND `deleteWhen`  THEN DELETE
+    *   WHEN MATCHED                   THEN UPDATE SET `updateSet`
+    *   WHEN NOT MATCHED (source-only) THEN INSERT `insertValues`
+    *   (target-only rows pass through untouched)
+    *
+    * `deleteWhen`, `updateSet` values and `insertValues` are
+    * expressions over the joined row via the `t`/`u` aliases; columns
+    * absent from `updateSet` keep their target value, and
+    * `insertValues` must cover the full target schema. The source may
+    * have any schema (it usually carries action metadata the target
+    * doesn't); output has exactly the target's schema.
+    *
+    * Shape: one full-outer shuffle join on the key, then row-local
+    * CASE logic — no window, no second pass, no union-dedup. At
+    * 100 TB the same bucketed-target argument as [[merge]] applies:
+    * with the target bucketed on the key only the (small) source
+    * moves. Key values must be unique per side; NULL-keyed source
+    * rows are malformed CDC and dropped as in [[merge]].
+    */
+  def mergeActions(target: DataFrame, source: DataFrame, key: String,
+      deleteWhen: Column, updateSet: Map[String, Column],
+      insertValues: Map[String, Column]): DataFrame = {
+    require(target.columns.contains(key) && source.columns.contains(key),
+      s"key '$key' must be a column of both sides")
+    require(target.columns.forall(insertValues.contains),
+      "insertValues must cover the full target schema; missing: " +
+        target.columns.filterNot(insertValues.contains).mkString(","))
+    require(updateSet.keys.forall(target.columns.contains) &&
+      insertValues.keys.forall(target.columns.contains),
+      "updateSet/insertValues name non-target columns")
+    val t = target.alias("t")
+    val u = source.filter(col(key).isNotNull).alias("u")
+    val joined = t.join(u, col(s"t.$key") === col(s"u.$key"), "full_outer")
+    val matched = col(s"t.$key").isNotNull && col(s"u.$key").isNotNull
+    val sourceOnly = col(s"t.$key").isNull
+    val kept = joined.filter(!(matched && deleteWhen))
+    val cols = target.columns.map { c =>
+      when(sourceOnly, insertValues(c))
+        .when(matched, updateSet.getOrElse(c, col(s"t.$c")))
+        .otherwise(col(s"t.$c")).as(c)
+    }
+    kept.select(cols.toIndexedSeq: _*)
   }
 
   /** Last-writer-wins merge by a VERSION column: the surviving row per

@@ -403,6 +403,34 @@ object Events extends QueryPack {
         .orderBy($"event_type", $"day")
     }),
 
+    // -- dyadic EWMA rolling feature: exact-integer decay ---------------
+    // The α=1/2 exponentially-weighted moving value every trading /
+    // feature pipeline wants, made hash-exact: weights are powers of
+    // two over the 10 most recent events (newest ×512 … oldest ×1),
+    // so the smoothed value is a BIGINT both engines compute bit for
+    // bit — ten codegen'd LAGs over ONE window pass, no self-join, no
+    // floats. Emitted per user at the latest event (rank-desc
+    // filter), with the event count pinning window completeness.
+    "e27_ewma_feature" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val wd = Window.partitionBy($"user_id")
+        .orderBy($"ts".desc, $"event_id".desc)
+      val lags = (1 to 9).map(j =>
+        coalesce(lag($"cents", j).over(w), lit(0L)) * (1L << (9 - j)))
+      val ewma = lags.foldLeft($"cents" * 512L)(_ + _)
+      Tables(s, dir).events
+        .select($"user_id", $"event_id", $"ts",
+          expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("ewma", ewma)
+        .withColumn("rnd", row_number().over(wd))
+        .withColumn("n_events", count(lit(1)).over(
+          Window.partitionBy($"user_id")))
+        .filter($"rnd" === 1)
+        .select($"user_id", $"n_events", $"ewma".as("last_ewma"))
+        .orderBy($"user_id")
+    }),
+
     "e12_gap_fill" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val events = Tables(s, dir).events
@@ -881,6 +909,34 @@ object Events extends QueryPack {
         |GROUP BY event_type, day
         |HAVING SUM(next_us - us) > 0
         |ORDER BY event_type, day""".stripMargin,
+
+    // the ten-lag dyadic spelling replayed verbatim: both engines sum
+    // the same powers-of-two weights over the same total order
+    "e27_ewma_feature" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id,
+        |    cents * 512
+        |      + COALESCE(LAG(cents, 1) OVER win, 0) * 256
+        |      + COALESCE(LAG(cents, 2) OVER win, 0) * 128
+        |      + COALESCE(LAG(cents, 3) OVER win, 0) * 64
+        |      + COALESCE(LAG(cents, 4) OVER win, 0) * 32
+        |      + COALESCE(LAG(cents, 5) OVER win, 0) * 16
+        |      + COALESCE(LAG(cents, 6) OVER win, 0) * 8
+        |      + COALESCE(LAG(cents, 7) OVER win, 0) * 4
+        |      + COALESCE(LAG(cents, 8) OVER win, 0) * 2
+        |      + COALESCE(LAG(cents, 9) OVER win, 0) AS ewma,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rnd,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_events
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(ewma AS BIGINT) AS last_ewma
+        |FROM w WHERE rnd = 1 ORDER BY user_id""".stripMargin,
 
     "e12_gap_fill" ->
       s"""WITH daily AS (

@@ -101,6 +101,41 @@ object Extensions extends QueryPack {
         .orderBy($"o_orderstatus")
     }),
 
+    // -- multi-action MERGE: DELETE / UPDATE / INSERT in one pass -------
+    // The Delta-Lake MERGE INTO workhorse x05's replace+insert can't
+    // express: a returns feed deletes matched orders flagged 'R',
+    // adjusts matched 'A' orders by a refund, and inserts brand-new
+    // orders — all in ONE full-outer join with row-local CASE logic
+    // (operators.Upsert.mergeActions), no window, no second pass. All
+    // money math in integer cents so both engines replay it exactly.
+    "x34_merge_actions" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val t = Tables(s, dir).orders.select($"o_orderkey", $"o_custkey",
+        $"o_orderstatus", floor($"o_totalprice" * 100).cast("long")
+          .as("cents"))
+      val src = t.filter($"o_custkey" < 20)
+        .select($"o_orderkey",
+          when($"o_orderkey" % 3 === 0, lit("R")).otherwise(lit("A"))
+            .as("act"),
+          expr("cents div 10").as("delta_cents"), $"o_custkey")
+        .unionByName(t.filter($"o_custkey" < 10)
+          .select(($"o_orderkey" + 20000000L).as("o_orderkey"),
+            lit("I").as("act"), $"cents".as("delta_cents"), $"o_custkey"))
+      graft.operators.Upsert.mergeActions(t, src, "o_orderkey",
+          deleteWhen = col("u.act") === "R",
+          updateSet = Map(
+            "cents" -> (col("t.cents") - col("u.delta_cents")),
+            "o_orderstatus" -> lit("M")),
+          insertValues = Map(
+            "o_orderkey" -> col("u.o_orderkey"),
+            "o_custkey" -> col("u.o_custkey"),
+            "o_orderstatus" -> lit("N"),
+            "cents" -> col("u.delta_cents")))
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("total_cents"))
+        .orderBy($"o_orderstatus")
+    }),
+
     // -- SCD2 history build: change rows → versioned dimension ----------
     // The warehouse companion to x05's merge: each change event becomes
     // a version with [valid_from, valid_to) bounds and an is_current
@@ -1505,6 +1540,37 @@ object Extensions extends QueryPack {
         |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM snapshot GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the MERGE spelled as its relational definition: full-outer join,
+    // delete-filter, per-branch CASE — what mergeActions compiles to
+    "x34_merge_actions" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |u AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 'R' ELSE 'A' END AS act,
+        |    cents // 10 AS delta_cents, o_custkey
+        |  FROM t WHERE o_custkey < 20
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, 'I', cents, o_custkey
+        |  FROM t WHERE o_custkey < 10),
+        |merged AS (
+        |  SELECT
+        |    CASE WHEN t.o_orderkey IS NULL THEN 'N'
+        |         WHEN u.o_orderkey IS NULL THEN t.o_orderstatus
+        |         ELSE 'M' END AS o_orderstatus,
+        |    CASE WHEN t.o_orderkey IS NULL THEN u.delta_cents
+        |         WHEN u.o_orderkey IS NULL THEN t.cents
+        |         ELSE t.cents - u.delta_cents END AS cents,
+        |    t.o_orderkey AS tk, u.o_orderkey AS uk, u.act
+        |  FROM t FULL OUTER JOIN u ON t.o_orderkey = u.o_orderkey)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS total_cents
+        |FROM merged
+        |WHERE NOT (tk IS NOT NULL AND uk IS NOT NULL AND act = 'R')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "x07_ab_experiment" -> {
       val bucket = graft.operators.Sampling.duckHashBucketPm("user_id", "ab1")

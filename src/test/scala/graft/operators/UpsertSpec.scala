@@ -86,4 +86,32 @@ class UpsertSpec extends AnyFunSuite {
       "k", "ver")
     assert(nullVer.count() === 1L)
   }
+
+  test("mergeActions: delete, update, insert and pass-through in one " +
+      "pass; insertValues coverage enforced") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val target = Seq((1L, "a", 100L), (2L, "b", 200L), (3L, "c", 300L),
+      (4L, "d", 400L)).toDF("k", "tag", "cents")
+    val source = Seq(
+      (1L, "R", 0L), // matched + delete condition → row disappears
+      (2L, "A", 50L), // matched → update (cents -= 50, tag = M)
+      (9L, "I", 900L), // unmatched → insert
+      (3L, "A", 1L)) // matched → update
+      .toDF("k", "act", "delta")
+    val got = Upsert.mergeActions(target, source, "k",
+        deleteWhen = col("u.act") === "R",
+        updateSet = Map("cents" -> (col("t.cents") - col("u.delta")),
+          "tag" -> lit("M")),
+        insertValues = Map("k" -> col("u.k"), "tag" -> lit("N"),
+          "cents" -> col("u.delta")))
+      .orderBy("k")
+      .as[(Long, String, Long)].collect().toList
+    assert(got === List((2L, "M", 150L), (3L, "M", 299L),
+      (4L, "d", 400L), (9L, "N", 900L)))
+    intercept[IllegalArgumentException] {
+      Upsert.mergeActions(target, source, "k", lit(false),
+        Map.empty, Map("k" -> col("u.k"))) // cents/tag uncovered
+    }
+  }
 }
