@@ -41,9 +41,9 @@ class SqlParitySpec extends AnyFunSuite {
     "q12_rollup_acctbal", "q13_cube_status", "q22_pivot",
     "q26_lateral_topk", "q28_null_semantics", "q32_topk_native",
     "x29_matview_route", "x30_join_elimination", "x31_eager_agg",
-    "e10_interval_join")
+    "e10_interval_join", "e27_ewma_feature")
 
-  test("13 oracle texts run verbatim in Spark and hash-match the " +
+  test("14 oracle texts run verbatim in Spark and hash-match the " +
       "DataFrame spelling") {
     registerViews()
     val problems = verbatim.flatMap { n =>
@@ -90,6 +90,16 @@ class SqlParitySpec extends AnyFunSuite {
         |FROM up GROUP BY depth ORDER BY depth""".stripMargin))
     assert(q35 == fp(
       SparkEntry.queries("q35_recursive_cte")(spark, sfDir)))
+  }
+
+  test("multi-action MERGE: the SQL relational definition (full-outer " +
+      "join + CASE) hash-matches the mergeActions operator") {
+    registerViews()
+    // the oracle text with DuckDB's // spelled as Spark's DIV
+    val viaSql = fp(spark.sql(
+      SparkEntry.oracleSql("x34_merge_actions").replace("// 10", "DIV 10")))
+    assert(viaSql == fp(
+      SparkEntry.queries("x34_merge_actions")(spark, sfDir)))
   }
 
   test("the custom optimizer tier fires from SQL text") {
