@@ -94,7 +94,8 @@ object ClusterParity {
     "m25_jpeg_coeff_census",
     "g01_pagerank", "g15_ktruss",
     "st37_stream_extrema_rollup", "st38_stream_cep_inflight",
-    "st40_stream_warc_ingest",
+    "st40_stream_warc_ingest", "st41_stream_late_data",
+    "d19_entity_resolution", "e28_seasonal_anomaly",
     "st8_transform_with_state", "st14_tws_timers", "st15_tws_mapstate",
     "st32_stream_join_view_ivm",
     "x16_zorder_layout", "c07_weighted_sample",

@@ -515,6 +515,51 @@ object Dedup extends QueryPack {
         .orderBy($"jband")
     }),
 
+    // -- entity resolution: blocking → match → cluster → golden record --
+    // The record-linkage pipeline (Fellegi–Sunter shape) over the
+    // part catalog: BLOCK on brand, generate candidates through an
+    // inverted name-word index (never all-pairs — a candidate must
+    // share a name token inside its block), MATCH when the pair also
+    // agrees on size to ±1 (the cheap attribute test), collapse
+    // matches to entities with the same min-label connected
+    // components the near-dup tier uses, then emit one golden record
+    // per entity: canonical member (min key — which IS the component
+    // label, so the argmin struct needs no second join), price range
+    // in exact cents, size span, member count. Parts matching nothing
+    // stay singleton entities via the left-join coalesce. Scale: the
+    // (brand, word) posting lists bound the pair fan-out exactly like
+    // the shingle index bounds d02; components is the audited
+    // pointer-doubling operator; everything else is keyed aggregates.
+    "d19_entity_resolution" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val parts = Tables(s, dir).part.select($"p_partkey", $"p_name",
+        $"p_brand", $"p_size",
+        expr("CAST(FLOOR(p_retailprice * 100) AS BIGINT)").as("cents"))
+      val words = parts.select($"p_partkey", $"p_brand", $"p_size",
+        explode(array_distinct(split($"p_name", " "))).as("word"))
+      val edges = words.as("a").join(words.as("b"),
+          $"a.p_brand" === $"b.p_brand" && $"a.word" === $"b.word" &&
+            $"a.p_partkey" < $"b.p_partkey" &&
+            abs($"a.p_size" - $"b.p_size") <= 1)
+        .select($"a.p_partkey".as("d1"), $"b.p_partkey".as("d2"))
+        .distinct()
+      val comp = graft.operators.Clusters.connectedComponents(edges)
+      parts.join(comp, parts("p_partkey") === comp("id"), "left")
+        .select($"p_partkey", $"p_name", $"p_size", $"cents",
+          coalesce($"comp", $"p_partkey").as("cluster_id"))
+        .groupBy($"cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          min(struct($"p_partkey".as("k"), $"p_name".as("nm")))
+            .as("canon"),
+          min($"cents").as("min_cents"), max($"cents").as("max_cents"),
+          min($"p_size").cast("long").as("size_lo"),
+          max($"p_size").cast("long").as("size_hi"))
+        .select($"cluster_id", $"n_members",
+          $"canon.nm".as("canon_name"), $"min_cents", $"max_cents",
+          $"size_lo", $"size_hi")
+        .orderBy($"cluster_id")
+    }),
+
     // -- SimHash: 32-bit weighted-bit fingerprint per doc ---------------
     // -- benchmark contamination: train×eval n-gram overlap -------------
     // The LLM-pipeline decontamination check: which training documents
@@ -1019,6 +1064,46 @@ object Dedup extends QueryPack {
            |FROM truth t
            |LEFT JOIN cand c ON t.d1 = c.d1 AND t.d2 = c.d2
            |GROUP BY jband ORDER BY jband""".stripMargin,
+
+      // same reach-closure CC spelling as d07; singletons coalesce to
+      // their own key; canon_name picks the member whose key equals
+      // the component label (min key) — identical to Spark's
+      // struct-argmin because the label IS the min key
+      "d19_entity_resolution" ->
+        """WITH RECURSIVE p AS (
+          |  SELECT p_partkey, p_name, p_brand, p_size,
+          |    CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS cents
+          |  FROM part),
+          |w AS (
+          |  SELECT DISTINCT p_partkey, p_brand, p_size, word
+          |  FROM (SELECT p_partkey, p_brand, p_size,
+          |          UNNEST(STRING_SPLIT(p_name, ' ')) AS word FROM p)),
+          |e AS (
+          |  SELECT DISTINCT a.p_partkey AS d1, b.p_partkey AS d2
+          |  FROM w a JOIN w b ON a.p_brand = b.p_brand
+          |    AND a.word = b.word AND a.p_partkey < b.p_partkey
+          |    AND ABS(a.p_size - b.p_size) <= 1),
+          |edges AS (SELECT d1 AS src, d2 AS dst FROM e
+          |          UNION ALL SELECT d2, d1 FROM e),
+          |reach AS (
+          |  SELECT src AS id, src AS r FROM edges
+          |  UNION
+          |  SELECT reach.id, e2.dst
+          |  FROM reach JOIN edges e2 ON reach.r = e2.src),
+          |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+          |lab AS (
+          |  SELECT p.*, COALESCE(c.comp, p.p_partkey) AS cluster_id
+          |  FROM p LEFT JOIN comp c ON p.p_partkey = c.id)
+          |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+          |  CAST(COUNT(*) AS BIGINT) AS n_members,
+          |  MIN(CASE WHEN p_partkey = cluster_id THEN p_name END)
+          |    AS canon_name,
+          |  CAST(MIN(cents) AS BIGINT) AS min_cents,
+          |  CAST(MAX(cents) AS BIGINT) AS max_cents,
+          |  CAST(MIN(p_size) AS BIGINT) AS size_lo,
+          |  CAST(MAX(p_size) AS BIGINT) AS size_hi
+          |FROM lab GROUP BY cluster_id
+          |ORDER BY cluster_id""".stripMargin,
 
       // the d04 chain verbatim, then threshold + source rollup;
       // SUM(j)//COUNT(*) is floor on non-negatives = Spark's div

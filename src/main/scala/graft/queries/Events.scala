@@ -431,6 +431,45 @@ object Events extends QueryPack {
         .orderBy($"user_id")
     }),
 
+    // -- seasonal baseline + robust residual anomaly --------------------
+    // The time-series health check every metrics pipeline runs: a
+    // day-of-week seasonal baseline per event type (integer mean of
+    // the type's daily cent-totals sharing that weekday), residuals
+    // against it, and a robust flag — |resid|·n_days > 2·Σ|resid|,
+    // i.e. more than twice the type's mean absolute residual —
+    // spelled entirely in BIGINTs so both engines agree bit for bit.
+    // Weekday is epoch-day mod 7 (calendar-free: identical in any
+    // engine/locale/timezone; days since 1970-01-01 are positive so
+    // the two engines' % agree). Two window passes over the tiny
+    // daily grain (types × days rows) AFTER the one aggregating
+    // exchange on (event_type, day); at 100 TB the raw scan reduces
+    // map-side to that grain, and the window inputs are a few
+    // thousand rows per type regardless of corpus size.
+    "e28_seasonal_anomaly" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val wSeas = Window.partitionBy($"event_type", $"dow")
+      val wType = Window.partitionBy($"event_type")
+      Tables(s, dir).events
+        .select($"event_type", to_date($"ts").as("day"),
+          expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+        .groupBy($"event_type", $"day")
+        .agg(sum($"cents").as("day_cents"))
+        .withColumn("dow",
+          datediff($"day", to_date(lit("1970-01-01"))) % 7)
+        .withColumn("seas_num", sum($"day_cents").over(wSeas))
+        .withColumn("seas_n", count(lit(1)).over(wSeas))
+        .withColumn("seas_cents", expr("seas_num div seas_n"))
+        .withColumn("resid", $"day_cents" - $"seas_cents")
+        .withColumn("sum_abs", sum(abs($"resid")).over(wType))
+        .withColumn("n_days", count(lit(1)).over(wType))
+        .withColumn("is_anomaly",
+          when(abs($"resid") * $"n_days" > $"sum_abs" * 2L, 1L)
+            .otherwise(0L))
+        .select($"event_type", $"day", $"day_cents", $"seas_cents",
+          $"resid", $"is_anomaly")
+        .orderBy($"event_type", $"day")
+    }),
+
     "e12_gap_fill" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val events = Tables(s, dir).events
@@ -937,6 +976,37 @@ object Events extends QueryPack {
         |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
         |  CAST(ewma AS BIGINT) AS last_ewma
         |FROM w WHERE rnd = 1 ORDER BY user_id""".stripMargin,
+
+    // epoch-day mod 7 weekday; DuckDB's window SUM over BIGINT widens
+    // to HUGEINT, so every derived column is cast back down — values
+    // fit BIGINT by construction (cent totals of a day)
+    "e28_seasonal_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS day_cents
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT *, (day - DATE '1970-01-01') % 7 AS dow FROM daily),
+        |s AS (
+        |  SELECT *,
+        |    CAST(SUM(day_cents) OVER (PARTITION BY event_type, dow)
+        |      // COUNT(*) OVER (PARTITION BY event_type, dow)
+        |      AS BIGINT) AS seas_cents
+        |  FROM d),
+        |r AS (
+        |  SELECT *, day_cents - seas_cents AS resid FROM s),
+        |t AS (
+        |  SELECT *,
+        |    CAST(SUM(ABS(resid)) OVER (PARTITION BY event_type)
+        |      AS BIGINT) AS sum_abs,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n_days
+        |  FROM r)
+        |SELECT event_type, day, day_cents, seas_cents,
+        |  CAST(resid AS BIGINT) AS resid,
+        |  CAST(CASE WHEN ABS(resid) * n_days > 2 * sum_abs
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM t ORDER BY event_type, day""".stripMargin,
 
     "e12_gap_fill" ->
       s"""WITH daily AS (

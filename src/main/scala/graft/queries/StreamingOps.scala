@@ -136,6 +136,68 @@ object StreamingOps extends QueryPack {
         .parquet(stageDir))
   }
 
+  /** Multi-batch streaming view with CONTROLLED ARRIVAL ORDER: events
+    * are split round-robin by global (ts, event_id) rank into `parts`
+    * single-file slices whose modification times ascend with slice
+    * index, so a `maxFilesPerTrigger=1` drain processes slice b as
+    * micro-batch b exactly (FileStreamSource takes unseen files
+    * oldest-mtime-first). Round-robin by time rank makes every batch
+    * span the whole event-time range — the maximally-disordered
+    * arrival a late-data harness wants: after batch 0 the stream's
+    * event-time high-water mark is already near the global max, so
+    * batches 1..n-1 carry genuinely late rows. The global sort runs
+    * once at stage time over the harness-sized table (it is the test
+    * fixture's disorder generator, not a production operator).
+    */
+  private def eventStreamOrderedRoundRobin(s: SparkSession, dir: String,
+      parts: Int): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import org.apache.spark.sql.expressions.Window
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.read.parquet(s"$dir/events.parquet")
+    val stageDir =
+      s"/tmp/graft-stream-rr$parts-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val done = Paths.get(stageDir, "_STAGED")
+    def staged: Boolean = Files.exists(done) && (
+      try s.read.parquet(stageDir).schema.map(f => (f.name, f.dataType)) ==
+        src.schema.map(f => (f.name, f.dataType))
+      catch { case _: Throwable => false })
+    if (!staged) synchronized {
+      if (!staged) {
+        Files.deleteIfExists(done)
+        val root = Paths.get(stageDir)
+        if (Files.exists(root))
+          root.toFile.listFiles().foreach(f =>
+            if (f.isFile) f.delete()
+            else org.apache.commons.io.FileUtils.deleteDirectory(f))
+        Files.createDirectories(root)
+        val ranked = src.withColumn("graft_rn",
+          row_number().over(Window.orderBy(col("ts"), col("event_id")))
+            - 1)
+        for (b <- 0 until parts) {
+          val tmp = s"$stageDir/_tmp_b$b"
+          ranked.filter(col("graft_rn") % parts === b).drop("graft_rn")
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).get
+          val dst = Paths.get(stageDir, f"b$b%02d.parquet")
+          Files.move(part.toPath, dst)
+          Files.setLastModifiedTime(dst,
+            FileTime.fromMillis(1_600_000_000_000L + b * 60_000L))
+          org.apache.commons.io.FileUtils
+            .deleteDirectory(new java.io.File(tmp))
+        }
+        Files.createFile(done)
+      }
+    }
+    graft.Tables.normalizeEventTs(
+      s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stageDir))
+  }
+
   /** Run a streaming DataFrame to a memory sink, drain with
     * AvailableNow, return the materialized table.
     *
@@ -1673,6 +1735,106 @@ object StreamingOps extends QueryPack {
         .orderBy($"rec_idx")
     }),
 
+    // -- late-data dead-letter accounting -------------------------------
+    // Structured Streaming's stateful operators DROP late rows
+    // silently; a production pipeline routes them to a dead-letter
+    // channel and meters them instead. This query implements that
+    // router: the arrival order is the controlled maximally-
+    // disordered round-robin split (so lateness genuinely occurs),
+    // and each micro-batch classifies rows against the stream's
+    // event-time high-water mark as of the PREVIOUS batch minus a 1 h
+    // allowed delay — exactly the x-axis of Spark's own watermark,
+    // but applied as a visible row-level split rather than a silent
+    // drop. Per batch: one conditional aggregate produces the
+    // on-time/late counts and cent totals per event type, folded into
+    // a versioned snapshot under the st37 batchId-idempotence guard;
+    // the new high-water mark is read back from the snapshot's own
+    // running-max column (no per-batch action over raw rows). The
+    // final table carries both channels — what a watermark job would
+    // have kept AND what it would have dropped — which is the audit
+    // every SLA conversation needs. Scale: per-batch work is one
+    // map-side-combinable aggregate on the batch plus a snapshot
+    // merge at the (event_type) grain; the high-water-mark fold is
+    // O(types) state, not O(rows).
+    "st41_stream_late_data" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val parts = 6
+      val delayUs = 3600000000L // 1 h allowed lateness
+      val stream = eventStreamOrderedRoundRobin(s, dir, parts)
+        .select($"event_type", unix_micros($"ts").as("us"),
+          expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+      val servingRoot = java.nio.file.Files
+        .createTempDirectory("graft-late-").toString
+      var latest: Option[String] = None
+      var batches = 0
+      var lastApplied = -1L
+      var wmUs = Long.MinValue // high-water mark over PRIOR batches
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = stream.writeStream
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch {
+            (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+              if (batchId > lastApplied) {
+                val wm = wmUs
+                val lateCol =
+                  if (wm == Long.MinValue) lit(0L)
+                  else when($"us" < lit(wm) - lit(delayUs), 1L)
+                    .otherwise(0L)
+                val delta = batch.withColumn("late", lateCol)
+                  .groupBy($"event_type")
+                  .agg(
+                    sum(when($"late" === 0L, 1L).otherwise(0L))
+                      .as("n_ontime"),
+                    sum($"late").as("n_late"),
+                    sum(when($"late" === 0L, $"cents").otherwise(0L))
+                      .as("ontime_cents"),
+                    sum(when($"late" === 1L, $"cents").otherwise(0L))
+                      .as("late_cents"),
+                    max($"us").as("mx_us"))
+                val merged = latest match {
+                  case None => delta
+                  case Some(p) => s.read.parquet(p).unionByName(delta)
+                    .groupBy($"event_type")
+                    .agg(sum($"n_ontime").as("n_ontime"),
+                      sum($"n_late").as("n_late"),
+                      sum($"ontime_cents").as("ontime_cents"),
+                      sum($"late_cents").as("late_cents"),
+                      max($"mx_us").as("mx_us"))
+                }
+                val next = s"$servingRoot/v$batchId"
+                merged.write.mode("overwrite").parquet(next)
+                latest.foreach { p =>
+                  val fs = new org.apache.hadoop.fs.Path(p)
+                  fs.getFileSystem(s.sparkContext.hadoopConfiguration)
+                    .delete(fs, true)
+                }
+                latest = Some(next)
+                // advance the high-water mark from the snapshot's own
+                // running max — O(types) rows, never the raw batch
+                wmUs = math.max(wmUs,
+                  s.read.parquet(next).agg(max($"mx_us")).head().getLong(0))
+                lastApplied = batchId
+                batches += 1
+              }
+          }
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      require(batches == parts,
+        s"expected $parts ordered micro-batches, saw $batches — the " +
+          "mtime-ordered slice drain is not driving the trigger")
+      s.read.parquet(latest.get)
+        .select($"event_type",
+          $"n_ontime".cast("long").as("n_ontime"),
+          $"n_late".cast("long").as("n_late"),
+          $"ontime_cents".cast("long").as("ontime_cents"),
+          $"late_cents".cast("long").as("late_cents"))
+        .orderBy($"event_type")
+    }),
+
     // -- streaming join-view IVM with a CHANGING dimension --------------
     // st28 maintains the join view against a STATIC dimension, so its
     // per-batch delta is only ΔA⋈B. This query runs x27's FULL
@@ -2536,6 +2698,39 @@ object StreamingOps extends QueryPack {
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  CAST(COUNT(*) * 10 AS BIGINT) AS total_tokens
         |FROM agg GROUP BY r ORDER BY rec_idx""".stripMargin,
+
+    // the batch replay of the router: batch b = rows with global
+    // (ts, event_id) rank ≡ b (mod 6); the high-water mark before
+    // batch b is the max event time of batches < b; late = older than
+    // that mark minus the 1 h allowed delay — the same classification
+    // the foreachBatch loop applies incrementally
+    "st41_stream_late_data" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+        |    ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS rn
+        |  FROM events),
+        |b AS (SELECT *, rn % 6 AS batch FROM e),
+        |bm AS (SELECT batch, MAX(us) AS mx FROM b GROUP BY batch),
+        |wm AS (
+        |  SELECT batch, MAX(mx) OVER (ORDER BY batch
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_us
+        |  FROM bm),
+        |c AS (
+        |  SELECT b.event_type, b.cents,
+        |    CASE WHEN w.wm_us IS NOT NULL
+        |           AND b.us < w.wm_us - 3600000000 THEN 1 ELSE 0
+        |    END AS late
+        |  FROM b JOIN wm w USING (batch))
+        |SELECT event_type,
+        |  CAST(SUM(CASE WHEN late = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_ontime,
+        |  CAST(SUM(late) AS BIGINT) AS n_late,
+        |  CAST(SUM(CASE WHEN late = 0 THEN cents ELSE 0 END) AS BIGINT)
+        |    AS ontime_cents,
+        |  CAST(SUM(CASE WHEN late = 1 THEN cents ELSE 0 END) AS BIGINT)
+        |    AS late_cents
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the un-eager spelling: the hash-match proves the per-batch
     // partial aggregation before the broadcast join changed nothing
