@@ -92,7 +92,7 @@ object ClusterParity {
     "m19_mp3_frame_walk", "m21_gif_decode_real", "m22_flac_decode_real",
     "m23_flv_screen_video", "m24_mp1_subband_census",
     "m25_jpeg_coeff_census",
-    "g01_pagerank", "g15_ktruss",
+    "g01_pagerank", "g15_ktruss", "g19_trade_scc",
     "st37_stream_extrema_rollup", "st38_stream_cep_inflight",
     "st40_stream_warc_ingest", "st41_stream_late_data",
     "d19_entity_resolution", "e28_seasonal_anomaly",

@@ -496,6 +496,49 @@ object Graphs extends QueryPack {
         .orderBy($"id")
     }),
 
+    // -- G19: strongly connected components of the trade-flow graph ----
+    // The DIRECTED face of the component surface: nation-level trade
+    // flows (supplier nation → customer nation, exact cent volumes)
+    // thresholded at 1/500 of world trade, then SCC — which nations
+    // sit in a mutually-trading core vs. one-way periphery. Exercises
+    // [[graft.operators.Scc]] (multi-pivot forward-backward coloring,
+    // SccSpec pins it against Tarjan). The flow aggregation reduces
+    // lineitem to a nations×nations grain before anything iterative
+    // runs; the SCC loop then shuffles only O(nations) label rows per
+    // round — at 100 TB the heavy lifting is the one keyed
+    // aggregation over the fact table, exactly where it should be.
+    "g19_trade_scc" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val flows = t.lineitem
+        .join(t.orders, $"l_orderkey" === $"o_orderkey")
+        .join(t.customer, $"o_custkey" === $"c_custkey")
+        .join(t.supplier, $"l_suppkey" === $"s_suppkey")
+        .filter($"s_nationkey" =!= $"c_nationkey")
+        .groupBy($"s_nationkey".cast("long").as("src"),
+          $"c_nationkey".cast("long").as("dst"))
+        .agg(sum(expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)"))
+          .as("cents"))
+      val tot = flows.agg(sum($"cents").as("t"))
+      val edges = flows.crossJoin(broadcast(tot))
+        .filter($"cents" >= expr("t div 500"))
+        .select($"src", $"dst")
+        .localCheckpoint(true)
+      val scc = graft.operators.Scc.stronglyConnected(edges)
+      val sizes = scc.groupBy($"scc").agg(count(lit(1)).as("scc_size"))
+      val outdeg = edges.groupBy($"src".as("id"))
+        .agg(count(lit(1)).as("n_out"))
+      val indeg = edges.groupBy($"dst".as("id"))
+        .agg(count(lit(1)).as("n_in"))
+      scc.join(sizes, "scc")
+        .join(outdeg, Seq("id"), "left")
+        .join(indeg, Seq("id"), "left")
+        .select($"id".as("nation_key"), $"scc".as("scc_id"),
+          $"scc_size", coalesce($"n_out", lit(0L)).as("n_out"),
+          coalesce($"n_in", lit(0L)).as("n_in"))
+        .orderBy($"nation_key")
+    }),
+
     // -- G6: weighted SSSP over the trade graph -------------------------
     // Cheapest-path profile from the first ten customers where an
     // edge costs the *minimum* quantity ever shipped across it (min
@@ -693,6 +736,55 @@ object Graphs extends QueryPack {
            |${pprIterCte(3)}
            |SELECT id, rank_ppm FROM r3
            |ORDER BY rank_ppm DESC, id LIMIT 20""".stripMargin,
+
+      // SCC by mutual-reach closure: reach is the recursive CTE, SCC
+      // id = min over {v} ∪ {w mutually reachable with v} — exact on
+      // the 25-node nation graph; the engine side computes the same
+      // partition without ever materializing the closure
+      "g19_trade_scc" ->
+        """WITH RECURSIVE f AS (
+          |  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+          |    SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT))
+          |      AS cents
+          |  FROM lineitem l
+          |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  JOIN customer c ON o.o_custkey = c.c_custkey
+          |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          |  WHERE s.s_nationkey <> c.c_nationkey
+          |  GROUP BY 1, 2),
+          |tot AS (SELECT SUM(cents) AS t FROM f),
+          |e AS (
+          |  SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+          |  FROM f WHERE cents >= (SELECT t FROM tot) // 500),
+          |-- DuckDB quirk: under WITH RECURSIVE, a plain UNION in a
+          |-- non-recursive CTE is NOT deduped — spell DISTINCT out
+          |n AS (SELECT DISTINCT id FROM
+          |  (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+          |reach AS (
+          |  SELECT src AS a, dst AS b FROM e
+          |  UNION
+          |  SELECT r.a, e2.dst FROM reach r JOIN e e2 ON r.b = e2.src),
+          |mutual AS (
+          |  SELECT r1.a AS v, r1.b AS w
+          |  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+          |scc AS (
+          |  SELECT n.id,
+          |    LEAST(n.id, COALESCE(m.mn, n.id)) AS scc_id
+          |  FROM n LEFT JOIN (SELECT v, MIN(w) AS mn FROM mutual
+          |                    GROUP BY v) m ON n.id = m.v),
+          |sz AS (SELECT scc_id, COUNT(*) AS scc_size FROM scc
+          |       GROUP BY scc_id),
+          |od AS (SELECT src AS id, COUNT(*) AS n_out FROM e GROUP BY src),
+          |idg AS (SELECT dst AS id, COUNT(*) AS n_in FROM e GROUP BY dst)
+          |SELECT CAST(s.id AS BIGINT) AS nation_key,
+          |  CAST(s.scc_id AS BIGINT) AS scc_id,
+          |  CAST(z.scc_size AS BIGINT) AS scc_size,
+          |  CAST(COALESCE(o.n_out, 0) AS BIGINT) AS n_out,
+          |  CAST(COALESCE(i.n_in, 0) AS BIGINT) AS n_in
+          |FROM scc s JOIN sz z USING (scc_id)
+          |LEFT JOIN od o ON s.id = o.id
+          |LEFT JOIN idg i ON s.id = i.id
+          |ORDER BY nation_key""".stripMargin,
 
       // the same 2-round max-normalized integer recurrence, unrolled:
       // auth-step then hub-step per round, each rescaled by its max
