@@ -54,7 +54,7 @@ object Bfs {
     var visited = seeds.select(col("id").cast("long").as("id"))
       .filter(col("id").isNotNull).distinct()
       .withColumn("dist", lit(0L))
-      .localCheckpoint(true)
+      .transform(Ckpt.flat)
     var frontier = visited.select(col("id"))
     try {
       var h = 1
@@ -66,10 +66,10 @@ object Bfs {
           .select(col("dst").as("id")).distinct()
           .join(visited.hint("SHUFFLE_HASH"), Seq("id"), "left_anti")
           .withColumn("dist", lit(h.toLong))
-          .localCheckpoint(true)
+          .transform(Ckpt.flat)
         exhausted = next.isEmpty
         if (!exhausted) {
-          visited = visited.union(next).localCheckpoint(true)
+          visited = visited.union(next).transform(Ckpt.flat)
           frontier = next.select(col("id"))
         }
         h += 1
@@ -114,7 +114,7 @@ object Bfs {
       .filter(col("seed").isNotNull).distinct()
       .select(col("seed"), col("seed").as("id"))
       .withColumn("dist", lit(0L))
-      .localCheckpoint(true)
+      .transform(Ckpt.flat)
     var frontier = visited.select(col("seed"), col("id"))
     try {
       var h = 1
@@ -127,10 +127,10 @@ object Bfs {
           .join(visited.select(col("seed"), col("id")).hint("SHUFFLE_HASH"),
             Seq("seed", "id"), "left_anti")
           .withColumn("dist", lit(h.toLong))
-          .localCheckpoint(true)
+          .transform(Ckpt.flat)
         exhausted = next.isEmpty
         if (!exhausted) {
-          visited = visited.union(next).localCheckpoint(true)
+          visited = visited.union(next).transform(Ckpt.flat)
           frontier = next.select(col("seed"), col("id"))
         }
         h += 1

@@ -54,14 +54,14 @@ object KCore {
       var deg = cur.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
       for (_ <- 1 until rounds) {
         val dead = deg.filter(col("deg") < k).select(col("id"))
-          .localCheckpoint(true)
+          .transform(Ckpt.flat)
         cur = cur
           .join(dead.select(col("id").as("a")), Seq("a"), "left_anti")
           .join(dead.select(col("id").as("b")), Seq("b"), "left_anti")
         deg = cur.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
       }
       // eager: the returned frame must not depend on the cache below
-      deg.filter(col("deg") >= k).localCheckpoint(true)
+      deg.filter(col("deg") >= k).transform(Ckpt.flat)
     } finally sym.unpersist(blocking = false)
   }
 
@@ -98,7 +98,7 @@ object KCore {
           throw new IllegalStateException(
             s"k-core peeling did not converge in $maxRounds rounds")
         val dead = deg.filter(col("deg") < k).select(col("id"))
-          .localCheckpoint(true)
+          .transform(Ckpt.flat)
         if (dead.isEmpty) converged = true
         else {
           // unbounded round count ⇒ the survivor edge list itself must
@@ -109,11 +109,11 @@ object KCore {
           cur = cur
             .join(dead.select(col("id").as("a")), Seq("a"), "left_anti")
             .join(dead.select(col("id").as("b")), Seq("b"), "left_anti")
-            .localCheckpoint(true)
+            .transform(Ckpt.flat)
           deg = cur.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
         }
       }
-      deg.localCheckpoint(true) // all remaining degrees are >= k
+      deg.transform(Ckpt.flat) // all remaining degrees are >= k
     } finally sym.unpersist(blocking = false)
   }
 }

@@ -61,26 +61,12 @@ object Scc {
   private def parts(df: DataFrame): Int =
     df.sparkSession.sessionState.conf.numShufflePartitions
 
-  /** Eager localCheckpoint PLUS a statistics reset. `localCheckpoint`
-    * alone keeps the ORIGIN plan's Catalyst statistics on the new
-    * LogicalRDD, and `SizeInBytesOnlyStatsPlanVisitor.visitJoin`
-    * multiplies children's `sizeInBytes` — so across this loop's
-    * nested-fixpoint checkpoint generations the stored BigInt's digit
-    * count roughly triples per generation, until the DRIVER spends
-    * minutes in `BigInteger.multiplyToomCook3` just planning the next
-    * tiny join (observed: outer round 2→3 of a 13-node graph took
-    * 133 s of pure stats arithmetic). Rebuilding the frame from the
-    * already-persisted RDD drops origin stats back to the default,
-    * breaking the chain. The per-row Row round-trip only touches the
-    * O(nodes) label table, never the edge fact table.
-    */
-  private def ckpt(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint(true)
-    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
-  }
-
   private implicit class CkptOps(private val df: DataFrame) {
-    def ckptFlat: DataFrame = ckpt(df)
+    /** Stats-resetting eager checkpoint — see [[Ckpt.flat]] for why a
+      * plain localCheckpoint would blow up the driver here. Only the
+      * O(nodes) label tables go through it, never the edge fact table.
+      */
+    def ckptFlat: DataFrame = Ckpt.flat(df)
   }
 
   /** The propagation ORDER key: labels flow as `(xxhash64(id), id)`

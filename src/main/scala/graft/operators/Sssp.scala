@@ -70,7 +70,7 @@ object Sssp {
     var dist = seeds.select(col("id").cast("long").as("id"))
       .filter(col("id").isNotNull).distinct()
       .withColumn("dist", lit(0L))
-      .localCheckpoint(true)
+      .transform(Ckpt.flat)
     var frontier = dist
     var converged = false
     try {
@@ -84,7 +84,7 @@ object Sssp {
           .groupBy(col("id")).agg(min(col("cand")).as("cand"))
         val merged = dist.join(relaxed, Seq("id"), "full_outer")
           .select(col("id"), col("dist"), col("cand"))
-          .localCheckpoint(true)
+          .transform(Ckpt.flat)
         frontier = merged
           .filter(col("dist").isNull || col("cand") < col("dist"))
           .select(col("id"), col("cand").as("dist"))
@@ -95,7 +95,7 @@ object Sssp {
             .select(col("id"),
               least(coalesce(col("dist"), lit(Long.MaxValue)),
                 coalesce(col("cand"), lit(Long.MaxValue))).as("dist"))
-            .localCheckpoint(true)
+            .transform(Ckpt.flat)
         }
         r += 1
       }

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators over `documents` / `embeddings` (FIXTURES.md
   * §B3) — the training-data-pipeline dedup family: exact (hash
@@ -537,13 +538,32 @@ object Dedup extends QueryPack {
         expr("CAST(FLOOR(p_retailprice * 100) AS BIGINT)").as("cents"))
       val words = parts.select($"p_partkey", $"p_brand", $"p_size",
         explode(array_distinct(split($"p_name", " "))).as("word"))
-      val edges = words.as("a").join(words.as("b"),
-          $"a.p_brand" === $"b.p_brand" && $"a.word" === $"b.word" &&
-            $"a.p_partkey" < $"b.p_partkey" &&
-            abs($"a.p_size" - $"b.p_size") <= 1)
-        .select($"a.p_partkey".as("d1"), $"b.p_partkey".as("d2"))
+      // The match rule (same brand+word, size within ±1) makes each
+      // posting list's maximal run of CONSECUTIVE sizes one connected
+      // unit — so emit STAR edges to the run's min part instead of the
+      // pairwise chain the rule literally states: identical components
+      // (a run is connected either way), but diameter 2 instead of
+      // O(run length) — the takeover stall makes label-prop CC pay
+      // O(component diameter) rounds (Scc.scala step-1 note; the chain
+      // spelling cost 30+ rounds at sf0.1) — and two window passes
+      // over the posting rows instead of a posting-list self-join
+      // that's quadratic in hot lists. run = size - dense_rank(size):
+      // constant exactly along a consecutive-size run.
+      val byList = Window.partitionBy($"p_brand", $"word")
+      val runs = words
+        .withColumn("dr", dense_rank().over(byList.orderBy($"p_size")))
+        .withColumn("run", $"p_size" - $"dr")
+      val edges = runs
+        .withColumn("m", min($"p_partkey")
+          .over(Window.partitionBy($"p_brand", $"word", $"run")))
+        .filter($"p_partkey" =!= $"m")
+        .select($"p_partkey".as("d1"), $"m".as("d2"))
         .distinct()
-      val comp = graft.operators.Clusters.connectedComponents(edges)
+      // star contraction, not label-prop: even with run-star edges the
+      // entity graph is the deep-component case (cross-word bridges),
+      // and star rounds don't pay diameter (StarCcSpec pins the two
+      // modes interchangeable)
+      val comp = graft.operators.Clusters.connectedComponentsStar(edges)
       parts.join(comp, parts("p_partkey") === comp("id"), "left")
         .select($"p_partkey", $"p_name", $"p_size", $"cents",
           coalesce($"comp", $"p_partkey").as("cluster_id"))

@@ -18,7 +18,7 @@ class ClusterParitySpec extends AnyFunSuite {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  test("54 representative queries are bit-identical across the " +
+  test(s"${ClusterParity.queryNames.size} representative queries are bit-identical across the " +
       "process boundary (local[8] vs local-cluster[2,8])") {
     val names = ClusterParity.queryNames
     val localRes = ClusterParity.runAll(
