@@ -147,11 +147,19 @@ object Clusters {
       // result labels are checkpointed RDDs — they survive the cache
       sym.unpersist(blocking = false)
     }
-    require(converged,
-      s"connectedComponents did not converge in $maxIter rounds — " +
-        "component diameter exceeds the bound; raise maxIter or switch " +
-        "to star-contraction")
-    labels
+    if (converged) labels
+    else {
+      // Components deeper than the round budget (the takeover stall in
+      // the scaladoc — d19's chain-spelled graph hit it for real). Not
+      // an error: star contraction's round count is diameter-
+      // independent and StarCcSpec pins the two modes partition-equal,
+      // so delegate instead of crashing a production job. The cost is
+      // one wasted label pass; the result contract is unchanged.
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents: no fixpoint in $maxIter rounds — " +
+          "falling back to star contraction (diameter-independent)")
+      connectedComponentsStar(edges, srcCol, dstCol)
+    }
   }
 
   /** Connected components by alternating STAR CONTRACTION (the

@@ -173,10 +173,17 @@ object Scc {
       * removing sources exposes new sources, so a whole DAG melts
       * away here in depth/2 rounds of cheap semi/anti joins, leaving
       * the expensive coloring passes only the genuinely cyclic core.
+      * CAPPED at 64 rounds: trim is an optimization, not a
+      * correctness step — a pathologically deep DAG (a 100k-node
+      * chain would otherwise spin 50k driver rounds here) falls
+      * through to the coloring passes, which settle singletons too,
+      * just less cheaply.
       */
     def trim(): Unit = {
       var more = true
-      while (more && !nodes.isEmpty) {
+      var rounds = 0
+      while (more && rounds < 64 && !nodes.isEmpty) {
+        rounds += 1
         val hasIn = e.select(col("dst").as("id")).distinct()
         val hasOut = e.select(col("src").as("id")).distinct()
         val keep = nodes.join(hasIn, Seq("id"), "left_semi")

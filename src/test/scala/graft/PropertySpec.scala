@@ -622,6 +622,64 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  // random digraphs, labels checked against a boolean reachability
+  // closure (Floyd–Warshall over ≤12 nodes): SCC(v)=SCC(w) ⟺ mutual
+  // reach, label = min member; star/label-prop CC against the same
+  // closure with symmetric edges. Generator-driven cover for the two
+  // component operators beyond their hand-picked spec shapes.
+  private val digraphGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.chooseNum(4, 12)
+    m <- Gen.chooseNum(n, 3 * n)
+    es <- Gen.listOfN(m, for {
+      a <- Gen.chooseNum(0, n - 1); b <- Gen.chooseNum(0, n - 1)
+    } yield (a.toLong, b.toLong))
+  } yield es.filter(e => e._1 != e._2).distinct
+
+  private def closure(edges: Seq[(Long, Long)], sym: Boolean)
+      : Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.length
+    val r = Array.fill(n, n)(false)
+    nodes.indices.foreach(i => r(i)(i) = true)
+    edges.foreach { case (a, b) =>
+      r(idx(a))(idx(b)) = true
+      if (sym) r(idx(b))(idx(a)) = true
+    }
+    for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+      if (r(i)(k) && r(k)(j)) r(i)(j) = true
+    nodes.map { v =>
+      val i = idx(v)
+      v -> nodes.indices.filter(j => r(i)(j) && r(j)(i))
+        .map(nodes).min
+    }.toMap
+  }
+
+  property("SCC matches the mutual-reach closure on random digraphs") =
+    forAll(digraphGen) { edges =>
+      edges.isEmpty || {
+        import spark.implicits._
+        val got = graft.operators.Scc
+          .stronglyConnected(edges.toDF("src", "dst"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == closure(edges, sym = false)
+      }
+    }
+
+  property("both CC modes match the reach closure on random graphs") =
+    forAll(digraphGen) { edges =>
+      edges.isEmpty || {
+        import spark.implicits._
+        val model = closure(edges, sym = true)
+        val df = edges.toDF("d1", "d2")
+        val star = graft.operators.Clusters.connectedComponentsStar(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val prop = graft.operators.Clusters.connectedComponents(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        star == model && prop == model
+      }
+    }
+
   property("hub delivers any sequence exactly once, in order") =
     forAll(Gen.listOfN(25, Gen.chooseNum(Int.MinValue, Int.MaxValue))) { xs =>
       val engine = new graft.streaming.EventEngine(spark)

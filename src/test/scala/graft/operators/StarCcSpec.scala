@@ -72,6 +72,16 @@ class StarCcSpec extends AnyFunSuite {
     run(Seq(5L -> 3L, 3L -> 5L, 5L -> 3L, 3L -> 4L, 4L -> 3L, 3L -> 4L))
   }
 
+  test("label-prop exceeding its round budget falls back to star " +
+      "contraction instead of crashing") {
+    import spark.implicits._
+    val chain = (0L until 40L).map(i => i -> (i + 1))
+    val got = Clusters
+      .connectedComponents(chain.toDF("d1", "d2"), maxIter = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == unionFind(chain))
+  }
+
   test("random graphs match at several densities") {
     val rnd = new scala.util.Random(20260815L)
     for (p <- Seq(0.01, 0.04, 0.12)) {
