@@ -93,6 +93,7 @@ object ClusterParity {
     "m23_flv_screen_video", "m24_mp1_subband_census",
     "m25_jpeg_coeff_census",
     "g01_pagerank", "g15_ktruss", "g19_trade_scc",
+    "g20_quarterly_components",
     "st37_stream_extrema_rollup", "st38_stream_cep_inflight",
     "st40_stream_warc_ingest", "st41_stream_late_data",
     "d19_entity_resolution", "e28_seasonal_anomaly",

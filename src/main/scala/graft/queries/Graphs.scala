@@ -539,6 +539,47 @@ object Graphs extends QueryPack {
         .orderBy($"nation_key")
     }),
 
+    // -- G20: per-quarter trade components — N graphs, ONE fixpoint -----
+    // GROUPED graph analytics, the per-tenant / per-time-window scale
+    // pattern: which nations trade densely with each other in EACH
+    // QUARTER (undirected components of the quarter's thresholded
+    // flow graph). The engine does NOT loop over quarters: node ids
+    // are composited as quarter*100+nation, so ~28 independent
+    // quarterly graphs ride one Clusters.connectedComponentsStar call
+    // — the fixpoint machinery is paid once, rounds are driven by the
+    // deepest quarter, and at 100 TB the same spelling runs thousands
+    // of tenant graphs in one job instead of thousands of jobs.
+    // Components can't leak across quarters because no edge does.
+    "g20_quarterly_components" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val flows = t.lineitem
+        .join(t.orders, $"l_orderkey" === $"o_orderkey")
+        .join(t.customer, $"o_custkey" === $"c_custkey")
+        .join(t.supplier, $"l_suppkey" === $"s_suppkey")
+        .filter($"s_nationkey" =!= $"c_nationkey")
+        .select(expr("CAST(year(o_orderdate) * 4 + " +
+            "(month(o_orderdate) - 1) DIV 3 AS BIGINT)").as("q"),
+          $"s_nationkey".cast("long").as("a"),
+          $"c_nationkey".cast("long").as("b"),
+          expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)")
+            .as("cents"))
+        .groupBy($"q", $"a", $"b").agg(sum($"cents").as("cents"))
+      val qtot = flows.groupBy($"q").agg(sum($"cents").as("t"))
+      val edges = flows.join(qtot.hint("SHUFFLE_HASH"), "q")
+        .filter($"cents" >= expr("t div 300"))
+        .select(($"q" * 100 + $"a").as("d1"), ($"q" * 100 + $"b").as("d2"))
+      val comp = graft.operators.Clusters.connectedComponentsStar(edges)
+        .select(expr("id DIV 100").as("quarter"),
+          ($"id" % 100).as("nation_key"),
+          ($"comp" % 100).as("comp_nation"))
+      val sizes = comp.groupBy($"quarter", $"comp_nation")
+        .agg(count(lit(1)).as("comp_size"))
+      comp.join(sizes.hint("SHUFFLE_HASH"), Seq("quarter", "comp_nation"))
+        .select($"quarter", $"nation_key", $"comp_nation", $"comp_size")
+        .orderBy($"quarter", $"nation_key")
+    }),
+
     // -- G6: weighted SSSP over the trade graph -------------------------
     // Cheapest-path profile from the first ten customers where an
     // edge costs the *minimum* quantity ever shipped across it (min
@@ -785,6 +826,43 @@ object Graphs extends QueryPack {
           |LEFT JOIN od o ON s.id = o.id
           |LEFT JOIN idg i ON s.id = i.id
           |ORDER BY nation_key""".stripMargin,
+
+      // per-quarter reach closure: the (q, …) key rides every CTE so
+      // the closure never crosses quarters — the SQL mirror of the
+      // engine's composite-node-id trick
+      "g20_quarterly_components" ->
+        """WITH RECURSIVE f AS (
+          |  SELECT EXTRACT(YEAR FROM o.o_orderdate) * 4 +
+          |      (EXTRACT(MONTH FROM o.o_orderdate) - 1) // 3 AS q,
+          |    s.s_nationkey AS a, c.c_nationkey AS b,
+          |    SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT))
+          |      AS cents
+          |  FROM lineitem l
+          |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  JOIN customer c ON o.o_custkey = c.c_custkey
+          |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          |  WHERE s.s_nationkey <> c.c_nationkey
+          |  GROUP BY 1, 2, 3),
+          |qt AS (SELECT q, SUM(cents) AS t FROM f GROUP BY q),
+          |e0 AS (
+          |  SELECT f.q, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+          |  FROM f JOIN qt ON f.q = qt.q WHERE cents >= t // 300),
+          |ed AS (SELECT q, a AS s, b AS d FROM e0
+          |       UNION ALL SELECT q, b, a FROM e0),
+          |reach AS (
+          |  SELECT q, s AS id, s AS r FROM ed
+          |  UNION
+          |  SELECT reach.q, reach.id, ed.d
+          |  FROM reach JOIN ed ON reach.q = ed.q AND reach.r = ed.s),
+          |comp AS (SELECT q, id, MIN(r) AS cn FROM reach GROUP BY q, id),
+          |sz AS (SELECT q, cn, COUNT(*) AS comp_size FROM comp
+          |       GROUP BY q, cn)
+          |SELECT CAST(c.q AS BIGINT) AS quarter,
+          |  CAST(c.id AS BIGINT) AS nation_key,
+          |  CAST(c.cn AS BIGINT) AS comp_nation,
+          |  CAST(z.comp_size AS BIGINT) AS comp_size
+          |FROM comp c JOIN sz z ON c.q = z.q AND c.cn = z.cn
+          |ORDER BY quarter, nation_key""".stripMargin,
 
       // the same 2-round max-normalized integer recurrence, unrolled:
       // auth-step then hub-step per round, each rescaled by its max
