@@ -95,6 +95,74 @@ object Bfs {
     * |seeds| × |k-hop ball|, linear in the landmark count — the reason
     * landmark estimation samples seeds instead of running all-pairs.
     */
+  /** `(seed, id, dist, sigma)` — per-seed hop distances PLUS the exact
+    * count of distinct shortest paths (Brandes' σ): a node first
+    * reached at hop h inherits the sum of its hop-(h-1) predecessors'
+    * σ, because every shortest path to it extends a shortest path to
+    * some predecessor. This is the counting face of
+    * [[labeledDistances]] and the input to path-centrality measures
+    * (stress/betweenness): σ_st(v) = σ(s,v)·σ(v,t) whenever
+    * d(s,v)+d(v,t)=d(s,t), so one labeled-σ table answers every
+    * pair-dependency question by keyed joins — no per-pair traversal.
+    *
+    * Exactness: σ is an integer (LongType) maintained by SUM over the
+    * frontier join — no floating accumulation, so results hash-match
+    * an oracle that enumerates shortest-path DAG walks. Scale: the
+    * loop is the [[labeledDistances]] discipline (cached symmetric
+    * edges, frontier-only SHUFFLE_HASH shuffles, [[Ckpt.flat]] per
+    * round); σ adds one aggregate to the round, nothing else. State
+    * is |seeds| × reachable ball — sample seeds (landmarks) at scale,
+    * exactly as harmonic centrality (g12) does.
+    */
+  def labeledSigma(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val sym = edges
+      .select(explode(array(
+        struct(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst")),
+        struct(col(dstCol).cast("long").as("src"),
+          col(srcCol).cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .repartition(shufflePartitions(edges), col("src"))
+      .persist()
+
+    var visited = seeds.select(col("id").cast("long").as("seed"))
+      .filter(col("seed").isNotNull).distinct()
+      .select(col("seed"), col("seed").as("id"))
+      .withColumn("dist", lit(0L))
+      .withColumn("sigma", lit(1L))
+      .transform(Ckpt.flat)
+    var frontier = visited.select(col("seed"), col("id"), col("sigma"))
+    try {
+      var h = 1
+      var exhausted = false
+      while (h <= maxHops && !exhausted) {
+        val next = sym
+          .join(frontier.select(col("seed"), col("id").as("src"),
+            col("sigma")).hint("SHUFFLE_HASH"), "src")
+          .groupBy(col("seed"), col("dst").as("id"))
+          .agg(sum(col("sigma")).as("sigma"))
+          .join(visited.select(col("seed"), col("id")).hint("SHUFFLE_HASH"),
+            Seq("seed", "id"), "left_anti")
+          .withColumn("dist", lit(h.toLong))
+          .select(col("seed"), col("id"), col("dist"), col("sigma"))
+          .transform(Ckpt.flat)
+        exhausted = next.isEmpty
+        if (!exhausted) {
+          visited = visited.union(next).transform(Ckpt.flat)
+          frontier = next.select(col("seed"), col("id"), col("sigma"))
+        }
+        h += 1
+      }
+    } finally {
+      sym.unpersist(blocking = false)
+    }
+    visited
+  }
+
   def labeledDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")

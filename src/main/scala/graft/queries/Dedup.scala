@@ -310,6 +310,59 @@ object Dedup extends QueryPack {
         .orderBy($"d1", $"d2")
     }),
 
+    // -- fuzzy (edit-distance) join via deletion-neighborhood blocking --
+    // The typo/variant-spelling matcher: all vocabulary word pairs
+    // within Levenshtein distance 2, WITHOUT the all-pairs cross join.
+    // Blocking is the SymSpell deletion-neighborhood identity: if
+    // lev(a,b) ≤ d then deleting the ≤d edited positions from each
+    // side yields a COMMON string — so a ∈ candidates(b) iff their
+    // depth-d deletion neighborhoods intersect. Each word w emits
+    // |w|·(|w|+1)/2 + |w| + 1 variants (depth ≤ 2) built by two nested
+    // HOF passes (sequence → transform → flatten → array_distinct —
+    // whole-stage-codegen'd, no UDF); candidates come from an
+    // equi-join on the shared variant, and the exact `levenshtein`
+    // filter removes the false positives the blocking admits (e.g.
+    // transpositions at distance 2 share depth-1 variants). At 100 TB:
+    // a vocabulary of V words costs V·O(|w|²) variant rows hashed on
+    // the variant string — linear scans + one equi-join shuffle,
+    // versus the V² cross join the oracle (which need not scale)
+    // spells; exactly the d01-style "block, then verify" discipline
+    // applied to edit distance. Spark and DuckDB both implement
+    // standard unit-cost Levenshtein, so `lev` hash-matches.
+    "d20_fuzzy_join" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val words = Tables(s, dir).part
+        .select(explode(split(lower($"p_name"), " ")).as("w0"))
+        .select($"w0".as("w"))
+        .filter(length($"w") >= 3)
+        .groupBy($"w").agg(count(lit(1)).as("n_tok"))
+        .localCheckpoint(true) // tiny vocab, probed from both sides
+      // del1(x, i) = x with char i removed; depth-2 neighborhood =
+      // del1 of every depth-1 variant (including x itself), distinct
+      val cand = words.withColumn("vars", expr(
+          """array_distinct(flatten(transform(
+            |  array_distinct(concat(array(w),
+            |    transform(sequence(1, length(w)),
+            |      i -> concat(substring(w, 1, i - 1),
+            |                  substring(w, i + 1, 100000))))),
+            |  v -> array_distinct(concat(array(v),
+            |    transform(sequence(1, length(v)),
+            |      j -> concat(substring(v, 1, j - 1),
+            |                  substring(v, j + 1, 100000))))))))""".stripMargin))
+        .select($"w", explode($"vars").as("v"))
+      val pairs = cand.select($"v", $"w".as("w1"))
+        .join(cand.select($"v", $"w".as("w2")), "v")
+        .filter($"w1" < $"w2")
+        .select($"w1", $"w2").distinct()
+        .filter(levenshtein($"w1", $"w2") <= 2)
+      pairs
+        .join(words.select($"w".as("w1"), $"n_tok".as("n1")), Seq("w1"))
+        .join(words.select($"w".as("w2"), $"n_tok".as("n2")), Seq("w2"))
+        .select($"w1", $"w2",
+          levenshtein($"w1", $"w2").cast("long").as("lev"), $"n1", $"n2")
+        .orderBy($"w1", $"w2")
+    }),
+
     // -- containment near-dup: the asymmetric partial-duplicate signal --
     // Jaccard (d02) scores RESEMBLANCE — symmetric, length-punishing:
     // a short doc fully embedded in a long one scores n_small/n_large
@@ -866,6 +919,22 @@ object Dedup extends QueryPack {
         s" AS $name"
     }
     Map(
+      // the all-pairs spelling the engine's deletion-neighborhood
+      // blocking avoids; DuckDB's levenshtein is the same unit-cost
+      // edit distance as Spark's
+      "d20_fuzzy_join" ->
+        """WITH toks AS (
+          |  SELECT unnest(string_split(p_name, ' ')) AS w0 FROM part),
+          |words AS (
+          |  SELECT lower(w0) AS w, CAST(COUNT(*) AS BIGINT) AS n_tok
+          |  FROM toks WHERE length(w0) >= 3 GROUP BY 1)
+          |SELECT a.w AS w1, b.w AS w2,
+          |  CAST(levenshtein(a.w, b.w) AS BIGINT) AS lev,
+          |  a.n_tok AS n1, b.n_tok AS n2
+          |FROM words a JOIN words b ON a.w < b.w
+          |WHERE levenshtein(a.w, b.w) <= 2
+          |ORDER BY w1, w2""".stripMargin,
+
       "d08_contamination" -> {
         val bucket = graft.operators.Sampling.duckHashBucketPm(
           "doc_id", "split")

@@ -470,6 +470,44 @@ object Events extends QueryPack {
         .orderBy($"event_type", $"day")
     }),
 
+    // -- peak concurrency: the interval sweep line ----------------------
+    // "How many users were mid-session at the busiest instant of each
+    // day" — the capacity-planning / license-audit / max-load query.
+    // Sessions are per-(user, day) [first event, last event] closed
+    // intervals; the sweep spells each as +1 at start and -1 at end,
+    // nets simultaneous deltas by ordering starts BEFORE ends at the
+    // same instant (closed-interval overlap: a session ending at t
+    // still overlaps one starting at t), and takes the running sum —
+    // concurrency(t) = starts≤t − ends<t, evaluated at every start,
+    // whose maximum is the day's peak (max concurrency of an interval
+    // system is always attained at some interval start). Determinism:
+    // interchangeable +1 rows at one instant prefix-sum to the same
+    // final value and MAX keeps the largest, so tie order is
+    // irrelevant. At 100 TB the window is PARTITIONed by day (sessions
+    // never span days by construction), so the sort is per-day-
+    // partition, never global — and a year of load is 365 independent
+    // sweeps in one job.
+    "e29_peak_concurrency" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val sessions = Tables(s, dir).events
+        .groupBy($"user_id", to_date($"ts").as("day"))
+        .agg(min($"ts").as("s"), max($"ts").as("e"))
+      val deltas = sessions.select($"day",
+          explode(array(struct($"s".as("t"), lit(1L).as("delta")),
+            struct($"e".as("t"), lit(-1L).as("delta")))).as("ev"))
+        .select($"day", $"ev.t".as("t"), $"ev.delta".as("delta"))
+      val sweep = Window.partitionBy($"day")
+        .orderBy($"t".asc, $"delta".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas
+        .withColumn("conc", sum($"delta").over(sweep))
+        .filter($"delta" === 1L)
+        .groupBy($"day")
+        .agg(max($"conc").as("peak_concurrent"),
+          count(lit(1)).as("n_sessions"))
+        .orderBy($"day")
+    }),
+
     "e12_gap_fill" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val events = Tables(s, dir).events
@@ -980,6 +1018,27 @@ object Events extends QueryPack {
     // epoch-day mod 7 weekday; DuckDB's window SUM over BIGINT widens
     // to HUGEINT, so every derived column is cast back down — values
     // fit BIGINT by construction (cent totals of a day)
+    // same sweep: +1/-1 deltas, starts before ends at equal t (delta
+    // DESC), per-day running sum sampled at starts
+    "e29_peak_concurrency" ->
+      """WITH sessions AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    MIN(ts) AS s, MAX(ts) AS e
+        |  FROM events GROUP BY 1, 2),
+        |deltas AS (
+        |  SELECT day, s AS t, CAST(1 AS BIGINT) AS delta FROM sessions
+        |  UNION ALL
+        |  SELECT day, e, CAST(-1 AS BIGINT) FROM sessions),
+        |sweep AS (
+        |  SELECT day, delta,
+        |    SUM(delta) OVER (PARTITION BY day ORDER BY t, delta DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM deltas)
+        |SELECT day, CAST(MAX(conc) AS BIGINT) AS peak_concurrent,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |FROM sweep WHERE delta = 1
+        |GROUP BY day ORDER BY day""".stripMargin,
+
     "e28_seasonal_anomaly" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

@@ -580,6 +580,67 @@ object Graphs extends QueryPack {
         .orderBy($"quarter", $"nation_key")
     }),
 
+    // -- G21: stress centrality on the sparsified nation trade graph ----
+    // "Which nations sit ON the trade routes": stress centrality
+    // (Shimbel 1953) — for node v, the number of shortest paths
+    // between OTHER node pairs that pass through v. The exact-integer
+    // face of betweenness: betweenness divides each term by σ(s,t)
+    // (fractional, order-sensitive to accumulate), stress keeps the
+    // raw path count, so the whole measure stays in BIGINT and
+    // hash-matches an oracle that enumerates shortest-path DAG walks.
+    // Pipeline: (1) sparsify — each nation keeps its top-3 partner
+    // nations by shipped quantity (the unsparsified graph is complete
+    // at every SF: 25×24 pairs all present — a k-NN backbone, the
+    // standard similarity-graph construction); (2) one labeled-σ BFS
+    // from every node ([[graft.operators.Bfs.labeledSigma]]: frontier
+    // σ-sums, exact shortest-path counts); (3) stress(v) =
+    // Σ_{s<t, v∉{s,t}} σ(s,v)·σ(v,t) over pairs with
+    // d(s,v)+d(v,t)=d(s,t) — three keyed self-joins of the σ table,
+    // no per-pair traversal. At 100 TB: seeds become a sampled
+    // landmark set (the g12 discipline) and the σ table is the only
+    // state — |landmarks|×|ball|; the pair joins shuffle on node id
+    // and (seed,seed) — never materializing n² anything beyond the
+    // sampled pair set.
+    "g21_stress_centrality" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val pairs = t.lineitem
+        .join(t.orders, $"l_orderkey" === $"o_orderkey")
+        .join(t.customer, $"o_custkey" === $"c_custkey")
+        .join(t.supplier, $"l_suppkey" === $"s_suppkey")
+        .filter($"c_nationkey" =!= $"s_nationkey")
+        .groupBy($"c_nationkey".cast("long").as("a"),
+          $"s_nationkey".cast("long").as("b"))
+        .agg(sum($"l_quantity").as("qty"))
+      val top3 = pairs
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"a").orderBy($"qty".desc, $"b")))
+        .filter($"rk" <= 3).select($"a".as("src"), $"b".as("dst"))
+      val nodes = pairs.select($"a".as("id")).distinct()
+      // labeledSigma symmetrizes + distincts internally — the oracle's
+      // UNION of both directions.
+      val sig = graft.operators.Bfs
+        .labeledSigma(top3, nodes, maxHops = 6)
+        .localCheckpoint(true)
+      val sv = sig.select($"seed".as("s"), $"id".as("v"),
+        $"dist".as("d_sv"), $"sigma".as("sig_sv"))
+      val vt = sig.select($"seed".as("t"), $"id".as("v"),
+        $"dist".as("d_vt"), $"sigma".as("sig_vt"))
+      val st = sig.select($"seed".as("s"), $"id".as("t"),
+        $"dist".as("d_st"))
+      val stress = sv.join(vt.hint("SHUFFLE_HASH"), Seq("v"))
+        .filter($"s" < $"t" && $"v" =!= $"s" && $"v" =!= $"t")
+        .join(st.hint("SHUFFLE_HASH"), Seq("s", "t"))
+        .filter($"d_sv" + $"d_vt" === $"d_st")
+        .groupBy($"v".as("id"))
+        .agg(sum($"sig_sv" * $"sig_vt").as("stress"),
+          count(lit(1)).as("n_pairs"))
+      nodes.join(stress.hint("SHUFFLE_HASH"), Seq("id"), "left_outer")
+        .select($"id", coalesce($"stress", lit(0L)).as("stress"),
+          coalesce($"n_pairs", lit(0L)).as("n_pairs"))
+        .orderBy($"id")
+    }),
+
     // -- G6: weighted SSSP over the trade graph -------------------------
     // Cheapest-path profile from the first ten customers where an
     // edge costs the *minimum* quantity ever shipped across it (min
@@ -863,6 +924,71 @@ object Graphs extends QueryPack {
           |  CAST(z.comp_size AS BIGINT) AS comp_size
           |FROM comp c JOIN sz z ON c.q = z.q AND c.cn = z.cn
           |ORDER BY quarter, nation_key""".stripMargin,
+
+      // dist via BFS closure, σ via DAG-constrained walk enumeration
+      // (walks may only step onto a node at exactly its BFS layer, so
+      // every enumerated row IS a shortest-path prefix and COUNT(*)
+      // per (seed,id) = σ); stress sums σ(s,v)·σ(v,t) over distance-
+      // additive pairs — the engine's three keyed joins, spelled in SQL
+      "g21_stress_centrality" ->
+        """WITH RECURSIVE pairs AS (
+          |  SELECT c_nationkey AS a, s_nationkey AS b,
+          |    SUM(l_quantity) AS qty
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  WHERE c_nationkey <> s_nationkey
+          |  GROUP BY 1, 2),
+          |top3 AS (
+          |  SELECT a, b FROM (
+          |    SELECT a, b, ROW_NUMBER() OVER
+          |      (PARTITION BY a ORDER BY qty DESC, b) AS rk
+          |    FROM pairs) WHERE rk <= 3),
+          |edges AS (
+          |  -- DISTINCT over UNION ALL, not bare UNION: inside a WITH
+          |  -- RECURSIVE block DuckDB parses "A UNION B" as a base/step
+          |  -- pair and does NOT dedup across the branches — harmless
+          |  -- under the reach closure's own UNION, fatal under the σ
+          |  -- walk count, where a duplicated edge doubles every path
+          |  -- through it
+          |  SELECT DISTINCT src, dst FROM (
+          |    SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst
+          |    FROM top3
+          |    UNION ALL
+          |    SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM top3)),
+          |nodes AS (SELECT DISTINCT CAST(a AS BIGINT) AS id FROM pairs),
+          |reach(seed, id, d) AS (
+          |  SELECT id, id, 0 FROM nodes
+          |  UNION
+          |  SELECT r.seed, e.dst, r.d + 1
+          |  FROM reach r JOIN edges e ON e.src = r.id WHERE r.d < 6),
+          |dist AS (
+          |  SELECT seed, id, MIN(d) AS dist FROM reach GROUP BY seed, id),
+          |walks(seed, id, d) AS (
+          |  SELECT id, id, 0 FROM nodes
+          |  UNION ALL
+          |  SELECT w.seed, e.dst, w.d + 1
+          |  FROM walks w JOIN edges e ON e.src = w.id
+          |  JOIN dist dd ON dd.seed = w.seed AND dd.id = e.dst
+          |    AND dd.dist = w.d + 1),
+          |sigma AS (
+          |  SELECT seed, id, d AS dist, CAST(COUNT(*) AS BIGINT) AS sigma
+          |  FROM walks GROUP BY seed, id, d),
+          |stress AS (
+          |  SELECT sv.id AS id,
+          |    CAST(SUM(sv.sigma * vt.sigma) AS BIGINT) AS stress,
+          |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+          |  FROM sigma sv
+          |  JOIN sigma vt ON vt.id = sv.id AND sv.seed < vt.seed
+          |  JOIN dist st ON st.seed = sv.seed AND st.id = vt.seed
+          |  WHERE sv.id <> sv.seed AND sv.id <> vt.seed
+          |    AND sv.dist + vt.dist = st.dist
+          |  GROUP BY sv.id)
+          |SELECT n.id AS id,
+          |  CAST(COALESCE(s.stress, 0) AS BIGINT) AS stress,
+          |  CAST(COALESCE(s.n_pairs, 0) AS BIGINT) AS n_pairs
+          |FROM nodes n LEFT JOIN stress s ON s.id = n.id
+          |ORDER BY n.id""".stripMargin,
 
       // the same 2-round max-normalized integer recurrence, unrolled:
       // auth-step then hub-step per round, each rescaled by its max

@@ -680,6 +680,51 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  // d20's blocking identity (SymSpell): lev(a,b) ≤ 2 ⟹ the depth-2
+  // deletion neighborhoods of a and b intersect — deleting the ≤2
+  // edited positions from each side of an optimal alignment yields a
+  // common string. The query's levenshtein post-filter removes false
+  // positives, so candidate COMPLETENESS is the property that must
+  // hold for the join to be exact.
+  property("depth-2 deletion neighborhoods intersect whenever lev ≤ 2") = {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j), d(i)(j - 1)) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def del1(w: String): Set[String] =
+      (0 until w.length).map(i => w.take(i) + w.drop(i + 1)).toSet + w
+    def del2(w: String): Set[String] = del1(w).flatMap(del1)
+    val word = Gen.chooseNum(3, 8)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    // edit b out of a: random small perturbations keep many pairs ≤ 2
+    val perturbed = for {
+      a <- word
+      nOps <- Gen.chooseNum(0, 3)
+      ops <- Gen.listOfN(nOps, Gen.oneOf(0, 1, 2))
+      seeds <- Gen.listOfN(nOps, Gen.chooseNum(0, 1000))
+    } yield {
+      var b = a
+      ops.zip(seeds).foreach { case (op, sd) =>
+        if (b.nonEmpty) {
+          val i = sd % b.length
+          op match {
+            case 0 => b = b.take(i) + b.drop(i + 1) // delete
+            case 1 => b = b.take(i) + ('a' + sd % 3).toChar + b.drop(i) // ins
+            case _ => b = b.take(i) + ('a' + sd % 3).toChar + b.drop(i + 1)
+          }
+        }
+      }
+      (a, b)
+    }
+    forAll(perturbed) { case (a, b) =>
+      lev(a, b) > 2 || (del2(a) & del2(b)).nonEmpty
+    }
+  }
+
   property("hub delivers any sequence exactly once, in order") =
     forAll(Gen.listOfN(25, Gen.chooseNum(Int.MinValue, Int.MaxValue))) { xs =>
       val engine = new graft.streaming.EventEngine(spark)

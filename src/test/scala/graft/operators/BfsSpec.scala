@@ -92,4 +92,78 @@ class BfsSpec extends AnyFunSuite {
       id -> m.values.min }
     assert(pooled === model(edges, seeds, 3))
   }
+
+  /** Reference σ model: layered BFS path counting from one seed. */
+  private def sigmaModel(edges: Seq[(Long, Long)], seed: Long,
+      maxHops: Int): Map[Long, (Long, Long)] = {
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
+    var out = Map(seed -> (0L, 1L))
+    var frontier = Seq(seed)
+    for (h <- 1 to maxHops) {
+      val contrib = frontier.flatMap(u =>
+          adj.getOrElse(u, Nil).map(v => v -> out(u)._2))
+        .filterNot { case (v, _) => out.contains(v) }
+        .groupBy(_._1).map { case (v, cs) => v -> cs.map(_._2).sum }
+      out ++= contrib.map { case (v, s) => v -> (h.toLong, s) }
+      frontier = contrib.keys.toSeq
+    }
+    out
+  }
+
+  private def runSigma(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      maxHops: Int): Map[(Long, Long), (Long, Long)] = {
+    import spark.implicits._
+    Bfs.labeledSigma(edges.toDF("src", "dst"), seeds.toDF("id"), maxHops)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+  }
+
+  test("labeledSigma: diamond counts both shortest paths, no longer ones") {
+    // 1─2─4, 1─3─4, plus a long detour 1─5─6─4 that must NOT count
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (5L, 6L), (6L, 4L))
+    val got = runSigma(edges, Seq(1L), maxHops = 4)
+    assert(got((1L, 4L)) === (2L, 2L)) // dist 2, two shortest paths
+    assert(got((1L, 6L)) === (2L, 1L))
+    assert(got((1L, 1L)) === (0L, 1L))
+  }
+
+  test("labeledSigma: σ multiplies along layers (2×2 grid of parallels)") {
+    // 1→{2,3}→4→{5,6}→7: σ(1,7) = 2·2 = 4 at dist 4
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 7L), (6L, 7L))
+    val got = runSigma(edges, Seq(1L), maxHops = 6)
+    assert(got((1L, 4L)) === (2L, 2L))
+    assert(got((1L, 7L)) === (4L, 4L))
+  }
+
+  test("labeledSigma: random graphs match the per-seed σ model") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 3) {
+      val n = 25
+      val edges = Seq.fill(40)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val seeds = Seq(0L, 1L, 2L)
+      val got = runSigma(edges, seeds, maxHops = 4)
+      val want = seeds.flatMap(sd => sigmaModel(edges, sd, 4).map {
+        case (id, ds) => (sd, id) -> ds }).toMap
+      assert(got === want, s"trial=$trial")
+    }
+  }
+
+  test("labeledSigma: dist projection agrees with labeledDistances") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val edges = Seq.fill(30)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter(e => e._1 != e._2)
+    val seeds = Seq(3L, 4L)
+    val viaSigma = runSigma(edges, seeds, 3).map { case (k, v) => k -> v._1 }
+    val viaDist = Bfs
+      .labeledDistances(edges.toDF("src", "dst"), seeds.toDF("id"), 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(viaSigma === viaDist)
+  }
 }
