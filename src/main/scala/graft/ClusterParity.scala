@@ -102,6 +102,8 @@ object ClusterParity {
     "x16_zorder_layout", "c07_weighted_sample",
     "e24_rolling_active_users", "d10_semdedup", "s16_sq8_rerank_topk",
     "g12_harmonic_centrality",
+    "g21_stress_centrality", "d20_fuzzy_join", "e29_peak_concurrency",
+    "g22_eccentricity", "e30_attribution", "st42_stream_peak_concurrency",
     "p01_curation_pipeline")
 }
 

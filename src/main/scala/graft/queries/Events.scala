@@ -508,6 +508,51 @@ object Events extends QueryPack {
         .orderBy($"day")
     }),
 
+    // -- positional multi-touch attribution -----------------------------
+    // The marketing-science workload: every purchase distributes its
+    // value over the user's clicks in the prior 7 days, U-shaped —
+    // 40% to the first touch, 40% to the last, 20% shared by the
+    // middles (1 touch → 100%, 2 → 50/50). Exactness discipline:
+    // weights are INTEGER ppm, the middle share is 200000 div (k-2)
+    // with the remainder spread one-ppm-each over the earliest
+    // middles, so every purchase's weights sum to exactly 10⁶ and
+    // credit stays BIGINT end to end (credit = cents × ppm). The
+    // touch set is a per-user equi-join with a range predicate (never
+    // a time-range cross join); position and k come from one window
+    // per purchase keyed by the unique purchase event id, tie-broken
+    // by (ts, click id) — fully deterministic. At 100 TB the join
+    // shuffles on user_id (bounded per-user fan-out C·P; a pathological
+    // mega-user is the x15 salting case) and the window partitions by
+    // purchase — both keys high-cardinality, no global sort anywhere.
+    "e30_attribution" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val ev = Tables(s, dir).events
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("tp"), $"event_id".as("pid"),
+          expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("tc"), $"event_id".as("cid"))
+      val w = Window.partitionBy($"pid")
+      purchases.join(clicks, Seq("user_id"))
+        .filter($"tc" < $"tp" &&
+          $"tc" >= $"tp" - expr("INTERVAL 7 DAYS"))
+        .withColumn("pos", row_number().over(w.orderBy($"tc", $"cid")))
+        .withColumn("k", count(lit(1)).over(w))
+        .withColumn("wppm", expr(
+          """CASE WHEN k = 1 THEN 1000000
+            |     WHEN k = 2 THEN 500000
+            |     WHEN pos = 1 OR pos = k THEN 400000
+            |     ELSE 200000 div (k - 2) +
+            |       (CASE WHEN pos - 1 <= 200000 % (k - 2)
+            |             THEN 1 ELSE 0 END)
+            |END""".stripMargin))
+        .groupBy(to_date($"tc").as("day"))
+        .agg(count(lit(1)).as("n_touches"),
+          countDistinct($"pid").as("n_purchases"),
+          sum($"cents" * $"wppm").as("credit_ppm_cents"))
+        .orderBy($"day")
+    }),
+
     "e12_gap_fill" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val events = Tables(s, dir).events
@@ -1018,6 +1063,40 @@ object Events extends QueryPack {
     // epoch-day mod 7 weekday; DuckDB's window SUM over BIGINT widens
     // to HUGEINT, so every derived column is cast back down — values
     // fit BIGINT by construction (cent totals of a day)
+    // same join/window/CASE; DuckDB // is Spark div on BIGINTs
+    "e30_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, ts AS tp, event_id AS pid,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts AS tc, event_id AS cid
+        |  FROM events WHERE event_type = 'click'),
+        |t AS (
+        |  SELECT p.pid, p.cents, c.tc, c.cid
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.tc < p.tp AND c.tc >= p.tp - INTERVAL 7 DAY),
+        |r AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tc, cid) AS pos,
+        |    COUNT(*) OVER (PARTITION BY pid) AS k
+        |  FROM t),
+        |wt AS (
+        |  SELECT *,
+        |    CASE WHEN k = 1 THEN 1000000
+        |         WHEN k = 2 THEN 500000
+        |         WHEN pos = 1 OR pos = k THEN 400000
+        |         ELSE 200000 // (k - 2) +
+        |           (CASE WHEN pos - 1 <= 200000 % (k - 2)
+        |                 THEN 1 ELSE 0 END)
+        |    END AS wppm
+        |  FROM r)
+        |SELECT CAST(tc AS DATE) AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(cents * wppm) AS BIGINT) AS credit_ppm_cents
+        |FROM wt GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // same sweep: +1/-1 deltas, starts before ends at equal t (delta
     // DESC), per-day running sum sampled at starts
     "e29_peak_concurrency" ->

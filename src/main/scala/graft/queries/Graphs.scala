@@ -59,6 +59,41 @@ object Graphs extends QueryPack {
   private def tradeEdges(s: SparkSession, dir: String): DataFrame =
     tradePairs(s, dir).select(col("src"), col("dst"))
 
+  /** `(a, b, qty)` — aggregated cross-nation trade volume (customer
+    * nation a bought qty units from supplier nation b), the shared
+    * input of the g21/g22 backbone queries. Small (≤ n_nations²
+    * rows) but derived from the largest join in the schema — memoized
+    * like [[tradePairs]].
+    */
+  private def nationPairs(s: SparkSession, dir: String): DataFrame =
+    edgeMemo.computeIfAbsent(
+      (s.sparkContext.applicationId, dir, "nationpairs"),
+      _ => {
+        import s.implicits._
+        val t = Tables(s, dir)
+        t.lineitem
+          .join(t.orders, $"l_orderkey" === $"o_orderkey")
+          .join(t.customer, $"o_custkey" === $"c_custkey")
+          .join(t.supplier, $"l_suppkey" === $"s_suppkey")
+          .filter($"c_nationkey" =!= $"s_nationkey")
+          .groupBy($"c_nationkey".cast("long").as("a"),
+            $"s_nationkey".cast("long").as("b"))
+          .agg(sum($"l_quantity").as("qty"))
+          .localCheckpoint(true)
+      })
+
+  /** The k-NN backbone sparsification (k = 3): each nation keeps its
+    * top-3 partners by shipped quantity (ties by partner key). The
+    * unsparsified nation graph is COMPLETE at every SF — all
+    * centrality structure lives in the backbone.
+    */
+  private def backboneTop3(pairs: DataFrame): DataFrame =
+    pairs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("a")).orderBy(col("qty").desc, col("b"))))
+      .filter(col("rk") <= 3)
+      .select(col("a").as("src"), col("b").as("dst"))
+
   /** Distinct co-purchase supplier pairs (u < v) within an
     * (order, nation) group — the g03/g05 projection.
     */
@@ -603,19 +638,8 @@ object Graphs extends QueryPack {
     // sampled pair set.
     "g21_stress_centrality" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val t = Tables(s, dir)
-      val pairs = t.lineitem
-        .join(t.orders, $"l_orderkey" === $"o_orderkey")
-        .join(t.customer, $"o_custkey" === $"c_custkey")
-        .join(t.supplier, $"l_suppkey" === $"s_suppkey")
-        .filter($"c_nationkey" =!= $"s_nationkey")
-        .groupBy($"c_nationkey".cast("long").as("a"),
-          $"s_nationkey".cast("long").as("b"))
-        .agg(sum($"l_quantity").as("qty"))
-      val top3 = pairs
-        .withColumn("rk", row_number().over(
-          Window.partitionBy($"a").orderBy($"qty".desc, $"b")))
-        .filter($"rk" <= 3).select($"a".as("src"), $"b".as("dst"))
+      val pairs = nationPairs(s, dir)
+      val top3 = backboneTop3(pairs)
       val nodes = pairs.select($"a".as("id")).distinct()
       // labeledSigma symmetrizes + distincts internally — the oracle's
       // UNION of both directions.
@@ -638,6 +662,39 @@ object Graphs extends QueryPack {
       nodes.join(stress.hint("SHUFFLE_HASH"), Seq("id"), "left_outer")
         .select($"id", coalesce($"stress", lit(0L)).as("stress"),
           coalesce($"n_pairs", lit(0L)).as("n_pairs"))
+        .orderBy($"id")
+    }),
+
+    // -- G22: eccentricity profile / diameter of the trade backbone -----
+    // The distance-distribution face of g21: per node, its
+    // eccentricity (max hop distance to any reachable node, capped at
+    // 6 like every closure here), the reachable-ball size, and the
+    // center/periphery flags (ecc == radius / ecc == diameter over
+    // the node set). Network designers read this as "worst-case
+    // latency from this hub"; the diameter bound also certifies the
+    // hop caps used by the other backbone queries. Same labeled BFS
+    // as g12/g21 — per-seed frontier shuffles against the cached
+    // symmetric edge list — plus one global min/max aggregated via a
+    // single-row broadcast join (never a window over the whole node
+    // set). At 100 TB: landmark-sampled seeds estimate the diameter
+    // lower bound exactly as here (the double-sweep heuristic IS two
+    // of these BFS trees).
+    "g22_eccentricity" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val pairs = nationPairs(s, dir)
+      val top3 = backboneTop3(pairs)
+      val nodes = pairs.select($"a".as("id")).distinct()
+      val ecc = graft.operators.Bfs
+        .labeledDistances(top3, nodes, maxHops = 6)
+        .groupBy($"seed".as("id"))
+        .agg(max($"dist").as("ecc"),
+          count(lit(1)).as("n_ball")) // includes self at dist 0
+      val bounds = ecc.agg(min($"ecc").as("radius"),
+        max($"ecc").as("diameter"))
+      ecc.crossJoin(broadcast(bounds))
+        .select($"id", $"ecc", $"n_ball",
+          ($"ecc" === $"radius").cast("long").as("is_center"),
+          ($"ecc" === $"diameter").cast("long").as("is_periphery"))
         .orderBy($"id")
     }),
 
@@ -989,6 +1046,47 @@ object Graphs extends QueryPack {
           |  CAST(COALESCE(s.n_pairs, 0) AS BIGINT) AS n_pairs
           |FROM nodes n LEFT JOIN stress s ON s.id = n.id
           |ORDER BY n.id""".stripMargin,
+
+      // reach closure (UNION dedup is safe here — MIN-insensitive),
+      // max per seed, global min/max joined back
+      "g22_eccentricity" ->
+        """WITH RECURSIVE pairs AS (
+          |  SELECT c_nationkey AS a, s_nationkey AS b,
+          |    SUM(l_quantity) AS qty
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  WHERE c_nationkey <> s_nationkey
+          |  GROUP BY 1, 2),
+          |top3 AS (
+          |  SELECT a, b FROM (
+          |    SELECT a, b, ROW_NUMBER() OVER
+          |      (PARTITION BY a ORDER BY qty DESC, b) AS rk
+          |    FROM pairs) WHERE rk <= 3),
+          |edges AS (
+          |  SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst
+          |  FROM top3
+          |  UNION SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM top3),
+          |nodes AS (SELECT DISTINCT CAST(a AS BIGINT) AS id FROM pairs),
+          |reach(seed, id, d) AS (
+          |  SELECT id, id, 0 FROM nodes
+          |  UNION
+          |  SELECT r.seed, e.dst, r.d + 1
+          |  FROM reach r JOIN edges e ON e.src = r.id WHERE r.d < 6),
+          |dist AS (
+          |  SELECT seed, id, MIN(d) AS dist FROM reach GROUP BY seed, id),
+          |ecc AS (
+          |  SELECT seed AS id, CAST(MAX(dist) AS BIGINT) AS ecc,
+          |    CAST(COUNT(*) AS BIGINT) AS n_ball
+          |  FROM dist GROUP BY seed),
+          |bounds AS (
+          |  SELECT MIN(ecc) AS radius, MAX(ecc) AS diameter FROM ecc)
+          |SELECT id, ecc, n_ball,
+          |  CAST(CASE WHEN ecc = radius THEN 1 ELSE 0 END AS BIGINT)
+          |    AS is_center,
+          |  CAST(CASE WHEN ecc = diameter THEN 1 ELSE 0 END AS BIGINT)
+          |    AS is_periphery
+          |FROM ecc, bounds ORDER BY id""".stripMargin,
 
       // the same 2-round max-normalized integer recurrence, unrolled:
       // auth-step then hub-step per round, each rescaled by its max

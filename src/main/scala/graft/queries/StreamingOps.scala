@@ -1341,6 +1341,107 @@ object StreamingOps extends QueryPack {
         .orderBy($"event_type")
     }),
 
+    // -- streaming peak concurrency: dirty-partition invalidation -------
+    // The streaming face of e29, and a serving-loop pattern the
+    // additive/monotonic/extrema family cannot express: a per-day
+    // PEAK is neither additive (you cannot fold a delta in) nor
+    // decomposable per row — but it IS recomputable per PARTITION,
+    // and a micro-batch only dirties the days it touches. The loop
+    // keeps two tables in the snapshot: `sessions` (per (user, day)
+    // [min ts, max ts] — a MONOTONIC min/max merge, st26's
+    // discipline) and `peaks` (per day). Each batch: merge the
+    // batch's session deltas, mark the batch's days dirty, re-run the
+    // e29 sweep over ONLY the dirty days' sessions, and serve
+    // untouched days' peaks unchanged (left_anti on the dirty set).
+    // Work per batch is O(sessions of touched days), not O(history) —
+    // at 100 TB with a year of history and a minutes-wide batch, the
+    // sweep touches one or two day-partitions out of 365. Replays are
+    // guarded by the st37 batchId discipline (the peak rewrite is not
+    // idempotent-free: the session merge is, the dirty-day selection
+    // is not). Final state hash-matches the batch oracle exactly.
+    "st42_stream_peak_concurrency" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val raw = eventStreamMultiBatch(s, dir, parts = 4)
+        .select($"user_id", $"ts", to_date($"ts").as("day"))
+      val servingRoot = java.nio.file.Files
+        .createTempDirectory("graft-conc-").toString
+      var latest: Option[String] = None
+      var lastApplied = -1L
+      var batches = 0
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = raw.writeStream
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch {
+            (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+              if (batchId > lastApplied) {
+                val bs = batch.groupBy($"user_id", $"day")
+                  .agg(min($"ts").as("s"), max($"ts").as("e"))
+                val sessions = latest match {
+                  case None => bs
+                  case Some(p) => s.read.parquet(s"$p/sessions")
+                    .unionByName(bs)
+                    .groupBy($"user_id", $"day")
+                    .agg(min($"s").as("s"), max($"e").as("e"))
+                }
+                val dirty = bs.select($"day").distinct()
+                val sweepW = org.apache.spark.sql.expressions.Window
+                  .partitionBy($"day")
+                  .orderBy($"t".asc, $"delta".desc)
+                  .rowsBetween(
+                    org.apache.spark.sql.expressions.Window
+                      .unboundedPreceding,
+                    org.apache.spark.sql.expressions.Window.currentRow)
+                val swept = sessions
+                  .join(broadcast(dirty), Seq("day"), "left_semi")
+                  .select($"day", explode(array(
+                    struct($"s".as("t"), lit(1L).as("delta")),
+                    struct($"e".as("t"), lit(-1L).as("delta")))).as("ev"))
+                  .select($"day", $"ev.t".as("t"), $"ev.delta".as("delta"))
+                  .withColumn("conc", sum($"delta").over(sweepW))
+                  .filter($"delta" === 1L)
+                  .groupBy($"day")
+                  .agg(max($"conc").as("peak_concurrent"),
+                    count(lit(1)).as("n_sessions"))
+                val peaks = latest match {
+                  case None => swept
+                  case Some(p) => s.read.parquet(s"$p/peaks")
+                    .join(broadcast(dirty), Seq("day"), "left_anti")
+                    .unionByName(swept)
+                }
+                val next = s"$servingRoot/v$batchId"
+                sessions.write.mode("overwrite")
+                  .parquet(s"$next/sessions")
+                peaks.write.mode("overwrite").parquet(s"$next/peaks")
+                latest.foreach { p =>
+                  val fs = new org.apache.hadoop.fs.Path(p)
+                  fs.getFileSystem(s.sparkContext.hadoopConfiguration)
+                    .delete(fs, true)
+                }
+                latest = Some(next)
+                lastApplied = batchId
+                batches += 1
+              }
+          }
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      require(batches >= 4,
+        s"expected >= 4 incremental micro-batches, saw $batches — the " +
+          "multi-file split is not driving the trigger")
+      val live = new java.io.File(servingRoot).listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("v"))
+      require(live <= 2,
+        s"snapshot GC failed: $live versions live under $servingRoot")
+      s.read.parquet(s"${latest.get}/peaks")
+        .select($"day",
+          $"peak_concurrent".cast("long").as("peak_concurrent"),
+          $"n_sessions".cast("long").as("n_sessions"))
+        .orderBy($"day")
+    }),
+
     "st29_stream_trending" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val daily = eventStream(s, dir)
@@ -2537,6 +2638,27 @@ object StreamingOps extends QueryPack {
         |  CAST(MAX(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
         |    AS max_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the e29 batch sweep: the dirty-day serving loop must converge
+    // to exactly what one batch pass over all events computes
+    "st42_stream_peak_concurrency" ->
+      """WITH sessions AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    MIN(ts) AS s, MAX(ts) AS e
+        |  FROM events GROUP BY 1, 2),
+        |deltas AS (
+        |  SELECT day, s AS t, CAST(1 AS BIGINT) AS delta FROM sessions
+        |  UNION ALL
+        |  SELECT day, e, CAST(-1 AS BIGINT) FROM sessions),
+        |sweep AS (
+        |  SELECT day, delta,
+        |    SUM(delta) OVER (PARTITION BY day ORDER BY t, delta DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM deltas)
+        |SELECT day, CAST(MAX(conc) AS BIGINT) AS peak_concurrent,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |FROM sweep WHERE delta = 1
+        |GROUP BY day ORDER BY day""".stripMargin,
 
     "st8_transform_with_state" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,

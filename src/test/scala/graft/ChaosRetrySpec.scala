@@ -54,8 +54,8 @@ object ChaosLocalFileSystem {
 
 /** VERDICT r8 item 2: the foreachBatch serving loops (upsert, CDC
   * apply, monotonic view, join-view, extrema rollup, eager agg, WARC
-  * ingest, late-data router — st11/st22/st26/st28/st32/st37/st39/
-  * st40/st41) claim
+  * ingest, late-data router, dirty-day peak recompute —
+  * st11/st22/st26/st28/st32/st37/st39/st40/st41/st42) claim
   * retry-idempotence via batchId guards and additive folds. Prove it
   * under GENUINE task retries: every parquet data file's first
   * task-side read throws, `local[8,4]` retries the task, and each
@@ -70,7 +70,7 @@ class ChaosRetrySpec extends AnyFunSuite {
     "st26_stream_monotonic_view", "st28_stream_join_view",
     "st32_stream_join_view_ivm", "st37_stream_extrema_rollup",
     "st39_stream_eager_agg", "st40_stream_warc_ingest",
-    "st41_stream_late_data")
+    "st41_stream_late_data", "st42_stream_peak_concurrency")
 
   test("serving loops survive first-attempt task failures unchanged") {
     val clean = ClusterParity.runAll(
