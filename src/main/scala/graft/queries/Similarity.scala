@@ -121,6 +121,76 @@ object Similarity extends QueryPack {
         .orderBy($"query_id", $"rank")
     }),
 
+    // -- MMR diversified re-rank: relevance minus redundancy ------------
+    // Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98):
+    // pick 5 of each query's top-10 candidates greedily, each round
+    // taking argmax of score = 7·rel − 3·maxSim(·, selected) — the
+    // λ≈0.3 trade spelled in integers so the greedy trajectory is
+    // bit-deterministic (ties by neighbor id). This is the
+    // dedup-aware retrieval face the LLM-pipeline needs: top-k alone
+    // returns near-duplicate neighbors (the d10 clusters), MMR buys
+    // coverage. Structure: candidate generation is the existing ANN
+    // tier (top-10 brute force here; IVF/PQ at scale), then 5 FIXED
+    // greedy rounds, each one keyed join (sims of remaining × picked)
+    // + per-query argmax window — all frames bounded by
+    // |queries|·k', never the corpus. The candidate×candidate sim
+    // table (≤ k'² per query) is built ONCE and checkpointed; rounds
+    // reuse it. At 100 TB: candidates come bucketed per query from
+    // the serving index (s14), and every round's shuffle is keyed by
+    // query_id — embarrassing parallelism over queries, fixed round
+    // count, no driver-side data.
+    "s19_mmr_rerank" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.VectorSearch
+      val emb = VectorSearch.quantize(Tables(s, dir).embeddings,
+        "embedding").select($"vec_id", $"eq")
+      val corpus = emb.select($"vec_id".as("neighbor_id"), $"eq".as("ce"))
+      val cand = VectorSearch.topKBruteForce(
+          emb.filter($"vec_id" < 10)
+            .select($"vec_id".as("query_id"), $"eq".as("qe")),
+          corpus, k = 10)
+        .join(corpus, Seq("neighbor_id"))
+        .select($"query_id", $"neighbor_id", $"dot", $"ce")
+        .localCheckpoint(true)
+      val sim = cand
+        .select($"query_id", $"neighbor_id".as("n1"), $"ce".as("e1"))
+        .join(cand.select($"query_id", $"neighbor_id".as("n2"),
+          $"ce".as("e2")), Seq("query_id"))
+        .filter($"n1" =!= $"n2")
+        .select($"query_id", $"n1", $"n2",
+          expr("graft_dotl(e1, e2)").as("sv"))
+        .localCheckpoint(true)
+      val wPick = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id")
+      var selected = cand
+        .withColumn("r",
+          row_number().over(wPick.orderBy($"dot".desc, $"neighbor_id")))
+        .filter($"r" === 1)
+        .select($"query_id", $"neighbor_id", $"dot",
+          lit(0L).as("max_sim"), lit(1L).as("pick"))
+      for (i <- 2 to 5) {
+        val ms = sim
+          .join(selected.select($"query_id", $"neighbor_id".as("n2")),
+            Seq("query_id", "n2"))
+          .groupBy($"query_id", $"n1".as("neighbor_id"))
+          .agg(max($"sv").as("max_sim"))
+        val next = cand
+          .join(selected.select($"query_id", $"neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_anti")
+          .join(ms, Seq("query_id", "neighbor_id"))
+          .withColumn("score", lit(7L) * $"dot" - lit(3L) * $"max_sim")
+          .withColumn("r", row_number().over(
+            wPick.orderBy($"score".desc, $"neighbor_id")))
+          .filter($"r" === 1)
+          .select($"query_id", $"neighbor_id", $"dot", $"max_sim",
+            lit(i.toLong).as("pick"))
+        selected = selected.union(next).localCheckpoint(true)
+      }
+      selected
+        .withColumn("score", lit(7L) * $"dot" - lit(3L) * $"max_sim")
+        .orderBy($"query_id", $"pick")
+    }),
+
     // -- LSH-bucketed ANN: same-sign-bucket candidates only -------------
     "s02_topk_lsh" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -895,6 +965,74 @@ object Similarity extends QueryPack {
         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY dot DESC, neighbor_id) AS INTEGER) AS rank FROM p) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // the same 5 greedy rounds unrolled: u_i = picked so far, m_i =
+    // remaining candidates with max sim to the picked set, s_i = the
+    // round's argmax; cand/sim MATERIALIZED (each is referenced once
+    // per round — inlining would recompute the dot scan 5×)
+    "s19_mmr_rerank" -> {
+      def round(i: Int): String = {
+        val uPrev = if (i == 2) "SELECT query_id, neighbor_id FROM s1"
+        else s"SELECT query_id, neighbor_id FROM s${i - 1} " +
+          s"UNION ALL SELECT query_id, neighbor_id FROM u${i - 1}"
+        s"""u$i AS ($uPrev),
+           |m$i AS (
+           |  SELECT c.query_id, c.neighbor_id, c.dot,
+           |    CAST(MAX(sim.sv) AS BIGINT) AS max_sim
+           |  FROM cand c
+           |  JOIN sim ON sim.query_id = c.query_id
+           |    AND sim.n1 = c.neighbor_id
+           |  JOIN u$i u ON u.query_id = sim.query_id
+           |    AND u.neighbor_id = sim.n2
+           |  WHERE NOT EXISTS (SELECT 1 FROM u$i x
+           |    WHERE x.query_id = c.query_id
+           |      AND x.neighbor_id = c.neighbor_id)
+           |  GROUP BY 1, 2, 3),
+           |s$i AS (
+           |  SELECT query_id, neighbor_id, dot, max_sim,
+           |    CAST($i AS BIGINT) AS pick
+           |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |    ORDER BY 7 * dot - 3 * max_sim DESC, neighbor_id) AS r
+           |    FROM m$i) t WHERE r = 1)""".stripMargin
+      }
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS eq
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(list_sum(list_transform(generate_series(1, len(q.eq)),
+         |      i -> q.eq[i] * c.eq[i])) AS BIGINT) AS dot
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |cand AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id, dot FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY dot DESC, neighbor_id) AS rk FROM p) t
+         |  WHERE rk <= 10),
+         |sim AS MATERIALIZED (
+         |  SELECT a.query_id, a.neighbor_id AS n1, b.neighbor_id AS n2,
+         |    CAST(list_sum(list_transform(generate_series(1, len(ea.eq)),
+         |      i -> ea.eq[i] * eb.eq[i])) AS BIGINT) AS sv
+         |  FROM cand a
+         |  JOIN cand b ON a.query_id = b.query_id
+         |    AND a.neighbor_id <> b.neighbor_id
+         |  JOIN e ea ON ea.vec_id = a.neighbor_id
+         |  JOIN e eb ON eb.vec_id = b.neighbor_id),
+         |s1 AS (
+         |  SELECT query_id, neighbor_id, dot,
+         |    CAST(0 AS BIGINT) AS max_sim, CAST(1 AS BIGINT) AS pick
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY dot DESC, neighbor_id) AS r FROM cand) t
+         |  WHERE r = 1),
+         |${(2 to 5).map(round).mkString(",\n")},
+         |allp AS (
+         |  SELECT * FROM s1 UNION ALL SELECT * FROM s2
+         |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+         |  UNION ALL SELECT * FROM s5)
+         |SELECT query_id, neighbor_id, pick, dot, max_sim,
+         |  CAST(7 * dot - 3 * max_sim AS BIGINT) AS score
+         |FROM allp ORDER BY query_id, pick""".stripMargin
+    },
 
     "s02_topk_lsh" ->
       s"""WITH e AS (

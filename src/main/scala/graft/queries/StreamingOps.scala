@@ -1442,6 +1442,94 @@ object StreamingOps extends QueryPack {
         .orderBy($"day")
     }),
 
+    // -- streaming temporal (SCD2) enrichment ---------------------------
+    // The versioned-dimension enrich loop every warehouse stream runs:
+    // each micro-batch of events is point-in-time joined against the
+    // SCD2 dimension (x06/x12's backward as-of: which version was in
+    // effect AT EVENT TIME — never the current row), and the enriched
+    // counts fold additively into the serving snapshot. Stream-static
+    // as-of is a shape Spark's stream-stream join cannot express
+    // (the static side has no watermark); inside foreachBatch it is
+    // just the batch AsofJoin — union+window, one shuffle, no range
+    // cross-product. The dimension is built once and checkpointed
+    // outside the loop (at scale: the dim table re-read per batch,
+    // the standard slowly-changing pattern); the fold is additive
+    // counts, so the st37 batchId guard makes replays exact. Events
+    // before a user's first version keep NULL dim columns — left
+    // semantics, the auditability requirement.
+    "st43_stream_temporal_enrich" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val keyW = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id")
+        .orderBy($"valid_from", $"o_orderkey")
+      val dim = Tables(s, dir).orders
+        .filter($"o_custkey" <= 20)
+        .select($"o_custkey".as("user_id"),
+          $"o_orderdate".as("valid_from"), $"o_orderkey",
+          $"o_orderstatus".as("status"))
+        .withColumn("version", row_number().over(keyW))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"user_id", $"valid_from")
+            .orderBy($"version".desc)))
+        .filter($"rk" === 1)
+        .select($"user_id", $"valid_from", $"version", $"status")
+        .localCheckpoint(true)
+      val raw = eventStreamMultiBatch(s, dir, parts = 4)
+        .filter($"user_id" <= 20)
+        .select($"user_id", $"ts")
+      val servingRoot = java.nio.file.Files
+        .createTempDirectory("graft-scd2-").toString
+      var latest: Option[String] = None
+      var lastApplied = -1L
+      var batches = 0
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = raw.writeStream
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch {
+            (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+              if (batchId > lastApplied) {
+                val delta = graft.operators.AsofJoin.asofBackward(
+                    batch, dim,
+                    on = Seq("user_id"), leftTs = "ts",
+                    rightTs = "valid_from",
+                    pick = Seq("version" -> "dim_version",
+                      "status" -> "dim_status"))
+                  .groupBy($"user_id", $"dim_version", $"dim_status")
+                  .agg(count(lit(1)).as("n_events"))
+                val merged = latest match {
+                  case None => delta
+                  case Some(p) => s.read.parquet(p).unionByName(delta)
+                    .groupBy($"user_id", $"dim_version", $"dim_status")
+                    .agg(sum($"n_events").as("n_events"))
+                }
+                val next = s"$servingRoot/v$batchId"
+                merged.write.mode("overwrite").parquet(next)
+                latest.foreach { p =>
+                  val fs = new org.apache.hadoop.fs.Path(p)
+                  fs.getFileSystem(s.sparkContext.hadoopConfiguration)
+                    .delete(fs, true)
+                }
+                latest = Some(next)
+                lastApplied = batchId
+                batches += 1
+              }
+          }
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      require(batches >= 4,
+        s"expected >= 4 incremental micro-batches, saw $batches — the " +
+          "multi-file split is not driving the trigger")
+      s.read.parquet(latest.get)
+        .select($"user_id", $"dim_version".cast("int").as("dim_version"),
+          $"dim_status", $"n_events".cast("long").as("n_events"))
+        .orderBy($"user_id", $"dim_version")
+    }),
+
     "st29_stream_trending" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val daily = eventStream(s, dir)
@@ -2659,6 +2747,36 @@ object StreamingOps extends QueryPack {
         |  CAST(COUNT(*) AS BIGINT) AS n_sessions
         |FROM sweep WHERE delta = 1
         |GROUP BY day ORDER BY day""".stripMargin,
+
+    // x12's batch temporal join: the per-batch as-of enrich + additive
+    // fold must converge to the one-pass point-in-time aggregate
+    "st43_stream_temporal_enrich" ->
+      """WITH dimall AS (
+        |  SELECT o_custkey AS user_id, o_orderdate AS valid_from,
+        |    o_orderkey, o_orderstatus AS status,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS version
+        |  FROM orders WHERE o_custkey <= 20),
+        |dim AS (
+        |  SELECT user_id, valid_from, version, status FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, valid_from
+        |      ORDER BY version DESC) AS rk FROM dimall) t
+        |  WHERE rk = 1),
+        |ev AS (SELECT user_id, ts FROM events WHERE user_id <= 20),
+        |mv AS (
+        |  SELECT e.user_id, e.ts, MAX(d.valid_from) AS vf
+        |  FROM ev e LEFT JOIN dim d
+        |    ON d.user_id = e.user_id AND d.valid_from <= e.ts
+        |  GROUP BY e.user_id, e.ts),
+        |en AS (
+        |  SELECT e.user_id, m.vf
+        |  FROM ev e JOIN mv m ON e.user_id = m.user_id AND e.ts = m.ts)
+        |SELECT en.user_id, d.version AS dim_version,
+        |  d.status AS dim_status, CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM en LEFT JOIN dim d
+        |  ON d.user_id = en.user_id AND d.valid_from = en.vf
+        |GROUP BY 1, 2, 3
+        |ORDER BY en.user_id, dim_version NULLS FIRST""".stripMargin,
 
     "st8_transform_with_state" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,

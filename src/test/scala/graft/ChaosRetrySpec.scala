@@ -70,7 +70,8 @@ class ChaosRetrySpec extends AnyFunSuite {
     "st26_stream_monotonic_view", "st28_stream_join_view",
     "st32_stream_join_view_ivm", "st37_stream_extrema_rollup",
     "st39_stream_eager_agg", "st40_stream_warc_ingest",
-    "st41_stream_late_data", "st42_stream_peak_concurrency")
+    "st41_stream_late_data", "st42_stream_peak_concurrency",
+    "st43_stream_temporal_enrich")
 
   test("serving loops survive first-attempt task failures unchanged") {
     val clean = ClusterParity.runAll(
