@@ -247,6 +247,45 @@ object TextDedup {
           "ELSE inter * 1000 div (n1 + n2 - inter) END"))
   }
 
+  /** AllPairs/PPJoin prefix-filtering candidates (Bayardo et al.
+    * WWW'07; Xiao et al. WWW'08): every pair with Jaccard ≥
+    * `tPm`/1000 is GUARANTEED to share a shingle within both docs'
+    * prefixes under a global shingle order — so near-dup candidate
+    * generation becomes an equi-join on prefix shingles, with a
+    * deterministic completeness proof instead of MinHash-LSH's
+    * probabilistic recall. The lemma: J(x,y) ≥ t ⟹ |x∩y| ≥
+    * ⌈t·max(|x|,|y|)⌉ = α, and sets overlapping by α must collide
+    * within their first |·|−α+1 elements of ANY consistent total
+    * order (pigeonhole); per-side α_x = ⌈t·|x|⌉ ≤ α only lengthens
+    * the prefix, preserving completeness. The order used is
+    * (document frequency ASC, hash) — rare shingles first, so hot
+    * boilerplate shingles fall OUT of prefixes and the candidate
+    * join's fan-out collapses exactly where the naive index join
+    * explodes. Prefix length is exact integer: m − (m·tPm + 999) div
+    * 1000 + 1. At 100 TB: two aggregates (df, per-doc rank) + one
+    * equi-join on prefix shingle — the blocking cost is
+    * Σ prefix-df², bounded by rare-first ordering; pair it with
+    * [[jaccardVerify]] for the exact filter.
+    */
+  def prefixFilterCandidates(sh: DataFrame, tPm: Long): DataFrame = {
+    require(tPm > 0 && tPm <= 1000, s"tPm in (0, 1000], got $tPm")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefix = sh
+      .join(df.hint("SHUFFLE_HASH"), Seq("h"))
+      .withColumn("m", count(lit(1)).over(w))
+      .withColumn("rn",
+        row_number().over(w.orderBy(col("df"), col("h"))))
+      .withColumn("plen",
+        col("m") - expr(s"(m * $tPm + 999) div 1000") + lit(1L))
+      .filter(col("rn") <= col("plen"))
+      .select(col("id"), col("h"))
+    prefix.select(col("h"), col("id").as("d1"))
+      .join(prefix.select(col("h"), col("id").as("d2")), Seq("h"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+  }
+
   /** Per-doc MinHash signature: `numPerms` columns s0..s{k-1}, each
     * `min (a_j·(h mod p) + b_j) mod p` over the doc's shingle hashes —
     * computed as `numPerms` conditional-min AGGREGATES over the

@@ -310,6 +310,31 @@ object Dedup extends QueryPack {
         .orderBy($"d1", $"d2")
     }),
 
+    // -- prefix-filtered set-similarity join (AllPairs/PPJoin) ----------
+    // The DETERMINISTIC near-dup candidate generator: d03/d04's
+    // MinHash-LSH trades recall for cost probabilistically; prefix
+    // filtering gives a completeness GUARANTEE — every pair with
+    // Jaccard ≥ 0.8 must collide within both docs' rare-first shingle
+    // prefixes ([[graft.operators.TextDedup.prefixFilterCandidates]];
+    // pinned by a ScalaCheck property). Candidates then take the
+    // exact array-intersection verify (jaccardVerify, the d02/d11
+    // machinery). This is the pairing a contamination audit wants
+    // (zero false negatives by construction); LSH remains the cheaper
+    // choice when probabilistic recall suffices. The oracle is the
+    // full quadratic index join — the spelling the prefix filter
+    // exists to avoid.
+    "d21_prefix_filter_join" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val sh = shingleHashes(s, dir)
+      val cand = graft.operators.TextDedup
+        .prefixFilterCandidates(sh, tPm = 800)
+        .localCheckpoint(true) // verify references candidates 3×
+      graft.operators.TextDedup.jaccardVerify(sh, cand)
+        .filter($"jaccard_pm" >= 800)
+        .select($"d1", $"d2", $"inter", $"n1", $"n2", $"jaccard_pm")
+        .orderBy($"d1", $"d2")
+    }),
+
     // -- fuzzy (edit-distance) join via deletion-neighborhood blocking --
     // The typo/variant-spelling matcher: all vocabulary word pairs
     // within Levenshtein distance 2, WITHOUT the all-pairs cross join.
@@ -1064,6 +1089,23 @@ object Dedup extends QueryPack {
            |  inter * 1000 // (n1.n + n2.n - inter) AS jaccard_pm
            |FROM inter JOIN ns n1 ON d1 = n1.doc_id JOIN ns n2 ON d2 = n2.doc_id
            |WHERE inter * 1000 // (n1.n + n2.n - inter) >= 100
+           |ORDER BY d1, d2""".stripMargin,
+
+      // the full quadratic index join the prefix filter avoids —
+      // completeness of the blocking means the thresholded results
+      // coincide exactly
+      "d21_prefix_filter_join" ->
+        s"""WITH $duckShingleCte,
+           |inter AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+           |    CAST(COUNT(*) AS BIGINT) AS inter
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT d1, d2, inter, n1.n AS n1, n2.n AS n2,
+           |  inter * 1000 // (n1.n + n2.n - inter) AS jaccard_pm
+           |FROM inter JOIN ns n1 ON d1 = n1.doc_id
+           |           JOIN ns n2 ON d2 = n2.doc_id
+           |WHERE inter * 1000 // (n1.n + n2.n - inter) >= 800
            |ORDER BY d1, d2""".stripMargin,
 
       "d12_containment" ->

@@ -553,6 +553,41 @@ object Events extends QueryPack {
         .orderBy($"day")
     }),
 
+    // -- rolling OLS trend slope, exact-integer -------------------------
+    // "Is this metric trending up" answered with the least-squares
+    // slope over a trailing 14-observation window — but emitted as the
+    // exact INTEGER pair (num, den) of slope = num/den =
+    // (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), x = epoch day, y = day cents.
+    // Dividing would force a float (order-sensitive, oracle-hostile);
+    // the ratio's sign and any downstream comparison (slope > θ ⟺
+    // num > θ·den) work on the integer pair directly — the e27 dyadic
+    // EWMA discipline applied to regression. Four running sums over
+    // one ROWS window partitioned by event_type: state per series is
+    // O(window), the plan is one shuffle on the series key, and a
+    // million series trend in parallel. trend = sign(num) since den >
+    // 0 whenever the window holds ≥ 2 distinct days.
+    "e31_trend_slope" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"x")
+        .rowsBetween(-13, Window.currentRow)
+      Tables(s, dir).events
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(sum(expr("CAST(FLOOR(value * 100) AS BIGINT)")).as("y"))
+        .withColumn("x",
+          datediff($"day", to_date(lit("1970-01-01"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum($"x").over(w))
+        .withColumn("sy", sum($"y").over(w))
+        .withColumn("sxy", sum($"x" * $"y").over(w))
+        .withColumn("sxx", sum($"x" * $"x").over(w))
+        .select($"event_type", $"day",
+          $"y".as("day_cents"),
+          ($"n" * $"sxy" - $"sx" * $"sy").as("slope_num"),
+          ($"n" * $"sxx" - $"sx" * $"sx").as("slope_den"),
+          signum($"n" * $"sxy" - $"sx" * $"sy").cast("long").as("trend"))
+        .orderBy($"event_type", $"day")
+    }),
+
     "e12_gap_fill" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val events = Tables(s, dir).events
@@ -1063,6 +1098,34 @@ object Events extends QueryPack {
     // epoch-day mod 7 weekday; DuckDB's window SUM over BIGINT widens
     // to HUGEINT, so every derived column is cast back down — values
     // fit BIGINT by construction (cent totals of a day)
+    // the same four running sums; sign() returns DOUBLE in DuckDB →
+    // cast through the CASE spelling to keep BIGINT
+    "e31_trend_slope" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |xd AS (
+        |  SELECT *, CAST(day - DATE '1970-01-01' AS BIGINT) AS x
+        |  FROM daily),
+        |s AS (
+        |  SELECT event_type, day, y, x,
+        |    COUNT(*) OVER win AS n,
+        |    SUM(x) OVER win AS sx,
+        |    SUM(y) OVER win AS sy,
+        |    SUM(x * y) OVER win AS sxy,
+        |    SUM(x * x) OVER win AS sxx
+        |  FROM xd
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY x
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, y AS day_cents,
+        |  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+        |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+        |  CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1
+        |            WHEN n * sxy - sx * sy < 0 THEN -1
+        |            ELSE 0 END AS BIGINT) AS trend
+        |FROM s ORDER BY event_type, day""".stripMargin,
+
     // same join/window/CASE; DuckDB // is Spark div on BIGINTs
     "e30_attribution" ->
       """WITH p AS (

@@ -725,6 +725,39 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  // d21's blocking guarantee: any pair whose floor-div Jaccard
+  // per-mille meets the threshold must share a token within BOTH
+  // rare-first prefixes of length m − ceil(m·t) + 1 — the exact plen
+  // formula prefixFilterCandidates computes. This is the completeness
+  // half (no false negatives); the exact verify removes the rest.
+  property("prefix filtering is complete: J ≥ t pairs collide in both " +
+      "prefixes") = {
+    val gen = for {
+      nDocs <- Gen.chooseNum(2, 8)
+      tPm <- Gen.oneOf(500L, 700L, 800L, 900L)
+      docs <- Gen.listOfN(nDocs,
+        Gen.nonEmptyListOf(Gen.chooseNum(0, 15)).map(_.distinct))
+    } yield (docs, tPm)
+    forAll(gen) { case (docs, tPm) =>
+      val df = docs.flatten.groupBy(identity)
+        .map { case (k, v) => k -> v.size }
+      def prefix(s: List[Int]): Set[Int] = {
+        val m = s.size.toLong
+        val plen = (m - (m * tPm + 999) / 1000 + 1).toInt
+        s.sortBy(t => (df(t), t)).take(plen).toSet
+      }
+      docs.indices.forall { i =>
+        (i + 1 until docs.size).forall { j =>
+          val a = docs(i).toSet
+          val b = docs(j).toSet
+          val inter = (a & b).size.toLong
+          val jpm = inter * 1000 / (a | b).size
+          jpm < tPm || (prefix(docs(i)) & prefix(docs(j))).nonEmpty
+        }
+      }
+    }
+  }
+
   property("hub delivers any sequence exactly once, in order") =
     forAll(Gen.listOfN(25, Gen.chooseNum(Int.MinValue, Int.MaxValue))) { xs =>
       val engine = new graft.streaming.EventEngine(spark)
