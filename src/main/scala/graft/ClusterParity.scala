@@ -105,7 +105,7 @@ object ClusterParity {
     "g21_stress_centrality", "d20_fuzzy_join", "e29_peak_concurrency",
     "g22_eccentricity", "e30_attribution", "st42_stream_peak_concurrency",
     "s19_mmr_rerank", "st43_stream_temporal_enrich",
-    "d21_prefix_filter_join", "e31_trend_slope",
+    "d21_prefix_filter_join", "e31_trend_slope", "d22_threshold_percolation",
     "p01_curation_pipeline")
 }
 

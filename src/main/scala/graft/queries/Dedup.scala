@@ -310,6 +310,51 @@ object Dedup extends QueryPack {
         .orderBy($"d1", $"d2")
     }),
 
+    // -- threshold percolation: the dedup-aggressiveness tuning curve ---
+    // "If I dedup at Jaccard θ, how much collapses?" — the percolation
+    // (thresholds sit inside this corpus' planted-dup score band
+    // 954–989 pm so the curve actually moves; production would sweep
+    // wider)
+    // profile of the near-dup pair graph: per threshold, the number of
+    // paired docs, surviving pairs, connected components, and the
+    // giant-component size. Read bottom-up it is the knob-tuning
+    // table every dedup deployment needs (too-low θ → one giant
+    // component swallows the corpus; too-high θ → no consolidation).
+    // Structure is the g20 composite-id trick pointed at a SWEEP:
+    // pairs are scored ONCE (LSH candidates + exact verify — the d07
+    // pipeline), each threshold's edge set rides node ids offset by
+    // θ·10¹⁰, and ONE star-contraction fixpoint labels all four
+    // thresholds' graphs simultaneously — the sweep costs one
+    // fixpoint, not |thresholds| fixpoints, and the driver-side cost
+    // stays O(rounds of the sparsest graph). At 100 TB this is how
+    // threshold selection actually runs: one scored-pair table, one
+    // composite CC job, a 4-row answer.
+    "d22_threshold_percolation" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.TextDedup
+      val cand = TextDedup
+        .lshCandidates(sharedSignatures(s, dir), K, Bands).persist()
+      val scored = TextDedup.jaccardVerify(shingleHashes(s, dir), cand)
+        .select($"d1", $"d2", $"jaccard_pm")
+        .localCheckpoint(true)
+      val offset = 10000000000L
+      val thDf = Seq(920L, 960L, 975L, 985L).toDF("t")
+      val vp = scored.join(broadcast(thDf), $"jaccard_pm" >= $"t")
+        .select($"t", $"d1", $"d2")
+      val comp = graft.operators.Clusters.connectedComponentsStar(
+          vp.select(($"t" * offset + $"d1").as("d1"),
+            ($"t" * offset + $"d2").as("d2")))
+        .select(expr(s"id div $offset").as("t"), ($"comp" % offset).as("c"))
+      val sz = comp.groupBy($"t", $"c").agg(count(lit(1)).as("n"))
+      sz.groupBy($"t")
+        .agg(sum($"n").as("n_docs"), count(lit(1)).as("n_components"),
+          max($"n").as("giant_size"))
+        .join(vp.groupBy($"t").agg(count(lit(1)).as("n_pairs")), Seq("t"))
+        .select($"t".as("threshold_pm"), $"n_docs", $"n_pairs",
+          $"n_components", $"giant_size")
+        .orderBy($"threshold_pm")
+    }),
+
     // -- prefix-filtered set-similarity join (AllPairs/PPJoin) ----------
     // The DETERMINISTIC near-dup candidate generator: d03/d04's
     // MinHash-LSH trades recall for cost probabilistically; prefix
@@ -1090,6 +1135,61 @@ object Dedup extends QueryPack {
            |FROM inter JOIN ns n1 ON d1 = n1.doc_id JOIN ns n2 ON d2 = n2.doc_id
            |WHERE inter * 1000 // (n1.n + n2.n - inter) >= 100
            |ORDER BY d1, d2""".stripMargin,
+
+      // the d07 closure with the threshold riding every CTE (the g20
+      // group-key discipline): scored pairs once, per-θ edges, per-θ
+      // min-label closure — components never leak across thresholds
+      "d22_threshold_percolation" -> {
+        val bandedUnion = bandCols.zipWithIndex
+          .map { case ((_, sigCols), bi) =>
+            s"SELECT doc_id, $bi AS band, " +
+              duckHash56("concat_ws(',', " +
+                sigCols.map(c => s"CAST($c AS VARCHAR)").mkString(", ") +
+                ")") + " AS bh FROM wide"
+          }.mkString("\n  UNION ALL\n  ")
+        s"""WITH RECURSIVE $duckSignatureCte,
+           |banded AS (
+           |  $bandedUnion),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |scored AS (
+           |  SELECT c.d1, c.d2,
+           |    i.inter * 1000 // (n1.n + n2.n - i.inter) AS jpm
+           |  FROM cand c
+           |  JOIN (SELECT a.doc_id AS d1, b.doc_id AS d2,
+           |          CAST(COUNT(*) AS BIGINT) AS inter
+           |        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+           |        GROUP BY 1, 2) i ON c.d1 = i.d1 AND c.d2 = i.d2
+           |  JOIN ns n1 ON c.d1 = n1.doc_id
+           |  JOIN ns n2 ON c.d2 = n2.doc_id),
+           |th AS (SELECT CAST(t AS BIGINT) AS t
+           |       FROM (VALUES (920), (960), (975), (985)) v(t)),
+           |vp AS (
+           |  SELECT th.t, s.d1, s.d2 FROM scored s
+           |  JOIN th ON s.jpm >= th.t),
+           |edges AS (SELECT t, d1 AS src, d2 AS dst FROM vp
+           |          UNION ALL SELECT t, d2, d1 FROM vp),
+           |reach AS (
+           |  SELECT t, src AS id, src AS r FROM edges
+           |  UNION
+           |  SELECT reach.t, reach.id, e.dst
+           |  FROM reach JOIN edges e ON reach.t = e.t AND reach.r = e.src),
+           |comp AS (
+           |  SELECT t, id, MIN(r) AS cid FROM reach GROUP BY t, id),
+           |sz AS (SELECT t, cid, CAST(COUNT(*) AS BIGINT) AS n
+           |       FROM comp GROUP BY t, cid),
+           |np AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_pairs
+           |       FROM vp GROUP BY t)
+           |SELECT sz.t AS threshold_pm,
+           |  CAST(SUM(sz.n) AS BIGINT) AS n_docs,
+           |  CAST(ANY_VALUE(np.n_pairs) AS BIGINT) AS n_pairs,
+           |  CAST(COUNT(*) AS BIGINT) AS n_components,
+           |  CAST(MAX(sz.n) AS BIGINT) AS giant_size
+           |FROM sz JOIN np ON sz.t = np.t
+           |GROUP BY sz.t ORDER BY threshold_pm""".stripMargin
+      },
 
       // the full quadratic index join the prefix filter avoids —
       // completeness of the blocking means the thresholded results

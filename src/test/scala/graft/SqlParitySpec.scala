@@ -41,10 +41,10 @@ class SqlParitySpec extends AnyFunSuite {
     "q12_rollup_acctbal", "q13_cube_status", "q22_pivot",
     "q26_lateral_topk", "q28_null_semantics", "q32_topk_native",
     "x29_matview_route", "x30_join_elimination", "x31_eager_agg",
-    "e10_interval_join", "e27_ewma_feature")
+    "e10_interval_join", "e27_ewma_feature", "e29_peak_concurrency")
 
-  test("14 oracle texts run verbatim in Spark and hash-match the " +
-      "DataFrame spelling") {
+  test(s"${verbatim.size} oracle texts run verbatim in Spark and " +
+      "hash-match the DataFrame spelling") {
     registerViews()
     val problems = verbatim.flatMap { n =>
       try {
