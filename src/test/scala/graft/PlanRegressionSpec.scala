@@ -261,6 +261,44 @@ class PlanRegressionSpec extends AnyFunSuite {
       "day-slice predicate does not reach the reader")
   }
 
+  test("e29: the sweep's window partitions by day — never a global sort") {
+    val plan = planOf("e29_peak_concurrency")
+    assert(plan.contains("Window"))
+    assert(plan.contains("hashpartitioning(day"),
+      "sweep window lost its day partitioning — a year of load would " +
+        "serialize through one sort")
+  }
+
+  test("d20: fuzzy join blocks on the variant equi-join, no cross join") {
+    val plan = planOf("d20_fuzzy_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "deletion-neighborhood blocking degenerated into the V² cross " +
+        "join the oracle spells")
+  }
+
+  test("e30: attribution joins per-user, windows per-purchase — no " +
+      "time-range cross join") {
+    val plan = planOf("e30_attribution")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "touch join degenerated into a range cross-product")
+    assert(plan.contains("hashpartitioning(pid"),
+      "position window lost its per-purchase partitioning")
+  }
+
+  test("s19: MMR rounds never rescan the corpus after candidates") {
+    val plan = planOf("s19_mmr_rerank")
+    // the 5 greedy rounds operate on checkpointed cand/sim frames:
+    // the embeddings parquet must appear only via the checkpointed
+    // scans (ExistingRDD), not as repeated parquet scans per round
+    val parquetScans = plan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("embeddings"))
+    assert(parquetScans == 0,
+      s"$parquetScans embeddings scans in the final iteration plan — " +
+        "rounds are re-deriving candidates from the corpus")
+  }
+
   test("x31: eager aggregation puts a partial aggregate BELOW the join") {
     val plan = planOf("x31_eager_agg")
     // the licensed rewrite materializes geag_* partials on the fact
