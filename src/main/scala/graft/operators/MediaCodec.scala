@@ -51,7 +51,12 @@ trait MediaCodec extends Serializable {
   * ([[JpegMediaCodec]]) and MJPEG-in-AVI video ([[AviCodec]]), the
   * only formats still behind this stub are
   * PERCEPTUAL audio (MP3/AAC) and INTER-FRAME video (H.264/VP9) —
-  * the JDK genuinely ships no decoder for those. The kernels are
+  * the JDK genuinely ships no decoder for those. (The boundary keeps
+  * shrinking: [[Mp1Codec]] decodes MPEG-1 Layer I subbands for real,
+  * [[JpegScratch]] decodes baseline-JPEG Huffman from scratch, and
+  * [[H264Sps]] decodes H.264 SPS geometry — real Exp-Golomb — so
+  * what genuinely remains stubbed is slice RECONSTRUCTION and
+  * psychoacoustic synthesis, the parts that need a codec library.) The kernels are
   * byte-statistics stand-ins (honest fakes, same shapes): decode
   * emits
   * byte-sum/histogram rows, resize stride-downsamples, the

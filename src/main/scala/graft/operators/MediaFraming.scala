@@ -214,3 +214,220 @@ object H264Nals {
       .mapPartitions(_.map { case (id, b) => census(id, b) })
   }
 }
+
+/** REAL H.264 sequence-parameter-set decode (ITU-T H.264 §7.3.2.1):
+  * the SPS is the one NAL whose payload is pure Exp-Golomb + fixed
+  * bits — genuine entropy-coded syntax (ue(v) codes), no CABAC — and
+  * it carries the stream geometry every video curation gate needs
+  * (profile/level admission, dimension filters, aspect sanity). This
+  * upgrades the m20 NAL census from framing-only to real header
+  * DECODE: bit reader over the RBSP with emulation-prevention
+  * (00 00 03 → 00 00) removal, ue(v) Exp-Golomb parse, cropped
+  * 4:2:0 dimension arithmetic (CropUnitX = CropUnitY = 2 for
+  * frame_mbs_only streams). The encoder writes the same syntax
+  * (including emulation prevention), so decode-of-own-encode plus a
+  * closed-form oracle is the round-trip proof — the c18/m22
+  * discipline. Remaining behind the stub: slice RECONSTRUCTION
+  * (CABAC/CAVLC residuals), the part that genuinely needs a codec
+  * library.
+  *
+  * Totality: every malformed input (no SPS NAL, truncated bits,
+  * ue(v) overflow, zero MB dims) yields the ok=0 sentinel row, never
+  * a throw — one poison blob must not kill the job.
+  */
+object H264Sps {
+
+  final case class SpsMeta(
+      doc_id: Long,
+      ok: Long,
+      profile_idc: Long,
+      level_idc: Long,
+      width: Long,
+      height: Long,
+      n_mbs: Long)
+
+  private def sentinel(id: Long) = SpsMeta(id, 0L, 0L, 0L, 0L, 0L, 0L)
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nbits = 0
+    def u(v: Long, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) {
+        cur = (cur << 1) | (((v >> k) & 1L).toInt)
+        nbits += 1
+        if (nbits == 8) { out.write(cur); cur = 0; nbits = 0 }
+        k -= 1
+      }
+    }
+    /** Exp-Golomb ue(v): leadingZeros(⌊log2(v+1)⌋) then v+1. */
+    def ue(v: Long): Unit = {
+      val x = v + 1
+      val bits = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      u(0L, bits)
+      u(x, bits + 1)
+    }
+    def rbspTrailing(): Unit = { u(1L, 1); if (nbits != 0) u(0L, 8 - nbits) }
+    def bytes(): Array[Byte] = out.toByteArray
+  }
+
+  private final class BitReader(rbsp: Array[Byte]) {
+    private var pos = 0
+    def u(n: Int): Long = {
+      var v = 0L
+      var k = 0
+      while (k < n) {
+        val byteIx = pos >> 3
+        if (byteIx >= rbsp.length) throw new IllegalArgumentException("eof")
+        v = (v << 1) | ((rbsp(byteIx) >> (7 - (pos & 7))) & 1)
+        pos += 1
+        k += 1
+      }
+      v
+    }
+    def ue(): Long = {
+      var zeros = 0
+      while (u(1) == 0L) {
+        zeros += 1
+        if (zeros > 31) throw new IllegalArgumentException("ue overflow")
+      }
+      if (zeros == 0) 0L else ((1L << zeros) | u(zeros)) - 1
+    }
+  }
+
+  /** RBSP → EBSP: insert 0x03 after any 00 00 followed by a byte ≤ 3. */
+  private def addEmulationPrevention(rbsp: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var zeros = 0
+    rbsp.foreach { b =>
+      if (zeros >= 2 && (b & 0xff) <= 3) { out.write(3); zeros = 0 }
+      out.write(b)
+      zeros = if (b == 0) zeros + 1 else 0
+    }
+    out.toByteArray
+  }
+
+  /** EBSP → RBSP: drop every 0x03 that follows 00 00. */
+  private def stripEmulationPrevention(ebsp: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var zeros = 0
+    var i = 0
+    while (i < ebsp.length) {
+      val b = ebsp(i)
+      if (zeros >= 2 && b == 3) zeros = 0 // skip the marker
+      else {
+        out.write(b)
+        zeros = if (b == 0) zeros + 1 else 0
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Annex-B stream holding one real SPS for a cropped 4:2:0
+    * frame_mbs_only geometry. `width`/`height` must be even (4:2:0
+    * crop units are 2 px); crop is applied at the right/bottom edge
+    * exactly as an encoder does for non-multiple-of-16 dimensions.
+    */
+  def encode(width: Int, height: Int, profileIdc: Int,
+      levelIdc: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 2 == 0 && height % 2 == 0,
+      s"even positive dims required, got ${width}x$height")
+    val mbsW = (width + 15) / 16
+    val mbsH = (height + 15) / 16
+    val cropRight = (mbsW * 16 - width) / 2
+    val cropBottom = (mbsH * 16 - height) / 2
+    val w = new BitWriter
+    w.u(profileIdc.toLong, 8)
+    w.u(0L, 8) // constraint flags + reserved
+    w.u(levelIdc.toLong, 8)
+    w.ue(0L) // seq_parameter_set_id
+    w.ue(0L) // log2_max_frame_num_minus4
+    w.ue(0L) // pic_order_cnt_type
+    w.ue(0L) // log2_max_pic_order_cnt_lsb_minus4
+    w.ue(1L) // max_num_ref_frames
+    w.u(0L, 1) // gaps_in_frame_num_value_allowed_flag
+    w.ue((mbsW - 1).toLong)
+    w.ue((mbsH - 1).toLong)
+    w.u(1L, 1) // frame_mbs_only_flag
+    w.u(1L, 1) // direct_8x8_inference_flag
+    val crop = cropRight > 0 || cropBottom > 0
+    w.u(if (crop) 1L else 0L, 1)
+    if (crop) {
+      w.ue(0L); w.ue(cropRight.toLong)
+      w.ue(0L); w.ue(cropBottom.toLong)
+    }
+    w.u(0L, 1) // vui_parameters_present_flag
+    w.rbspTrailing()
+    val ebsp = addEmulationPrevention(w.bytes())
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0); out.write(0); out.write(0); out.write(1)
+    out.write(0x67) // nal_ref_idc=3, type=7 (SPS)
+    out.write(ebsp, 0, ebsp.length)
+    out.toByteArray
+  }
+
+  /** Find the first SPS NAL and decode its geometry; sentinel on any
+    * malformation.
+    */
+  def parse(docId: Long, bytes: Array[Byte]): SpsMeta = {
+    try {
+      // locate the first start code followed by an SPS header
+      var i = 0
+      var spsStart = -1
+      while (spsStart < 0 && i + 4 <= bytes.length) {
+        if (bytes(i) == 0 && bytes(i + 1) == 0) {
+          val off =
+            if (bytes(i + 2) == 1) i + 3
+            else if (i + 4 < bytes.length && bytes(i + 2) == 0 &&
+              bytes(i + 3) == 1) i + 4
+            else -1
+          if (off > 0 && off < bytes.length &&
+            (bytes(off) & 0x1f) == 7 && (bytes(off) & 0x80) == 0)
+            spsStart = off + 1
+          else i += 1
+        } else i += 1
+      }
+      if (spsStart < 0) return sentinel(docId)
+      // SPS body runs to the next start code or end of stream
+      var e = spsStart
+      while (e + 3 <= bytes.length &&
+        !(bytes(e) == 0 && bytes(e + 1) == 0 &&
+          (bytes(e + 2) == 1 || (e + 4 <= bytes.length &&
+            bytes(e + 2) == 0 && bytes(e + 3) == 1)))) e += 1
+      if (e + 3 > bytes.length) e = bytes.length
+      val r = new BitReader(
+        stripEmulationPrevention(bytes.slice(spsStart, e)))
+      val profile = r.u(8)
+      r.u(8) // constraint flags
+      val level = r.u(8)
+      r.ue() // sps id
+      r.ue() // log2_max_frame_num_minus4
+      val poc = r.ue()
+      if (poc == 0L) r.ue() // log2_max_pic_order_cnt_lsb_minus4
+      else if (poc == 1L) return sentinel(docId) // not emitted here
+      r.ue() // max_num_ref_frames
+      r.u(1)
+      val mbsW = r.ue() + 1
+      val mbsH = r.ue() + 1
+      if (mbsW <= 0 || mbsH <= 0 || mbsW > (1L << 16) || mbsH > (1L << 16))
+        return sentinel(docId)
+      val fmof = r.u(1)
+      r.u(1) // direct_8x8
+      var cl, cr, ct, cb = 0L
+      if (r.u(1) == 1L) { cl = r.ue(); cr = r.ue(); ct = r.ue(); cb = r.ue() }
+      val cropUnitY = 2L * (2L - fmof)
+      val width = mbsW * 16 - 2 * (cl + cr)
+      val height = (2L - fmof) * mbsH * 16 - cropUnitY * (ct + cb)
+      if (width <= 0 || height <= 0) return sentinel(docId)
+      SpsMeta(docId, 1L, profile, level, width, height, mbsW * mbsH)
+    } catch { case _: Throwable => sentinel(docId) }
+  }
+
+  def extract(spark: SparkSession, binary: DataFrame): Dataset[SpsMeta] = {
+    import spark.implicits._
+    binary.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => parse(id, b) })
+  }
+}

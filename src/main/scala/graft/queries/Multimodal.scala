@@ -377,6 +377,34 @@ object Multimodal extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // -- REAL H.264 SPS decode: Exp-Golomb geometry ----------------------
+    // Upgrades m20's NAL census to real header DECODE: the SPS payload
+    // is pure entropy-coded syntax (ue(v) Exp-Golomb + fixed bits),
+    // and it carries what a video curation gate filters on —
+    // profile/level admission and cropped 4:2:0 dimensions. The
+    // engine's own encoder writes the same syntax (emulation
+    // prevention included), so decode-of-own-encode with a closed-form
+    // oracle is the round-trip proof (the c18/m22 discipline). Widths
+    // here are deliberately non-multiples of 16, so the frame-crop
+    // arithmetic (16·mbs − 2·crop) is exercised on every row.
+    // Remaining behind the stub after this: slice reconstruction
+    // (CABAC/CAVLC residuals) only.
+    "m26_h264_sps_decode" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val streams = Tables(s, dir).documents.select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          (id, graft.operators.H264Sps.encode(
+            width = (100 + (id % 7) * 2).toInt,
+            height = (64 + (id % 5) * 2).toInt,
+            profileIdc = 66,
+            levelIdc = (30 + (id % 2) * 10).toInt))
+        }).toDF("doc_id", "payload")
+      graft.operators.H264Sps.extract(s, streams).toDF()
+        .select($"doc_id", $"ok", $"profile_idc", $"level_idc",
+          $"width", $"height", $"n_mbs")
+        .orderBy($"doc_id")
+    }),
+
     // -- REAL GIF decode: the SECOND entropy codec, LZW -----------------
     // GIF's variable-width LZW is genuine entropy coding (the other
     // is PNG's DEFLATE) and GIF is LOSSLESS, so the oracle is m13's
@@ -1007,6 +1035,19 @@ object Multimodal extends QueryPack {
         |    AS duration_ms
         |FROM fr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the NAL census closed-form from the generator's plan
+    // closed form from the generator: every SPS decodes (ok=1) with
+    // the generated profile/level/dims; n_mbs = ceil16(w)*ceil16(h)
+    "m26_h264_sps_decode" ->
+      """SELECT doc_id,
+        |  CAST(1 AS BIGINT) AS ok,
+        |  CAST(66 AS BIGINT) AS profile_idc,
+        |  CAST(30 + (doc_id % 2) * 10 AS BIGINT) AS level_idc,
+        |  CAST(100 + (doc_id % 7) * 2 AS BIGINT) AS width,
+        |  CAST(64 + (doc_id % 5) * 2 AS BIGINT) AS height,
+        |  CAST(((100 + (doc_id % 7) * 2 + 15) // 16)
+        |    * ((64 + (doc_id % 5) * 2 + 15) // 16) AS BIGINT) AS n_mbs
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "m20_h264_nal_walk" ->
       """SELECT doc_id,
         |  CAST(6 + doc_id % 3 AS BIGINT) AS n_nals,
