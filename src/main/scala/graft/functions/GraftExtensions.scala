@@ -51,6 +51,12 @@ object GraftExtensions {
     (FunctionIdentifier("graft_dotl"),
       info("graft_dotl",
         "graft_dotl(a, b) - exact integer dot product of long arrays"),
-      arity("graft_dotl", 2)(args => DotProductL(args(0), args(1))))
+      arity("graft_dotl", 2)(args => DotProductL(args(0), args(1)))),
+    (FunctionIdentifier("graft_mg_summary"),
+      info("graft_mg_summary",
+        "graft_mg_summary(key, k) - Misra-Gries heavy-hitters summary " +
+          "(struct(n, counters)); every key with freq > n/k is present, " +
+          "estimates underestimate by at most n/k"),
+      arity("graft_mg_summary", 2)(MisraGries.builder))
   )
 }

@@ -46,6 +46,45 @@ object Extensions extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- typed Aggregator (custom UDAF) ---------------------------------
+    // -- heavy hitters via a native TypedImperativeAggregate ------------
+    // The head-of-distribution question at exploded key cardinality:
+    // a per-key hash aggregate ships EVERY key through the shuffle;
+    // the Misra–Gries summary ([[graft.functions.MisraGriesAgg]])
+    // ships ≤ k−1 counters per partition — constant bytes regardless
+    // of input — and still GUARANTEES that every key with frequency
+    // > n/k is present, with estimates low by at most n/k, under any
+    // partitioning and any merge tree (Agarwal et al., PODS'12).
+    // The counter set itself is merge-order-dependent, so the query
+    // emits the x04 sketch policy: exact counts (deterministic) and
+    // the guarantee PREDICATES, which are provably TRUE — a summary
+    // bug flips them to 0 and the hash mismatches. repartition(16)
+    // forces real partial buffers and merges on every run.
+    "x35_heavy_hitters" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val keyed = Tables(s, dir).events.select(expr(
+          """CAST(CASE WHEN event_id % 2 = 0 THEN 0
+            |     WHEN event_id % 4 = 1 THEN 1
+            |     ELSE 2 + event_id % 50 END AS BIGINT)""".stripMargin)
+          .as("key"))
+        .repartition(16)
+      val summ = keyed
+        .agg(graft.functions.MisraGries.summary($"key", 16).as("s"))
+        .select(explode($"s.counters").as(Seq("key", "est")))
+      val tot = keyed.agg(count(lit(1)).as("n"))
+      val exact = keyed.groupBy($"key").agg(count(lit(1)).as("exact_cnt"))
+      exact.crossJoin(broadcast(tot))
+        .filter($"exact_cnt" * 16 > $"n")
+        .join(summ.hint("SHUFFLE_HASH"), Seq("key"), "left_outer")
+        .select($"key", $"exact_cnt",
+          $"est".isNotNull.cast("long").as("found"),
+          ($"est".isNotNull && $"est" <= $"exact_cnt").cast("long")
+            .as("upper_ok"),
+          ($"est".isNotNull &&
+            $"est" * 16 >= $"exact_cnt" * 16 - $"n").cast("long")
+            .as("lower_ok"))
+        .orderBy($"key")
+    }),
+
     "x01_typed_udaf" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val wavg = udaf(WeightedPriceCents)
@@ -1507,6 +1546,26 @@ object Extensions extends QueryPack {
          |GROUP BY p.k, p.exact_cnt
          |ORDER BY p.exact_cnt DESC, custkey""".stripMargin
     },
+
+    // exact counts + literal TRUE guarantees (the x04 sketch policy):
+    // the engine's predicates are provable properties of Misra-Gries,
+    // so any summary bug flips a flag and fails the hash compare
+    "x35_heavy_hitters" ->
+      """WITH keyed AS (
+        |  SELECT CASE WHEN event_id % 2 = 0 THEN 0
+        |              WHEN event_id % 4 = 1 THEN 1
+        |              ELSE 2 + event_id % 50 END AS key
+        |  FROM events),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM keyed),
+        |ex AS (
+        |  SELECT CAST(key AS BIGINT) AS key,
+        |    CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        |  FROM keyed GROUP BY key)
+        |SELECT key, exact_cnt,
+        |  CAST(1 AS BIGINT) AS found,
+        |  CAST(1 AS BIGINT) AS upper_ok,
+        |  CAST(1 AS BIGINT) AS lower_ok
+        |FROM ex, tot WHERE exact_cnt * 16 > n ORDER BY key""".stripMargin,
 
     "x01_typed_udaf" ->
       """SELECT l_returnflag,
