@@ -106,7 +106,7 @@ object ClusterParity {
     "g22_eccentricity", "e30_attribution", "st42_stream_peak_concurrency",
     "s19_mmr_rerank", "st43_stream_temporal_enrich",
     "d21_prefix_filter_join", "e31_trend_slope", "d22_threshold_percolation",
-    "m26_h264_sps_decode", "x35_heavy_hitters",
+    "m26_h264_sps_decode", "x35_heavy_hitters", "st44_stream_heavy_hitters",
     "p01_curation_pipeline")
 }
 

@@ -1530,6 +1530,51 @@ object StreamingOps extends QueryPack {
         .orderBy($"user_id", $"dim_version")
     }),
 
+    // -- streaming heavy hitters: the custom aggregate in the state store
+    // x35's Misra–Gries TypedImperativeAggregate running INSIDE a
+    // streaming aggregation: the summary's serialized buffer (≤ k−1
+    // counters) IS the state-store row, merged incrementally across
+    // micro-batches — constant state per group where a streaming
+    // per-key count would grow with cardinality. The drain computes
+    // BOTH the summary and the exact per-key counts from the same
+    // multi-batch stream, and the output emits the x35 policy: exact
+    // counts for guaranteed-heavy keys plus the guarantee predicates
+    // (provably TRUE under any batch split — the theorems hold for
+    // any merge tree, and micro-batching IS a merge tree). This is
+    // the proof the custom-aggregate tier survives the state-store
+    // serialization path, not just batch shuffles.
+    "st44_stream_heavy_hitters" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val keyed = eventStreamMultiBatch(s, dir, parts = 4)
+        .select(expr(
+          """CAST(CASE WHEN event_id % 2 = 0 THEN 0
+            |     WHEN event_id % 4 = 1 THEN 1
+            |     ELSE 2 + event_id % 50 END AS BIGINT)""".stripMargin)
+          .as("key"))
+      val summ = drain(s,
+          keyed.groupBy()
+            .agg(graft.functions.MisraGries.summary($"key", 16).as("s")),
+          OutputMode.Complete())
+        .select(explode($"s.counters").as(Seq("key", "est")))
+        .localCheckpoint(true)
+      val exact = drain(s,
+          keyed.groupBy($"key").agg(count(lit(1)).as("exact_cnt")),
+          OutputMode.Complete())
+        .localCheckpoint(true)
+      val tot = exact.agg(sum($"exact_cnt").as("n"))
+      exact.crossJoin(broadcast(tot))
+        .filter($"exact_cnt" * 16 > $"n")
+        .join(summ.hint("SHUFFLE_HASH"), Seq("key"), "left_outer")
+        .select($"key", $"exact_cnt",
+          $"est".isNotNull.cast("long").as("found"),
+          ($"est".isNotNull && $"est" <= $"exact_cnt").cast("long")
+            .as("upper_ok"),
+          ($"est".isNotNull &&
+            $"est" * 16 >= $"exact_cnt" * 16 - $"n").cast("long")
+            .as("lower_ok"))
+        .orderBy($"key")
+    }),
+
     "st29_stream_trending" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val daily = eventStream(s, dir)
@@ -2777,6 +2822,25 @@ object StreamingOps extends QueryPack {
         |  ON d.user_id = en.user_id AND d.valid_from = en.vf
         |GROUP BY 1, 2, 3
         |ORDER BY en.user_id, dim_version NULLS FIRST""".stripMargin,
+
+    // same predicates as x35 — guarantees hold under ANY merge tree,
+    // and micro-batching is just another merge tree
+    "st44_stream_heavy_hitters" ->
+      """WITH keyed AS (
+        |  SELECT CASE WHEN event_id % 2 = 0 THEN 0
+        |              WHEN event_id % 4 = 1 THEN 1
+        |              ELSE 2 + event_id % 50 END AS key
+        |  FROM events),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM keyed),
+        |ex AS (
+        |  SELECT CAST(key AS BIGINT) AS key,
+        |    CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        |  FROM keyed GROUP BY key)
+        |SELECT key, exact_cnt,
+        |  CAST(1 AS BIGINT) AS found,
+        |  CAST(1 AS BIGINT) AS upper_ok,
+        |  CAST(1 AS BIGINT) AS lower_ok
+        |FROM ex, tot WHERE exact_cnt * 16 > n ORDER BY key""".stripMargin,
 
     "st8_transform_with_state" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
