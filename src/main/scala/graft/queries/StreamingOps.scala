@@ -96,23 +96,40 @@ object StreamingOps extends QueryPack {
       keys: Seq[org.apache.spark.sql.Column]): String = {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.types.{Metadata, StructType}
+    // `graft.stage.ns` namespaces a run's staged fixtures away from
+    // the shared /tmp dirs — ChaosRetrySpec sets it so failure-
+    // injection runs can never poison the fixtures other suites (or a
+    // concurrently running Verify/Bench JVM) read.
+    val ns = sys.props.get("graft.stage.ns").filter(_.nonEmpty)
+      .map(n => s"-$n").getOrElse("")
     val stageDir =
-      s"/tmp/graft-$tag-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      s"/tmp/graft-$tag$ns-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
     val done = Paths.get(stageDir, "_STAGED")
     // parquet read-back normalizes nullability/metadata; compare
     // structurally (name + type) on both sides
     def norm(st: StructType): StructType = StructType(st.fields.map(f =>
       f.copy(nullable = true, metadata = Metadata.empty)))
     val schema = norm(df.schema)
+    // The sentinel carries the staged ROW COUNT: a schema check reads
+    // only footers, so a dir whose data pages were truncated by an
+    // interrupted overwrite (e.g. two JVMs staging concurrently)
+    // would pass forever and poison every later read. Verifying the
+    // count touches every data page — corruption fails the check and
+    // the next caller re-stages: self-healing instead of sticky.
     def staged: Boolean = Files.exists(done) && (
-      try norm(s.read.parquet(stageDir).schema) == schema
-      catch { case _: Throwable => false })
+      try {
+        val want = Files.readString(done).trim
+        want.nonEmpty &&
+          norm(s.read.parquet(stageDir).schema) == schema &&
+          s.read.parquet(stageDir).count().toString == want
+      } catch { case _: Throwable => false })
     if (!staged) synchronized {
       if (!staged) {
         Files.deleteIfExists(done)
         df.repartition(parts, keys: _*)
           .write.mode("overwrite").parquet(stageDir)
-        Files.createFile(done)
+        val n = s.read.parquet(stageDir).count()
+        Files.writeString(done, n.toString)
       }
     }
     stageDir
@@ -156,13 +173,22 @@ object StreamingOps extends QueryPack {
     import org.apache.spark.sql.expressions.Window
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = s.read.parquet(s"$dir/events.parquet")
+    val rrNs = sys.props.get("graft.stage.ns").filter(_.nonEmpty)
+      .map(n => s"-$n").getOrElse("")
     val stageDir =
-      s"/tmp/graft-stream-rr$parts-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      s"/tmp/graft-stream-rr$parts$rrNs-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
     val done = Paths.get(stageDir, "_STAGED")
+    // Same self-healing sentinel as stageDeterministic: the count in
+    // the sentinel forces a full data-page read, so a dir corrupted by
+    // an interrupted overwrite re-stages instead of failing forever.
     def staged: Boolean = Files.exists(done) && (
-      try s.read.parquet(stageDir).schema.map(f => (f.name, f.dataType)) ==
-        src.schema.map(f => (f.name, f.dataType))
-      catch { case _: Throwable => false })
+      try {
+        val want = Files.readString(done).trim
+        want.nonEmpty &&
+          s.read.parquet(stageDir).schema.map(f => (f.name, f.dataType)) ==
+            src.schema.map(f => (f.name, f.dataType)) &&
+          s.read.parquet(stageDir).count().toString == want
+      } catch { case _: Throwable => false })
     if (!staged) synchronized {
       if (!staged) {
         Files.deleteIfExists(done)
@@ -189,7 +215,8 @@ object StreamingOps extends QueryPack {
           org.apache.commons.io.FileUtils
             .deleteDirectory(new java.io.File(tmp))
         }
-        Files.createFile(done)
+        val n = s.read.parquet(stageDir).count()
+        Files.writeString(done, n.toString)
       }
     }
     graft.Tables.normalizeEventTs(

@@ -61,9 +61,25 @@ object ChaosLocalFileSystem {
   * task-side read throws, `local[8,4]` retries the task, and each
   * loop's final snapshot must hash-match the no-failure run.
   */
-class ChaosRetrySpec extends AnyFunSuite {
+class ChaosRetrySpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
 
   private val sfDir = "/root/testdata/sf0.001"
+
+  /** Chaos runs stage their multi-batch fixtures under a PRIVATE
+    * namespace (see StreamingOps.stageDeterministic): an overwrite
+    * interleaved with injected failures must never be able to poison
+    * the shared /tmp fixtures other suites — or a concurrently
+    * running Verify/Bench JVM — read.
+    */
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    sys.props("graft.stage.ns") = "chaos"
+  }
+  override def afterAll(): Unit = {
+    sys.props.remove("graft.stage.ns")
+    super.afterAll()
+  }
 
   private val servingLoops = Seq(
     "st11_streaming_upsert", "st22_stream_cdc_apply",
