@@ -296,6 +296,23 @@ object Dedup extends QueryPack {
         .orderBy($"source")
     }),
 
+    // -- substring-level dedup: duplicated 64-char windows via pruned
+    // prefix doubling (Lee et al. arXiv:2107.06499 ExactSubstr; no
+    // window string is ever shuffled — see SubstringDedup scaladoc).
+    // Output is the multiplicity histogram over ALL duplicated
+    // classes, plus min/max window text per bucket, so every class
+    // count AND the string-extraction path are oracle-pinned.
+    "d23_substring_dedup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.operators.SubstringDedup
+        .duplicatedWindows(Tables(s, dir).documents, l = 64)
+        .groupBy($"n_sites", $"n_docs")
+        .agg(count(lit(1)).as("n_windows"),
+          min($"window_text").as("first_window"),
+          max($"window_text").as("last_window"))
+        .orderBy($"n_sites", $"n_docs")
+    }),
+
     // -- n-gram Jaccard near-dup via inverted shingle index -------------
     "d02_ngram_jaccard" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -989,6 +1006,26 @@ object Dedup extends QueryPack {
         s" AS $name"
     }
     Map(
+      // the L× window materialization the prefix-doubling loop avoids:
+      // at oracle scale the direct sliding-window groupBy is exact and
+      // cheap, so the refinement's classes must reproduce it verbatim.
+      // range(1, 4096) bounds positions (DuckDB 1.0 table functions
+      // take constant args only); corpus max doc length is far below.
+      "d23_substring_dedup" ->
+        """WITH pos AS (
+          |  SELECT CAST(range AS INTEGER) AS p FROM range(1, 4096)),
+          |w AS (
+          |  SELECT d.doc_id, substr(d.text, pos.p, 64) AS window_text
+          |  FROM documents d JOIN pos ON pos.p <= length(d.text) - 63),
+          |g AS (
+          |  SELECT window_text, CAST(COUNT(*) AS BIGINT) AS n_sites,
+          |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+          |  FROM w GROUP BY 1 HAVING COUNT(*) >= 2)
+          |SELECT n_sites, n_docs, CAST(COUNT(*) AS BIGINT) AS n_windows,
+          |  MIN(window_text) AS first_window,
+          |  MAX(window_text) AS last_window
+          |FROM g GROUP BY 1, 2 ORDER BY n_sites, n_docs""".stripMargin,
+
       // the all-pairs spelling the engine's deletion-neighborhood
       // blocking avoids; DuckDB's levenshtein is the same unit-cost
       // edit distance as Spark's
