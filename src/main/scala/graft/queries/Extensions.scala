@@ -140,6 +140,47 @@ object Extensions extends QueryPack {
         .orderBy($"o_orderstatus")
     }),
 
+    // -- small-file compaction: OPTIMIZE-style bin-pack rewrite ---------
+    // The table-maintenance face of the 100-TB story: a 48-way
+    // fragmented copy of lineitem (a streaming sink's file-per-task
+    // residue) is bin-packed first-fit-decreasing and rewritten with
+    // NO shuffle (per-bin coalesce(1) reads), per-bin row counts
+    // verified before any original byte is deleted. The output pins
+    // what IS deterministic — exact row count and a portable-hash
+    // content fingerprint over the PK recomputed from the COMPACTED
+    // table, which the oracle recomputes from the source rows — plus
+    // the maintenance invariants as predicate columns (file sizes are
+    // encoding-dependent, so file counts after compaction are asserted
+    // as inequalities, the x35 invariant policy).
+    "x36_compact_small_files" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.Compaction
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-compact-").toString
+      try {
+        Tables(s, dir).lineitem
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+          .repartition(48).write.mode("overwrite").parquet(work)
+        val stats = Compaction.compact(s, work, targetBytes = 8L << 20)
+        val fp = s.read.parquet(work).agg(
+          count(lit(1)).as("n"),
+          sum(PortableHash.sparkHash56(
+            concat($"l_orderkey".cast("string"), lit(":"),
+              $"l_linenumber".cast("string"))) % 100000007L).as("f"))
+          .first()
+        Seq((fp.getLong(0), fp.getLong(1), stats.filesBefore,
+          stats.rowsBefore == stats.rowsAfter &&
+            stats.rowsAfter == fp.getLong(0),
+          stats.filesAfter < stats.filesBefore && stats.binsRewritten >= 1,
+          stats.planWithinTarget))
+          .toDF("n_rows", "fingerprint", "files_before", "rows_preserved",
+            "files_reduced", "plan_within_target")
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(work))
+      }
+    }),
+
     // -- multi-action MERGE: DELETE / UPDATE / INSERT in one pass -------
     // The Delta-Lake MERGE INTO workhorse x05's replace+insert can't
     // express: a returns feed deletes matched orders flagged 'R',
@@ -1599,6 +1640,22 @@ object Extensions extends QueryPack {
         |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM snapshot GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // compaction changes bytes, never rows: the oracle is the source
+    // table's exact count + portable content fingerprint, and the
+    // maintenance invariants are literal TRUEs (x35 policy — file
+    // sizes are encoding-dependent, the PREDICATES are guaranteed)
+    "x36_compact_small_files" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(${PortableHash.duckHash56(
+               "CAST(l_orderkey AS VARCHAR) || ':' || " +
+                 "CAST(l_linenumber AS VARCHAR)")} % 100000007)
+         |    AS BIGINT) AS fingerprint,
+         |  CAST(48 AS BIGINT) AS files_before,
+         |  TRUE AS rows_preserved,
+         |  TRUE AS files_reduced,
+         |  TRUE AS plan_within_target
+         |FROM lineitem""".stripMargin,
 
     // the MERGE spelled as its relational definition: full-outer join,
     // delete-filter, per-branch CASE — what mergeActions compiles to
