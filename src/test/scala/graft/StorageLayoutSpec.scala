@@ -82,6 +82,48 @@ class StorageLayoutSpec extends AnyFunSuite {
     assert(pruned.count() === expected && expected > 0)
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at RUNTIME") {
+    // Static pruning (test above) needs the predicate ON the partition
+    // column. The production shape is a JOIN: the fact is partitioned
+    // by month, the filter sits on the dimension, and the months to
+    // scan are only known after the dim is evaluated. Spark's DPP
+    // plants a dynamicpruning subquery in the scan's PartitionFilters,
+    // reusing the broadcast dim — at 100 TB this is the difference
+    // between scanning one month and scanning the table.
+    val out = Files.createTempDirectory("graft-dpp").toString
+    val t = Tables(spark, dir)
+    t.orders
+      .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.partitionBy("order_month").mode("overwrite").parquet(out)
+
+    // dim: one row per month with an attribute; the filter selects ONE
+    // quarter — on the dim attribute, not the partition column. The dim
+    // must be storage-backed: over a LocalRelation the optimizer folds
+    // the filter away (ConvertToLocalRelation) before the pruning rule
+    // can see a selective predicate, and no DPP subquery is planted.
+    import spark.implicits._
+    val dimOut = Files.createTempDirectory("graft-dpp-dim").toString
+    (1 to 12).map(m => (f"1996-$m%02d", s"fy96q${(m - 1) / 3 + 1}"))
+      .toDF("month", "quarter")
+      .coalesce(1).write.mode("overwrite").parquet(dimOut)
+    val dim = spark.read.parquet(dimOut)
+    val fact = spark.read.parquet(out)
+    val joined = fact.join(broadcast(dim),
+        fact("order_month") === dim("month"))
+      .filter(col("quarter") === "fy96q1")
+      .agg(count(lit(1)).as("n"))
+
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic pruning subquery in the scan:\n$plan")
+    // and the pruned result is exactly the three months' rows
+    val expected = t.orders
+      .filter(date_format(col("o_orderdate"), "yyyy-MM")
+        .isin("1996-01", "1996-02", "1996-03"))
+      .count()
+    assert(joined.head().getLong(0) === expected && expected > 0)
+  }
+
   test("z-ordered write: a 2-D probe's file footprint beats a 1-D sort") {
     import graft.operators.Zorder
     val t = Tables(spark, dir)
