@@ -1,10 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Substring-level duplicate detection: which length-`L` character
-  * windows occur at two or more (doc, pos) sites in the corpus?
+  * windows occur at two or more (doc, pos) sites in the corpus — and
+  * what is the LONGEST duplicated passage?
   *
   * This is the operator behind suffix-array training-data dedup
   * (Lee et al., "Deduplicating Training Data Makes Language Models
@@ -54,62 +55,75 @@ import org.apache.spark.sql.functions._
   * Granularity note: this runs per CHARACTER; production substring
   * dedup runs per TOKEN id (Lee et al. operate on BPE token
   * sequences), which divides row count by the mean token length —
-  * same loop, smaller n. `L` must be a power of two (widths double).
+  * same loop, smaller n. Widths double, so thresholds are powers of
+  * two.
   */
 object SubstringDedup {
 
-  /** Every duplicated length-`L` window, aggregated per class:
-    * (window_text, n_sites, n_docs) — one row per distinct duplicated
-    * window. `window_text` is extracted ONCE per class from a single
-    * representative site (min (doc, pos)), so the only string
-    * materialization is O(#duplicated classes), not O(corpus).
+  private def rem: Column = col("len") - col("pos")
+
+  /** Survivors of one class-refinement round: width w → 2w. */
+  private def refineOnce(cls: DataFrame, w: Int): DataFrame = {
+    val s = cls.sparkSession
+    import s.implicits._
+    val partner = cls
+      .select($"doc_id", ($"pos" - w).as("pos"), $"cls".as("cls2"))
+    val paired = cls
+      .join(partner, Seq("doc_id", "pos"), "left")
+      // in-bounds partner pruned as a singleton ⟹ this pair is
+      // unique ⟹ this position is singleton at width 2w: drop now
+      .filter($"cls2".isNotNull || $"pos" + w >= $"len")
+      .select($"doc_id", $"pos", $"len", $"cls",
+        coalesce($"cls2", lit(-1L)).as("cls2"))
+    val ids = paired.select($"cls", $"cls2").distinct()
+      .withColumn("ncls", monotonically_increasing_id())
+    Ckpt.flat(keepDuplicated(
+      paired.join(ids, Seq("cls", "cls2"))
+        .select($"doc_id", $"pos", $"len", $"ncls".as("cls"))))
+  }
+
+  private def keepDuplicated(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val dup = df.groupBy($"cls").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 2).select($"cls")
+    df.join(dup, Seq("cls"), "left_semi")
+  }
+
+  /** Class table at width `l` (power of two): one row per surviving
+    * position, `cls` equal ⟺ equal length-min(l, remaining) prefix
+    * (and equal truncation length). Only duplicated classes survive.
     */
-  def duplicatedWindows(docs: DataFrame, l: Int): DataFrame = {
+  private def refineTo(docs: DataFrame, l: Int): DataFrame = {
     require(l > 0 && (l & (l - 1)) == 0, s"L must be a power of two, got $l")
     val s = docs.sparkSession
     import s.implicits._
-
-    val base = docs.select($"doc_id", $"text", length($"text").as("len"))
-
     // one row per character: (doc_id, pos, len, single char) — split
     // on the between-characters boundary so no empty fragments appear
     // and the text column is dropped before the explode multiplies rows
-    val chars = base
-      .select($"doc_id", $"len",
+    val chars = docs
+      .select($"doc_id", length($"text").as("len"),
         posexplode(split($"text", "(?!^)")).as(Seq("pos", "c")))
-
-    def keepDuplicated(df: DataFrame): DataFrame = {
-      val dup = df.groupBy($"cls").agg(count(lit(1)).as("n"))
-        .filter($"n" >= 2).select($"cls")
-      df.join(dup, Seq("cls"), "left_semi")
-    }
-
     // width-1 classes: the character's code point (injective per char)
     var cls = keepDuplicated(
-      chars.select($"doc_id", $"pos", $"len", ascii($"c").cast("long").as("cls")))
+      chars.select($"doc_id", $"pos", $"len",
+        ascii($"c").cast("long").as("cls")))
     var w = 1
-    while (w < l) {
-      val partner = cls
-        .select($"doc_id", ($"pos" - w).as("pos"), $"cls".as("cls2"))
-      val paired = cls
-        .join(partner, Seq("doc_id", "pos"), "left")
-        // in-bounds partner pruned as a singleton ⟹ this pair is
-        // unique ⟹ this position is singleton at width 2w: drop now
-        .filter($"cls2".isNotNull || $"pos" + w >= $"len")
-        .select($"doc_id", $"pos", $"len", $"cls",
-          coalesce($"cls2", lit(-1L)).as("cls2"))
-      val ids = paired.select($"cls", $"cls2").distinct()
-        .withColumn("ncls", monotonically_increasing_id())
-      cls = Ckpt.flat(keepDuplicated(
-        paired.join(ids, Seq("cls", "cls2"))
-          .select($"doc_id", $"pos", $"len", $"ncls".as("cls"))))
-      w *= 2
-    }
+    while (w < l) { cls = refineOnce(cls, w); w *= 2 }
+    cls
+  }
 
-    // only positions hosting a FULL length-L window; classes there are
-    // exactly "equal first-L characters"
-    val full = cls.filter($"pos" <= $"len" - l)
-    val groups = full.groupBy($"cls")
+  /** (window_text, n_sites, n_docs) per duplicated class of `cls`,
+    * restricted to positions hosting a full length-`m` window. The
+    * grouping key is `keyCols` (class columns); the window text is
+    * extracted ONCE per class from a representative site, so the only
+    * string materialization is O(#duplicated classes). */
+  private def census(docs: DataFrame, cls: DataFrame, m: Int,
+      keyCols: Seq[String]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val groups = cls.filter($"pos" <= $"len" - m)
+      .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_sites"),
         countDistinct($"doc_id").as("n_docs"),
         min(struct($"doc_id", $"pos")).as("rep"))
@@ -117,9 +131,86 @@ object SubstringDedup {
     groups
       .select($"n_sites", $"n_docs",
         $"rep.doc_id".as("rep_doc"), $"rep.pos".as("rep_pos"))
-      .join(base.select($"doc_id".as("rep_doc"), $"text"), Seq("rep_doc"))
+      .join(docs.select($"doc_id".as("rep_doc"), $"text"), Seq("rep_doc"))
       .select(
-        expr(s"substring(text, rep_pos + 1, $l)").as("window_text"),
+        expr(s"substring(text, rep_pos + 1, $m)").as("window_text"),
         $"n_sites", $"n_docs")
+  }
+
+  /** Every duplicated length-`l` window, one row per distinct
+    * duplicated window: (window_text, n_sites, n_docs). */
+  def duplicatedWindows(docs: DataFrame, l: Int): DataFrame =
+    census(docs, refineTo(docs, l), l, Seq("cls"))
+
+  /** The LONGEST passage (≥ `minLen` chars, a power of two) occurring
+    * at two or more sites — what ExactSubstr actually removes. One row
+    * per distinct passage at the maximal length: (passage,
+    * passage_len, n_sites, n_docs); empty if no `minLen`-window is
+    * duplicated at all.
+    *
+    * Three phases, all on the width-`minLen` class table:
+    *  1. keep doubling (with pruning) until NO class of full-width
+    *     survivors is duplicated — extinction at width W brackets the
+    *     answer in [W/2, W−1];
+    *  2. binary-search m in that bracket using the OVERLAPPING-window
+    *     identity: two positions share an m-prefix ⟺ their width-lo
+    *     classes match at offsets 0 AND m−lo (m ≤ 2·lo, which the
+    *     bracket guarantees) — each probe is one self-join + count on
+    *     the saved width-lo table, never a re-refinement;
+    *  3. extract the passages at the maximum via the same pair-class
+    *     grouping. A probe partner absent from the saved table was
+    *     pruned as a singleton, which makes the pair unique — the
+    *     inner join drops it, the same argument as the loop's pruning.
+    */
+  def longestDuplicatedPassage(docs: DataFrame,
+      minLen: Int = 64): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+
+    def dupFullExists(cls: DataFrame, w: Int): Boolean =
+      cls.filter($"pos" <= $"len" - w)
+        .groupBy($"cls").agg(count(lit(1)).as("n")).filter($"n" >= 2)
+        .limit(1).count() > 0
+
+    def pairClasses(loTable: DataFrame, lo: Int, m: Int): DataFrame = {
+      val a = loTable.filter($"pos" <= $"len" - m)
+      val b = loTable.select($"doc_id", ($"pos" - (m - lo)).as("pos"),
+        $"cls".as("clsb"))
+      a.join(b, Seq("doc_id", "pos"))
+    }
+
+    def passagesAt(loTable: DataFrame, lo: Int, m: Int): DataFrame =
+      census(docs, pairClasses(loTable, lo, m), m, Seq("cls", "clsb"))
+        .select($"window_text".as("passage"),
+          lit(m.toLong).as("passage_len"), $"n_sites", $"n_docs")
+        .orderBy($"passage")
+
+    var lo = minLen
+    var loTable = refineTo(docs, lo)
+    if (!dupFullExists(loTable, lo))
+      return passagesAt(loTable.limit(0), lo, lo)
+
+    // phase 1: double to extinction
+    var candidate = refineOnce(loTable, lo)
+    while (dupFullExists(candidate, 2 * lo)) {
+      loTable = candidate
+      lo = 2 * lo
+      candidate = refineOnce(candidate, lo)
+    }
+
+    // phase 2: binary search in [lo, 2·lo − 1]; invariant: duplicated
+    // at `low`, not duplicated at `high + 1`
+    var low = lo
+    var high = 2 * lo - 1
+    while (low < high) {
+      val mid = (low + high + 1) / 2
+      val exists = pairClasses(loTable, lo, mid)
+        .groupBy($"cls", $"clsb").agg(count(lit(1)).as("n"))
+        .filter($"n" >= 2).limit(1).count() > 0
+      if (exists) low = mid else high = mid - 1
+    }
+
+    // phase 3: the passages at the maximum
+    passagesAt(loTable, lo, low)
   }
 }

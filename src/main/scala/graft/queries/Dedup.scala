@@ -313,6 +313,18 @@ object Dedup extends QueryPack {
         .orderBy($"n_sites", $"n_docs")
     }),
 
+    // -- longest duplicated passage (>= 64 chars): what ExactSubstr
+    // actually removes. Doubling-to-extinction brackets the max length
+    // in [W/2, W-1]; binary search closes it with overlapping-window
+    // pair classes on the saved width-lo table (m-prefixes equal iff
+    // width-lo classes match at offsets 0 and m-lo) — log-many probes,
+    // each a self-join on fixed-width longs, never a re-refinement.
+    "d24_longest_dup_passage" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.operators.SubstringDedup
+        .longestDuplicatedPassage(Tables(s, dir).documents, minLen = 64)
+    }),
+
     // -- n-gram Jaccard near-dup via inverted shingle index -------------
     "d02_ngram_jaccard" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -1025,6 +1037,50 @@ object Dedup extends QueryPack {
           |  MIN(window_text) AS first_window,
           |  MAX(window_text) AS last_window
           |FROM g GROUP BY 1, 2 ORDER BY n_sites, n_docs""".stripMargin,
+
+      // brute force the doubling avoids: seed pairs from shared
+      // 64-windows (any pair sharing >= 64 chars shares its 64-prefix,
+      // so the seed set is complete), lcp per pair as MAX over an
+      // equality-tested length ladder (prefix equality is monotone),
+      // then every passage and site at the global max
+      "d24_longest_dup_passage" ->
+        """WITH pos AS (
+          |  SELECT CAST(range AS INTEGER) AS p FROM range(1, 4096)),
+          |seed AS (
+          |  SELECT d.doc_id, pos.p, substr(d.text, pos.p, 64) AS w64
+          |  FROM documents d JOIN pos ON pos.p <= length(d.text) - 63),
+          |prs AS (
+          |  SELECT a.doc_id AS d1, a.p AS p1, b.doc_id AS d2, b.p AS p2
+          |  FROM seed a JOIN seed b ON a.w64 = b.w64
+          |    AND (a.doc_id < b.doc_id
+          |      OR (a.doc_id = b.doc_id AND a.p < b.p))),
+          |ext AS (
+          |  SELECT pr.d1, pr.p1, CAST(MAX(m.p) AS INTEGER) AS lcp
+          |  FROM prs pr
+          |  JOIN documents t1 ON pr.d1 = t1.doc_id
+          |  JOIN documents t2 ON pr.d2 = t2.doc_id
+          |  JOIN pos m ON m.p >= 64
+          |    AND m.p <= LEAST(length(t1.text) - pr.p1,
+          |                     length(t2.text) - pr.p2) + 1
+          |    AND substr(t1.text, pr.p1, m.p) = substr(t2.text, pr.p2, m.p)
+          |  GROUP BY pr.d1, pr.p1, pr.d2, pr.p2),
+          |mx AS (SELECT MAX(lcp) AS m FROM ext),
+          |strs AS (
+          |  SELECT DISTINCT substr(t1.text, e.p1, (SELECT m FROM mx))
+          |    AS passage
+          |  FROM ext e JOIN documents t1 ON e.d1 = t1.doc_id
+          |  WHERE e.lcp = (SELECT m FROM mx)),
+          |sites AS (
+          |  SELECT st.passage, d.doc_id
+          |  FROM documents d
+          |  JOIN pos ON pos.p <= length(d.text) - (SELECT m FROM mx) + 1
+          |  JOIN strs st
+          |    ON substr(d.text, pos.p, (SELECT m FROM mx)) = st.passage)
+          |SELECT passage,
+          |  CAST((SELECT m FROM mx) AS BIGINT) AS passage_len,
+          |  CAST(COUNT(*) AS BIGINT) AS n_sites,
+          |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+          |FROM sites GROUP BY passage ORDER BY passage""".stripMargin,
 
       // the all-pairs spelling the engine's deletion-neighborhood
       // blocking avoids; DuckDB's levenshtein is the same unit-cost

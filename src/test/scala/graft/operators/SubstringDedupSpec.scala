@@ -79,6 +79,83 @@ class SubstringDedupSpec extends AnyFunSuite {
     }
   }
 
+  /** Brute-force longest duplicated passage (≥ minLen): max over all
+    * window lengths with a duplicate, then all passages at that max. */
+  private def bruteLongest(docs: DataFrame, minLen: Int)
+      : Set[(String, Long, Long, Long)] = {
+    import spark.implicits._
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val all = for {
+      (id, t) <- rows.toSeq
+      m <- minLen to t.length
+      p <- 0 to t.length - m
+    } yield (t.substring(p, p + m), m, id)
+    val dup = all.groupBy(x => (x._1, x._2))
+      .filter(_._2.size >= 2)
+    if (dup.isEmpty) Set.empty
+    else {
+      val mx = dup.keys.map(_._2).max
+      dup.collect { case ((s0, m), occ) if m == mx =>
+        (s0, m.toLong, occ.size.toLong, occ.map(_._3).distinct.size.toLong)
+      }.toSet
+    }
+  }
+
+  private def engineLongest(docs: DataFrame, minLen: Int)
+      : Set[(String, Long, Long, Long)] =
+    SubstringDedup.longestDuplicatedPassage(docs, minLen)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  test("longest passage: planted cross-doc passage of known length") {
+    import spark.implicits._
+    // 40-char passage planted in two docs; also a shorter 20-char one
+    // that must NOT win
+    val p40 = "0123456789abcdefghij0123456789ABCDEFGHIJ"
+    val docs = Seq(
+      (0L, s"xx $p40 yy and some trailing content"),
+      (1L, s"completely other lead-in $p40 zz"),
+      (2L, "shared-twenty-chars! one"),
+      (3L, "shared-twenty-chars! two")).toDF("doc_id", "text")
+    val got = engineLongest(docs, 16)
+    assert(got === bruteLongest(docs, 16))
+    assert(got.size == 1 && got.head._2 == 42L) // " p40 " + boundary spaces
+  }
+
+  test("longest passage: overlapping within-doc occurrences count") {
+    import spark.implicits._
+    // 'ab' × 30 = 60 chars: LRS is the 58-char window at positions
+    // 0 and 2 (overlapping) — the standard suffix-array convention
+    val docs = Seq(
+      (0L, "ab" * 30),
+      (1L, "no repeats in this one whatsoever")).toDF("doc_id", "text")
+    val got = engineLongest(docs, 8)
+    assert(got === bruteLongest(docs, 8))
+    assert(got.head._2 == 58L && got.head._3 == 2L && got.head._4 == 1L)
+  }
+
+  test("longest passage: no duplicate at minLen yields empty") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "abcdefghijklmnopqrstuvwxyz"),
+      (1L, "0123456789!@#$%^&*()_+=-~`")).toDF("doc_id", "text")
+    assert(engineLongest(docs, 16) === Set.empty)
+  }
+
+  test("longest passage: max exactly at the bracket's low edge") {
+    import spark.implicits._
+    // duplicated length exactly 16 (= minLen): doubling dies at 32,
+    // binary search must come back down to the bracket's low edge
+    val p16 = "ABCDEFGHIJKLMNOP"
+    val docs = Seq( // no shared chars around the passage: max is exactly 16
+      (0L, s"11$p16 22"),
+      (1L, s"33$p16-44")).toDF("doc_id", "text")
+    val got = engineLongest(docs, 16)
+    assert(got === bruteLongest(docs, 16))
+    assert(got.head._2 == 16L)
+  }
+
   test("L must be a power of two") {
     import spark.implicits._
     val docs = Seq((0L, "abc")).toDF("doc_id", "text")
