@@ -60,9 +60,12 @@ import org.apache.spark.sql.functions._
   */
 object SubstringDedup {
 
-  private def rem: Column = col("len") - col("pos")
-
-  /** Survivors of one class-refinement round: width w → 2w. */
+  /** Survivors of one class-refinement round: width w → 2w. The
+    * singleton prune is FUSED into the class assignment: pair groups
+    * are counted once, singleton pairs get no id, and the inner
+    * join-back drops their rows — one groupBy instead of a distinct
+    * plus a separate count + semi-join (2 fewer shuffles per round).
+    */
   private def refineOnce(cls: DataFrame, w: Int): DataFrame = {
     val s = cls.sparkSession
     import s.implicits._
@@ -75,40 +78,79 @@ object SubstringDedup {
       .filter($"cls2".isNotNull || $"pos" + w >= $"len")
       .select($"doc_id", $"pos", $"len", $"cls",
         coalesce($"cls2", lit(-1L)).as("cls2"))
-    val ids = paired.select($"cls", $"cls2").distinct()
-      .withColumn("ncls", monotonically_increasing_id())
-    Ckpt.flat(keepDuplicated(
+    val ids = paired.groupBy($"cls", $"cls2").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 2)
+      .select($"cls", $"cls2", monotonically_increasing_id().as("ncls"))
+    Ckpt.flat(
       paired.join(ids, Seq("cls", "cls2"))
-        .select($"doc_id", $"pos", $"len", $"ncls".as("cls"))))
-  }
-
-  private def keepDuplicated(df: DataFrame): DataFrame = {
-    val s = df.sparkSession
-    import s.implicits._
-    val dup = df.groupBy($"cls").agg(count(lit(1)).as("n"))
-      .filter($"n" >= 2).select($"cls")
-    df.join(dup, Seq("cls"), "left_semi")
+        .select($"doc_id", $"pos", $"len", $"ncls".as("cls")))
   }
 
   /** Class table at width `l` (power of two): one row per surviving
     * position, `cls` equal ⟺ equal length-min(l, remaining) prefix
-    * (and equal truncation length). Only duplicated classes survive.
+    * (and equal truncation length). After at least one refinement
+    * round only duplicated classes survive (the fused prune); the
+    * initial table is deliberately UNPRUNED — a standalone prune
+    * costs two shuffles of the full position table and the first
+    * round's groupBy prunes for free.
+    *
+    * Single-byte-codepoint corpora (checked exactly, per corpus)
+    * start at width 8 with the class packed DIRECTLY per position —
+    * zero joins, zero shuffles, replacing the first three rounds: the
+    * 8 codes at pos..pos+7 (each shifted +1 into 1..128 so 0 is free
+    * for padding) are one base-129 digit string in a long
+    * (129⁸ < 2⁶⁰). Injective including truncation: codes are never 0,
+    * so trailing zero digits decode unambiguously as "suffix shorter
+    * than 8" — equal longs ⟺ equal min(8, remaining)-prefix and equal
+    * truncation length, exactly the refinement invariant. The per-doc
+    * code arrays are materialized ONCE ([[Ckpt.flat]]) and both the
+    * single-byte check and the packing read the blocks — the
+    * interpreted HOFs (split/transform/aggregate) are the dominant
+    * per-pass cost and must not sit in a lineage the self-joining
+    * rounds re-evaluate. Other corpora start at width 1 from the
+    * code point.
     */
-  private def refineTo(docs: DataFrame, l: Int): DataFrame = {
+  private[graft] def classesAt(docs: DataFrame, l: Int): DataFrame = {
     require(l > 0 && (l & (l - 1)) == 0, s"L must be a power of two, got $l")
     val s = docs.sparkSession
     import s.implicits._
-    // one row per character: (doc_id, pos, len, single char) — split
-    // on the between-characters boundary so no empty fragments appear
-    // and the text column is dropped before the explode multiplies rows
-    val chars = docs
+    // one row per DOC: code array + its max, split/ascii run once
+    val coded = Ckpt.flat(docs
       .select($"doc_id", length($"text").as("len"),
-        posexplode(split($"text", "(?!^)")).as(Seq("pos", "c")))
-    // width-1 classes: the character's code point (injective per char)
-    var cls = keepDuplicated(
-      chars.select($"doc_id", $"pos", $"len",
-        ascii($"c").cast("long").as("cls")))
-    var w = 1
+        expr("transform(split(text, '(?!^)'), ch -> ascii(ch) + 1)")
+          .as("codes"))
+      .withColumn("mx", expr("coalesce(array_max(codes), 1) - 1")))
+    val singleByte = l >= 8 &&
+      (coded.agg(max($"mx")).first() match {
+        case r if r.isNullAt(0) => true // empty corpus
+        case r => r.getInt(0) <= 127
+      })
+    var (cls, w) =
+      if (singleByte) {
+        // straight-line Horner unroll (one interpreted lambda per
+        // position, not a nested aggregate's nine)
+        val term = (j: Int) => {
+          val w = java.math.BigInteger.valueOf(129L).pow(7 - j)
+          s"IF(p + $j < size(codes), " +
+            s"CAST(element_at(codes, p + $j + 1) AS BIGINT), 0L) * ${w}L"
+        }
+        val packed = coded.select($"doc_id", $"len",
+          posexplode(expr(
+            s"""transform(sequence(0, size(codes) - 1), p ->
+               |  ${(0 to 7).map(term).mkString(" +\n  ")})""".stripMargin))
+            .as(Seq("pos", "cls")))
+        // materialize: the packing HOF must run once, not once per
+        // downstream branch of the first round's self-join
+        (Ckpt.flat(packed), 8)
+      } else {
+        // generic fallback: one row per character via the same
+        // no-text-duplication explode, classes from the code point
+        val chars = docs
+          .select($"doc_id", length($"text").as("len"),
+            posexplode(split($"text", "(?!^)")).as(Seq("pos", "c")))
+        (Ckpt.flat(chars.select($"doc_id", $"pos", $"len",
+          ascii($"c").cast("long").as("cls"))), 1)
+      }
     while (w < l) { cls = refineOnce(cls, w); w *= 2 }
     cls
   }
@@ -139,8 +181,9 @@ object SubstringDedup {
 
   /** Every duplicated length-`l` window, one row per distinct
     * duplicated window: (window_text, n_sites, n_docs). */
-  def duplicatedWindows(docs: DataFrame, l: Int): DataFrame =
-    census(docs, refineTo(docs, l), l, Seq("cls"))
+  def duplicatedWindows(docs: DataFrame, l: Int,
+      classes: Option[DataFrame] = None): DataFrame =
+    census(docs, classes.getOrElse(classesAt(docs, l)), l, Seq("cls"))
 
   /** The LONGEST passage (≥ `minLen` chars, a power of two) occurring
     * at two or more sites — what ExactSubstr actually removes. One row
@@ -162,8 +205,8 @@ object SubstringDedup {
     *     pruned as a singleton, which makes the pair unique — the
     *     inner join drops it, the same argument as the loop's pruning.
     */
-  def longestDuplicatedPassage(docs: DataFrame,
-      minLen: Int = 64): DataFrame = {
+  def longestDuplicatedPassage(docs: DataFrame, minLen: Int = 64,
+      classes: Option[DataFrame] = None): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
 
@@ -186,7 +229,7 @@ object SubstringDedup {
         .orderBy($"passage")
 
     var lo = minLen
-    var loTable = refineTo(docs, lo)
+    var loTable = classes.getOrElse(classesAt(docs, lo))
     if (!dupFullExists(loTable, lo))
       return passagesAt(loTable.limit(0), lo, lo)
 

@@ -86,6 +86,23 @@ object Dedup extends QueryPack {
         .minhashSignatures(shingleHashes(s, dir), K)
         .localCheckpoint(true))
 
+  /** Memoized width-64 suffix-class table (one row per position whose
+    * 64-char-prefix class is duplicated) — d23's census and d24's
+    * longest-passage search both start from it, so the refinement
+    * loop runs once per (application, dir). Same fingerprint-keyed
+    * staleness contract as [[shingleHashes]]; the table is already
+    * Ckpt.flat'ed by the refinement loop (RDD blocks survive
+    * clearCache, like every memo here).
+    */
+  private val substrMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+  private def sharedSuffixClasses(s: SparkSession, dir: String): DataFrame =
+    substrMemo.computeIfAbsent(
+      (s.sparkContext.applicationId, dir,
+        SharedFrames.sourceFingerprint(s, dir, "documents")),
+      _ => graft.operators.SubstringDedup
+        .classesAt(Tables(s, dir).documents, 64))
+
   /** d17's Job 1 — the nightly index build, persisted THROUGH the
     * engine's own writer: the corpus split's LSH band hashes and its
     * shingle index written as bucketed parquet tables (band table
@@ -305,7 +322,8 @@ object Dedup extends QueryPack {
     "d23_substring_dedup" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       graft.operators.SubstringDedup
-        .duplicatedWindows(Tables(s, dir).documents, l = 64)
+        .duplicatedWindows(Tables(s, dir).documents, l = 64,
+          classes = Some(sharedSuffixClasses(s, dir)))
         .groupBy($"n_sites", $"n_docs")
         .agg(count(lit(1)).as("n_windows"),
           min($"window_text").as("first_window"),
@@ -322,7 +340,8 @@ object Dedup extends QueryPack {
     "d24_longest_dup_passage" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       graft.operators.SubstringDedup
-        .longestDuplicatedPassage(Tables(s, dir).documents, minLen = 64)
+        .longestDuplicatedPassage(Tables(s, dir).documents, minLen = 64,
+          classes = Some(sharedSuffixClasses(s, dir)))
     }),
 
     // -- n-gram Jaccard near-dup via inverted shingle index -------------
