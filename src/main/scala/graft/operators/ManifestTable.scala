@@ -1,0 +1,235 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A minimal versioned-manifest table format — the commit protocol
+  * that makes writes ATOMIC on an object store, which a bare parquet
+  * directory cannot be (x36's documented caveat: a crash mid-swap is
+  * re-runnable but not invisible).
+  *
+  * The design is the published core of Delta Lake (Armbrust et al.,
+  * "Delta Lake: High-Performance ACID Table Storage over Cloud Object
+  * Stores", VLDB 2020) and Iceberg's spec, reduced to its invariant:
+  *
+  *   - data files are IMMUTABLE and never listed by readers; the
+  *     manifest `_manifests/v<N>.json` names the exact file set of
+  *     version N;
+  *   - a commit is ONE atomic create-if-absent of `v<N+1>.json`
+  *     (`FileSystem.create(overwrite = false)` — the same primitive
+  *     Delta uses on HDFS-like stores). Two concurrent writers race
+  *     on the same next version; the loser gets FileAlreadyExists,
+  *     re-reads the new latest, and retries on top — optimistic
+  *     concurrency, no locks;
+  *   - readers resolve a version ONCE (latest or AS OF) and read only
+  *     its files: snapshot isolation for free — a reader planned at
+  *     v2 never sees v3's files, no matter when v3 commits;
+  *   - old versions stay readable (time travel) until `vacuum`, which
+  *     deletes only files unreachable from the kept manifests.
+  *
+  * Scale note: the manifest lists file PATHS (+ per-file row counts
+  * for verification) — O(#files) driver-side metadata, same contract
+  * as [[Compaction.planBins]]. At millions of files production
+  * formats shard manifests and checkpoint them; one JSON per version
+  * is the honest small-scale spelling of the same protocol.
+  */
+object ManifestTable {
+
+  final case class ManifestEntry(path: String, rows: Long)
+  final case class Snapshot(version: Int, entries: Vector[ManifestEntry]) {
+    def paths: Vector[String] = entries.map(_.path)
+    def rows: Long = entries.map(_.rows).sum
+  }
+
+  private def manifestDir(dir: String) = new Path(dir, "_manifests")
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** All committed versions, ascending (empty if uninitialized). */
+  def versions(spark: SparkSession, dir: String): Vector[Int] = {
+    val f = fs(spark, dir)
+    val md = manifestDir(dir)
+    if (!f.exists(md)) Vector.empty
+    else f.listStatus(md).toVector
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toInt }
+      .sorted
+  }
+
+  /** Resolve a snapshot: latest, or AS OF an exact version. */
+  def snapshot(spark: SparkSession, dir: String,
+      asOf: Option[Int] = None): Snapshot = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no manifest at $dir")
+    val v = asOf match {
+      case Some(x) =>
+        require(vs.contains(x), s"version $x not in ${vs.mkString(",")}")
+        x
+      case None => vs.last
+    }
+    val f = fs(spark, dir)
+    val in = f.open(new Path(manifestDir(dir), s"v$v.json"))
+    val body = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.commons.io.IOUtils.copy(in, bos)
+      new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    // one {"path":...,"rows":N} per line after the version header
+    val entries = body.linesIterator
+      .filter(_.contains("\"path\""))
+      .map { line =>
+        val p = """"path"\s*:\s*"([^"]+)"""".r
+          .findFirstMatchIn(line).get.group(1)
+        val r = """"rows"\s*:\s*(\d+)""".r
+          .findFirstMatchIn(line).get.group(1).toLong
+        ManifestEntry(p, r)
+      }.toVector
+    Snapshot(v, entries)
+  }
+
+  /** Read the table at a snapshot — only that version's files, never
+    * a directory listing. */
+  def read(spark: SparkSession, dir: String,
+      asOf: Option[Int] = None): DataFrame = {
+    val snap = snapshot(spark, dir, asOf)
+    if (snap.paths.isEmpty)
+      // empty version: preserve schema from any prior version's files
+      // is impossible without files; callers create tables non-empty
+      sys.error(s"version ${snap.version} of $dir lists no files")
+    spark.read.parquet(snap.paths: _*)
+  }
+
+  /** The atomic commit: create-if-absent of the next version's
+    * manifest. Returns the committed version, or None if another
+    * writer won the race (caller re-reads latest and retries). */
+  private def tryCommit(spark: SparkSession, dir: String, version: Int,
+      entries: Vector[ManifestEntry]): Option[Int] = {
+    val f = fs(spark, dir)
+    f.mkdirs(manifestDir(dir))
+    val target = new Path(manifestDir(dir), s"v$version.json")
+    val body = s"""{"version": $version, "files": [""" + "\n" +
+      entries.map(e => s"""  {"path": "${e.path}", "rows": ${e.rows}}""")
+        .mkString(",\n") + "\n]}"
+    try {
+      val out = f.create(target, /* overwrite = */ false)
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      Some(version)
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => None
+      case _: java.io.IOException if f.exists(target) => None
+    }
+  }
+
+  /** Write `df` as new immutable data files and return their entries
+    * (one read-back count per file set for the manifest's row
+    * verification). */
+  private def writeFiles(spark: SparkSession, dir: String,
+      df: DataFrame): Vector[ManifestEntry] = {
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val sub = new Path(dir, s"data-$stamp").toString
+    df.write.mode("errorifexists").parquet(sub)
+    val f = fs(spark, dir)
+    f.listStatus(new Path(sub)).toVector
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") &&
+        p.getName.endsWith(".parquet"))
+      .map(p =>
+        ManifestEntry(p.toString, spark.read.parquet(p.toString).count()))
+      .sortBy(_.path)
+  }
+
+  /** Initialize a table at version 1 (fails if already initialized). */
+  def create(spark: SparkSession, dir: String, df: DataFrame): Int = {
+    require(versions(spark, dir).isEmpty, s"table already exists at $dir")
+    val entries = writeFiles(spark, dir, df)
+    tryCommit(spark, dir, 1, entries)
+      .getOrElse(sys.error(s"concurrent create at $dir"))
+  }
+
+  /** Append `df` as a new version (retries past concurrent commits —
+    * an append conflicts with nothing: it only adds files). */
+  def append(spark: SparkSession, dir: String, df: DataFrame): Int = {
+    val newEntries = writeFiles(spark, dir, df)
+    var committed: Option[Int] = None
+    var guard = 0
+    while (committed.isEmpty && guard < 50) {
+      val cur = snapshot(spark, dir)
+      committed = tryCommit(spark, dir, cur.version + 1,
+        cur.entries ++ newEntries)
+      guard += 1
+    }
+    committed.getOrElse(sys.error(s"append lost 50 commit races at $dir"))
+  }
+
+  /** Replace the file set wholesale (overwrite semantics). */
+  def overwrite(spark: SparkSession, dir: String, df: DataFrame): Int = {
+    val newEntries = writeFiles(spark, dir, df)
+    val cur = snapshot(spark, dir)
+    tryCommit(spark, dir, cur.version + 1, newEntries)
+      .getOrElse(sys.error(s"concurrent commit at $dir — overwrite " +
+        "is not auto-retried: rebase on the new version first"))
+  }
+
+  /** Manifest-committed compaction: bin-pack the CURRENT version's
+    * files ([[Compaction.planBins]]), rewrite each multi-file bin to
+    * one new immutable file, and commit the new file set as the next
+    * version. Old versions keep reading the old files — this is what
+    * makes OPTIMIZE safe under concurrent readers, the piece x36's
+    * bare-directory swap could not give. Row counts verified per bin
+    * before the commit; a crash leaves orphan files, never a corrupt
+    * version. */
+  def compactCommit(spark: SparkSession, dir: String,
+      targetBytes: Long): Int = {
+    val f = fs(spark, dir)
+    val cur = snapshot(spark, dir)
+    val sized = cur.entries.map(e =>
+      Compaction.FileInfo(e.path, f.getFileStatus(new Path(e.path)).getLen))
+    val bins = Compaction.planBins(sized, targetBytes)
+    val rewritten = bins.filter(_.files.size >= 2).flatMap { bin =>
+      val inPaths = bin.files.map(_.path)
+      val inRows = cur.entries.filter(e => inPaths.contains(e.path))
+        .map(_.rows).sum
+      val stamp = java.util.UUID.randomUUID().toString.take(8)
+      val sub = new Path(dir, s"compact-$stamp").toString
+      spark.read.parquet(inPaths: _*).coalesce(1)
+        .write.mode("errorifexists").parquet(sub)
+      val part = f.listStatus(new Path(sub)).toVector.map(_.getPath)
+        .find(p => p.getName.startsWith("part-") &&
+          p.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"compact bin ${bin.binId}: no part file"))
+      val outRows = spark.read.parquet(part.toString).count()
+      require(outRows == inRows,
+        s"compact bin ${bin.binId} would lose rows: $inRows -> $outRows")
+      Vector(inPaths.toSet -> ManifestEntry(part.toString, outRows))
+    }
+    val replaced = rewritten.flatMap(_._1).toSet
+    val entries = cur.entries.filterNot(e => replaced.contains(e.path)) ++
+      rewritten.map(_._2)
+    tryCommit(spark, dir, cur.version + 1, entries.sortBy(_.path))
+      .getOrElse(sys.error(s"concurrent commit at $dir during compact"))
+  }
+
+  /** Delete data files unreachable from the kept (newest `keep`)
+    * manifests, and the dropped manifests themselves. Never touches a
+    * file a kept version lists. */
+  def vacuum(spark: SparkSession, dir: String, keep: Int): Unit = {
+    require(keep >= 1, "must keep at least the latest version")
+    val f = fs(spark, dir)
+    val vs = versions(spark, dir)
+    val (drop, kept) = vs.splitAt(math.max(0, vs.size - keep))
+    val reachable = kept
+      .flatMap(v => snapshot(spark, dir, Some(v)).paths).toSet
+    val dataDirs = f.listStatus(new Path(dir)).toVector
+      .filter(st => st.isDirectory && st.getPath.getName != "_manifests")
+    dataDirs.foreach { d =>
+      f.listStatus(d.getPath).toVector.map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") &&
+          !reachable.contains(p.toString))
+        .foreach(p => f.delete(p, false))
+    }
+    drop.foreach(v =>
+      f.delete(new Path(manifestDir(dir), s"v$v.json"), false))
+  }
+}

@@ -181,6 +181,61 @@ object Extensions extends QueryPack {
       }
     }),
 
+    // -- versioned-manifest table: atomic commits, time travel ----------
+    // The commit protocol that closes x36's caveat (Delta/Iceberg
+    // core, VLDB'20): data files immutable, a version = one manifest,
+    // a commit = one atomic create-if-absent. Lifecycle under test:
+    // v1 create (keys%3=0) → v2 append (%3=1) → v3 COMPACT-COMMIT
+    // (file set changes, content must not) → v4 append (%3=2); then
+    // time-travel reads of every version, a snapshot RESOLVED AT v2
+    // re-read after v4 commits (isolation), and vacuum(keep=2) which
+    // must drop v1/v2 and their unreachable files while the latest
+    // version's rows survive byte-identical. Deterministic aggregates
+    // per version are the oracle's half; the protocol properties ride
+    // as predicate columns (x35 policy).
+    "x37_manifest_time_travel" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-manifest-").toString + "/t"
+      val t = Tables(s, dir).orders.select($"o_orderkey",
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      def slice(m: Int) = t.filter($"o_orderkey" % 3 === m)
+      try {
+        ManifestTable.create(s, work, slice(0).repartition(6))
+        ManifestTable.append(s, work, slice(1).repartition(6))
+        val isoSnap = ManifestTable.snapshot(s, work) // resolved at v2
+        ManifestTable.compactCommit(s, work, targetBytes = 32L << 20)
+        ManifestTable.append(s, work, slice(2).repartition(6))
+        def stats(v: Int): (Long, Long) = {
+          val r = ManifestTable.read(s, work, Some(v))
+            .agg(count(lit(1)), sum($"cents")).first()
+          (r.getLong(0), r.getLong(1))
+        }
+        val perV = (1 to 4).map(v => (v.toLong, stats(v)))
+        // snapshot isolation: the v2-resolved file list, read AFTER
+        // v3 and v4 committed, still yields exactly v2's rows
+        val isoRows = s.read.parquet(isoSnap.paths: _*).count()
+        val isolationHeld = isoSnap.version == 2 && isoRows == perV(1)._2._1
+        // compaction changed files, never content
+        val compactPreserved = perV(1)._2 == perV(2)._2 &&
+          ManifestTable.snapshot(s, work, Some(3)).paths !=
+            ManifestTable.snapshot(s, work, Some(2)).paths
+        val before = stats(4)
+        ManifestTable.vacuum(s, work, keep = 2)
+        val vacuumSafe =
+          ManifestTable.versions(s, work) == Vector(3, 4) &&
+            stats(4) == before
+        perV.map { case (v, (n, c)) =>
+          (v, n, c, compactPreserved, isolationHeld, vacuumSafe)
+        }.toDF("version", "n_rows", "sum_cents", "compact_preserved",
+          "isolation_held", "vacuum_safe")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(work).getParentFile)
+      }
+    }),
+
     // -- multi-action MERGE: DELETE / UPDATE / INSERT in one pass -------
     // The Delta-Lake MERGE INTO workhorse x05's replace+insert can't
     // express: a returns feed deletes matched orders flagged 'R',
@@ -1640,6 +1695,25 @@ object Extensions extends QueryPack {
         |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM snapshot GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // each version's content is a deterministic keyspace slice; the
+    // protocol properties (atomic visibility, isolation, vacuum
+    // safety) are literal TRUEs the engine must prove
+    "x37_manifest_time_travel" ->
+      """WITH t AS (
+        |  SELECT o_orderkey % 3 AS m,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT CAST(v.version AS BIGINT) AS version,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(t.cents) AS BIGINT) AS sum_cents,
+        |  TRUE AS compact_preserved,
+        |  TRUE AS isolation_held,
+        |  TRUE AS vacuum_safe
+        |FROM (VALUES (1), (2), (3), (4)) v(version)
+        |JOIN t ON t.m <= CASE v.version WHEN 1 THEN 0
+        |  WHEN 2 THEN 1 WHEN 3 THEN 1 ELSE 2 END
+        |GROUP BY v.version ORDER BY version""".stripMargin,
 
     // compaction changes bytes, never rows: the oracle is the source
     // table's exact count + portable content fingerprint, and the

@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.streaming.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ManifestTableSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def fresh(): String =
+    java.nio.file.Files.createTempDirectory("graft-mt-").toString + "/t"
+
+  private def cleanup(dir: String): Unit =
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir).getParentFile)
+
+  test("create/append/time-travel: every version reads its exact rows") {
+    import spark.implicits._
+    val dir = fresh()
+    ManifestTable.create(spark, dir, (0L until 100L).toDF("k"))
+    ManifestTable.append(spark, dir, (100L until 250L).toDF("k"))
+    ManifestTable.append(spark, dir, (250L until 300L).toDF("k"))
+    assert(ManifestTable.versions(spark, dir) == Vector(1, 2, 3))
+    assert(ManifestTable.read(spark, dir, Some(1)).count() == 100)
+    assert(ManifestTable.read(spark, dir, Some(2)).count() == 250)
+    assert(ManifestTable.read(spark, dir).count() == 300)
+    // exact content, not just counts
+    val v2 = ManifestTable.read(spark, dir, Some(2))
+      .agg(sum($"k")).first().getLong(0)
+    assert(v2 == (0L until 250L).sum)
+    cleanup(dir)
+  }
+
+  test("concurrent appends: the loser retries, both land, nothing lost") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = fresh()
+    ManifestTable.create(spark, dir, (0L until 10L).toDF("k"))
+    // two writers race repeatedly on the same next version; append's
+    // optimistic retry must absorb every lost race
+    val fa = Future {
+      (0 until 5).foreach(i =>
+        ManifestTable.append(spark, dir,
+          Seq(1000L + i).toDF("k")))
+    }
+    val fb = Future {
+      (0 until 5).foreach(i =>
+        ManifestTable.append(spark, dir,
+          Seq(2000L + i).toDF("k")))
+    }
+    Await.result(fa, 120.seconds)
+    Await.result(fb, 120.seconds)
+    // 11 committed versions, every append visible exactly once
+    assert(ManifestTable.versions(spark, dir) == (1 to 11).toVector)
+    val ks = ManifestTable.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toVector
+    assert(ks == ((0L until 10L) ++
+      (0 until 5).map(1000L + _) ++ (0 until 5).map(2000L + _))
+      .sorted.toVector)
+    cleanup(dir)
+  }
+
+  test("compactCommit: content identical, fewer files, old version intact") {
+    import spark.implicits._
+    val dir = fresh()
+    ManifestTable.create(spark, dir,
+      (0L until 3000L).toDF("k").repartition(12))
+    val v1Files = ManifestTable.snapshot(spark, dir, Some(1)).paths
+    assert(v1Files.size == 12)
+    ManifestTable.compactCommit(spark, dir, targetBytes = 64L << 20)
+    val v2 = ManifestTable.snapshot(spark, dir, Some(2))
+    assert(v2.paths.size < 12)
+    assert(ManifestTable.read(spark, dir, Some(2)).count() == 3000)
+    // time travel to v1 still reads the ORIGINAL 12 files
+    assert(ManifestTable.snapshot(spark, dir, Some(1)).paths == v1Files)
+    assert(ManifestTable.read(spark, dir, Some(1)).count() == 3000)
+    cleanup(dir)
+  }
+
+  test("vacuum: drops unreachable files and manifests, keeps the rest") {
+    import spark.implicits._
+    val dir = fresh()
+    ManifestTable.create(spark, dir, (0L until 500L).toDF("k")
+      .repartition(8))
+    ManifestTable.compactCommit(spark, dir, targetBytes = 64L << 20)
+    ManifestTable.append(spark, dir, (500L until 600L).toDF("k"))
+    ManifestTable.vacuum(spark, dir, keep = 2)
+    assert(ManifestTable.versions(spark, dir) == Vector(2, 3))
+    assert(ManifestTable.read(spark, dir).count() == 600)
+    assert(ManifestTable.read(spark, dir, Some(2)).count() == 500)
+    // v1's 8 small files are physically gone (v2 compacted them away)
+    intercept[IllegalArgumentException] {
+      ManifestTable.snapshot(spark, dir, Some(1))
+    }
+    cleanup(dir)
+  }
+
+  test("overwrite replaces content; create refuses an existing table") {
+    import spark.implicits._
+    val dir = fresh()
+    ManifestTable.create(spark, dir, (0L until 50L).toDF("k"))
+    ManifestTable.overwrite(spark, dir, (900L until 910L).toDF("k"))
+    assert(ManifestTable.read(spark, dir).count() == 10)
+    assert(ManifestTable.read(spark, dir, Some(1)).count() == 50)
+    intercept[IllegalArgumentException] {
+      ManifestTable.create(spark, dir, (0L until 5L).toDF("k"))
+    }
+    cleanup(dir)
+  }
+}
