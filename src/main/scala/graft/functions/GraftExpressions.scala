@@ -176,4 +176,10 @@ object GraftFunctions {
   def hash56(c: Column): Column = call_function("graft_hash56", c)
 
   def dotl(a: Column, b: Column): Column = call_function("graft_dotl", a, b)
+
+  def maxCodePoint(c: Column): Column =
+    call_function("graft_max_codepoint", c)
+
+  def packedWindows(c: Column): Column =
+    call_function("graft_packed_windows", c)
 }

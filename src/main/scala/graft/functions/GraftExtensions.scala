@@ -52,6 +52,15 @@ object GraftExtensions {
       info("graft_dotl",
         "graft_dotl(a, b) - exact integer dot product of long arrays"),
       arity("graft_dotl", 2)(args => DotProductL(args(0), args(1)))),
+    (FunctionIdentifier("graft_max_codepoint"),
+      info("graft_max_codepoint",
+        "graft_max_codepoint(str) - largest code point (0 for empty)"),
+      arity("graft_max_codepoint", 1)(args => MaxCodePoint(args.head))),
+    (FunctionIdentifier("graft_packed_windows"),
+      info("graft_packed_windows",
+        "graft_packed_windows(str) - one row (pos, cls) per position: " +
+          "width-8 suffix class packed base-129; single-byte strings only"),
+      arity("graft_packed_windows", 1)(args => PackedWindows(args.head))),
     (FunctionIdentifier("graft_mg_summary"),
       info("graft_mg_summary",
         "graft_mg_summary(key, k) - Misra-Gries heavy-hitters summary " +

@@ -114,32 +114,24 @@ object SubstringDedup {
     require(l > 0 && (l & (l - 1)) == 0, s"L must be a power of two, got $l")
     val s = docs.sparkSession
     import s.implicits._
-    // one row per DOC: code array + its max, split/ascii run once
-    val coded = Ckpt.flat(docs
-      .select($"doc_id", length($"text").as("len"),
-        expr("transform(split(text, '(?!^)'), ch -> ascii(ch) + 1)")
-          .as("codes"))
-      .withColumn("mx", expr("coalesce(array_max(codes), 1) - 1")))
+    import graft.functions.GraftFunctions
+    // compiled admission check (graft_max_codepoint): one codegen pass
+    // over the text, replacing the interpreted split/transform HOFs
+    // that profiling flagged (PLANS §102)
     val singleByte = l >= 8 &&
-      (coded.agg(max($"mx")).first() match {
+      (docs.agg(max(GraftFunctions.maxCodePoint($"text"))).first() match {
         case r if r.isNullAt(0) => true // empty corpus
         case r => r.getInt(0) <= 127
       })
     var (cls, w) =
       if (singleByte) {
-        // straight-line Horner unroll (one interpreted lambda per
-        // position, not a nested aggregate's nine)
-        val term = (j: Int) => {
-          val w = java.math.BigInteger.valueOf(129L).pow(7 - j)
-          s"IF(p + $j < size(codes), " +
-            s"CAST(element_at(codes, p + $j + 1) AS BIGINT), 0L) * ${w}L"
-        }
-        val packed = coded.select($"doc_id", $"len",
-          posexplode(expr(
-            s"""transform(sequence(0, size(codes) - 1), p ->
-               |  ${(0 to 7).map(term).mkString(" +\n  ")})""".stripMargin))
-            .as(Seq("pos", "cls")))
-        // materialize: the packing HOF must run once, not once per
+        // native generator (graft_packed_windows): one compiled pass
+        // over the string's bytes emitting (pos, cls) rows straight
+        // into the Generate node — no per-doc array materialization,
+        // no per-position lambda
+        val packed = docs.select($"doc_id", length($"text").as("len"),
+          GraftFunctions.packedWindows($"text"))
+        // materialize: the packing must run once, not once per
         // downstream branch of the first round's self-join
         (Ckpt.flat(packed), 8)
       } else {
