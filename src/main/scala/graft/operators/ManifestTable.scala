@@ -36,12 +36,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object ManifestTable {
 
   final case class ManifestEntry(path: String, rows: Long)
-  final case class Snapshot(version: Int, entries: Vector[ManifestEntry]) {
+
+  /** `compaction = true` marks a version whose commit changed FILES
+    * but not CONTENT (Delta's dataChange=false) — a change-feed tail
+    * must skip it or it double-counts every compacted row. */
+  final case class Snapshot(version: Int, entries: Vector[ManifestEntry],
+      compaction: Boolean = false) {
     def paths: Vector[String] = entries.map(_.path)
     def rows: Long = entries.map(_.rows).sum
   }
 
   private def manifestDir(dir: String) = new Path(dir, "_manifests")
+
+  /** Zero-padded so lexicographic file order == version order — a
+    * file-stream tail of `_manifests` then sees commits in commit
+    * order even when mtimes tie within a timestamp granule. */
+  private[operators] def manifestName(v: Int) = f"v$v%06d.json"
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -69,12 +79,38 @@ object ManifestTable {
       case None => vs.last
     }
     val f = fs(spark, dir)
-    val in = f.open(new Path(manifestDir(dir), s"v$v.json"))
-    val body = try {
-      val bos = new java.io.ByteArrayOutputStream()
-      org.apache.commons.io.IOUtils.copy(in, bos)
-      new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-    } finally in.close()
+    // a manifest can be VISIBLE before its writer closes it (the
+    // create-if-absent commit point makes the file exist first): an
+    // unparsable body means a commit in flight — re-read briefly
+    // rather than failing a reader that raced the winning writer
+    var attempt = 0
+    while (true) {
+      val in = f.open(new Path(manifestDir(dir), manifestName(v)))
+      val body = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.commons.io.IOUtils.copy(in, bos)
+        new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      try return parseManifest(body)
+      catch {
+        case e: Exception if attempt < 50 =>
+          attempt += 1
+          Thread.sleep(20)
+        case e: Exception =>
+          throw new IllegalStateException(
+            s"manifest v$v at $dir stayed unparsable — truncated commit?", e)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Parse a manifest body (also used by the change-feed tail, which
+    * receives manifests through a file stream, not this reader). */
+  def parseManifest(body: String): Snapshot = {
+    val v = """"version"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(body).get.group(1).toInt
+    val compaction = """"compaction"\s*:\s*true""".r
+      .findFirstIn(body).isDefined
     // one {"path":...,"rows":N} per line after the version header
     val entries = body.linesIterator
       .filter(_.contains("\"path\""))
@@ -85,7 +121,7 @@ object ManifestTable {
           .findFirstMatchIn(line).get.group(1).toLong
         ManifestEntry(p, r)
       }.toVector
-    Snapshot(v, entries)
+    Snapshot(v, entries, compaction)
   }
 
   /** Read the table at a snapshot — only that version's files, never
@@ -104,11 +140,12 @@ object ManifestTable {
     * manifest. Returns the committed version, or None if another
     * writer won the race (caller re-reads latest and retries). */
   private def tryCommit(spark: SparkSession, dir: String, version: Int,
-      entries: Vector[ManifestEntry]): Option[Int] = {
+      entries: Vector[ManifestEntry],
+      compaction: Boolean = false): Option[Int] = {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
-    val target = new Path(manifestDir(dir), s"v$version.json")
-    val body = s"""{"version": $version, "files": [""" + "\n" +
+    val target = new Path(manifestDir(dir), manifestName(version))
+    val body = s"""{"version": $version, "compaction": $compaction, "files": [""" + "\n" +
       entries.map(e => s"""  {"path": "${e.path}", "rows": ${e.rows}}""")
         .mkString(",\n") + "\n]}"
     try {
@@ -207,7 +244,8 @@ object ManifestTable {
     val replaced = rewritten.flatMap(_._1).toSet
     val entries = cur.entries.filterNot(e => replaced.contains(e.path)) ++
       rewritten.map(_._2)
-    tryCommit(spark, dir, cur.version + 1, entries.sortBy(_.path))
+    tryCommit(spark, dir, cur.version + 1, entries.sortBy(_.path),
+      compaction = true)
       .getOrElse(sys.error(s"concurrent commit at $dir during compact"))
   }
 
@@ -230,6 +268,6 @@ object ManifestTable {
         .foreach(p => f.delete(p, false))
     }
     drop.foreach(v =>
-      f.delete(new Path(manifestDir(dir), s"v$v.json"), false))
+      f.delete(new Path(manifestDir(dir), manifestName(v)), false))
   }
 }

@@ -1570,6 +1570,96 @@ object StreamingOps extends QueryPack {
     // any merge tree, and micro-batching IS a merge tree). This is
     // the proof the custom-aggregate tier survives the state-store
     // serialization path, not just batch shuffles.
+    // -- change-feed tail of the x37 manifest table ---------------------
+    // The Delta streaming-source shape: the COMMIT LOG is the stream.
+    // Four versions are committed (create, append, COMPACTION, append),
+    // then a file stream tails _manifests (wholetext, one manifest per
+    // micro-batch — zero-padded names make file order = commit order).
+    // Each batch parses its manifests, diffs file sets against the
+    // previous version to find ADDED files, reads ONLY those, and folds
+    // their aggregate additively into a parquet serving snapshot. The
+    // compaction version changes files but not content (manifest's
+    // compaction=true, Delta's dataChange=false) — the tail MUST skip
+    // it or every compacted row double-counts; that skip is what the
+    // oracle's exact totals prove. Idempotence guard is the VERSION
+    // number (not batchId): a redelivered manifest re-parses to an
+    // already-applied version and is a no-op.
+    "st45_stream_table_tail" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-tail-").toString
+      val work = s"$root/table"
+      val t = Tables(s, dir).orders.select($"o_orderkey",
+        ($"o_orderkey" % 3).as("m"),
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      def slice(m: Int) = t.filter($"m" === m)
+      ManifestTable.create(s, work, slice(0).repartition(4))
+      ManifestTable.append(s, work, slice(1).repartition(4))
+      ManifestTable.compactCommit(s, work, targetBytes = 32L << 20)
+      ManifestTable.append(s, work, slice(2).repartition(4))
+
+      var lastApplied = 0
+      var prevPaths = Set.empty[String]
+      var dataVersions = 0L
+      var compactionsSkipped = 0L
+      var latest: Option[String] = None
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = s.readStream.format("text")
+          .option("wholetext", "true")
+          .option("maxFilesPerTrigger", "1")
+          .load(s"$work/_manifests")
+          .writeStream
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch {
+            (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+              // manifests are O(#files) METADATA — collecting them is
+              // the driver-side planning every table format does
+              val snaps = batch.collect().map(r =>
+                ManifestTable.parseManifest(r.getString(0)))
+                .sortBy(_.version)
+              snaps.filter(_.version > lastApplied).foreach { snap =>
+                if (snap.compaction) compactionsSkipped += 1
+                else {
+                  val added = snap.paths.filterNot(prevPaths)
+                  val delta = s.read.parquet(added: _*)
+                    .groupBy($"m")
+                    .agg(count(lit(1)).as("n_rows"),
+                      sum($"cents").as("sum_cents"))
+                  val merged = latest match {
+                    case None => delta
+                    case Some(p) => graft.operators.IncrementalAgg
+                      .mergeAdditive(s.read.parquet(p), delta, Seq("m"))
+                  }
+                  val next = s"$root/serve-v${snap.version}"
+                  merged.write.mode("overwrite").parquet(next)
+                  latest.foreach { p =>
+                    val fp = new org.apache.hadoop.fs.Path(p)
+                    fp.getFileSystem(s.sparkContext.hadoopConfiguration)
+                      .delete(fp, true)
+                  }
+                  latest = Some(next)
+                  dataVersions += 1
+                }
+                prevPaths = snap.paths.toSet
+                lastApplied = snap.version
+              }
+          }
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      require(compactionsSkipped == 1,
+        s"expected exactly 1 compaction version, saw $compactionsSkipped")
+      s.read.parquet(latest.get)
+        .select($"m", $"n_rows", $"sum_cents",
+          lit(dataVersions).as("n_data_versions"),
+          lit(compactionsSkipped).as("n_compactions_skipped"))
+        .orderBy($"m")
+    }),
+
     "st44_stream_heavy_hitters" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val keyed = eventStreamMultiBatch(s, dir, parts = 4)
@@ -2849,6 +2939,18 @@ object StreamingOps extends QueryPack {
         |  ON d.user_id = en.user_id AND d.valid_from = en.vf
         |GROUP BY 1, 2, 3
         |ORDER BY en.user_id, dim_version NULLS FIRST""".stripMargin,
+
+    // the tail must reconstruct the table's exact totals from added
+    // files alone — double-counting the compaction version is the
+    // failure mode the flag exists to prevent
+    "st45_stream_table_tail" ->
+      """SELECT o_orderkey % 3 AS m,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(3 AS BIGINT) AS n_data_versions,
+        |  CAST(1 AS BIGINT) AS n_compactions_skipped
+        |FROM orders GROUP BY 1 ORDER BY m""".stripMargin,
 
     // same predicates as x35 — guarantees hold under ANY merge tree,
     // and micro-batching is just another merge tree
