@@ -107,7 +107,13 @@ object ClusterParity {
     "s19_mmr_rerank", "st43_stream_temporal_enrich",
     "d21_prefix_filter_join", "e31_trend_slope", "d22_threshold_percolation",
     "m26_h264_sps_decode", "x35_heavy_hitters", "st44_stream_heavy_hitters",
-    "p01_curation_pipeline")
+    "p01_curation_pipeline",
+    // round-9 late tier: the PackedWindows generator + MaxCodePoint
+    // scalar serialized to executors (d23/d24), the manifest commit
+    // protocol + change-feed tail (x37/st45), bare-dir compaction (x36)
+    "d23_substring_dedup", "d24_longest_dup_passage",
+    "x36_compact_small_files", "x37_manifest_time_travel",
+    "st45_stream_table_tail")
 }
 
 /** Smoke main: `runMain graft.ClusterParitySmoke <sfDir> [names…]` —

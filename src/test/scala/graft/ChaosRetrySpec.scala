@@ -87,7 +87,10 @@ class ChaosRetrySpec extends AnyFunSuite
     "st32_stream_join_view_ivm", "st37_stream_extrema_rollup",
     "st39_stream_eager_agg", "st40_stream_warc_ingest",
     "st41_stream_late_data", "st42_stream_peak_concurrency",
-    "st43_stream_temporal_enrich")
+    "st43_stream_temporal_enrich",
+    // the manifest tail: version-number idempotence + commit protocol
+    // under failing reads (manifest re-reads, serving-snapshot folds)
+    "st45_stream_table_tail")
 
   test("serving loops survive first-attempt task failures unchanged") {
     val clean = ClusterParity.runAll(
