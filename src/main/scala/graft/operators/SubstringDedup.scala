@@ -86,13 +86,25 @@ object SubstringDedup {
         .select($"doc_id", $"pos", $"len", $"ncls".as("cls")))
   }
 
+  /** Initial-table prune: drop every position whose class is already
+    * a singleton — it can never become duplicated. Evaluates `df`
+    * twice (count side + semi-join side), so callers pass a LAZY
+    * frame whose re-evaluation is cheap (the compiled generator /
+    * the char explode), never a frame with shuffles in its lineage.
+    */
+  private def keepDuplicated(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val dup = df.groupBy($"cls").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 2).select($"cls")
+    df.join(dup, Seq("cls"), "left_semi")
+  }
+
   /** Class table at width `l` (power of two): one row per surviving
     * position, `cls` equal ⟺ equal length-min(l, remaining) prefix
-    * (and equal truncation length). After at least one refinement
-    * round only duplicated classes survive (the fused prune); the
-    * initial table is deliberately UNPRUNED — a standalone prune
-    * costs two shuffles of the full position table and the first
-    * round's groupBy prunes for free.
+    * (and equal truncation length). Only duplicated classes survive:
+    * the initial table is pruned before it is ever materialized, and
+    * each round's fused prune keeps it that way.
     *
     * Single-byte-codepoint corpora (checked exactly, per corpus)
     * start at width 8 with the class packed DIRECTLY per position —
@@ -102,13 +114,12 @@ object SubstringDedup {
     * (129⁸ < 2⁶⁰). Injective including truncation: codes are never 0,
     * so trailing zero digits decode unambiguously as "suffix shorter
     * than 8" — equal longs ⟺ equal min(8, remaining)-prefix and equal
-    * truncation length, exactly the refinement invariant. The per-doc
-    * code arrays are materialized ONCE ([[Ckpt.flat]]) and both the
-    * single-byte check and the packing read the blocks — the
-    * interpreted HOFs (split/transform/aggregate) are the dominant
-    * per-pass cost and must not sit in a lineage the self-joining
-    * rounds re-evaluate. Other corpora start at width 1 from the
-    * code point.
+    * truncation length, exactly the refinement invariant. Both the
+    * admission check and the packing are native compiled expressions
+    * ([[graft.functions.MaxCodePoint]], [[graft.functions.PackedWindows]])
+    * — the interpreted HOF spellings they replaced were the measured
+    * hotspot (PLANS §102/§104). Other corpora start at width 1 from
+    * the code point.
     */
   private[graft] def classesAt(docs: DataFrame, l: Int): DataFrame = {
     require(l > 0 && (l & (l - 1)) == 0, s"L must be a power of two, got $l")
@@ -131,17 +142,22 @@ object SubstringDedup {
         // no per-position lambda
         val packed = docs.select($"doc_id", length($"text").as("len"),
           GraftFunctions.packedWindows($"text"))
-        // materialize: the packing must run once, not once per
-        // downstream branch of the first round's self-join
-        (Ckpt.flat(packed), 8)
+        // prune BEFORE materializing: on realistic text most width-8
+        // contexts are already unique, so the survivor table — the
+        // only thing the rounds ever touch and the only thing worth a
+        // checkpoint — is a sliver of the position table. The full
+        // position table is never materialized anywhere: the prune's
+        // two branches re-run the generator, which is compiled and
+        // shuffle-free, the cheap side of that trade.
+        (Ckpt.flat(keepDuplicated(packed)), 8)
       } else {
         // generic fallback: one row per character via the same
         // no-text-duplication explode, classes from the code point
         val chars = docs
           .select($"doc_id", length($"text").as("len"),
             posexplode(split($"text", "(?!^)")).as(Seq("pos", "c")))
-        (Ckpt.flat(chars.select($"doc_id", $"pos", $"len",
-          ascii($"c").cast("long").as("cls"))), 1)
+        (Ckpt.flat(keepDuplicated(chars.select($"doc_id", $"pos", $"len",
+          ascii($"c").cast("long").as("cls")))), 1)
       }
     while (w < l) { cls = refineOnce(cls, w); w *= 2 }
     cls
