@@ -35,13 +35,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ManifestTable {
 
-  final case class ManifestEntry(path: String, rows: Long)
+  /** `lo`/`hi`: min/max of the table's declared stats column within
+    * this file — the Delta/Iceberg file-level statistics that let a
+    * range predicate skip files from the MANIFEST, before any footer
+    * is opened. */
+  final case class ManifestEntry(path: String, rows: Long,
+      lo: Option[Long] = None, hi: Option[Long] = None)
 
   /** `compaction = true` marks a version whose commit changed FILES
     * but not CONTENT (Delta's dataChange=false) — a change-feed tail
-    * must skip it or it double-counts every compacted row. */
+    * must skip it or it double-counts every compacted row. `txn` is
+    * the writer's idempotence marker (Delta's txn action): a
+    * streaming sink stamps each commit with its (queryId, batchId)
+    * and skips the append when the marker is already in the log. */
   final case class Snapshot(version: Int, entries: Vector[ManifestEntry],
-      compaction: Boolean = false) {
+      compaction: Boolean = false, txn: Option[String] = None) {
     def paths: Vector[String] = entries.map(_.path)
     def rows: Long = entries.map(_.rows).sum
   }
@@ -111,7 +119,9 @@ object ManifestTable {
       .findFirstMatchIn(body).get.group(1).toInt
     val compaction = """"compaction"\s*:\s*true""".r
       .findFirstIn(body).isDefined
-    // one {"path":...,"rows":N} per line after the version header
+    val txn = """"txn"\s*:\s*"([^"]+)"""".r
+      .findFirstMatchIn(body).map(_.group(1))
+    // one {"path":...,"rows":N[,"lo":L,"hi":H]} per line after the header
     val entries = body.linesIterator
       .filter(_.contains("\"path\""))
       .map { line =>
@@ -119,9 +129,13 @@ object ManifestTable {
           .findFirstMatchIn(line).get.group(1)
         val r = """"rows"\s*:\s*(\d+)""".r
           .findFirstMatchIn(line).get.group(1).toLong
-        ManifestEntry(p, r)
+        val lo = """"lo"\s*:\s*(-?\d+)""".r
+          .findFirstMatchIn(line).map(_.group(1).toLong)
+        val hi = """"hi"\s*:\s*(-?\d+)""".r
+          .findFirstMatchIn(line).map(_.group(1).toLong)
+        ManifestEntry(p, r, lo, hi)
       }.toVector
-    Snapshot(v, entries, compaction)
+    Snapshot(v, entries, compaction, txn)
   }
 
   /** Read the table at a snapshot — only that version's files, never
@@ -141,13 +155,22 @@ object ManifestTable {
     * writer won the race (caller re-reads latest and retries). */
   private def tryCommit(spark: SparkSession, dir: String, version: Int,
       entries: Vector[ManifestEntry],
-      compaction: Boolean = false): Option[Int] = {
+      compaction: Boolean = false,
+      txn: Option[String] = None): Option[Int] = {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
     val target = new Path(manifestDir(dir), manifestName(version))
-    val body = s"""{"version": $version, "compaction": $compaction, "files": [""" + "\n" +
-      entries.map(e => s"""  {"path": "${e.path}", "rows": ${e.rows}}""")
-        .mkString(",\n") + "\n]}"
+    val txnField = txn.map(t => s""", "txn": "$t"""").getOrElse("")
+    val body =
+      s"""{"version": $version, "compaction": $compaction$txnField, "files": [""" +
+        "\n" +
+      entries.map { e =>
+        val stats = (e.lo, e.hi) match {
+          case (Some(l), Some(h)) => s""", "lo": $l, "hi": $h"""
+          case _ => ""
+        }
+        s"""  {"path": "${e.path}", "rows": ${e.rows}$stats}"""
+      }.mkString(",\n") + "\n]}"
     try {
       val out = f.create(target, /* overwrite = */ false)
       try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -159,54 +182,116 @@ object ManifestTable {
     }
   }
 
-  /** Write `df` as new immutable data files and return their entries
-    * (one read-back count per file set for the manifest's row
-    * verification). */
+  /** Write `df` as new immutable data files and return their entries:
+    * ONE read-back grouped by input_file_name yields every file's row
+    * count and (when `statsCol` is set) its min/max — the per-file
+    * statistics pass every table format's writer performs. */
   private def writeFiles(spark: SparkSession, dir: String,
-      df: DataFrame): Vector[ManifestEntry] = {
+      df: DataFrame, statsCol: Option[String]): Vector[ManifestEntry] = {
+    import org.apache.spark.sql.functions._
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val sub = new Path(dir, s"data-$stamp").toString
     df.write.mode("errorifexists").parquet(sub)
-    val f = fs(spark, dir)
-    f.listStatus(new Path(sub)).toVector
-      .map(_.getPath)
-      .filter(p => p.getName.startsWith("part-") &&
-        p.getName.endsWith(".parquet"))
-      .map(p =>
-        ManifestEntry(p.toString, spark.read.parquet(p.toString).count()))
-      .sortBy(_.path)
+    val back = spark.read.parquet(sub)
+    val aggs = count(lit(1)).as("n") +: statsCol.toSeq.flatMap(c => Seq(
+      min(col(c).cast("long")).as("slo"), max(col(c).cast("long")).as("shi")))
+    val byFile = back.groupBy(input_file_name().as("pf"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    byFile.toVector.map { r =>
+      ManifestEntry(
+        // input_file_name is URI-encoded; normalize to the Path form
+        // listStatus would give
+        new Path(new java.net.URI(r.getString(0))).toString,
+        r.getLong(1),
+        if (statsCol.isDefined) Some(r.getLong(2)) else None,
+        if (statsCol.isDefined) Some(r.getLong(3)) else None)
+    }.sortBy(_.path)
   }
 
   /** Initialize a table at version 1 (fails if already initialized). */
-  def create(spark: SparkSession, dir: String, df: DataFrame): Int = {
+  def create(spark: SparkSession, dir: String, df: DataFrame,
+      statsCol: Option[String] = None): Int = {
     require(versions(spark, dir).isEmpty, s"table already exists at $dir")
-    val entries = writeFiles(spark, dir, df)
+    val entries = writeFiles(spark, dir, df, statsCol)
     tryCommit(spark, dir, 1, entries)
       .getOrElse(sys.error(s"concurrent create at $dir"))
   }
 
   /** Append `df` as a new version (retries past concurrent commits —
-    * an append conflicts with nothing: it only adds files). */
-  def append(spark: SparkSession, dir: String, df: DataFrame): Int = {
-    val newEntries = writeFiles(spark, dir, df)
+    * an append conflicts with nothing: it only adds files). With
+    * `txn` set, the append is IDEMPOTENT: if any kept manifest
+    * already carries the marker, nothing is written and that version
+    * is returned — the exactly-once contract a streaming sink's
+    * (queryId, batchId) redelivery needs (Delta's txn action; the
+    * dedupe window is the kept manifests, so vacuum retention must
+    * exceed the redelivery horizon). */
+  def append(spark: SparkSession, dir: String, df: DataFrame,
+      statsCol: Option[String] = None,
+      txn: Option[String] = None): Int = {
+    txn.flatMap(t => txnVersion(spark, dir, t)) match {
+      case Some(v) => return v
+      case None =>
+    }
+    val newEntries = writeFiles(spark, dir, df, statsCol)
     var committed: Option[Int] = None
     var guard = 0
     while (committed.isEmpty && guard < 50) {
-      val cur = snapshot(spark, dir)
+      // the marker may have landed while we were writing files (a
+      // concurrent retry of the same batch): re-check before commit
+      txn.flatMap(t => txnVersion(spark, dir, t)) match {
+        case Some(v) => return v
+        case None =>
+      }
+      // appending to an uninitialized table bootstraps v1 — the shape
+      // a streaming sink needs (its first batch IS the create)
+      val cur =
+        if (versions(spark, dir).isEmpty) Snapshot(0, Vector.empty)
+        else snapshot(spark, dir)
       committed = tryCommit(spark, dir, cur.version + 1,
-        cur.entries ++ newEntries)
+        cur.entries ++ newEntries, txn = txn)
       guard += 1
     }
     committed.getOrElse(sys.error(s"append lost 50 commit races at $dir"))
   }
 
+  /** The version that committed `txn`, if present in a kept manifest. */
+  def txnVersion(spark: SparkSession, dir: String,
+      txn: String): Option[Int] =
+    versions(spark, dir).reverse
+      .find(v => snapshot(spark, dir, Some(v)).txn.contains(txn))
+
   /** Replace the file set wholesale (overwrite semantics). */
-  def overwrite(spark: SparkSession, dir: String, df: DataFrame): Int = {
-    val newEntries = writeFiles(spark, dir, df)
+  def overwrite(spark: SparkSession, dir: String, df: DataFrame,
+      statsCol: Option[String] = None): Int = {
+    val newEntries = writeFiles(spark, dir, df, statsCol)
     val cur = snapshot(spark, dir)
     tryCommit(spark, dir, cur.version + 1, newEntries)
       .getOrElse(sys.error(s"concurrent commit at $dir — overwrite " +
         "is not auto-retried: rebase on the new version first"))
+  }
+
+  /** Manifest-level data skipping: read only the files whose [lo, hi]
+    * stats range intersects [from, to] — file pruning decided from
+    * the MANIFEST alone, no footer opened for a skipped file (the
+    * Delta/Iceberg stats-pruning read path). Files without stats are
+    * conservatively read. Returns the frame (residual predicate still
+    * applied, so results are exact even with stale/absent stats) plus
+    * (files read, files total). */
+  def readRange(spark: SparkSession, dir: String, statsCol: String,
+      from: Long, to: Long, asOf: Option[Int] = None)
+      : (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions._
+    val snap = snapshot(spark, dir, asOf)
+    val live = snap.entries.filter(e => (e.lo, e.hi) match {
+      case (Some(l), Some(h)) => h >= from && l <= to
+      case _ => true
+    })
+    val df =
+      (if (live.isEmpty) read(spark, dir, asOf).limit(0)
+       else spark.read.parquet(live.map(_.path): _*))
+        .filter(col(statsCol).cast("long").between(from, to))
+    (df, live.size, snap.entries.size)
   }
 
   /** Manifest-committed compaction: bin-pack the CURRENT version's
@@ -239,7 +324,14 @@ object ManifestTable {
       val outRows = spark.read.parquet(part.toString).count()
       require(outRows == inRows,
         s"compact bin ${bin.binId} would lose rows: $inRows -> $outRows")
-      Vector(inPaths.toSet -> ManifestEntry(part.toString, outRows))
+      // merged file stats fold from the members' — no data re-read
+      val mlo = bin.files.flatMap(f0 =>
+        cur.entries.find(_.path == f0.path).flatMap(_.lo))
+      val mhi = bin.files.flatMap(f0 =>
+        cur.entries.find(_.path == f0.path).flatMap(_.hi))
+      Vector(inPaths.toSet -> ManifestEntry(part.toString, outRows,
+        if (mlo.size == bin.files.size) Some(mlo.min) else None,
+        if (mhi.size == bin.files.size) Some(mhi.max) else None))
     }
     val replaced = rewritten.flatMap(_._1).toSet
     val entries = cur.entries.filterNot(e => replaced.contains(e.path)) ++

@@ -181,6 +181,60 @@ object Extensions extends QueryPack {
       }
     }),
 
+    // -- manifest-level data skipping (file stats pruning) --------------
+    // Delta/Iceberg's other read-path half: each manifest entry
+    // carries the file's min/max of a declared stats column, so a
+    // range predicate prunes files from the MANIFEST alone — no
+    // footer is opened for a skipped file. Three disjoint key-range
+    // appends give 12 range-tight files; a mid-range query must read
+    // strictly fewer than all of them, results stay exact because the
+    // residual predicate always applies, and compaction FOLDS member
+    // stats (min of los, max of his) with no data re-read — pruning
+    // must still fire on the compacted table.
+    "x38_manifest_data_skipping" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-skip-").toString + "/t"
+      val t = Tables(s, dir).orders.select($"o_orderkey",
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      val mx = t.agg(max($"o_orderkey")).first().getLong(0)
+      val (k1, k2) = (mx / 3, 2 * (mx / 3))
+      try {
+        ManifestTable.create(s, work,
+          t.filter($"o_orderkey" <= k1).repartition(4),
+          statsCol = Some("o_orderkey"))
+        ManifestTable.append(s, work,
+          t.filter($"o_orderkey" > k1 && $"o_orderkey" <= k2)
+            .repartition(4), statsCol = Some("o_orderkey"))
+        ManifestTable.append(s, work,
+          t.filter($"o_orderkey" > k2).repartition(4),
+          statsCol = Some("o_orderkey"))
+        def probe(): (Long, Long, Boolean) = {
+          val (df, read0, total) = ManifestTable.readRange(
+            s, work, "o_orderkey", k1 + 1, k2)
+          val r = df.agg(count(lit(1)), sum($"cents")).first()
+          (r.getLong(0), r.getLong(1), read0 < total && read0 > 0)
+        }
+        val before = probe()
+        ManifestTable.compactCommit(s, work, targetBytes = 32L << 20)
+        // compaction FOLDS stats but (without range clustering — that
+        // is Z-order's job, x16) merges across ranges, so pruning may
+        // legitimately widen; what must hold is that every compacted
+        // entry still carries stats and the answer is unchanged
+        val after = probe()
+        val statsFolded = ManifestTable.snapshot(s, work).entries
+          .forall(e => e.lo.isDefined && e.hi.isDefined)
+        Seq((before._1, before._2, before._3,
+          (after._1, after._2) == ((before._1, before._2)), statsFolded))
+          .toDF("n_rows", "sum_cents", "files_pruned",
+            "compact_same_answer", "stats_folded")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(work).getParentFile)
+      }
+    }),
+
     // -- versioned-manifest table: atomic commits, time travel ----------
     // The commit protocol that closes x36's caveat (Delta/Iceberg
     // core, VLDB'20): data files immutable, a version = one manifest,
@@ -1695,6 +1749,21 @@ object Extensions extends QueryPack {
         |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM snapshot GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the mid-range slice is deterministic (bounds derive from
+    // MAX(o_orderkey), which the oracle recomputes); pruning and
+    // stats-folding are protocol properties, spelled as TRUEs
+    "x38_manifest_data_skipping" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+        |b AS (SELECT m // 3 AS k1, 2 * (m // 3) AS k2 FROM mx)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  TRUE AS files_pruned,
+        |  TRUE AS compact_same_answer,
+        |  TRUE AS stats_folded
+        |FROM orders, b
+        |WHERE o_orderkey > b.k1 AND o_orderkey <= b.k2""".stripMargin,
 
     // each version's content is a deterministic keyspace slice; the
     // protocol properties (atomic visibility, isolation, vacuum

@@ -1570,6 +1570,60 @@ object StreamingOps extends QueryPack {
     // any merge tree, and micro-batching IS a merge tree). This is
     // the proof the custom-aggregate tier survives the state-store
     // serialization path, not just batch shuffles.
+    // -- exactly-once streaming SINK into the manifest table ------------
+    // st45's dual: the stream WRITES the table. Each micro-batch
+    // appends its rows as one manifest commit stamped with a txn
+    // marker (Delta's txn action, keyed by batchId); the first batch
+    // bootstraps v1. Every batch ALSO re-appends with the same marker
+    // — a simulated foreachBatch redelivery — and the duplicate MUST
+    // be a log-level no-op (same version returned, no files written),
+    // which the oracle's exact totals prove. This is the storage-side
+    // idempotence story: the guard lives in the COMMIT LOG, not in
+    // driver memory, so it survives a driver restart too.
+    "st46_stream_manifest_sink" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-sink-").toString + "/t"
+      val src = eventStreamMultiBatch(s, dir, parts = 4)
+        .select($"event_type",
+          expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+      var batches = 0L
+      var dupNoop = true
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = src.writeStream
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch {
+            (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+              if (!batch.isEmpty) {
+                val marker = s"st46:$batchId"
+                val v1 = ManifestTable.append(s, work, batch,
+                  txn = Some(marker))
+                // simulated redelivery: same batch, same marker — the
+                // log must return the SAME version and write nothing
+                val v2 = ManifestTable.append(s, work, batch,
+                  txn = Some(marker))
+                batches += 1
+                dupNoop &&= v2 == v1 &&
+                  ManifestTable.versions(s, work).size == batches
+              }
+          }
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      require(batches >= 4,
+        s"expected >= 4 incremental micro-batches, saw $batches")
+      ManifestTable.read(s, work)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+        .withColumn("n_versions", lit(batches))
+        .withColumn("redelivery_noop", lit(dupNoop))
+        .orderBy($"event_type")
+    }),
+
     // -- change-feed tail of the x37 manifest table ---------------------
     // The Delta streaming-source shape: the COMMIT LOG is the stream.
     // Four versions are committed (create, append, COMPACTION, append),
@@ -2939,6 +2993,17 @@ object StreamingOps extends QueryPack {
         |  ON d.user_id = en.user_id AND d.valid_from = en.vf
         |GROUP BY 1, 2, 3
         |ORDER BY en.user_id, dim_version NULLS FIRST""".stripMargin,
+
+    // if a redelivered batch ever re-appended, every duplicated row
+    // would land in these totals — exactness IS the idempotence proof
+    "st46_stream_manifest_sink" ->
+      """SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(4 AS BIGINT) AS n_versions,
+        |  TRUE AS redelivery_noop
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // the tail must reconstruct the table's exact totals from added
     // files alone — double-counting the compaction version is the

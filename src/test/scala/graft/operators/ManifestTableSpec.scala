@@ -98,6 +98,56 @@ class ManifestTableSpec extends AnyFunSuite {
     cleanup(dir)
   }
 
+  test("file stats prune reads from the manifest; residual keeps exactness") {
+    import spark.implicits._
+    val dir = fresh()
+    // three disjoint key ranges, 3 files each: range-tight stats
+    ManifestTable.create(spark, dir,
+      (0L until 100L).toDF("k").repartition(3), statsCol = Some("k"))
+    ManifestTable.append(spark, dir,
+      (100L until 200L).toDF("k").repartition(3), statsCol = Some("k"))
+    ManifestTable.append(spark, dir,
+      (200L until 300L).toDF("k").repartition(3), statsCol = Some("k"))
+    val (df, read0, total) = ManifestTable.readRange(spark, dir, "k", 120, 180)
+    assert(total == 9 && read0 <= 3 && read0 >= 1) // middle slice only
+    assert(df.count() == 61 &&
+      df.agg(min($"k"), max($"k")).head() ===
+        org.apache.spark.sql.Row(120L, 180L))
+    // a range touching two slices reads both but never the third
+    val (df2, read2, _) = ManifestTable.readRange(spark, dir, "k", 90, 110)
+    assert(read2 <= 6 && df2.count() == 21)
+    // stats-less entries are read conservatively, never skipped
+    ManifestTable.append(spark, dir, Seq(500L).toDF("k")) // no stats
+    val (df3, read3, total3) = ManifestTable.readRange(spark, dir, "k", 400, 600)
+    assert(total3 == 10 && read3 >= 1 && df3.count() == 1)
+    cleanup(dir)
+  }
+
+  test("txn markers make append exactly-once; bootstrap via append works") {
+    import spark.implicits._
+    val dir = fresh()
+    // first append bootstraps v1 (no create)
+    val v1 = ManifestTable.append(spark, dir, (0L until 10L).toDF("k"),
+      txn = Some("job:0"))
+    assert(v1 == 1)
+    // same marker: log-level no-op, same version, nothing written
+    val v1b = ManifestTable.append(spark, dir, (0L until 10L).toDF("k"),
+      txn = Some("job:0"))
+    assert(v1b == 1 && ManifestTable.versions(spark, dir) == Vector(1))
+    assert(ManifestTable.read(spark, dir).count() == 10)
+    // a new marker commits; replaying BOTH markers is still a no-op
+    ManifestTable.append(spark, dir, (10L until 15L).toDF("k"),
+      txn = Some("job:1"))
+    ManifestTable.append(spark, dir, (0L until 10L).toDF("k"),
+      txn = Some("job:0"))
+    ManifestTable.append(spark, dir, (10L until 15L).toDF("k"),
+      txn = Some("job:1"))
+    assert(ManifestTable.versions(spark, dir) == Vector(1, 2))
+    assert(ManifestTable.read(spark, dir).count() == 15)
+    assert(ManifestTable.txnVersion(spark, dir, "job:1").contains(2))
+    cleanup(dir)
+  }
+
   test("overwrite replaces content; create refuses an existing table") {
     import spark.implicits._
     val dir = fresh()
