@@ -113,7 +113,8 @@ object ClusterParity {
     // protocol + change-feed tail (x37/st45), bare-dir compaction (x36)
     "d23_substring_dedup", "d24_longest_dup_passage",
     "x36_compact_small_files", "x37_manifest_time_travel",
-    "st45_stream_table_tail")
+    "st45_stream_table_tail", "x38_manifest_data_skipping",
+    "st46_stream_manifest_sink")
 }
 
 /** Smoke main: `runMain graft.ClusterParitySmoke <sfDir> [names…]` —

@@ -90,7 +90,11 @@ class ChaosRetrySpec extends AnyFunSuite
     "st43_stream_temporal_enrich",
     // the manifest tail: version-number idempotence + commit protocol
     // under failing reads (manifest re-reads, serving-snapshot folds)
-    "st45_stream_table_tail")
+    "st45_stream_table_tail",
+    // the manifest sink: txn-marker idempotence must hold when the
+    // failing task forces a real foreachBatch retry on top of the
+    // query's own simulated redelivery
+    "st46_stream_manifest_sink")
 
   test("serving loops survive first-attempt task failures unchanged") {
     val clean = ClusterParity.runAll(
