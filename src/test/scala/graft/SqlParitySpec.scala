@@ -102,6 +102,34 @@ class SqlParitySpec extends AnyFunSuite {
       SparkEntry.queries("x34_merge_actions")(spark, sfDir)))
   }
 
+  test("the d23 window census spelled entirely in SQL text via the " +
+      "native generator (LATERAL VIEW graft_packed_windows)") {
+    // the SQL front door for substring dedup: the generator and the
+    // compiled refinement init are reachable from pure SQL — here the
+    // width-8 class table comes from LATERAL VIEW and a census over
+    // L=8 windows hash-matches the operator at the same width
+    val docs = Tables(spark, sfDir).documents
+    docs.createOrReplaceTempView("documents_pw")
+    val viaSql = fp(spark.sql(
+      """SELECT w.cls AS cls, CAST(COUNT(*) AS BIGINT) AS n_sites,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM documents_pw
+        |LATERAL VIEW graft_packed_windows(text) w AS pos, cls
+        |WHERE w.pos <= length(text) - 8
+        |GROUP BY w.cls HAVING COUNT(*) >= 2""".stripMargin))
+    import org.apache.spark.sql.functions._
+    val viaApi = fp(docs
+      .select(col("doc_id"), length(col("text")).as("len"),
+        graft.functions.GraftFunctions.packedWindows(col("text")))
+      .filter(col("pos") <= col("len") - 8)
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_sites"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_sites") >= 2))
+    assert(viaSql == viaApi)
+    assert(viaSql.nonEmpty)
+  }
+
   test("the custom optimizer tier fires from SQL text") {
     registerViews()
     // rank-limit rewrite: the row_number()<=k SQL spelling plans
