@@ -294,6 +294,31 @@ object ManifestTable {
     (df, live.size, snap.entries.size)
   }
 
+  /** Transactional COW DML (Delta's MERGE shape): read the current
+    * snapshot, apply `transform` to it, write the result as new
+    * immutable files, and commit them as the next version — the
+    * commit is CONDITIONAL on the version read (create-if-absent of
+    * version+1), so a concurrent commit in the read-transform window
+    * loses nothing: the loser re-reads the NEW snapshot, re-applies
+    * the transform, and retries. Orphaned files from lost races are
+    * unreachable and vacuumable. Old versions stay readable (a MERGE
+    * is just another version — time travel shows pre-merge state). */
+  def mergeCommit(spark: SparkSession, dir: String,
+      transform: DataFrame => DataFrame,
+      statsCol: Option[String] = None): Int = {
+    var guard = 0
+    while (guard < 10) {
+      val cur = snapshot(spark, dir)
+      val merged = transform(spark.read.parquet(cur.paths: _*))
+      val entries = writeFiles(spark, dir, merged, statsCol)
+      tryCommit(spark, dir, cur.version + 1, entries) match {
+        case Some(v) => return v
+        case None => guard += 1 // raced: re-read, re-apply, retry
+      }
+    }
+    sys.error(s"mergeCommit lost 10 commit races at $dir")
+  }
+
   /** Manifest-committed compaction: bin-pack the CURRENT version's
     * files ([[Compaction.planBins]]), rewrite each multi-file bin to
     * one new immutable file, and commit the new file set as the next

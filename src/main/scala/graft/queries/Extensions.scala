@@ -290,6 +290,53 @@ object Extensions extends QueryPack {
       }
     }),
 
+    // -- MERGE INTO the manifest table: transactional COW DML -----------
+    // x34's multi-action MERGE applied THROUGH the table format:
+    // mergeCommit reads the current snapshot, applies the full-outer
+    // merge, writes new immutable files, and commits conditionally on
+    // the version it read (a raced commit re-reads and re-applies —
+    // optimistic COW, Delta's MERGE shape). Post-merge rows must
+    // match x34's relational answer exactly, and version 1 must still
+    // read the PRE-merge table byte-for-byte (DML is just another
+    // version; time travel is the undo log).
+    "x39_manifest_merge" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-mrg-").toString + "/t"
+      val t = Tables(s, dir).orders.select($"o_orderkey", $"o_custkey",
+        $"o_orderstatus", floor($"o_totalprice" * 100).cast("long")
+          .as("cents"))
+      val src = t.filter($"o_custkey" < 20)
+        .select($"o_orderkey",
+          when($"o_orderkey" % 3 === 0, lit("R")).otherwise(lit("A"))
+            .as("act"),
+          expr("cents div 10").as("delta_cents"), $"o_custkey")
+        .unionByName(t.filter($"o_custkey" < 10)
+          .select(($"o_orderkey" + 20000000L).as("o_orderkey"),
+            lit("I").as("act"), $"cents".as("delta_cents"), $"o_custkey"))
+      ManifestTable.create(s, work, t.repartition(4))
+      val preWant = t.agg(count(lit(1)), sum($"cents")).first()
+      ManifestTable.mergeCommit(s, work, cur =>
+        graft.operators.Upsert.mergeActions(cur, src, "o_orderkey",
+          deleteWhen = col("u.act") === "R",
+          updateSet = Map(
+            "cents" -> (col("t.cents") - col("u.delta_cents")),
+            "o_orderstatus" -> lit("M")),
+          insertValues = Map(
+            "o_orderkey" -> col("u.o_orderkey"),
+            "o_custkey" -> col("u.o_custkey"),
+            "o_orderstatus" -> lit("N"),
+            "cents" -> col("u.delta_cents"))))
+      val preGot = ManifestTable.read(s, work, Some(1))
+        .agg(count(lit(1)), sum($"cents")).first()
+      ManifestTable.read(s, work) // v2: the merged state
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("total_cents"))
+        .withColumn("pre_merge_intact", lit(preGot == preWant))
+        .orderBy($"o_orderstatus")
+    }),
+
     // -- multi-action MERGE: DELETE / UPDATE / INSERT in one pass -------
     // The Delta-Lake MERGE INTO workhorse x05's replace+insert can't
     // express: a returns feed deletes matched orders flagged 'R',
@@ -1799,6 +1846,38 @@ object Extensions extends QueryPack {
          |  TRUE AS files_reduced,
          |  TRUE AS plan_within_target
          |FROM lineitem""".stripMargin,
+
+    // the merged state is x34's relational answer; the pre-merge
+    // invariant (v1 unchanged) is the protocol property, a TRUE
+    "x39_manifest_merge" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |u AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 'R' ELSE 'A' END AS act,
+        |    cents // 10 AS delta_cents, o_custkey
+        |  FROM t WHERE o_custkey < 20
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, 'I', cents, o_custkey
+        |  FROM t WHERE o_custkey < 10),
+        |merged AS (
+        |  SELECT
+        |    CASE WHEN t.o_orderkey IS NULL THEN 'N'
+        |         WHEN u.o_orderkey IS NULL THEN t.o_orderstatus
+        |         ELSE 'M' END AS o_orderstatus,
+        |    CASE WHEN t.o_orderkey IS NULL THEN u.delta_cents
+        |         WHEN u.o_orderkey IS NULL THEN t.cents
+        |         ELSE t.cents - u.delta_cents END AS cents,
+        |    t.o_orderkey AS tk, u.o_orderkey AS uk, u.act
+        |  FROM t FULL OUTER JOIN u ON t.o_orderkey = u.o_orderkey)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS total_cents,
+        |  TRUE AS pre_merge_intact
+        |FROM merged
+        |WHERE NOT (tk IS NOT NULL AND uk IS NOT NULL AND act = 'R')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // the MERGE spelled as its relational definition: full-outer join,
     // delete-filter, per-branch CASE — what mergeActions compiles to

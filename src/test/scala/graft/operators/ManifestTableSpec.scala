@@ -148,6 +148,34 @@ class ManifestTableSpec extends AnyFunSuite {
     cleanup(dir)
   }
 
+  test("mergeCommit: concurrent COW DML loses no update (re-read + re-apply)") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = fresh()
+    ManifestTable.create(spark, dir,
+      (0L until 100L).map((_, 0L)).toDF("k", "v"))
+    // two writers each add +1 to every row, three times — any lost
+    // update leaves some v below 6
+    def bump() = (0 until 3).foreach { _ =>
+      ManifestTable.mergeCommit(spark, dir,
+        cur => cur.withColumn("v", col("v") + 1L))
+    }
+    val fa = Future(bump())
+    val fb = Future(bump())
+    Await.result(fa, 120.seconds)
+    Await.result(fb, 120.seconds)
+    val vs = ManifestTable.read(spark, dir)
+      .agg(min($"v"), max($"v"), count(lit(1))).head()
+    assert(vs === org.apache.spark.sql.Row(6L, 6L, 100L))
+    assert(ManifestTable.versions(spark, dir) == (1 to 7).toVector)
+    // pre-merge time travel: v1 is still all zeros
+    assert(ManifestTable.read(spark, dir, Some(1))
+      .agg(max($"v")).head().getLong(0) == 0L)
+    cleanup(dir)
+  }
+
   test("overwrite replaces content; create refuses an existing table") {
     import spark.implicits._
     val dir = fresh()
