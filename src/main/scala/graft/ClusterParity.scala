@@ -114,7 +114,8 @@ object ClusterParity {
     "d23_substring_dedup", "d24_longest_dup_passage",
     "x36_compact_small_files", "x37_manifest_time_travel",
     "st45_stream_table_tail", "x38_manifest_data_skipping",
-    "st46_stream_manifest_sink", "x39_manifest_merge")
+    "st46_stream_manifest_sink", "x39_manifest_merge",
+    "x40_manifest_schema_evolution")
 }
 
 /** Smoke main: `runMain graft.ClusterParitySmoke <sfDir> [names…]` —

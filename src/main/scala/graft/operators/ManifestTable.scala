@@ -48,8 +48,13 @@ object ManifestTable {
     * the writer's idempotence marker (Delta's txn action): a
     * streaming sink stamps each commit with its (queryId, batchId)
     * and skips the append when the marker is already in the log. */
+  /** `schemaDdl`: the table schema OF THIS VERSION, carried in the
+    * log (Delta's metaData action) — readers take the schema from the
+    * manifest, never from file footers, so files written before a
+    * column existed read back with that column null. */
   final case class Snapshot(version: Int, entries: Vector[ManifestEntry],
-      compaction: Boolean = false, txn: Option[String] = None) {
+      compaction: Boolean = false, txn: Option[String] = None,
+      schemaDdl: Option[String] = None) {
     def paths: Vector[String] = entries.map(_.path)
     def rows: Long = entries.map(_.rows).sum
   }
@@ -121,6 +126,8 @@ object ManifestTable {
       .findFirstIn(body).isDefined
     val txn = """"txn"\s*:\s*"([^"]+)"""".r
       .findFirstMatchIn(body).map(_.group(1))
+    val schemaDdl = """"schema"\s*:\s*"([^"]+)"""".r
+      .findFirstMatchIn(body).map(_.group(1))
     // one {"path":...,"rows":N[,"lo":L,"hi":H]} per line after the header
     val entries = body.linesIterator
       .filter(_.contains("\"path\""))
@@ -135,7 +142,7 @@ object ManifestTable {
           .findFirstMatchIn(line).map(_.group(1).toLong)
         ManifestEntry(p, r, lo, hi)
       }.toVector
-    Snapshot(v, entries, compaction, txn)
+    Snapshot(v, entries, compaction, txn, schemaDdl)
   }
 
   /** Read the table at a snapshot — only that version's files, never
@@ -147,7 +154,48 @@ object ManifestTable {
       // empty version: preserve schema from any prior version's files
       // is impossible without files; callers create tables non-empty
       sys.error(s"version ${snap.version} of $dir lists no files")
-    spark.read.parquet(snap.paths: _*)
+    snap.schemaDdl match {
+      // schema-on-log: files written before a column existed read
+      // back with that column null, and the column ORDER is the
+      // log's, not any footer's
+      case Some(ddl) => spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        .parquet(snap.paths: _*)
+      case None => spark.read.parquet(snap.paths: _*)
+    }
+  }
+
+  /** Append with SCHEMA EVOLUTION: columns of `df` not yet in the
+    * table are added to the log schema (types of shared columns must
+    * match — silent coercion is how tables rot); rows already on disk
+    * read back with the new columns null. The evolved schema rides
+    * the same atomic commit as the files. */
+  def appendEvolve(spark: SparkSession, dir: String, df: DataFrame,
+      statsCol: Option[String] = None): Int = {
+    import org.apache.spark.sql.types.StructType
+    val cur = snapshot(spark, dir)
+    val base = cur.schemaDdl.map(StructType.fromDDL)
+      .getOrElse(spark.read.parquet(cur.paths: _*).schema)
+    df.schema.fields.foreach { f0 =>
+      base.fields.find(_.name == f0.name).foreach { have =>
+        require(have.dataType == f0.dataType,
+          s"appendEvolve: column ${f0.name} is ${have.dataType.sql} " +
+            s"in the log but ${f0.dataType.sql} in the append — " +
+            "evolution adds columns, it never coerces them")
+      }
+    }
+    val evolved = StructType(base.fields ++
+      df.schema.fields.filterNot(f0 => base.fieldNames.contains(f0.name)))
+    val newEntries = writeFiles(spark, dir, df, statsCol)
+    var committed: Option[Int] = None
+    var guard = 0
+    while (committed.isEmpty && guard < 50) {
+      val c = snapshot(spark, dir)
+      committed = tryCommit(spark, dir, c.version + 1,
+        c.entries ++ newEntries, schemaDdl = Some(evolved.toDDL))
+      guard += 1
+    }
+    committed.getOrElse(sys.error(s"appendEvolve lost 50 races at $dir"))
   }
 
   /** The atomic commit: create-if-absent of the next version's
@@ -156,11 +204,13 @@ object ManifestTable {
   private def tryCommit(spark: SparkSession, dir: String, version: Int,
       entries: Vector[ManifestEntry],
       compaction: Boolean = false,
-      txn: Option[String] = None): Option[Int] = {
+      txn: Option[String] = None,
+      schemaDdl: Option[String] = None): Option[Int] = {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
     val target = new Path(manifestDir(dir), manifestName(version))
-    val txnField = txn.map(t => s""", "txn": "$t"""").getOrElse("")
+    val txnField = txn.map(t => s""", "txn": "$t"""").getOrElse("") +
+      schemaDdl.map(d => s""", "schema": "$d"""").getOrElse("")
     val body =
       s"""{"version": $version, "compaction": $compaction$txnField, "files": [""" +
         "\n" +
@@ -249,7 +299,7 @@ object ManifestTable {
         if (versions(spark, dir).isEmpty) Snapshot(0, Vector.empty)
         else snapshot(spark, dir)
       committed = tryCommit(spark, dir, cur.version + 1,
-        cur.entries ++ newEntries, txn = txn)
+        cur.entries ++ newEntries, txn = txn, schemaDdl = cur.schemaDdl)
       guard += 1
     }
     committed.getOrElse(sys.error(s"append lost 50 commit races at $dir"))
@@ -309,9 +359,10 @@ object ManifestTable {
     var guard = 0
     while (guard < 10) {
       val cur = snapshot(spark, dir)
-      val merged = transform(spark.read.parquet(cur.paths: _*))
+      val merged = transform(read(spark, dir, Some(cur.version)))
       val entries = writeFiles(spark, dir, merged, statsCol)
-      tryCommit(spark, dir, cur.version + 1, entries) match {
+      tryCommit(spark, dir, cur.version + 1, entries,
+        schemaDdl = cur.schemaDdl.map(_ => merged.schema.toDDL)) match {
         case Some(v) => return v
         case None => guard += 1 // raced: re-read, re-apply, retry
       }
@@ -334,13 +385,23 @@ object ManifestTable {
     val sized = cur.entries.map(e =>
       Compaction.FileInfo(e.path, f.getFileStatus(new Path(e.path)).getLen))
     val bins = Compaction.planBins(sized, targetBytes)
+    // bins can mix files written before and after a schema evolution:
+    // the rewrite must read with the LOG schema so the merged file
+    // carries every column (missing ones as nulls), not a footer's
+    // truncated view
+    def binRead(paths: Seq[String]) = cur.schemaDdl match {
+      case Some(ddl) => spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        .parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
     val rewritten = bins.filter(_.files.size >= 2).flatMap { bin =>
       val inPaths = bin.files.map(_.path)
       val inRows = cur.entries.filter(e => inPaths.contains(e.path))
         .map(_.rows).sum
       val stamp = java.util.UUID.randomUUID().toString.take(8)
       val sub = new Path(dir, s"compact-$stamp").toString
-      spark.read.parquet(inPaths: _*).coalesce(1)
+      binRead(inPaths).coalesce(1)
         .write.mode("errorifexists").parquet(sub)
       val part = f.listStatus(new Path(sub)).toVector.map(_.getPath)
         .find(p => p.getName.startsWith("part-") &&
@@ -362,7 +423,7 @@ object ManifestTable {
     val entries = cur.entries.filterNot(e => replaced.contains(e.path)) ++
       rewritten.map(_._2)
     tryCommit(spark, dir, cur.version + 1, entries.sortBy(_.path),
-      compaction = true)
+      compaction = true, schemaDdl = cur.schemaDdl)
       .getOrElse(sys.error(s"concurrent commit at $dir during compact"))
   }
 

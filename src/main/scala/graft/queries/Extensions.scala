@@ -290,6 +290,49 @@ object Extensions extends QueryPack {
       }
     }),
 
+    // -- schema evolution carried in the log ----------------------------
+    // Delta's metaData action: the table schema lives in the MANIFEST,
+    // not in file footers. An evolving append adds columns to the log
+    // schema (never coerces shared ones); files written before the
+    // column existed read back with it null, in the log's column
+    // order; time travel to v1 still shows the pre-evolution schema.
+    "x40_manifest_schema_evolution" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-evo-").toString + "/t"
+      val t = Tables(s, dir).orders.select($"o_orderkey",
+        floor($"o_totalprice" * 100).cast("long").as("cents"),
+        $"o_orderstatus")
+      try {
+        ManifestTable.create(s, work,
+          t.filter($"o_orderkey" % 2 === 0)
+            .select($"o_orderkey", $"cents").repartition(4))
+        ManifestTable.appendEvolve(s, work,
+          t.filter($"o_orderkey" % 2 === 1)
+            .select($"o_orderkey", $"cents",
+              $"o_orderstatus".as("seg")).repartition(4))
+        val latest = ManifestTable.read(s, work)
+        val nEvenNull = latest.filter($"seg".isNull).count()
+        val nEven = latest.filter($"o_orderkey" % 2 === 0).count()
+        val v1Cols = ManifestTable.read(s, work, Some(1)).columns.toSeq
+        // materialize before the finally deletes the table files (the
+        // handful of status groups collect to the driver; x37 pattern)
+        latest
+          .groupBy(coalesce($"seg", lit("-")).as("seg"))
+          .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+          .orderBy($"seg")
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            nEvenNull == nEven, v1Cols == Seq("o_orderkey", "cents")))
+          .toDF("seg", "n_rows", "sum_cents", "old_rows_null_filled",
+            "v1_schema_preserved")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(work).getParentFile)
+      }
+    }),
+
     // -- MERGE INTO the manifest table: transactional COW DML -----------
     // x34's multi-action MERGE applied THROUGH the table format:
     // mergeCommit reads the current snapshot, applies the full-outer
@@ -1846,6 +1889,18 @@ object Extensions extends QueryPack {
          |  TRUE AS files_reduced,
          |  TRUE AS plan_within_target
          |FROM lineitem""".stripMargin,
+
+    // the evolved read's content is fully determined by the key
+    // parity split; the schema-protocol properties ride as TRUEs
+    "x40_manifest_schema_evolution" ->
+      """SELECT COALESCE(CASE WHEN o_orderkey % 2 = 1
+        |    THEN o_orderstatus END, '-') AS seg,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  TRUE AS old_rows_null_filled,
+        |  TRUE AS v1_schema_preserved
+        |FROM orders GROUP BY 1 ORDER BY seg""".stripMargin,
 
     // the merged state is x34's relational answer; the pre-merge
     // invariant (v1 unchanged) is the protocol property, a TRUE

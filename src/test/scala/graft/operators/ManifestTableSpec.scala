@@ -176,6 +176,41 @@ class ManifestTableSpec extends AnyFunSuite {
     cleanup(dir)
   }
 
+  test("schema evolution: log schema wins, old rows null-fill, compaction keeps it") {
+    import spark.implicits._
+    val dir = fresh()
+    ManifestTable.create(spark, dir,
+      (0L until 50L).map(k => (k, k * 2)).toDF("k", "v").repartition(2))
+    // evolve: add a tag column; shared columns must type-match
+    ManifestTable.appendEvolve(spark, dir,
+      (50L until 60L).map(k => (k, k * 2, s"t$k")).toDF("k", "v", "tag")
+        .repartition(2))
+    val evolved = ManifestTable.read(spark, dir)
+    assert(evolved.columns.toSeq == Seq("k", "v", "tag"))
+    assert(evolved.count() == 60 &&
+      evolved.filter($"tag".isNull).count() == 50)
+    // time travel to v1: the pre-evolution 2-column schema
+    assert(ManifestTable.read(spark, dir, Some(1)).columns.toSeq ==
+      Seq("k", "v"))
+    // a later PLAIN append keeps the evolved schema
+    ManifestTable.append(spark, dir,
+      (60L until 65L).map(k => (k, k * 2, s"t$k")).toDF("k", "v", "tag"))
+    assert(ManifestTable.read(spark, dir).columns.toSeq ==
+      Seq("k", "v", "tag"))
+    // compaction merges mixed-schema bins under the LOG schema
+    ManifestTable.compactCommit(spark, dir, targetBytes = 64L << 20)
+    val compacted = ManifestTable.read(spark, dir)
+    assert(compacted.columns.toSeq == Seq("k", "v", "tag") &&
+      compacted.count() == 65 &&
+      compacted.filter($"tag".isNull).count() == 50)
+    // type coercion is refused loudly
+    intercept[IllegalArgumentException] {
+      ManifestTable.appendEvolve(spark, dir,
+        Seq(("no", 1L, "t")).toDF("k", "v", "tag")) // k: string vs bigint
+    }
+    cleanup(dir)
+  }
+
   test("overwrite replaces content; create refuses an existing table") {
     import spark.implicits._
     val dir = fresh()
