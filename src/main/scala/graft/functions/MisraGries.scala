@@ -25,6 +25,11 @@ import org.apache.spark.sql.types._
   * exact counts, never raw estimates (x04's sketch policy; x35 does
   * exactly this).
   *
+  * The buffer carries the total count `n` OUTSIDE the counter map (a
+  * small buffer class serialized n-first) — reserving a sentinel key
+  * value inside the map would make that one legal BIGINT input
+  * silently corrupt both n and the guarantee predicates.
+  *
   * Scale: the buffer is ≤ k−1 (key, count) pairs regardless of input
   * size — a few hundred bytes shipped per partition instead of a
   * per-key hash aggregate's full key set; the shape to reach for
@@ -35,7 +40,9 @@ case class MisraGriesAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[scala.collection.mutable.LongMap[Long]] {
+  extends TypedImperativeAggregate[MisraGriesAgg.MGBuffer] {
+
+  import MisraGriesAgg.MGBuffer
 
   require(k >= 2, s"k must be >= 2, got $k")
 
@@ -52,82 +59,69 @@ case class MisraGriesAgg(
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires BIGINT input, got ${child.dataType.sql}")
 
-  // buffer: counters plus the total input count under Long.MinValue's
-  // key slot (never a data key in practice; kept separate on merge)
-  private val NKey = Long.MinValue
+  override def createAggregationBuffer(): MGBuffer =
+    new MGBuffer(0L, scala.collection.mutable.LongMap.empty[Long])
 
-  override def createAggregationBuffer(): scala.collection.mutable.LongMap[Long] = {
-    val m = scala.collection.mutable.LongMap.empty[Long]
-    m(NKey) = 0L
-    m
-  }
-
-  override def update(buf: scala.collection.mutable.LongMap[Long],
-      input: InternalRow): scala.collection.mutable.LongMap[Long] = {
+  override def update(buf: MGBuffer, input: InternalRow): MGBuffer = {
     val v = child.eval(input)
     if (v != null) {
       val key = v.asInstanceOf[Long]
-      buf(NKey) = buf(NKey) + 1
-      if (buf.contains(key)) buf(key) = buf(key) + 1
-      else if (buf.size - 1 < k - 1) buf(key) = 1L
+      buf.n += 1
+      val c = buf.counters
+      if (c.contains(key)) c(key) = c(key) + 1
+      else if (c.size < k - 1) c(key) = 1L
       else {
         // decrement-all; drop zeros
         val dead = scala.collection.mutable.ArrayBuffer.empty[Long]
-        buf.foreach { case (kk, cnt) =>
-          if (kk != NKey) {
-            if (cnt == 1L) dead += kk else buf(kk) = cnt - 1
-          }
+        c.foreach { case (kk, cnt) =>
+          if (cnt == 1L) dead += kk else c(kk) = cnt - 1
         }
-        dead.foreach(buf.remove)
+        dead.foreach(c.remove)
       }
     }
     buf
   }
 
-  override def merge(buf: scala.collection.mutable.LongMap[Long],
-      other: scala.collection.mutable.LongMap[Long]): scala.collection.mutable.LongMap[Long] = {
-    buf(NKey) = buf(NKey) + other.getOrElse(NKey, 0L)
-    other.foreach { case (kk, cnt) =>
-      if (kk != NKey) buf(kk) = buf.getOrElse(kk, 0L) + cnt
+  override def merge(buf: MGBuffer, other: MGBuffer): MGBuffer = {
+    buf.n += other.n
+    val c = buf.counters
+    other.counters.foreach { case (kk, cnt) =>
+      c(kk) = c.getOrElse(kk, 0L) + cnt
     }
     // mergeable-summaries compaction: subtract the k-th largest
     // counter value (0 if fewer than k counters), drop non-positives
-    val nCounters = buf.size - 1
-    if (nCounters > k - 1) {
-      val values = buf.iterator.collect {
-        case (kk, cnt) if kk != NKey => cnt
-      }.toArray
+    if (c.size > k - 1) {
+      val values = c.values.toArray
       java.util.Arrays.sort(values)
       val kth = values(values.length - k) // k-th largest
       val dead = scala.collection.mutable.ArrayBuffer.empty[Long]
-      buf.foreach { case (kk, cnt) =>
-        if (kk != NKey) {
-          if (cnt - kth <= 0L) dead += kk else buf(kk) = cnt - kth
-        }
+      c.foreach { case (kk, cnt) =>
+        if (cnt - kth <= 0L) dead += kk else c(kk) = cnt - kth
       }
-      dead.foreach(buf.remove)
+      dead.foreach(c.remove)
     }
     buf
   }
 
-  override def eval(buf: scala.collection.mutable.LongMap[Long]): Any = {
-    val pairs = buf.iterator.filter(_._1 != NKey).toArray.sortBy(_._1)
-    InternalRow(buf.getOrElse(NKey, 0L),
-      ArrayBasedMapData(pairs.map(_._1), pairs.map(_._2)))
+  override def eval(buf: MGBuffer): Any = {
+    val pairs = buf.counters.iterator.toArray.sortBy(_._1)
+    InternalRow(buf.n, ArrayBasedMapData(pairs.map(_._1), pairs.map(_._2)))
   }
 
-  override def serialize(buf: scala.collection.mutable.LongMap[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(8 * 2 * buf.size)
-    buf.foreach { case (kk, cnt) => bb.putLong(kk); bb.putLong(cnt) }
+  override def serialize(buf: MGBuffer): Array[Byte] = {
+    // n first, then the (key, count) pairs
+    val bb = java.nio.ByteBuffer.allocate(8 + 16 * buf.counters.size)
+    bb.putLong(buf.n)
+    buf.counters.foreach { case (kk, cnt) => bb.putLong(kk); bb.putLong(cnt) }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.LongMap[Long] = {
+  override def deserialize(bytes: Array[Byte]): MGBuffer = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getLong()
     val m = scala.collection.mutable.LongMap.empty[Long]
     while (bb.remaining() >= 16) m(bb.getLong()) = bb.getLong()
-    if (!m.contains(NKey)) m(NKey) = 0L
-    m
+    new MGBuffer(n, m)
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesAgg =
@@ -137,6 +131,14 @@ case class MisraGriesAgg(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): MisraGriesAgg =
     copy(child = newChildren.head)
+}
+
+object MisraGriesAgg {
+  /** Total input count n, carried OUTSIDE the counter map so every
+    * Long value (including Long.MinValue) is a legal input key. */
+  final class MGBuffer(
+      var n: Long,
+      val counters: scala.collection.mutable.LongMap[Long])
 }
 
 object MisraGries {

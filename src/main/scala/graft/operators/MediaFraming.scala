@@ -343,6 +343,16 @@ object H264Sps {
     w.u(0L, 8) // constraint flags + reserved
     w.u(levelIdc.toLong, 8)
     w.ue(0L) // seq_parameter_set_id
+    // High profiles carry the chroma/bit-depth block (4:2:0, 8-bit,
+    // no scaling lists) — mirrors the parser's §7.3.2.1.1 handling
+    if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128,
+        134, 135, 138, 139).contains(profileIdc)) {
+      w.ue(1L) // chroma_format_idc = 4:2:0
+      w.ue(0L) // bit_depth_luma_minus8
+      w.ue(0L) // bit_depth_chroma_minus8
+      w.u(0L, 1) // qpprime_y_zero_transform_bypass_flag
+      w.u(0L, 1) // seq_scaling_matrix_present_flag
+    }
     w.ue(0L) // log2_max_frame_num_minus4
     w.ue(0L) // pic_order_cnt_type
     w.ue(0L) // log2_max_pic_order_cnt_lsb_minus4
@@ -403,6 +413,20 @@ object H264Sps {
       r.u(8) // constraint flags
       val level = r.u(8)
       r.ue() // sps id
+      // High profiles (ITU-T H.264 §7.3.2.1.1) carry chroma format,
+      // bit depths and optional scaling lists BEFORE
+      // log2_max_frame_num_minus4 — skipping them would decode the
+      // rest of the SPS to garbage dimensions with ok=1
+      if (Set(100L, 110L, 122L, 244L, 44L, 83L, 86L, 118L, 128L,
+          134L, 135L, 138L, 139L).contains(profile)) {
+        val chromaFmt = r.ue()
+        if (chromaFmt == 3L) r.u(1) // separate_colour_plane_flag
+        r.ue() // bit_depth_luma_minus8
+        r.ue() // bit_depth_chroma_minus8
+        r.u(1) // qpprime_y_zero_transform_bypass_flag
+        if (r.u(1) == 1L) // seq_scaling_matrix_present_flag
+          return sentinel(docId) // scaling lists not parsed (poc==1 honesty)
+      }
       r.ue() // log2_max_frame_num_minus4
       val poc = r.ue()
       if (poc == 0L) r.ue() // log2_max_pic_order_cnt_lsb_minus4

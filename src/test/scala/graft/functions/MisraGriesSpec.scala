@@ -76,6 +76,21 @@ class MisraGriesSpec extends AnyFunSuite {
     assert(rows.length === 5 && rows.forall(_.getLong(1) === 20L))
   }
 
+  test("Long.MinValue is a legal input key: n exact, key countable") {
+    // the buffer carries n OUTSIDE the counter map — a sentinel-key
+    // design would double-increment n per MinValue occurrence and
+    // never admit the key to the counters
+    val keys: Seq[Long] =
+      Seq.fill(30)(Long.MinValue) ++ Seq.fill(10)(7L) ++ Seq.fill(3)(9L)
+    for (parts <- Seq(1, 4)) {
+      val (n, counters) = summarize(keys, k = 8, parts)
+      assert(n === 43L, s"n corrupted at parts=$parts: $n")
+      assert(counters.get(Long.MinValue).contains(30L),
+        s"MinValue miscounted at parts=$parts: ${counters.get(Long.MinValue)}")
+      assert(counters.get(7L).contains(10L))
+    }
+  }
+
   test("null keys are skipped, not counted") {
     val df = Seq[Option[Long]](Some(1L), None, Some(1L), None, Some(2L))
       .toDF("key")

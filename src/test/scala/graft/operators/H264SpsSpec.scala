@@ -12,7 +12,7 @@ class H264SpsSpec extends AnyFunSuite {
     for {
       w <- Seq(2, 16, 30, 100, 112, 640, 1918, 1920, 4096, 7680)
       h <- Seq(2, 16, 64, 70, 480, 1080, 2160)
-      profile <- Seq(66, 77)
+      profile <- Seq(66, 77, 100, 244)
       level <- Seq(30, 51)
     } {
       val bytes = H264Sps.encode(w, h, profile, level)
@@ -24,6 +24,27 @@ class H264SpsSpec extends AnyFunSuite {
       assert(got.level_idc === level.toLong)
       assert(got.n_mbs === ((w + 15) / 16).toLong * ((h + 15) / 16))
     }
+  }
+
+  test("High-profile SPS with scaling lists present yields the sentinel, " +
+      "never garbage dimensions with ok=1") {
+    // hand-build a profile-100 SPS whose seq_scaling_matrix_present
+    // flag is SET: the parser does not decode scaling lists, so it
+    // must bail honestly rather than misread the following fields
+    val clean = H264Sps.encode(640, 480, 100, 40)
+    val got = H264Sps.parse(9L, clean)
+    assert(got.ok === 1L && got.width === 640L && got.height === 480L)
+    // flip seq_scaling_matrix_present_flag: profile(8)+constraints(8)
+    // +level(8) = 24 bits, then ue(0)=1 bit sps_id, ue(1)="010" 3-bit
+    // chroma, ue(0)+ue(0) bit depths, u(1) qpprime → the flag is bit
+    // 31 (0-indexed) of the RBSP; SPS payload starts at byte 5 of the
+    // annex-B stream (4-byte start code + NAL header)
+    val bitIx = 8 + 8 + 8 + 1 + 3 + 1 + 1 + 1
+    val byteIx = 5 + bitIx / 8
+    val mask = (0x80 >> (bitIx % 8)).toByte
+    val dirty = clean.clone()
+    dirty(byteIx) = (dirty(byteIx) ^ mask).toByte
+    assert(H264Sps.parse(10L, dirty).ok === 0L)
   }
 
   test("multiple-of-16 dims emit no crop and still round trip") {
