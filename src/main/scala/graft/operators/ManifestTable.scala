@@ -3,37 +3,56 @@ package graft.operators
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** A minimal versioned-manifest table format — the commit protocol
-  * that makes writes ATOMIC on an object store, which a bare parquet
-  * directory cannot be (x36's documented caveat: a crash mid-swap is
-  * re-runnable but not invisible).
+/** A versioned table format — the commit protocol that makes writes
+  * ATOMIC on an object store, which a bare parquet directory cannot
+  * be (x36's documented caveat: a crash mid-swap is re-runnable but
+  * not invisible).
   *
   * The design is the published core of Delta Lake (Armbrust et al.,
   * "Delta Lake: High-Performance ACID Table Storage over Cloud Object
   * Stores", VLDB 2020) and Iceberg's spec, reduced to its invariant:
   *
   *   - data files are IMMUTABLE and never listed by readers; the
-  *     manifest `_manifests/v<N>.json` names the exact file set of
-  *     version N;
-  *   - a commit is ONE atomic create-if-absent of `v<N+1>.json`
-  *     (`FileSystem.create(overwrite = false)` — the same primitive
-  *     Delta uses on HDFS-like stores). Two concurrent writers race
-  *     on the same next version; the loser gets FileAlreadyExists,
-  *     re-reads the new latest, and retries on top — optimistic
-  *     concurrency, no locks;
+  *     commit log `_manifests/v<N>.json` holds version N's ACTIONS —
+  *     files ADDED and files REMOVED relative to version N−1 — so a
+  *     commit is O(changed files), never O(table files). At 100 TB a
+  *     full-file-list-per-version log is the thing that dies first:
+  *     a million-file table would pay a million-entry write on every
+  *     single-file append;
+  *   - a commit is TWO-PHASE: the full manifest body lands in a
+  *     hidden temp file first, then an atomic publish-if-absent gives
+  *     it the `v<N+1>.json` name (hard link on posix, rename-without-
+  *     replace on HDFS — the primitive Delta's HDFS LogStore uses).
+  *     A visible manifest is therefore always COMPLETE: a crash
+  *     leaves orphan temps, never a truncated version. Two concurrent
+  *     writers race on the same next version; the loser's publish
+  *     fails, it re-reads the new latest, and retries on top —
+  *     optimistic concurrency, no locks;
+  *   - every [[CheckpointEvery]] commits the committer folds the log
+  *     into a parquet CHECKPOINT under `_checkpoints/v<N>` (Delta's
+  *     checkpoint parquet): the full file set, the log schema, and
+  *     the seen txn markers. Resolving any version then reads one
+  *     checkpoint + at most [[CheckpointEvery]] tail deltas, never
+  *     the whole log — the read path stays O(1) as commits pile up
+  *     into the thousands;
   *   - readers resolve a version ONCE (latest or AS OF) and read only
   *     its files: snapshot isolation for free — a reader planned at
   *     v2 never sees v3's files, no matter when v3 commits;
   *   - old versions stay readable (time travel) until `vacuum`, which
-  *     deletes only files unreachable from the kept manifests.
+  *     first guarantees a checkpoint at the oldest KEPT version (so
+  *     kept versions never need the dropped deltas), then deletes
+  *     only files unreachable from the kept versions.
   *
-  * Scale note: the manifest lists file PATHS (+ per-file row counts
-  * for verification) — O(#files) driver-side metadata, same contract
-  * as [[Compaction.planBins]]. At millions of files production
-  * formats shard manifests and checkpoint them; one JSON per version
-  * is the honest small-scale spelling of the same protocol.
+  * Scale note: a checkpoint is O(#files) — written every N commits
+  * by an executor-side parquet job, read back once and cached (it is
+  * immutable). Production formats additionally SHARD checkpoints
+  * across files; the single-parquet spelling here is the same
+  * protocol one shard wide.
   */
 object ManifestTable {
+
+  /** Fold the log into a parquet checkpoint every N commits. */
+  val CheckpointEvery = 10
 
   /** `lo`/`hi`: min/max of the table's declared stats column within
     * this file — the Delta/Iceberg file-level statistics that let a
@@ -42,29 +61,90 @@ object ManifestTable {
   final case class ManifestEntry(path: String, rows: Long,
       lo: Option[Long] = None, hi: Option[Long] = None)
 
-  /** `compaction = true` marks a version whose commit changed FILES
-    * but not CONTENT (Delta's dataChange=false) — a change-feed tail
-    * must skip it or it double-counts every compacted row. `txn` is
-    * the writer's idempotence marker (Delta's txn action): a
-    * streaming sink stamps each commit with its (queryId, batchId)
-    * and skips the append when the marker is already in the log. */
-  /** `schemaDdl`: the table schema OF THIS VERSION, carried in the
-    * log (Delta's metaData action) — readers take the schema from the
-    * manifest, never from file footers, so files written before a
-    * column existed read back with that column null. */
+  /** ONE commit's actions (what `v<N>.json` holds — Delta's add/
+    * remove/txn/metaData actions). `compaction = true` marks a
+    * version whose actions changed FILES but not CONTENT (Delta's
+    * dataChange=false) — a change-feed tail must skip it or it
+    * double-counts every compacted row. `txn` is the writer's
+    * idempotence marker (Delta's txn action). `schemaDdl`/`statsCol`
+    * ride the commit that changes them and CARRY FORWARD through the
+    * fold. */
+  final case class Delta(version: Int,
+      adds: Vector[ManifestEntry],
+      removes: Vector[String],
+      compaction: Boolean = false,
+      txn: Option[String] = None,
+      schemaDdl: Option[String] = None,
+      statsCol: Option[String] = None) {
+    /** The files this commit ADDED (a change-feed consumes exactly
+      * these — with a delta log the CDC read needs no file-set diff). */
+    def paths: Vector[String] = adds.map(_.path)
+  }
+
+  /** A RESOLVED version: checkpoint + tail deltas folded. `txns`
+    * maps every txn marker seen up to this version to the version
+    * that committed it (checkpoints persist markers, so the
+    * exactly-once dedupe window survives vacuum). */
   final case class Snapshot(version: Int, entries: Vector[ManifestEntry],
-      compaction: Boolean = false, txn: Option[String] = None,
-      schemaDdl: Option[String] = None) {
+      schemaDdl: Option[String] = None,
+      statsCol: Option[String] = None,
+      txns: Map[String, Int] = Map.empty) {
     def paths: Vector[String] = entries.map(_.path)
     def rows: Long = entries.map(_.rows).sum
   }
 
   private def manifestDir(dir: String) = new Path(dir, "_manifests")
+  private def ckptRoot(dir: String) = new Path(dir, "_checkpoints")
+
+  /** JSON string escaping for manifest fields (txn markers, schema
+    * DDL with backtick-quoted names, file paths): a double quote or
+    * newline in any of them must not corrupt the manifest or truncate
+    * the parsed schema. */
+  private[operators] def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private[operators] def jsonUnescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'u' if i + 6 <= s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** A JSON string literal's body: quotes inside are escaped, so the
+    * match runs to the first UNescaped quote. */
+  private val JStr = """((?:[^"\\]|\\.)*)"""
 
   /** Zero-padded so lexicographic file order == version order — a
     * file-stream tail of `_manifests` then sees commits in commit
     * order even when mtimes tie within a timestamp granule. */
   private[operators] def manifestName(v: Int) = f"v$v%06d.json"
+  private def ckptName(v: Int) = f"v$v%06d"
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -80,7 +160,24 @@ object ManifestTable {
       .sorted
   }
 
-  /** Resolve a snapshot: latest, or AS OF an exact version. */
+  /** Checkpointed versions, ascending. Only checkpoints whose write
+    * finished (the job's `_SUCCESS` marker) count — a crashed
+    * checkpoint attempt is invisible, never a corrupt base. */
+  def checkpointVersions(spark: SparkSession, dir: String): Vector[Int] = {
+    val f = fs(spark, dir)
+    val root = ckptRoot(dir)
+    if (!f.exists(root)) Vector.empty
+    else f.listStatus(root).toVector
+      .filter(st => st.isDirectory &&
+        f.exists(new Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) =>
+        n.drop(1).toInt }
+      .sorted
+  }
+
+  /** Resolve a snapshot: latest, or AS OF an exact version — one
+    * checkpoint + at most [[CheckpointEvery]] tail deltas. */
   def snapshot(spark: SparkSession, dir: String,
       asOf: Option[Int] = None): Snapshot = {
     val vs = versions(spark, dir)
@@ -91,14 +188,48 @@ object ManifestTable {
         x
       case None => vs.last
     }
+    resolve(spark, dir, v)
+  }
+
+  /** Fold checkpoint + tail deltas into version `v`'s full state. */
+  private def resolve(spark: SparkSession, dir: String, v: Int): Snapshot = {
+    val base = checkpointVersions(spark, dir).filter(_ <= v).lastOption
+    val em = scala.collection.mutable.LinkedHashMap.empty[String, ManifestEntry]
+    var ddl: Option[String] = None
+    var statsCol: Option[String] = None
+    var txns = Map.empty[String, Int]
+    base.foreach { cv =>
+      val st = readCheckpoint(spark, dir, cv)
+      st.entries.foreach(e => em(e.path) = e)
+      ddl = st.schemaDdl
+      statsCol = st.statsCol
+      txns = st.txns
+    }
+    ((base.getOrElse(0) + 1) to v).foreach { dv =>
+      val d = readDelta(spark, dir, dv)
+      d.removes.foreach(em.remove)
+      d.adds.foreach(e => em(e.path) = e)
+      d.schemaDdl.foreach(x => ddl = Some(x))
+      d.statsCol.foreach(x => statsCol = Some(x))
+      d.txn.foreach(t => txns += t -> dv)
+    }
+    Snapshot(v, em.values.toVector.sortBy(_.path), ddl, statsCol, txns)
+  }
+
+  /** Read one committed delta. The two-phase commit means a VISIBLE
+    * manifest is always COMPLETE — the short retry is purely
+    * defensive for eventually-consistent stores where a just-
+    * published file's bytes may lag its listing. */
+  private def readDelta(spark: SparkSession, dir: String, v: Int): Delta = {
     val f = fs(spark, dir)
-    // a manifest can be VISIBLE before its writer closes it (the
-    // create-if-absent commit point makes the file exist first): an
-    // unparsable body means a commit in flight — re-read briefly
-    // rather than failing a reader that raced the winning writer
+    val p = new Path(manifestDir(dir), manifestName(v))
     var attempt = 0
     while (true) {
-      val in = f.open(new Path(manifestDir(dir), manifestName(v)))
+      if (!f.exists(p))
+        throw new IllegalStateException(
+          s"manifest v$v at $dir is missing — vacuumed past a version " +
+            "still needed by this resolution?")
+      val in = f.open(p)
       val body = try {
         val bos = new java.io.ByteArrayOutputStream()
         org.apache.commons.io.IOUtils.copy(in, bos)
@@ -106,43 +237,56 @@ object ManifestTable {
       } finally in.close()
       try return parseManifest(body)
       catch {
-        case e: Exception if attempt < 50 =>
+        case e: Exception if attempt < 10 =>
           attempt += 1
           Thread.sleep(20)
         case e: Exception =>
           throw new IllegalStateException(
-            s"manifest v$v at $dir stayed unparsable — truncated commit?", e)
+            s"manifest v$v at $dir is unparsable", e)
       }
     }
     sys.error("unreachable")
   }
 
-  /** Parse a manifest body (also used by the change-feed tail, which
-    * receives manifests through a file stream, not this reader). */
-  def parseManifest(body: String): Snapshot = {
+  /** Parse one commit's manifest body (also used by the change-feed
+    * tail, which receives manifests through a file stream, not this
+    * reader). */
+  def parseManifest(body: String): Delta = {
+    // header is line 1 (version/compaction/txn/schema/stats_col);
+    // escaped string fields parse to the first UNescaped quote
+    val header = body.linesIterator.next()
     val v = """"version"\s*:\s*(\d+)""".r
-      .findFirstMatchIn(body).get.group(1).toInt
+      .findFirstMatchIn(header).get.group(1).toInt
     val compaction = """"compaction"\s*:\s*true""".r
-      .findFirstIn(body).isDefined
-    val txn = """"txn"\s*:\s*"([^"]+)"""".r
-      .findFirstMatchIn(body).map(_.group(1))
-    val schemaDdl = """"schema"\s*:\s*"([^"]+)"""".r
-      .findFirstMatchIn(body).map(_.group(1))
-    // one {"path":...,"rows":N[,"lo":L,"hi":H]} per line after the header
-    val entries = body.linesIterator
+      .findFirstIn(header).isDefined
+    val txn = (""""txn"\s*:\s*"""" + JStr + "\"").r
+      .findFirstMatchIn(header).map(m => jsonUnescape(m.group(1)))
+    val schemaDdl = (""""schema"\s*:\s*"""" + JStr + "\"").r
+      .findFirstMatchIn(header).map(m => jsonUnescape(m.group(1)))
+    val statsCol = (""""stats_col"\s*:\s*"""" + JStr + "\"").r
+      .findFirstMatchIn(header).map(m => jsonUnescape(m.group(1)))
+    // one action per line after the header: adds carry "rows",
+    // removes carry "remove": true
+    val adds = Vector.newBuilder[ManifestEntry]
+    val removes = Vector.newBuilder[String]
+    body.linesIterator.drop(1)
       .filter(_.contains("\"path\""))
-      .map { line =>
-        val p = """"path"\s*:\s*"([^"]+)"""".r
-          .findFirstMatchIn(line).get.group(1)
-        val r = """"rows"\s*:\s*(\d+)""".r
-          .findFirstMatchIn(line).get.group(1).toLong
-        val lo = """"lo"\s*:\s*(-?\d+)""".r
-          .findFirstMatchIn(line).map(_.group(1).toLong)
-        val hi = """"hi"\s*:\s*(-?\d+)""".r
-          .findFirstMatchIn(line).map(_.group(1).toLong)
-        ManifestEntry(p, r, lo, hi)
-      }.toVector
-    Snapshot(v, entries, compaction, txn, schemaDdl)
+      .foreach { line =>
+        val p = jsonUnescape((""""path"\s*:\s*"""" + JStr + "\"").r
+          .findFirstMatchIn(line).get.group(1))
+        if (line.contains("\"remove\"")) removes += p
+        else {
+          val r = """"rows"\s*:\s*(\d+)""".r
+            .findFirstMatchIn(line).get.group(1).toLong
+          val lo = """"lo"\s*:\s*(-?\d+)""".r
+            .findFirstMatchIn(line).map(_.group(1).toLong)
+          val hi = """"hi"\s*:\s*(-?\d+)""".r
+            .findFirstMatchIn(line).map(_.group(1).toLong)
+          adds += ManifestEntry(p, r, lo, hi)
+        }
+      }
+    Delta(v, adds.result(), removes.result(), compaction, txn,
+      schemaDdl, statsCol)
   }
 
   /** Read the table at a snapshot — only that version's files, never
@@ -151,8 +295,6 @@ object ManifestTable {
       asOf: Option[Int] = None): DataFrame = {
     val snap = snapshot(spark, dir, asOf)
     if (snap.paths.isEmpty)
-      // empty version: preserve schema from any prior version's files
-      // is impossible without files; callers create tables non-empty
       sys.error(s"version ${snap.version} of $dir lists no files")
     snap.schemaDdl match {
       // schema-on-log: files written before a column existed read
@@ -173,64 +315,204 @@ object ManifestTable {
   def appendEvolve(spark: SparkSession, dir: String, df: DataFrame,
       statsCol: Option[String] = None): Int = {
     import org.apache.spark.sql.types.StructType
-    val cur = snapshot(spark, dir)
-    val base = cur.schemaDdl.map(StructType.fromDDL)
-      .getOrElse(spark.read.parquet(cur.paths: _*).schema)
-    df.schema.fields.foreach { f0 =>
-      base.fields.find(_.name == f0.name).foreach { have =>
-        require(have.dataType == f0.dataType,
-          s"appendEvolve: column ${f0.name} is ${have.dataType.sql} " +
-            s"in the log but ${f0.dataType.sql} in the append — " +
-            "evolution adds columns, it never coerces them")
+    // the evolved schema must be recomputed INSIDE the retry loop
+    // from each freshly-read snapshot — computing it once from the
+    // pre-race snapshot and retrying the commit against a re-read one
+    // would let the loser of a concurrent appendEvolve race commit
+    // the winner's files under a schema missing the winner's columns,
+    // silently dropping that column from all reads
+    def evolveFrom(cur: Snapshot): StructType = {
+      val base = cur.schemaDdl.map(StructType.fromDDL)
+        .getOrElse(spark.read.parquet(cur.paths: _*).schema)
+      df.schema.fields.foreach { f0 =>
+        base.fields.find(_.name == f0.name).foreach { have =>
+          require(have.dataType == f0.dataType,
+            s"appendEvolve: column ${f0.name} is ${have.dataType.sql} " +
+              s"in the log but ${f0.dataType.sql} in the append — " +
+              "evolution adds columns, it never coerces them")
+        }
       }
+      StructType(base.fields ++
+        df.schema.fields.filterNot(f0 => base.fieldNames.contains(f0.name)))
     }
-    val evolved = StructType(base.fields ++
-      df.schema.fields.filterNot(f0 => base.fieldNames.contains(f0.name)))
+    evolveFrom(snapshot(spark, dir)) // type-check early, before any write
     val newEntries = writeFiles(spark, dir, df, statsCol)
     var committed: Option[Int] = None
     var guard = 0
     while (committed.isEmpty && guard < 50) {
       val c = snapshot(spark, dir)
       committed = tryCommit(spark, dir, c.version + 1,
-        c.entries ++ newEntries, schemaDdl = Some(evolved.toDDL))
+        adds = newEntries, removes = Vector.empty,
+        schemaDdl = Some(evolveFrom(c).toDDL), statsCol = statsCol)
       guard += 1
     }
     committed.getOrElse(sys.error(s"appendEvolve lost 50 races at $dir"))
   }
 
-  /** The atomic commit: create-if-absent of the next version's
-    * manifest. Returns the committed version, or None if another
-    * writer won the race (caller re-reads latest and retries). */
+  /** The atomic commit, TWO-PHASE: (1) write the FULL body to a
+    * hidden temp file (leading dot — invisible to [[versions]], to
+    * Spark file listings, and to the st45 change-feed tail); (2)
+    * publish it under the next version's name with an atomic
+    * create-if-absent of the COMPLETE file. A crash at any point
+    * leaves either no `v<N>.json` or a complete one — orphan temps,
+    * never a truncated version (a single create-then-write would
+    * expose a window where the commit point exists with a partial
+    * body, permanently wedging readers AND all later commits).
+    * Returns the committed version, or None if another writer won
+    * the race (caller re-reads latest and retries). On success,
+    * folds a checkpoint when the version hits the cadence. */
   private def tryCommit(spark: SparkSession, dir: String, version: Int,
-      entries: Vector[ManifestEntry],
+      adds: Vector[ManifestEntry],
+      removes: Vector[String],
       compaction: Boolean = false,
       txn: Option[String] = None,
-      schemaDdl: Option[String] = None): Option[Int] = {
+      schemaDdl: Option[String] = None,
+      statsCol: Option[String] = None): Option[Int] = {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
     val target = new Path(manifestDir(dir), manifestName(version))
-    val txnField = txn.map(t => s""", "txn": "$t"""").getOrElse("") +
-      schemaDdl.map(d => s""", "schema": "$d"""").getOrElse("")
+    if (f.exists(target)) return None // lost before writing anything
+    val hdr =
+      txn.map(t => s""", "txn": "${jsonEscape(t)}"""").getOrElse("") +
+      schemaDdl.map(d => s""", "schema": "${jsonEscape(d)}"""").getOrElse("") +
+      statsCol.map(c => s""", "stats_col": "${jsonEscape(c)}"""").getOrElse("")
     val body =
-      s"""{"version": $version, "compaction": $compaction$txnField, "files": [""" +
+      s"""{"version": $version, "compaction": $compaction$hdr, "actions": [""" +
         "\n" +
-      entries.map { e =>
+      (adds.map { e =>
         val stats = (e.lo, e.hi) match {
           case (Some(l), Some(h)) => s""", "lo": $l, "hi": $h"""
           case _ => ""
         }
-        s"""  {"path": "${e.path}", "rows": ${e.rows}$stats}"""
-      }.mkString(",\n") + "\n]}"
-    try {
-      val out = f.create(target, /* overwrite = */ false)
-      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      Some(version)
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => None
-      case _: java.io.IOException if f.exists(target) => None
+        s"""  {"path": "${jsonEscape(e.path)}", "rows": ${e.rows}$stats}"""
+      } ++ removes.map { p =>
+        s"""  {"path": "${jsonEscape(p)}", "remove": true}"""
+      }).mkString(",\n") + "\n]}"
+    val tmp = new Path(manifestDir(dir),
+      s".tmp-${manifestName(version)}." +
+        java.util.UUID.randomUUID().toString.take(8))
+    val out = f.create(tmp, /* overwrite = */ true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val won = publishIfAbsent(f, tmp, target)
+    if (!won) { f.delete(tmp, false); return None } // our temp is garbage
+    if (version % CheckpointEvery == 0) writeCheckpoint(spark, dir, version)
+    Some(version)
+  }
+
+  /** Atomically give a COMPLETE temp file the target name iff the
+    * target does not exist. On a local/posix store: hard link —
+    * link(2) fails with EEXIST, an atomic create-if-absent whose
+    * content is already full (then the temp name is dropped). On
+    * HDFS-like stores: rename-without-replace, the same primitive
+    * Delta's HDFS LogStore uses (HDFS rename returns false when the
+    * destination exists). */
+  private def publishIfAbsent(f: org.apache.hadoop.fs.FileSystem,
+      tmp: Path, target: Path): Boolean = {
+    val scheme = f.getUri.getScheme
+    if (scheme == null || scheme == "file") {
+      val tf = java.nio.file.Paths.get(f.makeQualified(tmp).toUri)
+      val tg = java.nio.file.Paths.get(f.makeQualified(target).toUri)
+      try {
+        java.nio.file.Files.createLink(tg, tf)
+        f.delete(tmp, false) // drop the temp name (and its crc sidecar)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      try f.rename(tmp, target)
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
     }
   }
+
+  // ---- checkpoints ----------------------------------------------------
+
+  /** One row of the checkpoint parquet: kind = "add" (a live file),
+    * "meta" (schema + stats column), or "txn" (a seen marker) — the
+    * Delta checkpoint's action-struct layout, one shard wide. */
+  final case class CkptRow(kind: String,
+      path: Option[String], rows: Option[Long],
+      lo: Option[Long], hi: Option[Long],
+      schema_ddl: Option[String], stats_col: Option[String],
+      txn: Option[String], txn_version: Option[Int])
+
+  private final case class CkptState(entries: Vector[ManifestEntry],
+      schemaDdl: Option[String], statsCol: Option[String],
+      txns: Map[String, Int])
+
+  /** Checkpoints are immutable once `_SUCCESS` lands — cache them so
+    * commit-loop snapshot resolution pays the parquet read once. */
+  private val ckptCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CkptState]()
+
+  /** Fold the log at `v` into `_checkpoints/v<N>` as parquet.
+    * Best-effort and crash-safe: a lost race or a failure leaves at
+    * worst a `_SUCCESS`-less directory that readers ignore; the log
+    * remains the source of truth. `force` clears a partial attempt
+    * first (vacuum's path — it must not proceed without the base). */
+  def writeCheckpoint(spark: SparkSession, dir: String, v: Int,
+      force: Boolean = false): Unit = {
+    val f = fs(spark, dir)
+    val target = new Path(ckptRoot(dir), ckptName(v))
+    if (f.exists(new Path(target, "_SUCCESS"))) return // already done
+    if (f.exists(target)) {
+      if (!force) return // someone's attempt in flight; not our problem
+      f.delete(target, true)
+    }
+    val snap = resolve(spark, dir, v)
+    val rows =
+      snap.entries.map(e => CkptRow("add", Some(e.path), Some(e.rows),
+        e.lo, e.hi, None, None, None, None)) ++
+      Vector(CkptRow("meta", None, None, None, None,
+        snap.schemaDdl, snap.statsCol, None, None)) ++
+      snap.txns.toVector.sortBy(_._2).map { case (t, tv) =>
+        CkptRow("txn", None, None, None, None, None, None,
+          Some(t), Some(tv)) }
+    try {
+      import spark.implicits._
+      spark.createDataset(rows).coalesce(1)
+        .write.mode("errorifexists").parquet(target.toString)
+    } catch {
+      case scala.util.control.NonFatal(_) => () // raced or transient: the
+        // log still resolves without this checkpoint
+    }
+  }
+
+  private def readCheckpoint(spark: SparkSession, dir: String,
+      v: Int): CkptState = {
+    val key = fs(spark, dir)
+      .makeQualified(new Path(ckptRoot(dir), ckptName(v))).toString
+    val hit = ckptCache.get(key)
+    if (hit != null) return hit
+    val rows = spark.read.parquet(key)
+      .collect() // O(#files) metadata — the same driver-side planning
+                 // read Delta's snapshot reconstruction performs
+    val entries = Vector.newBuilder[ManifestEntry]
+    var ddl: Option[String] = None
+    var statsCol: Option[String] = None
+    var txns = Map.empty[String, Int]
+    rows.foreach { r =>
+      def optS(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
+      def optL(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      r.getString(0) match {
+        case "add" =>
+          entries += ManifestEntry(r.getString(1), r.getLong(2),
+            optL(3), optL(4))
+        case "meta" =>
+          ddl = optS(5); statsCol = optS(6)
+        case "txn" =>
+          txns += r.getString(7) -> r.getInt(8)
+      }
+    }
+    val st = CkptState(entries.result(), ddl, statsCol, txns)
+    if (ckptCache.size > 8) ckptCache.clear() // crude bound; entries are
+                                              // immutable so only a perf hit
+    ckptCache.put(key, st)
+    st
+  }
+
+  // ---- writers --------------------------------------------------------
 
   /** Write `df` as new immutable data files and return their entries:
     * ONE read-back grouped by input_file_name yields every file's row
@@ -259,23 +541,24 @@ object ManifestTable {
     }.sortBy(_.path)
   }
 
-  /** Initialize a table at version 1 (fails if already initialized). */
+  /** Initialize a table at version 1 (fails if already initialized).
+    * The schema always rides the log from birth. */
   def create(spark: SparkSession, dir: String, df: DataFrame,
       statsCol: Option[String] = None): Int = {
     require(versions(spark, dir).isEmpty, s"table already exists at $dir")
     val entries = writeFiles(spark, dir, df, statsCol)
-    tryCommit(spark, dir, 1, entries)
+    tryCommit(spark, dir, 1, adds = entries, removes = Vector.empty,
+      schemaDdl = Some(df.schema.toDDL), statsCol = statsCol)
       .getOrElse(sys.error(s"concurrent create at $dir"))
   }
 
   /** Append `df` as a new version (retries past concurrent commits —
     * an append conflicts with nothing: it only adds files). With
-    * `txn` set, the append is IDEMPOTENT: if any kept manifest
-    * already carries the marker, nothing is written and that version
-    * is returned — the exactly-once contract a streaming sink's
-    * (queryId, batchId) redelivery needs (Delta's txn action; the
-    * dedupe window is the kept manifests, so vacuum retention must
-    * exceed the redelivery horizon). */
+    * `txn` set, the append is IDEMPOTENT: if the marker was ever
+    * committed, nothing is written and that version is returned —
+    * the exactly-once contract a streaming sink's (queryId, batchId)
+    * redelivery needs (Delta's txn action; markers persist through
+    * checkpoints, so the dedupe window survives vacuum). */
   def append(spark: SparkSession, dir: String, df: DataFrame,
       statsCol: Option[String] = None,
       txn: Option[String] = None): Int = {
@@ -295,28 +578,36 @@ object ManifestTable {
       }
       // appending to an uninitialized table bootstraps v1 — the shape
       // a streaming sink needs (its first batch IS the create)
+      val bootstrap = versions(spark, dir).isEmpty
       val cur =
-        if (versions(spark, dir).isEmpty) Snapshot(0, Vector.empty)
+        if (bootstrap) Snapshot(0, Vector.empty)
         else snapshot(spark, dir)
       committed = tryCommit(spark, dir, cur.version + 1,
-        cur.entries ++ newEntries, txn = txn, schemaDdl = cur.schemaDdl)
+        adds = newEntries, removes = Vector.empty, txn = txn,
+        schemaDdl = if (bootstrap) Some(df.schema.toDDL) else None,
+        statsCol = statsCol.filterNot(cur.statsCol.contains))
       guard += 1
     }
     committed.getOrElse(sys.error(s"append lost 50 commit races at $dir"))
   }
 
-  /** The version that committed `txn`, if present in a kept manifest. */
+  /** The version that committed `txn`, if ever (checkpoints persist
+    * markers past vacuum). */
   def txnVersion(spark: SparkSession, dir: String,
       txn: String): Option[Int] =
-    versions(spark, dir).reverse
-      .find(v => snapshot(spark, dir, Some(v)).txn.contains(txn))
+    if (versions(spark, dir).isEmpty) None
+    else snapshot(spark, dir).txns.get(txn)
 
-  /** Replace the file set wholesale (overwrite semantics). */
+  /** Replace the file set wholesale (overwrite semantics): removes
+    * every current file, adds the new ones, and RESETS the log schema
+    * to `df`'s — an overwrite is a new table in the same history. */
   def overwrite(spark: SparkSession, dir: String, df: DataFrame,
       statsCol: Option[String] = None): Int = {
     val newEntries = writeFiles(spark, dir, df, statsCol)
     val cur = snapshot(spark, dir)
-    tryCommit(spark, dir, cur.version + 1, newEntries)
+    tryCommit(spark, dir, cur.version + 1,
+      adds = newEntries, removes = cur.paths,
+      schemaDdl = Some(df.schema.toDDL), statsCol = statsCol)
       .getOrElse(sys.error(s"concurrent commit at $dir — overwrite " +
         "is not auto-retried: rebase on the new version first"))
   }
@@ -347,7 +638,7 @@ object ManifestTable {
   /** Transactional COW DML (Delta's MERGE shape): read the current
     * snapshot, apply `transform` to it, write the result as new
     * immutable files, and commit them as the next version — the
-    * commit is CONDITIONAL on the version read (create-if-absent of
+    * commit is CONDITIONAL on the version read (publish-if-absent of
     * version+1), so a concurrent commit in the read-transform window
     * loses nothing: the loser re-reads the NEW snapshot, re-applies
     * the transform, and retries. Orphaned files from lost races are
@@ -361,8 +652,9 @@ object ManifestTable {
       val cur = snapshot(spark, dir)
       val merged = transform(read(spark, dir, Some(cur.version)))
       val entries = writeFiles(spark, dir, merged, statsCol)
-      tryCommit(spark, dir, cur.version + 1, entries,
-        schemaDdl = cur.schemaDdl.map(_ => merged.schema.toDDL)) match {
+      tryCommit(spark, dir, cur.version + 1,
+        adds = entries, removes = cur.paths,
+        schemaDdl = Some(merged.schema.toDDL), statsCol = statsCol) match {
         case Some(v) => return v
         case None => guard += 1 // raced: re-read, re-apply, retry
       }
@@ -372,12 +664,12 @@ object ManifestTable {
 
   /** Manifest-committed compaction: bin-pack the CURRENT version's
     * files ([[Compaction.planBins]]), rewrite each multi-file bin to
-    * one new immutable file, and commit the new file set as the next
-    * version. Old versions keep reading the old files — this is what
-    * makes OPTIMIZE safe under concurrent readers, the piece x36's
-    * bare-directory swap could not give. Row counts verified per bin
-    * before the commit; a crash leaves orphan files, never a corrupt
-    * version. */
+    * one new immutable file, and commit adds(merged) + removes(bin
+    * members) as the next version. Old versions keep reading the old
+    * files — this is what makes OPTIMIZE safe under concurrent
+    * readers, the piece x36's bare-directory swap could not give. Row
+    * counts verified per bin before the commit; a crash leaves orphan
+    * files, never a corrupt version. */
   def compactCommit(spark: SparkSession, dir: String,
       targetBytes: Long): Int = {
     val f = fs(spark, dir)
@@ -415,30 +707,44 @@ object ManifestTable {
         cur.entries.find(_.path == f0.path).flatMap(_.lo))
       val mhi = bin.files.flatMap(f0 =>
         cur.entries.find(_.path == f0.path).flatMap(_.hi))
-      Vector(inPaths.toSet -> ManifestEntry(part.toString, outRows,
+      Vector(inPaths.toVector -> ManifestEntry(part.toString, outRows,
         if (mlo.size == bin.files.size) Some(mlo.min) else None,
         if (mhi.size == bin.files.size) Some(mhi.max) else None))
     }
-    val replaced = rewritten.flatMap(_._1).toSet
-    val entries = cur.entries.filterNot(e => replaced.contains(e.path)) ++
-      rewritten.map(_._2)
-    tryCommit(spark, dir, cur.version + 1, entries.sortBy(_.path),
-      compaction = true, schemaDdl = cur.schemaDdl)
+    tryCommit(spark, dir, cur.version + 1,
+      adds = rewritten.map(_._2).toVector.sortBy(_.path),
+      removes = rewritten.flatMap(_._1).toVector.sorted,
+      compaction = true)
       .getOrElse(sys.error(s"concurrent commit at $dir during compact"))
   }
 
   /** Delete data files unreachable from the kept (newest `keep`)
-    * manifests, and the dropped manifests themselves. Never touches a
-    * file a kept version lists. */
+    * versions, the dropped manifests, and superseded checkpoints.
+    * Before dropping anything, GUARANTEES a checkpoint at the oldest
+    * kept version — with a delta log, kept versions must resolve
+    * without the dropped deltas (checkpoint reachability). Never
+    * touches a file a kept version lists. */
   def vacuum(spark: SparkSession, dir: String, keep: Int): Unit = {
     require(keep >= 1, "must keep at least the latest version")
     val f = fs(spark, dir)
     val vs = versions(spark, dir)
     val (drop, kept) = vs.splitAt(math.max(0, vs.size - keep))
+    // reachability and the forced checkpoint both need the dropped
+    // deltas still present — compute BEFORE deleting anything
     val reachable = kept
-      .flatMap(v => snapshot(spark, dir, Some(v)).paths).toSet
+      .flatMap(v => resolve(spark, dir, v).paths).toSet
+    if (drop.nonEmpty) {
+      val minKept = kept.head
+      if (!checkpointVersions(spark, dir).contains(minKept))
+        writeCheckpoint(spark, dir, minKept, force = true)
+      require(checkpointVersions(spark, dir).contains(minKept),
+        s"vacuum at $dir could not checkpoint v$minKept — refusing to " +
+          "drop the deltas kept versions still need")
+    }
     val dataDirs = f.listStatus(new Path(dir)).toVector
-      .filter(st => st.isDirectory && st.getPath.getName != "_manifests")
+      .filter(st => st.isDirectory &&
+        st.getPath.getName != "_manifests" &&
+        st.getPath.getName != "_checkpoints")
     dataDirs.foreach { d =>
       f.listStatus(d.getPath).toVector.map(_.getPath)
         .filter(p => p.getName.endsWith(".parquet") &&
@@ -447,5 +753,24 @@ object ManifestTable {
     }
     drop.foreach(v =>
       f.delete(new Path(manifestDir(dir), manifestName(v)), false))
+    // checkpoints older than the newest one ≤ oldest-kept are
+    // superseded; ones above it remain useful for tail resolution
+    kept.headOption.foreach { minKept =>
+      val cks = checkpointVersions(spark, dir)
+      cks.filter(_ <= minKept).dropRight(1).foreach(cv =>
+        f.delete(new Path(ckptRoot(dir), ckptName(cv)), true))
+    }
+    // orphan commit temps (crashed or raced writers): a temp whose
+    // target version already committed is garbage by definition —
+    // in-flight commits for FUTURE versions are never touched
+    val latest = vs.lastOption.getOrElse(0)
+    f.listStatus(manifestDir(dir)).toVector.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith(".tmp-v") &&
+          n.drop(".tmp-v".length).takeWhile(_.isDigit).toIntOption
+            .exists(_ <= latest)
+      }
+      .foreach(p => f.delete(p, false))
   }
 }

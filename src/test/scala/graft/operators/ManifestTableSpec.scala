@@ -211,6 +211,171 @@ class ManifestTableSpec extends AnyFunSuite {
     cleanup(dir)
   }
 
+  test("a visible manifest is always complete: no temp leaks into the " +
+      "version list, vacuum sweeps orphan commit temps") {
+    import spark.implicits._
+    val dir = fresh()
+    ManifestTable.create(spark, dir, (0L until 10L).toDF("k"))
+    ManifestTable.append(spark, dir, (10L until 20L).toDF("k"))
+    // simulate a crashed writer: a complete temp for an ALREADY
+    // COMMITTED version (lost race, never cleaned) and one for a
+    // future version (in-flight, must survive)
+    val md = new java.io.File(new java.io.File(dir), "_manifests")
+    val orphan = new java.io.File(md, ".tmp-v000002.json.deadbeef")
+    java.nio.file.Files.writeString(orphan.toPath, "{garbage")
+    val inflight = new java.io.File(md, ".tmp-v000099.json.cafe0000")
+    java.nio.file.Files.writeString(inflight.toPath, "{inflight")
+    // temps are invisible to version resolution and reads
+    assert(ManifestTable.versions(spark, dir) == Vector(1, 2))
+    assert(ManifestTable.read(spark, dir).count() == 20)
+    ManifestTable.vacuum(spark, dir, keep = 2)
+    assert(!orphan.exists(), "orphan temp for a committed version survived")
+    assert(inflight.exists(), "in-flight future-version temp was swept")
+    cleanup(dir)
+  }
+
+  test("a crash between temp write and publish wedges nothing: the next " +
+      "commit takes the version") {
+    import spark.implicits._
+    val dir = fresh()
+    ManifestTable.create(spark, dir, (0L until 10L).toDF("k"))
+    // a writer that died after phase 1: complete temp, no vN.json
+    val md = new java.io.File(new java.io.File(dir), "_manifests")
+    java.nio.file.Files.writeString(
+      new java.io.File(md, ".tmp-v000002.json.00000000").toPath,
+      "{\"version\": 2, \"compaction\": false, \"files\": [\n]}")
+    // readers see v1 only; a fresh append commits v2 unobstructed
+    assert(ManifestTable.snapshot(spark, dir).version == 1)
+    assert(ManifestTable.append(spark, dir, (10L until 15L).toDF("k")) == 2)
+    assert(ManifestTable.read(spark, dir).count() == 15)
+    cleanup(dir)
+  }
+
+  test("txn markers and schema DDL with quotes/newlines survive the " +
+      "manifest round trip unmangled") {
+    import spark.implicits._
+    val dir = fresh()
+    val evil = "job:\"q\"\nline2\t\\end"
+    ManifestTable.append(spark, dir, (0L until 10L).toDF("k"),
+      txn = Some(evil))
+    assert(ManifestTable.snapshot(spark, dir).txns.get(evil).contains(1))
+    assert(ManifestTable.txnVersion(spark, dir, evil).contains(1))
+    // replay with the same evil marker is still a no-op
+    assert(ManifestTable.append(spark, dir, (0L until 10L).toDF("k"),
+      txn = Some(evil)) == 1)
+    // a backtick-quoted column name whose DDL carries spaces survives
+    // as log schema (DDL with quotes is rejected by Spark's parser
+    // itself, so spaces + backticks are the realistic hostile case)
+    ManifestTable.appendEvolve(spark, dir,
+      (10L until 12L).toDF("k")
+        .withColumn("odd name, with comma", lit(1L)))
+    val snap = ManifestTable.snapshot(spark, dir)
+    assert(snap.schemaDdl.exists(_.contains("odd name, with comma")))
+    val latest = ManifestTable.read(spark, dir)
+    assert(latest.columns.toSeq == Seq("k", "odd name, with comma"))
+    assert(latest.count() == 12)
+    cleanup(dir)
+  }
+
+  test("concurrent appendEvolve: the race loser re-evolves from the " +
+      "winner's schema — no column silently dropped") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = fresh()
+    ManifestTable.create(spark, dir,
+      (0L until 20L).map(k => (k, k)).toDF("k", "v"))
+    // two writers each evolve a DIFFERENT new column, repeatedly —
+    // a loser committing its pre-race schema would erase the winner's
+    // column from the log
+    val fa = Future((0 until 3).foreach(i =>
+      ManifestTable.appendEvolve(spark, dir,
+        Seq((100L + i, 1L, s"a$i")).toDF("k", "v", s"col_a$i"))))
+    val fb = Future((0 until 3).foreach(i =>
+      ManifestTable.appendEvolve(spark, dir,
+        Seq((200L + i, 1L, i.toLong)).toDF("k", "v", s"col_b$i"))))
+    Await.result(fa, 120.seconds)
+    Await.result(fb, 120.seconds)
+    val cols = ManifestTable.read(spark, dir).columns.toSet
+    (0 until 3).foreach { i =>
+      assert(cols.contains(s"col_a$i"), s"col_a$i dropped by a lost race")
+      assert(cols.contains(s"col_b$i"), s"col_b$i dropped by a lost race")
+    }
+    assert(ManifestTable.read(spark, dir).count() == 26)
+    cleanup(dir)
+  }
+
+  test("a 100-version table resolves from checkpoint + ≤N tail deltas") {
+    import spark.implicits._
+    val dir = fresh()
+    ManifestTable.create(spark, dir, Seq(1L).toDF("k"))
+    (2 to 100).foreach(v =>
+      ManifestTable.append(spark, dir, Seq(v.toLong).toDF("k")))
+    // the commit cadence folded checkpoints at every multiple of N
+    val cks = ManifestTable.checkpointVersions(spark, dir)
+    assert(cks == (10 to 100 by 10).toVector, s"checkpoints: $cks")
+    // PROOF that resolution reads checkpoint + tail only: delete the
+    // delta manifests a checkpointed resolution must not need (all
+    // below v91) and resolve latest + a mid-tail AS OF — both exact
+    val md = new java.io.File(new java.io.File(dir), "_manifests")
+    (1 to 90).foreach { v =>
+      val f = new java.io.File(md, f"v$v%06d.json")
+      assert(f.delete(), s"couldn't delete v$v")
+    }
+    assert(ManifestTable.versions(spark, dir) == (91 to 100).toVector)
+    val latest = ManifestTable.read(spark, dir)
+    assert(latest.count() == 100)
+    assert(latest.agg(sum($"k")).first().getLong(0) == (1L to 100L).sum)
+    assert(ManifestTable.read(spark, dir, Some(95)).count() == 95)
+    // resolution below the surviving checkpoint+tail window refuses
+    intercept[IllegalArgumentException] {
+      ManifestTable.snapshot(spark, dir, Some(42))
+    }
+    cleanup(dir)
+  }
+
+  test("vacuum forces a checkpoint at the oldest kept version so kept " +
+      "versions never need the dropped deltas") {
+    import spark.implicits._
+    val dir = fresh()
+    // 7 versions, none on the checkpoint cadence boundary
+    ManifestTable.create(spark, dir, Seq(1L).toDF("k"))
+    (2 to 7).foreach(v =>
+      ManifestTable.append(spark, dir, Seq(v.toLong).toDF("k")))
+    assert(ManifestTable.checkpointVersions(spark, dir).isEmpty)
+    ManifestTable.vacuum(spark, dir, keep = 3)
+    // v5 checkpoint was forced; v1–v4 deltas are gone; all kept
+    // versions still resolve exactly
+    assert(ManifestTable.checkpointVersions(spark, dir) == Vector(5))
+    assert(ManifestTable.versions(spark, dir) == Vector(5, 6, 7))
+    (5 to 7).foreach { v =>
+      val got = ManifestTable.read(spark, dir, Some(v))
+        .agg(sum($"k"), count(lit(1))).first()
+      assert(got.getLong(0) == (1L to v.toLong).sum && got.getLong(1) == v,
+        s"v$v resolved wrong: $got")
+    }
+    cleanup(dir)
+  }
+
+  test("txn markers survive vacuum through the checkpoint") {
+    import spark.implicits._
+    val dir = fresh()
+    ManifestTable.append(spark, dir, Seq(1L).toDF("k"), txn = Some("b:0"))
+    (2 to 6).foreach(v =>
+      ManifestTable.append(spark, dir, Seq(v.toLong).toDF("k"),
+        txn = Some(s"b:${v - 1}")))
+    ManifestTable.vacuum(spark, dir, keep = 2)
+    // v1's manifest (and its txn action) is gone, but the forced
+    // checkpoint carries the marker: redelivery is still a no-op
+    assert(ManifestTable.versions(spark, dir) == Vector(5, 6))
+    assert(ManifestTable.txnVersion(spark, dir, "b:0").contains(1))
+    assert(ManifestTable.append(spark, dir, Seq(99L).toDF("k"),
+      txn = Some("b:0")) == 1)
+    assert(ManifestTable.read(spark, dir).count() == 6)
+    cleanup(dir)
+  }
+
   test("overwrite replaces content; create refuses an existing table") {
     import spark.implicits._
     val dir = fresh()
