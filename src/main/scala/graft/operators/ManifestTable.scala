@@ -176,6 +176,41 @@ object ManifestTable {
       .sorted
   }
 
+  /** TIMESTAMP AS OF: the newest version whose manifest was published
+    * at or before `tsMillis` (epoch millis) — Delta/Iceberg resolve
+    * time travel from commit timestamps the same way; here the
+    * publish mtime IS the commit timestamp (the publish is atomic). */
+  def versionAt(spark: SparkSession, dir: String, tsMillis: Long): Int = {
+    val f = fs(spark, dir)
+    val md = manifestDir(dir)
+    require(f.exists(md), s"no manifest at $dir")
+    val at = f.listStatus(md).toVector
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("v") && n.endsWith(".json") &&
+          st.getModificationTime <= tsMillis
+      }
+      .map(_.getPath.getName.stripPrefix("v").stripSuffix(".json").toInt)
+    require(at.nonEmpty,
+      s"no version of $dir committed at or before epoch-ms $tsMillis")
+    at.max
+  }
+
+  /** Change feed as a BATCH: the files ADDED by data versions in
+    * (fromVersion, toVersion] — compaction versions change files but
+    * not content (dataChange=false) and are skipped, exactly the rule
+    * the st45 streaming tail proves. With a delta log this is a pure
+    * log read: no file-set diffing. */
+  def changedEntries(spark: SparkSession, dir: String,
+      fromVersion: Int, toVersion: Int): Vector[ManifestEntry] = {
+    require(fromVersion <= toVersion,
+      s"changesFromVersion $fromVersion is past version $toVersion")
+    ((fromVersion + 1) to toVersion).toVector
+      .map(v => readDelta(spark, dir, v))
+      .filterNot(_.compaction)
+      .flatMap(_.adds)
+  }
+
   /** Resolve a snapshot: latest, or AS OF an exact version — one
     * checkpoint + at most [[CheckpointEvery]] tail deltas. */
   def snapshot(spark: SparkSession, dir: String,

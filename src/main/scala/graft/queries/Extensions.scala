@@ -380,6 +380,156 @@ object Extensions extends QueryPack {
         .orderBy($"o_orderstatus")
     }),
 
+    // -- DSv2 FRONT DOOR: time travel via spark.read.format -------------
+    // x37's protocol, spelled the way a Delta/Iceberg user expects:
+    // `spark.read.format("graft-manifest").option("versionAsOf", v)`.
+    // Same lifecycle (create %3=0 → append %3=1 → COMPACT → append
+    // %3=2); every version resolved through the registered
+    // TableProvider, the latest read option-free, and a DataFrame
+    // planned BEFORE the last append must stay pinned to its snapshot
+    // (isolation through the format, not just the Scala API).
+    "x41_format_time_travel" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-fmt-").toString + "/t"
+      val t = Tables(s, dir).orders.select($"o_orderkey",
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      def slice(m: Int) = t.filter($"o_orderkey" % 3 === m)
+      try {
+        ManifestTable.create(s, work, slice(0).repartition(6))
+        ManifestTable.append(s, work, slice(1).repartition(6))
+        val pinned = s.read.format("graft-manifest").load(work) // at v2
+        val pinnedWant = pinned.agg(count(lit(1))).first().getLong(0)
+        ManifestTable.compactCommit(s, work, targetBytes = 32L << 20)
+        ManifestTable.append(s, work, slice(2).repartition(6))
+        def stats(v: Int): (Long, Long) = {
+          val r = s.read.format("graft-manifest")
+            .option("versionAsOf", v).load(work)
+            .agg(count(lit(1)), sum($"cents")).first()
+          (r.getLong(0), r.getLong(1))
+        }
+        val perV = (1 to 4).map(v => (v.toLong, stats(v)))
+        // the v2-planned DataFrame, re-counted AFTER v3/v4 committed,
+        // still reads exactly v2's rows
+        val pinnedHeld =
+          pinned.agg(count(lit(1))).first().getLong(0) == pinnedWant &&
+            pinnedWant == perV(1)._2._1
+        // option-free read = latest version
+        val latestR = s.read.format("graft-manifest").load(work)
+          .agg(count(lit(1)), sum($"cents")).first()
+        val latestMatches =
+          (latestR.getLong(0), latestR.getLong(1)) == perV(3)._2
+        perV.map { case (v, (n, c)) =>
+          (v, n, c, pinnedHeld, latestMatches)
+        }.toDF("version", "n_rows", "sum_cents", "pinned_held",
+          "latest_matches")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(work).getParentFile)
+      }
+    }),
+
+    // -- DSv2 front door: manifest stats pruning at PLANNING ------------
+    // x38's file skipping through the format: the custom FileIndex
+    // intersects pushed range conjuncts with each entry's [lo, hi]
+    // and drops files before any footer opens, while the residual
+    // predicate rides the NATIVE parquet scan (PushedFilters), so
+    // row-group pruning and vectorized reads still apply. The planned
+    // file count is read off the executed plan's BatchScanExec — the
+    // real DSv2 artifact, not a side channel.
+    "x42_format_data_skipping" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      import org.apache.spark.sql.execution.datasources.FilePartition
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-fsk-").toString + "/t"
+      val t = Tables(s, dir).orders.select($"o_orderkey",
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      val mx = t.agg(max($"o_orderkey")).first().getLong(0)
+      val (k1, k2) = (mx / 3, 2 * (mx / 3))
+      try {
+        ManifestTable.create(s, work,
+          t.filter($"o_orderkey" <= k1).repartition(4),
+          statsCol = Some("o_orderkey"))
+        ManifestTable.append(s, work,
+          t.filter($"o_orderkey" > k1 && $"o_orderkey" <= k2)
+            .repartition(4), statsCol = Some("o_orderkey"))
+        ManifestTable.append(s, work,
+          t.filter($"o_orderkey" > k2).repartition(4),
+          statsCol = Some("o_orderkey"))
+        val mid = s.read.format("graft-manifest").load(work)
+          .filter($"o_orderkey" >= k1 + 1 && $"o_orderkey" <= k2)
+        def planned(df: org.apache.spark.sql.DataFrame): Int =
+          df.queryExecution.executedPlan.collectFirst {
+            case b: BatchScanExec => b.partitions.flatten.map {
+              case fp: FilePartition => fp.files.length
+              case _ => 1
+            }.sum
+          }.getOrElse(-1)
+        val total = ManifestTable.snapshot(s, work).entries.size
+        val filesPruned = planned(mid) > 0 && planned(mid) < total
+        val explained = mid.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        val parquetPushdown = explained.contains("PushedFilters") &&
+          explained.contains(s"GreaterThanOrEqual(o_orderkey,${k1 + 1})")
+        val r = mid.agg(count(lit(1)), sum($"cents")).first()
+        Seq((r.getLong(0), r.getLong(1), filesPruned, parquetPushdown))
+          .toDF("n_rows", "sum_cents", "files_pruned", "parquet_pushdown")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(work).getParentFile)
+      }
+    }),
+
+    // -- DSv2 front door: change feed as a batch read --------------------
+    // st45's rule (consume ADDS of data versions, skip compaction's
+    // dataChange=false rewrites) through the reader:
+    // `option("changesFromVersion", v)`. With a delta-action log this
+    // is a pure log read — no file-set diffing — and the full-history
+    // feed (from 0) must reproduce the table's exact totals.
+    "x43_format_change_feed" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-cdf-").toString + "/t"
+      val t = Tables(s, dir).orders.select($"o_orderkey",
+        ($"o_orderkey" % 3).as("m"),
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      def slice(m: Int) = t.filter($"m" === m)
+      try {
+        ManifestTable.create(s, work, slice(0).repartition(4))
+        ManifestTable.append(s, work, slice(1).repartition(4))
+        ManifestTable.compactCommit(s, work, targetBytes = 32L << 20)
+        ManifestTable.append(s, work, slice(2).repartition(4))
+        val since1 = s.read.format("graft-manifest")
+          .option("changesFromVersion", 1).load(work)
+        // the whole-history feed reconstructs the table exactly iff
+        // the compaction version was skipped (else every compacted
+        // row double-counts)
+        val full = s.read.format("graft-manifest")
+          .option("changesFromVersion", 0).load(work)
+          .agg(count(lit(1)), sum($"cents")).first()
+        val want = ManifestTable.read(s, work)
+          .agg(count(lit(1)), sum($"cents")).first()
+        val fullFeedOk = (full.getLong(0), full.getLong(1)) ==
+          ((want.getLong(0), want.getLong(1)))
+        // materialize before the finally deletes the table files (the
+        // handful of m-groups collect to the driver; x40 pattern)
+        since1
+          .groupBy($"m")
+          .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+          .orderBy($"m")
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), fullFeedOk))
+          .toDF("m", "n_rows", "sum_cents", "full_feed_total_ok")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(work).getParentFile)
+      }
+    }),
+
     // -- multi-action MERGE: DELETE / UPDATE / INSERT in one pass -------
     // The Delta-Lake MERGE INTO workhorse x05's replace+insert can't
     // express: a returns feed deletes matched orders flagged 'R',
@@ -1873,6 +2023,50 @@ object Extensions extends QueryPack {
         |JOIN t ON t.m <= CASE v.version WHEN 1 THEN 0
         |  WHEN 2 THEN 1 WHEN 3 THEN 1 ELSE 2 END
         |GROUP BY v.version ORDER BY version""".stripMargin,
+
+    // the DSv2 spelling must land on the same per-version totals as
+    // the Scala API (x37); the format-level properties (plan pinning,
+    // option-free latest) are literal TRUEs the engine must prove
+    "x41_format_time_travel" ->
+      """WITH t AS (
+        |  SELECT o_orderkey % 3 AS m,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT CAST(v.version AS BIGINT) AS version,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(t.cents) AS BIGINT) AS sum_cents,
+        |  TRUE AS pinned_held,
+        |  TRUE AS latest_matches
+        |FROM (VALUES (1), (2), (3), (4)) v(version)
+        |JOIN t ON t.m <= CASE v.version WHEN 1 THEN 0
+        |  WHEN 2 THEN 1 WHEN 3 THEN 1 ELSE 2 END
+        |GROUP BY v.version ORDER BY version""".stripMargin,
+
+    // same mid-range slice as x38; pruning fires inside the DSv2
+    // FileIndex and parquet pushdown inside the native scan — both
+    // observed off the executed plan, spelled as TRUEs
+    "x42_format_data_skipping" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+        |b AS (SELECT m // 3 AS k1, 2 * (m // 3) AS k2 FROM mx)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  TRUE AS files_pruned,
+        |  TRUE AS parquet_pushdown
+        |FROM orders, b
+        |WHERE o_orderkey >= b.k1 + 1 AND o_orderkey <= b.k2""".stripMargin,
+
+    // changes since v1 = the rows the two later data versions added
+    // (m = 1 and m = 2); the compaction version must contribute
+    // nothing, and the whole-history feed must equal the table
+    "x43_format_change_feed" ->
+      """SELECT o_orderkey % 3 AS m,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  TRUE AS full_feed_total_ok
+        |FROM orders WHERE o_orderkey % 3 IN (1, 2)
+        |GROUP BY 1 ORDER BY m""".stripMargin,
 
     // compaction changes bytes, never rows: the oracle is the source
     // table's exact count + portable content fingerprint, and the

@@ -1,0 +1,200 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.ManifestTable
+
+/** DSv2 front door for the versioned-manifest table format:
+  *
+  * {{{
+  *   spark.read.format("graft-manifest").load(dir)                      // latest
+  *   spark.read.format("graft-manifest").option("versionAsOf", 2)      // time travel
+  *     .load(dir)
+  *   spark.read.format("graft-manifest")
+  *     .option("timestampAsOf", "2026-08-15 12:00:00").load(dir)
+  *   spark.read.format("graft-manifest")
+  *     .option("changesFromVersion", 1).load(dir)                       // change feed
+  * }}}
+  *
+  * The Spark-first shape: the table's `newScanBuilder` returns Spark's
+  * OWN [[ParquetScanBuilder]] over a custom [[ManifestFileIndex]] —
+  * so column pruning, filter pushdown to parquet (row-group/footer
+  * skipping), vectorized reads and whole-stage codegen are all the
+  * native parquet path, while the FILE LIST comes from the resolved
+  * manifest (never a directory listing) and manifest-level stats
+  * pruning happens in `FileIndex.listFiles`, exactly where Delta's
+  * TahoeFileIndex does it: a pushed range predicate on the table's
+  * stats column drops files from planning before any footer is
+  * opened.
+  *
+  * Version resolution happens ONCE, when the table is created — the
+  * returned DataFrame is plan-pinned to that snapshot's files
+  * (snapshot isolation: commits after planning are invisible, the
+  * property x37 proves through the Scala API).
+  */
+class GraftManifestSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-manifest"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def tableDir(options: CaseInsensitiveStringMap): String = {
+    val p = Option(options.get("path"))
+    require(p.isDefined,
+      "graft-manifest requires a path: spark.read.format(\"graft-manifest\").load(dir)")
+    p.get
+  }
+
+  /** Resolve (snapshot, file entries) from the read options. */
+  private def resolveEntries(options: CaseInsensitiveStringMap)
+      : (ManifestTable.Snapshot, Vector[ManifestTable.ManifestEntry]) = {
+    val spark = SparkSession.active
+    val dir = tableDir(options)
+    val vAsOf = Option(options.get("versionAsOf")).map(_.toInt)
+    val tAsOf = Option(options.get("timestampAsOf"))
+    require(vAsOf.isEmpty || tAsOf.isEmpty,
+      "specify at most one of versionAsOf / timestampAsOf")
+    val version = tAsOf match {
+      case Some(ts) => Some(ManifestTable.versionAt(spark, dir,
+        java.sql.Timestamp.valueOf(ts).getTime))
+      case None => vAsOf
+    }
+    val snap = ManifestTable.snapshot(spark, dir, version)
+    val entries = Option(options.get("changesFromVersion")) match {
+      case None => snap.entries
+      case Some(fromV) =>
+        ManifestTable.changedEntries(spark, dir, fromV.toInt, snap.version)
+    }
+    (snap, entries)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (snap, entries) = resolveEntries(options)
+    snap.schemaDdl match {
+      case Some(ddl) => StructType.fromDDL(ddl)
+      case None => SparkSession.active.read
+        .parquet(entries.map(_.path): _*).schema
+    }
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val (snap, entries) = resolveEntries(options)
+    new GraftManifestTable(tableDir(options), snap.version, schema,
+      entries, snap.statsCol)
+  }
+}
+
+class GraftManifestTable(dir: String, version: Int, dataSchema: StructType,
+    entries: Vector[ManifestTable.ManifestEntry], statsCol: Option[String])
+  extends Table with SupportsRead {
+
+  override def name(): String = s"graft-manifest $dir@v$version"
+  override def schema(): StructType = dataSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val spark = SparkSession.active
+    val index = new ManifestFileIndex(spark, entries, statsCol,
+      Some(dataSchema))
+    // schema == dataSchema: manifest tables carry no partition columns
+    ParquetScanBuilder(spark, index, dataSchema, dataSchema, options)
+  }
+}
+
+/** A [[org.apache.spark.sql.execution.datasources.FileIndex]] whose
+  * file list IS the manifest (the roots are the snapshot's data
+  * files, never a directory), and whose `listFiles` applies
+  * MANIFEST-LEVEL stats pruning: a conjunction of pushed range
+  * predicates on the table's stats column intersects against each
+  * entry's [lo, hi] and drops non-overlapping files from planning.
+  * Files without stats are conservatively kept, and Spark always
+  * re-applies the predicate to the rows that are read — pruning can
+  * only skip work, never change results. */
+class ManifestFileIndex(spark: SparkSession,
+    entries: Vector[ManifestTable.ManifestEntry],
+    statsCol: Option[String],
+    userSchema: Option[StructType])
+  extends InMemoryFileIndex(spark, entries.map(e => new Path(e.path)),
+    Map.empty[String, String], userSchema) {
+
+  // keyed by scheme-less URI path: the manifest records Path-form
+  // strings, the listing yields qualified statuses — both normalize
+  // to the same posix path
+  private val stats: Map[String, (Long, Long)] = entries.flatMap(e =>
+    for { l <- e.lo; h <- e.hi }
+      yield new Path(e.path).toUri.getPath -> (l, h)).toMap
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val base = super.listFiles(partitionFilters, dataFilters)
+    val bounds = statsCol.flatMap(c =>
+      ManifestFileIndex.rangeOf(dataFilters, c))
+    bounds match {
+      case None => base
+      case Some((lb, ub)) => base.map { pd =>
+        pd.copy(files = pd.files.filter { f =>
+          stats.get(f.getPath.toUri.getPath) match {
+            case Some((lo, hi)) => hi >= lb && lo <= ub
+            case None => true
+          }
+        })
+      }
+    }
+  }
+}
+
+object ManifestFileIndex {
+  private def lit(e: Expression): Option[Long] = e match {
+    case Literal(v: Long, LongType) => Some(v)
+    case Literal(v: Int, IntegerType) => Some(v.toLong)
+    case Literal(v: Short, ShortType) => Some(v.toLong)
+    case _ => None
+  }
+
+  /** Fold the pushed conjuncts that constrain `col` with integer
+    * literals into one [lb, ub] window; None when nothing constrains
+    * the column (strict bounds widen by one — pruning stays safe, the
+    * residual predicate keeps results exact). */
+  def rangeOf(filters: Seq[Expression], col: String): Option[(Long, Long)] = {
+    var lb = Long.MinValue
+    var ub = Long.MaxValue
+    var any = false
+    def isCol(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name.equalsIgnoreCase(col)
+      case _ => false
+    }
+    def tighten(lo: Option[Long], hi: Option[Long]): Unit = {
+      lo.foreach { v => lb = math.max(lb, v); any = true }
+      hi.foreach { v => ub = math.min(ub, v); any = true }
+    }
+    filters.foreach {
+      case EqualTo(a, l) if isCol(a) => tighten(lit(l), lit(l))
+      case EqualTo(l, a) if isCol(a) => tighten(lit(l), lit(l))
+      case GreaterThanOrEqual(a, l) if isCol(a) => tighten(lit(l), None)
+      case GreaterThan(a, l) if isCol(a) => tighten(lit(l), None)
+      case LessThanOrEqual(a, l) if isCol(a) => tighten(None, lit(l))
+      case LessThan(a, l) if isCol(a) => tighten(None, lit(l))
+      // literal-first spellings
+      case GreaterThanOrEqual(l, a) if isCol(a) => tighten(None, lit(l))
+      case GreaterThan(l, a) if isCol(a) => tighten(None, lit(l))
+      case LessThanOrEqual(l, a) if isCol(a) => tighten(lit(l), None)
+      case LessThan(l, a) if isCol(a) => tighten(lit(l), None)
+      case _ => ()
+    }
+    if (any) Some((lb, ub)) else None
+  }
+}
