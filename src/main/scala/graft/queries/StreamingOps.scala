@@ -1714,6 +1714,61 @@ object StreamingOps extends QueryPack {
         .orderBy($"m")
     }),
 
+    // -- CONTINUOUS trigger end-to-end (R13's third execution mode) -----
+    // EventGenSource implements ContinuousStream; this runs it as a
+    // QUERY: Trigger.Continuous epochs over long-lived striped
+    // readers, map-only transforms (the mode supports projection/
+    // selection only — aggregation is micro-batch's job), memory
+    // sink. The finite id space drains, parked stripes stay quiet,
+    // and the oracle independently replays the generator's pure
+    // row function (h = id * 2654435761) in SQL — drain equivalence:
+    // continuous delivery produced exactly the batch answer, no
+    // drops, no duplicates across however many epochs the drain took.
+    "stC1_continuous_map" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val name = s"stc1_sink_${java.util.UUID.randomUUID().toString.take(8)}"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-stc1-").toString
+      def shaped(df: org.apache.spark.sql.DataFrame) = df
+        .filter($"event_type" === "purchase" && $"value" >= 50.0)
+        .select($"event_id", $"user_id",
+          round($"value" * 100).cast("long").as("cents"))
+      val q = shaped(s.readStream.format("graft-events")
+          .option("totalRows", "2000").option("numPartitions", "4").load())
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.Continuous("200 milliseconds"))
+        .start()
+      // the batch scan of the same id space is the drain target
+      val want = shaped(s.read.format("graft-events")
+        .option("totalRows", "2000").load()).count()
+      val got = try {
+        val deadline = System.nanoTime() + 120L * 1000L * 1000 * 1000
+        var n = -1L
+        while (n < want && System.nanoTime() < deadline) {
+          Thread.sleep(200)
+          n = s.table(name).count()
+        }
+        val rows = s.table(name)
+        val exactlyOnce = rows.count() == want &&
+          rows.select($"event_id").distinct().count() == want
+        rows.groupBy($"user_id")
+          .agg(count(lit(1)).as("n_purchases"),
+            sum($"cents").as("sum_cents"))
+          .withColumn("exactly_once", lit(exactlyOnce))
+          .orderBy($"user_id")
+          .collect().toSeq
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(name)
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(ckpt))
+      }
+      got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3)))
+        .toDF("user_id", "n_purchases", "sum_cents", "exactly_once")
+    }),
+
     "st44_stream_heavy_hitters" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val keyed = eventStreamMultiBatch(s, dir, parts = 4)
@@ -3016,6 +3071,22 @@ object StreamingOps extends QueryPack {
         |  CAST(3 AS BIGINT) AS n_data_versions,
         |  CAST(1 AS BIGINT) AS n_compactions_skipped
         |FROM orders GROUP BY 1 ORDER BY m""".stripMargin,
+
+    // the generator's row function is pure — the oracle replays it in
+    // SQL from a range() and must land on the continuous drain's exact
+    // per-user totals (ids small enough that id*2654435761 cannot
+    // overflow, so Scala wrap-around and DuckDB BIGINT agree)
+    "stC1_continuous_map" ->
+      """WITH g AS (SELECT range AS id FROM range(2000)),
+        |e AS (SELECT id * 2654435761 AS h FROM g),
+        |f AS (SELECT h % 150 AS user_id, (h >> 16) % 10000 AS cents
+        |      FROM e
+        |      WHERE (h >> 8) % 5 = 2 AND (h >> 16) % 10000 >= 5000)
+        |SELECT CAST(user_id AS BIGINT) AS user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  TRUE AS exactly_once
+        |FROM f GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     // same predicates as x35 — guarantees hold under ANY merge tree,
     // and micro-batching is just another merge tree
