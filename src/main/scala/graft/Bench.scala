@@ -10,6 +10,28 @@ import org.apache.spark.sql.SparkSession
   * let Catalyst prune most of the work and flatter the numbers.
   */
 object Bench {
+
+  /** Machine-load sentinel: a FIXED synthetic workload (full codegen
+    * scan-agg over 400M generated longs — no I/O, no data dependence,
+    * never changes across rounds) timed before the suite. Its runtime
+    * moves with CPU contention, so comparing it against the recorded
+    * artifact's calibration distinguishes "the machine was busy" from
+    * "the suite got slower" — a distinction a post-hoc mean comparison
+    * cannot make (round-9 lesson: five end-of-round runs were taken
+    * under the builder's own concurrent compile/test load and recorded
+    * a phantom 1.6× regression). Median of 3 runs. */
+  def calibrate(spark: SparkSession): Double = {
+    val times = (0 until 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 400000000L, 1L, 32)
+        .selectExpr("id * 2654435761 AS h")
+        .selectExpr("sum(h % 1000003) AS s")
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    times(1)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -33,6 +55,8 @@ object Bench {
     // a bounded block-manager footprint
     graft.queries.Dedup.releaseShared(spark, warmDir)
     graft.queries.Graphs.releaseShared(spark, warmDir)
+    // load sentinel, AFTER warm-up (JIT settled), BEFORE measurement
+    val calibration = calibrate(spark)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val selected =
@@ -78,7 +102,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"calibration":$calibration,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Artifact-of-record discipline (round-7 lesson: a round-end run
     // taken under snapshot load overwrote the clean 222 s steady-state
@@ -97,22 +121,27 @@ object Bench {
     val newMean = if (results.nonEmpty) total / results.size else 0.0
     try {
       val epoch = System.currentTimeMillis() / 1000
-      val stamped = benchOut.stripSuffix(".json") + s".$epoch.json"
+      // sf rides the snapshot FILENAME (round-9 lesson: sf0.01 and
+      // sf0.1 snapshots in one undifferentiated series sent a per-query
+      // trend analysis straight off a cliff)
+      val sfTag = new java.io.File(sfDir).getName
+      val stamped = benchOut.stripSuffix(".json") + s".$sfTag.$epoch.json"
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(stamped), line + "\n")
       val target = java.nio.file.Paths.get(benchOut)
-      // (priorMean, priorSf): a mean is only comparable at the SAME
-      // scale factor — an sf0.01 dev run's tiny per-query mean must
-      // never displace the sf0.1 artifact of record (this happened
-      // once: a 0.88 s/q sf0.01 smoke "beat" the 1.19 s/q sf0.1
-      // record and overwrote it).
-      val prior: Option[(Double, Option[String])] =
+      // (priorMean, priorSf, priorCalibration): a mean is only
+      // comparable at the SAME scale factor — an sf0.01 dev run's tiny
+      // per-query mean must never displace the sf0.1 artifact of
+      // record (this happened once: a 0.88 s/q sf0.01 smoke "beat" the
+      // 1.19 s/q sf0.1 record and overwrote it).
+      val prior: Option[(Double, Option[String], Option[Double])] =
         if (!java.nio.file.Files.exists(target)) None
         else {
           val old = java.nio.file.Files.readString(target)
           val totalRe = """"metric":"total","value":([0-9.eE+\-]+)""".r
           val nRe = """"n_queries":([0-9]+)""".r
           val sfRe = """"sf":"([^"]+)"""".r
+          val calRe = """"calibration":([0-9.eE+\-]+)""".r
           val oldTotal = totalRe.findFirstMatchIn(old).map(_.group(1).toDouble)
           val oldN = nRe.findFirstMatchIn(old).map(_.group(1).toInt)
             // pre-n_queries artifacts: count per-query entries inside
@@ -123,18 +152,31 @@ object Bench {
               .findAllIn(old).size))
             .filter(_ > 0)
           val oldSf = sfRe.findFirstMatchIn(old).map(_.group(1))
-          for (t <- oldTotal; n <- oldN) yield (t / n, oldSf)
+          val oldCal = calRe.findFirstMatchIn(old).map(_.group(1).toDouble)
+          for (t <- oldTotal; n <- oldN) yield (t / n, oldSf, oldCal)
         }
       val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
       prior match {
-        case Some((_, Some(oldSf))) if oldSf != sfDir && !force =>
+        case Some((_, Some(oldSf), _)) if oldSf != sfDir && !force =>
           System.err.println(
             s"[bench] REFUSING to overwrite $benchOut: recorded artifact " +
               s"is at sf '$oldSf' but this run is at '$sfDir' — means at " +
               "different scale factors are not comparable. This run is " +
               s"preserved at $stamped; set SPARK_GRAFT_BENCH_FORCE=1 to " +
               "override.")
-        case Some((pm, _)) if newMean > pm * 1.10 && !force =>
+        case Some((_, _, Some(oldCal)))
+            if calibration > oldCal * 1.20 && !force =>
+          // the load sentinel fires BEFORE the mean comparison: a busy
+          // machine inflates both, and only the calibration probe can
+          // tell "machine busy" from "suite grew/slowed"
+          System.err.println(
+            f"[bench] REFUSING to overwrite $benchOut: calibration " +
+              f"$calibration%.3f s is ${calibration / oldCal}%.2f× the " +
+              f"recorded $oldCal%.3f s (>1.20× — the machine was under " +
+              f"load; per-query times are contaminated). This run is " +
+              f"preserved at $stamped; set SPARK_GRAFT_BENCH_FORCE=1 to " +
+              "override.")
+        case Some((pm, _, _)) if newMean > pm * 1.10 && !force =>
           System.err.println(
             f"[bench] REFUSING to overwrite $benchOut: new mean " +
               f"$newMean%.3f s/query is ${newMean / pm}%.2f× the recorded " +
