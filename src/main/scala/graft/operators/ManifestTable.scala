@@ -140,6 +140,25 @@ object ManifestTable {
     * match runs to the first UNescaped quote. */
   private val JStr = """((?:[^"\\]|\\.)*)"""
 
+  /** Manifests and checkpoints store file paths RELATIVE to the table
+    * directory (Delta's convention): the table is RELOCATABLE — a
+    * directory rename (SQL RENAME TO) or a warehouse move never
+    * invalidates the log. Files outside the table dir keep their
+    * absolute form. Comparison/stripping happens on scheme-less URI
+    * paths so `file:/x` and `/x` spellings agree. */
+  private def relativize(f: org.apache.hadoop.fs.FileSystem,
+      dir: String, p: String): String = {
+    val base = f.makeQualified(new Path(dir)).toUri.getPath
+    val pp = new Path(p).toUri.getPath
+    if (pp.startsWith(base + "/")) pp.substring(base.length + 1) else p
+  }
+
+  /** Resolve a stored (possibly relative) manifest path against the
+    * table directory — the inverse of [[relativize]]. */
+  def resolvePath(dir: String, p: String): String =
+    if (p.startsWith("/") || p.contains(":/")) p
+    else new Path(dir, p).toString
+
   /** Zero-padded so lexicographic file order == version order — a
     * file-stream tail of `_manifests` then sees commits in commit
     * order even when mtimes tie within a timestamp granule. */
@@ -209,6 +228,7 @@ object ManifestTable {
       .map(v => readDelta(spark, dir, v))
       .filterNot(_.compaction)
       .flatMap(_.adds)
+      .map(e => e.copy(path = resolvePath(dir, e.path)))
   }
 
   /** Resolve a snapshot: latest, or AS OF an exact version — one
@@ -248,7 +268,11 @@ object ManifestTable {
       d.statsCol.foreach(x => statsCol = Some(x))
       d.txn.foreach(t => txns += t -> dv)
     }
-    Snapshot(v, em.values.toVector.sortBy(_.path), ddl, statsCol, txns)
+    // the fold runs in STORED (table-relative) path space; the
+    // resolved snapshot hands callers absolute paths
+    Snapshot(v, em.values.toVector
+      .map(e => e.copy(path = resolvePath(dir, e.path)))
+      .sortBy(_.path), ddl, statsCol, txns)
   }
 
   /** Read one committed delta. The two-phase commit means a VISIBLE
@@ -330,7 +354,16 @@ object ManifestTable {
       asOf: Option[Int] = None): DataFrame = {
     val snap = snapshot(spark, dir, asOf)
     if (snap.paths.isEmpty)
-      sys.error(s"version ${snap.version} of $dir lists no files")
+      // an empty version is legal when the schema rides the log
+      // (CREATE TABLE without data — the SQL catalog's birth state)
+      return snap.schemaDdl match {
+        case Some(ddl) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        case None =>
+          sys.error(s"version ${snap.version} of $dir lists no files " +
+            "and carries no schema")
+      }
     snap.schemaDdl match {
       // schema-on-log: files written before a column existed read
       // back with that column null, and the column ORDER is the
@@ -419,9 +452,10 @@ object ManifestTable {
           case (Some(l), Some(h)) => s""", "lo": $l, "hi": $h"""
           case _ => ""
         }
-        s"""  {"path": "${jsonEscape(e.path)}", "rows": ${e.rows}$stats}"""
+        s"""  {"path": "${jsonEscape(relativize(f, dir, e.path))}",""" +
+          s""" "rows": ${e.rows}$stats}"""
       } ++ removes.map { p =>
-        s"""  {"path": "${jsonEscape(p)}", "remove": true}"""
+        s"""  {"path": "${jsonEscape(relativize(f, dir, p))}", "remove": true}"""
       }).mkString(",\n") + "\n]}"
     val tmp = new Path(manifestDir(dir),
       s".tmp-${manifestName(version)}." +
@@ -497,7 +531,10 @@ object ManifestTable {
     }
     val snap = resolve(spark, dir, v)
     val rows =
-      snap.entries.map(e => CkptRow("add", Some(e.path), Some(e.rows),
+      // stored form is table-relative, same as the deltas — the
+      // checkpoint must survive a table rename too
+      snap.entries.map(e => CkptRow("add",
+        Some(relativize(f, dir, e.path)), Some(e.rows),
         e.lo, e.hi, None, None, None, None)) ++
       Vector(CkptRow("meta", None, None, None, None,
         snap.schemaDdl, snap.statsCol, None, None)) ++
@@ -574,6 +611,18 @@ object ManifestTable {
         if (statsCol.isDefined) Some(r.getLong(2)) else None,
         if (statsCol.isDefined) Some(r.getLong(3)) else None)
     }.sortBy(_.path)
+  }
+
+  /** Initialize an EMPTY table at version 1 — CREATE TABLE without
+    * data, the SQL catalog's birth state: zero files, the schema in
+    * the log from the first commit. */
+  def createEmpty(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      statsCol: Option[String] = None): Int = {
+    require(versions(spark, dir).isEmpty, s"table already exists at $dir")
+    tryCommit(spark, dir, 1, adds = Vector.empty, removes = Vector.empty,
+      schemaDdl = Some(schema.toDDL), statsCol = statsCol)
+      .getOrElse(sys.error(s"concurrent create at $dir"))
   }
 
   /** Initialize a table at version 1 (fails if already initialized).
@@ -765,9 +814,12 @@ object ManifestTable {
     val vs = versions(spark, dir)
     val (drop, kept) = vs.splitAt(math.max(0, vs.size - keep))
     // reachability and the forced checkpoint both need the dropped
-    // deltas still present — compute BEFORE deleting anything
+    // deltas still present — compute BEFORE deleting anything.
+    // Compared in scheme-less URI-path space: resolved snapshot paths
+    // ("/x/t/data-…") must match listing paths ("file:/x/t/data-…")
     val reachable = kept
-      .flatMap(v => resolve(spark, dir, v).paths).toSet
+      .flatMap(v => resolve(spark, dir, v).paths)
+      .map(p => new Path(p).toUri.getPath).toSet
     if (drop.nonEmpty) {
       val minKept = kept.head
       if (!checkpointVersions(spark, dir).contains(minKept))
@@ -783,7 +835,7 @@ object ManifestTable {
     dataDirs.foreach { d =>
       f.listStatus(d.getPath).toVector.map(_.getPath)
         .filter(p => p.getName.endsWith(".parquet") &&
-          !reachable.contains(p.toString))
+          !reachable.contains(p.toUri.getPath))
         .foreach(p => f.delete(p, false))
     }
     drop.foreach(v =>

@@ -530,6 +530,66 @@ object Extensions extends QueryPack {
       }
     }),
 
+    // -- SQL catalog for the table format (CREATE/INSERT/time travel) ---
+    // The catalog path a Delta/Iceberg user expects, end to end in
+    // SQL: a registered TableCatalog maps tables to warehouse
+    // subdirectories holding the same commit log; CREATE TABLE commits
+    // v1 with zero files and the schema in the log; INSERT INTO rides
+    // the V1 bridge into the SAME optimistic append as the Scala API;
+    // INSERT OVERWRITE is file-set replacement (another version, so
+    // time travel is the undo log); VERSION AS OF resolves log
+    // versions through Spark's own SQL syntax. The per-version
+    // aggregates are deterministic orderkey-parity slices the oracle
+    // replays; the lifecycle predicates ride as TRUEs (x35 policy).
+    "x44_sql_catalog" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val cat = s"gx44_${java.util.UUID.randomUUID().toString.take(8)}"
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-x44-").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        Tables(s, dir).orders.select($"o_orderkey",
+          floor($"o_totalprice" * 100).cast("long").as("cents"))
+          .createOrReplaceTempView(s"${cat}_src")
+        s.sql(s"CREATE TABLE $cat.t (o_orderkey BIGINT, cents BIGINT)")
+        val emptyAtBirth = s.sql(s"SELECT * FROM $cat.t").count() == 0
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM ${cat}_src " +
+          "WHERE o_orderkey % 2 = 0")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM ${cat}_src " +
+          "WHERE o_orderkey % 2 = 1")
+        def agg(suffix: String): (Long, Long) = {
+          val r = s.sql(s"SELECT CAST(count(*) AS BIGINT), " +
+            s"CAST(sum(cents) AS BIGINT) FROM $cat.t $suffix").first()
+          (r.getLong(0), r.getLong(1))
+        }
+        val perV = Seq(2, 3).map(v => (v.toLong, agg(s"VERSION AS OF $v")))
+        val latest = agg("")
+        // overwrite: content replaced, history intact
+        s.sql(s"INSERT OVERWRITE $cat.t SELECT * FROM ${cat}_src " +
+          "WHERE o_orderkey % 100 = 7")
+        val overwritten = agg("")
+        val historyIntact = agg("VERSION AS OF 3") == latest
+        val expectOver = Tables(s, dir).orders
+          .filter($"o_orderkey" % 100 === 7)
+          .agg(count(lit(1)), sum(floor($"o_totalprice" * 100)
+            .cast("long"))).first()
+        val overwriteExact = overwritten ==
+          ((expectOver.getLong(0), expectOver.getLong(1)))
+        perV.map { case (v, (n, c)) =>
+          (v, n, c, emptyAtBirth, historyIntact, overwriteExact)
+        }.toDF("version", "n_rows", "sum_cents", "empty_at_birth",
+          "history_intact", "overwrite_exact")
+      } finally {
+        s.catalog.dropTempView(s"${cat}_src")
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(wh))
+      }
+    }),
+
     // -- multi-action MERGE: DELETE / UPDATE / INSERT in one pass -------
     // The Delta-Lake MERGE INTO workhorse x05's replace+insert can't
     // express: a returns feed deletes matched orders flagged 'R',
@@ -2067,6 +2127,23 @@ object Extensions extends QueryPack {
         |  TRUE AS full_feed_total_ok
         |FROM orders WHERE o_orderkey % 3 IN (1, 2)
         |GROUP BY 1 ORDER BY m""".stripMargin,
+
+    // versions 2 and 3 are parity slices: v2 = even orderkeys, v3 =
+    // the whole table; SQL-catalog lifecycle predicates ride as TRUEs
+    "x44_sql_catalog" ->
+      """WITH t AS (
+        |  SELECT o_orderkey,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT CAST(v.version AS BIGINT) AS version,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(t.cents) AS BIGINT) AS sum_cents,
+        |  TRUE AS empty_at_birth,
+        |  TRUE AS history_intact,
+        |  TRUE AS overwrite_exact
+        |FROM (VALUES (2), (3)) v(version)
+        |JOIN t ON v.version = 3 OR t.o_orderkey % 2 = 0
+        |GROUP BY v.version ORDER BY version""".stripMargin,
 
     // compaction changes bytes, never rows: the oracle is the source
     // table's exact count + portable content fingerprint, and the

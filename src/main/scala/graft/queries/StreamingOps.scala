@@ -1629,9 +1629,11 @@ object StreamingOps extends QueryPack {
     // Four versions are committed (create, append, COMPACTION, append),
     // then a file stream tails _manifests (wholetext, one manifest per
     // micro-batch — zero-padded names make file order = commit order).
-    // Each batch parses its manifests, diffs file sets against the
-    // previous version to find ADDED files, reads ONLY those, and folds
-    // their aggregate additively into a parquet serving snapshot. The
+    // Each batch parses its manifests and reads ONLY the files the
+    // version ADDED (the delta-action log names them directly — no
+    // file-set diffing; paths are table-relative, resolved against
+    // the table dir), folding their aggregate additively into a
+    // parquet serving snapshot. The
     // compaction version changes files but not content (manifest's
     // compaction=true, Delta's dataChange=false) — the tail MUST skip
     // it or every compacted row double-counts; that skip is what the
@@ -1654,7 +1656,6 @@ object StreamingOps extends QueryPack {
       ManifestTable.append(s, work, slice(2).repartition(4))
 
       var lastApplied = 0
-      var prevPaths = Set.empty[String]
       var dataVersions = 0L
       var compactionsSkipped = 0L
       var latest: Option[String] = None
@@ -1678,7 +1679,10 @@ object StreamingOps extends QueryPack {
               snaps.filter(_.version > lastApplied).foreach { snap =>
                 if (snap.compaction) compactionsSkipped += 1
                 else {
-                  val added = snap.paths.filterNot(prevPaths)
+                  // log paths are table-relative (the table is
+                  // relocatable); resolve against the table dir
+                  val added = snap.paths
+                    .map(p => ManifestTable.resolvePath(work, p))
                   val delta = s.read.parquet(added: _*)
                     .groupBy($"m")
                     .agg(count(lit(1)).as("n_rows"),
@@ -1698,7 +1702,6 @@ object StreamingOps extends QueryPack {
                   latest = Some(next)
                   dataVersions += 1
                 }
-                prevPaths = snap.paths.toSet
                 lastApplied = snap.version
               }
           }

@@ -1,0 +1,201 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.ManifestTable
+
+/** SQL catalog for the manifest table format — the catalog path a
+  * Delta/Iceberg user expects, on top of the same commit log:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft",
+  *     "graft.sources.GraftManifestCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/wh")
+  *
+  *   CREATE TABLE graft.orders_t (k BIGINT, cents BIGINT)
+  *   INSERT INTO graft.orders_t SELECT ...
+  *   INSERT OVERWRITE graft.orders_t SELECT ...
+  *   SELECT * FROM graft.orders_t VERSION AS OF 2      -- time travel
+  *   SELECT * FROM graft.orders_t TIMESTAMP AS OF '...'
+  * }}}
+  *
+  * A table is a warehouse subdirectory holding a `_manifests` commit
+  * log; namespaces are intermediate directories. CREATE TABLE commits
+  * version 1 with ZERO files and the schema in the log (the schema
+  * always rode the log — an empty table is just the degenerate
+  * snapshot). Reads resolve through [[GraftManifestTable]], so SQL
+  * SELECTs get the same plan-pinned snapshots, native parquet scans
+  * and manifest-stats pruning as `spark.read.format("graft-manifest")`;
+  * writes go through the V1 bridge into the SAME optimistic commit
+  * path as the Scala API. VERSION AS OF maps to the log version,
+  * TIMESTAMP AS OF (Spark hands micros) to the publish-mtime rule of
+  * [[ManifestTable.versionAt]].
+  */
+class GraftManifestCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark = SparkSession.active
+  private def fs = new Path(warehouse)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def nsDir(namespace: Array[String]): Path =
+    namespace.foldLeft(new Path(warehouse))((p, n) => new Path(p, n))
+
+  private def tableDir(ident: Identifier): Path =
+    new Path(nsDir(ident.namespace), ident.name)
+
+  private def isTable(p: Path): Boolean =
+    fs.exists(new Path(p, "_manifests"))
+
+  // ---- tables ---------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = nsDir(namespace)
+    if (!fs.exists(d)) throw new NoSuchNamespaceException(
+      catalogName +: namespace)
+    fs.listStatus(d).collect {
+      case st if st.isDirectory && isTable(st.getPath) =>
+        Identifier.of(namespace, st.getPath.getName)
+    }
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(tableDir(ident))
+
+  private def load(ident: Identifier, version: Option[Int],
+      tsMicros: Option[Long]): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(
+      (catalogName +: ident.namespace :+ ident.name).toSeq)
+    val v = tsMicros match {
+      case Some(us) =>
+        Some(ManifestTable.versionAt(spark, dir.toString, us / 1000L))
+      case None => version
+    }
+    val snap = ManifestTable.snapshot(spark, dir.toString, v)
+    val schema = snap.schemaDdl.map(StructType.fromDDL).getOrElse(
+      spark.read.parquet(snap.paths: _*).schema)
+    new GraftManifestTable(dir.toString, snap.version, schema,
+      snap.entries, snap.statsCol)
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    load(ident, None, None)
+
+  /** SELECT ... VERSION AS OF <v>. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version.toInt), None)
+
+  /** SELECT ... TIMESTAMP AS OF <ts> (Spark hands epoch MICROS). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    load(ident, None, Some(timestamp))
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft-manifest tables do not support partition transforms — " +
+        "file-level stats pruning (x38/x42) is the skipping mechanism")
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(
+      (catalogName +: ident.namespace :+ ident.name).toSeq)
+    val statsCol = Option(properties.get("stats_col"))
+    ManifestTable.createEmpty(spark, dir.toString, schema, statsCol)
+    load(ident, None, None)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE: evolve the schema through appendEvolve (x40); " +
+        "log-schema DDL changes outside a commit would break " +
+        "snapshot isolation")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) false
+    else fs.delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    if (!isTable(tableDir(oldIdent))) throw new NoSuchTableException(
+      (catalogName +: oldIdent.namespace :+ oldIdent.name).toSeq)
+    if (isTable(tableDir(newIdent))) throw new TableAlreadyExistsException(
+      (catalogName +: newIdent.namespace :+ newIdent.name).toSeq)
+    fs.mkdirs(nsDir(newIdent.namespace))
+    if (!fs.rename(tableDir(oldIdent), tableDir(newIdent)))
+      sys.error(s"rename ${oldIdent} -> ${newIdent} failed")
+  }
+
+  override def invalidateTable(ident: Identifier): Unit = ()
+
+  // ---- namespaces (directories between warehouse and tables) ---------
+
+  override def defaultNamespace(): Array[String] = Array.empty
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    val d = nsDir(namespace)
+    if (!fs.exists(d)) throw new NoSuchNamespaceException(
+      catalogName +: namespace)
+    fs.listStatus(d).collect {
+      case st if st.isDirectory && !isTable(st.getPath) &&
+          !st.getPath.getName.startsWith("_") =>
+        namespace :+ st.getPath.getName
+    }
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (namespace.nonEmpty && !fs.exists(nsDir(namespace)))
+      throw new NoSuchNamespaceException(catalogName +: namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    fs.mkdirs(nsDir(namespace))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft-manifest namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val d = nsDir(namespace)
+    if (!fs.exists(d)) false
+    else {
+      if (!cascade && fs.listStatus(d).nonEmpty)
+        throw new IllegalStateException(
+          s"namespace ${namespace.mkString(".")} is not empty")
+      fs.delete(d, true)
+    }
+  }
+}

@@ -5,12 +5,13 @@ import java.util
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, InsertableRelation}
 import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -99,12 +100,13 @@ class GraftManifestSource extends TableProvider with DataSourceRegister {
 
 class GraftManifestTable(dir: String, version: Int, dataSchema: StructType,
     entries: Vector[ManifestTable.ManifestEntry], statsCol: Option[String])
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"graft-manifest $dir@v$version"
   override def schema(): StructType = dataSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val spark = SparkSession.active
@@ -113,6 +115,29 @@ class GraftManifestTable(dir: String, version: Int, dataSchema: StructType,
     // schema == dataSchema: manifest tables carry no partition columns
     ParquetScanBuilder(spark, index, dataSchema, dataSchema, options)
   }
+
+  /** INSERT INTO / INSERT OVERWRITE / df.write.format(...): the V1
+    * write bridge — the driver-side DataFrame lands through the SAME
+    * transactional commit path as the Scala API (append's optimistic
+    * retry; overwrite's file-set replacement + schema reset), so SQL
+    * writers and engine writers share one concurrency story. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                overwrite: Boolean): Unit = {
+              val s = data.sparkSession
+              if (doTruncate || overwrite)
+                ManifestTable.overwrite(s, dir, data, statsCol)
+              else ManifestTable.append(s, dir, data, statsCol)
+            }
+          }
+      }
+    }
 }
 
 /** A [[org.apache.spark.sql.execution.datasources.FileIndex]] whose

@@ -1,0 +1,129 @@
+package graft.sources
+
+import graft.streaming.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL catalog path: CREATE TABLE / INSERT INTO / INSERT OVERWRITE
+  * / SELECT with VERSION AS OF and TIMESTAMP AS OF / RENAME / DROP,
+  * all through `spark.sql` against a registered TableCatalog — the
+  * same commit log underneath, so SQL writers and Scala-API writers
+  * share one concurrency story.
+  */
+class GraftManifestCatalogSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  /** Register a fresh catalog name over a temp warehouse. */
+  private def withCatalog(f: String => Unit): Unit = {
+    val cat = s"g${java.util.UUID.randomUUID().toString.take(8)}"
+    val wh = java.nio.file.Files.createTempDirectory("graft-cat-").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftManifestCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try f(cat)
+    finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+    }
+  }
+
+  test("CREATE / INSERT INTO / VERSION AS OF / INSERT OVERWRITE / DROP") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT)")
+      // v1 = empty table, schema from the log
+      assert(spark.sql(s"SELECT * FROM $cat.t").count() == 0)
+      assert(spark.sql(s"SELECT * FROM $cat.t").columns.toSeq ==
+        Seq("k", "v"))
+      spark.sql(s"INSERT INTO $cat.t SELECT id, id * 2 FROM range(100)")
+      spark.sql(s"INSERT INTO $cat.t " +
+        "SELECT id + 100, (id + 100) * 2 FROM range(50)")
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.t")
+        .first().getLong(0) == 150)
+      assert(spark.sql(s"SELECT sum(v) s FROM $cat.t")
+        .first().getLong(0) == (0L until 150L).map(_ * 2).sum)
+      // time travel: v1 empty, v2 first insert, v3 both
+      assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 1")
+        .count() == 0)
+      assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 2")
+        .count() == 100)
+      // overwrite resets content (and is just another version)
+      spark.sql(s"INSERT OVERWRITE $cat.t SELECT id, id FROM range(7)")
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.t")
+        .first().getLong(0) == 7)
+      assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 3")
+        .count() == 150)
+      spark.sql(s"DROP TABLE $cat.t")
+      assert(!spark.catalog.tableExists(s"$cat.t"))
+    }
+  }
+
+  test("TIMESTAMP AS OF resolves by publish time through SQL") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.ts_t (k BIGINT)")
+      spark.sql(s"INSERT INTO $cat.ts_t SELECT id FROM range(10)")
+      Thread.sleep(1100)
+      val between = java.sql.Timestamp
+        .from(java.time.Instant.now()).toString.stripSuffix(".0")
+      Thread.sleep(1100)
+      spark.sql(s"INSERT INTO $cat.ts_t SELECT id FROM range(20)")
+      assert(spark.sql(
+        s"SELECT * FROM $cat.ts_t TIMESTAMP AS OF '$between'")
+        .count() == 10)
+      assert(spark.sql(s"SELECT * FROM $cat.ts_t").count() == 30)
+    }
+  }
+
+  test("SQL reads keep manifest-stats pruning and parquet pushdown") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.pr (k BIGINT) " +
+        "TBLPROPERTIES ('stats_col' = 'k')")
+      // three disjoint ranges = range-tight file stats
+      spark.sql(s"INSERT INTO $cat.pr SELECT id FROM range(0, 100)")
+      spark.sql(s"INSERT INTO $cat.pr SELECT id FROM range(100, 200)")
+      spark.sql(s"INSERT INTO $cat.pr SELECT id FROM range(200, 300)")
+      val mid = spark.sql(
+        s"SELECT * FROM $cat.pr WHERE k >= 120 AND k <= 180")
+      assert(mid.count() == 61)
+      val explained = mid.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(explained.contains("PushedFilters") &&
+        explained.contains("GreaterThanOrEqual(k,120)"),
+        s"pushdown missing through SQL:\n$explained")
+    }
+  }
+
+  test("namespaces: CREATE NAMESPACE / qualified tables / SHOW / RENAME") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE NAMESPACE $cat.ns1")
+      spark.sql(s"CREATE TABLE $cat.ns1.a (k BIGINT)")
+      spark.sql(s"INSERT INTO $cat.ns1.a SELECT id FROM range(5)")
+      assert(spark.sql(s"SHOW TABLES IN $cat.ns1").collect()
+        .map(_.getString(1)).toSeq == Seq("a"))
+      // RENAME TO takes a catalog-less multipart target
+      spark.sql(s"ALTER TABLE $cat.ns1.a RENAME TO ns1.b")
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.ns1.b")
+        .first().getLong(0) == 5)
+      assert(!spark.catalog.tableExists(s"$cat.ns1.a"))
+    }
+  }
+
+  test("SQL writers and Scala-API writers share the commit log") {
+    withCatalog { cat =>
+      import graft.operators.ManifestTable
+      spark.sql(s"CREATE TABLE $cat.shared (k BIGINT)")
+      spark.sql(s"INSERT INTO $cat.shared SELECT id FROM range(10)")
+      // the Scala API appends to the SAME table directory
+      val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      import spark.implicits._
+      ManifestTable.append(spark, s"$wh/shared",
+        (100L until 105L).toDF("k"))
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.shared")
+        .first().getLong(0) == 15)
+      // and SQL time travel sees the Scala commit as a version
+      assert(ManifestTable.versions(spark, s"$wh/shared") ==
+        Vector(1, 2, 3))
+    }
+  }
+}
