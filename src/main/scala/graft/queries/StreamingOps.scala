@@ -1717,6 +1717,46 @@ object StreamingOps extends QueryPack {
         .orderBy($"m")
     }),
 
+    // -- manifest table as a STREAMING SOURCE via the DSv2 front door ---
+    // st45's rule spelled the way a Delta user spells it:
+    // spark.readStream.format("graft-manifest") tails the commit log
+    // with VERSION offsets — each micro-batch reads exactly the files
+    // its data versions added through the native parquet path, and
+    // the compaction version (dataChange=false) contributes nothing,
+    // or every compacted row would double-count. The drained
+    // aggregate must equal the table's exact totals — one oracle
+    // shape shared with st45, proving the file-tail spelling and the
+    // front-door spelling compute the same change feed.
+    "st47_stream_format_tail" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-fmt-tail-").toString
+      val work = s"$root/table"
+      val t = Tables(s, dir).orders.select($"o_orderkey",
+        ($"o_orderkey" % 3).as("m"),
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      def slice(m: Int) = t.filter($"m" === m)
+      try {
+        ManifestTable.create(s, work, slice(0).repartition(4))
+        ManifestTable.append(s, work, slice(1).repartition(4))
+        ManifestTable.compactCommit(s, work, targetBytes = 32L << 20)
+        ManifestTable.append(s, work, slice(2).repartition(4))
+        val feed = s.readStream.format("graft-manifest").load(work)
+        drain(s, feed.groupBy($"m")
+            .agg(count(lit(1)).as("n_rows"),
+              sum($"cents").as("sum_cents")),
+            OutputMode.Complete())
+          .orderBy($"m")
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toDF("m", "n_rows", "sum_cents")
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(root))
+      }
+    }),
+
     // -- CONTINUOUS trigger end-to-end (R13's third execution mode) -----
     // EventGenSource implements ContinuousStream; this runs it as a
     // QUERY: Trigger.Continuous epochs over long-lived striped
@@ -3087,6 +3127,16 @@ object StreamingOps extends QueryPack {
         |    AS sum_cents,
         |  CAST(3 AS BIGINT) AS n_data_versions,
         |  CAST(1 AS BIGINT) AS n_compactions_skipped
+        |FROM orders GROUP BY 1 ORDER BY m""".stripMargin,
+
+    // the front-door tail must reconstruct the table's exact totals
+    // from added files alone — same failure mode (and so same oracle
+    // core) as st45: double-counting the compaction version
+    "st47_stream_format_tail" ->
+      """SELECT o_orderkey % 3 AS m,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
         |FROM orders GROUP BY 1 ORDER BY m""".stripMargin,
 
     // the generator's row function is pure — the oracle replays it in
