@@ -590,6 +590,59 @@ object Extensions extends QueryPack {
       }
     }),
 
+    // -- SQL DELETE FROM the manifest table (COW row-level delete) ------
+    // SupportsDelete through the catalog: the WHERE predicate (v1
+    // Filters only — Spark refuses the rest at analysis, which is
+    // correct for COW) rewrites surviving rows via the SAME
+    // conditional commit as MERGE; the delete is just another
+    // version, so VERSION AS OF the pre-delete snapshot is the undo
+    // log. Deterministic range+parity-free predicate (cents bounds)
+    // both engines replay exactly.
+    "x45_sql_delete" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val cat = s"gx45_${java.util.UUID.randomUUID().toString.take(8)}"
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-x45-").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        Tables(s, dir).orders.select($"o_orderkey", $"o_orderstatus",
+          floor($"o_totalprice" * 100).cast("long").as("cents"))
+          .createOrReplaceTempView(s"${cat}_src")
+        s.sql(s"CREATE TABLE $cat.t " +
+          "(o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT)")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM ${cat}_src")
+        val preVersion = 2L
+        s.sql(s"DELETE FROM $cat.t WHERE cents < 5000000 " +
+          "OR (o_orderstatus = 'F' AND cents >= 20000000)")
+        val post = s.sql(s"SELECT CAST(count(*) AS BIGINT) n, " +
+          s"CAST(sum(cents) AS BIGINT) c FROM $cat.t").first()
+        val pre = s.sql(s"SELECT CAST(count(*) AS BIGINT) n, " +
+          s"CAST(sum(cents) AS BIGINT) c FROM $cat.t " +
+          s"VERSION AS OF $preVersion").first()
+        val preWant = Tables(s, dir).orders
+          .agg(count(lit(1)), sum(floor($"o_totalprice" * 100)
+            .cast("long"))).first()
+        val undoIntact = (pre.getLong(0), pre.getLong(1)) ==
+          ((preWant.getLong(0), preWant.getLong(1)))
+        s.sql(s"SELECT o_orderstatus, " +
+            s"CAST(count(*) AS BIGINT) AS n_rows, " +
+            s"CAST(sum(cents) AS BIGINT) AS sum_cents FROM $cat.t " +
+            "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            undoIntact))
+          .toDF("o_orderstatus", "n_rows", "sum_cents", "undo_intact")
+      } finally {
+        s.catalog.dropTempView(s"${cat}_src")
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(wh))
+      }
+    }),
+
     // -- multi-action MERGE: DELETE / UPDATE / INSERT in one pass -------
     // The Delta-Lake MERGE INTO workhorse x05's replace+insert can't
     // express: a returns feed deletes matched orders flagged 'R',
@@ -2144,6 +2197,22 @@ object Extensions extends QueryPack {
         |FROM (VALUES (2), (3)) v(version)
         |JOIN t ON v.version = 3 OR t.o_orderkey % 2 = 0
         |GROUP BY v.version ORDER BY version""".stripMargin,
+
+    // survivors of the deterministic DELETE predicate, grouped; the
+    // pre-delete undo check rides as a TRUE
+    "x45_sql_delete" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  TRUE AS undo_intact
+        |FROM t
+        |WHERE NOT (cents < 5000000
+        |  OR (o_orderstatus = 'F' AND cents >= 20000000))
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // compaction changes bytes, never rows: the oracle is the source
     // table's exact count + portable content fingerprint, and the

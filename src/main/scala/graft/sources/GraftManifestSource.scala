@@ -103,7 +103,39 @@ class GraftManifestSource extends TableProvider with DataSourceRegister {
 
 class GraftManifestTable(dir: String, version: Int, dataSchema: StructType,
     entries: Vector[ManifestTable.ManifestEntry], statsCol: Option[String])
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  import GraftManifestTable.filterToColumn
+
+  /** SQL `DELETE FROM t WHERE …` — copy-on-write through the SAME
+    * conditional commit as MERGE (`ManifestTable.mergeCommit`): the
+    * surviving rows are rewritten as new immutable files and committed
+    * against the version read; a raced concurrent commit re-reads and
+    * re-applies, and time travel to the pre-delete version is the undo
+    * log. Only predicates expressible as v1 Filters reach this path
+    * (Spark refuses the rest at analysis — correct for COW: an
+    * untranslatable predicate would silently fall back to a full
+    * rewrite the user didn't ask for). */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => filterToColumn(f).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val spark = SparkSession.active
+    val doomed = filters.flatMap(filterToColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    // DELETE removes rows where the predicate is TRUE; a NULL
+    // predicate row SURVIVES (three-valued logic — `!doomed` alone
+    // would silently delete every NULL-valued row)
+    val survives = org.apache.spark.sql.functions
+      .not(org.apache.spark.sql.functions.coalesce(doomed,
+        org.apache.spark.sql.functions.lit(false)))
+    ManifestTable.mergeCommit(spark, dir,
+      cur => cur.filter(survives), statsCol)
+  }
 
   override def name(): String = s"graft-manifest $dir@v$version"
   override def schema(): StructType = dataSchema
@@ -350,4 +382,36 @@ class ManifestMicroBatchStream(dir: String, tableSchema: StructType,
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+object GraftManifestTable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources
+
+  /** v1 Filter → Column for the COW DELETE path; None = untranslatable
+    * (canDeleteWhere then refuses and Spark raises at analysis). */
+  private[sources] def filterToColumn(f: sources.Filter): Option[Column] =
+    f match {
+      case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+      case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case sources.LessThan(a, v) => Some(col(a) < lit(v))
+      case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case sources.IsNull(a) => Some(col(a).isNull)
+      case sources.IsNotNull(a) => Some(col(a).isNotNull)
+      case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case sources.StringContains(a, v) => Some(col(a).contains(v))
+      case sources.AlwaysTrue() => Some(lit(true))
+      case sources.AlwaysFalse() => Some(lit(false))
+      case sources.And(l, r) =>
+        for { a <- filterToColumn(l); b <- filterToColumn(r) } yield a && b
+      case sources.Or(l, r) =>
+        for { a <- filterToColumn(l); b <- filterToColumn(r) } yield a || b
+      case sources.Not(c) => filterToColumn(c).map(!_)
+      case _ => None
+    }
 }

@@ -109,6 +109,33 @@ class GraftManifestCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("DELETE FROM: COW rewrite, pre-delete version is the undo log, " +
+      "NULLs survive a negated predicate") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.d (k BIGINT, v BIGINT)")
+      spark.sql(s"INSERT INTO $cat.d " +
+        "SELECT id, CASE WHEN id % 10 = 0 THEN NULL ELSE id END " +
+        "FROM range(100)")
+      spark.sql(s"DELETE FROM $cat.d WHERE v >= 50")
+      val got = spark.sql(s"SELECT count(*) c FROM $cat.d").first().getLong(0)
+      // survivors: v < 50 (45 rows: ids 1..49 minus the 4 null-v ids
+      // 10,20,30,40... wait ids 0..49 have 5 nulls at 0,10,20,30,40)
+      // v NULL rows do NOT match v >= 50, so they SURVIVE: ids with
+      // v<50 = 1..49 excl nulls (45) + null-v ids (10) = 55
+      assert(got == 55, s"DELETE semantics over NULLs wrong: $got")
+      // pre-delete time travel intact
+      assert(spark.sql(s"SELECT * FROM $cat.d VERSION AS OF 2")
+        .count() == 100)
+      // untranslatable predicate is refused at analysis, not silently
+      // rewritten
+      intercept[Exception] {
+        spark.sql(s"DELETE FROM $cat.d WHERE k % 2 = 0")
+      }
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.d")
+        .first().getLong(0) == 55)
+    }
+  }
+
   test("SQL writers and Scala-API writers share the commit log") {
     withCatalog { cat =>
       import graft.operators.ManifestTable
