@@ -115,7 +115,14 @@ object ClusterParity {
     "x36_compact_small_files", "x37_manifest_time_travel",
     "st45_stream_table_tail", "x38_manifest_data_skipping",
     "st46_stream_manifest_sink", "x39_manifest_merge",
-    "x40_manifest_schema_evolution")
+    "x40_manifest_schema_evolution",
+    // round-10 tier: the DSv2 front doors (custom FileIndex + wrapped
+    // ParquetScanBuilder serialized into executor scans), the SQL
+    // catalog's V1 write bridge + COW DELETE, the version-offset
+    // streaming source, and the continuous-trigger query
+    "x41_format_time_travel", "x42_format_data_skipping",
+    "x43_format_change_feed", "x44_sql_catalog", "x45_sql_delete",
+    "st47_stream_format_tail", "stC1_continuous_map")
 }
 
 /** Smoke main: `runMain graft.ClusterParitySmoke <sfDir> [names…]` —
