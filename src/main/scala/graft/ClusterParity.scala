@@ -122,7 +122,8 @@ object ClusterParity {
     // streaming source, and the continuous-trigger query
     "x41_format_time_travel", "x42_format_data_skipping",
     "x43_format_change_feed", "x44_sql_catalog", "x45_sql_delete",
-    "st47_stream_format_tail", "stC1_continuous_map")
+    "st47_stream_format_tail", "st48_stream_format_sink",
+    "stC1_continuous_map")
 }
 
 /** Smoke main: `runMain graft.ClusterParitySmoke <sfDir> [names…]` —

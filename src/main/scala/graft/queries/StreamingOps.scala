@@ -1624,6 +1624,71 @@ object StreamingOps extends QueryPack {
         .orderBy($"event_type")
     }),
 
+    // -- exactly-once manifest sink via writeStream.format(...) ---------
+    // st46's contract through the FRONT DOOR: the registered
+    // StreamSinkProvider turns each micro-batch into one manifest
+    // commit stamped with a (checkpoint, batchId) txn marker. The
+    // drain runs TWICE against the same checkpoint — the second run
+    // replans from committed offsets and must write NOTHING — and a
+    // recorded batch-0 marker is re-appended manually (simulated
+    // crash-window redelivery) and must be a log-level no-op. The
+    // final table equals the staged input exactly: one version per
+    // non-empty batch, no row written twice.
+    "st48_stream_format_sink" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-fsink-").toString
+      val work = s"$root/t"
+      val staged = eventStreamMultiBatch(s, dir, parts = 4)
+        .select($"event_type",
+          expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        def drainOnce(): Unit = {
+          val q = staged.writeStream.format("graft-manifest")
+            .option("path", work)
+            .option("checkpointLocation", s"$root/ckpt")
+            .outputMode(OutputMode.Append())
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        drainOnce()
+        val versionsAfterFirst = ManifestTable.versions(s, work).size
+        drainOnce() // restart, same checkpoint: nothing new to write
+        val secondRunNoop =
+          ManifestTable.versions(s, work).size == versionsAfterFirst
+        // crash-window redelivery of batch 0's marker
+        val snap = ManifestTable.snapshot(s, work)
+        val marker = snap.txns.keys.find(_.endsWith(":0"))
+        val before = ManifestTable.read(s, work).count()
+        val redeliveryNoop = marker.exists { m =>
+          ManifestTable.append(s, work,
+            staged.sparkSession.read.parquet(snap.paths.head), // any rows
+            txn = Some(m)) == ManifestTable.txnVersion(s, work, m).get &&
+            ManifestTable.read(s, work).count() == before
+        }
+        ManifestTable.read(s, work)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+          .withColumn("n_versions", lit(versionsAfterFirst.toLong))
+          .withColumn("second_run_noop", lit(secondRunNoop))
+          .withColumn("redelivery_noop", lit(redeliveryNoop))
+          .orderBy($"event_type")
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getBoolean(4), r.getBoolean(5)))
+          .toDF("event_type", "n_rows", "sum_cents", "n_versions",
+            "second_run_noop", "redelivery_noop")
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(root))
+      }
+    }),
+
     // -- change-feed tail of the x37 manifest table ---------------------
     // The Delta streaming-source shape: the COMMIT LOG is the stream.
     // Four versions are committed (create, append, COMPACTION, append),
@@ -3108,6 +3173,20 @@ object StreamingOps extends QueryPack {
 
     // if a redelivered batch ever re-appended, every duplicated row
     // would land in these totals — exactness IS the idempotence proof
+    // same exactly-once contract as st46, spelled through the
+    // registered sink: totals must equal the staged input with one
+    // version per batch — the restarted drain and the redelivered
+    // marker both prove the no-op in the log itself
+    "st48_stream_format_sink" ->
+      """SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(4 AS BIGINT) AS n_versions,
+        |  TRUE AS second_run_noop,
+        |  TRUE AS redelivery_noop
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     "st46_stream_manifest_sink" ->
       """SELECT event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -48,10 +48,62 @@ import graft.operators.ManifestTable
   * (snapshot isolation: commits after planning are invisible, the
   * property x37 proves through the Scala API).
   */
-class GraftManifestSource extends TableProvider with DataSourceRegister {
+class GraftManifestSource extends TableProvider with DataSourceRegister
+  with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft-manifest"
   override def supportsExternalMetadata(): Boolean = true
+
+  /** `writeStream.format("graft-manifest")` — st46's exactly-once
+    * contract through the front door: every micro-batch appends as
+    * ONE manifest commit stamped with a txn marker keyed by
+    * (checkpointLocation, batchId), so batch REDELIVERY (restart
+    * after a crash between sink write and offset commit — the window
+    * every at-least-once sink re-executes) is a log-level no-op that
+    * survives driver restarts. The first batch bootstraps the table
+    * (its append IS the create). Implements Spark's V1 streaming sink
+    * hook — the driver-side DataFrame lands through the same
+    * optimistic commit path as every other writer of the log. */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-manifest tables do not support partition columns")
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-manifest streaming sink supports Append output only, got " +
+        s"$outputMode — Complete/Update rewrite history, a log appends")
+    val dir = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-manifest sink requires a path"))
+    // the checkpoint identifies the QUERY across restarts — exactly
+    // the scope a redelivered batchId must dedupe within
+    val ckpt = parameters.getOrElse("checkpointLocation", dir)
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def name(): String = s"graft-manifest-sink $dir"
+      override def addBatch(batchId: Long,
+          data: org.apache.spark.sql.DataFrame): Unit = {
+        // the incoming frame is the micro-batch's STREAMING plan
+        // slice (df.write/.rdd refuse it); rebase through the
+        // PHYSICAL rows — queryExecution.toRdd + a bound row
+        // deserializer per partition — so the write stays DISTRIBUTED
+        // (executors write the parquet files; only the manifest
+        // commit is driver-side). Same rebase every v1 streaming
+        // connector performs.
+        val s = data.sparkSession
+        val schema = data.schema
+        val rowRdd = data.queryExecution.toRdd.mapPartitions { it =>
+          val deser = org.apache.spark.sql.catalyst.encoders
+            .ExpressionEncoder(schema).resolveAndBind()
+            .createDeserializer()
+          it.map(deser)
+        }
+        val batch = s.createDataFrame(rowRdd, schema)
+        ManifestTable.append(s, dir, batch,
+          txn = Some(s"stream:$ckpt:$batchId"))
+      }
+    }
+  }
 
   private def tableDir(options: CaseInsensitiveStringMap): String = {
     val p = Option(options.get("path"))
@@ -60,11 +112,17 @@ class GraftManifestSource extends TableProvider with DataSourceRegister {
     p.get
   }
 
-  /** Resolve (snapshot, file entries) from the read options. */
+  /** Resolve (snapshot, file entries) from the read options. A table
+    * with no log yet resolves to the VERSION-0 placeholder — the
+    * write paths bootstrap it (a streaming sink's first batch IS the
+    * create; Spark probes getTable before checking capabilities), and
+    * the read path errors loudly at scan time instead. */
   private def resolveEntries(options: CaseInsensitiveStringMap)
       : (ManifestTable.Snapshot, Vector[ManifestTable.ManifestEntry]) = {
     val spark = SparkSession.active
     val dir = tableDir(options)
+    if (ManifestTable.versions(spark, dir).isEmpty)
+      return (ManifestTable.Snapshot(0, Vector.empty), Vector.empty)
     val vAsOf = Option(options.get("versionAsOf")).map(_.toInt)
     val tAsOf = Option(options.get("timestampAsOf"))
     require(vAsOf.isEmpty || tAsOf.isEmpty,
@@ -87,6 +145,7 @@ class GraftManifestSource extends TableProvider with DataSourceRegister {
     val (snap, entries) = resolveEntries(options)
     snap.schemaDdl match {
       case Some(ddl) => StructType.fromDDL(ddl)
+      case None if snap.version == 0 => new StructType() // not created yet
       case None => SparkSession.active.read
         .parquet(entries.map(_.path): _*).schema
     }
@@ -145,6 +204,10 @@ class GraftManifestTable(dir: String, version: Int, dataSchema: StructType,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // the version-0 placeholder exists only so WRITE paths can
+    // bootstrap; reading a table that was never created stays an error
+    if (version == 0 && entries.isEmpty && dataSchema.isEmpty)
+      sys.error(s"no manifest at $dir — the table has not been created")
     val spark = SparkSession.active
     val index = new ManifestFileIndex(spark, entries, statsCol,
       Some(dataSchema))

@@ -101,6 +101,48 @@ class ManifestStreamSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("writeStream.format(graft-manifest): each batch is one commit, " +
+      "redelivery is a log-level no-op, restart appends only new batches") {
+    import spark.implicits._
+    val root = fresh()
+    val work = s"$root/t"
+    val stage = s"$root/stage"
+    (0L until 40L).toDF("k").repartition(4)
+      .write.parquet(stage) // 4 files → 4 micro-batches
+    val schema = spark.read.parquet(stage).schema
+    def drainOnce(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .writeStream.format("graft-manifest")
+        .option("path", work)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainOnce()
+    // 4 batches → 4 versions (the first bootstrapped the table)
+    assert(ManifestTable.versions(spark, work) == Vector(1, 2, 3, 4))
+    assert(ManifestTable.read(spark, work).count() == 40)
+    // a redelivered batch (same checkpoint identity, same batchId)
+    // must be a log-level no-op
+    val snap = ManifestTable.snapshot(spark, work)
+    val marker = snap.txns.keys.find(_.endsWith(":0")).get
+    val v = ManifestTable.append(spark, work,
+      (900L until 950L).toDF("k"), txn = Some(marker))
+    assert(v == ManifestTable.txnVersion(spark, work, marker).get)
+    assert(ManifestTable.read(spark, work).count() == 40,
+      "redelivered batch appended instead of no-op")
+    // restart with the same checkpoint after new input: only the new
+    // file becomes a new batch/version
+    (100L until 110L).toDF("k").coalesce(1)
+      .write.mode("append").parquet(stage)
+    drainOnce()
+    assert(ManifestTable.read(spark, work).count() == 50)
+    assert(ManifestTable.versions(spark, work).size == 5)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("streaming projection prunes columns through the native scan") {
     import spark.implicits._
     val root = fresh()
