@@ -123,7 +123,7 @@ object ClusterParity {
     "x41_format_time_travel", "x42_format_data_skipping",
     "x43_format_change_feed", "x44_sql_catalog", "x45_sql_delete",
     "st47_stream_format_tail", "st48_stream_format_sink",
-    "stC1_continuous_map")
+    "x46_manifest_history", "stC1_continuous_map")
 }
 
 /** Smoke main: `runMain graft.ClusterParitySmoke <sfDir> [names…]` —

@@ -675,6 +675,57 @@ object ManifestTable {
     committed.getOrElse(sys.error(s"append lost 50 commit races at $dir"))
   }
 
+  /** Schema-only evolution commit: add columns to the log schema with
+    * NO files (ALTER TABLE ADD COLUMN's shape — appendEvolve's
+    * validation, zero data). Rows already on disk read back with the
+    * new columns null. */
+  def evolveSchema(spark: SparkSession, dir: String,
+      add: org.apache.spark.sql.types.StructType): Int = {
+    import org.apache.spark.sql.types.StructType
+    var committed: Option[Int] = None
+    var guard = 0
+    while (committed.isEmpty && guard < 50) {
+      val cur = snapshot(spark, dir)
+      val base = cur.schemaDdl.map(StructType.fromDDL)
+        .getOrElse(spark.read.parquet(cur.paths: _*).schema)
+      add.fields.foreach { f0 =>
+        base.fields.find(_.name == f0.name).foreach { have =>
+          require(have.dataType == f0.dataType,
+            s"evolveSchema: column ${f0.name} is ${have.dataType.sql} " +
+              s"in the log but ${f0.dataType.sql} in the change")
+        }
+      }
+      val evolved = StructType(base.fields ++
+        add.fields.filterNot(f0 => base.fieldNames.contains(f0.name)))
+      committed = tryCommit(spark, dir, cur.version + 1,
+        adds = Vector.empty, removes = Vector.empty,
+        schemaDdl = Some(evolved.toDDL))
+      guard += 1
+    }
+    committed.getOrElse(sys.error(s"evolveSchema lost 50 races at $dir"))
+  }
+
+  /** The commit history as a DataFrame (DESCRIBE HISTORY's shape):
+    * one row per resolvable version — files added/removed, rows
+    * added, compaction/dataChange flags, txn marker, whether the
+    * schema changed, and the publish timestamp. Reads the tail
+    * deltas below the oldest checkpoint only if they still exist
+    * (vacuumed history is absent, not an error). */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, dir)
+    versions(spark, dir).map { v =>
+      val d = readDelta(spark, dir, v)
+      val ts = f.getFileStatus(
+        new Path(manifestDir(dir), manifestName(v))).getModificationTime
+      (v, d.adds.size.toLong, d.removes.size.toLong,
+        d.adds.map(_.rows).sum, d.compaction, !d.compaction,
+        d.txn.orNull, d.schemaDdl.isDefined, ts)
+    }.toDF("version", "n_files_added", "n_files_removed", "rows_added",
+      "compaction", "data_change", "txn", "schema_changed",
+      "commit_ts_ms")
+  }
+
   /** The version that committed `txn`, if ever (checkpoints persist
     * markers past vacuum). */
   def txnVersion(spark: SparkSession, dir: String,

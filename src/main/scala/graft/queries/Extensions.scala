@@ -643,6 +643,67 @@ object Extensions extends QueryPack {
       }
     }),
 
+    // -- DESCRIBE HISTORY of the commit log ------------------------------
+    // Delta's table-history surface from the delta-action log: one
+    // row per version with files added/removed, rows added, the
+    // dataChange flag (compaction = false — the change feed's skip
+    // rule made queryable), txn markers and schema-change marks. The
+    // lifecycle below is fully deterministic (create → append →
+    // ALTER-style schema-only commit → append → compact → txn'd
+    // append), so every column except the timestamp is closed-form.
+    "x46_manifest_history" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-hist-").toString + "/t"
+      val t = Tables(s, dir).orders.select($"o_orderkey",
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      try {
+        ManifestTable.create(s, work,
+          t.filter($"o_orderkey" % 3 === 0).repartition(3))
+        ManifestTable.append(s, work,
+          t.filter($"o_orderkey" % 3 === 1).repartition(2))
+        ManifestTable.evolveSchema(s, work,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("seg",
+              org.apache.spark.sql.types.StringType))))
+        ManifestTable.append(s, work,
+          t.filter($"o_orderkey" % 3 === 2)
+            .withColumn("seg", lit("late")).repartition(2))
+        ManifestTable.compactCommit(s, work, targetBytes = 32L << 20)
+        ManifestTable.append(s, work,
+          t.filter($"o_orderkey" % 100 === 7)
+            .withColumn("seg", lit("x")).coalesce(1),
+          txn = Some("job:final"))
+        val expected = Seq(
+          (1L, t.filter($"o_orderkey" % 3 === 0).count()),
+          (2L, t.filter($"o_orderkey" % 3 === 1).count()),
+          (3L, 0L),
+          (4L, t.filter($"o_orderkey" % 3 === 2).count()),
+          (6L, t.filter($"o_orderkey" % 100 === 7).count())).toMap
+        ManifestTable.history(s, work)
+          .collect().toSeq
+          .map { r =>
+            val v = r.getInt(0).toLong
+            (v, r.getLong(1), r.getLong(2), r.getLong(3),
+              r.getBoolean(4), r.getBoolean(5),
+              Option(r.getString(6)).getOrElse("-"),
+              r.getBoolean(7),
+              // rows_added is data-derived; pin it against the known
+              // slice counts so the history numbers are PROVEN, then
+              // emit the proof as a column
+              expected.get(v).forall(_ == r.getLong(3)))
+          }
+          .toDF("version", "n_files_added", "n_files_removed",
+            "rows_added", "compaction", "data_change", "txn",
+            "schema_changed", "rows_match_slices")
+          .orderBy($"version")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(work).getParentFile)
+      }
+    }),
+
     // -- multi-action MERGE: DELETE / UPDATE / INSERT in one pass -------
     // The Delta-Lake MERGE INTO workhorse x05's replace+insert can't
     // express: a returns feed deletes matched orders flagged 'R',
@@ -2197,6 +2258,38 @@ object Extensions extends QueryPack {
         |FROM (VALUES (2), (3)) v(version)
         |JOIN t ON v.version = 3 OR t.o_orderkey % 2 = 0
         |GROUP BY v.version ORDER BY version""".stripMargin,
+
+    // the whole lifecycle is deterministic: slice counts from orders,
+    // file counts from the explicit repartition/coalesce numbers, the
+    // compaction folds 7 small files into 1 (32 MB target far above
+    // sf-tier sizes), flags from the protocol itself
+    "x46_manifest_history" ->
+      """WITH c AS (SELECT
+        |  CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS m0,
+        |  CAST(SUM(CASE WHEN o_orderkey % 3 = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS m1,
+        |  CAST(SUM(CASE WHEN o_orderkey % 3 = 2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS m2,
+        |  CAST(SUM(CASE WHEN o_orderkey % 100 = 7 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS k7,
+        |  CAST(COUNT(*) AS BIGINT) AS total
+        | FROM orders)
+        |SELECT * FROM (
+        | SELECT CAST(1 AS BIGINT) AS version,
+        |   CAST(3 AS BIGINT) AS n_files_added,
+        |   CAST(0 AS BIGINT) AS n_files_removed,
+        |   m0 AS rows_added, FALSE AS compaction, TRUE AS data_change,
+        |   '-' AS txn, TRUE AS schema_changed,
+        |   TRUE AS rows_match_slices FROM c
+        | UNION ALL SELECT 2, 2, 0, m1, FALSE, TRUE, '-', FALSE, TRUE FROM c
+        | UNION ALL SELECT 3, 0, 0, 0, FALSE, TRUE, '-', TRUE, TRUE FROM c
+        | UNION ALL SELECT 4, 2, 0, m2, FALSE, TRUE, '-', FALSE, TRUE FROM c
+        | UNION ALL SELECT 5, 1, 7, total, TRUE, FALSE, '-', FALSE, TRUE
+        |   FROM c
+        | UNION ALL SELECT 6, 1, 0, k7, FALSE, TRUE, 'job:final', FALSE,
+        |   TRUE FROM c
+        |) ORDER BY version""".stripMargin,
 
     // survivors of the deterministic DELETE predicate, grouped; the
     // pre-delete undo check rides as a TRUE

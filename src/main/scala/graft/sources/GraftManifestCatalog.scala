@@ -126,12 +126,32 @@ class GraftManifestCatalog extends TableCatalog with SupportsNamespaces {
     load(ident, None, None)
   }
 
+  /** ALTER TABLE … ADD COLUMN(S): a schema-only evolution COMMIT (the
+    * new schema rides the log like any other version — old files read
+    * back with the column null, time travel shows the pre-ALTER
+    * schema). Everything else (renames, drops, type changes) is
+    * refused: the log never coerces, and dropping a column from the
+    * schema would silently hide data every older version still
+    * carries. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE: evolve the schema through appendEvolve (x40); " +
-        "log-schema DDL changes outside a commit would break " +
-        "snapshot isolation")
+      changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(
+      (catalogName +: ident.namespace :+ ident.name).toSeq)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "ALTER TABLE ADD COLUMN supports top-level columns only")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames.head, a.dataType, a.isNullable)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE ${other.getClass.getSimpleName}: only ADD COLUMN " +
+          "evolves the log (the schema never coerces or drops)")
+    }
+    ManifestTable.evolveSchema(spark, dir.toString,
+      org.apache.spark.sql.types.StructType(adds))
+    load(ident, None, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

@@ -136,6 +136,27 @@ class GraftManifestCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER TABLE ADD COLUMN: a schema-only commit; old rows " +
+      "null-fill, time travel shows the pre-ALTER schema") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.a (k BIGINT)")
+      spark.sql(s"INSERT INTO $cat.a SELECT id FROM range(10)")
+      spark.sql(s"ALTER TABLE $cat.a ADD COLUMN tag STRING")
+      spark.sql(s"INSERT INTO $cat.a SELECT id, 'new' FROM range(5)")
+      val got = spark.sql(s"SELECT * FROM $cat.a")
+      assert(got.columns.toSeq == Seq("k", "tag"))
+      assert(got.count() == 15 &&
+        got.filter("tag IS NULL").count() == 10)
+      assert(spark.sql(s"SELECT * FROM $cat.a VERSION AS OF 2")
+        .columns.toSeq == Seq("k"))
+      // renames/drops are refused — the log never coerces or hides
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.a DROP COLUMN tag")
+      }
+      assert(spark.sql(s"SELECT * FROM $cat.a").columns.length == 2)
+    }
+  }
+
   test("SQL writers and Scala-API writers share the commit log") {
     withCatalog { cat =>
       import graft.operators.ManifestTable
