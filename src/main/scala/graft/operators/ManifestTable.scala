@@ -100,7 +100,7 @@ object ManifestTable {
     * DDL with backtick-quoted names, file paths): a double quote or
     * newline in any of them must not corrupt the manifest or truncate
     * the parsed schema. */
-  private[operators] def jsonEscape(s: String): String = {
+  private[graft] def jsonEscape(s: String): String = {
     val sb = new StringBuilder(s.length + 8)
     s.foreach {
       case '"' => sb.append("\\\"")
@@ -114,7 +114,7 @@ object ManifestTable {
     sb.toString
   }
 
-  private[operators] def jsonUnescape(s: String): String = {
+  private[graft] def jsonUnescape(s: String): String = {
     val sb = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {

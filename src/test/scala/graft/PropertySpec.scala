@@ -758,6 +758,102 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  // arbitrary Unicode minus unpaired surrogates (a lone surrogate is
+  // not a valid string; the log never needs to carry one)
+  private val utfString: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      6 -> Gen.asciiPrintableChar,
+      2 -> Gen.oneOf('"', '\\', '\n', '\r', '\t'),
+      1 -> Gen.chooseNum(0x20, 0xD7FF).map(_.toChar),
+      1 -> Gen.chooseNum(0, 0x1F).map(_.toChar)))
+      .map(_.mkString)
+
+  property("manifest JSON escaping round-trips any string") =
+    forAll(utfString) { s =>
+      import graft.operators.ManifestTable.{jsonEscape, jsonUnescape}
+      val esc = jsonEscape(s)
+      jsonUnescape(esc) == s &&
+        // the escaped form never contains a raw newline (the manifest
+        // grammar is line-based) and the parser's own string regex
+        // consumes it whole (no unescaped quote terminates early)
+        !esc.exists(c => c == '\n' || c == '\r') &&
+        ("\"" + """((?:[^"\\]|\\.)*)""" + "\"").r
+          .findFirstMatchIn("\"" + esc + "\"")
+          .exists(_.group(1) == esc)
+    }
+
+  private val manifestEntries: Gen[Vector[graft.operators.ManifestTable.ManifestEntry]] =
+    Gen.listOf(for {
+      p <- Gen.nonEmptyListOf(Gen.frequency(
+        8 -> Gen.alphaNumChar, 1 -> Gen.oneOf('"', '\\', '/', ' ')))
+        .map(_.mkString)
+      rows <- Gen.chooseNum(0L, 1000000L)
+      stats <- Gen.option(for {
+        lo <- Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)
+        span <- Gen.chooseNum(0L, 1000L)
+      } yield (lo, lo + span))
+    } yield graft.operators.ManifestTable.ManifestEntry(
+      p, rows, stats.map(_._1), stats.map(_._2))).map(_.toVector)
+
+  property("a delta manifest body parses back to its exact actions") =
+    forAll(manifestEntries, manifestEntries.map(_.map(_.path)),
+        Gen.chooseNum(1, 999999), Gen.oneOf(true, false),
+        Gen.option(utfString.suchThat(_.nonEmpty)),
+        Gen.option(utfString.suchThat(_.nonEmpty))) {
+      (adds, removes, v, compaction, txn, ddl) =>
+      import graft.operators.ManifestTable
+      // spell the body exactly as tryCommit does (private — the
+      // grammar is pinned here instead: header line + one action/line)
+      def esc(s: String) = ManifestTable.jsonEscape(s)
+      val hdr = txn.map(t => s""", "txn": "${esc(t)}"""").getOrElse("") +
+        ddl.map(d => s""", "schema": "${esc(d)}"""").getOrElse("")
+      val body =
+        s"""{"version": $v, "compaction": $compaction$hdr, "actions": [""" +
+          "\n" +
+        (adds.map { e =>
+          val st = (e.lo, e.hi) match {
+            case (Some(l), Some(h)) => s""", "lo": $l, "hi": $h"""
+            case _ => ""
+          }
+          s"""  {"path": "${esc(e.path)}", "rows": ${e.rows}$st}"""
+        } ++ removes.map(p =>
+          s"""  {"path": "${esc(p)}", "remove": true}"""))
+          .mkString(",\n") + "\n]}"
+      val d = ManifestTable.parseManifest(body)
+      d.version == v && d.compaction == compaction && d.txn == txn &&
+        d.schemaDdl == ddl && d.adds == adds && d.removes == removes
+    }
+
+  property("manifest-stats pruning is conservative: every file whose " +
+      "range intersects the pushed window survives") =
+    forAll(
+      Gen.listOf(for {
+        lo <- Gen.chooseNum(-1000L, 1000L)
+        span <- Gen.chooseNum(0L, 200L)
+      } yield (lo, lo + span)),
+      Gen.chooseNum(-1200L, 1200L), Gen.chooseNum(0L, 500L)) {
+      (files, qlo, span) =>
+      val qhi = qlo + span
+      import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, LessThanOrEqual, Literal}
+      val attr = org.apache.spark.sql.catalyst.expressions
+        .AttributeReference("k", org.apache.spark.sql.types.LongType)()
+      val filters = Seq(
+        GreaterThanOrEqual(attr, Literal(qlo)),
+        LessThanOrEqual(attr, Literal(qhi)))
+      graft.sources.ManifestFileIndex.rangeOf(filters, "k") match {
+        case None => false // two conjuncts on k MUST yield a window
+        case Some((lb, ub)) =>
+          // conservative: the derived window contains the true one,
+          // so an intersecting file can never be pruned
+          lb <= qlo && ub >= qhi &&
+            files.forall { case (flo, fhi) =>
+              val intersects = fhi >= qlo && flo <= qhi
+              val kept = fhi >= lb && flo <= ub
+              !intersects || kept
+            }
+      }
+    }
+
   property("hub delivers any sequence exactly once, in order") =
     forAll(Gen.listOfN(25, Gen.chooseNum(Int.MinValue, Int.MaxValue))) { xs =>
       val engine = new graft.streaming.EventEngine(spark)
