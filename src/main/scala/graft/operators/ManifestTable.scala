@@ -57,9 +57,16 @@ object ManifestTable {
   /** `lo`/`hi`: min/max of the table's declared stats column within
     * this file — the Delta/Iceberg file-level statistics that let a
     * range predicate skip files from the MANIFEST, before any footer
-    * is opened. */
+    * is opened. `part`: the file's PARTITION tuple (column → value as
+    * a canonical string) — a partitioned write guarantees every row in
+    * the file carries exactly this tuple, so partition pruning is
+    * EXACT, not conservative. `stats`: additional per-column [lo, hi]
+    * ranges (the multi-column statistics a Z-ordered rewrite records,
+    * so predicates on EITHER clustering dimension skip files). */
   final case class ManifestEntry(path: String, rows: Long,
-      lo: Option[Long] = None, hi: Option[Long] = None)
+      lo: Option[Long] = None, hi: Option[Long] = None,
+      part: Map[String, String] = Map.empty,
+      stats: Map[String, (Long, Long)] = Map.empty)
 
   /** ONE commit's actions (what `v<N>.json` holds — Delta's add/
     * remove/txn/metaData actions). `compaction = true` marks a
@@ -75,7 +82,8 @@ object ManifestTable {
       compaction: Boolean = false,
       txn: Option[String] = None,
       schemaDdl: Option[String] = None,
-      statsCol: Option[String] = None) {
+      statsCol: Option[String] = None,
+      partCols: Option[Seq[String]] = None) {
     /** The files this commit ADDED (a change-feed consumes exactly
       * these — with a delta log the CDC read needs no file-set diff). */
     def paths: Vector[String] = adds.map(_.path)
@@ -88,7 +96,8 @@ object ManifestTable {
   final case class Snapshot(version: Int, entries: Vector[ManifestEntry],
       schemaDdl: Option[String] = None,
       statsCol: Option[String] = None,
-      txns: Map[String, Int] = Map.empty) {
+      txns: Map[String, Int] = Map.empty,
+      partCols: Seq[String] = Nil) {
     def paths: Vector[String] = entries.map(_.path)
     def rows: Long = entries.map(_.rows).sum
   }
@@ -139,6 +148,47 @@ object ManifestTable {
   /** A JSON string literal's body: quotes inside are escaped, so the
     * match runs to the first UNescaped quote. */
   private val JStr = """((?:[^"\\]|\\.)*)"""
+
+  /** Escape a string destined for an INLINE brace-delimited object
+    * (`"part"`/`"stats"` fragments) or a comma-joined list
+    * (`part_cols`): on top of [[jsonEscape]], raw braces and commas
+    * become \\u escapes so the fragment parser can delimit on the raw
+    * characters before unescaping. [[jsonUnescape]] decodes them for
+    * free. */
+  private[graft] def fieldEscape(s: String): String =
+    jsonEscape(s).replace("{", "\\u007b").replace("}", "\\u007d")
+      .replace(",", "\\u002c")
+
+  /** Emit a [[ManifestEntry]]'s partition tuple as the body of an
+    * inline JSON object: `"k": "v", ...` (sorted by key — the log is
+    * deterministic). */
+  private def partBody(part: Map[String, String]): String =
+    part.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${fieldEscape(k)}": "${fieldEscape(v)}"""" }
+      .mkString(", ")
+
+  /** Emit multi-column stats as `"col": [lo, hi], ...` (sorted). */
+  private def statsBody(stats: Map[String, (Long, Long)]): String =
+    stats.toSeq.sortBy(_._1)
+      .map { case (c, (l, h)) => s""""${fieldEscape(c)}": [$l, $h]""" }
+      .mkString(", ")
+
+  private val PartPair = ("\"" + JStr + "\"\\s*:\\s*\"" + JStr + "\"").r
+  private val StatsTriple =
+    ("\"" + JStr + "\"\\s*:\\s*\\[\\s*(-?\\d+)\\s*,\\s*(-?\\d+)\\s*\\]").r
+
+  /** Parse the body emitted by [[partBody]]. */
+  private[graft] def parsePartBody(s: String): Map[String, String] =
+    PartPair.findAllMatchIn(s)
+      .map(m => jsonUnescape(m.group(1)) -> jsonUnescape(m.group(2)))
+      .toMap
+
+  /** Parse the body emitted by [[statsBody]]. */
+  private[graft] def parseStatsBody(s: String): Map[String, (Long, Long)] =
+    StatsTriple.findAllMatchIn(s)
+      .map(m => jsonUnescape(m.group(1)) ->
+        (m.group(2).toLong, m.group(3).toLong))
+      .toMap
 
   /** Manifests and checkpoints store file paths RELATIVE to the table
     * directory (Delta's convention): the table is RELOCATABLE — a
@@ -253,12 +303,14 @@ object ManifestTable {
     var ddl: Option[String] = None
     var statsCol: Option[String] = None
     var txns = Map.empty[String, Int]
+    var partCols: Seq[String] = Nil
     base.foreach { cv =>
       val st = readCheckpoint(spark, dir, cv)
       st.entries.foreach(e => em(e.path) = e)
       ddl = st.schemaDdl
       statsCol = st.statsCol
       txns = st.txns
+      partCols = st.partCols
     }
     ((base.getOrElse(0) + 1) to v).foreach { dv =>
       val d = readDelta(spark, dir, dv)
@@ -267,12 +319,13 @@ object ManifestTable {
       d.schemaDdl.foreach(x => ddl = Some(x))
       d.statsCol.foreach(x => statsCol = Some(x))
       d.txn.foreach(t => txns += t -> dv)
+      d.partCols.foreach(cs => partCols = cs)
     }
     // the fold runs in STORED (table-relative) path space; the
     // resolved snapshot hands callers absolute paths
     Snapshot(v, em.values.toVector
       .map(e => e.copy(path = resolvePath(dir, e.path)))
-      .sortBy(_.path), ddl, statsCol, txns)
+      .sortBy(_.path), ddl, statsCol, txns, partCols)
   }
 
   /** Read one committed delta. The two-phase commit means a VISIBLE
@@ -324,6 +377,13 @@ object ManifestTable {
       .findFirstMatchIn(header).map(m => jsonUnescape(m.group(1)))
     val statsCol = (""""stats_col"\s*:\s*"""" + JStr + "\"").r
       .findFirstMatchIn(header).map(m => jsonUnescape(m.group(1)))
+    // part_cols rides the header like stats_col; an EMPTY list is a
+    // meaningful reset (overwrite back to unpartitioned), so Some(Nil)
+    // and None stay distinct
+    val partCols = (""""part_cols"\s*:\s*"""" + JStr + "\"").r
+      .findFirstMatchIn(header)
+      .map(m => m.group(1).split(",", -1).toSeq
+        .filter(_.nonEmpty).map(jsonUnescape))
     // one action per line after the header: adds carry "rows",
     // removes carry "remove": true
     val adds = Vector.newBuilder[ManifestEntry]
@@ -341,11 +401,19 @@ object ManifestTable {
             .findFirstMatchIn(line).map(_.group(1).toLong)
           val hi = """"hi"\s*:\s*(-?\d+)""".r
             .findFirstMatchIn(line).map(_.group(1).toLong)
-          adds += ManifestEntry(p, r, lo, hi)
+          // brace-delimited inline objects: fieldEscape guarantees no
+          // raw brace inside, so the non-greedy group is exact
+          val part = """"part"\s*:\s*\{([^{}]*)\}""".r
+            .findFirstMatchIn(line).map(m => parsePartBody(m.group(1)))
+            .getOrElse(Map.empty[String, String])
+          val stats = """"stats"\s*:\s*\{([^{}]*)\}""".r
+            .findFirstMatchIn(line).map(m => parseStatsBody(m.group(1)))
+            .getOrElse(Map.empty[String, (Long, Long)])
+          adds += ManifestEntry(p, r, lo, hi, part, stats)
         }
       }
     Delta(v, adds.result(), removes.result(), compaction, txn,
-      schemaDdl, statsCol)
+      schemaDdl, statsCol, partCols)
   }
 
   /** Read the table at a snapshot — only that version's files, never
@@ -403,8 +471,9 @@ object ManifestTable {
       StructType(base.fields ++
         df.schema.fields.filterNot(f0 => base.fieldNames.contains(f0.name)))
     }
-    evolveFrom(snapshot(spark, dir)) // type-check early, before any write
-    val newEntries = writeFiles(spark, dir, df, statsCol)
+    val pre = snapshot(spark, dir)
+    evolveFrom(pre) // type-check early, before any write
+    val newEntries = writeFiles(spark, dir, df, statsCol, pre.partCols)
     var committed: Option[Int] = None
     var guard = 0
     while (committed.isEmpty && guard < 50) {
@@ -435,7 +504,8 @@ object ManifestTable {
       compaction: Boolean = false,
       txn: Option[String] = None,
       schemaDdl: Option[String] = None,
-      statsCol: Option[String] = None): Option[Int] = {
+      statsCol: Option[String] = None,
+      partCols: Option[Seq[String]] = None): Option[Int] = {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
     val target = new Path(manifestDir(dir), manifestName(version))
@@ -443,7 +513,9 @@ object ManifestTable {
     val hdr =
       txn.map(t => s""", "txn": "${jsonEscape(t)}"""").getOrElse("") +
       schemaDdl.map(d => s""", "schema": "${jsonEscape(d)}"""").getOrElse("") +
-      statsCol.map(c => s""", "stats_col": "${jsonEscape(c)}"""").getOrElse("")
+      statsCol.map(c => s""", "stats_col": "${jsonEscape(c)}"""").getOrElse("") +
+      partCols.map(cs => s""", "part_cols": "${
+        cs.map(fieldEscape).mkString(",")}"""").getOrElse("")
     val body =
       s"""{"version": $version, "compaction": $compaction$hdr, "actions": [""" +
         "\n" +
@@ -452,8 +524,14 @@ object ManifestTable {
           case (Some(l), Some(h)) => s""", "lo": $l, "hi": $h"""
           case _ => ""
         }
+        val part =
+          if (e.part.isEmpty) ""
+          else s""", "part": {${partBody(e.part)}}"""
+        val mstats =
+          if (e.stats.isEmpty) ""
+          else s""", "stats": {${statsBody(e.stats)}}"""
         s"""  {"path": "${jsonEscape(relativize(f, dir, e.path))}",""" +
-          s""" "rows": ${e.rows}$stats}"""
+          s""" "rows": ${e.rows}$stats$part$mstats}"""
       } ++ removes.map { p =>
         s"""  {"path": "${jsonEscape(relativize(f, dir, p))}", "remove": true}"""
       }).mkString(",\n") + "\n]}"
@@ -504,11 +582,17 @@ object ManifestTable {
       path: Option[String], rows: Option[Long],
       lo: Option[Long], hi: Option[Long],
       schema_ddl: Option[String], stats_col: Option[String],
-      txn: Option[String], txn_version: Option[Int])
+      txn: Option[String], txn_version: Option[Int],
+      // add rows: the entry's partition tuple / multi-col stats, in
+      // the manifest's own inline-object grammar; meta row: the
+      // comma-joined (fieldEscape'd) partition column list
+      part_body: Option[String] = None,
+      stats_body: Option[String] = None,
+      part_cols: Option[String] = None)
 
   private final case class CkptState(entries: Vector[ManifestEntry],
       schemaDdl: Option[String], statsCol: Option[String],
-      txns: Map[String, Int])
+      txns: Map[String, Int], partCols: Seq[String])
 
   /** Checkpoints are immutable once `_SUCCESS` lands — cache them so
     * commit-loop snapshot resolution pays the parquet read once. */
@@ -535,9 +619,13 @@ object ManifestTable {
       // checkpoint must survive a table rename too
       snap.entries.map(e => CkptRow("add",
         Some(relativize(f, dir, e.path)), Some(e.rows),
-        e.lo, e.hi, None, None, None, None)) ++
+        e.lo, e.hi, None, None, None, None,
+        if (e.part.isEmpty) None else Some(partBody(e.part)),
+        if (e.stats.isEmpty) None else Some(statsBody(e.stats)))) ++
       Vector(CkptRow("meta", None, None, None, None,
-        snap.schemaDdl, snap.statsCol, None, None)) ++
+        snap.schemaDdl, snap.statsCol, None, None, None, None,
+        if (snap.partCols.isEmpty) None
+        else Some(snap.partCols.map(fieldEscape).mkString(",")))) ++
       snap.txns.toVector.sortBy(_._2).map { case (t, tv) =>
         CkptRow("txn", None, None, None, None, None, None,
           Some(t), Some(tv)) }
@@ -557,27 +645,42 @@ object ManifestTable {
       .makeQualified(new Path(ckptRoot(dir), ckptName(v))).toString
     val hit = ckptCache.get(key)
     if (hit != null) return hit
-    val rows = spark.read.parquet(key)
+    val df0 = spark.read.parquet(key)
+    // checkpoints written before the partition/multi-stats columns
+    // existed read back with them absent — select with null fallbacks
+    // so old checkpoints keep resolving
+    val want = Seq("kind", "path", "rows", "lo", "hi", "schema_ddl",
+      "stats_col", "txn", "txn_version", "part_body", "stats_body",
+      "part_cols")
+    val have = df0.columns.toSet
+    val rows = df0.select(want.map(c =>
+        if (have.contains(c)) org.apache.spark.sql.functions.col(c)
+        else org.apache.spark.sql.functions.lit(null).as(c)): _*)
       .collect() // O(#files) metadata — the same driver-side planning
                  // read Delta's snapshot reconstruction performs
     val entries = Vector.newBuilder[ManifestEntry]
     var ddl: Option[String] = None
     var statsCol: Option[String] = None
     var txns = Map.empty[String, Int]
+    var partCols: Seq[String] = Nil
     rows.foreach { r =>
       def optS(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
       def optL(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
       r.getString(0) match {
         case "add" =>
           entries += ManifestEntry(r.getString(1), r.getLong(2),
-            optL(3), optL(4))
+            optL(3), optL(4),
+            optS(9).map(parsePartBody).getOrElse(Map.empty),
+            optS(10).map(parseStatsBody).getOrElse(Map.empty))
         case "meta" =>
           ddl = optS(5); statsCol = optS(6)
+          partCols = optS(11).map(_.split(",", -1).toSeq
+            .filter(_.nonEmpty).map(jsonUnescape)).getOrElse(Nil)
         case "txn" =>
           txns += r.getString(7) -> r.getInt(8)
       }
     }
-    val st = CkptState(entries.result(), ddl, statsCol, txns)
+    val st = CkptState(entries.result(), ddl, statsCol, txns, partCols)
     if (ckptCache.size > 8) ckptCache.clear() // crude bound; entries are
                                               // immutable so only a perf hit
     ckptCache.put(key, st)
@@ -588,28 +691,74 @@ object ManifestTable {
 
   /** Write `df` as new immutable data files and return their entries:
     * ONE read-back grouped by input_file_name yields every file's row
-    * count and (when `statsCol` is set) its min/max — the per-file
-    * statistics pass every table format's writer performs. */
+    * count, (when `statsCol` is set) its min/max, per-`statsCols`
+    * multi-column min/max, and (when `partitionCols` is set) the
+    * file's partition tuple — the per-file statistics pass every
+    * table format's writer performs.
+    *
+    * Partitioned layout: the writer partitions by STRING COPIES
+    * (`__p_<col>`) of the partition columns, so the hive-style
+    * directories exist for operators that want them while the REAL
+    * columns stay inside every data file — per-file reads (time
+    * travel, change feed, compaction) never need basePath
+    * reconstruction, and the partition tuple recorded in the log is
+    * EXACT (every row of a file carries it, guaranteed by the write
+    * itself, not inferred from a directory name). */
   private def writeFiles(spark: SparkSession, dir: String,
-      df: DataFrame, statsCol: Option[String]): Vector[ManifestEntry] = {
+      df: DataFrame, statsCol: Option[String],
+      partitionCols: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil): Vector[ManifestEntry] = {
     import org.apache.spark.sql.functions._
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val sub = new Path(dir, s"data-$stamp").toString
-    df.write.mode("errorifexists").parquet(sub)
+    partitionCols.foreach(c => require(df.columns.contains(c),
+      s"partition column $c is not in the frame (${df.columns.mkString(",")})"))
+    // the __p_ copies are HEX-encoded: the hive directory name is
+    // layout-only (partition values are recorded from the DATA at
+    // read-back, never parsed from dir names), and hex keeps every
+    // value — unicode, quotes, slashes — a portable ASCII path segment
+    // on any filesystem charset
+    if (partitionCols.isEmpty) df.write.mode("errorifexists").parquet(sub)
+    else df.withColumns(partitionCols.map(c =>
+        s"__p_$c" -> hex(encode(col(c).cast("string"), "UTF-8"))).toMap)
+      .write.partitionBy(partitionCols.map(c => s"__p_$c"): _*)
+      .mode("errorifexists").parquet(sub)
     val back = spark.read.parquet(sub)
-    val aggs = count(lit(1)).as("n") +: statsCol.toSeq.flatMap(c => Seq(
-      min(col(c).cast("long")).as("slo"), max(col(c).cast("long")).as("shi")))
-    val byFile = back.groupBy(input_file_name().as("pf"))
+      .select(df.columns.map(col) :+ input_file_name().as("__pf"): _*)
+    val aggs = count(lit(1)).as("n") +:
+      (statsCol.toSeq.flatMap(c => Seq(
+        min(col(c).cast("long")).as("slo"),
+        max(col(c).cast("long")).as("shi"))) ++
+       statsCols.zipWithIndex.flatMap { case (c, i) => Seq(
+        min(col(c).cast("long")).as(s"mlo_$i"),
+        max(col(c).cast("long")).as(s"mhi_$i")) } ++
+       partitionCols.zipWithIndex.map { case (c, i) =>
+        min(col(c).cast("string")).as(s"pv_$i") })
+    val byFile = back.groupBy(col("__pf"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
+    val statsBase = 2 + (if (statsCol.isDefined) 2 else 0)
+    val partBase = statsBase + 2 * statsCols.size
     byFile.toVector.map { r =>
+      val part = partitionCols.zipWithIndex.map { case (c, i) =>
+        require(!r.isNullAt(partBase + i),
+          s"partition column $c has a NULL value — partition tuples " +
+            "must be non-null (filter or fill before writing)")
+        c -> r.getString(partBase + i)
+      }.toMap
+      val mstats = statsCols.zipWithIndex.flatMap { case (c, i) =>
+        if (r.isNullAt(statsBase + 2 * i)) None
+        else Some(c -> (r.getLong(statsBase + 2 * i),
+          r.getLong(statsBase + 2 * i + 1)))
+      }.toMap
       ManifestEntry(
         // input_file_name is URI-encoded; normalize to the Path form
         // listStatus would give
         new Path(new java.net.URI(r.getString(0))).toString,
         r.getLong(1),
         if (statsCol.isDefined) Some(r.getLong(2)) else None,
-        if (statsCol.isDefined) Some(r.getLong(3)) else None)
+        if (statsCol.isDefined) Some(r.getLong(3)) else None,
+        part, mstats)
     }.sortBy(_.path)
   }
 
@@ -618,21 +767,31 @@ object ManifestTable {
     * the log from the first commit. */
   def createEmpty(spark: SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType,
-      statsCol: Option[String] = None): Int = {
+      statsCol: Option[String] = None,
+      partitionBy: Seq[String] = Nil): Int = {
     require(versions(spark, dir).isEmpty, s"table already exists at $dir")
+    partitionBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c is not in the schema"))
     tryCommit(spark, dir, 1, adds = Vector.empty, removes = Vector.empty,
-      schemaDdl = Some(schema.toDDL), statsCol = statsCol)
+      schemaDdl = Some(schema.toDDL), statsCol = statsCol,
+      partCols = if (partitionBy.isEmpty) None else Some(partitionBy))
       .getOrElse(sys.error(s"concurrent create at $dir"))
   }
 
   /** Initialize a table at version 1 (fails if already initialized).
-    * The schema always rides the log from birth. */
+    * The schema always rides the log from birth. `partitionBy` makes
+    * the table PARTITIONED: every file carries exactly one partition
+    * tuple, recorded in the log, and every later write keeps the
+    * layout. `statsCols` records multi-column [lo, hi] file stats. */
   def create(spark: SparkSession, dir: String, df: DataFrame,
-      statsCol: Option[String] = None): Int = {
+      statsCol: Option[String] = None,
+      partitionBy: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil): Int = {
     require(versions(spark, dir).isEmpty, s"table already exists at $dir")
-    val entries = writeFiles(spark, dir, df, statsCol)
+    val entries = writeFiles(spark, dir, df, statsCol, partitionBy, statsCols)
     tryCommit(spark, dir, 1, adds = entries, removes = Vector.empty,
-      schemaDdl = Some(df.schema.toDDL), statsCol = statsCol)
+      schemaDdl = Some(df.schema.toDDL), statsCol = statsCol,
+      partCols = if (partitionBy.isEmpty) None else Some(partitionBy))
       .getOrElse(sys.error(s"concurrent create at $dir"))
   }
 
@@ -650,7 +809,12 @@ object ManifestTable {
       case Some(v) => return v
       case None =>
     }
-    val newEntries = writeFiles(spark, dir, df, statsCol)
+    // a partitioned table's appends keep its layout automatically —
+    // the partition spec is table metadata, not a per-write choice
+    val tablePartCols =
+      if (versions(spark, dir).isEmpty) Nil
+      else snapshot(spark, dir).partCols
+    val newEntries = writeFiles(spark, dir, df, statsCol, tablePartCols)
     var committed: Option[Int] = None
     var guard = 0
     while (committed.isEmpty && guard < 50) {
@@ -737,14 +901,91 @@ object ManifestTable {
     * every current file, adds the new ones, and RESETS the log schema
     * to `df`'s — an overwrite is a new table in the same history. */
   def overwrite(spark: SparkSession, dir: String, df: DataFrame,
-      statsCol: Option[String] = None): Int = {
-    val newEntries = writeFiles(spark, dir, df, statsCol)
+      statsCol: Option[String] = None,
+      partitionBy: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil): Int = {
+    val newEntries = writeFiles(spark, dir, df, statsCol, partitionBy,
+      statsCols)
     val cur = snapshot(spark, dir)
     tryCommit(spark, dir, cur.version + 1,
       adds = newEntries, removes = cur.paths,
-      schemaDdl = Some(df.schema.toDDL), statsCol = statsCol)
+      schemaDdl = Some(df.schema.toDDL), statsCol = statsCol,
+      // an overwrite RESETS the partition spec like it resets the
+      // schema (Some(Nil) in the header = back to unpartitioned)
+      partCols = Some(partitionBy))
       .getOrElse(sys.error(s"concurrent commit at $dir — overwrite " +
         "is not auto-retried: rebase on the new version first"))
+  }
+
+  /** DYNAMIC PARTITION OVERWRITE (Delta's `replaceWhere` shape, Spark's
+    * `partitionOverwriteMode=dynamic` semantics): replace exactly the
+    * partitions `df` carries rows for — files of untouched partitions
+    * survive byte-identical (no rewrite, no new version for them), and
+    * the commit removes only files whose partition tuple appears in
+    * `df`. At 100 TB this is THE daily-reprocess primitive: re-running
+    * one day's slice must not rewrite (or even list) the other 3,650
+    * days. Retries past concurrent commits by recomputing the doomed
+    * set against each freshly-read snapshot. */
+  def overwritePartitions(spark: SparkSession, dir: String,
+      df: DataFrame, txn: Option[String] = None): Int = {
+    txn.flatMap(t => txnVersion(spark, dir, t)) match {
+      case Some(v) => return v
+      case None =>
+    }
+    val partCols = snapshot(spark, dir).partCols
+    require(partCols.nonEmpty,
+      s"overwritePartitions on $dir: the table is not partitioned — " +
+        "use overwrite (full replacement) instead")
+    val newEntries = writeFiles(spark, dir, df, None, partCols)
+    val touched = newEntries.map(_.part).toSet
+    var guard = 0
+    while (guard < 50) {
+      txn.flatMap(t => txnVersion(spark, dir, t)) match {
+        case Some(v) => return v
+        case None =>
+      }
+      val cur = snapshot(spark, dir)
+      val doomed = cur.entries.filter(e => touched.contains(e.part))
+      tryCommit(spark, dir, cur.version + 1,
+        adds = newEntries, removes = doomed.map(_.path),
+        txn = txn) match {
+        case Some(v) => return v
+        case None => guard += 1
+      }
+    }
+    sys.error(s"overwritePartitions lost 50 commit races at $dir")
+  }
+
+  /** RESTORE the table to the state of `toVersion` as a NEW commit
+    * (Delta's RESTORE): adds back the files `toVersion` listed that
+    * the current version dropped, removes the ones it gained, and
+    * re-commits `toVersion`'s schema/partition spec — history is
+    * preserved (the restore is itself undoable by another restore),
+    * and no data file is copied: the log re-points, the bytes stay.
+    * Requires `toVersion` to still resolve (not vacuumed). */
+  def restore(spark: SparkSession, dir: String, toVersion: Int): Int = {
+    val target = snapshot(spark, dir, Some(toVersion))
+    var guard = 0
+    while (guard < 10) {
+      val cur = snapshot(spark, dir)
+      val curPaths = cur.paths.toSet
+      val targetPaths = target.paths.toSet
+      val f = fs(spark, dir)
+      target.entries.filterNot(e => curPaths.contains(e.path)).foreach(e =>
+        require(f.exists(new Path(e.path)),
+          s"restore to v$toVersion needs ${e.path}, which vacuum " +
+            "deleted — only versions whose files survive can be restored"))
+      tryCommit(spark, dir, cur.version + 1,
+        adds = target.entries.filterNot(e => curPaths.contains(e.path)),
+        removes = cur.paths.filterNot(targetPaths.contains),
+        schemaDdl = target.schemaDdl,
+        statsCol = target.statsCol,
+        partCols = Some(target.partCols)) match {
+        case Some(v) => return v
+        case None => guard += 1
+      }
+    }
+    sys.error(s"restore lost 10 commit races at $dir")
   }
 
   /** Manifest-level data skipping: read only the files whose [lo, hi]
@@ -786,7 +1027,9 @@ object ManifestTable {
     while (guard < 10) {
       val cur = snapshot(spark, dir)
       val merged = transform(read(spark, dir, Some(cur.version)))
-      val entries = writeFiles(spark, dir, merged, statsCol)
+      // a merge rewrites content, not layout: partitioned tables stay
+      // partitioned through DML
+      val entries = writeFiles(spark, dir, merged, statsCol, cur.partCols)
       tryCommit(spark, dir, cur.version + 1,
         adds = entries, removes = cur.paths,
         schemaDdl = Some(merged.schema.toDDL), statsCol = statsCol) match {
@@ -809,9 +1052,6 @@ object ManifestTable {
       targetBytes: Long): Int = {
     val f = fs(spark, dir)
     val cur = snapshot(spark, dir)
-    val sized = cur.entries.map(e =>
-      Compaction.FileInfo(e.path, f.getFileStatus(new Path(e.path)).getLen))
-    val bins = Compaction.planBins(sized, targetBytes)
     // bins can mix files written before and after a schema evolution:
     // the rewrite must read with the LOG schema so the merged file
     // carries every column (missing ones as nulls), not a footer's
@@ -822,35 +1062,94 @@ object ManifestTable {
         .parquet(paths: _*)
       case None => spark.read.parquet(paths: _*)
     }
-    val rewritten = bins.filter(_.files.size >= 2).flatMap { bin =>
-      val inPaths = bin.files.map(_.path)
-      val inRows = cur.entries.filter(e => inPaths.contains(e.path))
-        .map(_.rows).sum
-      val stamp = java.util.UUID.randomUUID().toString.take(8)
-      val sub = new Path(dir, s"compact-$stamp").toString
-      binRead(inPaths).coalesce(1)
-        .write.mode("errorifexists").parquet(sub)
-      val part = f.listStatus(new Path(sub)).toVector.map(_.getPath)
-        .find(p => p.getName.startsWith("part-") &&
-          p.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"compact bin ${bin.binId}: no part file"))
-      val outRows = spark.read.parquet(part.toString).count()
-      require(outRows == inRows,
-        s"compact bin ${bin.binId} would lose rows: $inRows -> $outRows")
-      // merged file stats fold from the members' — no data re-read
-      val mlo = bin.files.flatMap(f0 =>
-        cur.entries.find(_.path == f0.path).flatMap(_.lo))
-      val mhi = bin.files.flatMap(f0 =>
-        cur.entries.find(_.path == f0.path).flatMap(_.hi))
-      Vector(inPaths.toVector -> ManifestEntry(part.toString, outRows,
-        if (mlo.size == bin.files.size) Some(mlo.min) else None,
-        if (mhi.size == bin.files.size) Some(mhi.max) else None))
-    }
+    // a partitioned table compacts WITHIN partitions: a merged file
+    // still carries exactly one partition tuple, so partition pruning
+    // stays exact through OPTIMIZE
+    val rewritten = cur.entries.groupBy(_.part).toVector
+      .sortBy(_._1.toSeq.sorted.mkString(","))
+      .flatMap { case (partKey, group) =>
+        val sized = group.map(e => Compaction.FileInfo(e.path,
+          f.getFileStatus(new Path(e.path)).getLen))
+        Compaction.planBins(sized, targetBytes)
+          .filter(_.files.size >= 2).flatMap { bin =>
+            val inPaths = bin.files.map(_.path)
+            val inRows = group.filter(e => inPaths.contains(e.path))
+              .map(_.rows).sum
+            val stamp = java.util.UUID.randomUUID().toString.take(8)
+            val sub = new Path(dir, s"compact-$stamp").toString
+            binRead(inPaths).coalesce(1)
+              .write.mode("errorifexists").parquet(sub)
+            val part = f.listStatus(new Path(sub)).toVector.map(_.getPath)
+              .find(p => p.getName.startsWith("part-") &&
+                p.getName.endsWith(".parquet"))
+              .getOrElse(sys.error(s"compact bin ${bin.binId}: no part file"))
+            val outRows = spark.read.parquet(part.toString).count()
+            require(outRows == inRows,
+              s"compact bin ${bin.binId} would lose rows: $inRows -> $outRows")
+            // merged file stats fold from the members' — no data re-read
+            val members = bin.files.flatMap(f0 =>
+              group.find(_.path == f0.path))
+            val mlo = members.flatMap(_.lo)
+            val mhi = members.flatMap(_.hi)
+            val foldedStats = members.map(_.stats.keySet)
+              .reduceOption(_ intersect _).getOrElse(Set.empty)
+              .map(c => c -> ((members.map(_.stats(c)._1).min,
+                members.map(_.stats(c)._2).max))).toMap
+            Vector(inPaths.toVector -> ManifestEntry(part.toString, outRows,
+              if (mlo.size == bin.files.size) Some(mlo.min) else None,
+              if (mhi.size == bin.files.size) Some(mhi.max) else None,
+              partKey, foldedStats))
+          }
+      }
     tryCommit(spark, dir, cur.version + 1,
       adds = rewritten.map(_._2).toVector.sortBy(_.path),
       removes = rewritten.flatMap(_._1).toVector.sorted,
       compaction = true)
       .getOrElse(sys.error(s"concurrent commit at $dir during compact"))
+  }
+
+  /** OPTIMIZE ZORDER BY (Delta's clustered rewrite): rewrite the
+    * CURRENT version's files clustered along the Morton curve of two
+    * integral columns — one `repartitionByRange(z)` shuffle + an
+    * in-partition sort, committed with PER-FILE MULTI-COLUMN stats so
+    * a range predicate on EITHER dimension prunes files from the
+    * manifest. A linear sort skips files only for its leading column;
+    * the Z-curve buys both at once, which is the entire point of the
+    * layout at 100 TB (two independent selective access paths, one
+    * copy of the data). dataChange=false: the change feed skips the
+    * rewrite exactly like compaction. Unpartitioned tables only (a
+    * partitioned table already clusters on its partition columns —
+    * Z-order the residual inside each partition is a further step this
+    * engine does not take). */
+  def clusterCommit(spark: SparkSession, dir: String,
+      cols: (String, String), targetFiles: Int): Int = {
+    import org.apache.spark.sql.functions._
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val cur = snapshot(spark, dir)
+    require(cur.partCols.isEmpty,
+      s"clusterCommit on $dir: Z-ordering a partitioned table is not " +
+        "supported — partition columns already cluster the layout")
+    val (c1, c2) = cols
+    val base = read(spark, dir, Some(cur.version))
+    val mm = base.agg(
+      min(col(c1).cast("long")), max(col(c1).cast("long")),
+      min(col(c2).cast("long")), max(col(c2).cast("long"))).first()
+    require(!mm.isNullAt(0) && !mm.isNullAt(2),
+      s"clusterCommit: $c1/$c2 must be non-null integral columns")
+    val (lo1, hi1, lo2, hi2) =
+      (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+    val z = Zorder.interleave16(
+      Zorder.bucket256(col(c1).cast("long") - lit(lo1), lit(hi1 - lo1 + 1)),
+      Zorder.bucket256(col(c2).cast("long") - lit(lo2), lit(hi2 - lo2 + 1)))
+    val clustered = base.withColumn("__z", z)
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    val entries = writeFiles(spark, dir, clustered, cur.statsCol,
+      Nil, Seq(c1, c2))
+    tryCommit(spark, dir, cur.version + 1,
+      adds = entries, removes = cur.paths, compaction = true)
+      .getOrElse(sys.error(s"concurrent commit at $dir during cluster"))
   }
 
   /** Delete data files unreachable from the kept (newest `keep`)

@@ -112,17 +112,28 @@ class GraftManifestCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier, timestamp: Long): Table =
     load(ident, None, Some(timestamp))
 
+  /** CREATE TABLE … PARTITIONED BY (c, …): identity transforms become
+    * the table's partition spec in the log — every later INSERT lays
+    * files out one-partition-tuple-per-file and records the tuple in
+    * the manifest, so partition pruning is exact from the commit log
+    * alone. Bucket/days/etc. transforms are refused (identity is the
+    * hive-layout contract this format keeps). */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft-manifest tables do not support partition transforms — " +
-        "file-level stats pruning (x38/x42) is the skipping mechanism")
+    val partCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft-manifest supports identity partition transforms only, " +
+          s"got $other")
+    }
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(
       (catalogName +: ident.namespace :+ ident.name).toSeq)
     val statsCol = Option(properties.get("stats_col"))
-    ManifestTable.createEmpty(spark, dir.toString, schema, statsCol)
+    ManifestTable.createEmpty(spark, dir.toString, schema, statsCol,
+      partCols)
     load(ident, None, None)
   }
 

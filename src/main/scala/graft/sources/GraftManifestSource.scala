@@ -234,9 +234,14 @@ class GraftManifestTable(dir: String, version: Int, dataSchema: StructType,
             override def insert(data: org.apache.spark.sql.DataFrame,
                 overwrite: Boolean): Unit = {
               val s = data.sparkSession
-              if (doTruncate || overwrite)
-                ManifestTable.overwrite(s, dir, data, statsCol)
-              else ManifestTable.append(s, dir, data, statsCol)
+              if (doTruncate || overwrite) {
+                // INSERT OVERWRITE replaces content, not layout: a
+                // partitioned table stays partitioned through SQL
+                val pc =
+                  if (ManifestTable.versions(s, dir).isEmpty) Nil
+                  else ManifestTable.snapshot(s, dir).partCols
+                ManifestTable.overwrite(s, dir, data, statsCol, pc)
+              } else ManifestTable.append(s, dir, data, statsCol)
             }
           }
       }
@@ -266,21 +271,53 @@ class ManifestFileIndex(spark: SparkSession,
     for { l <- e.lo; h <- e.hi }
       yield new Path(e.path).toUri.getPath -> (l, h)).toMap
 
+  // multi-column stats (a Z-ordered rewrite's per-file ranges) and
+  // partition tuples, by the same normalized path key
+  private val multiStats: Map[String, Map[String, (Long, Long)]] =
+    entries.filter(_.stats.nonEmpty)
+      .map(e => new Path(e.path).toUri.getPath -> e.stats).toMap
+  private val partTuples: Map[String, Map[String, String]] =
+    entries.filter(_.part.nonEmpty)
+      .map(e => new Path(e.path).toUri.getPath -> e.part).toMap
+  private val statCols: Set[String] =
+    entries.iterator.flatMap(_.stats.keysIterator).toSet
+  private val partColNames: Set[String] =
+    entries.iterator.flatMap(_.part.keysIterator).toSet
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val base = super.listFiles(partitionFilters, dataFilters)
-    val bounds = statsCol.flatMap(c =>
-      ManifestFileIndex.rangeOf(dataFilters, c))
-    bounds match {
-      case None => base
-      case Some((lb, ub)) => base.map { pd =>
-        pd.copy(files = pd.files.filter { f =>
-          stats.get(f.getPath.toUri.getPath) match {
+    // [lb, ub] window per constrained stats column (legacy single
+    // stats_col + every multi-stats column any entry carries)
+    val windows: Map[String, (Long, Long)] =
+      (statsCol.toSeq ++ statCols).distinct.flatMap(c =>
+        ManifestFileIndex.rangeOf(dataFilters, c).map(c -> _)).toMap
+    // allowed value-string sets per constrained partition column —
+    // partition pruning is EXACT (a file holds one tuple), so an
+    // equality/IN miss drops the file with no residual risk
+    val partAllowed: Map[String, Set[String]] = partColNames.flatMap(c =>
+      ManifestFileIndex.equalitySetOf(dataFilters, c).map(c -> _)).toMap
+    if (windows.isEmpty && partAllowed.isEmpty) return base
+    base.map { pd =>
+      pd.copy(files = pd.files.filter { f =>
+        val key = f.getPath.toUri.getPath
+        val statsOk = windows.forall { case (c, (lb, ub)) =>
+          val rng =
+            (if (statsCol.contains(c)) stats.get(key) else None)
+              .orElse(multiStats.get(key).flatMap(_.get(c)))
+          rng match {
             case Some((lo, hi)) => hi >= lb && lo <= ub
-            case None => true
+            case None => true // no stats for this column: keep
           }
-        })
-      }
+        }
+        val partOk = partAllowed.forall { case (c, allowed) =>
+          partTuples.get(key).flatMap(_.get(c)) match {
+            case Some(v) => allowed.contains(v)
+            case None => true // unpartitioned or legacy file: keep
+          }
+        }
+        statsOk && partOk
+      })
     }
   }
 }
@@ -324,6 +361,54 @@ object ManifestFileIndex {
       case _ => ()
     }
     if (any) Some((lb, ub)) else None
+  }
+
+  /** Canonical string form of a pushed literal, matching the writer's
+    * CAST(col AS STRING) partition-value recording — only types whose
+    * two spellings provably agree participate (string and integrals);
+    * anything else declines, which KEEPS files (pruning stays safe). */
+  private def litString(e: Expression): Option[String] = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+      Some(v.toString)
+    case Literal(v: Long, LongType) => Some(v.toString)
+    case Literal(v: Int, IntegerType) => Some(v.toString)
+    case Literal(v: Short, ShortType) => Some(v.toString)
+    case _ => None
+  }
+
+  /** Fold the pushed conjuncts that pin `col` to specific values
+    * (equality / IN with literal members) into one allowed-value-string
+    * set; None when nothing pins the column. Multiple conjuncts
+    * intersect. A conjunct with any untranslatable member declines
+    * entirely — partial sets would prune files the predicate keeps. */
+  def equalitySetOf(filters: Seq[Expression],
+      col: String): Option[Set[String]] = {
+    def isCol(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name.equalsIgnoreCase(col)
+      case _ => false
+    }
+    var acc: Option[Set[String]] = None
+    def tighten(s: Set[String]): Unit =
+      acc = Some(acc.map(_ intersect s).getOrElse(s))
+    filters.foreach {
+      case EqualTo(a, l) if isCol(a) => litString(l).foreach(v => tighten(Set(v)))
+      case EqualTo(l, a) if isCol(a) => litString(l).foreach(v => tighten(Set(v)))
+      case org.apache.spark.sql.catalyst.expressions.In(a, vs) if isCol(a) =>
+        val strs = vs.map(litString)
+        if (strs.forall(_.isDefined)) tighten(strs.flatten.toSet)
+      case ins: org.apache.spark.sql.catalyst.expressions.InSet
+          if isCol(ins.child) =>
+        val strs = ins.hset.toSeq.map {
+          case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+          case v: Long => Some(v.toString)
+          case v: Int => Some(v.toString)
+          case v: Short => Some(v.toString)
+          case _ => None
+        }
+        if (strs.forall(_.isDefined)) tighten(strs.flatten.toSet)
+      case _ => ()
+    }
+    acc
   }
 }
 
