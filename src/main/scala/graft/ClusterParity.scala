@@ -123,7 +123,17 @@ object ClusterParity {
     "x41_format_time_travel", "x42_format_data_skipping",
     "x43_format_change_feed", "x44_sql_catalog", "x45_sql_delete",
     "st47_stream_format_tail", "st48_stream_format_sink",
-    "x46_manifest_history", "stC1_continuous_map")
+    "x46_manifest_history", "stC1_continuous_map",
+    // round-10 partitioned-table tier: partition pruning, dynamic
+    // partition overwrite, restore, Z-order — all exercise the commit
+    // log + DSv2 planning across separate executor JVMs
+    "x47_partitioned_table", "x48_partition_overwrite",
+    "x49_restore", "x50_zorder_skipping",
+    // SQL DML through DSv2 row-level operations: the staged native
+    // write runs on the executors, so cross-JVM parity is the test
+    // that matters most for it
+    "x51_sql_update", "x52_sql_merge", "x53_mor_delete",
+    "x54_sql_maintenance")
 }
 
 /** Smoke main: `runMain graft.ClusterParitySmoke <sfDir> [names…]` —

@@ -66,7 +66,14 @@ object ManifestTable {
   final case class ManifestEntry(path: String, rows: Long,
       lo: Option[Long] = None, hi: Option[Long] = None,
       part: Map[String, String] = Map.empty,
-      stats: Map[String, (Long, Long)] = Map.empty)
+      stats: Map[String, (Long, Long)] = Map.empty,
+      // merge-on-read DELETE: `dv` points at a deletion-vector parquet
+      // ((file, pos) pairs); `dvRows` counts this file's deleted
+      // positions, so live rows = rows − dvRows without opening the DV
+      dv: Option[String] = None,
+      dvRows: Long = 0L) {
+    def liveRows: Long = rows - dvRows
+  }
 
   /** ONE commit's actions (what `v<N>.json` holds — Delta's add/
     * remove/txn/metaData actions). `compaction = true` marks a
@@ -83,7 +90,12 @@ object ManifestTable {
       txn: Option[String] = None,
       schemaDdl: Option[String] = None,
       statsCol: Option[String] = None,
-      partCols: Option[Seq[String]] = None) {
+      partCols: Option[Seq[String]] = None,
+      // a merge-on-read DELETE commit: content changed but the adds
+      // are RE-POINTS of existing files (new DV, same bytes) — a
+      // change feed must skip them like compaction's rewrites, while
+      // history still reports data_change=true
+      mor: Boolean = false) {
     /** The files this commit ADDED (a change-feed consumes exactly
       * these — with a delta log the CDC read needs no file-set diff). */
     def paths: Vector[String] = adds.map(_.path)
@@ -276,7 +288,8 @@ object ManifestTable {
       s"changesFromVersion $fromVersion is past version $toVersion")
     ((fromVersion + 1) to toVersion).toVector
       .map(v => readDelta(spark, dir, v))
-      .filterNot(_.compaction)
+      .filterNot(d => d.compaction || d.mor) // rewrites and DV
+      // re-points change files, not content — skip or double-count
       .flatMap(_.adds)
       .map(e => e.copy(path = resolvePath(dir, e.path)))
   }
@@ -324,7 +337,8 @@ object ManifestTable {
     // the fold runs in STORED (table-relative) path space; the
     // resolved snapshot hands callers absolute paths
     Snapshot(v, em.values.toVector
-      .map(e => e.copy(path = resolvePath(dir, e.path)))
+      .map(e => e.copy(path = resolvePath(dir, e.path),
+        dv = e.dv.map(resolvePath(dir, _))))
       .sortBy(_.path), ddl, statsCol, txns, partCols)
   }
 
@@ -371,6 +385,7 @@ object ManifestTable {
       .findFirstMatchIn(header).get.group(1).toInt
     val compaction = """"compaction"\s*:\s*true""".r
       .findFirstIn(header).isDefined
+    val mor = """"mor"\s*:\s*true""".r.findFirstIn(header).isDefined
     val txn = (""""txn"\s*:\s*"""" + JStr + "\"").r
       .findFirstMatchIn(header).map(m => jsonUnescape(m.group(1)))
     val schemaDdl = (""""schema"\s*:\s*"""" + JStr + "\"").r
@@ -409,15 +424,22 @@ object ManifestTable {
           val stats = """"stats"\s*:\s*\{([^{}]*)\}""".r
             .findFirstMatchIn(line).map(m => parseStatsBody(m.group(1)))
             .getOrElse(Map.empty[String, (Long, Long)])
-          adds += ManifestEntry(p, r, lo, hi, part, stats)
+          val dv = (""""dv"\s*:\s*"""" + JStr + "\"").r
+            .findFirstMatchIn(line).map(m => jsonUnescape(m.group(1)))
+          val dvRows = """"dv_rows"\s*:\s*(\d+)""".r
+            .findFirstMatchIn(line).map(_.group(1).toLong).getOrElse(0L)
+          adds += ManifestEntry(p, r, lo, hi, part, stats, dv, dvRows)
         }
       }
     Delta(v, adds.result(), removes.result(), compaction, txn,
-      schemaDdl, statsCol, partCols)
+      schemaDdl, statsCol, partCols, mor)
   }
 
   /** Read the table at a snapshot — only that version's files, never
-    * a directory listing. */
+    * a directory listing. Entries carrying deletion vectors apply
+    * them MERGE-ON-READ: one broadcast anti-join of (file, position)
+    * pairs against the scan's `_metadata` columns — deleted rows cost
+    * a hash probe each, never a file rewrite. */
   def read(spark: SparkSession, dir: String,
       asOf: Option[Int] = None): DataFrame = {
     val snap = snapshot(spark, dir, asOf)
@@ -432,15 +454,122 @@ object ManifestTable {
           sys.error(s"version ${snap.version} of $dir lists no files " +
             "and carries no schema")
       }
-    snap.schemaDdl match {
-      // schema-on-log: files written before a column existed read
-      // back with that column null, and the column ORDER is the
-      // log's, not any footer's
-      case Some(ddl) => spark.read
-        .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
-        .parquet(snap.paths: _*)
-      case None => spark.read.parquet(snap.paths: _*)
+    val base = rawRead(spark, snap.schemaDdl, snap.paths)
+    val dvPaths = snap.entries.flatMap(_.dv).distinct
+    if (dvPaths.isEmpty) base else applyDvs(spark, base, dvPaths)
+  }
+
+  /** The schema-aware parquet reader: schema-on-log files written
+    * before a column existed read back with that column null, and the
+    * column ORDER is the log's, not any footer's. */
+  private def rawRead(spark: SparkSession, schemaDdl: Option[String],
+      paths: Seq[String]): DataFrame = schemaDdl match {
+    case Some(ddl) => spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      .parquet(paths: _*)
+    case None => spark.read.parquet(paths: _*)
+  }
+
+  /** Anti-join the scan against the union of referenced deletion
+    * vectors. Keyed on the EXACT `_metadata.file_path` string captured
+    * at delete time (self-consistent across reads) — data files are
+    * immutable, so any (file, pos) pair in any referenced DV is a
+    * genuinely deleted row of that physical file, and unioning
+    * superseded DVs is harmless. The DV side is |deleted rows| —
+    * broadcast. */
+  private def applyDvs(spark: SparkSession, base: DataFrame,
+      dvPaths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dv = spark.read.parquet(dvPaths: _*)
+      .select(col("file").as("__dvf"), col("pos").as("__dvp"))
+      .distinct()
+    base
+      .withColumns(Map(
+        "__f" -> col("_metadata.file_path"),
+        "__i" -> col("_metadata.row_index")))
+      .join(broadcast(dv),
+        col("__f") === col("__dvf") && col("__i") === col("__dvp"),
+        "left_anti")
+      .drop("__f", "__i")
+  }
+
+  /** MERGE-ON-READ DELETE (Delta's deletion vectors): mark matching
+    * rows deleted by writing their (file, position) pairs to a DV
+    * parquet and RE-POINTING the affected entries — no data file is
+    * rewritten, so the write cost is O(deleted rows), not O(bytes of
+    * every touched file). The new DV for an affected file carries the
+    * union of its old and new positions (vacuum can then drop
+    * superseded DVs). Readers apply DVs automatically ([[read]]);
+    * compaction purges them. Returns (version, rows newly deleted). */
+  def deleteRowsMor(spark: SparkSession, dir: String,
+      cond: org.apache.spark.sql.Column): (Int, Long) = {
+    import org.apache.spark.sql.functions._
+    val cur = snapshot(spark, dir)
+    require(cur.paths.nonEmpty, s"deleteRowsMor on empty table $dir")
+    val live = {
+      val base = rawRead(spark, cur.schemaDdl, cur.paths)
+        .withColumns(Map(
+          "__f" -> col("_metadata.file_path"),
+          "__i" -> col("_metadata.row_index")))
+      val dvPaths = cur.entries.flatMap(_.dv).distinct
+      if (dvPaths.isEmpty) base
+      else {
+        val dv = spark.read.parquet(dvPaths: _*)
+          .select(col("file").as("__dvf"), col("pos").as("__dvp"))
+          .distinct()
+        base.join(broadcast(dv),
+          col("__f") === col("__dvf") && col("__i") === col("__dvp"),
+          "left_anti")
+      }
     }
+    // NULL predicate rows SURVIVE (DELETE three-valued logic)
+    val doomed = live
+      .filter(coalesce(cond, lit(false)))
+      .select(col("__f").as("file"), col("__i").as("pos"))
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val dvDir = new Path(new Path(dir, "_dvs"), s"dv-$stamp").toString
+    // affected files need old + new positions in the NEW dv, so a
+    // fully superseded old DV is safely vacuumable
+    val affectedKeys = doomed.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet // O(#files) driver metadata
+    if (affectedKeys.isEmpty) return (cur.version, 0L)
+    def uriKey(p: String): String = new Path(p).toUri.getPath
+    val affectedEntries = cur.entries.filter(e =>
+      affectedKeys.exists(k => uriKey(k) == uriKey(e.path)))
+    val oldDvPaths = affectedEntries.flatMap(_.dv).distinct
+    val oldForAffected =
+      if (oldDvPaths.isEmpty) None
+      else Some(spark.read.parquet(oldDvPaths: _*)
+        .select(col("file"), col("pos"))
+        .filter(col("file").isin(affectedKeys.toSeq: _*)))
+    oldForAffected.map(doomed.unionByName(_)).getOrElse(doomed)
+      .distinct()
+      .coalesce(1)
+      .write.mode("errorifexists").parquet(dvDir)
+    // per-file DELETED-position counts from the written DV
+    val counts = spark.read.parquet(dvDir)
+      .groupBy(col("file")).agg(count(lit(1)).as("n"))
+      .collect().map(r => uriKey(r.getString(0)) -> r.getLong(1)).toMap
+    var guard = 0
+    while (guard < 50) {
+      val c = snapshot(spark, dir)
+      val liveSet = c.paths.toSet
+      val affected = c.entries.filter(e => counts.contains(uriKey(e.path)))
+      affectedEntries.map(_.path).foreach(p => require(liveSet.contains(p),
+        s"deleteRowsMor at $dir: $p was removed by a concurrent commit " +
+          "(write conflict; re-run the statement)"))
+      val newDeleted = counts.values.sum -
+        affected.map(_.dvRows).sum
+      val repointed = affected.map(e => e.copy(dv = Some(dvDir),
+        dvRows = counts(uriKey(e.path))))
+      tryCommit(spark, dir, c.version + 1,
+        adds = repointed, removes = affected.map(_.path),
+        mor = true) match {
+        case Some(v) => return (v, newDeleted)
+        case None => guard += 1
+      }
+    }
+    sys.error(s"deleteRowsMor lost 50 commit races at $dir")
   }
 
   /** Append with SCHEMA EVOLUTION: columns of `df` not yet in the
@@ -505,12 +634,14 @@ object ManifestTable {
       txn: Option[String] = None,
       schemaDdl: Option[String] = None,
       statsCol: Option[String] = None,
-      partCols: Option[Seq[String]] = None): Option[Int] = {
+      partCols: Option[Seq[String]] = None,
+      mor: Boolean = false): Option[Int] = {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
     val target = new Path(manifestDir(dir), manifestName(version))
     if (f.exists(target)) return None // lost before writing anything
     val hdr =
+      (if (mor) s""", "mor": true""" else "") +
       txn.map(t => s""", "txn": "${jsonEscape(t)}"""").getOrElse("") +
       schemaDdl.map(d => s""", "schema": "${jsonEscape(d)}"""").getOrElse("") +
       statsCol.map(c => s""", "stats_col": "${jsonEscape(c)}"""").getOrElse("") +
@@ -530,8 +661,11 @@ object ManifestTable {
         val mstats =
           if (e.stats.isEmpty) ""
           else s""", "stats": {${statsBody(e.stats)}}"""
+        val dvs = e.dv.map(d =>
+          s""", "dv": "${jsonEscape(relativize(f, dir, d))}",""" +
+            s""" "dv_rows": ${e.dvRows}""").getOrElse("")
         s"""  {"path": "${jsonEscape(relativize(f, dir, e.path))}",""" +
-          s""" "rows": ${e.rows}$stats$part$mstats}"""
+          s""" "rows": ${e.rows}$stats$part$mstats$dvs}"""
       } ++ removes.map { p =>
         s"""  {"path": "${jsonEscape(relativize(f, dir, p))}", "remove": true}"""
       }).mkString(",\n") + "\n]}"
@@ -588,7 +722,9 @@ object ManifestTable {
       // comma-joined (fieldEscape'd) partition column list
       part_body: Option[String] = None,
       stats_body: Option[String] = None,
-      part_cols: Option[String] = None)
+      part_cols: Option[String] = None,
+      dv_path: Option[String] = None,
+      dv_rows_del: Option[Long] = None)
 
   private final case class CkptState(entries: Vector[ManifestEntry],
       schemaDdl: Option[String], statsCol: Option[String],
@@ -621,7 +757,10 @@ object ManifestTable {
         Some(relativize(f, dir, e.path)), Some(e.rows),
         e.lo, e.hi, None, None, None, None,
         if (e.part.isEmpty) None else Some(partBody(e.part)),
-        if (e.stats.isEmpty) None else Some(statsBody(e.stats)))) ++
+        if (e.stats.isEmpty) None else Some(statsBody(e.stats)),
+        None,
+        e.dv.map(relativize(f, dir, _)),
+        e.dv.map(_ => e.dvRows))) ++
       Vector(CkptRow("meta", None, None, None, None,
         snap.schemaDdl, snap.statsCol, None, None, None, None,
         if (snap.partCols.isEmpty) None
@@ -651,7 +790,7 @@ object ManifestTable {
     // so old checkpoints keep resolving
     val want = Seq("kind", "path", "rows", "lo", "hi", "schema_ddl",
       "stats_col", "txn", "txn_version", "part_body", "stats_body",
-      "part_cols")
+      "part_cols", "dv_path", "dv_rows_del")
     val have = df0.columns.toSet
     val rows = df0.select(want.map(c =>
         if (have.contains(c)) org.apache.spark.sql.functions.col(c)
@@ -671,7 +810,8 @@ object ManifestTable {
           entries += ManifestEntry(r.getString(1), r.getLong(2),
             optL(3), optL(4),
             optS(9).map(parsePartBody).getOrElse(Map.empty),
-            optS(10).map(parseStatsBody).getOrElse(Map.empty))
+            optS(10).map(parseStatsBody).getOrElse(Map.empty),
+            optS(12), optL(13).getOrElse(0L))
         case "meta" =>
           ddl = optS(5); statsCol = optS(6)
           partCols = optS(11).map(_.split(",", -1).toSeq
@@ -723,8 +863,22 @@ object ManifestTable {
         s"__p_$c" -> hex(encode(col(c).cast("string"), "UTF-8"))).toMap)
       .write.partitionBy(partitionCols.map(c => s"__p_$c"): _*)
       .mode("errorifexists").parquet(sub)
+    entriesFromDir(spark, sub, df.columns.toSeq, statsCol, partitionCols,
+      statsCols)
+  }
+
+  /** The per-file statistics read-back over an already-written
+    * directory: ONE pass grouped by input_file_name yields every
+    * file's row count, stats ranges and partition tuple. Shared by
+    * [[writeFiles]] and the DSv2 replace-data commit (whose files the
+    * EXECUTORS wrote through Spark's native parquet write path). */
+  private[graft] def entriesFromDir(spark: SparkSession, sub: String,
+      columns: Seq[String], statsCol: Option[String],
+      partitionCols: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil): Vector[ManifestEntry] = {
+    import org.apache.spark.sql.functions._
     val back = spark.read.parquet(sub)
-      .select(df.columns.map(col) :+ input_file_name().as("__pf"): _*)
+      .select(columns.map(col) :+ input_file_name().as("__pf"): _*)
     val aggs = count(lit(1)).as("n") +:
       (statsCol.toSeq.flatMap(c => Seq(
         min(col(c).cast("long")).as("slo"),
@@ -988,6 +1142,64 @@ object ManifestTable {
     sys.error(s"restore lost 10 commit races at $dir")
   }
 
+  /** Commit a DSv2 REPLACE DATA (SQL UPDATE / MERGE INTO / COW DELETE
+    * through row-level operations): the EXECUTORS already wrote the
+    * replacement rows into `stagingDir` through Spark's native parquet
+    * write path; this adopts those files and removes `replacedPaths`
+    * (the files the operation's scan was pinned to) in one atomic
+    * commit. Concurrent APPENDS are absorbed by retrying — their files
+    * are disjoint and their rows survive. A concurrent commit that
+    * REMOVED one of the pinned files (compaction, another DML) is a
+    * genuine write conflict: the replacement was computed from rows
+    * that are no longer the table's — abort, like every optimistic
+    * table format does. Partitioned tables re-layout the staged rows
+    * (the replace write is flat); unpartitioned tables adopt the
+    * staged files as-is. */
+  def replaceCommit(spark: SparkSession, dir: String,
+      stagingDir: String, replacedPaths: Vector[String]): Int = {
+    val f = fs(spark, dir)
+    val cur0 = snapshot(spark, dir)
+    val staged = f.exists(new Path(stagingDir)) &&
+      f.listStatus(new Path(stagingDir))
+        .exists(_.getPath.getName.endsWith(".parquet"))
+    val adds: Vector[ManifestEntry] =
+      if (!staged) Vector.empty // the operation deleted every row
+      else if (cur0.partCols.isEmpty) {
+        val cols = cur0.schemaDdl
+          .map(d => org.apache.spark.sql.types.StructType.fromDDL(d)
+            .fieldNames.toSeq)
+          .getOrElse(spark.read.parquet(stagingDir).columns.toSeq)
+        entriesFromDir(spark, stagingDir, cols, cur0.statsCol)
+      } else {
+        // re-layout into the table's partition scheme, then drop the
+        // flat staged files (they never entered the log)
+        val df = cur0.schemaDdl match {
+          case Some(ddl) => spark.read.schema(
+            org.apache.spark.sql.types.StructType.fromDDL(ddl))
+            .parquet(stagingDir)
+          case None => spark.read.parquet(stagingDir)
+        }
+        val es = writeFiles(spark, dir, df, cur0.statsCol, cur0.partCols)
+        f.delete(new Path(stagingDir), true)
+        es
+      }
+    var guard = 0
+    while (guard < 50) {
+      val cur = snapshot(spark, dir)
+      val live = cur.paths.toSet
+      replacedPaths.foreach(p => require(live.contains(p),
+        s"replaceCommit at $dir: $p was removed by a concurrent " +
+          "commit — the replacement no longer reflects the table " +
+          "(write conflict; re-run the statement)"))
+      tryCommit(spark, dir, cur.version + 1,
+        adds = adds, removes = replacedPaths) match {
+        case Some(v) => return v
+        case None => guard += 1
+      }
+    }
+    sys.error(s"replaceCommit lost 50 commit races at $dir")
+  }
+
   /** Manifest-level data skipping: read only the files whose [lo, hi]
     * stats range intersects [from, to] — file pruning decided from
     * the MANIFEST alone, no footer opened for a skipped file (the
@@ -1064,8 +1276,10 @@ object ManifestTable {
     }
     // a partitioned table compacts WITHIN partitions: a merged file
     // still carries exactly one partition tuple, so partition pruning
-    // stays exact through OPTIMIZE
-    val rewritten = cur.entries.groupBy(_.part).toVector
+    // stays exact through OPTIMIZE. Entries carrying deletion vectors
+    // are left alone (their row counts are physical, a naive merge
+    // would resurrect deleted rows) — purgeDvs is their rewrite.
+    val rewritten = cur.entries.filter(_.dv.isEmpty).groupBy(_.part).toVector
       .sortBy(_._1.toSeq.sorted.mkString(","))
       .flatMap { case (partKey, group) =>
         val sized = group.map(e => Compaction.FileInfo(e.path,
@@ -1106,6 +1320,31 @@ object ManifestTable {
       removes = rewritten.flatMap(_._1).toVector.sorted,
       compaction = true)
       .getOrElse(sys.error(s"concurrent commit at $dir during compact"))
+  }
+
+  /** PURGE deletion vectors: rewrite exactly the DV-carrying files
+    * with their deletions APPLIED and commit fresh entries — the
+    * explicit merge-on-read → materialized transition (Delta's
+    * REORG TABLE APPLY (PURGE)). Clean files are untouched; after the
+    * purge the snapshot carries no DVs, so the DSv2 front door (which
+    * refuses DV snapshots rather than silently resurrecting deleted
+    * rows) reads the table again. dataChange=false: content is
+    * identical by construction. */
+  def purgeDvs(spark: SparkSession, dir: String): Int = {
+    import org.apache.spark.sql.functions._
+    val cur = snapshot(spark, dir)
+    val dirty = cur.entries.filter(_.dv.isDefined)
+    if (dirty.isEmpty) return cur.version
+    val dvPaths = dirty.flatMap(_.dv).distinct
+    val purged = rawRead(spark, cur.schemaDdl, dirty.map(_.path))
+    val applied = applyDvs(spark, purged, dvPaths)
+    val fresh = writeFiles(spark, dir, applied, cur.statsCol,
+      cur.partCols)
+    require(fresh.map(_.rows).sum == dirty.map(_.liveRows).sum,
+      s"purgeDvs at $dir would change live row count")
+    tryCommit(spark, dir, cur.version + 1,
+      adds = fresh, removes = dirty.map(_.path), compaction = true)
+      .getOrElse(sys.error(s"concurrent commit at $dir during purge"))
   }
 
   /** OPTIMIZE ZORDER BY (Delta's clustered rewrite): rewrite the
@@ -1167,8 +1406,11 @@ object ManifestTable {
     // deltas still present — compute BEFORE deleting anything.
     // Compared in scheme-less URI-path space: resolved snapshot paths
     // ("/x/t/data-…") must match listing paths ("file:/x/t/data-…")
-    val reachable = kept
-      .flatMap(v => resolve(spark, dir, v).paths)
+    val keptSnaps = kept.map(v => resolve(spark, dir, v))
+    val reachable = keptSnaps.flatMap(_.paths)
+      .map(p => new Path(p).toUri.getPath).toSet
+    // deletion-vector dirs still referenced by any kept version
+    val dvReachable = keptSnaps.flatMap(_.entries.flatMap(_.dv))
       .map(p => new Path(p).toUri.getPath).toSet
     if (drop.nonEmpty) {
       val minKept = kept.head
@@ -1178,10 +1420,18 @@ object ManifestTable {
         s"vacuum at $dir could not checkpoint v$minKept — refusing to " +
           "drop the deltas kept versions still need")
     }
+    // superseded deletion vectors: dv dirs no kept version points at
+    val dvRoot = new Path(dir, "_dvs")
+    if (f.exists(dvRoot)) {
+      f.listStatus(dvRoot).toVector.map(_.getPath)
+        .filterNot(p => dvReachable.contains(p.toUri.getPath))
+        .foreach(p => f.delete(p, true))
+    }
     val dataDirs = f.listStatus(new Path(dir)).toVector
       .filter(st => st.isDirectory &&
         st.getPath.getName != "_manifests" &&
-        st.getPath.getName != "_checkpoints")
+        st.getPath.getName != "_checkpoints" &&
+        st.getPath.getName != "_dvs")
     dataDirs.foreach { d =>
       f.listStatus(d.getPath).toVector.map(_.getPath)
         .filter(p => p.getName.endsWith(".parquet") &&

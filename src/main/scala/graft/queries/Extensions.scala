@@ -704,6 +704,467 @@ object Extensions extends QueryPack {
       }
     }),
 
+    // -- PARTITIONED manifest table: exact pruning from the log ---------
+    // The #1 skipping lever at 100 TB: partition tuples ride the
+    // commit log per file (recorded from the DATA at write time, never
+    // parsed from directory names), so an equality/IN predicate on the
+    // partition column drops files at PLANNING with zero residual risk
+    // — a file holds exactly one tuple. Proven off the executed plan's
+    // BatchScanExec: planned files == the manifest's per-partition file
+    // count, for both = and IN spellings, and appends keep the layout.
+    "x47_partitioned_table" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      import org.apache.spark.sql.execution.datasources.FilePartition
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-part-").toString + "/t"
+      val t = Tables(s, dir).orders.select($"o_orderkey", $"o_orderstatus",
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      def planned(df: DataFrame): Int =
+        df.queryExecution.executedPlan.collectFirst {
+          case b: BatchScanExec => b.partitions.flatten.map {
+            case fp: FilePartition => fp.files.length
+            case _ => 1
+          }.sum
+        }.getOrElse(-1)
+      try {
+        ManifestTable.create(s, work,
+          t.filter($"o_orderkey" % 2 === 0).repartition(3),
+          partitionBy = Seq("o_orderstatus"))
+        ManifestTable.append(s, work,
+          t.filter($"o_orderkey" % 2 === 1).repartition(2))
+        val snap = ManifestTable.snapshot(s, work)
+        val layoutKept = snap.partCols == Seq("o_orderstatus") &&
+          snap.entries.forall(_.part.contains("o_orderstatus"))
+        val eq = s.read.format("graft-manifest").load(work)
+          .filter($"o_orderstatus" === "F")
+        val eqExact = planned(eq) ==
+          snap.entries.count(_.part("o_orderstatus") == "F") &&
+          planned(eq) < snap.entries.size
+        val in = s.read.format("graft-manifest").load(work)
+          .filter($"o_orderstatus".isin("O", "P"))
+        val inExact = planned(in) == snap.entries.count(e =>
+          Set("O", "P").contains(e.part("o_orderstatus")))
+        s.read.format("graft-manifest").load(work)
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+          .orderBy($"o_orderstatus")
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            layoutKept, eqExact, inExact))
+          .toDF("o_orderstatus", "n_rows", "sum_cents", "layout_kept",
+            "eq_prune_exact", "in_prune_exact")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(work).getParentFile)
+      }
+    }),
+
+    // -- DYNAMIC PARTITION OVERWRITE (replaceWhere) ----------------------
+    // The daily-reprocess primitive: re-running one slice replaces
+    // exactly the partitions the new frame carries rows for — files of
+    // untouched partitions survive BYTE-IDENTICAL (same paths, no
+    // rewrite, no listing), the pre-overwrite version stays readable
+    // (undo log), and a txn marker makes redelivery a no-op.
+    "x48_partition_overwrite" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-pow-").toString + "/t"
+      val t = Tables(s, dir).orders.select($"o_orderkey", $"o_orderstatus",
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      try {
+        ManifestTable.create(s, work, t.repartition(3),
+          partitionBy = Seq("o_orderstatus"))
+        val before = ManifestTable.snapshot(s, work)
+        val keepBefore = before.entries
+          .filterNot(_.part("o_orderstatus") == "F").map(_.path).toSet
+        val repl = t.filter($"o_orderstatus" === "F" &&
+          $"o_orderkey" % 5 === 0).coalesce(1)
+        val v1 = ManifestTable.overwritePartitions(s, work, repl,
+          txn = Some("daily:F"))
+        val v2 = ManifestTable.overwritePartitions(s, work, repl,
+          txn = Some("daily:F")) // redelivery: same version back
+        val after = ManifestTable.snapshot(s, work)
+        val keepAfter = after.entries
+          .filterNot(_.part("o_orderstatus") == "F").map(_.path).toSet
+        val untouchedIntact = keepAfter == keepBefore && v1 == v2
+        val undoIntact = ManifestTable
+          .read(s, work, Some(before.version))
+          .filter($"o_orderstatus" === "F").count() ==
+          t.filter($"o_orderstatus" === "F").count()
+        s.read.format("graft-manifest").load(work)
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+          .orderBy($"o_orderstatus")
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            untouchedIntact, undoIntact))
+          .toDF("o_orderstatus", "n_rows", "sum_cents",
+            "untouched_files_intact", "undo_intact")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(work).getParentFile)
+      }
+    }),
+
+    // -- RESTORE: the log re-points, the bytes stay ----------------------
+    // Delta's RESTORE TABLE as one commit: after an overwrite, restore
+    // to the pre-overwrite version re-lists its files (adds re-point to
+    // EXISTING paths — no data copied), history keeps every version
+    // (the overwritten state stays readable), and the restore is
+    // itself undoable. Per-version totals are deterministic slices.
+    "x49_restore" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-rst-").toString + "/t"
+      val t = Tables(s, dir).orders.select($"o_orderkey",
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      try {
+        ManifestTable.create(s, work,
+          t.filter($"o_orderkey" % 3 === 0).repartition(2))
+        ManifestTable.append(s, work,
+          t.filter($"o_orderkey" % 3 === 1).repartition(2))
+        val preV = ManifestTable.snapshot(s, work).version // 2
+        val prePaths = ManifestTable.snapshot(s, work).paths.toSet
+        ManifestTable.overwrite(s, work,
+          t.filter($"o_orderkey" % 100 === 7).coalesce(1))
+        val rv = ManifestTable.restore(s, work, preV) // 4
+        // the restore's adds re-point to files v2 already listed
+        val repoints = ManifestTable
+          .changedEntries(s, work, rv - 1, rv)
+          .forall(e => prePaths.contains(e.path))
+        // the overwritten state stays readable (history intact)
+        val historyIntact = ManifestTable.read(s, work, Some(3))
+          .count() == t.filter($"o_orderkey" % 100 === 7).count()
+        def stats(v: Int): (Long, Long) = {
+          val r = ManifestTable.read(s, work, Some(v))
+            .agg(count(lit(1)), sum($"cents")).first()
+          (r.getLong(0), r.getLong(1))
+        }
+        (1 to 4).map { v =>
+          val (n, c) = stats(v)
+          (v.toLong, n, c, repoints, historyIntact)
+        }.toDF("version", "n_rows", "sum_cents", "restore_repoints",
+          "history_intact")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(work).getParentFile)
+      }
+    }),
+
+    // -- OPTIMIZE ZORDER BY: one layout, two selective access paths -----
+    // The clustered rewrite (Delta's OPTIMIZE ZORDER BY): one
+    // repartitionByRange along the Morton curve of (o_custkey, cents),
+    // committed with per-file MULTI-COLUMN stats, so a range predicate
+    // on EITHER dimension prunes files from the manifest — a linear
+    // sort only ever skips for its leading column. Both prunings are
+    // read off the executed plan; dataChange=false keeps the rewrite
+    // out of the change feed. Rectangle aggregates stay exact.
+    "x50_zorder_skipping" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      import org.apache.spark.sql.execution.datasources.FilePartition
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-zo-").toString + "/t"
+      val t = Tables(s, dir).orders.select($"o_orderkey", $"o_custkey",
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      def planned(df: DataFrame): Int =
+        df.queryExecution.executedPlan.collectFirst {
+          case b: BatchScanExec => b.partitions.flatten.map {
+            case fp: FilePartition => fp.files.length
+            case _ => 1
+          }.sum
+        }.getOrElse(-1)
+      try {
+        ManifestTable.create(s, work, t.repartition(8))
+        ManifestTable.clusterCommit(s, work, ("o_custkey", "cents"),
+          targetFiles = 16)
+        val snap = ManifestTable.snapshot(s, work)
+        val statsRecorded = snap.entries.nonEmpty && snap.entries
+          .forall(e => e.stats.contains("o_custkey") &&
+            e.stats.contains("cents"))
+        val mx = t.agg(max($"o_custkey"), max($"cents")).first()
+        val (ck, cc) = (mx.getLong(0), mx.getLong(1))
+        val byCust = s.read.format("graft-manifest").load(work)
+          .filter($"o_custkey" >= ck / 2 && $"o_custkey" <= ck / 2 + ck / 8)
+        val byCents = s.read.format("graft-manifest").load(work)
+          .filter($"cents" >= cc / 2 && $"cents" <= cc / 2 + cc / 8)
+        val custPruned = planned(byCust) < snap.entries.size
+        val centsPruned = planned(byCents) < snap.entries.size
+        // dataChange=false: the feed from birth carries only the
+        // original create, never the rewrite
+        val feedRows = ManifestTable
+          .changedEntries(s, work, 0, snap.version).map(_.rows).sum
+        val feedSkips = feedRows == t.count()
+        val r1 = byCust.agg(count(lit(1)), sum($"cents")).first()
+        val r2 = byCents.agg(count(lit(1)), sum($"cents")).first()
+        Seq(("by_custkey", r1.getLong(0), r1.getLong(1), statsRecorded,
+            custPruned, centsPruned, feedSkips),
+          ("by_cents", r2.getLong(0), r2.getLong(1), statsRecorded,
+            custPruned, centsPruned, feedSkips))
+          .toDF("probe", "n_rows", "sum_cents", "stats_recorded",
+            "cust_pruned", "cents_pruned", "feed_skips_rewrite")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(work).getParentFile)
+      }
+    }),
+
+    // -- SQL UPDATE through DSv2 row-level operations --------------------
+    // The COW rewrite Delta users expect: Spark computes the
+    // replacement rows (updated + carried), executors write them
+    // through the native parquet path, and the manifest commit swaps
+    // exactly the SCANNED files. The condition is deliberately NOT
+    // v1-translatable (modulo), forcing the row-level path; the table
+    // is partitioned so the group filter proves itself: only the 'F'
+    // partition's files are replaced.
+    "x51_sql_update" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      val cat = s"gx51_${java.util.UUID.randomUUID().toString.take(8)}"
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-x51-").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        Tables(s, dir).orders.select($"o_orderkey", $"o_orderstatus",
+          floor($"o_totalprice" * 100).cast("long").as("cents"))
+          .createOrReplaceTempView(s"${cat}_src")
+        s.sql(s"CREATE TABLE $cat.t " +
+          "(o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT) " +
+          "PARTITIONED BY (o_orderstatus)")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM ${cat}_src")
+        val work = s"$wh/t"
+        val before = ManifestTable.snapshot(s, work)
+        val fFiles = before.entries.count(_.part("o_orderstatus") == "F")
+        val keepBefore = before.entries
+          .filterNot(_.part("o_orderstatus") == "F").map(_.path).toSet
+        s.sql(s"UPDATE $cat.t SET cents = cents + 100 " +
+          "WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 3")
+        val after = ManifestTable.snapshot(s, work)
+        // group-scoped COW: only the F partition's files were swapped
+        val keepAfter = after.entries
+          .filterNot(_.part("o_orderstatus") == "F").map(_.path).toSet
+        val hist = ManifestTable.history(s, work)
+          .orderBy(desc("version")).first()
+        val groupScoped = keepAfter == keepBefore &&
+          hist.getLong(2) == fFiles && fFiles < before.entries.size
+        val undo = s.sql(s"SELECT CAST(sum(cents) AS BIGINT) c FROM " +
+          s"$cat.t VERSION AS OF ${before.version}").first().getLong(0)
+        val want = Tables(s, dir).orders
+          .agg(sum(floor($"o_totalprice" * 100).cast("long"))).first()
+        val undoIntact = undo == want.getLong(0)
+        s.sql(s"SELECT o_orderstatus, " +
+            "CAST(count(*) AS BIGINT) AS n_rows, " +
+            s"CAST(sum(cents) AS BIGINT) AS sum_cents FROM $cat.t " +
+            "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            groupScoped, undoIntact))
+          .toDF("o_orderstatus", "n_rows", "sum_cents", "group_scoped",
+            "undo_intact")
+      } finally {
+        s.catalog.dropTempView(s"${cat}_src")
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(wh))
+      }
+    }),
+
+    // -- SQL MERGE INTO through DSv2 row-level operations -----------------
+    // The full three-action MERGE (matched DELETE, matched UPDATE,
+    // not-matched INSERT) in ONE SQL statement — x39's Scala
+    // mergeCommit spelled the way a Delta user writes it. Source rows
+    // derive deterministically from orders; the pre-merge version is
+    // the undo log.
+    "x52_sql_merge" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val cat = s"gx52_${java.util.UUID.randomUUID().toString.take(8)}"
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-x52-").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        Tables(s, dir).orders.select($"o_orderkey".as("k"), $"o_custkey",
+          floor($"o_totalprice" * 100).cast("long").as("cents"))
+          .createOrReplaceTempView(s"${cat}_t")
+        s.sql(s"CREATE TABLE $cat.m (k BIGINT, cents BIGINT)")
+        s.sql(s"INSERT INTO $cat.m SELECT k, cents FROM ${cat}_t")
+        s.sql(
+          s"""MERGE INTO $cat.m t USING (
+             |  SELECT k, cents DIV 10 AS delta,
+             |    CASE WHEN k % 3 = 0 THEN 'D' ELSE 'U' END AS act
+             |  FROM ${cat}_t WHERE o_custkey < 50
+             |  UNION ALL
+             |  SELECT k + 30000000, cents, 'I' FROM ${cat}_t
+             |  WHERE o_custkey < 25
+             |) s ON t.k = s.k
+             |WHEN MATCHED AND s.act = 'D' THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET cents = t.cents + s.delta
+             |WHEN NOT MATCHED THEN INSERT (k, cents) VALUES (s.k, s.delta)
+             |""".stripMargin)
+        val undo = s.sql(s"SELECT CAST(count(*) AS BIGINT) c FROM " +
+          s"$cat.m VERSION AS OF 2").first().getLong(0)
+        val undoIntact = undo == Tables(s, dir).orders.count()
+        s.sql(s"SELECT k % 4 AS bucket, " +
+            "CAST(count(*) AS BIGINT) AS n_rows, " +
+            s"CAST(sum(cents) AS BIGINT) AS sum_cents FROM $cat.m " +
+            "GROUP BY k % 4 ORDER BY bucket")
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), undoIntact))
+          .toDF("bucket", "n_rows", "sum_cents", "undo_intact")
+      } finally {
+        s.catalog.dropTempView(s"${cat}_t")
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(wh))
+      }
+    }),
+
+    // -- MERGE-ON-READ DELETE: deletion vectors ---------------------------
+    // The write-cheap half of DML (Delta's deletion vectors): DELETE
+    // marks (file, position) pairs in a DV parquet and RE-POINTS the
+    // affected entries — no data file is rewritten, so the write cost
+    // is O(deleted rows) where COW pays O(bytes of every touched
+    // file). Readers apply DVs as one broadcast anti-join on the
+    // scan's _metadata (file_path, row_index); purgeDvs materializes
+    // (REORG APPLY PURGE) and re-opens the DSv2 front door, which
+    // refuses DV snapshots rather than resurrecting deleted rows.
+    "x53_mor_delete" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-mor-").toString + "/t"
+      val t = Tables(s, dir).orders.select($"o_orderkey", $"o_orderstatus",
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      try {
+        ManifestTable.create(s, work, t.repartition(4))
+        val before = ManifestTable.snapshot(s, work)
+        val (_, nDel) = ManifestTable.deleteRowsMor(s, work,
+          $"o_orderstatus" === "F" && $"o_orderkey" % 7 === 2)
+        val after = ManifestTable.snapshot(s, work)
+        // merge-on-read: the data files are untouched, only re-pointed
+        val noRewrite = after.paths.toSet == before.paths.toSet
+        // the bytes written are the DV, not the table: at least 10x
+        // smaller here (positions of a ~1/21st slice vs all columns)
+        val f = new org.apache.hadoop.fs.Path(work)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        def sizeOf(p: String): Long =
+          f.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+        val dvBytes = after.entries.flatMap(_.dv).distinct.map(sizeOf).sum
+        val dataBytes = after.paths.map(sizeOf).sum
+        val smallWrite = dvBytes * 10 < dataBytes
+        val undoIntact = ManifestTable.read(s, work,
+          Some(before.version)).count() == t.count()
+        // purge materializes: the front door reads the same totals
+        ManifestTable.purgeDvs(s, work)
+        val purged = ManifestTable.snapshot(s, work)
+        val throughDoor = s.read.format("graft-manifest").load(work)
+          .agg(count(lit(1)), sum($"cents")).first()
+        val morRead = ManifestTable.read(s, work)
+          .agg(count(lit(1)), sum($"cents")).first()
+        val purgeOk = purged.entries.forall(_.dv.isEmpty) &&
+          (throughDoor.getLong(0), throughDoor.getLong(1)) ==
+            ((morRead.getLong(0), morRead.getLong(1))) &&
+          nDel + throughDoor.getLong(0) == t.count()
+        ManifestTable.read(s, work)
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+          .orderBy($"o_orderstatus")
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            noRewrite, smallWrite, undoIntact, purgeOk))
+          .toDF("o_orderstatus", "n_rows", "sum_cents", "no_rewrite",
+            "small_write", "undo_intact", "purge_ok")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(work).getParentFile)
+      }
+    }),
+
+    // -- SQL CALL maintenance: optimize / zorder / restore as procedures --
+    // Spark 4's DSv2 stored procedures (Iceberg's CALL surface) bound
+    // through the manifest catalog: the same commit-protocol
+    // maintenance as the Scala API, spelled as SQL. The lifecycle is
+    // deterministic: three parity-slice inserts → CALL optimize (files
+    // shrink, content identical) → CALL zorder (both dimensions prune
+    // the SQL plan) → CALL restore (back to the pre-maintenance file
+    // shape, content still identical — maintenance never changes
+    // rows).
+    "x54_sql_maintenance" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      import org.apache.spark.sql.execution.datasources.FilePartition
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      val cat = s"gx54_${java.util.UUID.randomUUID().toString.take(8)}"
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-x54-").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      def planned(df: DataFrame): Int =
+        df.queryExecution.executedPlan.collectFirst {
+          case b: BatchScanExec => b.partitions.flatten.map {
+            case fp: FilePartition => fp.files.length
+            case _ => 1
+          }.sum
+        }.getOrElse(-1)
+      try {
+        Tables(s, dir).orders.select($"o_orderkey", $"o_custkey",
+          floor($"o_totalprice" * 100).cast("long").as("cents"))
+          .createOrReplaceTempView(s"${cat}_src")
+        s.sql(s"CREATE TABLE $cat.t " +
+          "(o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT)")
+        (0 until 3).foreach(m => s.sql(
+          s"INSERT INTO $cat.t SELECT * FROM ${cat}_src " +
+            s"WHERE o_orderkey % 3 = $m"))
+        val work = s"$wh/t"
+        val filesBefore = ManifestTable.snapshot(s, work).entries.size
+        val opt = s.sql(s"CALL $cat.optimize(tbl => 't')").first()
+        val optimizeReduced = opt.getLong(1) == filesBefore &&
+          opt.getLong(2) < opt.getLong(1)
+        s.sql(s"CALL $cat.zorder(tbl => 't', col1 => 'o_custkey', " +
+          "col2 => 'cents', target_files => 16)")
+        val total = ManifestTable.snapshot(s, work).entries.size
+        val mx = s.sql(s"SELECT CAST(max(o_custkey) AS BIGINT) a, " +
+          s"CAST(max(cents) AS BIGINT) b FROM $cat.t").first()
+        val (ck, cc) = (mx.getLong(0), mx.getLong(1))
+        val byCust = s.sql(s"SELECT * FROM $cat.t WHERE o_custkey " +
+          s"BETWEEN ${ck / 2} AND ${ck / 2 + ck / 8}")
+        val byCents = s.sql(s"SELECT * FROM $cat.t WHERE cents " +
+          s"BETWEEN ${cc / 2} AND ${cc / 2 + cc / 8}")
+        val zorderPruned = planned(byCust) < total &&
+          planned(byCents) < total
+        val preMaintenance = 4 // after the three inserts
+        s.sql(s"CALL $cat.restore(tbl => 't', version => $preMaintenance)")
+        val restored = ManifestTable.snapshot(s, work)
+        val restoreShape = restored.entries.size == filesBefore
+        s.sql(s"SELECT o_orderkey % 3 AS m, " +
+            "CAST(count(*) AS BIGINT) AS n_rows, " +
+            s"CAST(sum(cents) AS BIGINT) AS sum_cents FROM $cat.t " +
+            "GROUP BY o_orderkey % 3 ORDER BY m")
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            optimizeReduced, zorderPruned, restoreShape))
+          .toDF("m", "n_rows", "sum_cents", "optimize_reduced",
+            "zorder_pruned", "restore_shape")
+      } finally {
+        s.catalog.dropTempView(s"${cat}_src")
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(wh))
+      }
+    }),
+
     // -- multi-action MERGE: DELETE / UPDATE / INSERT in one pass -------
     // The Delta-Lake MERGE INTO workhorse x05's replace+insert can't
     // express: a returns feed deletes matched orders flagged 'R',
@@ -2306,6 +2767,151 @@ object Extensions extends QueryPack {
         |WHERE NOT (cents < 5000000
         |  OR (o_orderstatus = 'F' AND cents >= 20000000))
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // create(even keys) + append(odd keys) = the whole table, grouped
+    // by the partition column; layout and exact-pruning predicates are
+    // protocol properties, spelled as TRUEs
+    "x47_partitioned_table" ->
+      """SELECT o_orderstatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  TRUE AS layout_kept,
+        |  TRUE AS eq_prune_exact,
+        |  TRUE AS in_prune_exact
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // post-overwrite state: non-F partitions untouched (full), F
+    // replaced by its orderkey%5=0 slice; the byte-identity of
+    // untouched files and the undo version ride as TRUEs
+    "x48_partition_overwrite" ->
+      """SELECT o_orderstatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  TRUE AS untouched_files_intact,
+        |  TRUE AS undo_intact
+        |FROM orders
+        |WHERE o_orderstatus <> 'F' OR o_orderkey % 5 = 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // v1/v2 are modulo slices, v3 the overwrite slice, v4 (the
+    // restore) repeats v2 exactly; the re-point and history predicates
+    // ride as TRUEs
+    "x49_restore" ->
+      """WITH t AS (
+        |  SELECT o_orderkey % 3 AS m, o_orderkey % 100 AS h,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT CAST(v.version AS BIGINT) AS version,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(t.cents) AS BIGINT) AS sum_cents,
+        |  TRUE AS restore_repoints,
+        |  TRUE AS history_intact
+        |FROM (VALUES (1), (2), (3), (4)) v(version)
+        |JOIN t ON CASE v.version
+        |  WHEN 1 THEN t.m = 0
+        |  WHEN 2 THEN t.m <= 1
+        |  WHEN 3 THEN t.h = 7
+        |  ELSE t.m <= 1 END
+        |GROUP BY v.version ORDER BY version""".stripMargin,
+
+    // two probe rectangles, bounds derived from the column maxima the
+    // oracle recomputes; the layout/pruning/feed predicates are
+    // protocol properties, spelled as TRUEs
+    "x50_zorder_skipping" ->
+      """WITH t AS (
+        |  SELECT o_custkey,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (SELECT MAX(o_custkey) AS ck, MAX(cents) AS cc FROM t)
+        |SELECT p.probe,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(t.cents) AS BIGINT) AS sum_cents,
+        |  TRUE AS stats_recorded,
+        |  TRUE AS cust_pruned,
+        |  TRUE AS cents_pruned,
+        |  TRUE AS feed_skips_rewrite
+        |FROM (VALUES ('by_custkey'), ('by_cents')) p(probe), t, b
+        |WHERE (p.probe = 'by_custkey'
+        |    AND t.o_custkey >= b.ck // 2
+        |    AND t.o_custkey <= b.ck // 2 + b.ck // 8)
+        |  OR (p.probe = 'by_cents'
+        |    AND t.cents >= b.cc // 2
+        |    AND t.cents <= b.cc // 2 + b.cc // 8)
+        |GROUP BY p.probe ORDER BY probe""".stripMargin,
+
+    // maintenance never changes rows: the oracle is the source table's
+    // modulo-sliced aggregates; the CALL-surface predicates ride as
+    // TRUEs
+    "x54_sql_maintenance" ->
+      """SELECT o_orderkey % 3 AS m,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  TRUE AS optimize_reduced,
+        |  TRUE AS zorder_pruned,
+        |  TRUE AS restore_shape
+        |FROM orders GROUP BY 1 ORDER BY m""".stripMargin,
+
+    // survivors of the deterministic MOR delete, grouped; the
+    // no-rewrite / write-cost / undo / purge predicates are protocol
+    // properties, spelled as TRUEs
+    "x53_mor_delete" ->
+      """SELECT o_orderstatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  TRUE AS no_rewrite,
+        |  TRUE AS small_write,
+        |  TRUE AS undo_intact,
+        |  TRUE AS purge_ok
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 2)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the UPDATE adds 100 cents to the deterministic F-slice; the
+    // group-scoped-rewrite and undo predicates ride as TRUEs
+    "x51_sql_update" ->
+      """SELECT o_orderstatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+        |    + CASE WHEN o_orderstatus = 'F' AND o_orderkey % 10 = 3
+        |           THEN 100 ELSE 0 END) AS BIGINT) AS sum_cents,
+        |  TRUE AS group_scoped,
+        |  TRUE AS undo_intact
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // replay of the three-action merge: matched 'D' rows vanish,
+    // matched 'U' rows gain delta, unmatched source rows insert; the
+    // undo predicate rides as a TRUE
+    "x52_sql_merge" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS k, o_custkey,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |src AS (
+        |  SELECT k, cents // 10 AS delta,
+        |    CASE WHEN k % 3 = 0 THEN 'D' ELSE 'U' END AS act
+        |  FROM t WHERE o_custkey < 50
+        |  UNION ALL
+        |  SELECT k + 30000000, cents, 'I' FROM t WHERE o_custkey < 25),
+        |merged AS (
+        |  SELECT t.k,
+        |    t.cents + CASE WHEN s.act = 'U' THEN s.delta ELSE 0 END
+        |      AS cents
+        |  FROM t LEFT JOIN src s ON t.k = s.k
+        |  WHERE s.k IS NULL OR s.act = 'U'
+        |  UNION ALL
+        |  SELECT s.k, s.delta FROM src s LEFT JOIN t ON t.k = s.k
+        |  WHERE t.k IS NULL)
+        |SELECT k % 4 AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  TRUE AS undo_intact
+        |FROM merged GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // compaction changes bytes, never rows: the oracle is the source
     // table's exact count + portable content fingerprint, and the

@@ -41,7 +41,28 @@ import graft.operators.ManifestTable
   * TIMESTAMP AS OF (Spark hands micros) to the publish-mtime rule of
   * [[ManifestTable.versionAt]].
   */
-class GraftManifestCatalog extends TableCatalog with SupportsNamespaces {
+class GraftManifestCatalog extends TableCatalog with SupportsNamespaces
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+
+  /** Table maintenance through SQL `CALL` (Spark 4 DSv2 stored
+    * procedures): optimize / zorder / vacuum / restore / purge_dvs,
+    * each resolving its `tbl` argument against this catalog's
+    * warehouse and running the SAME commit-protocol maintenance as
+    * the Scala API. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident.name(),
+      t => { // the tbl argument may be namespace-qualified ("ns.t")
+        val parts = t.split("\\.")
+        tableDir(Identifier.of(parts.init, parts.last)).toString
+      })
+      .getOrElse(throw new UnsupportedOperationException(
+        s"no procedure ${ident.name()} — known: " +
+          GraftProcedures.names.mkString(", ")))
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    GraftProcedures.names.map(Identifier.of(namespace, _)).toArray
 
   private var catalogName: String = _
   private var warehouse: String = _

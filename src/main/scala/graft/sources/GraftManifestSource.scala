@@ -163,7 +163,26 @@ class GraftManifestSource extends TableProvider with DataSourceRegister
 class GraftManifestTable(dir: String, version: Int, dataSchema: StructType,
     entries: Vector[ManifestTable.ManifestEntry], statsCol: Option[String])
   extends Table with SupportsRead with SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL UPDATE / MERGE INTO / non-translatable DELETE — Spark's
+    * row-level-operation rewrite (RewriteUpdateTable & co.) against a
+    * COPY-ON-WRITE group whose granularity is the scanned snapshot:
+    * the operation's scan reads the pinned file set, Spark computes
+    * the full replacement rows (updated + untouched), the EXECUTORS
+    * write them through Spark's own native parquet BatchWrite into a
+    * staging directory, and the driver adopts staging + removes the
+    * pinned files in ONE atomic manifest commit
+    * ([[ManifestTable.replaceCommit]] — concurrent appends absorbed,
+    * concurrent rewrites of a pinned file abort as a write conflict).
+    * Translatable DELETEs still take the cheaper SupportsDelete path
+    * (Spark's OptimizeMetadataOnlyDeleteFromTable converts back). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(dir, dataSchema, entries, statsCol,
+      info.command)
 
   import GraftManifestTable.filterToColumn
 
@@ -208,6 +227,15 @@ class GraftManifestTable(dir: String, version: Int, dataSchema: StructType,
     // bootstrap; reading a table that was never created stays an error
     if (version == 0 && entries.isEmpty && dataSchema.isEmpty)
       sys.error(s"no manifest at $dir — the table has not been created")
+    // deletion-vector gate (Delta's reader-version protocol, spelled
+    // as an error): this scan hands the NATIVE parquet reader bare
+    // files, which would silently resurrect MOR-deleted rows — refuse
+    // loudly until the DVs are purged
+    if (entries.exists(_.dv.isDefined))
+      sys.error(s"$dir@v$version carries deletion vectors — read " +
+        "through ManifestTable.read (merge-on-read) or run " +
+        "ManifestTable.purgeDvs first; the DSv2 scan will not " +
+        "silently resurrect deleted rows")
     val spark = SparkSession.active
     val index = new ManifestFileIndex(spark, entries, statsCol,
       Some(dataSchema))
@@ -248,6 +276,170 @@ class GraftManifestTable(dir: String, version: Int, dataSchema: StructType,
     }
 }
 
+/** The COPY-ON-WRITE row-level operation behind SQL UPDATE / MERGE
+  * INTO / rewritten DELETE: scan = the pinned snapshot through the
+  * same [[ManifestScanBuilder]] as every read (manifest-stats and
+  * partition pruning included); write = Spark's OWN ParquetWrite into
+  * a fresh staging directory — executors write through the native
+  * vectorized parquet path, the driver's only work is the atomic
+  * manifest commit that swaps pinned files for staged ones. */
+class GraftRowLevelOperation(dir: String, dataSchema: StructType,
+    entries: Vector[ManifestTable.ManifestEntry],
+    statsCol: Option[String],
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+  extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  /** The files the COW scan actually planned — these ARE the groups
+    * being replaced, so the commit removes exactly them. Written by
+    * the scan builder at build time, read by the write at commit time
+    * (scan building always precedes write execution). Defaults to the
+    * full pinned snapshot (no group filter pushed = everything
+    * rewritten). */
+  @volatile private[sources] var scannedPaths: Vector[String] =
+    entries.map(_.path)
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  /** The COW scan. Two contracts differ from a plain read:
+    *
+    *   - pushed filters are GROUP filters: they may drop whole FILES
+    *     (manifest stats / partition tuples — both file-exact
+    *     decisions), but must NEVER reach the parquet reader — a
+    *     row-group skip inside a kept file would silently drop the
+    *     carry-over rows the rewrite must copy forward. Every filter
+    *     is therefore reported back as residual and the reader scans
+    *     kept files IN FULL (Iceberg's SparkCopyOnWriteScan makes the
+    *     same choice);
+    *   - the planned file set is recorded on the operation, because
+    *     the write's commit must remove exactly those files. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val op = this
+    new ScanBuilder with SupportsPushDownCatalystFilters {
+      private var groupFilters: Seq[Expression] = Nil
+      override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+        groupFilters = filters
+        filters // ALL residual: rows are filtered by the rewrite's
+                // own projection, never by the reader
+      }
+      override def pushedFilters: Array[Predicate] = Array.empty
+      override def build(): Scan = {
+        val spark = SparkSession.active
+        if (entries.exists(_.dv.isDefined))
+          sys.error(s"$dir carries deletion vectors — SQL DML through " +
+            "the row-level scan would resurrect MOR-deleted rows; run " +
+            "ManifestTable.purgeDvs first")
+        val kept = ManifestFileIndex.pruneEntries(entries, statsCol,
+          groupFilters)
+        op.scannedPaths = kept.map(_.path)
+        val index = new ManifestFileIndex(spark, kept, None,
+          Some(dataSchema))
+        ParquetScanBuilder(spark, index, dataSchema, dataSchema,
+          CaseInsensitiveStringMap.empty()).build()
+      }
+    }
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new GraftReplaceDataWrite(dir, () => scannedPaths, info)
+    }
+}
+
+/** The REPLACE DATA write: delegates the data movement to Spark's
+  * native parquet [[org.apache.spark.sql.execution.datasources.v2.FileWrite]]
+  * (executors write the files, the file-commit protocol finalizes
+  * them), then commits the swap to the manifest log in
+  * `BatchWrite.commit` — the same two-layer split every production
+  * table format uses: bytes through the format's writer, atomicity
+  * through the log. */
+class GraftReplaceDataWrite(dir: String,
+    replacedPaths: () => Vector[String],
+    info: LogicalWriteInfo) extends Write {
+
+  private val staging = new Path(dir,
+    s"data-${java.util.UUID.randomUUID().toString.take(8)}").toString
+
+  private val inner: Write =
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetWrite(
+      Seq(staging), "parquet", _ => true, info)
+
+  override def description(): String = s"graft-manifest replace-data $dir"
+
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+    new org.apache.spark.sql.connector.write.BatchWrite {
+      private val ib = inner.toBatch
+      override def createBatchWriterFactory(
+          pi: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+          : org.apache.spark.sql.connector.write.DataWriterFactory =
+        // ReplaceData's query PREPENDS a __row_operation bookkeeping
+        // column; Spark only strips it (ReplaceDataProjections'
+        // rowProjection) when the operation also declares metadata
+        // attributes — with none, ReplaceDataExec falls back to the
+        // plain writing task and hands the writer the raw rows. The
+        // factory wrapper applies the same leading-columns strip the
+        // rowProjection would: project the TRAILING schema-width
+        // ordinals (a width match passes rows through untouched).
+        new GraftStripLeadingWriterFactory(
+          ib.createBatchWriterFactory(pi), info.schema())
+      override def useCommitCoordinator(): Boolean = ib.useCommitCoordinator()
+      override def onDataWriterCommit(
+          m: org.apache.spark.sql.connector.write.WriterCommitMessage): Unit =
+        ib.onDataWriterCommit(m)
+      override def commit(
+          ms: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+          : Unit = {
+        ib.commit(ms) // finalize the staged parquet files
+        ManifestTable.replaceCommit(SparkSession.active, dir, staging,
+          replacedPaths())
+      }
+      override def abort(
+          ms: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+          : Unit = {
+        ib.abort(ms)
+        // staged files never entered the log; sweep the directory
+        val f = new Path(staging).getFileSystem(
+          SparkSession.active.sparkContext.hadoopConfiguration)
+        f.delete(new Path(staging), true)
+      }
+    }
+}
+
+/** Executor-side projection for the REPLACE DATA write: rows wider
+  * than the write schema carry ReplaceData's prepended bookkeeping
+  * column(s) — keep the trailing `schema.size` fields (the data
+  * columns, in schema order). Serializable: ships to executors inside
+  * the writer factory. */
+class GraftStripLeadingWriterFactory(
+    inner: org.apache.spark.sql.connector.write.DataWriterFactory,
+    schema: StructType)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val w = inner.createWriter(partitionId, taskId)
+    new org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      private var proj: org.apache.spark.sql.catalyst.ProjectingInternalRow = _
+      override def write(r: org.apache.spark.sql.catalyst.InternalRow): Unit =
+        if (r.numFields == schema.size) w.write(r)
+        else {
+          if (proj == null) proj = org.apache.spark.sql.catalyst
+            .ProjectingInternalRow(schema,
+              (r.numFields - schema.size) until r.numFields)
+          proj.project(r)
+          w.write(proj)
+        }
+      override def commit(): org.apache.spark.sql.connector.write
+        .WriterCommitMessage = w.commit()
+      override def abort(): Unit = w.abort()
+      override def close(): Unit = w.close()
+    }
+  }
+}
+
 /** A [[org.apache.spark.sql.execution.datasources.FileIndex]] whose
   * file list IS the manifest (the roots are the snapshot's data
   * files, never a directory), and whose `listFiles` applies
@@ -264,65 +456,67 @@ class ManifestFileIndex(spark: SparkSession,
   extends InMemoryFileIndex(spark, entries.map(e => new Path(e.path)),
     Map.empty[String, String], userSchema) {
 
-  // keyed by scheme-less URI path: the manifest records Path-form
-  // strings, the listing yields qualified statuses — both normalize
-  // to the same posix path
-  private val stats: Map[String, (Long, Long)] = entries.flatMap(e =>
-    for { l <- e.lo; h <- e.hi }
-      yield new Path(e.path).toUri.getPath -> (l, h)).toMap
-
-  // multi-column stats (a Z-ordered rewrite's per-file ranges) and
-  // partition tuples, by the same normalized path key
-  private val multiStats: Map[String, Map[String, (Long, Long)]] =
-    entries.filter(_.stats.nonEmpty)
-      .map(e => new Path(e.path).toUri.getPath -> e.stats).toMap
-  private val partTuples: Map[String, Map[String, String]] =
-    entries.filter(_.part.nonEmpty)
-      .map(e => new Path(e.path).toUri.getPath -> e.part).toMap
-  private val statCols: Set[String] =
-    entries.iterator.flatMap(_.stats.keysIterator).toSet
-  private val partColNames: Set[String] =
-    entries.iterator.flatMap(_.part.keysIterator).toSet
-
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val base = super.listFiles(partitionFilters, dataFilters)
-    // [lb, ub] window per constrained stats column (legacy single
-    // stats_col + every multi-stats column any entry carries)
-    val windows: Map[String, (Long, Long)] =
-      (statsCol.toSeq ++ statCols).distinct.flatMap(c =>
-        ManifestFileIndex.rangeOf(dataFilters, c).map(c -> _)).toMap
-    // allowed value-string sets per constrained partition column —
-    // partition pruning is EXACT (a file holds one tuple), so an
-    // equality/IN miss drops the file with no residual risk
-    val partAllowed: Map[String, Set[String]] = partColNames.flatMap(c =>
-      ManifestFileIndex.equalitySetOf(dataFilters, c).map(c -> _)).toMap
-    if (windows.isEmpty && partAllowed.isEmpty) return base
-    base.map { pd =>
-      pd.copy(files = pd.files.filter { f =>
-        val key = f.getPath.toUri.getPath
-        val statsOk = windows.forall { case (c, (lb, ub)) =>
-          val rng =
-            (if (statsCol.contains(c)) stats.get(key) else None)
-              .orElse(multiStats.get(key).flatMap(_.get(c)))
-          rng match {
-            case Some((lo, hi)) => hi >= lb && lo <= ub
-            case None => true // no stats for this column: keep
-          }
-        }
-        val partOk = partAllowed.forall { case (c, allowed) =>
-          partTuples.get(key).flatMap(_.get(c)) match {
-            case Some(v) => allowed.contains(v)
-            case None => true // unpartitioned or legacy file: keep
-          }
-        }
-        statsOk && partOk
-      })
-    }
+    val kept = ManifestFileIndex.pruneEntries(entries, statsCol, dataFilters)
+    if (kept.size == entries.size) return base
+    // keyed by scheme-less URI path: the manifest records Path-form
+    // strings, the listing yields qualified statuses — both normalize
+    // to the same posix path
+    val keep = kept.map(e => new Path(e.path).toUri.getPath).toSet
+    base.map(pd => pd.copy(files =
+      pd.files.filter(f => keep.contains(f.getPath.toUri.getPath))))
   }
 }
 
 object ManifestFileIndex {
+
+  /** FILE-LEVEL pruning of manifest entries against pushed conjuncts:
+    * range windows per stats column ([lo, hi] intersection —
+    * conservative: a file without stats for a constrained column is
+    * kept) and allowed-value sets per partition column (EXACT: a file
+    * holds one tuple). Shared by the read path's `listFiles` and the
+    * COW row-level scan's group pruning — both must drop only files
+    * that provably contain NO matching row. */
+  def pruneEntries(entries: Vector[ManifestTable.ManifestEntry],
+      statsCol: Option[String],
+      filters: Seq[Expression]): Vector[ManifestTable.ManifestEntry] = {
+    if (filters.isEmpty) return entries
+    val statCols: Set[String] =
+      entries.iterator.flatMap(_.stats.keysIterator).toSet
+    val partColNames: Set[String] =
+      entries.iterator.flatMap(_.part.keysIterator).toSet
+    // [lb, ub] window per constrained stats column (legacy single
+    // stats_col + every multi-stats column any entry carries)
+    val windows: Map[String, (Long, Long)] =
+      (statsCol.toSeq ++ statCols).distinct.flatMap(c =>
+        rangeOf(filters, c).map(c -> _)).toMap
+    // allowed value-string sets per constrained partition column
+    val partAllowed: Map[String, Set[String]] = partColNames.flatMap(c =>
+      equalitySetOf(filters, c).map(c -> _)).toMap
+    if (windows.isEmpty && partAllowed.isEmpty) return entries
+    entries.filter { e =>
+      val statsOk = windows.forall { case (c, (lb, ub)) =>
+        val rng =
+          (if (statsCol.contains(c))
+            for { l <- e.lo; h <- e.hi } yield (l, h)
+          else None).orElse(e.stats.get(c))
+        rng match {
+          case Some((lo, hi)) => hi >= lb && lo <= ub
+          case None => true // no stats for this column: keep
+        }
+      }
+      val partOk = partAllowed.forall { case (c, allowed) =>
+        e.part.get(c) match {
+          case Some(v) => allowed.contains(v)
+          case None => true // unpartitioned or legacy file: keep
+        }
+      }
+      statsOk && partOk
+    }
+  }
+
   private def lit(e: Expression): Option[Long] = e match {
     case Literal(v: Long, LongType) => Some(v)
     case Literal(v: Int, IntegerType) => Some(v.toLong)

@@ -1,0 +1,122 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.ManifestTable
+
+/** SQL maintenance surface for the manifest format — Spark 4's DSv2
+  * stored procedures (the `CALL` statement Iceberg pioneered), bound
+  * through the catalog:
+  *
+  * {{{
+  *   CALL graft.optimize(tbl => 't', target_mb => 128)
+  *   CALL graft.zorder(tbl => 't', col1 => 'x', col2 => 'y',
+  *                     target_files => 16)
+  *   CALL graft.vacuum(tbl => 't', keep => 3)
+  *   CALL graft.restore(tbl => 't', version => 2)
+  *   CALL graft.purge_dvs(tbl => 't')
+  * }}}
+  *
+  * Each procedure is driver-side table maintenance over the SAME
+  * commit protocol as the Scala API — the CALL is just the SQL
+  * spelling; results come back as one summary row through a
+  * [[LocalScan]].
+  */
+object GraftProcedures {
+
+  private def param(name: String, dt: DataType) =
+    ProcedureParameter.in(name, dt).build()
+  private def paramD(name: String, dt: DataType, default: String) =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  /** One self-binding procedure: fixed parameters, one result row. */
+  private final class Proc(name0: String,
+      params: Array[ProcedureParameter],
+      resultSchema: StructType,
+      body: (SparkSession, InternalRow) => InternalRow)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = name0
+    override def description(): String = s"graft-manifest $name0"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val row = body(SparkSession.active, input)
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = resultSchema
+      }
+      java.util.Collections.singletonList(scan).iterator()
+    }
+  }
+
+  /** The procedures, keyed by lower-case name; `dirOf` resolves a
+    * table name against the owning catalog's warehouse. */
+  def load(name: String, dirOf: String => String): Option[UnboundProcedure] =
+    name.toLowerCase match {
+      case "optimize" => Some(new Proc("optimize",
+        Array(param("tbl", StringType),
+          paramD("target_mb", IntegerType, "128")),
+        StructType.fromDDL(
+          "version INT, files_before BIGINT, files_after BIGINT"),
+        (s, in) => {
+          val dir = dirOf(in.getUTF8String(0).toString)
+          val before = ManifestTable.snapshot(s, dir).entries.size.toLong
+          val v = ManifestTable.compactCommit(s, dir,
+            targetBytes = in.getInt(1).toLong << 20)
+          val after = ManifestTable.snapshot(s, dir).entries.size.toLong
+          new GenericInternalRow(Array[Any](v, before, after))
+        }))
+      case "zorder" => Some(new Proc("zorder",
+        Array(param("tbl", StringType), param("col1", StringType),
+          param("col2", StringType),
+          paramD("target_files", IntegerType, "16")),
+        StructType.fromDDL("version INT, files BIGINT"),
+        (s, in) => {
+          val dir = dirOf(in.getUTF8String(0).toString)
+          val v = ManifestTable.clusterCommit(s, dir,
+            (in.getUTF8String(1).toString, in.getUTF8String(2).toString),
+            targetFiles = in.getInt(3))
+          val n = ManifestTable.snapshot(s, dir).entries.size.toLong
+          new GenericInternalRow(Array[Any](v, n))
+        }))
+      case "vacuum" => Some(new Proc("vacuum",
+        Array(param("tbl", StringType), paramD("keep", IntegerType, "1")),
+        StructType.fromDDL("oldest_kept INT, latest INT"),
+        (s, in) => {
+          val dir = dirOf(in.getUTF8String(0).toString)
+          ManifestTable.vacuum(s, dir, keep = in.getInt(1))
+          val vs = ManifestTable.versions(s, dir)
+          new GenericInternalRow(Array[Any](vs.head, vs.last))
+        }))
+      case "restore" => Some(new Proc("restore",
+        Array(param("tbl", StringType), param("version", IntegerType)),
+        StructType.fromDDL("restored_to INT, new_version INT"),
+        (s, in) => {
+          val dir = dirOf(in.getUTF8String(0).toString)
+          val v = ManifestTable.restore(s, dir, in.getInt(1))
+          new GenericInternalRow(Array[Any](in.getInt(1), v))
+        }))
+      case "purge_dvs" => Some(new Proc("purge_dvs",
+        Array(param("tbl", StringType)),
+        StructType.fromDDL("version INT, rows_live BIGINT"),
+        (s, in) => {
+          val dir = dirOf(in.getUTF8String(0).toString)
+          val v = ManifestTable.purgeDvs(s, dir)
+          val live = ManifestTable.snapshot(s, dir)
+            .entries.map(_.liveRows).sum
+          new GenericInternalRow(Array[Any](v, live))
+        }))
+      case _ => None
+    }
+
+  val names: Seq[String] =
+    Seq("optimize", "zorder", "vacuum", "restore", "purge_dvs")
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.streaming.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Merge-on-read DELETE via deletion vectors: marking rows deleted
+  * costs O(deleted rows) in bytes written, readers apply the vectors
+  * as one broadcast anti-join, purge materializes, vacuum sweeps
+  * superseded vectors. */
+class DeletionVectorSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def fresh(): String =
+    java.nio.file.Files.createTempDirectory("graft-dv-").toString + "/t"
+
+  private def cleanup(dir: String): Unit =
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir).getParentFile)
+
+  test("MOR delete: no data file rewritten, reads exact, O(deleted) " +
+      "bytes, undo via time travel") {
+    import spark.implicits._
+    val dir = fresh()
+    ManifestTable.create(spark, dir,
+      (0L until 1000L).map(i => (i, i % 10)).toDF("k", "m")
+        .repartition(4))
+    val before = ManifestTable.snapshot(spark, dir)
+    val (v, n) = ManifestTable.deleteRowsMor(spark, dir, col("m") === 3)
+    assert(n == 100)
+    val after = ManifestTable.snapshot(spark, dir)
+    // same physical files, re-pointed with DVs
+    assert(after.paths.toSet == before.paths.toSet)
+    assert(after.entries.forall(_.dv.isDefined))
+    assert(after.entries.map(_.dvRows).sum == 100)
+    assert(after.entries.map(_.liveRows).sum == 900)
+    // reads apply the vectors
+    val got = ManifestTable.read(spark, dir)
+    assert(got.count() == 900)
+    assert(got.filter(col("m") === 3).count() == 0)
+    assert(got.agg(sum(col("k"))).first().getLong(0) ==
+      (0L until 1000L).filter(_ % 10 != 3).sum)
+    // time travel to the pre-delete version sees everything
+    assert(ManifestTable.read(spark, dir, Some(before.version))
+      .count() == 1000)
+    assert(v == before.version + 1)
+    cleanup(dir)
+  }
+
+  test("a second MOR delete unions positions; NULL-predicate rows " +
+      "survive") {
+    import spark.implicits._
+    val dir = fresh()
+    ManifestTable.create(spark, dir,
+      (0L until 100L).map(i =>
+        (i, if (i % 10 == 0) None else Some(i))).toDF("k", "v")
+        .repartition(2))
+    ManifestTable.deleteRowsMor(spark, dir, col("v") >= 50)
+    // survivors: v < 50 non-null (45 minus 5 nulls in 0..49 → 44+1? )
+    // ids 0..49: nulls at 0,10,20,30,40 (5); non-null 45. Plus the 10
+    // null rows across 0..99 all survive (NULL predicate).
+    assert(ManifestTable.read(spark, dir).count() == 45 + 10)
+    val (_, n2) = ManifestTable.deleteRowsMor(spark, dir,
+      col("k") % 2 === 1)
+    // odd survivors among (non-null v<50 ∪ nulls): odds 1..49 non-null
+    // = 25; null ids are even → none
+    assert(n2 == 25)
+    assert(ManifestTable.read(spark, dir).count() == 30)
+    assert(ManifestTable.read(spark, dir)
+      .filter(col("v").isNull).count() == 10)
+    cleanup(dir)
+  }
+
+  test("purgeDvs materializes: content identical, DVs gone, the DSv2 " +
+      "front door refuses before and reads after") {
+    import spark.implicits._
+    val dir = fresh()
+    ManifestTable.create(spark, dir,
+      (0L until 500L).map(i => (i, i % 7)).toDF("k", "m")
+        .repartition(3))
+    ManifestTable.deleteRowsMor(spark, dir, col("m") === 2)
+    val wantSum = ManifestTable.read(spark, dir)
+      .agg(sum(col("k"))).first().getLong(0)
+    // front door refuses a DV snapshot loudly
+    val e = intercept[Exception] {
+      spark.read.format("graft-manifest").load(dir).count()
+    }
+    assert(e.getMessage.contains("deletion vectors"))
+    ManifestTable.purgeDvs(spark, dir)
+    val snap = ManifestTable.snapshot(spark, dir)
+    assert(snap.entries.forall(_.dv.isEmpty))
+    val through = spark.read.format("graft-manifest").load(dir)
+    assert(through.count() == 500 - 72) // m==2: ids 2,9,…,499 → 72
+    assert(through.agg(sum(col("k"))).first().getLong(0) == wantSum)
+    // the purge is dataChange=false: the change feed never saw it
+    val feed = ManifestTable.changedEntries(spark, dir, 0, snap.version)
+    assert(feed.map(_.rows).sum == 500)
+    cleanup(dir)
+  }
+
+  test("compaction leaves DV files alone; vacuum sweeps superseded " +
+      "vectors and keeps referenced ones") {
+    import spark.implicits._
+    val dir = fresh()
+    ManifestTable.create(spark, dir,
+      (0L until 400L).map(i => (i, i % 4)).toDF("k", "m")
+        .repartition(5))
+    ManifestTable.deleteRowsMor(spark, dir, col("m") === 0)
+    ManifestTable.deleteRowsMor(spark, dir, col("m") === 1)
+    // second DV supersedes the first (every affected file re-pointed)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvRoot = new org.apache.hadoop.fs.Path(dir, "_dvs")
+    assert(f.listStatus(dvRoot).length == 2)
+    // keep only the latest version: the first DV dir is unreachable
+    ManifestTable.vacuum(spark, dir, keep = 1)
+    assert(f.listStatus(dvRoot).length == 1)
+    val got = ManifestTable.read(spark, dir)
+    assert(got.count() == 200)
+    assert(got.filter(col("m") <= 1).count() == 0)
+    cleanup(dir)
+  }
+
+  test("MOR delete on a partitioned table keeps tuples; checkpointed " +
+      "snapshots round-trip the DV pointers") {
+    import spark.implicits._
+    val dir = fresh()
+    ManifestTable.create(spark, dir,
+      (0L until 300L).map(i => (i, s"g${i % 3}")).toDF("k", "g"),
+      partitionBy = Seq("g"))
+    ManifestTable.deleteRowsMor(spark, dir, col("k") % 5 === 0)
+    val v = ManifestTable.snapshot(spark, dir).version
+    ManifestTable.writeCheckpoint(spark, dir, v)
+    assert(ManifestTable.checkpointVersions(spark, dir).contains(v))
+    ManifestTable.append(spark, dir,
+      (1000L until 1010L).map(i => (i, "g0")).toDF("k", "g"))
+    val snap = ManifestTable.snapshot(spark, dir)
+    assert(snap.partCols == Seq("g"))
+    val dirty = snap.entries.filter(_.dv.isDefined)
+    assert(dirty.nonEmpty && dirty.forall(_.part.contains("g")))
+    assert(ManifestTable.read(spark, dir).count() == 300 - 60 + 10)
+    cleanup(dir)
+  }
+}

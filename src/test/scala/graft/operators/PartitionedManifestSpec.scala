@@ -273,6 +273,42 @@ class PartitionedManifestSpec extends AnyFunSuite {
     }
   }
 
+  test("a streaming sink into a pre-created partitioned table keeps " +
+      "the layout per micro-batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = fresh()
+    ManifestTable.create(spark, dir,
+      Seq((0L, "g0", 0L)).toDF("k", "grp", "v"),
+      partitionBy = Seq("grp"))
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-pmt-ck-").toString
+    val q = in.toDF().toDF("k", "grp", "v")
+      .writeStream.format("graft-manifest")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .start()
+    try {
+      in.addData((1L, "g1", 10L), (2L, "g2", 20L), (3L, "g1", 30L))
+      q.processAllAvailable()
+      in.addData((4L, "g0", 40L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val snap = ManifestTable.snapshot(spark, dir)
+    assert(snap.partCols == Seq("grp"))
+    assert(snap.entries.forall(_.part.contains("grp")))
+    assert(ManifestTable.read(spark, dir).count() == 5)
+    // pruning exact over the streamed files too
+    val one = spark.read.format("graft-manifest").load(dir)
+      .filter(col("grp") === "g1")
+    assert(plannedFiles(one) ==
+      snap.entries.count(_.part("grp") == "g1"))
+    assert(one.count() == 2)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    cleanup(dir)
+  }
+
   test("partition values with quotes, spaces and unicode survive the " +
       "log round trip and still prune") {
     import spark.implicits._

@@ -126,13 +126,15 @@ class GraftManifestCatalogSpec extends AnyFunSuite {
       // pre-delete time travel intact
       assert(spark.sql(s"SELECT * FROM $cat.d VERSION AS OF 2")
         .count() == 100)
-      // untranslatable predicate is refused at analysis, not silently
-      // rewritten
-      intercept[Exception] {
-        spark.sql(s"DELETE FROM $cat.d WHERE k % 2 = 0")
-      }
+      // an untranslatable predicate (no v1 Filter for k % 2) routes
+      // through the ROW-LEVEL rewrite (SupportsRowLevelOperations →
+      // COW replace-data) instead of failing analysis: survivors are
+      // the odd ids (the 10 null-v ids 0,10,…,90 are all even)
+      spark.sql(s"DELETE FROM $cat.d WHERE k % 2 = 0")
       assert(spark.sql(s"SELECT count(*) c FROM $cat.d")
-        .first().getLong(0) == 55)
+        .first().getLong(0) == 25)
+      assert(spark.sql(s"SELECT min(k) m FROM $cat.d")
+        .first().getLong(0) == 1)
     }
   }
 

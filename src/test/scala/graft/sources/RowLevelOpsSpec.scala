@@ -1,0 +1,138 @@
+package graft.sources
+
+import graft.streaming.TestSpark
+import graft.operators.ManifestTable
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL UPDATE / MERGE INTO / rewritten DELETE through DSv2 row-level
+  * operations: Spark plans the replacement rows, executors write them
+  * through the native parquet path, and the manifest log swaps pinned
+  * files for staged ones in one atomic commit. */
+class RowLevelOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def withCatalog(body: String => Unit): Unit = {
+    val cat = s"grlo_${java.util.UUID.randomUUID().toString.take(8)}"
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-rlo-").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftManifestCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try body(cat)
+    finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(wh))
+    }
+  }
+
+  test("UPDATE: matched rows change, unmatched survive verbatim, the " +
+      "pre-update version is the undo log") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.u (k BIGINT, v BIGINT)")
+      spark.sql(s"INSERT INTO $cat.u SELECT id, id * 10 FROM range(100)")
+      spark.sql(s"UPDATE $cat.u SET v = v + 1 WHERE k >= 90")
+      val got = spark.sql(
+        s"SELECT CAST(sum(v) AS BIGINT) s, count(*) c FROM $cat.u").first()
+      assert(got.getLong(1) == 100)
+      assert(got.getLong(0) == (0 until 100).map(_ * 10L).sum + 10)
+      // undo log intact
+      assert(spark.sql(
+        s"SELECT CAST(sum(v) AS BIGINT) s FROM $cat.u VERSION AS OF 2")
+        .first().getLong(0) == (0 until 100).map(_ * 10L).sum)
+      // an expression predicate no v1 Filter can carry works too
+      // (sentinel -5: v = 0 already exists at k = 0)
+      spark.sql(s"UPDATE $cat.u SET v = -5 WHERE k % 7 = 3")
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.u WHERE v = -5")
+        .first().getLong(0) == (0 until 100).count(_ % 7 == 3))
+    }
+  }
+
+  test("UPDATE SET with NULL-condition rows: three-valued logic keeps " +
+      "them unchanged") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.n (k BIGINT, v BIGINT)")
+      spark.sql(s"INSERT INTO $cat.n SELECT id, " +
+        "CASE WHEN id % 10 = 0 THEN NULL ELSE id END FROM range(50)")
+      spark.sql(s"UPDATE $cat.n SET v = -1 WHERE v >= 25")
+      val r = spark.sql(s"SELECT count(*) FILTER (WHERE v = -1) a, " +
+        s"count(*) FILTER (WHERE v IS NULL) b FROM $cat.n").first()
+      assert(r.getLong(0) == (25 until 50).count(_ % 10 != 0))
+      assert(r.getLong(1) == 5) // NULL rows did not match, stayed NULL
+    }
+  }
+
+  test("MERGE INTO: matched update + matched delete + not-matched " +
+      "insert in one statement") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT)")
+      spark.sql(s"INSERT INTO $cat.t SELECT id, id FROM range(10)")
+      spark.sql(
+        s"""MERGE INTO $cat.t t USING (
+           |  SELECT id AS k, id * 100 AS nv,
+           |    CASE WHEN id % 3 = 0 THEN 'D' ELSE 'U' END AS act
+           |  FROM range(5, 15)
+           |) s ON t.k = s.k
+           |WHEN MATCHED AND s.act = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET v = s.nv
+           |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)
+           |""".stripMargin)
+      val rows = spark.sql(s"SELECT k, v FROM $cat.t ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val expect = (
+        // untouched: k < 5
+        (0L until 5L).map(k => (k, k)) ++
+        // matched 5..9: k%3==0 deleted (6, 9), others updated
+        Seq(5L, 7L, 8L).map(k => (k, k * 100)) ++
+        // not matched 10..14: inserted
+        (10L until 15L).map(k => (k, k * 100))
+      ).sorted
+      assert(rows == expect)
+      // undo intact
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.t VERSION AS OF 2")
+        .first().getLong(0) == 10)
+    }
+  }
+
+  test("UPDATE on a PARTITIONED table keeps the layout: tuples stay " +
+      "in the log and pruning stays exact") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.p (k BIGINT, grp STRING, v BIGINT) " +
+        "PARTITIONED BY (grp)")
+      spark.sql(s"INSERT INTO $cat.p SELECT id, " +
+        "concat('g', CAST(id % 3 AS STRING)), id FROM range(90)")
+      spark.sql(s"UPDATE $cat.p SET v = v * 2 WHERE grp = 'g1'")
+      val dir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/p"
+      val snap = ManifestTable.snapshot(spark, dir)
+      assert(snap.partCols == Seq("grp"))
+      assert(snap.entries.nonEmpty)
+      assert(snap.entries.forall(_.part.contains("grp")))
+      val r = spark.sql(s"SELECT CAST(sum(v) AS BIGINT) s FROM $cat.p " +
+        "WHERE grp = 'g1'").first()
+      assert(r.getLong(0) == (0 until 90).filter(_ % 3 == 1).map(_ * 2L).sum)
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.p").first()
+        .getLong(0) == 90)
+    }
+  }
+
+  test("DELETE of every row through the rewrite leaves an empty table " +
+      "with its schema; DELETE of nothing is a no-op version") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.e (k BIGINT, s STRING)")
+      spark.sql(s"INSERT INTO $cat.e SELECT id, CAST(id AS STRING) " +
+        "FROM range(20)")
+      // length() has no v1 Filter: forced through the rewrite
+      spark.sql(s"DELETE FROM $cat.e WHERE length(s) >= 1")
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.e").first()
+        .getLong(0) == 0)
+      assert(spark.sql(s"SELECT * FROM $cat.e").columns.toSeq ==
+        Seq("k", "s"))
+      // still writable after the empty state
+      spark.sql(s"INSERT INTO $cat.e VALUES (99, 'x')")
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.e").first()
+        .getLong(0) == 1)
+    }
+  }
+}
