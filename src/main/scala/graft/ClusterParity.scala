@@ -133,7 +133,7 @@ object ClusterParity {
     // write runs on the executors, so cross-JVM parity is the test
     // that matters most for it
     "x51_sql_update", "x52_sql_merge", "x53_mor_delete",
-    "x54_sql_maintenance")
+    "x54_sql_maintenance", "x55_change_feed_rows")
 }
 
 /** Smoke main: `runMain graft.ClusterParitySmoke <sfDir> [names…]` —

@@ -294,6 +294,86 @@ object ManifestTable {
       .map(e => e.copy(path = resolvePath(dir, e.path)))
   }
 
+  /** ROW-LEVEL change feed (Delta's CDF shape): every row the
+    * versions in (fromVersion, toVersion] inserted or deleted, with
+    * `_change_type` ('insert' | 'delete') and `_commit_version`
+    * columns appended. Scope, stated honestly:
+    *
+    *   - append/create commits emit their files' rows as 'insert';
+    *   - merge-on-read DELETE commits emit exactly the NEWLY deleted
+    *     rows (this version's DV positions minus the previous
+    *     version's) as 'delete' — materialized by one semi-join of
+    *     the position diff against the affected files;
+    *   - compaction / Z-order / DV-purge commits (dataChange=false)
+    *     emit nothing;
+    *   - COW rewrites (overwrite, MERGE, replace-data DML) re-add
+    *     every surviving row, so they surface as whole-file 'insert's
+    *     — per-row diffing of a rewrite needs CDC captured at WRITE
+    *     time (what Delta's _change_data folder does); merge-on-read
+    *     is this engine's CDC-friendly delete.
+    *
+    * All rows read with `toVersion`'s log schema (older files
+    * null-fill), so the feed has one uniform shape. */
+  def changeFeedRows(spark: SparkSession, dir: String,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromVersion <= toVersion,
+      s"changeFeedRows: $fromVersion is past $toVersion")
+    val ddl = snapshot(spark, dir, Some(toVersion)).schemaDdl
+    def shaped(df: DataFrame, kind: String, v: Int): DataFrame =
+      df.withColumns(Map(
+        "_change_type" -> lit(kind),
+        "_commit_version" -> lit(v)))
+    val parts = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val d = readDelta(spark, dir, v)
+      if (d.compaction) None
+      else if (d.mor) {
+        // newly deleted = this commit's DV positions minus the same
+        // files' positions at v−1
+        val prev = resolve(spark, dir, v - 1)
+        val affected = d.adds.map(e =>
+          e.copy(path = resolvePath(dir, e.path),
+            dv = e.dv.map(resolvePath(dir, _))))
+        val newDv = spark.read
+          .parquet(affected.flatMap(_.dv).distinct: _*)
+          .select(col("file"), col("pos"))
+        val prevByPath = prev.entries
+          .map(e => new Path(e.path).toUri.getPath -> e).toMap
+        val oldDvPaths = affected.flatMap(e =>
+          prevByPath.get(new Path(e.path).toUri.getPath)
+            .flatMap(_.dv)).distinct
+        val fresh =
+          if (oldDvPaths.isEmpty) newDv
+          else newDv.join(
+            spark.read.parquet(oldDvPaths: _*)
+              .select(col("file"), col("pos")),
+            Seq("file", "pos"), "left_anti")
+        val rows = rawRead(spark, ddl, affected.map(_.path))
+          .withColumns(Map(
+            "__f" -> col("_metadata.file_path"),
+            "__i" -> col("_metadata.row_index")))
+          .join(broadcast(fresh),
+            col("__f") === col("file") && col("__i") === col("pos"),
+            "left_semi")
+          .drop("__f", "__i")
+        Some(shaped(rows, "delete", v))
+      } else if (d.adds.isEmpty) None
+      else Some(shaped(
+        rawRead(spark, ddl, d.adds.map(e => resolvePath(dir, e.path))),
+        "insert", v))
+    }
+    parts.reduceOption(_ unionByName _).getOrElse {
+      val base = ddl match {
+        case Some(x) => org.apache.spark.sql.types.StructType.fromDDL(x)
+        case None => sys.error(s"changeFeedRows: empty feed and no " +
+          s"schema in the log at $dir")
+      }
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        base.add("_change_type", "string").add("_commit_version", "int"))
+    }
+  }
+
   /** Resolve a snapshot: latest, or AS OF an exact version — one
     * checkpoint + at most [[CheckpointEvery]] tail deltas. */
   def snapshot(spark: SparkSession, dir: String,
@@ -1037,7 +1117,11 @@ object ManifestTable {
       val ts = f.getFileStatus(
         new Path(manifestDir(dir), manifestName(v))).getModificationTime
       (v, d.adds.size.toLong, d.removes.size.toLong,
-        d.adds.map(_.rows).sum, d.compaction, !d.compaction,
+        // a merge-on-read DELETE re-points files, it adds no rows —
+        // reporting the re-pointed files' physical rows would claim a
+        // delete inserted the whole table
+        if (d.mor) 0L else d.adds.map(_.rows).sum,
+        d.compaction, !d.compaction,
         d.txn.orNull, d.schemaDdl.isDefined, ts)
     }.toDF("version", "n_files_added", "n_files_removed", "rows_added",
       "compaction", "data_change", "txn", "schema_changed",

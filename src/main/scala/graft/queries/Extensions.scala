@@ -1165,6 +1165,55 @@ object Extensions extends QueryPack {
       }
     }),
 
+    // -- ROW-LEVEL change feed: CDF with inserts AND deletes --------------
+    // Delta's CDF shape over the delta-action log: appends emit their
+    // rows as 'insert', merge-on-read DELETEs emit exactly the NEWLY
+    // deleted rows (this version's DV positions minus the previous
+    // version's, one semi-join to materialize), maintenance emits
+    // nothing. The consumer proof: applying the feed (inserts minus
+    // deletes) reconstructs the live table exactly.
+    "x55_change_feed_rows" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-cdf2-").toString + "/t"
+      val t = Tables(s, dir).orders.select($"o_orderkey".as("k"),
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      try {
+        ManifestTable.create(s, work,
+          t.filter($"k" % 3 === 0).repartition(2))
+        ManifestTable.append(s, work,
+          t.filter($"k" % 3 === 1).repartition(2))
+        ManifestTable.deleteRowsMor(s, work, $"k" % 10 === 4)
+        ManifestTable.append(s, work,
+          t.filter($"k" % 3 === 2).repartition(2))
+        val to = ManifestTable.snapshot(s, work).version
+        val feed = ManifestTable.changeFeedRows(s, work, 0, to)
+        // applying the feed reconstructs the live table
+        val applied = feed.groupBy($"k", $"cents")
+          .agg(sum(when($"_change_type" === "insert", 1)
+            .otherwise(-1)).as("alive"))
+          .filter($"alive" === 1)
+          .agg(count(lit(1)), sum($"cents")).first()
+        val live = ManifestTable.read(s, work)
+          .agg(count(lit(1)), sum($"cents")).first()
+        val reconstructs =
+          (applied.getLong(0), applied.getLong(1)) ==
+            ((live.getLong(0), live.getLong(1)))
+        feed.groupBy($"_change_type")
+          .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+          .orderBy($"_change_type")
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            reconstructs))
+          .toDF("change_type", "n_rows", "sum_cents",
+            "feed_reconstructs")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(work).getParentFile)
+      }
+    }),
+
     // -- multi-action MERGE: DELETE / UPDATE / INSERT in one pass -------
     // The Delta-Lake MERGE INTO workhorse x05's replace+insert can't
     // express: a returns feed deletes matched orders flagged 'R',
@@ -2841,6 +2890,25 @@ object Extensions extends QueryPack {
         |    AND t.cents >= b.cc // 2
         |    AND t.cents <= b.cc // 2 + b.cc // 8)
         |GROUP BY p.probe ORDER BY probe""".stripMargin,
+
+    // inserts = every row exactly once (three slices); deletes = the
+    // k%10=4 rows of the two slices present when the delete ran; the
+    // reconstruction predicate rides as a TRUE
+    "x55_change_feed_rows" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |feed AS (
+        |  SELECT 'insert' AS ct, k, cents FROM t
+        |  UNION ALL
+        |  SELECT 'delete', k, cents FROM t
+        |  WHERE k % 3 IN (0, 1) AND k % 10 = 4)
+        |SELECT ct AS change_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  TRUE AS feed_reconstructs
+        |FROM feed GROUP BY ct ORDER BY change_type""".stripMargin,
 
     // maintenance never changes rows: the oracle is the source table's
     // modulo-sliced aggregates; the CALL-surface predicates ride as

@@ -122,6 +122,38 @@ class DeletionVectorSpec extends AnyFunSuite {
     cleanup(dir)
   }
 
+  test("changeFeedRows: inserts and MOR deletes with exact rows; " +
+      "maintenance invisible; a second delete feeds only its diff") {
+    import spark.implicits._
+    val dir = fresh()
+    ManifestTable.create(spark, dir,
+      (0L until 100L).map(i => (i, i % 10)).toDF("k", "m")
+        .repartition(2))
+    ManifestTable.deleteRowsMor(spark, dir, col("m") === 3) // 10 rows
+    ManifestTable.append(spark, dir,
+      (100L until 150L).map(i => (i, i % 10)).toDF("k", "m"))
+    ManifestTable.deleteRowsMor(spark, dir, col("m") === 7) // 15 rows
+    ManifestTable.purgeDvs(spark, dir) // must NOT appear in the feed
+    val to = ManifestTable.snapshot(spark, dir).version
+    val feed = ManifestTable.changeFeedRows(spark, dir, 0, to)
+    val byType = feed.groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("insert" -> 150L, "delete" -> 25L))
+    // the SECOND delete's version feeds exactly its own 15 rows (the
+    // m==3 positions folded into its DV must not re-emit)
+    val second = feed.filter(col("_change_type") === "delete")
+      .groupBy(col("_commit_version")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(second.values.toSeq.sorted == Seq(10L, 15L))
+    // exact deleted rows
+    val deleted = feed.filter(col("_change_type") === "delete")
+      .select(col("k")).collect().map(_.getLong(0)).sorted.toVector
+    assert(deleted == (0L until 150L)
+      .filter(i => i % 10 == 3 || i % 10 == 7)
+      .filterNot(i => i >= 100 && i % 10 == 3).toVector)
+    cleanup(dir)
+  }
+
   test("MOR delete on a partitioned table keeps tuples; checkpointed " +
       "snapshots round-trip the DV pointers") {
     import spark.implicits._
