@@ -534,9 +534,18 @@ object ManifestTable {
           sys.error(s"version ${snap.version} of $dir lists no files " +
             "and carries no schema")
       }
-    val base = rawRead(spark, snap.schemaDdl, snap.paths)
-    val dvPaths = snap.entries.flatMap(_.dv).distinct
-    if (dvPaths.isEmpty) base else applyDvs(spark, base, dvPaths)
+    val (dirty, clean) = snap.entries.partition(_.dv.isDefined)
+    if (dirty.isEmpty)
+      return rawRead(spark, snap.schemaDdl, snap.paths)
+    // only the DV-carrying files pay the anti-join; clean files keep
+    // the bare vectorized scan (a point delete touching one file must
+    // not tax the other ten thousand)
+    val dirtyDf = applyDvs(spark,
+      rawRead(spark, snap.schemaDdl, dirty.map(_.path)),
+      dirty.flatMap(_.dv).distinct)
+    if (clean.isEmpty) dirtyDf
+    else rawRead(spark, snap.schemaDdl, clean.map(_.path))
+      .unionByName(dirtyDf)
   }
 
   /** The schema-aware parquet reader: schema-on-log files written
