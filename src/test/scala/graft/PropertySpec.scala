@@ -782,6 +782,15 @@ object PropertySpec extends Properties("graft") {
           .exists(_.group(1) == esc)
     }
 
+  // hostile names/values for the inline-object fragments: braces and
+  // commas are the fragment grammar's own delimiters, so they MUST
+  // survive fieldEscape's \\u escapes
+  private val hostileName: Gen[String] =
+    Gen.nonEmptyListOf(Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      1 -> Gen.oneOf('"', '\\', '{', '}', ',', '=', '/', ' ')))
+      .map(_.mkString)
+
   private val manifestEntries: Gen[Vector[graft.operators.ManifestTable.ManifestEntry]] =
     Gen.listOf(for {
       p <- Gen.nonEmptyListOf(Gen.frequency(
@@ -792,21 +801,36 @@ object PropertySpec extends Properties("graft") {
         lo <- Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)
         span <- Gen.chooseNum(0L, 1000L)
       } yield (lo, lo + span))
+      part <- Gen.mapOf(Gen.zip(hostileName, hostileName))
+        .map(_.take(3))
+      mstats <- Gen.mapOf(Gen.zip(hostileName, for {
+        lo <- Gen.chooseNum(-100000L, 100000L)
+        span <- Gen.chooseNum(0L, 1000L)
+      } yield (lo, lo + span))).map(_.take(3))
+      dv <- Gen.option(Gen.alphaNumStr.suchThat(_.nonEmpty))
+      dvRows <- Gen.chooseNum(0L, 1000L)
     } yield graft.operators.ManifestTable.ManifestEntry(
-      p, rows, stats.map(_._1), stats.map(_._2))).map(_.toVector)
+      p, rows, stats.map(_._1), stats.map(_._2), part, mstats,
+      dv, if (dv.isDefined) dvRows else 0L)).map(_.toVector)
 
   property("a delta manifest body parses back to its exact actions") =
     forAll(manifestEntries, manifestEntries.map(_.map(_.path)),
         Gen.chooseNum(1, 999999), Gen.oneOf(true, false),
         Gen.option(utfString.suchThat(_.nonEmpty)),
-        Gen.option(utfString.suchThat(_.nonEmpty))) {
-      (adds, removes, v, compaction, txn, ddl) =>
+        Gen.option(utfString.suchThat(_.nonEmpty)),
+        Gen.oneOf(true, false),
+        Gen.option(Gen.listOf(hostileName).map(_.take(3)))) {
+      (adds, removes, v, compaction, txn, ddl, mor, partCols) =>
       import graft.operators.ManifestTable
       // spell the body exactly as tryCommit does (private — the
       // grammar is pinned here instead: header line + one action/line)
       def esc(s: String) = ManifestTable.jsonEscape(s)
-      val hdr = txn.map(t => s""", "txn": "${esc(t)}"""").getOrElse("") +
-        ddl.map(d => s""", "schema": "${esc(d)}"""").getOrElse("")
+      def fesc(s: String) = ManifestTable.fieldEscape(s)
+      val hdr = (if (mor) s""", "mor": true""" else "") +
+        txn.map(t => s""", "txn": "${esc(t)}"""").getOrElse("") +
+        ddl.map(d => s""", "schema": "${esc(d)}"""").getOrElse("") +
+        partCols.map(cs => s""", "part_cols": "${
+          cs.map(fesc).mkString(",")}"""").getOrElse("")
       val body =
         s"""{"version": $v, "compaction": $compaction$hdr, "actions": [""" +
           "\n" +
@@ -815,13 +839,50 @@ object PropertySpec extends Properties("graft") {
             case (Some(l), Some(h)) => s""", "lo": $l, "hi": $h"""
             case _ => ""
           }
-          s"""  {"path": "${esc(e.path)}", "rows": ${e.rows}$st}"""
+          val part =
+            if (e.part.isEmpty) ""
+            else s""", "part": {${e.part.toSeq.sortBy(_._1).map {
+              case (k, x) => s""""${fesc(k)}": "${fesc(x)}""""
+            }.mkString(", ")}}"""
+          val mstats =
+            if (e.stats.isEmpty) ""
+            else s""", "stats": {${e.stats.toSeq.sortBy(_._1).map {
+              case (c, (l, h)) => s""""${fesc(c)}": [$l, $h]"""
+            }.mkString(", ")}}"""
+          val dvs = e.dv.map(x =>
+            s""", "dv": "${esc(x)}", "dv_rows": ${e.dvRows}""")
+            .getOrElse("")
+          s"""  {"path": "${esc(e.path)}", "rows": ${e.rows}""" +
+            s"""$st$part$mstats$dvs}"""
         } ++ removes.map(p =>
           s"""  {"path": "${esc(p)}", "remove": true}"""))
           .mkString(",\n") + "\n]}"
       val d = ManifestTable.parseManifest(body)
       d.version == v && d.compaction == compaction && d.txn == txn &&
-        d.schemaDdl == ddl && d.adds == adds && d.removes == removes
+        d.schemaDdl == ddl && d.adds == adds && d.removes == removes &&
+        d.mor == mor &&
+        d.partCols == partCols.map(_.filter(_.nonEmpty))
+    }
+
+  property("partition pruning is conservative and exact: every file " +
+      "whose tuple matches the pinned value survives, every mismatch " +
+      "is dropped") =
+    forAll(
+      Gen.listOf(Gen.zip(Gen.identifier, Gen.oneOf("a", "b", "c", "d"))),
+      Gen.oneOf("a", "b", "c", "d")) { (files, want) =>
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+      import graft.operators.ManifestTable.ManifestEntry
+      val attr = AttributeReference("g",
+        org.apache.spark.sql.types.StringType)()
+      val entries = files.zipWithIndex.map { case ((_, v), i) =>
+        ManifestEntry(s"f$i", 1L, part = Map("g" -> v))
+      }.toVector
+      val kept = graft.sources.ManifestFileIndex.pruneEntries(
+        entries, None, Seq(EqualTo(attr,
+          Literal(org.apache.spark.unsafe.types.UTF8String.fromString(want),
+            org.apache.spark.sql.types.StringType))))
+      kept.forall(_.part("g") == want) &&
+        entries.filter(_.part("g") == want).toSet == kept.toSet
     }
 
   property("manifest-stats pruning is conservative: every file whose " +
