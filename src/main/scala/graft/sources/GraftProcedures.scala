@@ -104,6 +104,7 @@ object GraftProcedures {
           val v = ManifestTable.restore(s, dir, in.getInt(1))
           new GenericInternalRow(Array[Any](in.getInt(1), v))
         }))
+      case "history" => Some(new HistoryProc(dirOf))
       case "purge_dvs" => Some(new Proc("purge_dvs",
         Array(param("tbl", StringType)),
         StructType.fromDDL("version INT, rows_live BIGINT"),
@@ -117,6 +118,48 @@ object GraftProcedures {
       case _ => None
     }
 
+  /** DESCRIBE HISTORY as a procedure: the commit log's one-row-per-
+    * version view (files added/removed, rows added, dataChange, txn,
+    * schema-change mark, publish timestamp), multi-row result. */
+  private final class HistoryProc(dirOf: String => String)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "history"
+    override def description(): String = "graft-manifest history"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("tbl", StringType))
+    override def isDeterministic: Boolean = false
+    private val schema = StructType.fromDDL(
+      "version INT, n_files_added BIGINT, n_files_removed BIGINT, " +
+        "rows_added BIGINT, compaction BOOLEAN, data_change BOOLEAN, " +
+        "txn STRING, schema_changed BOOLEAN, commit_ts_ms BIGINT")
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val s = SparkSession.active
+      val dir = dirOf(input.getUTF8String(0).toString)
+      // O(#versions) driver metadata — the same read DESCRIBE
+      // HISTORY performs everywhere. (Named `out`, NOT `rows`: inside
+      // the anonymous LocalScan the name `rows` resolves to the
+      // method itself and the self-tail-call compiles to an infinite
+      // loop.)
+      val out = ManifestTable.history(s, dir)
+        .orderBy(org.apache.spark.sql.functions.col("version"))
+        .collect()
+        .map { r =>
+          new GenericInternalRow(Array[Any](
+            r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getBoolean(4), r.getBoolean(5),
+            Option(r.getString(6)).map(UTF8String.fromString).orNull,
+            r.getBoolean(7), r.getLong(8))): InternalRow
+        }
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = out
+        override def readSchema(): StructType = schema
+      }
+      java.util.Collections.singletonList(scan).iterator()
+    }
+  }
+
   val names: Seq[String] =
-    Seq("optimize", "zorder", "vacuum", "restore", "purge_dvs")
+    Seq("optimize", "zorder", "vacuum", "restore", "purge_dvs",
+      "history")
 }

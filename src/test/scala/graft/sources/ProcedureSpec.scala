@@ -80,6 +80,19 @@ class ProcedureSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL history returns the commit log, one row per version") {
+    withCatalog { (cat, wh) =>
+      spark.sql(s"CREATE TABLE $cat.h (k BIGINT)")
+      spark.sql(s"INSERT INTO $cat.h SELECT id FROM range(30)")
+      spark.sql(s"INSERT INTO $cat.h SELECT id FROM range(30, 50)")
+      val rows = spark.sql(s"CALL $cat.history(tbl => 'h')")
+        .orderBy(col("version")).collect()
+      assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+      assert(rows.map(_.getLong(3)).toSeq == Seq(0L, 30L, 20L))
+      assert(rows.forall(_.getBoolean(5))) // all data_change
+    }
+  }
+
   test("CALL purge_dvs re-opens the front door after a MOR delete") {
     withCatalog { (cat, wh) =>
       import spark.implicits._
