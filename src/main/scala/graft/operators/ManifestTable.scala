@@ -221,6 +221,34 @@ object ManifestTable {
     if (p.startsWith("/") || p.contains(":/")) p
     else new Path(dir, p).toString
 
+  /** Scheme-less URI path of the qualified table directory — the base
+    * every deletion-vector key is relative to. */
+  private def baseUriPath(spark: SparkSession, dir: String): String =
+    fs(spark, dir).makeQualified(new Path(dir)).toUri.getPath
+
+  /** Normalize a file-path COLUMN into deletion-vector KEY space:
+    * scheme/authority stripped, then made table-relative. DVs store
+    * TABLE-RELATIVE keys (same convention as the manifest's own file
+    * paths) so they survive a RENAME TO / warehouse move — an absolute
+    * key captured at delete time would stop matching the relocated
+    * data files and silently resurrect every MOR-deleted row. Applied
+    * to BOTH join sides at read time, it also normalizes legacy
+    * absolute-keyed DVs for free. */
+  private def dvKeyCol(base: String,
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val p = regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.\\-]*:(//[^/]*)?", "")
+    when(p.startsWith(base + "/"),
+      p.substr(lit(base.length + 2), lit(Integer.MAX_VALUE)))
+      .otherwise(p)
+  }
+
+  /** Driver-side twin of [[dvKeyCol]] for manifest-entry paths. */
+  private[graft] def dvKeyStr(base: String, p: String): String = {
+    val pp = new Path(p).toUri.getPath
+    if (pp.startsWith(base + "/")) pp.substring(base.length + 1) else pp
+  }
+
   /** Zero-padded so lexicographic file order == version order — a
     * file-stream tail of `_manifests` then sees commits in commit
     * order even when mtimes tie within a timestamp granule. */
@@ -329,14 +357,16 @@ object ManifestTable {
       if (d.compaction) None
       else if (d.mor) {
         // newly deleted = this commit's DV positions minus the same
-        // files' positions at v−1
+        // files' positions at v−1; all joins run in the DV's
+        // table-relative key space ([[dvKeyCol]])
+        val bp = baseUriPath(spark, dir)
         val prev = resolve(spark, dir, v - 1)
         val affected = d.adds.map(e =>
           e.copy(path = resolvePath(dir, e.path),
             dv = e.dv.map(resolvePath(dir, _))))
         val newDv = spark.read
           .parquet(affected.flatMap(_.dv).distinct: _*)
-          .select(col("file"), col("pos"))
+          .select(dvKeyCol(bp, col("file")).as("file"), col("pos"))
         val prevByPath = prev.entries
           .map(e => new Path(e.path).toUri.getPath -> e).toMap
         val oldDvPaths = affected.flatMap(e =>
@@ -346,11 +376,11 @@ object ManifestTable {
           if (oldDvPaths.isEmpty) newDv
           else newDv.join(
             spark.read.parquet(oldDvPaths: _*)
-              .select(col("file"), col("pos")),
+              .select(dvKeyCol(bp, col("file")).as("file"), col("pos")),
             Seq("file", "pos"), "left_anti")
         val rows = rawRead(spark, ddl, affected.map(_.path))
           .withColumns(Map(
-            "__f" -> col("_metadata.file_path"),
+            "__f" -> dvKeyCol(bp, col("_metadata.file_path")),
             "__i" -> col("_metadata.row_index")))
           .join(broadcast(fresh),
             col("__f") === col("file") && col("__i") === col("pos"),
@@ -540,7 +570,7 @@ object ManifestTable {
     // only the DV-carrying files pay the anti-join; clean files keep
     // the bare vectorized scan (a point delete touching one file must
     // not tax the other ten thousand)
-    val dirtyDf = applyDvs(spark,
+    val dirtyDf = applyDvs(spark, dir,
       rawRead(spark, snap.schemaDdl, dirty.map(_.path)),
       dirty.flatMap(_.dv).distinct)
     if (clean.isEmpty) dirtyDf
@@ -560,21 +590,22 @@ object ManifestTable {
   }
 
   /** Anti-join the scan against the union of referenced deletion
-    * vectors. Keyed on the EXACT `_metadata.file_path` string captured
-    * at delete time (self-consistent across reads) — data files are
-    * immutable, so any (file, pos) pair in any referenced DV is a
-    * genuinely deleted row of that physical file, and unioning
-    * superseded DVs is harmless. The DV side is |deleted rows| —
-    * broadcast. */
-  private def applyDvs(spark: SparkSession, base: DataFrame,
+    * vectors. Keyed in TABLE-RELATIVE path space on both sides
+    * ([[dvKeyCol]]) — data files are immutable, so any (file, pos)
+    * pair in any referenced DV is a genuinely deleted row of that
+    * physical file, unioning superseded DVs is harmless, and the keys
+    * survive table relocation exactly like the manifest's own
+    * relative paths. The DV side is |deleted rows| — broadcast. */
+  private def applyDvs(spark: SparkSession, dir: String, base: DataFrame,
       dvPaths: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
+    val bp = baseUriPath(spark, dir)
     val dv = spark.read.parquet(dvPaths: _*)
-      .select(col("file").as("__dvf"), col("pos").as("__dvp"))
+      .select(dvKeyCol(bp, col("file")).as("__dvf"), col("pos").as("__dvp"))
       .distinct()
     base
       .withColumns(Map(
-        "__f" -> col("_metadata.file_path"),
+        "__f" -> dvKeyCol(bp, col("_metadata.file_path")),
         "__i" -> col("_metadata.row_index")))
       .join(broadcast(dv),
         col("__f") === col("__dvf") && col("__i") === col("__dvp"),
@@ -595,23 +626,27 @@ object ManifestTable {
     import org.apache.spark.sql.functions._
     val cur = snapshot(spark, dir)
     require(cur.paths.nonEmpty, s"deleteRowsMor on empty table $dir")
+    val bp = baseUriPath(spark, dir)
     val live = {
       val base = rawRead(spark, cur.schemaDdl, cur.paths)
         .withColumns(Map(
-          "__f" -> col("_metadata.file_path"),
+          "__f" -> dvKeyCol(bp, col("_metadata.file_path")),
           "__i" -> col("_metadata.row_index")))
       val dvPaths = cur.entries.flatMap(_.dv).distinct
       if (dvPaths.isEmpty) base
       else {
         val dv = spark.read.parquet(dvPaths: _*)
-          .select(col("file").as("__dvf"), col("pos").as("__dvp"))
+          .select(dvKeyCol(bp, col("file")).as("__dvf"),
+            col("pos").as("__dvp"))
           .distinct()
         base.join(broadcast(dv),
           col("__f") === col("__dvf") && col("__i") === col("__dvp"),
           "left_anti")
       }
     }
-    // NULL predicate rows SURVIVE (DELETE three-valued logic)
+    // NULL predicate rows SURVIVE (DELETE three-valued logic). The
+    // stored `file` keys are TABLE-RELATIVE (dvKeyCol above) so the DV
+    // survives a table rename/move like the manifest itself.
     val doomed = live
       .filter(coalesce(cond, lit(false)))
       .select(col("__f").as("file"), col("__i").as("pos"))
@@ -622,35 +657,51 @@ object ManifestTable {
     val affectedKeys = doomed.select(col("file")).distinct()
       .collect().map(_.getString(0)).toSet // O(#files) driver metadata
     if (affectedKeys.isEmpty) return (cur.version, 0L)
-    def uriKey(p: String): String = new Path(p).toUri.getPath
     val affectedEntries = cur.entries.filter(e =>
-      affectedKeys.exists(k => uriKey(k) == uriKey(e.path)))
+      affectedKeys.contains(dvKeyStr(bp, e.path)))
     val oldDvPaths = affectedEntries.flatMap(_.dv).distinct
     val oldForAffected =
       if (oldDvPaths.isEmpty) None
       else Some(spark.read.parquet(oldDvPaths: _*)
-        .select(col("file"), col("pos"))
+        .select(dvKeyCol(bp, col("file")).as("file"), col("pos"))
         .filter(col("file").isin(affectedKeys.toSeq: _*)))
     oldForAffected.map(doomed.unionByName(_)).getOrElse(doomed)
       .distinct()
       .coalesce(1)
       .write.mode("errorifexists").parquet(dvDir)
-    // per-file DELETED-position counts from the written DV
+    // per-file DELETED-position counts from the written DV (keys are
+    // already table-relative — written by dvKeyCol above)
     val counts = spark.read.parquet(dvDir)
       .groupBy(col("file")).agg(count(lit(1)).as("n"))
-      .collect().map(r => uriKey(r.getString(0)) -> r.getLong(1)).toMap
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     var guard = 0
     while (guard < 50) {
       val c = snapshot(spark, dir)
-      val liveSet = c.paths.toSet
-      val affected = c.entries.filter(e => counts.contains(uriKey(e.path)))
-      affectedEntries.map(_.path).foreach(p => require(liveSet.contains(p),
-        s"deleteRowsMor at $dir: $p was removed by a concurrent commit " +
-          "(write conflict; re-run the statement)"))
+      val curByPath = c.entries.map(e => e.path -> e).toMap
+      // conflict detection must cover RE-POINTS, not just removals: a
+      // concurrent MOR delete removes+adds the SAME path (new DV), so
+      // a liveness check alone would let this retry commit a DV built
+      // from the PRE-RACE positions and silently resurrect the
+      // winner's deletions. Require every affected entry's (dv,
+      // dvRows) unchanged from the planning snapshot.
+      affectedEntries.foreach { pe =>
+        curByPath.get(pe.path) match {
+          case None => sys.error(
+            s"deleteRowsMor at $dir: ${pe.path} was removed by a " +
+              "concurrent commit (write conflict; re-run the statement)")
+          case Some(ce) =>
+            require(ce.dv == pe.dv && ce.dvRows == pe.dvRows,
+              s"deleteRowsMor at $dir: ${pe.path} was re-pointed by a " +
+                "concurrent merge-on-read delete (write conflict; " +
+                "re-run the statement)")
+        }
+      }
+      val affected = c.entries.filter(e =>
+        counts.contains(dvKeyStr(bp, e.path)))
       val newDeleted = counts.values.sum -
         affected.map(_.dvRows).sum
       val repointed = affected.map(e => e.copy(dv = Some(dvDir),
-        dvRows = counts(uriKey(e.path))))
+        dvRows = counts(dvKeyStr(bp, e.path))))
       tryCommit(spark, dir, c.version + 1,
         adds = repointed, removes = affected.map(_.path),
         mor = true) match {
@@ -1179,11 +1230,15 @@ object ManifestTable {
       case Some(v) => return v
       case None =>
     }
-    val partCols = snapshot(spark, dir).partCols
+    val snap0 = snapshot(spark, dir)
+    val partCols = snap0.partCols
     require(partCols.nonEmpty,
       s"overwritePartitions on $dir: the table is not partitioned — " +
         "use overwrite (full replacement) instead")
-    val newEntries = writeFiles(spark, dir, df, None, partCols)
+    // replacement files keep the table's declared stats column — a
+    // dynamic overwrite must not erode the skipping index of every
+    // partition the daily reprocess touches
+    val newEntries = writeFiles(spark, dir, df, snap0.statsCol, partCols)
     val touched = newEntries.map(_.part).toSet
     var guard = 0
     while (guard < 50) {
@@ -1430,7 +1485,7 @@ object ManifestTable {
     if (dirty.isEmpty) return cur.version
     val dvPaths = dirty.flatMap(_.dv).distinct
     val purged = rawRead(spark, cur.schemaDdl, dirty.map(_.path))
-    val applied = applyDvs(spark, purged, dvPaths)
+    val applied = applyDvs(spark, dir, purged, dvPaths)
     val fresh = writeFiles(spark, dir, applied, cur.statsCol,
       cur.partCols)
     require(fresh.map(_.rows).sum == dirty.map(_.liveRows).sum,

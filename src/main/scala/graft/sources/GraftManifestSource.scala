@@ -407,9 +407,18 @@ class GraftReplaceDataWrite(dir: String,
 }
 
 /** Executor-side projection for the REPLACE DATA write: rows wider
-  * than the write schema carry ReplaceData's prepended bookkeeping
-  * column(s) — keep the trailing `schema.size` fields (the data
-  * columns, in schema order). Serializable: ships to executors inside
+  * than the write schema carry ReplaceData's prepended
+  * `__row_operation` bookkeeping column — keep the trailing
+  * `schema.size` fields (the data columns, in schema order).
+  *
+  * The assumed shape is VALIDATED, not trusted: exactly ONE extra
+  * field, and on every projected row field 0 must hold one of
+  * [[org.apache.spark.sql.catalyst.util.RowDeltaUtils]]'s operation
+  * sentinels (DELETE=1 … WRITE_WITH_METADATA=6). If a Spark release
+  * ever APPENDS the column, reorders ReplaceData's output, or adds a
+  * second bookkeeping column, field 0 is a data value (or the width
+  * is off) and the write fails loudly instead of silently persisting
+  * the wrong columns as data. Serializable: ships to executors inside
   * the writer factory. */
 class GraftStripLeadingWriterFactory(
     inner: org.apache.spark.sql.connector.write.DataWriterFactory,
@@ -422,13 +431,24 @@ class GraftStripLeadingWriterFactory(
     val w = inner.createWriter(partitionId, taskId)
     new org.apache.spark.sql.connector.write.DataWriter[
         org.apache.spark.sql.catalyst.InternalRow] {
+      import org.apache.spark.sql.catalyst.util.RowDeltaUtils
       private var proj: org.apache.spark.sql.catalyst.ProjectingInternalRow = _
       override def write(r: org.apache.spark.sql.catalyst.InternalRow): Unit =
         if (r.numFields == schema.size) w.write(r)
         else {
+          require(r.numFields == schema.size + 1,
+            s"replace-data rows carry ${r.numFields} fields for a " +
+              s"${schema.size}-column schema — expected exactly one " +
+              "prepended __row_operation column; Spark's ReplaceData " +
+              "output shape changed, refusing to guess a projection")
+          val op = r.getInt(0)
+          require(op >= RowDeltaUtils.DELETE_OPERATION &&
+            op <= RowDeltaUtils.WRITE_WITH_METADATA_OPERATION,
+            s"replace-data row field 0 holds $op, not a RowDeltaUtils " +
+              "operation sentinel — the bookkeeping column is no longer " +
+              "leading; refusing to project data columns blindly")
           if (proj == null) proj = org.apache.spark.sql.catalyst
-            .ProjectingInternalRow(schema,
-              (r.numFields - schema.size) until r.numFields)
+            .ProjectingInternalRow(schema, 1 to schema.size)
           proj.project(r)
           w.write(proj)
         }

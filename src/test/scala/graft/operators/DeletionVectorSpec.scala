@@ -154,6 +154,84 @@ class DeletionVectorSpec extends AnyFunSuite {
     cleanup(dir)
   }
 
+  test("deletion vectors survive table relocation: rename the table " +
+      "directory, reads/feed/purge still apply the vectors") {
+    import spark.implicits._
+    val dir = fresh()
+    ManifestTable.create(spark, dir,
+      (0L until 600L).map(i => (i, i % 6)).toDF("k", "m")
+        .repartition(3))
+    ManifestTable.deleteRowsMor(spark, dir, col("m") === 4) // 100 rows
+    // relocate the whole table — the manifest contract says tables are
+    // relocatable (paths are table-relative), and DV keys must be too
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val moved = dir + "_moved"
+    assert(f.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(moved)))
+    val got = ManifestTable.read(spark, moved)
+    assert(got.count() == 500)
+    assert(got.filter(col("m") === 4).count() == 0)
+    // the row-level change feed resolves the moved DVs too
+    val to = ManifestTable.snapshot(spark, moved).version
+    val feed = ManifestTable.changeFeedRows(spark, moved, 1, to)
+    assert(feed.filter(col("_change_type") === "delete").count() == 100)
+    // a second MOR delete AT THE NEW LOCATION composes with the moved DV
+    ManifestTable.deleteRowsMor(spark, moved, col("m") === 5)
+    assert(ManifestTable.read(spark, moved).count() == 400)
+    // purge still sees the right live set (its row-count guard would
+    // fail loudly if the moved DV stopped matching)
+    ManifestTable.purgeDvs(spark, moved)
+    assert(ManifestTable.read(spark, moved).count() == 400)
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(moved).getParentFile)
+  }
+
+  test("concurrent MOR deletes on the same file: no deletion is ever " +
+      "silently resurrected (loser aborts as a write conflict)") {
+    import spark.implicits._
+    val dir = fresh()
+    ManifestTable.create(spark, dir,
+      (0L until 1000L).map(i => (i, i % 10)).toDF("k", "m")
+        .coalesce(1)) // ONE file: any two deletes re-point the same path
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    def attempt(cond: org.apache.spark.sql.Column)
+        : scala.concurrent.Future[Either[Throwable, Long]] =
+      scala.concurrent.Future {
+        try Right(ManifestTable.deleteRowsMor(spark, dir, cond)._2)
+        catch { case e: Throwable => Left(e) }
+      }
+    val fa = attempt(col("m") === 1)
+    val fb = attempt(col("m") === 2)
+    val ra = scala.concurrent.Await.result(fa,
+      scala.concurrent.duration.Duration(120, "s"))
+    val rb = scala.concurrent.Await.result(fb,
+      scala.concurrent.duration.Duration(120, "s"))
+    pool.shutdown()
+    // every delete that REPORTED success must hold in the final table;
+    // a loser must fail loudly (write conflict), never drop positions
+    val live = ManifestTable.read(spark, dir)
+    def deletedOk(r: Either[Throwable, Long], m: Int): Long = r match {
+      case Right(n) =>
+        assert(n == 100, s"m=$m reported $n deletions")
+        assert(live.filter(col("m") === m).count() == 0,
+          s"m=$m reported success but rows survive — resurrected!")
+        100L
+      case Left(e) =>
+        assert(e.getMessage != null &&
+          e.getMessage.contains("write conflict"),
+          s"loser failed with the wrong error: $e")
+        assert(live.filter(col("m") === m).count() == 100,
+          s"m=$m aborted but its rows are gone")
+        0L
+    }
+    val gone = deletedOk(ra, 1) + deletedOk(rb, 2)
+    assert(live.count() == 1000 - gone)
+    cleanup(dir)
+  }
+
   test("MOR delete on a partitioned table keeps tuples; checkpointed " +
       "snapshots round-trip the DV pointers") {
     import spark.implicits._

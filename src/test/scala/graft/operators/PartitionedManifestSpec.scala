@@ -126,6 +126,26 @@ class PartitionedManifestSpec extends AnyFunSuite {
     cleanup(dir)
   }
 
+  test("overwritePartitions keeps the declared stats column: rewritten " +
+      "partitions' entries carry [lo, hi], so skipping never erodes") {
+    import spark.implicits._
+    val dir = fresh()
+    ManifestTable.create(spark, dir, mkDf(400),
+      statsCol = Some("k"), partitionBy = Seq("grp"))
+    assert(ManifestTable.snapshot(spark, dir).entries
+      .forall(e => e.lo.isDefined && e.hi.isDefined))
+    val repl = (0 until 10).map(i => (9000L + i, "g1", 7L))
+      .toDF("k", "grp", "v")
+    ManifestTable.overwritePartitions(spark, dir, repl)
+    val after = ManifestTable.snapshot(spark, dir)
+    val g1 = after.entries.filter(_.part("grp") == "g1")
+    assert(g1.nonEmpty)
+    assert(g1.forall(e => e.lo.exists(_ >= 9000L) &&
+      e.hi.exists(_ <= 9009L)),
+      s"replacement entries lost their stats: ${g1.map(e => (e.lo, e.hi))}")
+    cleanup(dir)
+  }
+
   test("restore re-points the log to a prior version without copying " +
       "data; history is preserved and the restore is itself undoable") {
     import spark.implicits._
