@@ -21,15 +21,21 @@ object Bench {
     * under the builder's own concurrent compile/test load and recorded
     * a phantom 1.6× regression). Median of 3 runs. */
   def calibrate(spark: SparkSession): Double = {
-    val times = (0 until 3).map { _ =>
-      val t0 = System.nanoTime()
-      spark.range(0L, 400000000L, 1L, 32)
-        .selectExpr("id * 2654435761 AS h")
-        .selectExpr("sum(h % 1000003) AS s")
-        .collect()
-      (System.nanoTime() - t0) / 1e9
-    }.sorted
+    val times = (0 until 3).map(_ => calibrateOnce(spark)).sorted
     times(1)
+  }
+
+  /** One run of the sentinel — the mid-run re-probe (round-10 lesson:
+    * the start-only probe passed a run whose MIDDLE stretch was taken
+    * under transient load and read 2–4× on eight queries; only probes
+    * interleaved WITH the suite can see that). */
+  def calibrateOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 400000000L, 1L, 32)
+      .selectExpr("id * 2654435761 AS h")
+      .selectExpr("sum(h % 1000003) AS s")
+      .collect()
+    (System.nanoTime() - t0) / 1e9
   }
 
   def main(args: Array[String]): Unit = {
@@ -74,7 +80,18 @@ object Bench {
       "s14_persisted_ann_serving" ->
         ((s, d) => graft.queries.Similarity.rebuildPersistedAnnIndex(s, d)))
     val breakdown = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    // mid-run load probes: re-run the sentinel every PROBE_EVERY
+    // queries so a contamination stretch ANYWHERE in the run is
+    // visible, not just load present at start
+    val ProbeEvery = 30
+    val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var sinceProbe = 0
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      sinceProbe += 1
+      if (sinceProbe >= ProbeEvery) {
+        sinceProbe = 0
+        probes += calibrateOnce(spark)
+      }
       val t0 = System.nanoTime()
       val buildSec = indexBuild.get(name).map { hook =>
         try hook(spark, sfDir)
@@ -98,11 +115,15 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
+    // one final probe so the tail of the run is covered too
+    if (results.size >= ProbeEvery && sinceProbe > ProbeEvery / 3)
+      probes += calibrateOnce(spark)
     val qs = (results ++ breakdown).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val probesJson = probes.map(p => f"$p%.4f").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"calibration":$calibration,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"calibration":$calibration,"probes":$probesJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Artifact-of-record discipline (round-7 lesson: a round-end run
     // taken under snapshot load overwrote the clean 222 s steady-state
@@ -119,6 +140,11 @@ object Bench {
     // intentional change that made queries slower-but-better).
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_solo.json")
     val newMean = if (results.nonEmpty) total / results.size else 0.0
+    // mid-run contamination: any interleaved probe reading >1.2× the
+    // run's own start calibration means a load stretch hit the middle
+    // of the suite — the start-only sentinel cannot see this (round-10:
+    // eight queries read 2–4× in an otherwise-clean promoted run)
+    val contaminatedProbe = probes.find(_ > calibration * 1.20)
     try {
       val epoch = System.currentTimeMillis() / 1000
       // sf rides the snapshot FILENAME (round-9 lesson: sf0.01 and
@@ -128,6 +154,14 @@ object Bench {
       val stamped = benchOut.stripSuffix(".json") + s".$sfTag.$epoch.json"
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(stamped), line + "\n")
+      // the DRIVER-FACING artifact: always written, deterministic name,
+      // never gated — round 10's official BENCH slot recorded
+      // parsed:null because the driver's stdout parse lost the summary
+      // line to post-shutdown log noise. A file write cannot be
+      // interleaved with async Spark logging.
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(benchOut.stripSuffix(".json") +
+          "_summary.json"), line + "\n")
       val target = java.nio.file.Paths.get(benchOut)
       // (priorMean, priorSf, priorCalibration): a mean is only
       // comparable at the SAME scale factor — an sf0.01 dev run's tiny
@@ -157,6 +191,15 @@ object Bench {
         }
       val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
       prior match {
+        case _ if contaminatedProbe.isDefined && !force =>
+          System.err.println(
+            f"[bench] REFUSING to overwrite $benchOut: a MID-RUN " +
+              f"calibration probe read ${contaminatedProbe.get}%.3f s vs " +
+              f"this run's own $calibration%.3f s start calibration " +
+              f"(>1.20× — transient load hit the middle of the suite; " +
+              f"a contaminated stretch must not become the record). " +
+              f"This run is preserved at $stamped; set " +
+              "SPARK_GRAFT_BENCH_FORCE=1 to override.")
         case Some((_, Some(oldSf), _)) if oldSf != sfDir && !force =>
           System.err.println(
             s"[bench] REFUSING to overwrite $benchOut: recorded artifact " +
