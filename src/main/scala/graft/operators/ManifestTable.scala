@@ -223,7 +223,7 @@ object ManifestTable {
 
   /** Scheme-less URI path of the qualified table directory — the base
     * every deletion-vector key is relative to. */
-  private def baseUriPath(spark: SparkSession, dir: String): String =
+  private[graft] def baseUriPath(spark: SparkSession, dir: String): String =
     fs(spark, dir).makeQualified(new Path(dir)).toUri.getPath
 
   /** Normalize a file-path COLUMN into deletion-vector KEY space:
@@ -247,6 +247,29 @@ object ManifestTable {
   private[graft] def dvKeyStr(base: String, p: String): String = {
     val pp = new Path(p).toUri.getPath
     if (pp.startsWith(base + "/")) pp.substring(base.length + 1) else pp
+  }
+
+  /** Per-file SORTED deleted positions for the given DV-carrying
+    * entries, in table-relative key space — the driver-side planning
+    * read the DSv2 scan embeds into its per-file input partitions.
+    * O(deleted rows): the same broadcast-scale assumption [[applyDvs]]
+    * makes (unioning superseded DVs is harmless; restricting to the
+    * dirty entries' keys keeps any stale file's positions out). */
+  private[graft] def deletedPositions(spark: SparkSession, dir: String,
+      dirty: Seq[ManifestEntry]): Map[String, Array[Long]] = {
+    import org.apache.spark.sql.functions._
+    val bp = baseUriPath(spark, dir)
+    val dvPaths = dirty.flatMap(_.dv).distinct
+    if (dvPaths.isEmpty) return Map.empty
+    val dirtyKeys = dirty.map(e => dvKeyStr(bp, e.path)).toSet
+    spark.read.parquet(dvPaths: _*)
+      .select(dvKeyCol(bp, col("file")).as("file"), col("pos"))
+      .distinct()
+      .collect()
+      .groupBy(_.getString(0))
+      .collect { case (f, rows) if dirtyKeys.contains(f) =>
+        f -> rows.map(_.getLong(1)).sorted }
+      .toMap
   }
 
   /** Zero-padded so lexicographic file order == version order — a
@@ -1297,14 +1320,16 @@ object ManifestTable {
     * (the files the operation's scan was pinned to) in one atomic
     * commit. Concurrent APPENDS are absorbed by retrying — their files
     * are disjoint and their rows survive. A concurrent commit that
-    * REMOVED one of the pinned files (compaction, another DML) is a
-    * genuine write conflict: the replacement was computed from rows
-    * that are no longer the table's — abort, like every optimistic
-    * table format does. Partitioned tables re-layout the staged rows
-    * (the replace write is flat); unpartitioned tables adopt the
-    * staged files as-is. */
+    * REMOVED one of the pinned files (compaction, another DML) — or
+    * RE-POINTED its deletion vector (a concurrent MOR delete keeps
+    * the path live but changes which rows exist; the replacement was
+    * computed against the OLD vector and would resurrect the winner's
+    * deletions) — is a genuine write conflict: abort, like every
+    * optimistic table format does. Partitioned tables re-layout the
+    * staged rows (the replace write is flat); unpartitioned tables
+    * adopt the staged files as-is. */
   def replaceCommit(spark: SparkSession, dir: String,
-      stagingDir: String, replacedPaths: Vector[String]): Int = {
+      stagingDir: String, replaced: Vector[ManifestEntry]): Int = {
     val f = fs(spark, dir)
     val cur0 = snapshot(spark, dir)
     val staged = f.exists(new Path(stagingDir)) &&
@@ -1334,13 +1359,22 @@ object ManifestTable {
     var guard = 0
     while (guard < 50) {
       val cur = snapshot(spark, dir)
-      val live = cur.paths.toSet
-      replacedPaths.foreach(p => require(live.contains(p),
-        s"replaceCommit at $dir: $p was removed by a concurrent " +
-          "commit — the replacement no longer reflects the table " +
-          "(write conflict; re-run the statement)"))
+      val curByPath = cur.entries.map(e => e.path -> e).toMap
+      replaced.foreach { pe =>
+        curByPath.get(pe.path) match {
+          case None => sys.error(
+            s"replaceCommit at $dir: ${pe.path} was removed by a " +
+              "concurrent commit — the replacement no longer reflects " +
+              "the table (write conflict; re-run the statement)")
+          case Some(ce) =>
+            require(ce.dv == pe.dv && ce.dvRows == pe.dvRows,
+              s"replaceCommit at $dir: ${pe.path}'s deletion vector " +
+                "was re-pointed by a concurrent merge-on-read delete " +
+                "(write conflict; re-run the statement)")
+        }
+      }
       tryCommit(spark, dir, cur.version + 1,
-        adds = adds, removes = replacedPaths) match {
+        adds = adds, removes = replaced.map(_.path)) match {
         case Some(v) => return v
         case None => guard += 1
       }

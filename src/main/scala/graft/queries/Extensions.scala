@@ -1214,6 +1214,64 @@ object Extensions extends QueryPack {
       }
     }),
 
+    // -- x56: deletion-vector-aware DSv2 read ---------------------------
+    // The front door reads MOR snapshots without a purge: clean files
+    // keep the native parquet scan, DV-carrying files go through a
+    // position-skipping reader planned one-partition-per-file
+    // (DvManifestScanBuilder). The proof obligations: the snapshot is
+    // genuinely MIXED (some files dirty, some clean), the DSv2 read
+    // hash-matches ManifestTable.read (merge-on-read ground truth),
+    // and time travel through the door still shows the pre-delete
+    // rows.
+    "x56_dv_front_door" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-dvdoor-").toString + "/t"
+      val t = Tables(s, dir).orders.select($"o_orderkey".as("k"),
+        $"o_orderstatus".as("st"),
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      try {
+        // two commits: the delete condition only touches the FIRST
+        // commit's rows, so its files go dirty while the second
+        // commit's stay clean — a genuinely mixed snapshot
+        ManifestTable.create(s, work,
+          t.filter($"k" % 2 === 0).repartition(3))
+        val preDelete = ManifestTable.snapshot(s, work).version
+        ManifestTable.append(s, work,
+          t.filter($"k" % 2 === 1).repartition(2))
+        ManifestTable.deleteRowsMor(s, work,
+          $"st" === "F" && $"k" % 2 === 0)
+        val snap = ManifestTable.snapshot(s, work)
+        val mixed = snap.entries.exists(_.dv.isDefined) &&
+          snap.entries.exists(_.dv.isEmpty)
+        val door = s.read.format("graft-manifest").load(work)
+        val mor = ManifestTable.read(s, work)
+        val a = door.agg(count(lit(1)), sum($"cents")).first()
+        val b = mor.agg(count(lit(1)), sum($"cents")).first()
+        val doorMatchesMor = (a.getLong(0), a.getLong(1)) ==
+          ((b.getLong(0), b.getLong(1)))
+        // residual filters over the dirty side stay exact
+        val filterExact = door.filter($"st" === "F").count() ==
+          mor.filter($"st" === "F").count()
+        // time travel through the door shows the pre-delete slice
+        val undoIntact = s.read.format("graft-manifest")
+          .option("versionAsOf", preDelete).load(work).count() ==
+          t.filter($"k" % 2 === 0).count()
+        door.groupBy($"st")
+          .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+          .orderBy($"st")
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            mixed, doorMatchesMor, filterExact, undoIntact))
+          .toDF("st", "n_rows", "sum_cents", "mixed_snapshot",
+            "door_matches_mor", "filter_exact", "undo_intact")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(work).getParentFile)
+      }
+    }),
+
     // -- multi-action MERGE: DELETE / UPDATE / INSERT in one pass -------
     // The Delta-Lake MERGE INTO workhorse x05's replace+insert can't
     // express: a returns feed deletes matched orders flagged 'R',
@@ -2922,6 +2980,23 @@ object Extensions extends QueryPack {
         |  TRUE AS zorder_pruned,
         |  TRUE AS restore_shape
         |FROM orders GROUP BY 1 ORDER BY m""".stripMargin,
+
+    // survivors of the deterministic MOR delete through the DSv2
+    // front door (no purge), grouped by status; the mixed-snapshot /
+    // hash-match / residual-filter / time-travel predicates are
+    // protocol properties, spelled as TRUEs
+    "x56_dv_front_door" ->
+      """SELECT o_orderstatus AS st,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  TRUE AS mixed_snapshot,
+        |  TRUE AS door_matches_mor,
+        |  TRUE AS filter_exact,
+        |  TRUE AS undo_intact
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 2 = 0)
+        |GROUP BY o_orderstatus ORDER BY st""".stripMargin,
 
     // survivors of the deterministic MOR delete, grouped; the
     // no-rewrite / write-cost / undo / purge predicates are protocol

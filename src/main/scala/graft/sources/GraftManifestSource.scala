@@ -227,16 +227,15 @@ class GraftManifestTable(dir: String, version: Int, dataSchema: StructType,
     // bootstrap; reading a table that was never created stays an error
     if (version == 0 && entries.isEmpty && dataSchema.isEmpty)
       sys.error(s"no manifest at $dir — the table has not been created")
-    // deletion-vector gate (Delta's reader-version protocol, spelled
-    // as an error): this scan hands the NATIVE parquet reader bare
-    // files, which would silently resurrect MOR-deleted rows — refuse
-    // loudly until the DVs are purged
-    if (entries.exists(_.dv.isDefined))
-      sys.error(s"$dir@v$version carries deletion vectors — read " +
-        "through ManifestTable.read (merge-on-read) or run " +
-        "ManifestTable.purgeDvs first; the DSv2 scan will not " +
-        "silently resurrect deleted rows")
     val spark = SparkSession.active
+    // deletion-vector snapshots read MERGE-ON-READ through the front
+    // door too: clean files keep the full native scan, DV-carrying
+    // files go through a position-skipping reader (see
+    // [[DvManifestScanBuilder]]) — a SQL user never needs purge_dvs
+    // just to SELECT
+    if (entries.exists(_.dv.isDefined))
+      return new DvManifestScanBuilder(spark, dir, entries, statsCol,
+        dataSchema, options)
     val index = new ManifestFileIndex(spark, entries, statsCol,
       Some(dataSchema))
     // schema == dataSchema: manifest tables carry no partition columns.
@@ -289,14 +288,16 @@ class GraftRowLevelOperation(dir: String, dataSchema: StructType,
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
   extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
-  /** The files the COW scan actually planned — these ARE the groups
-    * being replaced, so the commit removes exactly them. Written by
-    * the scan builder at build time, read by the write at commit time
-    * (scan building always precedes write execution). Defaults to the
-    * full pinned snapshot (no group filter pushed = everything
+  /** The manifest entries the COW scan actually planned — these ARE
+    * the groups being replaced, so the commit removes exactly them
+    * (and aborts if any entry's deletion vector was re-pointed by a
+    * concurrent MOR delete in the meantime). Written by the scan
+    * builder at build time, read by the write at commit time (scan
+    * building always precedes write execution). Defaults to the full
+    * pinned snapshot (no group filter pushed = everything
     * rewritten). */
-  @volatile private[sources] var scannedPaths: Vector[String] =
-    entries.map(_.path)
+  @volatile private[sources] var scannedEntries
+      : Vector[ManifestTable.ManifestEntry] = entries
 
   override def command()
       : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
@@ -325,17 +326,26 @@ class GraftRowLevelOperation(dir: String, dataSchema: StructType,
       override def pushedFilters: Array[Predicate] = Array.empty
       override def build(): Scan = {
         val spark = SparkSession.active
-        if (entries.exists(_.dv.isDefined))
-          sys.error(s"$dir carries deletion vectors — SQL DML through " +
-            "the row-level scan would resurrect MOR-deleted rows; run " +
-            "ManifestTable.purgeDvs first")
         val kept = ManifestFileIndex.pruneEntries(entries, statsCol,
           groupFilters)
-        op.scannedPaths = kept.map(_.path)
-        val index = new ManifestFileIndex(spark, kept, None,
-          Some(dataSchema))
-        ParquetScanBuilder(spark, index, dataSchema, dataSchema,
-          CaseInsensitiveStringMap.empty()).build()
+        op.scannedEntries = kept
+        val (dirtyK, cleanK) = kept.partition(_.dv.isDefined)
+        def bare(es: Vector[ManifestTable.ManifestEntry]) =
+          ParquetScanBuilder(spark,
+            new ManifestFileIndex(spark, es, None, Some(dataSchema)),
+            dataSchema, dataSchema, CaseInsensitiveStringMap.empty())
+        if (dirtyK.isEmpty) bare(cleanK).build()
+        else
+          // DML on a MOR table: the COW scan applies the deletion
+          // vectors, so the rewrite copies forward LIVE rows only and
+          // the commit (which removes the dv-carrying entries) leaves
+          // the vectors superseded for vacuum. The commit-time
+          // (dv, dvRows) conflict check aborts if a concurrent MOR
+          // delete re-points a pinned file mid-flight.
+          new ManifestDvScan(bare(cleanK).build(), bare(dirtyK).build(),
+            ManifestTable.baseUriPath(spark, dir),
+            ManifestTable.deletedPositions(spark, dir, dirtyK),
+            dir, dataSchema, CaseInsensitiveStringMap.empty())
       }
     }
   }
@@ -343,7 +353,7 @@ class GraftRowLevelOperation(dir: String, dataSchema: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write =
-        new GraftReplaceDataWrite(dir, () => scannedPaths, info)
+        new GraftReplaceDataWrite(dir, () => scannedEntries, info)
     }
 }
 
@@ -355,7 +365,7 @@ class GraftRowLevelOperation(dir: String, dataSchema: StructType,
   * table format uses: bytes through the format's writer, atomicity
   * through the log. */
 class GraftReplaceDataWrite(dir: String,
-    replacedPaths: () => Vector[String],
+    replaced: () => Vector[ManifestTable.ManifestEntry],
     info: LogicalWriteInfo) extends Write {
 
   private val staging = new Path(dir,
@@ -392,7 +402,7 @@ class GraftReplaceDataWrite(dir: String,
           : Unit = {
         ib.commit(ms) // finalize the staged parquet files
         ManifestTable.replaceCommit(SparkSession.active, dir, staging,
-          replacedPaths())
+          replaced())
       }
       override def abort(
           ms: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
@@ -744,6 +754,155 @@ class ManifestMicroBatchStream(dir: String, tableSchema: StructType,
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** DSv2 scan builder for DELETION-VECTOR snapshots: the batch plan
+  * splits like [[ManifestTable.read]] — CLEAN files keep the full
+  * native parquet path (pushdown, vectorized, columnar), DV-CARRYING
+  * files are read row-based through a POSITION-SKIPPING reader, so a
+  * point delete touching one file never taxes the other ten thousand
+  * and a SQL user never needs `purge_dvs` just to SELECT.
+  *
+  * The dirty side NEVER receives pushdown and is planned
+  * ONE-PARTITION-PER-FILE with splits in offset order: the wrapping
+  * reader's running row count is then exactly the file's
+  * `_metadata.row_index` — the key space the DV stores. Any row-group
+  * or page skip would shift that space and delete the WRONG rows, so
+  * every filter is reported residual (Spark re-applies them above the
+  * scan; results stay exact, the dirty files just scan in full —
+  * bounded by |DV-carrying files|, which compaction and purge keep
+  * small). */
+class DvManifestScanBuilder(spark: SparkSession, dir: String,
+    entries: Vector[ManifestTable.ManifestEntry],
+    statsCol: Option[String], dataSchema: StructType,
+    options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  private val (dirty, clean) = entries.partition(_.dv.isDefined)
+  private val cleanBuilder = ParquetScanBuilder(spark,
+    new ManifestFileIndex(spark, clean, statsCol, Some(dataSchema)),
+    dataSchema, dataSchema, options)
+  private val dirtyBuilder = ParquetScanBuilder(spark,
+    new ManifestFileIndex(spark, dirty, None, Some(dataSchema)),
+    dataSchema, dataSchema, CaseInsensitiveStringMap.empty())
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    cleanBuilder.pushFilters(filters)
+    filters // ALL residual — the dirty side's position space forbids
+            // reader-level skipping; see the class doc
+  }
+  override def pushedFilters: Array[Predicate] = cleanBuilder.pushedFilters
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    cleanBuilder.pruneColumns(requiredSchema)
+    dirtyBuilder.pruneColumns(requiredSchema)
+  }
+  override def build(): Scan =
+    new ManifestDvScan(cleanBuilder.build(), dirtyBuilder.build(),
+      ManifestTable.baseUriPath(spark, dir),
+      ManifestTable.deletedPositions(spark, dir, dirty),
+      dir, dataSchema, options)
+}
+
+/** The combined clean + dirty scan. Batch = native partitions for the
+  * clean files plus one [[DvInputPartition]] per dirty FILE (its
+  * splits in offset order, its sorted deleted positions embedded).
+  * The streaming face is the same log-version micro-batch stream as
+  * the plain scan (append-only contract: MOR versions are
+  * dataChange-skipped there). */
+class ManifestDvScan(cleanScan: Scan, dirtyScan: Scan, base: String,
+    posByFile: Map[String, Array[Long]], dir: String,
+    tableSchema: StructType, options: CaseInsensitiveStringMap)
+  extends Scan {
+
+  override def readSchema(): StructType = cleanScan.readSchema()
+  override def description(): String =
+    cleanScan.description() + " (+ merge-on-read deletion vectors)"
+
+  override def toBatch: Batch = new Batch {
+    private val cb = cleanScan.toBatch
+    private val db = dirtyScan.toBatch
+    override def planInputPartitions(): Array[InputPartition] = {
+      import org.apache.spark.sql.execution.datasources.FilePartition
+      val cps = cb.planInputPartitions()
+      val dirtyFiles = db.planInputPartitions().flatMap {
+        case fp: FilePartition => fp.files
+        case other => sys.error(
+          s"dv scan: unexpected non-file partition $other")
+      }
+      val dps = dirtyFiles
+        .groupBy(pf => ManifestTable.dvKeyStr(base, pf.filePath.toPath.toString))
+        .toArray.sortBy(_._1)
+        .zipWithIndex.map { case ((key, files), i) =>
+          DvInputPartition(
+            FilePartition(cps.length + i, files.sortBy(_.start)),
+            posByFile.getOrElse(key, Array.empty))
+        }
+      cps ++ dps
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new DvPartitionReaderFactory(cb.createReaderFactory(),
+        db.createReaderFactory())
+  }
+
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream =
+    new ManifestMicroBatchStream(dir, tableSchema, cleanScan.readSchema(),
+      Option(options.get("startingVersion")).map(_.toInt).getOrElse(1))
+}
+
+/** One dirty FILE: all its splits in offset order + its sorted
+  * deleted row positions. */
+case class DvInputPartition(
+    inner: org.apache.spark.sql.execution.datasources.FilePartition,
+    deleted: Array[Long]) extends InputPartition {
+  override def preferredLocations(): Array[String] =
+    inner.preferredLocations()
+}
+
+/** Dispatching reader factory: clean partitions keep the native
+  * parquet readers; [[DvInputPartition]]s are read with a running row
+  * counter that skips the deleted positions — the executor-side half
+  * of merge-on-read. The WHOLE scan reports row-based (Spark refuses
+  * mixed row/columnar partitions in one BatchScan), so a DV-carrying
+  * snapshot trades the columnar path for correct deletes until
+  * `purge_dvs`/compaction cleans it — the same reader-mode downgrade
+  * Delta's DV scans accept. */
+class DvPartitionReaderFactory(clean: PartitionReaderFactory,
+    dirty: PartitionReaderFactory) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] = p match {
+    case DvInputPartition(inner, deleted) =>
+      val r = dirty.createReader(inner)
+      new org.apache.spark.sql.connector.read.PartitionReader[
+          org.apache.spark.sql.catalyst.InternalRow] {
+        private var si = 0
+        private var rowIdx = -1L
+        override def next(): Boolean = {
+          while (r.next()) {
+            rowIdx += 1
+            // positions and row indices are both strictly increasing:
+            // one cursor, no per-row set probe
+            if (si < deleted.length && deleted(si) == rowIdx) si += 1
+            else return true
+          }
+          false
+        }
+        override def get(): org.apache.spark.sql.catalyst.InternalRow =
+          r.get()
+        override def close(): Unit = r.close()
+      }
+    case other => clean.createReader(other)
+  }
+
+  override def createColumnarReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] =
+    sys.error("dv scan is row-based (supportColumnarReads = false)")
 }
 
 object GraftManifestTable {

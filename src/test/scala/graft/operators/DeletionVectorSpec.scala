@@ -73,7 +73,7 @@ class DeletionVectorSpec extends AnyFunSuite {
   }
 
   test("purgeDvs materializes: content identical, DVs gone, the DSv2 " +
-      "front door refuses before and reads after") {
+      "front door reads merge-on-read before and bare after") {
     import spark.implicits._
     val dir = fresh()
     ManifestTable.create(spark, dir,
@@ -82,11 +82,12 @@ class DeletionVectorSpec extends AnyFunSuite {
     ManifestTable.deleteRowsMor(spark, dir, col("m") === 2)
     val wantSum = ManifestTable.read(spark, dir)
       .agg(sum(col("k"))).first().getLong(0)
-    // front door refuses a DV snapshot loudly
-    val e = intercept[Exception] {
-      spark.read.format("graft-manifest").load(dir).count()
-    }
-    assert(e.getMessage.contains("deletion vectors"))
+    // front door applies the vectors merge-on-read (x56): same counts
+    // and totals as the Scala read, no purge needed to SELECT
+    val door = spark.read.format("graft-manifest").load(dir)
+    assert(door.count() == 500 - 72)
+    assert(door.agg(sum(col("k"))).first().getLong(0) == wantSum)
+    assert(door.filter(col("m") === 2).count() == 0)
     ManifestTable.purgeDvs(spark, dir)
     val snap = ManifestTable.snapshot(spark, dir)
     assert(snap.entries.forall(_.dv.isEmpty))
@@ -151,6 +152,38 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(deleted == (0L until 150L)
       .filter(i => i % 10 == 3 || i % 10 == 7)
       .filterNot(i => i >= 100 && i % 10 == 3).toVector)
+    cleanup(dir)
+  }
+
+  test("front door on a MIXED snapshot: dirty files merge-on-read, " +
+      "clean files untouched, filters and aggregates exact") {
+    import spark.implicits._
+    val dir = fresh()
+    // first commit's files become dirty; the appended ones stay clean
+    ManifestTable.create(spark, dir,
+      (0L until 400L).map(i => (i, i % 8)).toDF("k", "m").repartition(2))
+    ManifestTable.append(spark, dir,
+      (400L until 1000L).map(i => (i, i % 8)).toDF("k", "m")
+        .repartition(3))
+    ManifestTable.deleteRowsMor(spark, dir, col("k") < 400 && col("m") === 5)
+    val snap = ManifestTable.snapshot(spark, dir)
+    assert(snap.entries.count(_.dv.isDefined) == 2)
+    assert(snap.entries.count(_.dv.isEmpty) == 3)
+    val door = spark.read.format("graft-manifest").load(dir)
+    val mor = ManifestTable.read(spark, dir)
+    assert(door.count() == mor.count())
+    assert(door.agg(sum(col("k"))).first().getLong(0) ==
+      mor.agg(sum(col("k"))).first().getLong(0))
+    // a filter over both sides stays exact (dirty files take it as a
+    // residual above the scan, never inside the position counter)
+    assert(door.filter(col("m") === 5).count() ==
+      (400L until 1000L).count(_ % 8 == 5))
+    assert(door.filter(col("m") === 5 && col("k") < 400).count() == 0)
+    // a second delete composes through the door as well
+    ManifestTable.deleteRowsMor(spark, dir, col("m") === 0)
+    assert(spark.read.format("graft-manifest").load(dir).count() ==
+      (0L until 1000L).count(i =>
+        i % 8 != 0 && !(i < 400 && i % 8 == 5)))
     cleanup(dir)
   }
 

@@ -50,6 +50,38 @@ class RowLevelOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("UPDATE over a merge-on-read table: the COW scan applies the " +
+      "deletion vectors, deleted rows stay deleted, DVs retire") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.m (k BIGINT, v BIGINT)")
+      spark.sql(s"INSERT INTO $cat.m SELECT id, id * 10 FROM range(200)")
+      val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      val dir = s"$wh/m"
+      val (_, nDel) = ManifestTable.deleteRowsMor(spark, dir,
+        org.apache.spark.sql.functions.col("k") % 4 === 1) // 50 rows
+      assert(nDel == 50)
+      // SELECT through SQL sees merge-on-read
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.m")
+        .first().getLong(0) == 150)
+      // UPDATE rewrites the pinned (dv-carrying) files from LIVE rows
+      spark.sql(s"UPDATE $cat.m SET v = -1 WHERE k % 4 = 2")
+      val r = spark.sql(s"SELECT count(*) c, " +
+        s"count(*) FILTER (WHERE v = -1) u, " +
+        s"count(*) FILTER (WHERE k % 4 = 1) res FROM $cat.m").first()
+      assert(r.getLong(0) == 150) // MOR deletes NOT resurrected
+      assert(r.getLong(1) == 50)  // updates applied
+      assert(r.getLong(2) == 0)   // deleted slice still gone
+      // the rewrite retired the vectors: the snapshot is clean again
+      assert(ManifestTable.snapshot(spark, dir)
+        .entries.forall(_.dv.isEmpty))
+      // and values that were neither deleted nor updated are verbatim
+      assert(spark.sql(s"SELECT CAST(sum(v) AS BIGINT) s FROM $cat.m " +
+        "WHERE k % 4 IN (0, 3)").first().getLong(0) ==
+        (0 until 200).filter(i => i % 4 == 0 || i % 4 == 3)
+          .map(_ * 10L).sum)
+    }
+  }
+
   test("UPDATE SET with NULL-condition rows: three-valued logic keeps " +
       "them unchanged") {
     withCatalog { cat =>
