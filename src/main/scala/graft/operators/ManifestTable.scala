@@ -95,7 +95,14 @@ object ManifestTable {
       // are RE-POINTS of existing files (new DV, same bytes) — a
       // change feed must skip them like compaction's rewrites, while
       // history still reports data_change=true
-      mor: Boolean = false) {
+      mor: Boolean = false,
+      // WRITE-TIME CDC (Delta's _change_data folder): a COW rewrite
+      // (UPDATE / MERGE / DELETE through replace-data or mergeCommit)
+      // records its per-row before/after images in a parquet under
+      // `_change_data/` and references it here — the row-level feed
+      // then reads EXACTLY the changed rows instead of surfacing the
+      // rewrite as whole-file re-inserts
+      cdc: Option[String] = None) {
     /** The files this commit ADDED (a change-feed consumes exactly
       * these — with a delta log the CDC read needs no file-set diff). */
     def paths: Vector[String] = adds.map(_.path)
@@ -357,11 +364,13 @@ object ManifestTable {
     *     the position diff against the affected files;
     *   - compaction / Z-order / DV-purge commits (dataChange=false)
     *     emit nothing;
-    *   - COW rewrites (overwrite, MERGE, replace-data DML) re-add
-    *     every surviving row, so they surface as whole-file 'insert's
-    *     — per-row diffing of a rewrite needs CDC captured at WRITE
-    *     time (what Delta's _change_data folder does); merge-on-read
-    *     is this engine's CDC-friendly delete.
+    *   - COW rewrites through replace-data DML / SQL DELETE capture
+    *     write-time CDC ([[writeCdcDiff]], Delta's _change_data
+    *     shape): the commit references a change parquet and the feed
+    *     reads EXACTLY the changed rows ('update_preimage' /
+    *     'update_postimage', or 'delete' for a COW DELETE);
+    *   - plain overwrite / Scala mergeCommit WITHOUT cdcLabels still
+    *     surface as whole-file 'insert's (no capture requested).
     *
     * All rows read with `toVersion`'s log schema (older files
     * null-fill), so the feed has one uniform shape. */
@@ -378,6 +387,19 @@ object ManifestTable {
     val parts = ((fromVersion + 1) to toVersion).flatMap { v =>
       val d = readDelta(spark, dir, v)
       if (d.compaction) None
+      else if (d.cdc.isDefined) {
+        // a COW rewrite with write-time capture: the change parquet
+        // already carries _change_type; read with the feed schema so
+        // pre-evolution captures null-fill like everything else
+        val reader = ddl match {
+          case Some(x) => spark.read.schema(
+            org.apache.spark.sql.types.StructType.fromDDL(x)
+              .add("_change_type", "string"))
+          case None => spark.read
+        }
+        Some(reader.parquet(resolvePath(dir, d.cdc.get))
+          .withColumn("_commit_version", lit(v)))
+      }
       else if (d.mor) {
         // newly deleted = this commit's DV positions minus the same
         // files' positions at v−1; all joins run in the DV's
@@ -519,6 +541,8 @@ object ManifestTable {
     val compaction = """"compaction"\s*:\s*true""".r
       .findFirstIn(header).isDefined
     val mor = """"mor"\s*:\s*true""".r.findFirstIn(header).isDefined
+    val cdc = (""""cdc"\s*:\s*"""" + JStr + "\"").r
+      .findFirstMatchIn(header).map(m => jsonUnescape(m.group(1)))
     val txn = (""""txn"\s*:\s*"""" + JStr + "\"").r
       .findFirstMatchIn(header).map(m => jsonUnescape(m.group(1)))
     val schemaDdl = (""""schema"\s*:\s*"""" + JStr + "\"").r
@@ -565,7 +589,7 @@ object ManifestTable {
         }
       }
     Delta(v, adds.result(), removes.result(), compaction, txn,
-      schemaDdl, statsCol, partCols, mor)
+      schemaDdl, statsCol, partCols, mor, cdc)
   }
 
   /** Read the table at a snapshot — only that version's files, never
@@ -634,6 +658,62 @@ object ManifestTable {
         col("__f") === col("__dvf") && col("__i") === col("__dvp"),
         "left_anti")
       .drop("__f", "__i")
+  }
+
+  /** WRITE-TIME CDC capture for a COW rewrite (Delta's `_change_data`
+    * shape): the multiset diff between the replaced files' LIVE rows
+    * and the replacement files' rows, labeled (preLabel, postLabel)
+    * and written under `_change_data/`. Returns the written path, or
+    * None when the rewrite changed nothing. The diff costs two
+    * exceptAll passes over ONLY the rewritten rows — bounded by the
+    * rewrite the DML already paid for, never by table size. Delta
+    * captures CDC inside its merge expressions instead; Spark's
+    * group-based ReplaceData hands the writer no per-row action, so
+    * the read-back diff is this engine's write-time spelling —
+    * reconstruction-exact by construction (post − pre IS the multiset
+    * identity between the two states), with MERGE-inserted rows
+    * surfacing under the post label. */
+  private def writeCdcDiff(spark: SparkSession, dir: String,
+      schemaDdl: Option[String], replaced: Vector[ManifestEntry],
+      adds: Vector[ManifestEntry],
+      labels: (String, String)): Option[String] = {
+    import org.apache.spark.sql.functions._
+    if (replaced.isEmpty && adds.isEmpty) return None
+    val (dirtyR, cleanR) = replaced.partition(_.dv.isDefined)
+    val old = (
+      (if (cleanR.isEmpty) None
+       else Some(rawRead(spark, schemaDdl, cleanR.map(_.path)))) ++
+      (if (dirtyR.isEmpty) None
+       else Some(applyDvs(spark, dir,
+         rawRead(spark, schemaDdl, dirtyR.map(_.path)),
+         dirtyR.flatMap(_.dv).distinct)))
+    ).reduceOption(_ unionByName _)
+    val neu =
+      if (adds.isEmpty) None
+      else Some(rawRead(spark, schemaDdl, adds.map(_.path)))
+    val pre = (old, neu) match {
+      case (Some(o), Some(n)) => Some(o.exceptAll(n))
+      case (Some(o), None) => Some(o)
+      case (None, _) => None
+    }
+    val post = (old, neu) match {
+      case (Some(o), Some(n)) => Some(n.exceptAll(o))
+      case (None, Some(n)) => Some(n)
+      case (_, None) => None
+    }
+    val both = (pre.map(_.withColumn("_change_type", lit(labels._1))) ++
+      post.map(_.withColumn("_change_type", lit(labels._2))))
+      .reduceOption(_ unionByName _)
+    both.flatMap { df =>
+      val f = fs(spark, dir)
+      val out = new Path(new Path(dir, "_change_data"),
+        s"cdc-${java.util.UUID.randomUUID().toString.take(8)}").toString
+      df.write.mode("errorifexists").parquet(out)
+      if (spark.read.parquet(out).isEmpty) {
+        f.delete(new Path(out), true) // rewrite changed nothing
+        None
+      } else Some(out)
+    }
   }
 
   /** MERGE-ON-READ DELETE (Delta's deletion vectors): mark matching
@@ -798,13 +878,16 @@ object ManifestTable {
       schemaDdl: Option[String] = None,
       statsCol: Option[String] = None,
       partCols: Option[Seq[String]] = None,
-      mor: Boolean = false): Option[Int] = {
+      mor: Boolean = false,
+      cdc: Option[String] = None): Option[Int] = {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
     val target = new Path(manifestDir(dir), manifestName(version))
     if (f.exists(target)) return None // lost before writing anything
     val hdr =
       (if (mor) s""", "mor": true""" else "") +
+      cdc.map(c => s""", "cdc": "${jsonEscape(relativize(f, dir, c))}"""")
+        .getOrElse("") +
       txn.map(t => s""", "txn": "${jsonEscape(t)}"""").getOrElse("") +
       schemaDdl.map(d => s""", "schema": "${jsonEscape(d)}"""").getOrElse("") +
       statsCol.map(c => s""", "stats_col": "${jsonEscape(c)}"""").getOrElse("") +
@@ -1327,9 +1410,14 @@ object ManifestTable {
     * deletions) — is a genuine write conflict: abort, like every
     * optimistic table format does. Partitioned tables re-layout the
     * staged rows (the replace write is flat); unpartitioned tables
-    * adopt the staged files as-is. */
+    * adopt the staged files as-is. The commit captures WRITE-TIME CDC
+    * ([[writeCdcDiff]]) labeled `cdcLabels`, so the row-level feed
+    * shows exactly the changed rows instead of whole-file
+    * re-inserts. */
   def replaceCommit(spark: SparkSession, dir: String,
-      stagingDir: String, replaced: Vector[ManifestEntry]): Int = {
+      stagingDir: String, replaced: Vector[ManifestEntry],
+      cdcLabels: (String, String) =
+        ("update_preimage", "update_postimage")): Int = {
     val f = fs(spark, dir)
     val cur0 = snapshot(spark, dir)
     val staged = f.exists(new Path(stagingDir)) &&
@@ -1356,6 +1444,10 @@ object ManifestTable {
         f.delete(new Path(stagingDir), true)
         es
       }
+    // write-time change capture: diff depends only on (replaced, adds),
+    // both immutable — computed ONCE, valid across commit retries
+    val cdcPath = writeCdcDiff(spark, dir, cur0.schemaDdl, replaced,
+      adds, cdcLabels)
     var guard = 0
     while (guard < 50) {
       val cur = snapshot(spark, dir)
@@ -1374,7 +1466,8 @@ object ManifestTable {
         }
       }
       tryCommit(spark, dir, cur.version + 1,
-        adds = adds, removes = replaced.map(_.path)) match {
+        adds = adds, removes = replaced.map(_.path),
+        cdc = cdcPath) match {
         case Some(v) => return v
         case None => guard += 1
       }
@@ -1413,20 +1506,41 @@ object ManifestTable {
     * loses nothing: the loser re-reads the NEW snapshot, re-applies
     * the transform, and retries. Orphaned files from lost races are
     * unreachable and vacuumable. Old versions stay readable (a MERGE
-    * is just another version — time travel shows pre-merge state). */
+    * is just another version — time travel shows pre-merge state).
+    *
+    * `cdcLabels` (opt-in — a full-table transform's diff is a
+    * full-table pass) captures write-time CDC for the row-level feed.
+    * `txn` makes the merge IDEMPOTENT under redelivery (the streaming
+    * MERGE INTO contract: a restarted foreachBatch re-delivers its
+    * last batch; the marker turns the re-run into a log-level no-op). */
   def mergeCommit(spark: SparkSession, dir: String,
       transform: DataFrame => DataFrame,
-      statsCol: Option[String] = None): Int = {
+      statsCol: Option[String] = None,
+      cdcLabels: Option[(String, String)] = None,
+      txn: Option[String] = None): Int = {
+    txn.flatMap(t => txnVersion(spark, dir, t)) match {
+      case Some(v) => return v
+      case None =>
+    }
     var guard = 0
     while (guard < 10) {
+      txn.flatMap(t => txnVersion(spark, dir, t)) match {
+        case Some(v) => return v
+        case None =>
+      }
       val cur = snapshot(spark, dir)
       val merged = transform(read(spark, dir, Some(cur.version)))
       // a merge rewrites content, not layout: partitioned tables stay
       // partitioned through DML
       val entries = writeFiles(spark, dir, merged, statsCol, cur.partCols)
+      // both diff sides read with the POST-merge schema (old files
+      // null-fill), matching the schema the commit records
+      val cdcPath = cdcLabels.flatMap(lbl => writeCdcDiff(spark, dir,
+        Some(merged.schema.toDDL), cur.entries, entries, lbl))
       tryCommit(spark, dir, cur.version + 1,
-        adds = entries, removes = cur.paths,
-        schemaDdl = Some(merged.schema.toDDL), statsCol = statsCol) match {
+        adds = entries, removes = cur.paths, txn = txn,
+        schemaDdl = Some(merged.schema.toDDL), statsCol = statsCol,
+        cdc = cdcPath) match {
         case Some(v) => return v
         case None => guard += 1 // raced: re-read, re-apply, retry
       }
@@ -1609,11 +1723,24 @@ object ManifestTable {
         .filterNot(p => dvReachable.contains(p.toUri.getPath))
         .foreach(p => f.delete(p, true))
     }
+    // change-data captures referenced only by DROPPED deltas are
+    // garbage (the feed below the kept range is gone with its
+    // manifests); kept deltas' captures stay readable
+    val cdcRoot = new Path(dir, "_change_data")
+    if (f.exists(cdcRoot)) {
+      val cdcReachable = kept.flatMap(v =>
+        scala.util.Try(readDelta(spark, dir, v)).toOption.flatMap(_.cdc))
+        .map(c => new Path(resolvePath(dir, c)).toUri.getPath).toSet
+      f.listStatus(cdcRoot).toVector.map(_.getPath)
+        .filterNot(p => cdcReachable.contains(p.toUri.getPath))
+        .foreach(p => f.delete(p, true))
+    }
     val dataDirs = f.listStatus(new Path(dir)).toVector
       .filter(st => st.isDirectory &&
         st.getPath.getName != "_manifests" &&
         st.getPath.getName != "_checkpoints" &&
-        st.getPath.getName != "_dvs")
+        st.getPath.getName != "_dvs" &&
+        st.getPath.getName != "_change_data")
     dataDirs.foreach { d =>
       f.listStatus(d.getPath).toVector.map(_.getPath)
         .filter(p => p.getName.endsWith(".parquet") &&

@@ -977,6 +977,65 @@ object Extensions extends QueryPack {
       }
     }),
 
+    // -- x57: write-time CDC across COW DML ------------------------------
+    // Delta's _change_data shape: a COW UPDATE / DELETE commit
+    // references a change parquet holding exactly the pre/post images
+    // (replaceCommit's write-time diff), and the row-level feed reads
+    // it instead of surfacing the rewrite as whole-file re-inserts.
+    // The consumer proof extends x55 to UPDATE: applying the feed
+    // (+ insert/update_postimage − delete/update_preimage) across the
+    // UPDATE and the DELETE reconstructs the live table exactly.
+    "x57_cow_update_cdc" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      val cat = s"gx57_${java.util.UUID.randomUUID().toString.take(8)}"
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-x57-").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        Tables(s, dir).orders.select($"o_orderkey".as("k"),
+          $"o_orderstatus".as("st"),
+          floor($"o_totalprice" * 100).cast("long").as("cents"))
+          .createOrReplaceTempView(s"${cat}_src")
+        s.sql(s"CREATE TABLE $cat.t (k BIGINT, st STRING, cents BIGINT)")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM ${cat}_src")
+        // both DML faces: UPDATE (pre/post images) and a
+        // non-translatable DELETE (row-level path, 'delete' images)
+        s.sql(s"UPDATE $cat.t SET cents = cents + 100 " +
+          "WHERE st = 'F' AND k % 10 = 3")
+        s.sql(s"DELETE FROM $cat.t WHERE st = 'O' AND k % 10 = 6")
+        val work = s"$wh/t"
+        val to = ManifestTable.snapshot(s, work).version
+        val feed = ManifestTable.changeFeedRows(s, work, 0, to)
+        val applied = feed.groupBy($"k", $"st", $"cents")
+          .agg(sum(when($"_change_type".isin("insert",
+            "update_postimage"), 1).otherwise(-1)).as("alive"))
+          .filter($"alive" === 1)
+          .agg(count(lit(1)), sum($"cents")).first()
+        val live = ManifestTable.read(s, work)
+          .agg(count(lit(1)), sum($"cents")).first()
+        val reconstructs =
+          (applied.getLong(0), applied.getLong(1)) ==
+            ((live.getLong(0), live.getLong(1)))
+        feed.groupBy($"_change_type")
+          .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+          .orderBy($"_change_type")
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            reconstructs))
+          .toDF("change_type", "n_rows", "sum_cents",
+            "feed_reconstructs")
+      } finally {
+        s.catalog.dropTempView(s"${cat}_src")
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(wh))
+      }
+    }),
+
     // -- SQL MERGE INTO through DSv2 row-level operations -----------------
     // The full three-action MERGE (matched DELETE, matched UPDATE,
     // not-matched INSERT) in ONE SQL statement — x39's Scala
@@ -3013,6 +3072,32 @@ object Extensions extends QueryPack {
         |FROM orders
         |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 2)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the write-time captures replayed: inserts = every row once,
+    // UPDATE = pre/post images of the F-slice, DELETE = the O-slice
+    // rows (never updated, so original cents); reconstruction rides
+    // as a TRUE
+    "x57_cow_update_cdc" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |feed AS (
+        |  SELECT 'insert' AS ct, cents FROM t
+        |  UNION ALL
+        |  SELECT 'update_preimage', cents FROM t
+        |  WHERE st = 'F' AND k % 10 = 3
+        |  UNION ALL
+        |  SELECT 'update_postimage', cents + 100 FROM t
+        |  WHERE st = 'F' AND k % 10 = 3
+        |  UNION ALL
+        |  SELECT 'delete', cents FROM t
+        |  WHERE st = 'O' AND k % 10 = 6)
+        |SELECT ct AS change_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  TRUE AS feed_reconstructs
+        |FROM feed GROUP BY ct ORDER BY change_type""".stripMargin,
 
     // the UPDATE adds 100 cents to the deterministic F-slice; the
     // group-scoped-rewrite and undo predicates ride as TRUEs

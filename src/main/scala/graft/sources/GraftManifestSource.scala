@@ -212,7 +212,10 @@ class GraftManifestTable(dir: String, version: Int, dataSchema: StructType,
       .not(org.apache.spark.sql.functions.coalesce(doomed,
         org.apache.spark.sql.functions.lit(false)))
     ManifestTable.mergeCommit(spark, dir,
-      cur => cur.filter(survives), statsCol)
+      cur => cur.filter(survives), statsCol,
+      // write-time CDC: the feed shows exactly the deleted rows, not
+      // a whole-file re-insert of the survivors
+      cdcLabels = Some(("delete", "insert")))
   }
 
   override def name(): String = s"graft-manifest $dir@v$version"
@@ -352,8 +355,17 @@ class GraftRowLevelOperation(dir: String, dataSchema: StructType,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write =
-        new GraftReplaceDataWrite(dir, () => scannedEntries, info)
+      override def build(): Write = {
+        import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+        // the command names the feed labels: a COW DELETE's preimages
+        // ARE deletes; UPDATE/MERGE diffs are before/after images
+        // (MERGE-inserted rows surface as postimages)
+        val labels = cmd match {
+          case Command.DELETE => ("delete", "insert")
+          case _ => ("update_preimage", "update_postimage")
+        }
+        new GraftReplaceDataWrite(dir, () => scannedEntries, info, labels)
+      }
     }
 }
 
@@ -366,7 +378,9 @@ class GraftRowLevelOperation(dir: String, dataSchema: StructType,
   * through the log. */
 class GraftReplaceDataWrite(dir: String,
     replaced: () => Vector[ManifestTable.ManifestEntry],
-    info: LogicalWriteInfo) extends Write {
+    info: LogicalWriteInfo,
+    cdcLabels: (String, String) =
+      ("update_preimage", "update_postimage")) extends Write {
 
   private val staging = new Path(dir,
     s"data-${java.util.UUID.randomUUID().toString.take(8)}").toString
@@ -402,7 +416,7 @@ class GraftReplaceDataWrite(dir: String,
           : Unit = {
         ib.commit(ms) // finalize the staged parquet files
         ManifestTable.replaceCommit(SparkSession.active, dir, staging,
-          replaced())
+          replaced(), cdcLabels)
       }
       override def abort(
           ms: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])

@@ -82,6 +82,53 @@ class RowLevelOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("write-time CDC: the feed across COW UPDATE / DELETE carries " +
+      "exact pre/post images and reconstructs the live table") {
+    import org.apache.spark.sql.functions._
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.c (k BIGINT, v BIGINT)")
+      spark.sql(s"INSERT INTO $cat.c SELECT id, id * 10 FROM range(100)")
+      spark.sql(s"UPDATE $cat.c SET v = v + 1 WHERE k % 5 = 0") // 20 rows
+      spark.sql(s"DELETE FROM $cat.c WHERE k >= 90")            // 10 rows
+      val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      val dir = s"$wh/c"
+      val to = ManifestTable.snapshot(spark, dir).version
+      val feed = ManifestTable.changeFeedRows(spark, dir, 0, to)
+      val byType = feed.groupBy(col("_change_type")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // UPDATE: exact 20 pre + 20 post images, never whole-file
+      // re-inserts; DELETE: exactly the 10 doomed rows
+      assert(byType == Map("insert" -> 100L, "update_preimage" -> 20L,
+        "update_postimage" -> 20L, "delete" -> 10L))
+      // post-images carry the UPDATED values, pre-images the originals
+      assert(feed.filter(col("_change_type") === "update_postimage")
+        .agg(sum(col("v"))).first().getLong(0) ==
+        (0 until 100 by 5).map(_ * 10L + 1).sum)
+      assert(feed.filter(col("_change_type") === "update_preimage")
+        .agg(sum(col("v"))).first().getLong(0) ==
+        (0 until 100 by 5).map(_ * 10L).sum)
+      // consumer proof: + inserts/postimages − deletes/preimages
+      // reconstructs the live table as a multiset
+      val applied = feed.groupBy(col("k"), col("v"))
+        .agg(sum(when(col("_change_type").isin("insert",
+          "update_postimage"), 1).otherwise(-1)).as("alive"))
+        .filter(col("alive") === 1)
+      val live = ManifestTable.read(spark, dir)
+      assert(applied.count() == live.count())
+      assert(applied.agg(sum(col("v"))).first().getLong(0) ==
+        live.agg(sum(col("v"))).first().getLong(0))
+      // vacuum keeps referenced captures, sweeps orphans with the log
+      val f = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cdcRoot = new org.apache.hadoop.fs.Path(dir, "_change_data")
+      assert(f.listStatus(cdcRoot).length == 2)
+      // keep=1 keeps the DELETE's delta (its capture stays readable);
+      // the UPDATE's delta is dropped and its capture swept with it
+      ManifestTable.vacuum(spark, dir, keep = 1)
+      assert(f.listStatus(cdcRoot).length == 1)
+    }
+  }
+
   test("UPDATE SET with NULL-condition rows: three-valued logic keeps " +
       "them unchanged") {
     withCatalog { cat =>
