@@ -1689,6 +1689,91 @@ object StreamingOps extends QueryPack {
       }
     }),
 
+    // -- st49: streaming MERGE INTO the manifest table -------------------
+    // The Delta streaming-upsert shape: a CDC changelog drains through
+    // foreachBatch, each micro-batch MERGEs into the versioned manifest
+    // table through ManifestTable.mergeCommit (last-writer-wins on the
+    // epoch column, st22's semantics) stamped with a txn marker keyed
+    // by (checkpoint, batchId) — so a RESTART with the same checkpoint
+    // writes nothing, and a crash-window REDELIVERY of a committed
+    // batch is a log-level no-op (st48's idempotence contract, now for
+    // upserts, not just appends). The serving table is transactional:
+    // concurrent readers see whole versions, never a half-applied
+    // batch.
+    "st49_stream_merge_manifest" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      val changelog = Tables(s, dir).events
+        .groupBy(expr("CAST((dayofmonth(ts) - 1) div 8 AS INT)")
+          .as("epoch"), $"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(FLOOR(value * 100) AS BIGINT)")).as("total_cents"))
+        .select($"epoch", $"user_id",
+          when($"user_id" % 13 === $"epoch", "D").otherwise("U").as("op"),
+          $"n_events", $"total_cents")
+      val stageDir = stageDeterministic(s, "smerge-stage", dir,
+        changelog, 4, Seq($"user_id", $"epoch"))
+      val schema = s.read.parquet(stageDir).schema
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-smerge-").toString
+      val work = s"$root/t"
+      val ckpt = s"$root/ckpt"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        // CREATE TABLE first: every batch is then a MERGE, including
+        // the first (its target is the empty v1 snapshot)
+        ManifestTable.createEmpty(s, work, schema)
+        def drainOnce(): Unit = {
+          val q = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(stageDir)
+            .writeStream
+            .outputMode(OutputMode.Append())
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt)
+            .foreachBatch {
+              (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+                ManifestTable.mergeCommit(s, work,
+                  cur => graft.operators.Upsert
+                    .mergeVersioned(cur, batch.toDF(), "user_id", "epoch"),
+                  txn = Some(s"merge:$ckpt:$batchId"))
+                ()
+            }
+            .start()
+          q.awaitTermination()
+        }
+        drainOnce()
+        val versionsAfter = ManifestTable.versions(s, work).size
+        require(versionsAfter >= 5, // create + >=4 merge batches
+          s"expected >= 4 merge micro-batches, saw ${versionsAfter - 1}")
+        drainOnce() // restart, same checkpoint: nothing to re-merge
+        val secondRunNoop =
+          ManifestTable.versions(s, work).size == versionsAfter
+        // crash-window redelivery of an already-committed batch marker
+        val snap = ManifestTable.snapshot(s, work)
+        val (marker, markerV) = snap.txns.maxBy(_._2)
+        val before = ManifestTable.read(s, work).count()
+        val redeliveryNoop =
+          ManifestTable.mergeCommit(s, work, cur => cur.limit(0),
+            txn = Some(marker)) == markerV &&
+            ManifestTable.read(s, work).count() == before
+        // materialize before the finally block drops the table dir
+        ManifestTable.read(s, work).filter($"op" =!= "D")
+          .select($"user_id", $"epoch".as("last_epoch"),
+            $"n_events", $"total_cents")
+          .orderBy($"user_id")
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+            r.getLong(3), secondRunNoop, redeliveryNoop))
+          .toDF("user_id", "last_epoch", "n_events", "total_cents",
+            "second_run_noop", "redelivery_noop")
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(root))
+      }
+    }),
+
     // -- change-feed tail of the x37 manifest table ---------------------
     // The Delta streaming-source shape: the COMMIT LOG is the stream.
     // Four versions are committed (create, append, COMPACTION, append),
@@ -3483,6 +3568,30 @@ object StreamingOps extends QueryPack {
     // is its max-epoch op, kept iff that op is not a delete — batch
     // CDC semantics the streaming apply must converge to regardless
     // of file arrival order
+    // the post-drain serving table: per user the max-epoch change row,
+    // deletes filtered at read; restart/redelivery idempotence rides
+    // as TRUEs
+    "st49_stream_merge_manifest" ->
+      """WITH ch AS (
+        |  SELECT CAST((day(ts) - 1) // 8 AS INTEGER) AS epoch, user_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS total_cents
+        |  FROM events GROUP BY 1, 2),
+        |cl AS (
+        |  SELECT epoch, user_id,
+        |    CASE WHEN user_id % 13 = epoch THEN 'D' ELSE 'U' END AS op,
+        |    n_events, total_cents
+        |  FROM ch),
+        |last AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY epoch DESC) AS rn
+        |  FROM cl)
+        |SELECT user_id, epoch AS last_epoch, n_events, total_cents,
+        |  TRUE AS second_run_noop, TRUE AS redelivery_noop
+        |FROM last WHERE rn = 1 AND op <> 'D'
+        |ORDER BY user_id""".stripMargin,
+
     "st22_stream_cdc_apply" ->
       """WITH ch AS (
         |  SELECT CAST((day(ts) - 1) // 8 AS INTEGER) AS epoch, user_id,

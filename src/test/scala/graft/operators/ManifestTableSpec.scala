@@ -32,6 +32,36 @@ class ManifestTableSpec extends AnyFunSuite {
     cleanup(dir)
   }
 
+  test("mergeCommit racing a concurrent batch append: the loser " +
+      "re-reads and re-applies, the append's rows are merged too") {
+    import spark.implicits._
+    val dir = fresh()
+    ManifestTable.create(spark, dir, (0L until 100L).toDF("k"))
+    // the append commits INSIDE the merge's read-transform window
+    // (once), forcing the merge's first tryCommit to lose the race
+    val appended = new java.util.concurrent.atomic.AtomicBoolean(false)
+    ManifestTable.mergeCommit(spark, dir, cur => {
+      if (!appended.getAndSet(true))
+        ManifestTable.append(spark, dir, (100L until 110L).toDF("k"))
+      cur.filter(col("k") % 2 === 0)
+    })
+    // the retry saw the appended rows: evens of 0..109, not 0..99
+    val got = ManifestTable.read(spark, dir)
+    assert(got.count() == 55)
+    assert(got.agg(sum($"k")).first().getLong(0) ==
+      (0L until 110L).filter(_ % 2 == 0).sum)
+    // and the merge is idempotent under a txn marker (the streaming
+    // MERGE INTO redelivery contract)
+    val v1 = ManifestTable.mergeCommit(spark, dir,
+      cur => cur.filter(col("k") < 50), txn = Some("job:m1"))
+    val v2 = ManifestTable.mergeCommit(spark, dir,
+      cur => cur.limit(0) /* would wipe if re-applied */,
+      txn = Some("job:m1"))
+    assert(v1 == v2)
+    assert(ManifestTable.read(spark, dir).count() == 25)
+    cleanup(dir)
+  }
+
   test("concurrent appends: the loser retries, both land, nothing lost") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
