@@ -54,6 +54,11 @@ object ManifestTable {
   /** Fold the log into a parquet checkpoint every N commits. */
   val CheckpointEvery = 10
 
+  /** Collect [lo, hi] file stats for up to this many integral leaf
+    * columns on EVERY write, DDL or not (Delta's first-N-columns
+    * stats default). */
+  val AutoStatsCols = 8
+
   /** `lo`/`hi`: min/max of the table's declared stats column within
     * this file — the Delta/Iceberg file-level statistics that let a
     * range predicate skip files from the MANIFEST, before any footer
@@ -1082,6 +1087,14 @@ object ManifestTable {
     * file's partition tuple — the per-file statistics pass every
     * table format's writer performs.
     *
+    * When no `statsCols` are requested, the writer collects [lo, hi]
+    * for the first [[AutoStatsCols]] INTEGRAL leaf columns anyway
+    * (Delta collects min/max for the first N columns unconditionally)
+    * — that default is what makes an AD-HOC range predicate prune
+    * files from the manifest without any DDL ever having named the
+    * column. Integral only: the stats grammar is (long, long), and a
+    * column the grammar can't represent exactly must not prune.
+    *
     * Partitioned layout: the writer partitions by STRING COPIES
     * (`__p_<col>`) of the partition columns, so the hive-style
     * directories exist for operators that want them while the REAL
@@ -1109,8 +1122,27 @@ object ManifestTable {
         s"__p_$c" -> hex(encode(col(c).cast("string"), "UTF-8"))).toMap)
       .write.partitionBy(partitionCols.map(c => s"__p_$c"): _*)
       .mode("errorifexists").parquet(sub)
+    val effectiveStats =
+      if (statsCols.nonEmpty) statsCols
+      else autoStatsFor(df.schema, statsCol, partitionCols)
     entriesFromDir(spark, sub, df.columns.toSeq, statsCol, partitionCols,
-      statsCols)
+      effectiveStats)
+  }
+
+  /** The first [[AutoStatsCols]] integral leaf columns not already
+    * covered by the declared stats column or the partition tuple. */
+  private def autoStatsFor(schema: org.apache.spark.sql.types.StructType,
+      statsCol: Option[String],
+      partitionCols: Seq[String]): Vector[String] = {
+    import org.apache.spark.sql.types._
+    schema.fields.iterator
+      .filter(_.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+      .map(_.name)
+      .filterNot(n => statsCol.contains(n) || partitionCols.contains(n))
+      .take(AutoStatsCols).toVector
   }
 
   /** The per-file statistics read-back over an already-written
@@ -1426,11 +1458,11 @@ object ManifestTable {
     val adds: Vector[ManifestEntry] =
       if (!staged) Vector.empty // the operation deleted every row
       else if (cur0.partCols.isEmpty) {
-        val cols = cur0.schemaDdl
-          .map(d => org.apache.spark.sql.types.StructType.fromDDL(d)
-            .fieldNames.toSeq)
-          .getOrElse(spark.read.parquet(stagingDir).columns.toSeq)
-        entriesFromDir(spark, stagingDir, cols, cur0.statsCol)
+        val st = cur0.schemaDdl
+          .map(org.apache.spark.sql.types.StructType.fromDDL)
+          .getOrElse(spark.read.parquet(stagingDir).schema)
+        entriesFromDir(spark, stagingDir, st.fieldNames.toSeq,
+          cur0.statsCol, Nil, autoStatsFor(st, cur0.statsCol, Nil))
       } else {
         // re-layout into the table's partition scheme, then drop the
         // flat staged files (they never entered the log)

@@ -1331,6 +1331,66 @@ object Extensions extends QueryPack {
       }
     }),
 
+    // -- x59: unconditional multi-column file stats -----------------------
+    // Delta collects min/max for the first N leaf columns on every
+    // write, DDL or not — that default is what lets an AD-HOC range
+    // predicate prune files from the manifest on a column nobody ever
+    // declared. Four range-disjoint appends (no stats_col, no
+    // partitioning, no zorder), then a BETWEEN on o_orderkey — a
+    // column named in NO DDL — must plan fewer files than the table
+    // holds, observed off BatchScanExec, with exact results.
+    "x59_auto_stats_skipping" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      import org.apache.spark.sql.execution.datasources.FilePartition
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-autostats-").toString + "/t"
+      val t = Tables(s, dir).orders.select($"o_orderkey", $"o_custkey",
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      def plannedFiles(df: DataFrame): Int =
+        df.queryExecution.executedPlan.collectFirst {
+          case b: BatchScanExec => b.partitions.flatten.map {
+            case fp: FilePartition => fp.files.length
+            case _ => 1
+          }.sum
+        }.getOrElse(-1)
+      try {
+        val mx = t.agg(max($"o_orderkey")).first().getLong(0)
+        val q = (mx + 1) / 4
+        // four appends, each a disjoint o_orderkey range — real tables
+        // get this clustering from ingestion order for free
+        ManifestTable.create(s, work,
+          t.filter($"o_orderkey" < q).repartition(2))
+        (1 to 3).foreach(i => ManifestTable.append(s, work,
+          t.filter($"o_orderkey" >= q * i && $"o_orderkey" < q * (i + 1))
+            .repartition(2)))
+        ManifestTable.append(s, work,
+          t.filter($"o_orderkey" >= q * 4).repartition(1))
+        val snap = ManifestTable.snapshot(s, work)
+        // stats were recorded for every integral column, no DDL given
+        val statsRecorded = snap.entries.forall(e =>
+          e.stats.contains("o_orderkey") && e.stats.contains("cents") &&
+            e.stats.contains("o_custkey"))
+        val total = snap.entries.size
+        val probe = s.read.format("graft-manifest").load(work)
+          .filter($"o_orderkey".between(q, 2 * q - 1))
+        val planned = plannedFiles(probe)
+        val pruned = planned > 0 && planned < total
+        probe.groupBy(($"o_orderkey" % 5).as("m"))
+          .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+          .orderBy($"m")
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            statsRecorded, pruned))
+          .toDF("m", "n_rows", "sum_cents", "stats_recorded",
+            "planning_pruned")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(work).getParentFile)
+      }
+    }),
+
     // -- multi-action MERGE: DELETE / UPDATE / INSERT in one pass -------
     // The Delta-Lake MERGE INTO workhorse x05's replace+insert can't
     // express: a returns feed deletes matched orders flagged 'R',
@@ -3072,6 +3132,21 @@ object Extensions extends QueryPack {
         |FROM orders
         |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 2)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the BETWEEN slice's aggregates straight off orders; the
+    // stats-recorded and planning-pruned predicates ride as TRUEs
+    "x59_auto_stats_skipping" ->
+      """WITH b AS (
+        |  SELECT (MAX(o_orderkey) + 1) // 4 AS q FROM orders)
+        |SELECT o_orderkey % 5 AS m,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  TRUE AS stats_recorded,
+        |  TRUE AS planning_pruned
+        |FROM orders, b
+        |WHERE o_orderkey BETWEEN b.q AND 2 * b.q - 1
+        |GROUP BY 1 ORDER BY m""".stripMargin,
 
     // the write-time captures replayed: inserts = every row once,
     // UPDATE = pre/post images of the F-slice, DELETE = the O-slice

@@ -32,6 +32,30 @@ class ManifestTableSpec extends AnyFunSuite {
     cleanup(dir)
   }
 
+  test("auto multi-column stats: every write records [lo, hi] for " +
+      "integral columns with no DDL; compaction folds them exactly") {
+    import spark.implicits._
+    val dir = fresh()
+    ManifestTable.create(spark, dir,
+      (0L until 100L).map(i => (i, i * 3, s"s$i")).toDF("a", "b", "txt"))
+    ManifestTable.append(spark, dir,
+      (100L until 200L).map(i => (i, i * 3, s"s$i")).toDF("a", "b", "txt"))
+    val snap = ManifestTable.snapshot(spark, dir)
+    // both integral columns got stats, the string column did not
+    assert(snap.entries.forall(e =>
+      e.stats.contains("a") && e.stats.contains("b") &&
+        !e.stats.contains("txt")))
+    assert(snap.entries.map(_.stats("a")._1).min == 0L)
+    assert(snap.entries.map(_.stats("b")._2).max == 199L * 3)
+    // compaction folds member stats without re-reading data
+    ManifestTable.compactCommit(spark, dir, targetBytes = 512L << 20)
+    val merged = ManifestTable.snapshot(spark, dir)
+    assert(merged.entries.size == 1)
+    assert(merged.entries.head.stats("a") == ((0L, 199L)))
+    assert(merged.entries.head.stats("b") == ((0L, 199L * 3)))
+    cleanup(dir)
+  }
+
   test("mergeCommit racing a concurrent batch append: the loser " +
       "re-reads and re-applies, the append's rows are merged too") {
     import spark.implicits._

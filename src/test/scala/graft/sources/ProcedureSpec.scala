@@ -93,17 +93,20 @@ class ProcedureSpec extends AnyFunSuite {
     }
   }
 
-  test("CALL purge_dvs re-opens the front door after a MOR delete") {
+  test("CALL purge_dvs materializes a MOR delete; SQL reads are exact " +
+      "both before (merge-on-read scan) and after (bare scan)") {
     withCatalog { (cat, wh) =>
       import spark.implicits._
       spark.sql(s"CREATE TABLE $cat.d (k BIGINT)")
       spark.sql(s"INSERT INTO $cat.d SELECT id FROM range(100)")
       ManifestTable.deleteRowsMor(spark, s"$wh/d", col("k") % 4 === 1)
-      intercept[Exception] {
-        spark.sql(s"SELECT count(*) FROM $cat.d").first()
-      }
+      // the DV-aware scan (x56): SELECT works pre-purge, merge-on-read
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.d")
+        .first().getLong(0) == 75)
       val r = spark.sql(s"CALL $cat.purge_dvs(tbl => 'd')").first()
       assert(r.getLong(1) == 75)
+      assert(ManifestTable.snapshot(spark, s"$wh/d")
+        .entries.forall(_.dv.isEmpty))
       assert(spark.sql(s"SELECT count(*) c FROM $cat.d")
         .first().getLong(0) == 75)
     }
