@@ -107,7 +107,14 @@ object ManifestTable {
       // `_change_data/` and references it here — the row-level feed
       // then reads EXACTLY the changed rows instead of surfacing the
       // rewrite as whole-file re-inserts
-      cdc: Option[String] = None) {
+      cdc: Option[String] = None,
+      // COLUMN MAPPING (Delta's columnMapping / Iceberg's field-id
+      // indirection, spelled name→name): logical column → PHYSICAL
+      // name as stored in the files. Present = REPLACES the whole map
+      // (like part_cols; Some(empty) resets). Physical names never
+      // change once assigned — that is what makes RENAME/DROP pure
+      // metadata commits
+      colMap: Option[Map[String, String]] = None) {
     /** The files this commit ADDED (a change-feed consumes exactly
       * these — with a delta log the CDC read needs no file-set diff). */
     def paths: Vector[String] = adds.map(_.path)
@@ -121,9 +128,13 @@ object ManifestTable {
       schemaDdl: Option[String] = None,
       statsCol: Option[String] = None,
       txns: Map[String, Int] = Map.empty,
-      partCols: Seq[String] = Nil) {
+      partCols: Seq[String] = Nil,
+      // logical→physical column names (empty = identity, no mapping)
+      colMap: Map[String, String] = Map.empty) {
     def paths: Vector[String] = entries.map(_.path)
     def rows: Long = entries.map(_.rows).sum
+    /** True when any logical name differs from its stored name. */
+    def mapped: Boolean = colMap.exists { case (l, p) => l != p }
   }
 
   private def manifestDir(dir: String) = new Path(dir, "_manifests")
@@ -384,7 +395,8 @@ object ManifestTable {
     import org.apache.spark.sql.functions._
     require(fromVersion <= toVersion,
       s"changeFeedRows: $fromVersion is past $toVersion")
-    val ddl = snapshot(spark, dir, Some(toVersion)).schemaDdl
+    val toSnap = snapshot(spark, dir, Some(toVersion))
+    val ddl = toSnap.schemaDdl
     def shaped(df: DataFrame, kind: String, v: Int): DataFrame =
       df.withColumns(Map(
         "_change_type" -> lit(kind),
@@ -394,16 +406,20 @@ object ManifestTable {
       if (d.compaction) None
       else if (d.cdc.isDefined) {
         // a COW rewrite with write-time capture: the change parquet
-        // already carries _change_type; read with the feed schema so
-        // pre-evolution captures null-fill like everything else
-        val reader = ddl match {
-          case Some(x) => spark.read.schema(
-            org.apache.spark.sql.types.StructType.fromDDL(x)
-              .add("_change_type", "string"))
-          case None => spark.read
+        // already carries _change_type (stored under PHYSICAL names);
+        // read with the feed's physical schema so pre-evolution
+        // captures null-fill, then surface logical names
+        val part = ddl match {
+          case Some(x) =>
+            val logical = org.apache.spark.sql.types.StructType.fromDDL(x)
+            spark.read.schema(physicalSchema(logical, toSnap.colMap)
+                .add("_change_type", "string"))
+              .parquet(resolvePath(dir, d.cdc.get))
+              .toDF((logical.fieldNames :+ "_change_type")
+                .toIndexedSeq: _*)
+          case None => spark.read.parquet(resolvePath(dir, d.cdc.get))
         }
-        Some(reader.parquet(resolvePath(dir, d.cdc.get))
-          .withColumn("_commit_version", lit(v)))
+        Some(part.withColumn("_commit_version", lit(v)))
       }
       else if (d.mor) {
         // newly deleted = this commit's DV positions minus the same
@@ -439,7 +455,8 @@ object ManifestTable {
         Some(shaped(rows, "delete", v))
       } else if (d.adds.isEmpty) None
       else Some(shaped(
-        rawRead(spark, ddl, d.adds.map(e => resolvePath(dir, e.path))),
+        rawRead(spark, ddl, toSnap.colMap,
+          d.adds.map(e => resolvePath(dir, e.path))),
         "insert", v))
     }
     parts.reduceOption(_ unionByName _).getOrElse {
@@ -477,6 +494,7 @@ object ManifestTable {
     var statsCol: Option[String] = None
     var txns = Map.empty[String, Int]
     var partCols: Seq[String] = Nil
+    var colMap: Map[String, String] = Map.empty
     base.foreach { cv =>
       val st = readCheckpoint(spark, dir, cv)
       st.entries.foreach(e => em(e.path) = e)
@@ -484,6 +502,7 @@ object ManifestTable {
       statsCol = st.statsCol
       txns = st.txns
       partCols = st.partCols
+      colMap = st.colMap
     }
     ((base.getOrElse(0) + 1) to v).foreach { dv =>
       val d = readDelta(spark, dir, dv)
@@ -493,13 +512,14 @@ object ManifestTable {
       d.statsCol.foreach(x => statsCol = Some(x))
       d.txn.foreach(t => txns += t -> dv)
       d.partCols.foreach(cs => partCols = cs)
+      d.colMap.foreach(m => colMap = m)
     }
     // the fold runs in STORED (table-relative) path space; the
     // resolved snapshot hands callers absolute paths
     Snapshot(v, em.values.toVector
       .map(e => e.copy(path = resolvePath(dir, e.path),
         dv = e.dv.map(resolvePath(dir, _))))
-      .sortBy(_.path), ddl, statsCol, txns, partCols)
+      .sortBy(_.path), ddl, statsCol, txns, partCols, colMap)
   }
 
   /** Read one committed delta. The two-phase commit means a VISIBLE
@@ -561,6 +581,10 @@ object ManifestTable {
       .findFirstMatchIn(header)
       .map(m => m.group(1).split(",", -1).toSeq
         .filter(_.nonEmpty).map(jsonUnescape))
+    // col_map rides the header as an inline object in the part-body
+    // grammar; Some(empty) is a meaningful reset (overwrite)
+    val colMap = """"col_map"\s*:\s*\{([^{}]*)\}""".r
+      .findFirstMatchIn(header).map(m => parsePartBody(m.group(1)))
     // one action per line after the header: adds carry "rows",
     // removes carry "remove": true
     val adds = Vector.newBuilder[ManifestEntry]
@@ -594,7 +618,7 @@ object ManifestTable {
         }
       }
     Delta(v, adds.result(), removes.result(), compaction, txn,
-      schemaDdl, statsCol, partCols, mor, cdc)
+      schemaDdl, statsCol, partCols, mor, cdc, colMap)
   }
 
   /** Read the table at a snapshot — only that version's files, never
@@ -618,7 +642,13 @@ object ManifestTable {
       }
     val (dirty, clean) = snap.entries.partition(_.dv.isDefined)
     if (dirty.isEmpty)
-      return rawRead(spark, snap.schemaDdl, snap.paths)
+      return rawRead(spark, snap.schemaDdl, snap.colMap, snap.paths)
+    // the engine keeps DVs and column mapping exclusive (the DV join
+    // needs _metadata columns, which the mapped rename would strip) —
+    // enforced at write time, asserted here so a violation is loud
+    require(!snap.mapped,
+      s"$dir carries both deletion vectors and a column mapping — " +
+        "unsupported combination")
     // only the DV-carrying files pay the anti-join; clean files keep
     // the bare vectorized scan (a point delete touching one file must
     // not tax the other ten thousand)
@@ -634,12 +664,36 @@ object ManifestTable {
     * before a column existed read back with that column null, and the
     * column ORDER is the log's, not any footer's. */
   private def rawRead(spark: SparkSession, schemaDdl: Option[String],
-      paths: Seq[String]): DataFrame = schemaDdl match {
-    case Some(ddl) => spark.read
-      .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
-      .parquet(paths: _*)
-    case None => spark.read.parquet(paths: _*)
-  }
+      paths: Seq[String]): DataFrame =
+    rawRead(spark, schemaDdl, Map.empty[String, String], paths)
+
+  /** Column-mapped variant: the files store PHYSICAL names, so the
+    * scan reads the physical schema (same types/order as the log's
+    * logical schema) and one positional rename surfaces the logical
+    * names. Files written before the mapping was activated carry
+    * identity physical names, so one physical schema reads every
+    * file of every era. */
+  private def rawRead(spark: SparkSession, schemaDdl: Option[String],
+      colMap: Map[String, String], paths: Seq[String]): DataFrame =
+    schemaDdl match {
+      case Some(ddl) =>
+        val logical = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        if (colMap.isEmpty)
+          spark.read.schema(logical).parquet(paths: _*)
+        else
+          spark.read.schema(physicalSchema(logical, colMap))
+            .parquet(paths: _*)
+            .toDF(logical.fieldNames.toIndexedSeq: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+
+  /** The logical schema with every field renamed to its stored
+    * (physical) name. */
+  private[graft] def physicalSchema(
+      logical: org.apache.spark.sql.types.StructType,
+      colMap: Map[String, String]): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(logical.fields.map(f =>
+      f.copy(name = colMap.getOrElse(f.name, f.name))))
 
   /** Anti-join the scan against the union of referenced deletion
     * vectors. Keyed in TABLE-RELATIVE path space on both sides
@@ -679,15 +733,15 @@ object ManifestTable {
     * identity between the two states), with MERGE-inserted rows
     * surfacing under the post label. */
   private def writeCdcDiff(spark: SparkSession, dir: String,
-      schemaDdl: Option[String], replaced: Vector[ManifestEntry],
-      adds: Vector[ManifestEntry],
+      schemaDdl: Option[String], colMap: Map[String, String],
+      replaced: Vector[ManifestEntry], adds: Vector[ManifestEntry],
       labels: (String, String)): Option[String] = {
     import org.apache.spark.sql.functions._
     if (replaced.isEmpty && adds.isEmpty) return None
     val (dirtyR, cleanR) = replaced.partition(_.dv.isDefined)
     val old = (
       (if (cleanR.isEmpty) None
-       else Some(rawRead(spark, schemaDdl, cleanR.map(_.path)))) ++
+       else Some(rawRead(spark, schemaDdl, colMap, cleanR.map(_.path)))) ++
       (if (dirtyR.isEmpty) None
        else Some(applyDvs(spark, dir,
          rawRead(spark, schemaDdl, dirtyR.map(_.path)),
@@ -695,7 +749,7 @@ object ManifestTable {
     ).reduceOption(_ unionByName _)
     val neu =
       if (adds.isEmpty) None
-      else Some(rawRead(spark, schemaDdl, adds.map(_.path)))
+      else Some(rawRead(spark, schemaDdl, colMap, adds.map(_.path)))
     val pre = (old, neu) match {
       case (Some(o), Some(n)) => Some(o.exceptAll(n))
       case (Some(o), None) => Some(o)
@@ -709,7 +763,10 @@ object ManifestTable {
     val both = (pre.map(_.withColumn("_change_type", lit(labels._1))) ++
       post.map(_.withColumn("_change_type", lit(labels._2))))
       .reduceOption(_ unionByName _)
-    both.flatMap { df =>
+    both.flatMap { df0 =>
+      // captures store PHYSICAL column names (stable across renames),
+      // like the data files — the feed translates back at read time
+      val df = if (colMap.isEmpty) df0 else df0.withColumnsRenamed(colMap)
       val f = fs(spark, dir)
       val out = new Path(new Path(dir, "_change_data"),
         s"cdc-${java.util.UUID.randomUUID().toString.take(8)}").toString
@@ -734,6 +791,10 @@ object ManifestTable {
     import org.apache.spark.sql.functions._
     val cur = snapshot(spark, dir)
     require(cur.paths.nonEmpty, s"deleteRowsMor on empty table $dir")
+    require(!cur.mapped,
+      s"deleteRowsMor on $dir: deletion vectors and column mapping " +
+        "are exclusive in this engine — rewrite (mergeCommit/DELETE) " +
+        "instead, or overwrite to reset the map")
     val bp = baseUriPath(spark, dir)
     val live = {
       val base = rawRead(spark, cur.schemaDdl, cur.paths)
@@ -849,15 +910,37 @@ object ManifestTable {
         df.schema.fields.filterNot(f0 => base.fieldNames.contains(f0.name)))
     }
     val pre = snapshot(spark, dir)
-    evolveFrom(pre) // type-check early, before any write
-    val newEntries = writeFiles(spark, dir, df, statsCol, pre.partCols)
+    val preSchema = evolveFrom(pre) // type-check early, before any write
+    // with mapping active, genuinely NEW columns get fresh uuid
+    // physical names (a dropped column's stored name must never be
+    // re-bound to a new logical column — that would resurrect hidden
+    // data); decided ONCE, because the files are written once
+    val preBase = pre.schemaDdl
+      .map(StructType.fromDDL).map(_.fieldNames.toSet)
+      .getOrElse(preSchema.fieldNames.toSet)
+    val mapAdd: Map[String, String] =
+      if (pre.colMap.isEmpty) Map.empty
+      else df.schema.fieldNames.filterNot(preBase.contains)
+        .map(n => n ->
+          s"col-${java.util.UUID.randomUUID().toString.take(8)}").toMap
+    val newEntries = writeFiles(spark, dir, df, statsCol, pre.partCols,
+      Nil, pre.colMap ++ mapAdd)
     var committed: Option[Int] = None
     var guard = 0
     while (committed.isEmpty && guard < 50) {
       val c = snapshot(spark, dir)
+      // a concurrent evolve that bound one of OUR new logical names to
+      // a DIFFERENT physical is a write conflict: our files carry ours
+      mapAdd.foreach { case (l, p) =>
+        c.colMap.get(l).foreach(cp => require(cp == p,
+          s"appendEvolve at $dir: column $l was added concurrently " +
+            "under a different stored name (write conflict; re-run)"))
+      }
       committed = tryCommit(spark, dir, c.version + 1,
         adds = newEntries, removes = Vector.empty,
-        schemaDdl = Some(evolveFrom(c).toDDL), statsCol = statsCol)
+        schemaDdl = Some(evolveFrom(c).toDDL), statsCol = statsCol,
+        colMap =
+          if (pre.colMap.isEmpty) None else Some(c.colMap ++ mapAdd))
       guard += 1
     }
     committed.getOrElse(sys.error(s"appendEvolve lost 50 races at $dir"))
@@ -884,7 +967,8 @@ object ManifestTable {
       statsCol: Option[String] = None,
       partCols: Option[Seq[String]] = None,
       mor: Boolean = false,
-      cdc: Option[String] = None): Option[Int] = {
+      cdc: Option[String] = None,
+      colMap: Option[Map[String, String]] = None): Option[Int] = {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
     val target = new Path(manifestDir(dir), manifestName(version))
@@ -893,6 +977,7 @@ object ManifestTable {
       (if (mor) s""", "mor": true""" else "") +
       cdc.map(c => s""", "cdc": "${jsonEscape(relativize(f, dir, c))}"""")
         .getOrElse("") +
+      colMap.map(m => s""", "col_map": {${partBody(m)}}""").getOrElse("") +
       txn.map(t => s""", "txn": "${jsonEscape(t)}"""").getOrElse("") +
       schemaDdl.map(d => s""", "schema": "${jsonEscape(d)}"""").getOrElse("") +
       statsCol.map(c => s""", "stats_col": "${jsonEscape(c)}"""").getOrElse("") +
@@ -975,11 +1060,14 @@ object ManifestTable {
       stats_body: Option[String] = None,
       part_cols: Option[String] = None,
       dv_path: Option[String] = None,
-      dv_rows_del: Option[Long] = None)
+      dv_rows_del: Option[Long] = None,
+      // meta row: the column mapping in the part-body grammar
+      col_map: Option[String] = None)
 
   private final case class CkptState(entries: Vector[ManifestEntry],
       schemaDdl: Option[String], statsCol: Option[String],
-      txns: Map[String, Int], partCols: Seq[String])
+      txns: Map[String, Int], partCols: Seq[String],
+      colMap: Map[String, String])
 
   /** Checkpoints are immutable once `_SUCCESS` lands — cache them so
     * commit-loop snapshot resolution pays the parquet read once. */
@@ -1015,7 +1103,9 @@ object ManifestTable {
       Vector(CkptRow("meta", None, None, None, None,
         snap.schemaDdl, snap.statsCol, None, None, None, None,
         if (snap.partCols.isEmpty) None
-        else Some(snap.partCols.map(fieldEscape).mkString(",")))) ++
+        else Some(snap.partCols.map(fieldEscape).mkString(",")),
+        None, None,
+        if (snap.colMap.isEmpty) None else Some(partBody(snap.colMap)))) ++
       snap.txns.toVector.sortBy(_._2).map { case (t, tv) =>
         CkptRow("txn", None, None, None, None, None, None,
           Some(t), Some(tv)) }
@@ -1041,7 +1131,7 @@ object ManifestTable {
     // so old checkpoints keep resolving
     val want = Seq("kind", "path", "rows", "lo", "hi", "schema_ddl",
       "stats_col", "txn", "txn_version", "part_body", "stats_body",
-      "part_cols", "dv_path", "dv_rows_del")
+      "part_cols", "dv_path", "dv_rows_del", "col_map")
     val have = df0.columns.toSet
     val rows = df0.select(want.map(c =>
         if (have.contains(c)) org.apache.spark.sql.functions.col(c)
@@ -1053,6 +1143,7 @@ object ManifestTable {
     var statsCol: Option[String] = None
     var txns = Map.empty[String, Int]
     var partCols: Seq[String] = Nil
+    var colMap: Map[String, String] = Map.empty
     rows.foreach { r =>
       def optS(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
       def optL(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
@@ -1067,11 +1158,13 @@ object ManifestTable {
           ddl = optS(5); statsCol = optS(6)
           partCols = optS(11).map(_.split(",", -1).toSeq
             .filter(_.nonEmpty).map(jsonUnescape)).getOrElse(Nil)
+          colMap = optS(14).map(parsePartBody).getOrElse(Map.empty)
         case "txn" =>
           txns += r.getString(7) -> r.getInt(8)
       }
     }
-    val st = CkptState(entries.result(), ddl, statsCol, txns, partCols)
+    val st = CkptState(entries.result(), ddl, statsCol, txns, partCols,
+      colMap)
     if (ckptCache.size > 8) ckptCache.clear() // crude bound; entries are
                                               // immutable so only a perf hit
     ckptCache.put(key, st)
@@ -1104,29 +1197,45 @@ object ManifestTable {
     * EXACT (every row of a file carries it, guaranteed by the write
     * itself, not inferred from a directory name). */
   private def writeFiles(spark: SparkSession, dir: String,
-      df: DataFrame, statsCol: Option[String],
+      df0: DataFrame, statsCol: Option[String],
       partitionCols: Seq[String] = Nil,
-      statsCols: Seq[String] = Nil): Vector[ManifestEntry] = {
+      statsCols: Seq[String] = Nil,
+      colMap: Map[String, String] = Map.empty): Vector[ManifestEntry] = {
     import org.apache.spark.sql.functions._
+    // column-mapped tables store PHYSICAL names in every file: rename
+    // the frame before writing, run the stats read-back in physical
+    // space, and translate the recorded keys back to logical at the
+    // end (the manifest speaks logical; the files speak physical)
+    def phys(c: String): String = colMap.getOrElse(c, c)
+    val df = if (colMap.isEmpty) df0 else df0.withColumnsRenamed(colMap)
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val sub = new Path(dir, s"data-$stamp").toString
-    partitionCols.foreach(c => require(df.columns.contains(c),
+    partitionCols.map(phys).foreach(c => require(df.columns.contains(c),
       s"partition column $c is not in the frame (${df.columns.mkString(",")})"))
     // the __p_ copies are HEX-encoded: the hive directory name is
     // layout-only (partition values are recorded from the DATA at
     // read-back, never parsed from dir names), and hex keeps every
     // value — unicode, quotes, slashes — a portable ASCII path segment
     // on any filesystem charset
-    if (partitionCols.isEmpty) df.write.mode("errorifexists").parquet(sub)
-    else df.withColumns(partitionCols.map(c =>
+    val physParts = partitionCols.map(phys)
+    if (physParts.isEmpty) df.write.mode("errorifexists").parquet(sub)
+    else df.withColumns(physParts.map(c =>
         s"__p_$c" -> hex(encode(col(c).cast("string"), "UTF-8"))).toMap)
-      .write.partitionBy(partitionCols.map(c => s"__p_$c"): _*)
+      .write.partitionBy(physParts.map(c => s"__p_$c"): _*)
       .mode("errorifexists").parquet(sub)
     val effectiveStats =
-      if (statsCols.nonEmpty) statsCols
-      else autoStatsFor(df.schema, statsCol, partitionCols)
-    entriesFromDir(spark, sub, df.columns.toSeq, statsCol, partitionCols,
-      effectiveStats)
+      if (statsCols.nonEmpty) statsCols.map(phys)
+      else autoStatsFor(df.schema, statsCol.map(phys), physParts)
+    val raw = entriesFromDir(spark, sub, df.columns.toSeq,
+      statsCol.map(phys), physParts, effectiveStats)
+    if (colMap.isEmpty) raw
+    else {
+      val back = colMap.map(_.swap)
+      def logi(c: String): String = back.getOrElse(c, c)
+      raw.map(e => e.copy(
+        part = e.part.map { case (k, v) => logi(k) -> v },
+        stats = e.stats.map { case (k, v) => logi(k) -> v }))
+    }
   }
 
   /** The first [[AutoStatsCols]] integral leaf columns not already
@@ -1242,11 +1351,17 @@ object ManifestTable {
       case None =>
     }
     // a partitioned table's appends keep its layout automatically —
-    // the partition spec is table metadata, not a per-write choice
-    val tablePartCols =
-      if (versions(spark, dir).isEmpty) Nil
-      else snapshot(spark, dir).partCols
-    val newEntries = writeFiles(spark, dir, df, statsCol, tablePartCols)
+    // the partition spec (and the column mapping) is table metadata,
+    // not a per-write choice
+    val (tablePartCols, tableColMap) =
+      if (versions(spark, dir).isEmpty)
+        (Nil: Seq[String], Map.empty[String, String])
+      else {
+        val sn = snapshot(spark, dir)
+        (sn.partCols, sn.colMap)
+      }
+    val newEntries = writeFiles(spark, dir, df, statsCol, tablePartCols,
+      Nil, tableColMap)
     var committed: Option[Int] = None
     var guard = 0
     while (committed.isEmpty && guard < 50) {
@@ -1291,14 +1406,109 @@ object ManifestTable {
               s"in the log but ${f0.dataType.sql} in the change")
         }
       }
-      val evolved = StructType(base.fields ++
-        add.fields.filterNot(f0 => base.fieldNames.contains(f0.name)))
+      val newFields =
+        add.fields.filterNot(f0 => base.fieldNames.contains(f0.name))
+      val evolved = StructType(base.fields ++ newFields)
       committed = tryCommit(spark, dir, cur.version + 1,
         adds = Vector.empty, removes = Vector.empty,
-        schemaDdl = Some(evolved.toDDL))
+        schemaDdl = Some(evolved.toDDL),
+        // mapping active: fresh stored names for the new columns (a
+        // dropped column's stored name must never be re-bound)
+        colMap =
+          if (cur.colMap.isEmpty) None
+          else Some(cur.colMap ++ newFields.map(f => f.name ->
+            s"col-${java.util.UUID.randomUUID().toString.take(8)}")))
       guard += 1
     }
     committed.getOrElse(sys.error(s"evolveSchema lost 50 races at $dir"))
+  }
+
+  /** ALTER TABLE RENAME COLUMN as a pure METADATA commit (Delta's
+    * column-mapping rename): the stored (physical) names in the data
+    * files never change — the commit re-binds the logical name in the
+    * log schema and records logical→physical in the column mapping,
+    * so zero bytes of data move and time travel shows each version's
+    * own names. First rename/drop ACTIVATES the mapping (identity over
+    * the current schema). Partition columns are refused (their names
+    * key the layout tuples); renaming the declared stats column
+    * follows it. Existing per-file multi-column stats keyed by the old
+    * name simply stop matching — pruning degrades conservatively until
+    * files are rewritten, correctness never depends on it. */
+  def renameColumn(spark: SparkSession, dir: String,
+      from: String, to: String): Int = {
+    import org.apache.spark.sql.types.StructType
+    var guard = 0
+    while (guard < 50) {
+      val cur = snapshot(spark, dir)
+      require(cur.entries.forall(_.dv.isEmpty),
+        s"renameColumn on $dir: the snapshot carries deletion vectors " +
+          "— run purgeDvs first (DVs and column mapping are exclusive)")
+      val base = cur.schemaDdl.map(StructType.fromDDL).getOrElse(
+        sys.error(s"$dir carries no log schema — cannot rename"))
+      require(base.fieldNames.contains(from),
+        s"renameColumn: no column $from in (${base.fieldNames.mkString(",")})")
+      require(!base.fieldNames.contains(to),
+        s"renameColumn: column $to already exists")
+      require(!cur.partCols.contains(from),
+        s"renameColumn: $from is a partition column — partition names " +
+          "key the layout tuples and cannot be re-bound")
+      val map0 =
+        if (cur.colMap.isEmpty) base.fieldNames.map(n => n -> n).toMap
+        else cur.colMap
+      val newMap = (map0 - from) + (to -> map0(from))
+      val newSchema = StructType(base.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      tryCommit(spark, dir, cur.version + 1,
+        adds = Vector.empty, removes = Vector.empty,
+        schemaDdl = Some(newSchema.toDDL),
+        statsCol = cur.statsCol.filter(_ == from).map(_ => to),
+        colMap = Some(newMap)) match {
+        case Some(v) => return v
+        case None => guard += 1
+      }
+    }
+    sys.error(s"renameColumn lost 50 commit races at $dir")
+  }
+
+  /** ALTER TABLE DROP COLUMN as a pure METADATA commit: the stored
+    * column stays in every data file (old versions still read it —
+    * that is what makes the drop time-travel-safe), but the log
+    * schema and the mapping stop naming it, so current reads never
+    * materialize it. A later ADD COLUMN with the same logical name
+    * gets a FRESH stored name ([[evolveSchema]]), so the hidden data
+    * can never resurface under the new column. */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Int = {
+    import org.apache.spark.sql.types.StructType
+    var guard = 0
+    while (guard < 50) {
+      val cur = snapshot(spark, dir)
+      require(cur.entries.forall(_.dv.isEmpty),
+        s"dropColumn on $dir: the snapshot carries deletion vectors — " +
+          "run purgeDvs first (DVs and column mapping are exclusive)")
+      val base = cur.schemaDdl.map(StructType.fromDDL).getOrElse(
+        sys.error(s"$dir carries no log schema — cannot drop"))
+      require(base.fieldNames.contains(name),
+        s"dropColumn: no column $name in (${base.fieldNames.mkString(",")})")
+      require(base.fields.length > 1,
+        "dropColumn: cannot drop the last column")
+      require(!cur.partCols.contains(name),
+        s"dropColumn: $name is a partition column")
+      require(!cur.statsCol.contains(name),
+        s"dropColumn: $name is the declared stats column — re-declare " +
+          "stats first")
+      val map0 =
+        if (cur.colMap.isEmpty) base.fieldNames.map(n => n -> n).toMap
+        else cur.colMap
+      val newSchema = StructType(base.fields.filterNot(_.name == name))
+      tryCommit(spark, dir, cur.version + 1,
+        adds = Vector.empty, removes = Vector.empty,
+        schemaDdl = Some(newSchema.toDDL),
+        colMap = Some(map0 - name)) match {
+        case Some(v) => return v
+        case None => guard += 1
+      }
+    }
+    sys.error(s"dropColumn lost 50 commit races at $dir")
   }
 
   /** The commit history as a DataFrame (DESCRIBE HISTORY's shape):
@@ -1347,8 +1557,11 @@ object ManifestTable {
       adds = newEntries, removes = cur.paths,
       schemaDdl = Some(df.schema.toDDL), statsCol = statsCol,
       // an overwrite RESETS the partition spec like it resets the
-      // schema (Some(Nil) in the header = back to unpartitioned)
-      partCols = Some(partitionBy))
+      // schema (Some(Nil) in the header = back to unpartitioned) —
+      // and the column mapping with it (the new files speak the new
+      // schema's own names)
+      partCols = Some(partitionBy),
+      colMap = if (cur.colMap.isEmpty) None else Some(Map.empty))
       .getOrElse(sys.error(s"concurrent commit at $dir — overwrite " +
         "is not auto-retried: rebase on the new version first"))
   }
@@ -1376,7 +1589,8 @@ object ManifestTable {
     // replacement files keep the table's declared stats column — a
     // dynamic overwrite must not erode the skipping index of every
     // partition the daily reprocess touches
-    val newEntries = writeFiles(spark, dir, df, snap0.statsCol, partCols)
+    val newEntries = writeFiles(spark, dir, df, snap0.statsCol, partCols,
+      Nil, snap0.colMap)
     val touched = newEntries.map(_.part).toSet
     var guard = 0
     while (guard < 50) {
@@ -1420,7 +1634,8 @@ object ManifestTable {
         removes = cur.paths.filterNot(targetPaths.contains),
         schemaDdl = target.schemaDdl,
         statsCol = target.statsCol,
-        partCols = Some(target.partCols)) match {
+        partCols = Some(target.partCols),
+        colMap = Some(target.colMap)) match {
         case Some(v) => return v
         case None => guard += 1
       }
@@ -1452,6 +1667,10 @@ object ManifestTable {
         ("update_preimage", "update_postimage")): Int = {
     val f = fs(spark, dir)
     val cur0 = snapshot(spark, dir)
+    require(!cur0.mapped,
+      s"replaceCommit on $dir: SQL row-level DML on a column-mapped " +
+        "table is not supported — the staged files carry logical " +
+        "names; use mergeCommit / DELETE, or overwrite to reset the map")
     val staged = f.exists(new Path(stagingDir)) &&
       f.listStatus(new Path(stagingDir))
         .exists(_.getPath.getName.endsWith(".parquet"))
@@ -1478,8 +1697,8 @@ object ManifestTable {
       }
     // write-time change capture: diff depends only on (replaced, adds),
     // both immutable — computed ONCE, valid across commit retries
-    val cdcPath = writeCdcDiff(spark, dir, cur0.schemaDdl, replaced,
-      adds, cdcLabels)
+    val cdcPath = writeCdcDiff(spark, dir, cur0.schemaDdl, Map.empty,
+      replaced, adds, cdcLabels)
     var guard = 0
     while (guard < 50) {
       val cur = snapshot(spark, dir)
@@ -1525,7 +1744,7 @@ object ManifestTable {
     })
     val df =
       (if (live.isEmpty) read(spark, dir, asOf).limit(0)
-       else spark.read.parquet(live.map(_.path): _*))
+       else rawRead(spark, snap.schemaDdl, snap.colMap, live.map(_.path)))
         .filter(col(statsCol).cast("long").between(from, to))
     (df, live.size, snap.entries.size)
   }
@@ -1563,12 +1782,13 @@ object ManifestTable {
       val cur = snapshot(spark, dir)
       val merged = transform(read(spark, dir, Some(cur.version)))
       // a merge rewrites content, not layout: partitioned tables stay
-      // partitioned through DML
-      val entries = writeFiles(spark, dir, merged, statsCol, cur.partCols)
+      // partitioned (and mapped) through DML
+      val entries = writeFiles(spark, dir, merged, statsCol, cur.partCols,
+        Nil, cur.colMap)
       // both diff sides read with the POST-merge schema (old files
       // null-fill), matching the schema the commit records
       val cdcPath = cdcLabels.flatMap(lbl => writeCdcDiff(spark, dir,
-        Some(merged.schema.toDDL), cur.entries, entries, lbl))
+        Some(merged.schema.toDDL), cur.colMap, cur.entries, entries, lbl))
       tryCommit(spark, dir, cur.version + 1,
         adds = entries, removes = cur.paths, txn = txn,
         schemaDdl = Some(merged.schema.toDDL), statsCol = statsCol,
@@ -1596,9 +1816,12 @@ object ManifestTable {
     // the rewrite must read with the LOG schema so the merged file
     // carries every column (missing ones as nulls), not a footer's
     // truncated view
+    // a mapped table compacts in PHYSICAL name space: read the stored
+    // names, write them back verbatim — no logical rename round trip
     def binRead(paths: Seq[String]) = cur.schemaDdl match {
       case Some(ddl) => spark.read
-        .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        .schema(physicalSchema(
+          org.apache.spark.sql.types.StructType.fromDDL(ddl), cur.colMap))
         .parquet(paths: _*)
       case None => spark.read.parquet(paths: _*)
     }
@@ -1667,7 +1890,7 @@ object ManifestTable {
     val purged = rawRead(spark, cur.schemaDdl, dirty.map(_.path))
     val applied = applyDvs(spark, dir, purged, dvPaths)
     val fresh = writeFiles(spark, dir, applied, cur.statsCol,
-      cur.partCols)
+      cur.partCols, Nil, cur.colMap)
     require(fresh.map(_.rows).sum == dirty.map(_.liveRows).sum,
       s"purgeDvs at $dir would change live row count")
     tryCommit(spark, dir, cur.version + 1,
@@ -1713,7 +1936,7 @@ object ManifestTable {
       .sortWithinPartitions("__z")
       .drop("__z")
     val entries = writeFiles(spark, dir, clustered, cur.statsCol,
-      Nil, Seq(c1, c2))
+      Nil, Seq(c1, c2), cur.colMap)
     tryCommit(spark, dir, cur.version + 1,
       adds = entries, removes = cur.paths, compaction = true)
       .getOrElse(sys.error(s"concurrent commit at $dir during cluster"))

@@ -1331,6 +1331,69 @@ object Extensions extends QueryPack {
       }
     }),
 
+    // -- x58: column mapping — ALTER RENAME / DROP as metadata commits ---
+    // Delta's columnMapping: the stored (physical) names in the data
+    // files never change; RENAME re-binds the logical name in the log
+    // and DROP hides the column from the current schema — zero bytes
+    // move, old versions keep their own names (time travel), appends
+    // after the rename speak the new name while the files keep the
+    // stable stored one. The full lifecycle through SQL:
+    // create → insert → RENAME → insert → time-travel → DROP → read.
+    "x58_column_mapping" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      val cat = s"gx58_${java.util.UUID.randomUUID().toString.take(8)}"
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-x58-").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        Tables(s, dir).orders.select($"o_orderkey".as("k"),
+          floor($"o_totalprice" * 100).cast("long").as("v"),
+          $"o_orderstatus".as("st"))
+          .createOrReplaceTempView(s"${cat}_src")
+        s.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT, st STRING)")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM ${cat}_src " +
+          "WHERE k % 2 = 0")
+        val work = s"$wh/t"
+        val preRenameV = ManifestTable.snapshot(s, work).version
+        val filesBefore = ManifestTable.snapshot(s, work).paths.toSet
+        s.sql(s"ALTER TABLE $cat.t RENAME COLUMN v TO cents")
+        // rename moved ZERO data files
+        val metadataOnly =
+          ManifestTable.snapshot(s, work).paths.toSet == filesBefore
+        // the append after the rename speaks the new logical name
+        s.sql(s"INSERT INTO $cat.t SELECT k, v AS cents, st " +
+          s"FROM ${cat}_src WHERE k % 2 = 1")
+        // time travel: the pre-rename version shows the OLD schema and
+        // only the first slice
+        val old = s.sql(s"SELECT * FROM $cat.t VERSION AS OF $preRenameV")
+        val oldSchemaVisible = old.columns.toSeq == Seq("k", "v", "st")
+        val oldSum = Tables(s, dir).orders.filter($"o_orderkey" % 2 === 0)
+          .agg(sum(floor($"o_totalprice" * 100).cast("long")))
+          .first().getLong(0)
+        val oldSliceExact = old.agg(sum($"v")).first().getLong(0) == oldSum
+        s.sql(s"ALTER TABLE $cat.t DROP COLUMN st")
+        val dropHides = s.sql(s"SELECT * FROM $cat.t")
+          .columns.toSeq == Seq("k", "cents")
+        s.sql(s"SELECT k % 3 AS m, CAST(count(*) AS BIGINT) AS n_rows, " +
+            s"CAST(sum(cents) AS BIGINT) AS sum_cents FROM $cat.t " +
+            "GROUP BY k % 3 ORDER BY m")
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            metadataOnly, oldSchemaVisible && oldSliceExact, dropHides))
+          .toDF("m", "n_rows", "sum_cents", "rename_metadata_only",
+            "time_travel_old_schema", "drop_hides")
+      } finally {
+        s.catalog.dropTempView(s"${cat}_src")
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(wh))
+      }
+    }),
+
     // -- x59: unconditional multi-column file stats -----------------------
     // Delta collects min/max for the first N leaf columns on every
     // write, DDL or not — that default is what lets an AD-HOC range
@@ -3132,6 +3195,18 @@ object Extensions extends QueryPack {
         |FROM orders
         |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 2)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // both halves of orders under the renamed column; the
+    // metadata-only / time-travel / drop predicates ride as TRUEs
+    "x58_column_mapping" ->
+      """SELECT o_orderkey % 3 AS m,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  TRUE AS rename_metadata_only,
+        |  TRUE AS time_travel_old_schema,
+        |  TRUE AS drop_hides
+        |FROM orders GROUP BY 1 ORDER BY m""".stripMargin,
 
     // the BETWEEN slice's aggregates straight off orders; the
     // stats-recorded and planning-pruned predicates ride as TRUEs

@@ -119,7 +119,7 @@ class GraftManifestCatalog extends TableCatalog with SupportsNamespaces
     val schema = snap.schemaDdl.map(StructType.fromDDL).getOrElse(
       spark.read.parquet(snap.paths: _*).schema)
     new GraftManifestTable(dir.toString, snap.version, schema,
-      snap.entries, snap.statsCol)
+      snap.entries, snap.statsCol, snap.colMap)
   }
 
   override def loadTable(ident: Identifier): Table =
@@ -158,30 +158,42 @@ class GraftManifestCatalog extends TableCatalog with SupportsNamespaces
     load(ident, None, None)
   }
 
-  /** ALTER TABLE … ADD COLUMN(S): a schema-only evolution COMMIT (the
-    * new schema rides the log like any other version — old files read
-    * back with the column null, time travel shows the pre-ALTER
-    * schema). Everything else (renames, drops, type changes) is
-    * refused: the log never coerces, and dropping a column from the
-    * schema would silently hide data every older version still
-    * carries. */
+  /** ALTER TABLE … ADD COLUMN(S) (schema-only evolution commit — old
+    * files read back with the column null), RENAME COLUMN and DROP
+    * COLUMN (pure METADATA commits through the column mapping: the
+    * stored names in the data files never change, time travel shows
+    * each version's own schema). Type changes stay refused: the log
+    * never coerces. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(
       (catalogName +: ident.namespace :+ ident.name).toSeq)
-    val adds = changes.map {
-      case a: TableChange.AddColumn =>
-        require(a.fieldNames.length == 1,
-          "ALTER TABLE ADD COLUMN supports top-level columns only")
-        org.apache.spark.sql.types.StructField(
-          a.fieldNames.head, a.dataType, a.isNullable)
-      case other => throw new UnsupportedOperationException(
-        s"ALTER TABLE ${other.getClass.getSimpleName}: only ADD COLUMN " +
-          "evolves the log (the schema never coerces or drops)")
+    def one(names: Array[String], what: String): String = {
+      require(names.length == 1,
+        s"ALTER TABLE $what supports top-level columns only")
+      names.head
     }
-    ManifestTable.evolveSchema(spark, dir.toString,
-      org.apache.spark.sql.types.StructType(adds))
+    val adds = changes.flatMap {
+      case a: TableChange.AddColumn =>
+        Some(org.apache.spark.sql.types.StructField(
+          one(a.fieldNames, "ADD COLUMN"), a.dataType, a.isNullable))
+      case r: TableChange.RenameColumn =>
+        ManifestTable.renameColumn(spark, dir.toString,
+          one(r.fieldNames, "RENAME COLUMN"), r.newName)
+        None
+      case d: TableChange.DeleteColumn =>
+        ManifestTable.dropColumn(spark, dir.toString,
+          one(d.fieldNames, "DROP COLUMN"))
+        None
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE ${other.getClass.getSimpleName}: only ADD / " +
+          "RENAME / DROP COLUMN evolve the log (the schema never " +
+          "coerces)")
+    }
+    if (adds.nonEmpty)
+      ManifestTable.evolveSchema(spark, dir.toString,
+        org.apache.spark.sql.types.StructType(adds))
     load(ident, None, None)
   }
 

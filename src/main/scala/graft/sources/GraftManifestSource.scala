@@ -156,15 +156,18 @@ class GraftManifestSource extends TableProvider with DataSourceRegister
     val options = new CaseInsensitiveStringMap(properties)
     val (snap, entries) = resolveEntries(options)
     new GraftManifestTable(tableDir(options), snap.version, schema,
-      entries, snap.statsCol)
+      entries, snap.statsCol, snap.colMap)
   }
 }
 
 class GraftManifestTable(dir: String, version: Int, dataSchema: StructType,
-    entries: Vector[ManifestTable.ManifestEntry], statsCol: Option[String])
+    entries: Vector[ManifestTable.ManifestEntry], statsCol: Option[String],
+    colMap: Map[String, String] = Map.empty)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  private def mapped: Boolean = colMap.exists { case (l, p) => l != p }
 
   /** SQL UPDATE / MERGE INTO / non-translatable DELETE — Spark's
     * row-level-operation rewrite (RewriteUpdateTable & co.) against a
@@ -181,8 +184,12 @@ class GraftManifestTable(dir: String, version: Int, dataSchema: StructType,
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    // note: built eagerly at ANALYSIS even for DELETEs that later
+    // convert back to the metadata path — the column-mapping refusal
+    // therefore lives in the operation's scan builder, which only
+    // runs when the rewrite is actually planned
     () => new GraftRowLevelOperation(dir, dataSchema, entries, statsCol,
-      info.command)
+      info.command, mapped)
 
   import GraftManifestTable.filterToColumn
 
@@ -239,6 +246,13 @@ class GraftManifestTable(dir: String, version: Int, dataSchema: StructType,
     if (entries.exists(_.dv.isDefined))
       return new DvManifestScanBuilder(spark, dir, entries, statsCol,
         dataSchema, options)
+    // column-mapped snapshot: the files store PHYSICAL names, so the
+    // parquet scan runs in physical space and the Scan reports the
+    // logical names back (rows are positional — same types, same
+    // order, zero copies)
+    if (mapped)
+      return new MappedManifestScanBuilder(spark, entries, dataSchema,
+        colMap)
     val index = new ManifestFileIndex(spark, entries, statsCol,
       Some(dataSchema))
     // schema == dataSchema: manifest tables carry no partition columns.
@@ -288,7 +302,8 @@ class GraftManifestTable(dir: String, version: Int, dataSchema: StructType,
 class GraftRowLevelOperation(dir: String, dataSchema: StructType,
     entries: Vector[ManifestTable.ManifestEntry],
     statsCol: Option[String],
-    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    mapped: Boolean = false)
   extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
   /** The manifest entries the COW scan actually planned — these ARE
@@ -329,6 +344,11 @@ class GraftRowLevelOperation(dir: String, dataSchema: StructType,
       override def pushedFilters: Array[Predicate] = Array.empty
       override def build(): Scan = {
         val spark = SparkSession.active
+        if (mapped) throw new UnsupportedOperationException(
+          s"UPDATE/MERGE INTO column-mapped table $dir is not " +
+            "supported — Spark's replace-data write stages files under " +
+            "logical names; use ManifestTable.mergeCommit, or DELETE " +
+            "(which rewrites through the mapped path)")
         val kept = ManifestFileIndex.pruneEntries(entries, statsCol,
           groupFilters)
         op.scannedEntries = kept
@@ -816,6 +836,46 @@ class DvManifestScanBuilder(spark: SparkSession, dir: String,
       ManifestTable.baseUriPath(spark, dir),
       ManifestTable.deletedPositions(spark, dir, dirty),
       dir, dataSchema, options)
+}
+
+/** DSv2 scan builder for COLUMN-MAPPED snapshots: the files store
+  * stable PHYSICAL names, Spark's analyzer speaks the log's LOGICAL
+  * names. The parquet scan is built over the physical schema (same
+  * field types and order), column pruning is translated name-by-name
+  * on the way in, and `readSchema` translates back on the way out —
+  * rows are positional, so no data moves. Filter pushdown is simply
+  * not offered (Spark keeps every filter above the scan; manifest
+  * stats pruning is lost for mapped tables — a documented trade, not
+  * a correctness one). */
+class MappedManifestScanBuilder(spark: SparkSession,
+    entries: Vector[ManifestTable.ManifestEntry],
+    dataSchema: StructType, colMap: Map[String, String])
+  extends ScanBuilder
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  private def toPhysical(st: StructType): StructType =
+    StructType(st.fields.map(f =>
+      f.copy(name = colMap.getOrElse(f.name, f.name))))
+  private val back: Map[String, String] = colMap.map(_.swap)
+  private def toLogical(st: StructType): StructType =
+    StructType(st.fields.map(f =>
+      f.copy(name = back.getOrElse(f.name, f.name))))
+
+  private val phys = toPhysical(dataSchema)
+  private val inner = ParquetScanBuilder(spark,
+    new ManifestFileIndex(spark, entries, None, Some(phys)),
+    phys, phys, CaseInsensitiveStringMap.empty())
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    inner.pruneColumns(toPhysical(requiredSchema))
+
+  override def build(): Scan = new Scan {
+    private val is = inner.build()
+    override def readSchema(): StructType = toLogical(is.readSchema())
+    override def description(): String =
+      is.description() + " (column-mapped)"
+    override def toBatch: Batch = is.toBatch
+  }
 }
 
 /** The combined clean + dirty scan. Batch = native partitions for the

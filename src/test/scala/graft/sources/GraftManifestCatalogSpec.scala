@@ -29,6 +29,84 @@ class GraftManifestCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER TABLE RENAME / DROP COLUMN: metadata-only commits, " +
+      "reads exact under the new names, time travel shows old schemas") {
+    withCatalog { cat =>
+      import graft.operators.ManifestTable
+      spark.sql(s"CREATE TABLE $cat.r (k BIGINT, v BIGINT, note STRING)")
+      spark.sql(s"INSERT INTO $cat.r " +
+        "SELECT id, id * 2, concat('n', id) FROM range(100)")
+      val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      val dir = s"$wh/r"
+      val filesBefore = ManifestTable.snapshot(spark, dir).paths.toSet
+      spark.sql(s"ALTER TABLE $cat.r RENAME COLUMN v TO amount")
+      // pure metadata: zero data files moved
+      assert(ManifestTable.snapshot(spark, dir).paths.toSet == filesBefore)
+      // reads under the NEW name are exact (old files, physical name v)
+      assert(spark.sql(s"SELECT sum(amount) s FROM $cat.r")
+        .first().getLong(0) == (0L until 100L).map(_ * 2).sum)
+      // appends speak the new logical name; files keep physical 'v'
+      spark.sql(s"INSERT INTO $cat.r " +
+        "SELECT id + 100, (id + 100) * 2, concat('n', id + 100) " +
+        "FROM range(20)")
+      assert(spark.sql(s"SELECT sum(amount) s FROM $cat.r")
+        .first().getLong(0) == (0L until 120L).map(_ * 2).sum)
+      // time travel: the pre-rename version still shows 'v'
+      val preRename = spark.sql(s"SELECT * FROM $cat.r VERSION AS OF 2")
+      assert(preRename.columns.toSeq == Seq("k", "v", "note"))
+      assert(preRename.agg(sum(col("v"))).first().getLong(0) ==
+        (0L until 100L).map(_ * 2).sum)
+      // DROP hides the column from now on, not from history
+      spark.sql(s"ALTER TABLE $cat.r DROP COLUMN note")
+      assert(spark.sql(s"SELECT * FROM $cat.r").columns.toSeq ==
+        Seq("k", "amount"))
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.r")
+        .first().getLong(0) == 120)
+      assert(spark.sql(s"SELECT * FROM $cat.r VERSION AS OF 4")
+        .columns.toSeq == Seq("k", "amount", "note"))
+      // re-adding the dropped logical name binds a FRESH stored name:
+      // the hidden data must not resurface
+      spark.sql(s"ALTER TABLE $cat.r ADD COLUMN note STRING")
+      assert(spark.sql(
+        s"SELECT count(*) FILTER (WHERE note IS NOT NULL) c FROM $cat.r")
+        .first().getLong(0) == 0)
+      // filters and pruned projections work through the mapped scan
+      assert(spark.sql(s"SELECT k FROM $cat.r WHERE amount >= 200")
+        .count() == (0L until 120L).count(_ * 2 >= 200))
+      // DELETE rewrites through the mapped write path
+      spark.sql(s"DELETE FROM $cat.r WHERE k >= 110")
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.r")
+        .first().getLong(0) == 110)
+      // UPDATE on a mapped table is refused loudly, never corrupts
+      val e = intercept[Exception] {
+        spark.sql(s"UPDATE $cat.r SET amount = 0 WHERE k = 1")
+      }
+      assert(e.getMessage.contains("column-mapped"))
+    }
+  }
+
+  test("column mapping survives a checkpoint: rename, force the fold, " +
+      "resolve from the checkpoint alone") {
+    withCatalog { cat =>
+      import graft.operators.ManifestTable
+      spark.sql(s"CREATE TABLE $cat.c (a BIGINT, b BIGINT)")
+      spark.sql(s"INSERT INTO $cat.c SELECT id, id * 3 FROM range(50)")
+      val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      val dir = s"$wh/c"
+      spark.sql(s"ALTER TABLE $cat.c RENAME COLUMN b TO triple")
+      val v = ManifestTable.snapshot(spark, dir).version
+      ManifestTable.writeCheckpoint(spark, dir, v, force = true)
+      assert(ManifestTable.checkpointVersions(spark, dir).contains(v))
+      spark.sql(s"INSERT INTO $cat.c SELECT id + 50, (id + 50) * 3 " +
+        "FROM range(10)")
+      // the resolve of the tail rides the checkpoint's col_map row
+      val snap = ManifestTable.snapshot(spark, dir)
+      assert(snap.colMap == Map("a" -> "a", "triple" -> "b"))
+      assert(spark.sql(s"SELECT sum(triple) s FROM $cat.c")
+        .first().getLong(0) == (0L until 60L).map(_ * 3).sum)
+    }
+  }
+
   test("CREATE / INSERT INTO / VERSION AS OF / INSERT OVERWRITE / DROP") {
     withCatalog { cat =>
       spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT)")
@@ -151,11 +229,13 @@ class GraftManifestCatalogSpec extends AnyFunSuite {
         got.filter("tag IS NULL").count() == 10)
       assert(spark.sql(s"SELECT * FROM $cat.a VERSION AS OF 2")
         .columns.toSeq == Seq("k"))
-      // renames/drops are refused — the log never coerces or hides
+      // DROP now works through column mapping (metadata-only); type
+      // changes stay refused — the log never coerces
+      spark.sql(s"ALTER TABLE $cat.a DROP COLUMN tag")
+      assert(spark.sql(s"SELECT * FROM $cat.a").columns.toSeq == Seq("k"))
       intercept[Exception] {
-        spark.sql(s"ALTER TABLE $cat.a DROP COLUMN tag")
+        spark.sql(s"ALTER TABLE $cat.a ALTER COLUMN k TYPE INT")
       }
-      assert(spark.sql(s"SELECT * FROM $cat.a").columns.length == 2)
     }
   }
 
