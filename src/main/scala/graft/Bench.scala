@@ -90,7 +90,11 @@ object Bench {
       sinceProbe += 1
       if (sinceProbe >= ProbeEvery) {
         sinceProbe = 0
-        probes += calibrateOnce(spark)
+        // min of two back-to-back runs: the probe fires right after a
+        // clearCache, and a single run eats that GC pause as a false
+        // 2× "load" signal (observed on an idle box) — a pause cannot
+        // hit both runs, while genuine external load inflates both
+        probes += math.min(calibrateOnce(spark), calibrateOnce(spark))
       }
       val t0 = System.nanoTime()
       val buildSec = indexBuild.get(name).map { hook =>
@@ -117,7 +121,7 @@ object Bench {
     }
     // one final probe so the tail of the run is covered too
     if (results.size >= ProbeEvery && sinceProbe > ProbeEvery / 3)
-      probes += calibrateOnce(spark)
+      probes += math.min(calibrateOnce(spark), calibrateOnce(spark))
     val qs = (results ++ breakdown).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
