@@ -676,25 +676,39 @@ object TextAnalysis extends QueryPack {
         .orderBy($"doc_id")
     }),
 
-    // -- edit-distance similarity, blocked by (lang, source, len band) --
+    // -- edit-distance similarity, blocked by (lang, source, len band,
+    // content band) --
     // levenshtein is O(len²) per pair, so pair COUNT must be blocked,
-    // not just per-pair cost: the join key is (lang, source,
-    // length(prefix) div 8) — the length band splits each
-    // (lang, source) block into ≤ 6 sub-blocks (prefixes are ≤ 40
-    // chars), so pair count is Σ over sub-blocks of k² instead of one
-    // k² per (lang, source). Cross-band near-matches are forgone by
-    // design (standard blocking trade-off; the oracle applies the
-    // identical band, so the semantics are pinned, not accidental).
+    // not just per-pair cost. Metadata keys alone (lang, source,
+    // length(prefix) div 8) have FIXED cardinality, so per-block doc
+    // counts — and pair counts — grow QUADRATICALLY with the corpus
+    // (measured: 103× wall on 10× docs at sf1). The fourth key is a
+    // SCALE-ADAPTIVE content band: hash(first 8 chars) mod B with
+    // B = max(1, n_docs div 2000) — block count grows WITH the corpus,
+    // so per-block size (and total pair count) stays linear in n. Docs
+    // sharing their first 8 characters always land in the same band
+    // (the likely matches); near-matches that already differ inside
+    // the first 8 chars are forgone — the same declared blocking
+    // trade-off as the length band, now stated over content. The
+    // oracle applies the identical bands, so the semantics are pinned,
+    // not accidental. At sf ≤ 0.01 B = 1 and the band is a no-op.
     "t07_edit_distance" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val d = Tables(s, dir).documents
+      val docs = Tables(s, dir).documents
+      val d = docs
         .select($"doc_id", $"lang", $"source",
           substring($"text", 1, 40).as("prefix"))
         .withColumn("lband", expr("length(prefix) div 8"))
+        .crossJoin(broadcast(docs.agg(
+          greatest(lit(1L), expr("count(*) div 2000")).as("nb"))))
+        .withColumn("cband",
+          pmod(PortableHash.sparkHash56(substring($"prefix", 1, 8)),
+            $"nb"))
       d.select($"doc_id".as("d1"), $"lang", $"source", $"lband",
-          $"prefix".as("p1"))
+          $"cband", $"prefix".as("p1"))
         .join(d.select($"doc_id".as("d2"), $"lang", $"source", $"lband",
-          $"prefix".as("p2")), Seq("lang", "source", "lband"))
+          $"cband", $"prefix".as("p2")),
+          Seq("lang", "source", "lband", "cband"))
         .filter($"d1" < $"d2")
         // bounded variant: O(len·threshold) with early exit, returns -1
         // past the bound — same survivors as full levenshtein + filter
@@ -1431,15 +1445,20 @@ object TextAnalysis extends QueryPack {
          |FROM z ORDER BY doc_id""".stripMargin,
 
     "t07_edit_distance" ->
-      """WITH d AS (
+      s"""WITH nb AS (
+        |  SELECT greatest(1, count(*) // 2000) AS b FROM documents),
+        |d AS (
         |  SELECT doc_id, lang, source, substring(text, 1, 40) AS prefix,
-        |    length(substring(text, 1, 40)) // 8 AS lband
+        |    length(substring(text, 1, 40)) // 8 AS lband,
+        |    ${PortableHash.duckHash56("substring(text, 1, 8)")}
+        |      % (SELECT b FROM nb) AS cband
         |  FROM documents)
         |SELECT a.doc_id AS d1, b.doc_id AS d2, a.lang, a.source,
         |  CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
         |FROM d a JOIN d b
         |  ON a.lang = b.lang AND a.source = b.source
-        |  AND a.lband = b.lband AND a.doc_id < b.doc_id
+        |  AND a.lband = b.lband AND a.cband = b.cband
+        |  AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.prefix, b.prefix) <= 20
         |ORDER BY d1, d2""".stripMargin,
 
