@@ -1667,37 +1667,49 @@ object ManifestTable {
         ("update_preimage", "update_postimage")): Int = {
     val f = fs(spark, dir)
     val cur0 = snapshot(spark, dir)
-    require(!cur0.mapped,
-      s"replaceCommit on $dir: SQL row-level DML on a column-mapped " +
-        "table is not supported — the staged files carry logical " +
-        "names; use mergeCommit / DELETE, or overwrite to reset the map")
     val staged = f.exists(new Path(stagingDir)) &&
       f.listStatus(new Path(stagingDir))
         .exists(_.getPath.getName.endsWith(".parquet"))
     val adds: Vector[ManifestEntry] =
       if (!staged) Vector.empty // the operation deleted every row
       else if (cur0.partCols.isEmpty) {
+        // staged files speak PHYSICAL names (the DSv2 write stages
+        // a mapped table under its stored names); the stats read-back
+        // runs physical, the recorded keys translate back to logical
         val st = cur0.schemaDdl
           .map(org.apache.spark.sql.types.StructType.fromDDL)
           .getOrElse(spark.read.parquet(stagingDir).schema)
-        entriesFromDir(spark, stagingDir, st.fieldNames.toSeq,
-          cur0.statsCol, Nil, autoStatsFor(st, cur0.statsCol, Nil))
+        val phys = physicalSchema(st, cur0.colMap)
+        val physStats = cur0.statsCol.map(c => cur0.colMap.getOrElse(c, c))
+        val raw = entriesFromDir(spark, stagingDir, phys.fieldNames.toSeq,
+          physStats, Nil, autoStatsFor(phys, physStats, Nil))
+        if (cur0.colMap.isEmpty) raw
+        else {
+          val back = cur0.colMap.map(_.swap)
+          raw.map(e => e.copy(stats = e.stats.map { case (k, v) =>
+            back.getOrElse(k, k) -> v }))
+        }
       } else {
         // re-layout into the table's partition scheme, then drop the
-        // flat staged files (they never entered the log)
+        // flat staged files (they never entered the log); staged
+        // physical names surface as logical before writeFiles maps
+        // them back down
         val df = cur0.schemaDdl match {
-          case Some(ddl) => spark.read.schema(
-            org.apache.spark.sql.types.StructType.fromDDL(ddl))
-            .parquet(stagingDir)
+          case Some(ddl) =>
+            val logical = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+            spark.read.schema(physicalSchema(logical, cur0.colMap))
+              .parquet(stagingDir)
+              .toDF(logical.fieldNames.toIndexedSeq: _*)
           case None => spark.read.parquet(stagingDir)
         }
-        val es = writeFiles(spark, dir, df, cur0.statsCol, cur0.partCols)
+        val es = writeFiles(spark, dir, df, cur0.statsCol, cur0.partCols,
+          Nil, cur0.colMap)
         f.delete(new Path(stagingDir), true)
         es
       }
     // write-time change capture: diff depends only on (replaced, adds),
     // both immutable — computed ONCE, valid across commit retries
-    val cdcPath = writeCdcDiff(spark, dir, cur0.schemaDdl, Map.empty,
+    val cdcPath = writeCdcDiff(spark, dir, cur0.schemaDdl, cur0.colMap,
       replaced, adds, cdcLabels)
     var guard = 0
     while (guard < 50) {

@@ -184,12 +184,8 @@ class GraftManifestTable(dir: String, version: Int, dataSchema: StructType,
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    // note: built eagerly at ANALYSIS even for DELETEs that later
-    // convert back to the metadata path — the column-mapping refusal
-    // therefore lives in the operation's scan builder, which only
-    // runs when the rewrite is actually planned
     () => new GraftRowLevelOperation(dir, dataSchema, entries, statsCol,
-      info.command, mapped)
+      info.command, colMap)
 
   import GraftManifestTable.filterToColumn
 
@@ -303,8 +299,13 @@ class GraftRowLevelOperation(dir: String, dataSchema: StructType,
     entries: Vector[ManifestTable.ManifestEntry],
     statsCol: Option[String],
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
-    mapped: Boolean = false)
+    colMap: Map[String, String] = Map.empty)
   extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  private def mapped: Boolean = colMap.exists { case (l, p) => l != p }
+  /** The logical schema with stored (physical) field names. */
+  private def physSchema: StructType =
+    ManifestTable.physicalSchema(dataSchema, colMap)
 
   /** The manifest entries the COW scan actually planned — these ARE
     * the groups being replaced, so the commit removes exactly them
@@ -344,20 +345,29 @@ class GraftRowLevelOperation(dir: String, dataSchema: StructType,
       override def pushedFilters: Array[Predicate] = Array.empty
       override def build(): Scan = {
         val spark = SparkSession.active
-        if (mapped) throw new UnsupportedOperationException(
-          s"UPDATE/MERGE INTO column-mapped table $dir is not " +
-            "supported — Spark's replace-data write stages files under " +
-            "logical names; use ManifestTable.mergeCommit, or DELETE " +
-            "(which rewrites through the mapped path)")
+        // group-filter pruning runs in LOGICAL space (the recorded
+        // stats/partition keys are logical), so mapped tables prune
+        // the same way unmapped ones do
         val kept = ManifestFileIndex.pruneEntries(entries, statsCol,
           groupFilters)
         op.scannedEntries = kept
         val (dirtyK, cleanK) = kept.partition(_.dv.isDefined)
+        // the COW scan of a MAPPED table reads the files' stored
+        // (physical) names and reports the logical ones — rows are
+        // positional, so the rewrite pipeline never notices
         def bare(es: Vector[ManifestTable.ManifestEntry]) =
           ParquetScanBuilder(spark,
-            new ManifestFileIndex(spark, es, None, Some(dataSchema)),
-            dataSchema, dataSchema, CaseInsensitiveStringMap.empty())
-        if (dirtyK.isEmpty) bare(cleanK).build()
+            new ManifestFileIndex(spark, es, None, Some(physSchema)),
+            physSchema, physSchema, CaseInsensitiveStringMap.empty())
+        def logicalFace(is: Scan): Scan =
+          if (!mapped) is
+          else new Scan {
+            override def readSchema(): StructType = dataSchema
+            override def description(): String =
+              is.description() + " (column-mapped cow)"
+            override def toBatch: Batch = is.toBatch
+          }
+        if (dirtyK.isEmpty) logicalFace(bare(cleanK).build())
         else
           // DML on a MOR table: the COW scan applies the deletion
           // vectors, so the rewrite copies forward LIVE rows only and
@@ -384,7 +394,21 @@ class GraftRowLevelOperation(dir: String, dataSchema: StructType,
           case Command.DELETE => ("delete", "insert")
           case _ => ("update_preimage", "update_postimage")
         }
-        new GraftReplaceDataWrite(dir, () => scannedEntries, info, labels)
+        // mapped table: stage the replacement files under the STORED
+        // (physical) names — the parquet writer takes its field names
+        // from the write schema, and rows are positional either way
+        val writeInfo: LogicalWriteInfo =
+          if (!mapped) info
+          else new LogicalWriteInfo {
+            override def queryId(): String = info.queryId()
+            override def schema(): StructType =
+              ManifestTable.physicalSchema(info.schema(), colMap)
+            override def options()
+                : org.apache.spark.sql.util.CaseInsensitiveStringMap =
+              info.options()
+          }
+        new GraftReplaceDataWrite(dir, () => scannedEntries, writeInfo,
+          labels)
       }
     }
 }

@@ -77,11 +77,24 @@ class GraftManifestCatalogSpec extends AnyFunSuite {
       spark.sql(s"DELETE FROM $cat.r WHERE k >= 110")
       assert(spark.sql(s"SELECT count(*) c FROM $cat.r")
         .first().getLong(0) == 110)
-      // UPDATE on a mapped table is refused loudly, never corrupts
-      val e = intercept[Exception] {
-        spark.sql(s"UPDATE $cat.r SET amount = 0 WHERE k = 1")
-      }
-      assert(e.getMessage.contains("column-mapped"))
+      // UPDATE works on the mapped table: the replace-data write
+      // stages files under the STORED names and reads back exact
+      spark.sql(s"UPDATE $cat.r SET amount = amount + 7 WHERE k < 10")
+      assert(spark.sql(s"SELECT CAST(sum(amount) AS BIGINT) s FROM " +
+        s"$cat.r").first().getLong(0) ==
+        (0L until 110L).map(_ * 2).sum + 70)
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.r")
+        .first().getLong(0) == 110)
+      // the rewritten files carry the PHYSICAL column name ('v'), so
+      // every file of every era reads under one physical schema
+      val lastFile = ManifestTable.snapshot(spark, dir).paths.last
+      val raw = spark.read.parquet(lastFile)
+      assert(raw.columns.contains("v") && !raw.columns.contains("amount"))
+      // and the change feed captured the update's exact images
+      val to = ManifestTable.snapshot(spark, dir).version
+      val feed = ManifestTable.changeFeedRows(spark, dir, to - 1, to)
+      assert(feed.filter(col("_change_type") === "update_postimage")
+        .count() == 10)
     }
   }
 
