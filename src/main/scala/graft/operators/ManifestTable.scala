@@ -114,7 +114,12 @@ object ManifestTable {
       // (like part_cols; Some(empty) resets). Physical names never
       // change once assigned — that is what makes RENAME/DROP pure
       // metadata commits
-      colMap: Option[Map[String, String]] = None) {
+      colMap: Option[Map[String, String]] = None,
+      // CHECK constraints (Delta's table constraints): name →
+      // predicate SQL over LOGICAL column names; replaced wholesale
+      // like colMap. Every data-adding commit validates its incoming
+      // rows (NULL predicate passes — SQL standard CHECK semantics)
+      checks: Option[Map[String, String]] = None) {
     /** The files this commit ADDED (a change-feed consumes exactly
       * these — with a delta log the CDC read needs no file-set diff). */
     def paths: Vector[String] = adds.map(_.path)
@@ -130,7 +135,9 @@ object ManifestTable {
       txns: Map[String, Int] = Map.empty,
       partCols: Seq[String] = Nil,
       // logical→physical column names (empty = identity, no mapping)
-      colMap: Map[String, String] = Map.empty) {
+      colMap: Map[String, String] = Map.empty,
+      // CHECK constraints: name → predicate SQL (logical names)
+      checks: Map[String, String] = Map.empty) {
     def paths: Vector[String] = entries.map(_.path)
     def rows: Long = entries.map(_.rows).sum
     /** True when any logical name differs from its stored name. */
@@ -495,6 +502,7 @@ object ManifestTable {
     var txns = Map.empty[String, Int]
     var partCols: Seq[String] = Nil
     var colMap: Map[String, String] = Map.empty
+    var checks: Map[String, String] = Map.empty
     base.foreach { cv =>
       val st = readCheckpoint(spark, dir, cv)
       st.entries.foreach(e => em(e.path) = e)
@@ -503,6 +511,7 @@ object ManifestTable {
       txns = st.txns
       partCols = st.partCols
       colMap = st.colMap
+      checks = st.checks
     }
     ((base.getOrElse(0) + 1) to v).foreach { dv =>
       val d = readDelta(spark, dir, dv)
@@ -513,13 +522,14 @@ object ManifestTable {
       d.txn.foreach(t => txns += t -> dv)
       d.partCols.foreach(cs => partCols = cs)
       d.colMap.foreach(m => colMap = m)
+      d.checks.foreach(m => checks = m)
     }
     // the fold runs in STORED (table-relative) path space; the
     // resolved snapshot hands callers absolute paths
     Snapshot(v, em.values.toVector
       .map(e => e.copy(path = resolvePath(dir, e.path),
         dv = e.dv.map(resolvePath(dir, _))))
-      .sortBy(_.path), ddl, statsCol, txns, partCols, colMap)
+      .sortBy(_.path), ddl, statsCol, txns, partCols, colMap, checks)
   }
 
   /** Read one committed delta. The two-phase commit means a VISIBLE
@@ -581,9 +591,11 @@ object ManifestTable {
       .findFirstMatchIn(header)
       .map(m => m.group(1).split(",", -1).toSeq
         .filter(_.nonEmpty).map(jsonUnescape))
-    // col_map rides the header as an inline object in the part-body
-    // grammar; Some(empty) is a meaningful reset (overwrite)
+    // col_map / checks ride the header as inline objects in the
+    // part-body grammar; Some(empty) is a meaningful reset (overwrite)
     val colMap = """"col_map"\s*:\s*\{([^{}]*)\}""".r
+      .findFirstMatchIn(header).map(m => parsePartBody(m.group(1)))
+    val checks = """"checks"\s*:\s*\{([^{}]*)\}""".r
       .findFirstMatchIn(header).map(m => parsePartBody(m.group(1)))
     // one action per line after the header: adds carry "rows",
     // removes carry "remove": true
@@ -618,7 +630,7 @@ object ManifestTable {
         }
       }
     Delta(v, adds.result(), removes.result(), compaction, txn,
-      schemaDdl, statsCol, partCols, mor, cdc, colMap)
+      schemaDdl, statsCol, partCols, mor, cdc, colMap, checks)
   }
 
   /** Read the table at a snapshot — only that version's files, never
@@ -924,7 +936,7 @@ object ManifestTable {
         .map(n => n ->
           s"col-${java.util.UUID.randomUUID().toString.take(8)}").toMap
     val newEntries = writeFiles(spark, dir, df, statsCol, pre.partCols,
-      Nil, pre.colMap ++ mapAdd)
+      Nil, pre.colMap ++ mapAdd, pre.checks)
     var committed: Option[Int] = None
     var guard = 0
     while (committed.isEmpty && guard < 50) {
@@ -968,7 +980,8 @@ object ManifestTable {
       partCols: Option[Seq[String]] = None,
       mor: Boolean = false,
       cdc: Option[String] = None,
-      colMap: Option[Map[String, String]] = None): Option[Int] = {
+      colMap: Option[Map[String, String]] = None,
+      checks: Option[Map[String, String]] = None): Option[Int] = {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
     val target = new Path(manifestDir(dir), manifestName(version))
@@ -978,6 +991,7 @@ object ManifestTable {
       cdc.map(c => s""", "cdc": "${jsonEscape(relativize(f, dir, c))}"""")
         .getOrElse("") +
       colMap.map(m => s""", "col_map": {${partBody(m)}}""").getOrElse("") +
+      checks.map(m => s""", "checks": {${partBody(m)}}""").getOrElse("") +
       txn.map(t => s""", "txn": "${jsonEscape(t)}"""").getOrElse("") +
       schemaDdl.map(d => s""", "schema": "${jsonEscape(d)}"""").getOrElse("") +
       statsCol.map(c => s""", "stats_col": "${jsonEscape(c)}"""").getOrElse("") +
@@ -1061,13 +1075,15 @@ object ManifestTable {
       part_cols: Option[String] = None,
       dv_path: Option[String] = None,
       dv_rows_del: Option[Long] = None,
-      // meta row: the column mapping in the part-body grammar
-      col_map: Option[String] = None)
+      // meta row: the column mapping / CHECK constraints in the
+      // part-body grammar
+      col_map: Option[String] = None,
+      checks_body: Option[String] = None)
 
   private final case class CkptState(entries: Vector[ManifestEntry],
       schemaDdl: Option[String], statsCol: Option[String],
       txns: Map[String, Int], partCols: Seq[String],
-      colMap: Map[String, String])
+      colMap: Map[String, String], checks: Map[String, String])
 
   /** Checkpoints are immutable once `_SUCCESS` lands — cache them so
     * commit-loop snapshot resolution pays the parquet read once. */
@@ -1105,7 +1121,8 @@ object ManifestTable {
         if (snap.partCols.isEmpty) None
         else Some(snap.partCols.map(fieldEscape).mkString(",")),
         None, None,
-        if (snap.colMap.isEmpty) None else Some(partBody(snap.colMap)))) ++
+        if (snap.colMap.isEmpty) None else Some(partBody(snap.colMap)),
+        if (snap.checks.isEmpty) None else Some(partBody(snap.checks)))) ++
       snap.txns.toVector.sortBy(_._2).map { case (t, tv) =>
         CkptRow("txn", None, None, None, None, None, None,
           Some(t), Some(tv)) }
@@ -1131,7 +1148,7 @@ object ManifestTable {
     // so old checkpoints keep resolving
     val want = Seq("kind", "path", "rows", "lo", "hi", "schema_ddl",
       "stats_col", "txn", "txn_version", "part_body", "stats_body",
-      "part_cols", "dv_path", "dv_rows_del", "col_map")
+      "part_cols", "dv_path", "dv_rows_del", "col_map", "checks_body")
     val have = df0.columns.toSet
     val rows = df0.select(want.map(c =>
         if (have.contains(c)) org.apache.spark.sql.functions.col(c)
@@ -1144,6 +1161,7 @@ object ManifestTable {
     var txns = Map.empty[String, Int]
     var partCols: Seq[String] = Nil
     var colMap: Map[String, String] = Map.empty
+    var checks: Map[String, String] = Map.empty
     rows.foreach { r =>
       def optS(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
       def optL(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
@@ -1159,12 +1177,13 @@ object ManifestTable {
           partCols = optS(11).map(_.split(",", -1).toSeq
             .filter(_.nonEmpty).map(jsonUnescape)).getOrElse(Nil)
           colMap = optS(14).map(parsePartBody).getOrElse(Map.empty)
+          checks = optS(15).map(parsePartBody).getOrElse(Map.empty)
         case "txn" =>
           txns += r.getString(7) -> r.getInt(8)
       }
     }
     val st = CkptState(entries.result(), ddl, statsCol, txns, partCols,
-      colMap)
+      colMap, checks)
     if (ckptCache.size > 8) ckptCache.clear() // crude bound; entries are
                                               // immutable so only a perf hit
     ckptCache.put(key, st)
@@ -1200,7 +1219,8 @@ object ManifestTable {
       df0: DataFrame, statsCol: Option[String],
       partitionCols: Seq[String] = Nil,
       statsCols: Seq[String] = Nil,
-      colMap: Map[String, String] = Map.empty): Vector[ManifestEntry] = {
+      colMap: Map[String, String] = Map.empty,
+      checks: Map[String, String] = Map.empty): Vector[ManifestEntry] = {
     import org.apache.spark.sql.functions._
     // column-mapped tables store PHYSICAL names in every file: rename
     // the frame before writing, run the stats read-back in physical
@@ -1223,6 +1243,20 @@ object ManifestTable {
         s"__p_$c" -> hex(encode(col(c).cast("string"), "UTF-8"))).toMap)
       .write.partitionBy(physParts.map(c => s"__p_$c"): _*)
       .mode("errorifexists").parquet(sub)
+    // CHECK enforcement runs over the WRITTEN bytes (a
+    // non-deterministic upstream could pass a pre-write validation
+    // and still write violating rows): one aggregate pass over the
+    // NEW files only, before anything is committed — a rejected
+    // write leaves orphan files for vacuum, like a crash.
+    // Content-preserving maintenance passes Map.empty (its rows were
+    // validated when they first arrived).
+    if (checks.nonEmpty) {
+      val back0 = spark.read.parquet(sub)
+      val backL =
+        if (colMap.isEmpty) back0
+        else back0.withColumnsRenamed(colMap.map(_.swap))
+      enforceChecks(spark, backL, checks, s"write to $dir")
+    }
     val effectiveStats =
       if (statsCols.nonEmpty) statsCols.map(phys)
       else autoStatsFor(df.schema, statsCol.map(phys), physParts)
@@ -1235,6 +1269,29 @@ object ManifestTable {
       raw.map(e => e.copy(
         part = e.part.map { case (k, v) => logi(k) -> v },
         stats = e.stats.map { case (k, v) => logi(k) -> v }))
+    }
+  }
+
+  /** Enforce the table's CHECK constraints over incoming LOGICAL rows
+    * in ONE aggregate pass (SQL standard semantics: a NULL predicate
+    * PASSES; a violation is predicate = FALSE). Throws naming the
+    * first violated constraint and its violation count — the caller
+    * never commits, so a rejected write leaves only orphan files for
+    * vacuum, exactly like a crashed one. */
+  private def enforceChecks(spark: SparkSession, df: DataFrame,
+      checks: Map[String, String], context: String): Unit = {
+    import org.apache.spark.sql.functions._
+    if (checks.isEmpty) return
+    val named = checks.toSeq
+    val aggs = named.zipWithIndex.map { case ((_, p), i) =>
+      sum(when(not(coalesce(expr(p), lit(true))), 1L).otherwise(0L))
+        .as(s"__c$i") }
+    val row = df.agg(aggs.head, aggs.tail: _*).first()
+    named.zipWithIndex.foreach { case ((n, p), i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (bad > 0) throw new IllegalArgumentException(
+        s"$context: CHECK constraint $n ($p) violated by $bad " +
+          "incoming row(s) — nothing was committed")
     }
   }
 
@@ -1353,15 +1410,16 @@ object ManifestTable {
     // a partitioned table's appends keep its layout automatically —
     // the partition spec (and the column mapping) is table metadata,
     // not a per-write choice
-    val (tablePartCols, tableColMap) =
+    val (tablePartCols, tableColMap, tableChecks) =
       if (versions(spark, dir).isEmpty)
-        (Nil: Seq[String], Map.empty[String, String])
+        (Nil: Seq[String], Map.empty[String, String],
+          Map.empty[String, String])
       else {
         val sn = snapshot(spark, dir)
-        (sn.partCols, sn.colMap)
+        (sn.partCols, sn.colMap, sn.checks)
       }
     val newEntries = writeFiles(spark, dir, df, statsCol, tablePartCols,
-      Nil, tableColMap)
+      Nil, tableColMap, tableChecks)
     var committed: Option[Int] = None
     var guard = 0
     while (committed.isEmpty && guard < 50) {
@@ -1423,6 +1481,75 @@ object ManifestTable {
     committed.getOrElse(sys.error(s"evolveSchema lost 50 races at $dir"))
   }
 
+  /** ALTER TABLE ADD CONSTRAINT <name> CHECK (<predicate>) — Delta's
+    * table constraints: the predicate (SQL over logical column names)
+    * rides the log like the schema, EXISTING rows are validated
+    * before the commit (a constraint the table already violates is
+    * refused — Delta's semantics), and every later data-adding commit
+    * validates its incoming rows in one aggregate pass over the new
+    * files ([[enforceChecks]]; NULL predicate passes, the SQL
+    * standard). NOT NULL is the degenerate spelling
+    * `CHECK (col IS NOT NULL)`. */
+  def addCheck(spark: SparkSession, dir: String, name: String,
+      predicateSql: String): Int = {
+    import org.apache.spark.sql.functions._
+    var guard = 0
+    while (guard < 50) {
+      val cur = snapshot(spark, dir)
+      require(!cur.checks.contains(name),
+        s"addCheck: constraint $name already exists on $dir")
+      // validate the predicate parses AND holds over the CURRENT rows
+      val bad = read(spark, dir, Some(cur.version))
+        .filter(not(coalesce(expr(predicateSql), lit(true))))
+        .limit(1).count()
+      require(bad == 0,
+        s"addCheck: existing rows of $dir violate $name " +
+          s"($predicateSql) — a constraint the table already breaks " +
+          "cannot be added")
+      tryCommit(spark, dir, cur.version + 1,
+        adds = Vector.empty, removes = Vector.empty,
+        checks = Some(cur.checks + (name -> predicateSql))) match {
+        case Some(v) => return v
+        case None => guard += 1
+      }
+    }
+    sys.error(s"addCheck lost 50 commit races at $dir")
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT — a metadata commit removing the
+    * named CHECK; later writes stop validating it. */
+  def dropCheck(spark: SparkSession, dir: String, name: String): Int = {
+    var guard = 0
+    while (guard < 50) {
+      val cur = snapshot(spark, dir)
+      require(cur.checks.contains(name),
+        s"dropCheck: no constraint $name on $dir " +
+          s"(have: ${cur.checks.keys.mkString(", ")})")
+      tryCommit(spark, dir, cur.version + 1,
+        adds = Vector.empty, removes = Vector.empty,
+        checks = Some(cur.checks - name)) match {
+        case Some(v) => return v
+        case None => guard += 1
+      }
+    }
+    sys.error(s"dropCheck lost 50 commit races at $dir")
+  }
+
+  /** Conservative word-boundary test: does any CHECK predicate
+    * mention `col`? Used to refuse renaming/dropping a constrained
+    * column (false positives refuse loudly; false negatives are
+    * impossible for plain identifiers — quoted/expression edge cases
+    * err toward refusal). */
+  private def checkMentions(checks: Map[String, String],
+      col: String): Option[String] = {
+    val pat = ("(?i)(^|[^A-Za-z0-9_`])" +
+      java.util.regex.Pattern.quote(col) + "($|[^A-Za-z0-9_])").r
+    checks.collectFirst {
+      case (n, p) if pat.findFirstIn(p).isDefined ||
+        p.contains(s"`$col`") => n
+    }
+  }
+
   /** ALTER TABLE RENAME COLUMN as a pure METADATA commit (Delta's
     * column-mapping rename): the stored (physical) names in the data
     * files never change — the commit re-binds the logical name in the
@@ -1452,6 +1579,9 @@ object ManifestTable {
       require(!cur.partCols.contains(from),
         s"renameColumn: $from is a partition column — partition names " +
           "key the layout tuples and cannot be re-bound")
+      checkMentions(cur.checks, from).foreach(n => sys.error(
+        s"renameColumn: $from is referenced by CHECK constraint $n — " +
+          "drop the constraint first, then re-add it under the new name"))
       val map0 =
         if (cur.colMap.isEmpty) base.fieldNames.map(n => n -> n).toMap
         else cur.colMap
@@ -1496,6 +1626,9 @@ object ManifestTable {
       require(!cur.statsCol.contains(name),
         s"dropColumn: $name is the declared stats column — re-declare " +
           "stats first")
+      checkMentions(cur.checks, name).foreach(n => sys.error(
+        s"dropColumn: $name is referenced by CHECK constraint $n — " +
+          "drop the constraint first"))
       val map0 =
         if (cur.colMap.isEmpty) base.fieldNames.map(n => n -> n).toMap
         else cur.colMap
@@ -1561,7 +1694,8 @@ object ManifestTable {
       // and the column mapping with it (the new files speak the new
       // schema's own names)
       partCols = Some(partitionBy),
-      colMap = if (cur.colMap.isEmpty) None else Some(Map.empty))
+      colMap = if (cur.colMap.isEmpty) None else Some(Map.empty),
+      checks = if (cur.checks.isEmpty) None else Some(Map.empty))
       .getOrElse(sys.error(s"concurrent commit at $dir — overwrite " +
         "is not auto-retried: rebase on the new version first"))
   }
@@ -1590,7 +1724,7 @@ object ManifestTable {
     // dynamic overwrite must not erode the skipping index of every
     // partition the daily reprocess touches
     val newEntries = writeFiles(spark, dir, df, snap0.statsCol, partCols,
-      Nil, snap0.colMap)
+      Nil, snap0.colMap, snap0.checks)
     val touched = newEntries.map(_.part).toSet
     var guard = 0
     while (guard < 50) {
@@ -1635,7 +1769,8 @@ object ManifestTable {
         schemaDdl = target.schemaDdl,
         statsCol = target.statsCol,
         partCols = Some(target.partCols),
-        colMap = Some(target.colMap)) match {
+        colMap = Some(target.colMap),
+        checks = Some(target.checks)) match {
         case Some(v) => return v
         case None => guard += 1
       }
@@ -1681,6 +1816,11 @@ object ManifestTable {
           .getOrElse(spark.read.parquet(stagingDir).schema)
         val phys = physicalSchema(st, cur0.colMap)
         val physStats = cur0.statsCol.map(c => cur0.colMap.getOrElse(c, c))
+        if (cur0.checks.nonEmpty)
+          enforceChecks(spark,
+            spark.read.schema(phys).parquet(stagingDir)
+              .toDF(st.fieldNames.toIndexedSeq: _*),
+            cur0.checks, s"replace-data write to $dir")
         val raw = entriesFromDir(spark, stagingDir, phys.fieldNames.toSeq,
           physStats, Nil, autoStatsFor(phys, physStats, Nil))
         if (cur0.colMap.isEmpty) raw
@@ -1703,7 +1843,7 @@ object ManifestTable {
           case None => spark.read.parquet(stagingDir)
         }
         val es = writeFiles(spark, dir, df, cur0.statsCol, cur0.partCols,
-          Nil, cur0.colMap)
+          Nil, cur0.colMap, cur0.checks)
         f.delete(new Path(stagingDir), true)
         es
       }
@@ -1796,7 +1936,7 @@ object ManifestTable {
       // a merge rewrites content, not layout: partitioned tables stay
       // partitioned (and mapped) through DML
       val entries = writeFiles(spark, dir, merged, statsCol, cur.partCols,
-        Nil, cur.colMap)
+        Nil, cur.colMap, cur.checks)
       // both diff sides read with the POST-merge schema (old files
       // null-fill), matching the schema the commit records
       val cdcPath = cdcLabels.flatMap(lbl => writeCdcDiff(spark, dir,

@@ -1394,6 +1394,70 @@ object Extensions extends QueryPack {
       }
     }),
 
+    // -- x60: CHECK constraints enforced on write -------------------------
+    // Delta's table constraints through Spark 4's DSv2 constraint API:
+    // the predicate rides the log, ADD CONSTRAINT validates existing
+    // rows first (refused if the table already violates it), every
+    // data-adding commit validates its incoming rows in one aggregate
+    // pass over the NEW files, and a violating batch is rejected
+    // ATOMICALLY (no partial rows — the files never enter the log).
+    // DROP CONSTRAINT re-opens the door. The final state is fully
+    // deterministic: the valid slices plus the post-drop outlier.
+    "x60_check_constraints" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      val cat = s"gx60_${java.util.UUID.randomUUID().toString.take(8)}"
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-x60-").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        Tables(s, dir).orders.select($"o_orderkey".as("k"),
+          $"o_orderstatus".as("st"),
+          floor($"o_totalprice" * 100).cast("long").as("cents"))
+          .createOrReplaceTempView(s"${cat}_src")
+        s.sql(s"CREATE TABLE $cat.t (k BIGINT, st STRING, cents BIGINT)")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM ${cat}_src " +
+          "WHERE k % 2 = 0")
+        s.sql(s"ALTER TABLE $cat.t ADD CONSTRAINT pos " +
+          "CHECK (cents > 0)")
+        // a constraint the current rows violate is refused
+        val validateRefused = scala.util.Try(
+          s.sql(s"ALTER TABLE $cat.t ADD CONSTRAINT impossible " +
+            "CHECK (cents < 0)")).isFailure &&
+          !ManifestTable.snapshot(s, s"$wh/t").checks
+            .contains("impossible")
+        // valid rows land under the constraint
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM ${cat}_src " +
+          "WHERE k % 2 = 1")
+        val work = s"$wh/t"
+        val before = ManifestTable.read(s, work).count()
+        // a batch with ONE bad row is rejected whole (atomicity)
+        val badRejected = scala.util.Try(
+          s.sql(s"INSERT INTO $cat.t VALUES " +
+            "(900000001, 'Z', 100), (900000002, 'Z', -7)")).isFailure
+        val atomic = ManifestTable.read(s, work).count() == before
+        // drop re-opens the door; the outlier is deterministic
+        s.sql(s"ALTER TABLE $cat.t DROP CONSTRAINT pos")
+        s.sql(s"INSERT INTO $cat.t VALUES (900000002, 'Z', -7)")
+        s.sql(s"SELECT st, CAST(count(*) AS BIGINT) AS n_rows, " +
+            s"CAST(sum(cents) AS BIGINT) AS sum_cents FROM $cat.t " +
+            "GROUP BY st ORDER BY st")
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            validateRefused, badRejected, atomic))
+          .toDF("st", "n_rows", "sum_cents", "validate_refused",
+            "bad_rejected", "atomic")
+      } finally {
+        s.catalog.dropTempView(s"${cat}_src")
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(wh))
+      }
+    }),
+
     // -- x59: unconditional multi-column file stats -----------------------
     // Delta collects min/max for the first N leaf columns on every
     // write, DDL or not — that default is what lets an AD-HOC range
@@ -3195,6 +3259,21 @@ object Extensions extends QueryPack {
         |FROM orders
         |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 2)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // every order exactly once plus the deterministic post-drop
+    // outlier row; the refusal/atomicity predicates ride as TRUEs
+    "x60_check_constraints" ->
+      """WITH t AS (
+        |  SELECT o_orderstatus AS st,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |  UNION ALL SELECT 'Z', -7)
+        |SELECT st, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  TRUE AS validate_refused,
+        |  TRUE AS bad_rejected,
+        |  TRUE AS atomic
+        |FROM t GROUP BY st ORDER BY st""".stripMargin,
 
     // both halves of orders under the renamed column; the
     // metadata-only / time-travel / drop predicates ride as TRUEs

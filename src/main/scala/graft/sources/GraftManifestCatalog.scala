@@ -77,6 +77,13 @@ class GraftManifestCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  /** ALTER TABLE … ADD/DROP CONSTRAINT parse only when the catalog
+    * declares the capability. */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def spark = SparkSession.active
   private def fs = new Path(warehouse)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -119,7 +126,7 @@ class GraftManifestCatalog extends TableCatalog with SupportsNamespaces
     val schema = snap.schemaDdl.map(StructType.fromDDL).getOrElse(
       spark.read.parquet(snap.paths: _*).schema)
     new GraftManifestTable(dir.toString, snap.version, schema,
-      snap.entries, snap.statsCol, snap.colMap)
+      snap.entries, snap.statsCol, snap.colMap, snap.checks)
   }
 
   override def loadTable(ident: Identifier): Table =
@@ -186,10 +193,27 @@ class GraftManifestCatalog extends TableCatalog with SupportsNamespaces
         ManifestTable.dropColumn(spark, dir.toString,
           one(d.fieldNames, "DROP COLUMN"))
         None
+      case a: TableChange.AddConstraint =>
+        a.constraint match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            ManifestTable.addCheck(spark, dir.toString, c.name,
+              c.predicateSql)
+          case other => throw new UnsupportedOperationException(
+            s"only CHECK constraints are supported, got $other — " +
+              "PK/FK/UNIQUE are informational elsewhere; this engine " +
+              "keeps only constraints it can ENFORCE")
+        }
+        None
+      case d: TableChange.DropConstraint =>
+        if (!d.ifExists ||
+            ManifestTable.snapshot(spark, dir.toString).checks
+              .contains(d.name))
+          ManifestTable.dropCheck(spark, dir.toString, d.name)
+        None
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE ${other.getClass.getSimpleName}: only ADD / " +
-          "RENAME / DROP COLUMN evolve the log (the schema never " +
-          "coerces)")
+          "RENAME / DROP COLUMN and ADD / DROP CONSTRAINT evolve the " +
+          "log (the schema never coerces)")
     }
     if (adds.nonEmpty)
       ManifestTable.evolveSchema(spark, dir.toString,

@@ -156,18 +156,31 @@ class GraftManifestSource extends TableProvider with DataSourceRegister
     val options = new CaseInsensitiveStringMap(properties)
     val (snap, entries) = resolveEntries(options)
     new GraftManifestTable(tableDir(options), snap.version, schema,
-      entries, snap.statsCol, snap.colMap)
+      entries, snap.statsCol, snap.colMap, snap.checks)
   }
 }
 
 class GraftManifestTable(dir: String, version: Int, dataSchema: StructType,
     entries: Vector[ManifestTable.ManifestEntry], statsCol: Option[String],
-    colMap: Map[String, String] = Map.empty)
+    colMap: Map[String, String] = Map.empty,
+    checks: Map[String, String] = Map.empty)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   private def mapped: Boolean = colMap.exists { case (l, p) => l != p }
+
+  /** The log's CHECK constraints surfaced through DSv2 (Spark 4's
+    * table-constraint API) — DESCRIBE shows them, and Spark's own
+    * ResolveTableConstraints can validate V2 writes against them; the
+    * engine's write paths enforce them regardless of entry door. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    checks.toArray.sortBy(_._1).map { case (n, p) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(p).build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }
 
   /** SQL UPDATE / MERGE INTO / non-translatable DELETE — Spark's
     * row-level-operation rewrite (RewriteUpdateTable & co.) against a

@@ -98,6 +98,64 @@ class GraftManifestCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("CHECK constraints: validated on add, enforced atomically on " +
+      "every write door, dropped on demand, reset by overwrite") {
+    withCatalog { cat =>
+      import graft.operators.ManifestTable
+      spark.sql(s"CREATE TABLE $cat.k (k BIGINT, cents BIGINT)")
+      spark.sql(s"INSERT INTO $cat.k SELECT id, id * 10 FROM range(50)")
+      val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      val dir = s"$wh/k"
+      spark.sql(s"ALTER TABLE $cat.k ADD CONSTRAINT nonneg " +
+        "CHECK (cents >= 0)")
+      assert(ManifestTable.snapshot(spark, dir).checks ==
+        Map("nonneg" -> "cents >= 0"))
+      // a constraint existing rows violate is refused
+      val e1 = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.k ADD CONSTRAINT impossible " +
+          "CHECK (cents > 100)")
+      }
+      assert(e1.getMessage.contains("existing rows"))
+      // good writes land; violating writes are rejected ATOMICALLY
+      spark.sql(s"INSERT INTO $cat.k SELECT id + 50, (id + 50) * 10 " +
+        "FROM range(10)")
+      val e2 = intercept[Exception] {
+        spark.sql(s"INSERT INTO $cat.k VALUES (900, 5), (901, -1)")
+      }
+      assert(e2.getMessage.contains("nonneg"))
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.k")
+        .first().getLong(0) == 60) // not even the valid row of the batch
+      // NULL predicate PASSES (SQL standard CHECK semantics)
+      spark.sql(s"INSERT INTO $cat.k VALUES (902, NULL)")
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.k")
+        .first().getLong(0) == 61)
+      // the Scala door enforces the same log-carried constraint
+      import spark.implicits._
+      val e3 = intercept[Exception] {
+        ManifestTable.append(spark, dir,
+          Seq((903L, -5L)).toDF("k", "cents"))
+      }
+      assert(e3.getMessage.contains("nonneg"))
+      // UPDATE through row-level ops is validated too
+      val e4 = intercept[Exception] {
+        spark.sql(s"UPDATE $cat.k SET cents = -cents WHERE k < 3 AND cents > 0")
+      }
+      assert(e4.getMessage != null)
+      assert(spark.sql(s"SELECT count(*) FILTER (WHERE cents < 0) c " +
+        s"FROM $cat.k").first().getLong(0) == 0)
+      // renaming a constrained column is refused while the check lives
+      val e5 = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.k RENAME COLUMN cents TO pennies")
+      }
+      assert(e5.getMessage.contains("nonneg"))
+      // DROP CONSTRAINT re-opens the door
+      spark.sql(s"ALTER TABLE $cat.k DROP CONSTRAINT nonneg")
+      spark.sql(s"INSERT INTO $cat.k VALUES (904, -1)")
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.k")
+        .first().getLong(0) == 62)
+    }
+  }
+
   test("column mapping survives a checkpoint: rename, force the fold, " +
       "resolve from the checkpoint alone") {
     withCatalog { cat =>
