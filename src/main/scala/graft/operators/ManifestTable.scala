@@ -478,6 +478,125 @@ object ManifestTable {
     }
   }
 
+  /** One driver-side CDF action — the planning unit the DSv2 front
+    * door turns into input partitions (Delta plans its CDF scans from
+    * the same three action kinds: AddFile → insert, AddCDCFile →
+    * capture, DV re-point → position-diff delete). */
+  sealed trait CdfAction { def version: Int }
+  /** An append/overwrite commit: its added files' rows are 'insert'. */
+  final case class CdfInsert(version: Int,
+      entries: Vector[ManifestEntry]) extends CdfAction
+  /** A COW rewrite with a write-time capture: the `_change_data`
+    * parquet (resolved path) already carries `_change_type`. */
+  final case class CdfCapture(version: Int, path: String) extends CdfAction
+  /** A merge-on-read DELETE: emit the affected files' rows at exactly
+    * `freshPos` — this commit's DV positions minus the previous
+    * version's, keyed in table-relative DV key space. */
+  final case class CdfMorDelete(version: Int,
+      entries: Vector[ManifestEntry],
+      freshPos: Map[String, Array[Long]]) extends CdfAction
+
+  /** The versions-(from, to] change feed as a PLAN instead of rows:
+    * same branch logic as [[changeFeedRows]] (compaction/purge skipped,
+    * captures preferred over re-inserts, MOR deletes as position
+    * diffs), but everything data-sized stays on executors — the only
+    * driver-side collect is the DV position diff, O(deleted rows), the
+    * same assumption every DV read already makes. The front door's
+    * streaming and batch CDF faces both plan from this. */
+  def changeFeedActions(spark: SparkSession, dir: String,
+      fromVersion: Int, toVersion: Int): Vector[CdfAction] = {
+    import org.apache.spark.sql.functions._
+    require(fromVersion <= toVersion,
+      s"changeFeedActions: $fromVersion is past $toVersion")
+    ((fromVersion + 1) to toVersion).toVector.flatMap { v =>
+      val d = readDelta(spark, dir, v)
+      if (d.compaction) None
+      else if (d.cdc.isDefined)
+        Some(CdfCapture(v, resolvePath(dir, d.cdc.get)))
+      else if (d.mor) {
+        val bp = baseUriPath(spark, dir)
+        val prev = resolve(spark, dir, v - 1)
+        val affected = d.adds.map(e =>
+          e.copy(path = resolvePath(dir, e.path),
+            dv = e.dv.map(resolvePath(dir, _))))
+        val newPos = deletedPositions(spark, dir, affected)
+        val prevByPath = prev.entries
+          .map(e => new Path(e.path).toUri.getPath -> e).toMap
+        val oldAffected = affected.flatMap(e =>
+          prevByPath.get(new Path(resolvePath(dir, e.path)).toUri.getPath))
+          .filter(_.dv.isDefined)
+          .map(e => e.copy(path = resolvePath(dir, e.path),
+            dv = e.dv.map(resolvePath(dir, _))))
+        val oldPos = deletedPositions(spark, dir, oldAffected)
+        val fresh = newPos.map { case (k, ps) =>
+          val old = oldPos.getOrElse(k, Array.empty[Long])
+          k -> ps.filterNot(old.toSet)
+        }.filter(_._2.nonEmpty)
+        if (fresh.isEmpty) None else Some(CdfMorDelete(v, affected, fresh))
+      } else if (d.adds.isEmpty) None
+      else Some(CdfInsert(v,
+        d.adds.map(e => e.copy(path = resolvePath(dir, e.path)))))
+    }
+  }
+
+  /** SHALLOW CLONE (Delta's CLONE … SHALLOW): a NEW table whose first
+    * commit references the SOURCE's data files — zero bytes of data
+    * copied, independent log from then on (appends/DML/compaction on
+    * either side never touch the other). Because manifests store
+    * out-of-table paths absolute, the clone's entries keep resolving
+    * to the source's files after either directory moves; the clone's
+    * own vacuum only ever deletes files physically under ITS dir, so
+    * it can never reap source data. Deletion vectors need one real
+    * copy: DV keys are TABLE-RELATIVE to the source, so each
+    * referenced DV parquet is rewritten under the clone with
+    * ABSOLUTIZED keys (O(deleted rows), not O(data)) — the clone's
+    * reads then match them against the absolute source file paths.
+    * Caveat shared with Delta: vacuuming the SOURCE can remove files a
+    * shallow clone still references — clones are for short-lived
+    * experiments, or follow with a compaction to materialize. */
+  def cloneShallow(spark: SparkSession, srcDir: String, dstDir: String,
+      asOf: Option[Int] = None): Int = {
+    import org.apache.spark.sql.functions._
+    require(versions(spark, dstDir).isEmpty,
+      s"cloneShallow: target $dstDir is already a table")
+    val snap = snapshot(spark, srcDir, asOf)
+    val srcBase = baseUriPath(spark, srcDir)
+    val f = fs(spark, dstDir)
+    // rewrite each referenced DV parquet with absolute keys
+    val dvMap: Map[String, String] =
+      snap.entries.flatMap(_.dv).distinct.zipWithIndex.map {
+        case (dvRel, i) =>
+          val dvAbs = resolvePath(srcDir, dvRel)
+          val out = new Path(new Path(dstDir, "_dvs"),
+            s"clone-$i-${java.util.UUID.randomUUID().toString.take(8)}" +
+              ".parquet").toString
+          spark.read.parquet(dvAbs)
+            .select(
+              when(col("file").startsWith("/"), col("file"))
+                .otherwise(concat(lit(srcBase + "/"), col("file")))
+                .as("file"),
+              col("pos"))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(out)
+          dvRel -> out
+      }.toMap
+    val adds = snap.entries.map { e =>
+      e.copy(path = resolvePath(srcDir, e.path),
+        dv = e.dv.map(dvMap))
+    }
+    val ddl = snap.schemaDdl
+      .orElse(Some(read(spark, srcDir, asOf.orElse(Some(snap.version)))
+        .schema.toDDL))
+    f.mkdirs(new Path(dstDir))
+    tryCommit(spark, dstDir, 1, adds = adds, removes = Vector.empty,
+      schemaDdl = ddl, statsCol = snap.statsCol,
+      partCols = if (snap.partCols.nonEmpty) Some(snap.partCols) else None,
+      colMap = if (snap.colMap.nonEmpty) Some(snap.colMap) else None,
+      checks = if (snap.checks.nonEmpty) Some(snap.checks) else None)
+      .getOrElse(sys.error(
+        s"cloneShallow: lost the v1 commit race at $dstDir"))
+  }
+
   /** Resolve a snapshot: latest, or AS OF an exact version — one
     * checkpoint + at most [[CheckpointEvery]] tail deltas. */
   def snapshot(spark: SparkSession, dir: String,
@@ -1479,6 +1598,39 @@ object ManifestTable {
       guard += 1
     }
     committed.getOrElse(sys.error(s"evolveSchema lost 50 races at $dir"))
+  }
+
+  /** PARTITION EVOLUTION (Iceberg's headline spec-change): re-declare
+    * the table's partition columns in a METADATA commit — zero files
+    * move. Files written before the change keep their own partition
+    * tuples (or none); files after it carry the new spec. Reads need
+    * no migration because manifest partition pruning is PER-ENTRY:
+    * a pushed equality on a partition column drops exactly the files
+    * whose tuple excludes it and conservatively KEEPS files that never
+    * recorded that column ([[graft.sources.ManifestFileIndex]]'s
+    * `partOk`), so results stay exact across mixed-spec snapshots and
+    * pruning sharpens as old files compact away. `Nil` resets to
+    * unpartitioned (the log's Some(empty) reset, same as overwrite). */
+  def evolvePartitioning(spark: SparkSession, dir: String,
+      newCols: Seq[String]): Int = {
+    import org.apache.spark.sql.types.StructType
+    var guard = 0
+    while (guard < 50) {
+      val cur = snapshot(spark, dir)
+      val schema = cur.schemaDdl.map(StructType.fromDDL).getOrElse(
+        sys.error(s"evolvePartitioning: no log schema at $dir"))
+      newCols.foreach(c => require(schema.fieldNames.contains(c),
+        s"evolvePartitioning: $c is not a column of $dir " +
+          s"(${schema.fieldNames.mkString(", ")})"))
+      if (cur.partCols == newCols) return cur.version
+      tryCommit(spark, dir, cur.version + 1,
+        adds = Vector.empty, removes = Vector.empty,
+        partCols = Some(newCols)) match {
+        case Some(v) => return v
+        case None => guard += 1
+      }
+    }
+    sys.error(s"evolvePartitioning lost 50 commit races at $dir")
   }
 
   /** ALTER TABLE ADD CONSTRAINT <name> CHECK (<predicate>) — Delta's

@@ -1458,6 +1458,185 @@ object Extensions extends QueryPack {
       }
     }),
 
+    // -- x61: SHALLOW CLONE — a zero-copy table fork -----------------------
+    // Delta's CLONE … SHALLOW: the clone's first commit REFERENCES the
+    // source's data files (absolute paths in its own log; zero data
+    // bytes copied), and the logs are independent from then on —
+    // appends to the clone are invisible to the source, DML on the
+    // source is invisible to the clone. Deletion vectors are the one
+    // real copy (O(deleted rows)): DV keys are table-relative to the
+    // source, so the clone rewrites them ABSOLUTE — which this
+    // lifecycle proves by cloning a MOR-deleted snapshot and reading
+    // survivors exactly. CALL clone(...) is the SQL spelling of the
+    // same commit.
+    "x61_shallow_clone" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-clone-").toString
+      val src = s"$root/src"
+      val dst = s"$root/dst"
+      val t = Tables(s, dir).orders.select($"o_orderkey".as("k"),
+        $"o_orderstatus".as("st"),
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      try {
+        ManifestTable.create(s, src, t.filter($"k" % 2 === 0)
+          .repartition(3))
+        // MOR delete BEFORE the clone: the clone must carry the DVs
+        ManifestTable.deleteRowsMor(s, src, $"st" === "F")
+        ManifestTable.cloneShallow(s, src, dst)
+        // zero-copy: no data parquet lives under the clone (its only
+        // files are the log + the rewritten DVs)
+        val cloneFiles = {
+          val d = new java.io.File(dst)
+          def walk(f: java.io.File): Seq[java.io.File] =
+            if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+          walk(d).map(_.getPath)
+        }
+        val zeroCopy = !cloneFiles.exists(p =>
+          p.endsWith(".parquet") && !p.contains("_dvs") &&
+            !p.contains("_checkpoints"))
+        val cloneBefore = ManifestTable.read(s, dst).count()
+        // diverge both sides: append to the CLONE, COW-delete on the
+        // SOURCE — neither may see the other
+        ManifestTable.append(s, dst, t.filter($"k" % 2 === 1))
+        ManifestTable.mergeCommit(s, src,
+          cur => cur.filter($"st" =!= "O"))
+        val srcInvisible = ManifestTable.read(s, dst)
+          .filter($"st" === "O" && $"k" % 2 === 0).count() > 0
+        val cloneInvisible = ManifestTable.read(s, src)
+          .filter($"k" % 2 === 1).count() == 0
+        val dvExact = cloneBefore ==
+          t.filter($"k" % 2 === 0 && $"st" =!= "F").count()
+        ManifestTable.read(s, dst)
+          .groupBy($"st")
+          .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+          .orderBy($"st")
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            zeroCopy, dvExact, srcInvisible, cloneInvisible))
+          .toDF("st", "n_rows", "sum_cents", "zero_copy",
+            "dv_survivors_exact", "src_dml_invisible",
+            "clone_append_invisible")
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(root))
+      }
+    }),
+
+    // -- x62: the CHANGE FEED through the front door -----------------------
+    // Delta's batch readChangeFeed: spark.read.format("graft-manifest")
+    // .option("readChangeFeed", true).option("startingVersion", 1) —
+    // the row-level feed as a DataFrame, planned from log actions
+    // (inserts from added files, MOR deletes as DV position-diff
+    // partitions read through a keep-only cursor, COW updates from the
+    // write-time _change_data capture), with compaction silent. The
+    // front door must agree row-for-row with the Scala
+    // changeFeedRows — one feed, three doors.
+    "x62_cdf_front_door" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-cdfdoor-").toString + "/t"
+      val t = Tables(s, dir).orders.select($"o_orderkey".as("k"),
+        $"o_orderstatus".as("st"),
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      try {
+        ManifestTable.create(s, work, t.filter($"k" % 3 === 0)
+          .repartition(3))                                   // v1 insert
+        ManifestTable.append(s, work, t.filter($"k" % 3 === 1)
+          .repartition(2))                                   // v2 insert
+        ManifestTable.deleteRowsMor(s, work,
+          $"st" === "F" && $"k" % 3 === 0)                   // v3 MOR delete
+        val compactedV = ManifestTable.compactCommit(s, work,
+          targetBytes = 128L << 20)                          // v4 silent
+        ManifestTable.mergeCommit(s, work,                    // v5 COW update
+          cur => cur.withColumn("cents",
+            when($"st" === "P", $"cents" + 1).otherwise($"cents")),
+          cdcLabels = Some(("update_preimage", "update_postimage")))
+        val door = s.read.format("graft-manifest")
+          .option("readChangeFeed", "true")
+          .option("startingVersion", 1).load(work)
+        val scalaFeed = ManifestTable.changeFeedRows(s, work, 0,
+          ManifestTable.versions(s, work).last)
+        val matches =
+          door.exceptAll(scalaFeed).isEmpty &&
+            scalaFeed.exceptAll(door).isEmpty
+        val compactionSilent =
+          door.filter($"_commit_version" === compactedV).count() == 0
+        door.groupBy($"_change_type".as("change_type"))
+          .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+          .orderBy($"change_type")
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            matches, compactionSilent))
+          .toDF("change_type", "n_rows", "sum_cents",
+            "matches_scala_feed", "compaction_silent")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(work).getParentFile)
+      }
+    }),
+
+    // -- x63: PARTITION EVOLUTION — re-declare the spec, move nothing ------
+    // Iceberg's headline metadata operation: the table starts
+    // unpartitioned, a one-commit spec change makes every LATER write
+    // land partitioned by o_orderstatus, and a partition-column probe
+    // then prunes the post-evolution files EXACTLY while conservatively
+    // keeping the pre-evolution ones — mixed-spec snapshots read
+    // correctly with zero file rewrites, and pruning sharpens as old
+    // files compact away. CALL set_partitioning(...) is the SQL face.
+    "x63_partition_evolution" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      import org.apache.spark.sql.execution.datasources.FilePartition
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-partevo-").toString + "/t"
+      val t = Tables(s, dir).orders.select($"o_orderkey".as("k"),
+        $"o_orderstatus".as("st"),
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      def plannedFiles(df: DataFrame): Int =
+        df.queryExecution.executedPlan.collectFirst {
+          case b: BatchScanExec => b.partitions.flatten.map {
+            case fp: FilePartition => fp.files.length
+            case _ => 1
+          }.sum
+        }.getOrElse(-1)
+      try {
+        ManifestTable.create(s, work,
+          t.filter($"k" % 2 === 0).repartition(2))  // unpartitioned era
+        val filesBefore = ManifestTable.snapshot(s, work).paths.toSet
+        ManifestTable.evolvePartitioning(s, work, Seq("st"))
+        // the spec change moved ZERO files
+        val metadataOnly =
+          ManifestTable.snapshot(s, work).paths.toSet == filesBefore
+        ManifestTable.append(s, work, t.filter($"k" % 2 === 1))
+        val snap = ManifestTable.snapshot(s, work)
+        val mixedSpec = snap.entries.exists(_.part.isEmpty) &&
+          snap.entries.exists(_.part.contains("st"))
+        // a partition probe keeps every old file (conservative) but
+        // prunes the new era's non-matching partitions
+        val oldN = snap.entries.count(_.part.isEmpty)
+        val newMatch = snap.entries.count(_.part.get("st").contains("F"))
+        val probe = s.read.format("graft-manifest").load(work)
+          .filter($"st" === "F")
+        val prunedExact = plannedFiles(probe) == oldN + newMatch &&
+          newMatch < snap.entries.count(_.part.nonEmpty)
+        probe.groupBy(($"k" % 4).as("m"))
+          .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+          .orderBy($"m")
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            metadataOnly, mixedSpec, prunedExact))
+          .toDF("m", "n_rows", "sum_cents", "evolve_metadata_only",
+            "mixed_spec_snapshot", "pruning_exact_on_new_era")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(work).getParentFile)
+      }
+    }),
+
     // -- x59: unconditional multi-column file stats -----------------------
     // Delta collects min/max for the first N leaf columns on every
     // write, DDL or not — that default is what lets an AD-HOC range
@@ -3243,6 +3422,54 @@ object Extensions extends QueryPack {
         |FROM orders
         |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 2 = 0)
         |GROUP BY o_orderstatus ORDER BY st""".stripMargin,
+
+    // the clone's final contents: the source's MOR survivors (even
+    // keys minus 'F') plus the odd keys appended to the clone only;
+    // zero-copy / divergence-independence ride as protocol TRUEs
+    "x61_shallow_clone" ->
+      """WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT st, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  TRUE AS zero_copy, TRUE AS dv_survivors_exact,
+        |  TRUE AS src_dml_invisible, TRUE AS clone_append_invisible
+        |FROM t WHERE (k % 2 = 0 AND st <> 'F') OR k % 2 = 1
+        |GROUP BY st ORDER BY st""".stripMargin,
+
+    // the front-door feed per change type: inserts are the two
+    // appended slices, deletes the MOR slice, the update images the
+    // 'P' rows live at update time (pre at cents, post at cents+1);
+    // door≡Scala-feed and compaction-silence ride as TRUEs
+    "x62_cdf_front_door" ->
+      """WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |f AS (
+        |  SELECT 'insert' AS change_type, cents FROM t WHERE k % 3 IN (0, 1)
+        |  UNION ALL
+        |  SELECT 'delete', cents FROM t WHERE st = 'F' AND k % 3 = 0
+        |  UNION ALL
+        |  SELECT 'update_preimage', cents FROM t
+        |  WHERE st = 'P' AND k % 3 IN (0, 1)
+        |  UNION ALL
+        |  SELECT 'update_postimage', cents + 1 FROM t
+        |  WHERE st = 'P' AND k % 3 IN (0, 1))
+        |SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  TRUE AS matches_scala_feed, TRUE AS compaction_silent
+        |FROM f GROUP BY change_type ORDER BY change_type""".stripMargin,
+
+    // the st='F' slice of the whole table (both eras: the
+    // unpartitioned even keys and the partitioned odd keys); the
+    // spec-change and pruning predicates ride as protocol TRUEs
+    "x63_partition_evolution" ->
+      """WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT k % 4 AS m, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  TRUE AS evolve_metadata_only, TRUE AS mixed_spec_snapshot,
+        |  TRUE AS pruning_exact_on_new_era
+        |FROM t WHERE st = 'F'
+        |GROUP BY k % 4 ORDER BY m""".stripMargin,
 
     // survivors of the deterministic MOR delete, grouped; the
     // no-rewrite / write-cost / undo / purge predicates are protocol

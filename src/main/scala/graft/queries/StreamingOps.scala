@@ -1774,6 +1774,149 @@ object StreamingOps extends QueryPack {
       }
     }),
 
+    // -- st50: the streaming CHANGE FEED through the front door ----------
+    // Delta's CDF streaming source: readStream.format("graft-manifest")
+    // .option("readChangeFeed", true) delivers the row-level feed —
+    // _change_type/_commit_version columns, MOR deletes as position-
+    // diff 'delete' rows — with version offsets in the checkpoint, so
+    // a second drain against the same checkpoint delivers ONLY the
+    // versions committed since (incremental tailing, exactly-once) and
+    // a third delivers nothing. The union of the drains must equal the
+    // batch changeFeedRows row-for-row: one feed, batch or stream.
+    "st50_stream_cdf_source" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scdf-").toString
+      val work = s"$root/t"
+      val ckpt = s"$root/ckpt"
+      val t = Tables(s, dir).orders.select($"o_orderkey".as("k"),
+        $"o_orderstatus".as("st"),
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        ManifestTable.create(s, work,
+          t.filter($"k" % 2 === 0).repartition(3))           // v1 insert
+        val feedSchema = s.read.format("graft-manifest")
+          .option("readChangeFeed", "true").load(work).schema
+        val buf =
+          scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+        def drainOnce(): Seq[Int] = {
+          val seen = scala.collection.mutable
+            .ArrayBuffer[org.apache.spark.sql.Row]()
+          val q = s.readStream.format("graft-manifest")
+            .option("readChangeFeed", "true").load(work)
+            .writeStream
+            .outputMode(OutputMode.Append())
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt)
+            .foreachBatch {
+              (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+                seen.synchronized { seen ++= batch.collect() }
+                ()
+            }
+            .start()
+          q.awaitTermination()
+          buf ++= seen
+          seen.map(_.getInt(4)).distinct.sorted.toSeq
+        }
+        val d1 = drainOnce()                                 // {1}
+        ManifestTable.append(s, work,
+          t.filter($"k" % 2 === 1).repartition(2))           // v2 insert
+        ManifestTable.deleteRowsMor(s, work,
+          $"st" === "F" && $"k" % 2 === 0)                   // v3 MOR delete
+        val d2 = drainOnce()                                 // {2, 3} only
+        val d3 = drainOnce()                                 // {} — no-op
+        val incremental =
+          d1 == Seq(1) && d2 == Seq(2, 3) && d3.isEmpty
+        val collected = s.createDataFrame(
+          s.sparkContext.parallelize(buf.toSeq, 4), feedSchema)
+        val batchFeed = ManifestTable.changeFeedRows(s, work, 0,
+          ManifestTable.versions(s, work).last)
+        val matches = collected.exceptAll(batchFeed).isEmpty &&
+          batchFeed.exceptAll(collected).isEmpty
+        collected.groupBy($"_change_type".as("change_type"))
+          .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+          .orderBy($"change_type")
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            incremental, matches))
+          .toDF("change_type", "n_rows", "sum_cents",
+            "incremental_tail", "matches_batch_feed")
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(root))
+      }
+    }),
+
+    // -- st51: THROTTLED backfill through the front door ------------------
+    // Delta's maxFilesPerTrigger knob, spelled on the version-offset
+    // source: maxVersionsPerTrigger=1 makes a 4-version log drain as
+    // FOUR bounded micro-batches instead of one giant one — the knob
+    // that keeps a 100 TB backfill from admitting the whole history
+    // into a single batch's shuffle. The drained union must equal the
+    // table exactly (batching-independence is the contract; the batch
+    // count proves the throttle actually throttled).
+    "st51_stream_throttled_backfill" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-throttle-").toString
+      val work = s"$root/t"
+      val t = Tables(s, dir).orders.select($"o_orderkey".as("k"),
+        $"o_orderstatus".as("st"),
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        ManifestTable.create(s, work, t.filter($"k" % 4 === 0))  // v1
+        (1 to 3).foreach(i =>
+          ManifestTable.append(s, work, t.filter($"k" % 4 === i)))
+        val nVersions = ManifestTable.versions(s, work).size
+        val buf =
+          scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+        var batches = 0
+        val q = s.readStream.format("graft-manifest")
+          .option("maxVersionsPerTrigger", "1").load(work)
+          .writeStream
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch {
+            (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+              val rows = batch.collect()
+              buf.synchronized {
+                buf ++= rows
+                if (rows.nonEmpty) batches += 1
+              }
+              ()
+          }
+          .start()
+        q.awaitTermination()
+        val throttled = batches == nVersions && nVersions == 4
+        val collected = s.createDataFrame(
+          s.sparkContext.parallelize(buf.toSeq, 4),
+          s.read.format("graft-manifest").load(work).schema)
+        val table = ManifestTable.read(s, work)
+        val matchesTable = collected.exceptAll(table).isEmpty &&
+          table.exceptAll(collected).isEmpty
+        collected.groupBy($"st")
+          .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+          .orderBy($"st")
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            throttled, matchesTable))
+          .toDF("st", "n_rows", "sum_cents", "one_version_per_batch",
+            "matches_table")
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(root))
+      }
+    }),
+
     // -- change-feed tail of the x37 manifest table ---------------------
     // The Delta streaming-source shape: the COMMIT LOG is the stream.
     // Four versions are committed (create, append, COMPACTION, append),
@@ -3591,6 +3734,31 @@ object StreamingOps extends QueryPack {
         |  TRUE AS second_run_noop, TRUE AS redelivery_noop
         |FROM last WHERE rn = 1 AND op <> 'D'
         |ORDER BY user_id""".stripMargin,
+
+    // the whole orders table grouped by status — the throttled drain
+    // must deliver exactly the table; throttle-actually-throttled and
+    // union≡table ride as protocol TRUEs
+    "st51_stream_throttled_backfill" ->
+      """SELECT o_orderstatus AS st, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  TRUE AS one_version_per_batch, TRUE AS matches_table
+        |FROM orders GROUP BY o_orderstatus ORDER BY st""".stripMargin,
+
+    // the drained feed per change type: inserts are both halves (the
+    // whole orders table), deletes the MOR slice; incremental tailing
+    // and stream≡batch-feed equality ride as protocol TRUEs
+    "st50_stream_cdf_source" ->
+      """WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |f AS (
+        |  SELECT 'insert' AS change_type, cents FROM t
+        |  UNION ALL
+        |  SELECT 'delete', cents FROM t WHERE st = 'F' AND k % 2 = 0)
+        |SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  TRUE AS incremental_tail, TRUE AS matches_batch_feed
+        |FROM f GROUP BY change_type ORDER BY change_type""".stripMargin,
 
     "st22_stream_cdc_apply" ->
       """WITH ch AS (

@@ -143,18 +143,33 @@ class GraftManifestSource extends TableProvider with DataSourceRegister
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (snap, entries) = resolveEntries(options)
-    snap.schemaDdl match {
+    val base = snap.schemaDdl match {
       case Some(ddl) => StructType.fromDDL(ddl)
       case None if snap.version == 0 => new StructType() // not created yet
       case None => SparkSession.active.read
         .parquet(entries.map(_.path): _*).schema
     }
+    if (options.getBoolean("readChangeFeed", false))
+      base.add("_change_type", org.apache.spark.sql.types.StringType)
+        .add("_commit_version", IntegerType)
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val (snap, entries) = resolveEntries(options)
+    if (options.getBoolean("readChangeFeed", false)) {
+      // the CHANGE-DATA-FEED face (Delta's readChangeFeed): batch and
+      // streaming reads of the row-level feed, planned from log actions
+      val logical = snap.schemaDdl match {
+        case Some(ddl) => StructType.fromDDL(ddl)
+        case None => sys.error(
+          s"readChangeFeed needs a log schema at ${tableDir(options)} — " +
+            "the table has not been created")
+      }
+      return new GraftCdfTable(tableDir(options), logical, snap.colMap)
+    }
     new GraftManifestTable(tableDir(options), snap.version, schema,
       entries, snap.statsCol, snap.colMap, snap.checks)
   }
@@ -744,7 +759,8 @@ class ManifestScan(inner: Scan, dir: String, tableSchema: StructType,
   override def toBatch: Batch = inner.toBatch
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ManifestMicroBatchStream(dir, tableSchema, inner.readSchema(),
-      Option(options.get("startingVersion")).map(_.toInt).getOrElse(1))
+      Option(options.get("startingVersion")).map(_.toInt).getOrElse(1),
+      Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
 }
 
 /** Version-offset micro-batch stream over the manifest log: each
@@ -764,7 +780,8 @@ class ManifestScan(inner: Scan, dir: String, tableSchema: StructType,
   * FilePartitions.
   */
 class ManifestMicroBatchStream(dir: String, tableSchema: StructType,
-    readSchema: StructType, startingVersion: Int)
+    readSchema: StructType, startingVersion: Int,
+    maxVersionsPerTrigger: Option[Int] = None)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
@@ -789,11 +806,21 @@ class ManifestMicroBatchStream(dir: String, tableSchema: StructType,
   }
 
   // SupportsAdmissionControl's entry point (the one the engine calls
-  // for AvailableNow sources); version offsets admit whole commits,
-  // so the read limit does not subdivide
+  // for AvailableNow sources); version offsets admit whole commits.
+  // maxVersionsPerTrigger (Delta's maxFilesPerTrigger analog) caps how
+  // many commits one micro-batch admits — the backfill-throttling knob:
+  // a long log drains as many bounded batches instead of one giant one,
+  // and the drained RESULT is batching-independent by construction.
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-      : Offset = latestOffset()
+      : Offset = {
+    val target = latestOffset().asInstanceOf[VOffset].v
+    maxVersionsPerTrigger match {
+      case Some(m) =>
+        VOffset(math.min(target, start.asInstanceOf[VOffset].v + m))
+      case None => VOffset(target)
+    }
+  }
 
   override def deserializeOffset(json: String): Offset =
     VOffset(json.trim.toInt)
@@ -959,7 +986,8 @@ class ManifestDvScan(cleanScan: Scan, dirtyScan: Scan, base: String,
   override def toMicroBatchStream(
       checkpointLocation: String): MicroBatchStream =
     new ManifestMicroBatchStream(dir, tableSchema, cleanScan.readSchema(),
-      Option(options.get("startingVersion")).map(_.toInt).getOrElse(1))
+      Option(options.get("startingVersion")).map(_.toInt).getOrElse(1),
+      Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
 }
 
 /** One dirty FILE: all its splits in offset order + its sorted
@@ -1014,6 +1042,315 @@ class DvPartitionReaderFactory(clean: PartitionReaderFactory,
       : org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.vectorized.ColumnarBatch] =
     sys.error("dv scan is row-based (supportColumnarReads = false)")
+}
+
+/** CHANGE-DATA-FEED face of the front door (Delta's `readChangeFeed`):
+  *
+  * {{{
+  *   spark.read.format("graft-manifest").option("readChangeFeed", true)
+  *     .option("startingVersion", 2).load(dir)           // batch feed
+  *   spark.readStream.format("graft-manifest")
+  *     .option("readChangeFeed", true).load(dir)         // streaming feed
+  * }}}
+  *
+  * Both faces plan from [[ManifestTable.changeFeedActions]] — the same
+  * branch logic as the batch [[ManifestTable.changeFeedRows]] (inserts
+  * from added files, write-time captures from `_change_data`, MOR
+  * deletes as DV position diffs, compaction/purge silent) — so the
+  * three doors agree row-for-row. Executors read every partition
+  * through Spark's native parquet readers; the wrapper appends the two
+  * literal columns (`_change_type`, `_commit_version`) and, for MOR
+  * delete partitions, KEEPS only the newly-deleted positions (the
+  * inverse of [[DvPartitionReaderFactory]]'s skip — one cursor, no
+  * per-row set probe). Read-only by design: writes go through the
+  * table face. */
+class GraftCdfTable(dir: String, logical: StructType,
+    colMap: Map[String, String]) extends Table with SupportsRead {
+
+  private val cdfSchema = logical
+    .add("_change_type", org.apache.spark.sql.types.StringType)
+    .add("_commit_version", IntegerType)
+
+  override def name(): String = s"graft-manifest change feed $dir"
+  override def schema(): StructType = cdfSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new CdfScan(dir, logical, colMap, options)
+}
+
+/** The CDF scan: batch reads (startingVersion−1, endingVersion] (ending
+  * defaults to latest); the streaming face is version-offset like
+  * [[ManifestMicroBatchStream]], feed-shaped. No pushdown on either
+  * face — filters stay residual (Spark re-applies them above the scan;
+  * a file or row-group skip could neither see `_change_type` nor keep
+  * the MOR position space intact). */
+class CdfScan(dir: String, logical: StructType,
+    colMap: Map[String, String], options: CaseInsensitiveStringMap)
+  extends Scan {
+
+  private val cdfSchema = logical
+    .add("_change_type", org.apache.spark.sql.types.StringType)
+    .add("_commit_version", IntegerType)
+
+  override def readSchema(): StructType = cdfSchema
+  override def description(): String = s"graft-manifest change feed $dir"
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val spark = SparkSession.active
+      val from =
+        Option(options.get("startingVersion")).map(_.toInt - 1).getOrElse(0)
+      val to = Option(options.get("endingVersion")).map(_.toInt)
+        .getOrElse(ManifestTable.versions(spark, dir).lastOption.getOrElse(0))
+      CdfPlanner.partitions(spark, dir, logical, colMap, from, to)
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      CdfPlanner.readerFactory(SparkSession.active, logical, colMap)
+  }
+
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream =
+    new CdfMicroBatchStream(dir, logical, colMap,
+      Option(options.get("startingVersion")).map(_.toInt).getOrElse(1),
+      Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
+}
+
+/** Version-offset micro-batch stream over the CHANGE FEED: each
+  * micro-batch delivers the feed rows of the versions in (start, end]
+  * — the Delta CDF streaming-source shape. Offsets are log versions
+  * (checkpoint recovery = resume mid-log, exactly-once), identical to
+  * [[ManifestMicroBatchStream]]; only the planned partitions differ. */
+class CdfMicroBatchStream(dir: String, logical: StructType,
+    colMap: Map[String, String], startingVersion: Int,
+    maxVersionsPerTrigger: Option[Int] = None)
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private def spark = SparkSession.active
+
+  private case class VOffset(v: Int) extends Offset {
+    override def json(): String = v.toString
+  }
+
+  @volatile private var availableNowTarget: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget =
+      Some(ManifestTable.versions(spark, dir).lastOption.getOrElse(0))
+
+  override def initialOffset(): Offset = VOffset(startingVersion - 1)
+
+  override def latestOffset(): Offset = availableNowTarget match {
+    case Some(t) => VOffset(t)
+    case None =>
+      VOffset(ManifestTable.versions(spark, dir).lastOption.getOrElse(0))
+  }
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = {
+    val target = latestOffset().asInstanceOf[VOffset].v
+    maxVersionsPerTrigger match {
+      case Some(m) =>
+        VOffset(math.min(target, start.asInstanceOf[VOffset].v + m))
+      case None => VOffset(target)
+    }
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    VOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[VOffset].v
+    val e = end.asInstanceOf[VOffset].v
+    CdfPlanner.partitions(spark, dir, logical, colMap, s, e)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    CdfPlanner.readerFactory(spark, logical, colMap)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Shared CDF planning: log actions → input partitions + the one
+  * reader factory that serves all three partition kinds. */
+private[sources] object CdfPlanner {
+  import org.apache.spark.sql.execution.datasources.FilePartition
+
+  private def physical(logical: StructType,
+      colMap: Map[String, String]): StructType =
+    ManifestTable.physicalSchema(logical, colMap)
+
+  private def captureSchema(phys: StructType): StructType =
+    phys.add("_change_type", org.apache.spark.sql.types.StringType)
+
+  /** Native parquet planning over a set of manifest entries: the
+    * [[FilePartition]]s Spark's own scan would read them with. */
+  private def fileParts(spark: SparkSession,
+      entries: Vector[ManifestTable.ManifestEntry],
+      schema: StructType): Array[FilePartition] = {
+    val index = new ManifestFileIndex(spark, entries, None, Some(schema))
+    ParquetScanBuilder(spark, index, schema, schema,
+      CaseInsensitiveStringMap.empty())
+      .build().toBatch.planInputPartitions()
+      .map(_.asInstanceOf[FilePartition])
+  }
+
+  def partitions(spark: SparkSession, dir: String, logical: StructType,
+      colMap: Map[String, String], fromVersion: Int,
+      toVersion: Int): Array[InputPartition] = {
+    if (toVersion <= fromVersion) return Array.empty
+    val phys = physical(logical, colMap)
+    val out = Array.newBuilder[InputPartition]
+    ManifestTable.changeFeedActions(spark, dir, fromVersion, toVersion)
+      .foreach {
+        case ManifestTable.CdfInsert(v, entries) =>
+          fileParts(spark, entries, phys)
+            .foreach(fp => out += CdfInsertPartition(fp, v))
+        case ManifestTable.CdfCapture(v, path) =>
+          val e = Vector(ManifestTable.ManifestEntry(path, 0L))
+          fileParts(spark, e, captureSchema(phys))
+            .foreach(fp => out += CdfCapturePartition(fp, v))
+        case ManifestTable.CdfMorDelete(v, entries, fresh) =>
+          val base = ManifestTable.baseUriPath(spark, dir)
+          // one partition per FILE with splits in offset order — the
+          // keep-cursor's running row count must be the file's own
+          // row_index space (same discipline as [[ManifestDvScan]])
+          fileParts(spark, entries, phys)
+            .flatMap(_.files)
+            .groupBy(pf =>
+              ManifestTable.dvKeyStr(base, pf.filePath.toPath.toString))
+            .toArray.sortBy(_._1)
+            .foreach { case (key, fs) =>
+              fresh.get(key).filter(_.nonEmpty).foreach { keep =>
+                out += CdfMorPartition(
+                  FilePartition(0, fs.sortBy(_.start)), keep, v)
+              }
+            }
+      }
+    out.result()
+  }
+
+  def readerFactory(spark: SparkSession, logical: StructType,
+      colMap: Map[String, String]): PartitionReaderFactory = {
+    val phys = physical(logical, colMap)
+    // a factory's configuration depends only on (schemas, conf) — one
+    // zero-file template per read schema serves every partition
+    def template(schema: StructType): PartitionReaderFactory = {
+      val index = new ManifestFileIndex(spark, Vector.empty, None,
+        Some(schema))
+      ParquetScanBuilder(spark, index, schema, schema,
+        CaseInsensitiveStringMap.empty())
+        .build().toBatch.createReaderFactory()
+    }
+    new CdfReaderFactory(template(phys), template(captureSchema(phys)),
+      phys)
+  }
+}
+
+/** An insert action's files (rows become 'insert'). */
+case class CdfInsertPartition(
+    inner: org.apache.spark.sql.execution.datasources.FilePartition,
+    version: Int) extends InputPartition {
+  override def preferredLocations(): Array[String] =
+    inner.preferredLocations()
+}
+
+/** A `_change_data` capture file (rows carry their own _change_type). */
+case class CdfCapturePartition(
+    inner: org.apache.spark.sql.execution.datasources.FilePartition,
+    version: Int) extends InputPartition {
+  override def preferredLocations(): Array[String] =
+    inner.preferredLocations()
+}
+
+/** One MOR-deleted FILE: splits in offset order + the sorted NEWLY
+  * deleted positions to EMIT as 'delete' rows. */
+case class CdfMorPartition(
+    inner: org.apache.spark.sql.execution.datasources.FilePartition,
+    keep: Array[Long], version: Int) extends InputPartition {
+  override def preferredLocations(): Array[String] =
+    inner.preferredLocations()
+}
+
+/** Executor half of the CDF read: native parquet readers underneath,
+  * a [[org.apache.spark.sql.catalyst.expressions.JoinedRow]] +
+  * UnsafeProjection appending the literal feed columns on top (the
+  * same pattern Spark's own FileFormat uses for partition columns).
+  * Row-based throughout — feed rows cross into non-codegen'd wrappers
+  * once, bounded by the feed's own size, never the table's. */
+class CdfReaderFactory(data: PartitionReaderFactory,
+    capture: PartitionReaderFactory, physSchema: StructType)
+  extends PartitionReaderFactory {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
+  import org.apache.spark.sql.connector.read.PartitionReader
+  import org.apache.spark.sql.types.DataType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  // output row types: data columns, then _change_type, _commit_version
+  private def feedTypes: Array[DataType] =
+    physSchema.fields.map(_.dataType) ++
+      Array[DataType](org.apache.spark.sql.types.StringType, IntegerType)
+
+  /** inner row + extra literals → one unsafe feed row (projection
+    * built executor-side; JoinedRow reuse is the FileFormat partition-
+    * column pattern). */
+  private def appending(r: PartitionReader[InternalRow],
+      extra: InternalRow): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val joined = new JoinedRow
+      private val proj = UnsafeProjection.create(feedTypes)
+      override def next(): Boolean = r.next()
+      override def get(): InternalRow = proj(joined(r.get(), extra))
+      override def close(): Unit = r.close()
+    }
+
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = p match {
+    case CdfInsertPartition(inner, v) =>
+      appending(data.createReader(inner), new GenericInternalRow(
+        Array[Any](UTF8String.fromString("insert"), v)))
+    case CdfCapturePartition(inner, v) =>
+      // capture rows already carry _change_type: append version only
+      appending(capture.createReader(inner),
+        new GenericInternalRow(Array[Any](v)))
+    case CdfMorPartition(inner, keep, v) =>
+      appending(keepOnly(data.createReader(inner), keep),
+        new GenericInternalRow(
+          Array[Any](UTF8String.fromString("delete"), v)))
+    case other => sys.error(s"cdf scan: unexpected partition $other")
+  }
+
+  /** Emit ONLY the listed positions — the inverse of the DV skip
+    * reader's cursor. */
+  private def keepOnly(r: PartitionReader[InternalRow],
+      keep: Array[Long]): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var si = 0
+      private var rowIdx = -1L
+      override def next(): Boolean = {
+        while (si < keep.length && r.next()) {
+          rowIdx += 1
+          if (keep(si) == rowIdx) { si += 1; return true }
+        }
+        false
+      }
+      override def get(): InternalRow = r.get()
+      override def close(): Unit = r.close()
+    }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    sys.error("cdf scan is row-based (supportColumnarReads = false)")
 }
 
 object GraftManifestTable {

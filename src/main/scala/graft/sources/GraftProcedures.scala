@@ -105,6 +105,37 @@ object GraftProcedures {
           new GenericInternalRow(Array[Any](in.getInt(1), v))
         }))
       case "history" => Some(new HistoryProc(dirOf))
+      case "set_partitioning" => Some(new Proc("set_partitioning",
+        Array(param("tbl", StringType),
+          paramD("cols", StringType, "''")),
+        StructType.fromDDL("version INT, part_cols STRING"),
+        (s, in) => {
+          // PARTITION EVOLUTION (Iceberg's spec change): a metadata
+          // commit; old files keep their own tuples, pruning stays
+          // exact across mixed specs (see ManifestTable.evolvePartitioning)
+          val dir = dirOf(in.getUTF8String(0).toString)
+          val cols = in.getUTF8String(1).toString.split(",")
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          val v = ManifestTable.evolvePartitioning(s, dir, cols)
+          new GenericInternalRow(Array[Any](v,
+            UTF8String.fromString(cols.mkString(","))))
+        }))
+      case "clone" => Some(new Proc("clone",
+        Array(param("tbl", StringType), param("target", StringType),
+          paramD("version", IntegerType, "-1")),
+        StructType.fromDDL("version INT, files BIGINT, rows BIGINT"),
+        (s, in) => {
+          // SHALLOW CLONE (Delta's CLONE … SHALLOW): the target's first
+          // commit references the source's files — zero data copied,
+          // independent logs from then on (see ManifestTable.cloneShallow)
+          val src = dirOf(in.getUTF8String(0).toString)
+          val dst = dirOf(in.getUTF8String(1).toString)
+          val asOf = Option(in.getInt(2)).filter(_ >= 0)
+          val v = ManifestTable.cloneShallow(s, src, dst, asOf)
+          val snap = ManifestTable.snapshot(s, dst)
+          new GenericInternalRow(Array[Any](v,
+            snap.entries.size.toLong, snap.entries.map(_.liveRows).sum))
+        }))
       case "purge_dvs" => Some(new Proc("purge_dvs",
         Array(param("tbl", StringType)),
         StructType.fromDDL("version INT, rows_live BIGINT"),
@@ -161,5 +192,5 @@ object GraftProcedures {
 
   val names: Seq[String] =
     Seq("optimize", "zorder", "vacuum", "restore", "purge_dvs",
-      "history")
+      "history", "clone", "set_partitioning")
 }
