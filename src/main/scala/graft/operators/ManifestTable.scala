@@ -1600,6 +1600,57 @@ object ManifestTable {
     committed.getOrElse(sys.error(s"evolveSchema lost 50 races at $dir"))
   }
 
+  /** CONVERT TO (Delta's CONVERT TO DELTA): adopt an EXISTING plain
+    * parquet directory as version 1 of a manifest table — zero bytes
+    * rewritten, the files stay exactly where they are (inside the
+    * table dir, so the log records them relative and the table stays
+    * relocatable). Row counts come from the parquet FOOTERS (a
+    * metadata pass over O(files), parallelized across driver threads —
+    * the same planning read Delta's convert makes; at 100 TB the files
+    * are big, not many, and no data byte is touched). File stats are
+    * NOT synthesized (no [lo, hi] → no pruning until OPTIMIZE/ZORDER
+    * rewrites — conservative, never wrong). Hive-layout directories
+    * (`col=value` segments) are REFUSED: their partition values live
+    * in dir names, not in the files, and this format's contract is
+    * self-contained files — read + create is the rewrite path for
+    * those. */
+  def convert(spark: SparkSession, dir: String): Int = {
+    require(versions(spark, dir).isEmpty,
+      s"convert: $dir is already a manifest table")
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    require(f.exists(root), s"convert: no directory at $dir")
+    def walk(p: Path): Vector[Path] = {
+      val st = f.getFileStatus(p)
+      if (st.isDirectory) {
+        if (p.getName.startsWith("_")) Vector.empty
+        else f.listStatus(p).toVector.flatMap(s => walk(s.getPath))
+      } else if (p.getName.endsWith(".parquet") &&
+        !p.getName.startsWith("_") && !p.getName.startsWith("."))
+        Vector(p)
+      else Vector.empty
+    }
+    val files = walk(root)
+    require(files.nonEmpty, s"convert: no parquet files under $dir")
+    files.foreach(p => require(!p.toString.contains("="),
+      s"convert: $p looks hive-partitioned (col=value segment) — its " +
+        "partition values live in directory names, not in the files; " +
+        "read + create is the conversion path for hive layouts"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    import scala.collection.parallel.CollectionConverters._
+    val entries = files.par.map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(p, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val rows = try r.getRecordCount finally r.close()
+      ManifestEntry(p.toString, rows)
+    }.toVector
+    val schema = spark.read.parquet(dir).schema
+    tryCommit(spark, dir, 1, adds = entries, removes = Vector.empty,
+      schemaDdl = Some(schema.toDDL))
+      .getOrElse(sys.error(s"convert lost the v1 commit race at $dir"))
+  }
+
   /** PARTITION EVOLUTION (Iceberg's headline spec-change): re-declare
     * the table's partition columns in a METADATA commit — zero files
     * move. Files written before the change keep their own partition

@@ -1637,6 +1637,58 @@ object Extensions extends QueryPack {
       }
     }),
 
+    // -- x64: CONVERT TO — adopt existing parquet without rewriting --------
+    // Delta's CONVERT TO DELTA: a directory of plain parquet files
+    // (written by anything) becomes v1 of a manifest table in ONE
+    // metadata commit — row counts read from footers, zero data bytes
+    // touched, the files stay where they are. From then on it IS the
+    // format: transactional appends, SQL DML, time travel back to the
+    // adopted snapshot. At 100 TB this is the adoption story: no
+    // migration rewrite, just a log bootstrap.
+    "x64_convert_in_place" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-convert-").toString + "/t"
+      val t = Tables(s, dir).orders.select($"o_orderkey".as("k"),
+        $"o_orderstatus".as("st"),
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      try {
+        // a FOREIGN writer lays down plain parquet
+        t.filter($"k" % 2 === 0).repartition(3)
+          .write.parquet(work)
+        val before = new java.io.File(work).listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+        ManifestTable.convert(s, work)
+        val snap = ManifestTable.snapshot(s, work)
+        // the adopted v1 references EXACTLY the foreign files, in place
+        val inPlace = snap.paths.map(p =>
+          new java.io.File(ManifestTable.resolvePath(work, p)).getName)
+          .toSet == before
+        val convertedV = snap.version
+        // from here on it is a manifest table: append + COW delete
+        ManifestTable.append(s, work, t.filter($"k" % 2 === 1))
+        ManifestTable.mergeCommit(s, work,
+          cur => cur.filter($"st" =!= "F"))
+        // time travel back to the adopted snapshot
+        val adopted = ManifestTable.read(s, work, Some(convertedV))
+        val adoptedExact = adopted.count() ==
+          t.filter($"k" % 2 === 0).count()
+        s.read.format("graft-manifest").load(work)
+          .groupBy($"st")
+          .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+          .orderBy($"st")
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            inPlace, adoptedExact))
+          .toDF("st", "n_rows", "sum_cents", "adopted_in_place",
+            "time_travel_to_adoption")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(work).getParentFile)
+      }
+    }),
+
     // -- x59: unconditional multi-column file stats -----------------------
     // Delta collects min/max for the first N leaf columns on every
     // write, DDL or not — that default is what lets an AD-HOC range
@@ -3470,6 +3522,18 @@ object Extensions extends QueryPack {
         |  TRUE AS pruning_exact_on_new_era
         |FROM t WHERE st = 'F'
         |GROUP BY k % 4 ORDER BY m""".stripMargin,
+
+    // both halves unioned (the adopted foreign files + the appended
+    // slice) minus the COW-deleted 'F' rows; the in-place and
+    // time-travel predicates ride as protocol TRUEs
+    "x64_convert_in_place" ->
+      """WITH t AS (SELECT o_orderstatus AS st,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT st, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  TRUE AS adopted_in_place, TRUE AS time_travel_to_adoption
+        |FROM t WHERE st <> 'F'
+        |GROUP BY st ORDER BY st""".stripMargin,
 
     // survivors of the deterministic MOR delete, grouped; the
     // no-rewrite / write-cost / undo / purge predicates are protocol

@@ -759,8 +759,35 @@ class ManifestScan(inner: Scan, dir: String, tableSchema: StructType,
   override def toBatch: Batch = inner.toBatch
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ManifestMicroBatchStream(dir, tableSchema, inner.readSchema(),
-      Option(options.get("startingVersion")).map(_.toInt).getOrElse(1),
+      ManifestScan.startingVersion(dir, options),
       Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
+}
+
+object ManifestScan {
+  /** The stream's first admitted version: `startingVersion`, or
+    * `startingTimestamp` resolved through the same publish-mtime rule
+    * as batch TIMESTAMP AS OF (Delta's startingTimestamp: the first
+    * commit AT OR AFTER the timestamp — spelled here as the successor
+    * of the newest version strictly before it). Default 1 (the whole
+    * log). */
+  private[sources] def startingVersion(dir: String,
+      options: CaseInsensitiveStringMap): Int = {
+    val sv = Option(options.get("startingVersion")).map(_.toInt)
+    val st = Option(options.get("startingTimestamp"))
+    require(sv.isEmpty || st.isEmpty,
+      "specify at most one of startingVersion / startingTimestamp")
+    st match {
+      case Some(ts) =>
+        val spark = SparkSession.active
+        val millis = java.sql.Timestamp.valueOf(ts).getTime
+        // versions published strictly BEFORE ts are excluded; the
+        // stream starts at the next commit
+        scala.util.Try(
+          ManifestTable.versionAt(spark, dir, millis - 1) + 1)
+          .getOrElse(1)
+      case None => sv.getOrElse(1)
+    }
+  }
 }
 
 /** Version-offset micro-batch stream over the manifest log: each
@@ -986,7 +1013,7 @@ class ManifestDvScan(cleanScan: Scan, dirtyScan: Scan, base: String,
   override def toMicroBatchStream(
       checkpointLocation: String): MicroBatchStream =
     new ManifestMicroBatchStream(dir, tableSchema, cleanScan.readSchema(),
-      Option(options.get("startingVersion")).map(_.toInt).getOrElse(1),
+      ManifestScan.startingVersion(dir, options),
       Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
 }
 
@@ -1102,8 +1129,7 @@ class CdfScan(dir: String, logical: StructType,
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val spark = SparkSession.active
-      val from =
-        Option(options.get("startingVersion")).map(_.toInt - 1).getOrElse(0)
+      val from = ManifestScan.startingVersion(dir, options) - 1
       val to = Option(options.get("endingVersion")).map(_.toInt)
         .getOrElse(ManifestTable.versions(spark, dir).lastOption.getOrElse(0))
       CdfPlanner.partitions(spark, dir, logical, colMap, from, to)
@@ -1115,7 +1141,7 @@ class CdfScan(dir: String, logical: StructType,
   override def toMicroBatchStream(
       checkpointLocation: String): MicroBatchStream =
     new CdfMicroBatchStream(dir, logical, colMap,
-      Option(options.get("startingVersion")).map(_.toInt).getOrElse(1),
+      ManifestScan.startingVersion(dir, options),
       Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
 }
 

@@ -105,6 +105,34 @@ object GraftProcedures {
           new GenericInternalRow(Array[Any](in.getInt(1), v))
         }))
       case "history" => Some(new HistoryProc(dirOf))
+      case "detail" => Some(new Proc("detail",
+        Array(param("tbl", StringType)),
+        StructType.fromDDL(
+          "version INT, n_files BIGINT, size_bytes BIGINT, " +
+            "rows BIGINT, live_rows BIGINT, part_cols STRING, " +
+            "stats_col STRING, column_mapped BOOLEAN, n_checks INT, " +
+            "dv_files INT"),
+        (s, in) => {
+          // Delta's DESCRIBE DETAIL: the snapshot's shape in one row —
+          // O(files) driver-side metadata, the same planning read every
+          // table format pays
+          val dir = dirOf(in.getUTF8String(0).toString)
+          val snap = ManifestTable.snapshot(s, dir)
+          val hconf = s.sparkContext.hadoopConfiguration
+          val bytes = snap.entries.map { e =>
+            val p = new Path(ManifestTable.resolvePath(dir, e.path))
+            val f = p.getFileSystem(hconf)
+            if (f.exists(p)) f.getContentSummary(p).getLength else 0L
+          }.sum
+          new GenericInternalRow(Array[Any](snap.version,
+            snap.entries.size.toLong, bytes,
+            snap.entries.map(_.rows).sum,
+            snap.entries.map(_.liveRows).sum,
+            UTF8String.fromString(snap.partCols.mkString(",")),
+            UTF8String.fromString(snap.statsCol.getOrElse("")),
+            snap.mapped, snap.checks.size,
+            snap.entries.count(_.dv.isDefined)))
+        }))
       case "set_partitioning" => Some(new Proc("set_partitioning",
         Array(param("tbl", StringType),
           paramD("cols", StringType, "''")),
@@ -119,6 +147,19 @@ object GraftProcedures {
           val v = ManifestTable.evolvePartitioning(s, dir, cols)
           new GenericInternalRow(Array[Any](v,
             UTF8String.fromString(cols.mkString(","))))
+        }))
+      case "convert" => Some(new Proc("convert",
+        Array(param("tbl", StringType)),
+        StructType.fromDDL("version INT, files BIGINT, rows BIGINT"),
+        (s, in) => {
+          // CONVERT TO (Delta's adopt-in-place): the plain parquet
+          // directory at the table's warehouse path becomes v1 — zero
+          // bytes rewritten (see ManifestTable.convert)
+          val dir = dirOf(in.getUTF8String(0).toString)
+          val v = ManifestTable.convert(s, dir)
+          val snap = ManifestTable.snapshot(s, dir)
+          new GenericInternalRow(Array[Any](v,
+            snap.entries.size.toLong, snap.rows))
         }))
       case "clone" => Some(new Proc("clone",
         Array(param("tbl", StringType), param("target", StringType),
@@ -192,5 +233,5 @@ object GraftProcedures {
 
   val names: Seq[String] =
     Seq("optimize", "zorder", "vacuum", "restore", "purge_dvs",
-      "history", "clone", "set_partitioning")
+      "history", "clone", "set_partitioning", "detail", "convert")
 }
