@@ -1423,11 +1423,46 @@ object ManifestTable {
     schema.fields.iterator
       .filter(_.dataType match {
         case ByteType | ShortType | IntegerType | LongType => true
+        // strings ride the same (long, long) stats grammar through the
+        // order-preserving prefix encoding ([[stringStatFloor]]/Ceil)
+        case StringType => true
         case _ => false
       })
       .map(_.name)
       .filterNot(n => statsCol.contains(n) || partitionCols.contains(n))
       .take(AutoStatsCols).toVector
+  }
+
+  /** Order-preserving 8-byte-prefix encoding of a string into the
+    * stats grammar's long space: the first 8 UTF-8 bytes as an
+    * unsigned big-endian number, sign-bit-flipped so SIGNED long
+    * comparisons agree with Spark's string ordering (UTF8String
+    * compares bytes unsigned, lexicographically, shorter-prefix
+    * smaller — exactly big-endian zero-padded numeric order).
+    * `stringStatFloor` pads missing bytes low (a LOWER bound for
+    * every string sharing the prefix); [[stringStatCeil]] rounds a
+    * TRUNCATED prefix up by one (an UPPER bound). A file's string
+    * column then records [floor(min), ceil(max)] and a predicate's
+    * literal window [floor(lo), ceil(hi)] — both monotone in string
+    * order, so interval overlap is a CONSERVATIVE file filter (same
+    * contract as Delta's truncated string stats with tie-breaker). */
+  private[graft] def stringStatFloor(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      v = (v << 8) | (if (i < b.length) b(i) & 0xffL else 0L)
+      i += 1
+    }
+    v ^ Long.MinValue // flip the sign bit: unsigned order as signed
+  }
+
+  private[graft] def stringStatCeil(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val floor = stringStatFloor(s)
+    if (b.length <= 8) floor // exact: padding low IS the value
+    else if (floor == Long.MaxValue) Long.MaxValue // saturate
+    else floor + 1 // truncated: everything with this prefix is below
   }
 
   /** The per-file statistics read-back over an already-written
@@ -1442,13 +1477,21 @@ object ManifestTable {
     import org.apache.spark.sql.functions._
     val back = spark.read.parquet(sub)
       .select(columns.map(col) :+ input_file_name().as("__pf"): _*)
+    // string columns record min/max STRINGS per file (the grouped
+    // aggregate is one row per file — tiny), encoded into the stats
+    // grammar's long space driver-side ([[stringStatFloor]]/Ceil)
+    val isStr: Set[String] = statsCols.filter(c =>
+      back.schema(c).dataType ==
+        org.apache.spark.sql.types.StringType).toSet
     val aggs = count(lit(1)).as("n") +:
       (statsCol.toSeq.flatMap(c => Seq(
         min(col(c).cast("long")).as("slo"),
         max(col(c).cast("long")).as("shi"))) ++
-       statsCols.zipWithIndex.flatMap { case (c, i) => Seq(
-        min(col(c).cast("long")).as(s"mlo_$i"),
-        max(col(c).cast("long")).as(s"mhi_$i")) } ++
+       statsCols.zipWithIndex.flatMap { case (c, i) =>
+        if (isStr(c)) Seq(min(col(c)).as(s"mlo_$i"),
+          max(col(c)).as(s"mhi_$i"))
+        else Seq(min(col(c).cast("long")).as(s"mlo_$i"),
+          max(col(c).cast("long")).as(s"mhi_$i")) } ++
        partitionCols.zipWithIndex.map { case (c, i) =>
         min(col(c).cast("string")).as(s"pv_$i") })
     val byFile = back.groupBy(col("__pf"))
@@ -1465,6 +1508,9 @@ object ManifestTable {
       }.toMap
       val mstats = statsCols.zipWithIndex.flatMap { case (c, i) =>
         if (r.isNullAt(statsBase + 2 * i)) None
+        else if (isStr(c)) Some(c ->
+          (stringStatFloor(r.getString(statsBase + 2 * i)),
+            stringStatCeil(r.getString(statsBase + 2 * i + 1))))
         else Some(c -> (r.getLong(statsBase + 2 * i),
           r.getLong(statsBase + 2 * i + 1)))
       }.toMap

@@ -1689,6 +1689,64 @@ object Extensions extends QueryPack {
       }
     }),
 
+    // -- x65: STRING file statistics in the same [lo, hi] grammar ----------
+    // Delta records truncated string min/max per file; here strings
+    // ride the SAME (long, long) stats grammar through an
+    // order-preserving 8-byte-prefix encoding (floor for lo, ceil for
+    // hi — both monotone in Spark's binary string order, so interval
+    // overlap stays a conservative file filter). Four appends with
+    // disjoint o_orderpriority ranges, then a string range probe — the
+    // plan must touch fewer files than the table holds, observed off
+    // BatchScanExec, with exact results. No DDL anywhere: the stats
+    // are the x59 unconditional default, now for strings too.
+    "x65_string_stats_skipping" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      import org.apache.spark.sql.execution.datasources.FilePartition
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-strstats-").toString + "/t"
+      val t = Tables(s, dir).orders.select($"o_orderkey".as("k"),
+        $"o_orderpriority".as("prio"),
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      def plannedFiles(df: DataFrame): Int =
+        df.queryExecution.executedPlan.collectFirst {
+          case b: BatchScanExec => b.partitions.flatten.map {
+            case fp: FilePartition => fp.files.length
+            case _ => 1
+          }.sum
+        }.getOrElse(-1)
+      try {
+        // four appends, each a disjoint PRIORITY-STRING range — real
+        // ingestion gets this from source routing for free
+        ManifestTable.create(s, work,
+          t.filter($"prio" < "3").repartition(2))
+        Seq(($"prio" >= "3" && $"prio" < "4", 2),
+          ($"prio" >= "4" && $"prio" < "5", 1),
+          ($"prio" >= "5", 1)).foreach { case (p, n) =>
+          ManifestTable.append(s, work, t.filter(p).repartition(n))
+        }
+        val snap = ManifestTable.snapshot(s, work)
+        val statsRecorded = snap.entries.forall(_.stats.contains("prio"))
+        val total = snap.entries.size
+        val probe = s.read.format("graft-manifest").load(work)
+          .filter($"prio" >= "3" && $"prio" < "4")
+        val planned = plannedFiles(probe)
+        val pruned = planned > 0 && planned < total
+        probe.groupBy($"prio")
+          .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+          .orderBy($"prio")
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            statsRecorded, pruned))
+          .toDF("prio", "n_rows", "sum_cents", "stats_recorded",
+            "planning_pruned")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(work).getParentFile)
+      }
+    }),
+
     // -- x59: unconditional multi-column file stats -----------------------
     // Delta collects min/max for the first N leaf columns on every
     // write, DDL or not — that default is what lets an AD-HOC range
@@ -3522,6 +3580,16 @@ object Extensions extends QueryPack {
         |  TRUE AS pruning_exact_on_new_era
         |FROM t WHERE st = 'F'
         |GROUP BY k % 4 ORDER BY m""".stripMargin,
+
+    // the priority-3 slice grouped; the stats/pruning predicates ride
+    // as protocol TRUEs
+    "x65_string_stats_skipping" ->
+      """SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  TRUE AS stats_recorded, TRUE AS planning_pruned
+        |FROM orders WHERE o_orderpriority >= '3' AND o_orderpriority < '4'
+        |GROUP BY o_orderpriority ORDER BY prio""".stripMargin,
 
     // both halves unioned (the adopted foreign files + the appended
     // slice) minus the COW-deleted 'F' rows; the in-place and

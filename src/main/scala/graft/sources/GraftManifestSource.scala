@@ -607,7 +607,8 @@ object ManifestFileIndex {
     // stats_col + every multi-stats column any entry carries)
     val windows: Map[String, (Long, Long)] =
       (statsCol.toSeq ++ statCols).distinct.flatMap(c =>
-        rangeOf(filters, c).map(c -> _)).toMap
+        rangeOf(filters, c).orElse(stringRangeOf(filters, c))
+          .map(c -> _)).toMap
     // allowed value-string sets per constrained partition column
     val partAllowed: Map[String, Set[String]] = partColNames.flatMap(c =>
       equalitySetOf(filters, c).map(c -> _)).toMap
@@ -668,6 +669,48 @@ object ManifestFileIndex {
       case GreaterThan(l, a) if isCol(a) => tighten(None, lit(l))
       case LessThanOrEqual(l, a) if isCol(a) => tighten(lit(l), None)
       case LessThan(l, a) if isCol(a) => tighten(lit(l), None)
+      case _ => ()
+    }
+    if (any) Some((lb, ub)) else None
+  }
+
+  private def strLit(e: Expression): Option[String] = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String,
+      org.apache.spark.sql.types.StringType) => Some(v.toString)
+    case _ => None
+  }
+
+  /** String twin of [[rangeOf]]: fold STRING-literal conjuncts on
+    * `col` into one window in the stats grammar's encoded long space
+    * (floor for lower bounds, ceil for upper — both monotone in
+    * Spark's string order, so the interval test stays conservative;
+    * see [[ManifestTable.stringStatFloor]]). */
+  def stringRangeOf(filters: Seq[Expression],
+      col: String): Option[(Long, Long)] = {
+    var lb = Long.MinValue
+    var ub = Long.MaxValue
+    var any = false
+    def isCol(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name.equalsIgnoreCase(col)
+      case _ => false
+    }
+    def lo(v: Option[String]): Unit = v.foreach { s =>
+      lb = math.max(lb, ManifestTable.stringStatFloor(s)); any = true
+    }
+    def hi(v: Option[String]): Unit = v.foreach { s =>
+      ub = math.min(ub, ManifestTable.stringStatCeil(s)); any = true
+    }
+    filters.foreach {
+      case EqualTo(a, l) if isCol(a) => lo(strLit(l)); hi(strLit(l))
+      case EqualTo(l, a) if isCol(a) => lo(strLit(l)); hi(strLit(l))
+      case GreaterThanOrEqual(a, l) if isCol(a) => lo(strLit(l))
+      case GreaterThan(a, l) if isCol(a) => lo(strLit(l))
+      case LessThanOrEqual(a, l) if isCol(a) => hi(strLit(l))
+      case LessThan(a, l) if isCol(a) => hi(strLit(l))
+      case GreaterThanOrEqual(l, a) if isCol(a) => hi(strLit(l))
+      case GreaterThan(l, a) if isCol(a) => hi(strLit(l))
+      case LessThanOrEqual(l, a) if isCol(a) => lo(strLit(l))
+      case LessThan(l, a) if isCol(a) => lo(strLit(l))
       case _ => ()
     }
     if (any) Some((lb, ub)) else None
