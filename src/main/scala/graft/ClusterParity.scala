@@ -133,7 +133,20 @@ object ClusterParity {
     // write runs on the executors, so cross-JVM parity is the test
     // that matters most for it
     "x51_sql_update", "x52_sql_merge", "x53_mor_delete",
-    "x54_sql_maintenance", "x55_change_feed_rows")
+    "x54_sql_maintenance", "x55_change_feed_rows",
+    // round-11 tier: the DV-aware front-door scan, the CDF scan's
+    // three custom partition kinds + literal-appending readers, the
+    // clone's absolutized DV read, partition evolution's mixed-spec
+    // pruning, string-stats skipping, convert's footer adoption, and
+    // the throttled version-offset stream — every one of these ships
+    // custom InputPartitions / reader factories into executor JVMs,
+    // which single-JVM local[N] never serializes
+    "x56_dv_front_door", "x57_cow_update_cdc", "x58_column_mapping",
+    "x59_auto_stats_skipping", "x60_check_constraints",
+    "x61_shallow_clone", "x62_cdf_front_door",
+    "x63_partition_evolution", "x64_convert_in_place",
+    "x65_string_stats_skipping", "st49_stream_merge_manifest",
+    "st50_stream_cdf_source", "st51_stream_throttled_backfill")
 }
 
 /** Smoke main: `runMain graft.ClusterParitySmoke <sfDir> [names…]` —

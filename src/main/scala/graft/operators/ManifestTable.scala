@@ -1465,6 +1465,26 @@ object ManifestTable {
     else floor + 1 // truncated: everything with this prefix is below
   }
 
+  /** Upper bound of the WHOLE `startsWith(p)` family in the encoded
+    * space: extensions of a short prefix can fill the remaining bytes
+    * of the 8-byte window arbitrarily high, so the bound pads them
+    * with 0xFF (not +1 — that only covers prefixes already 8+ bytes
+    * long, where truncation makes every extension collapse onto the
+    * same window). */
+  private[graft] def stringPrefixFamilyCeil(p: String): Long = {
+    val b = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (b.isEmpty) return Long.MaxValue // startsWith("") matches all
+    val floor = stringStatFloor(p)
+    if (b.length >= 8) {
+      if (floor == Long.MaxValue) Long.MaxValue else floor + 1
+    } else {
+      // fill the unused low bytes with 0xFF: every extension of the
+      // prefix encodes at or below this (the sign-bit flip lives in
+      // the top byte, which a non-empty prefix owns)
+      floor | ((1L << (8 * (8 - b.length))) - 1)
+    }
+  }
+
   /** The per-file statistics read-back over an already-written
     * directory: ONE pass grouped by input_file_name yields every
     * file's row count, stats ranges and partition tuple. Shared by

@@ -669,6 +669,17 @@ object ManifestFileIndex {
       case GreaterThan(l, a) if isCol(a) => tighten(None, lit(l))
       case LessThanOrEqual(l, a) if isCol(a) => tighten(lit(l), None)
       case LessThan(l, a) if isCol(a) => tighten(lit(l), None)
+      // IN-list: the members' [min, max] hull is a sound window (a
+      // file outside the hull can hold no member); only when EVERY
+      // member is a translatable literal — a partial hull could
+      // over-prune
+      case org.apache.spark.sql.catalyst.expressions.In(a, vs)
+          if isCol(a) && vs.nonEmpty =>
+        val ls = vs.map(lit)
+        if (ls.forall(_.isDefined)) {
+          val xs = ls.flatten
+          tighten(Some(xs.min), Some(xs.max))
+        }
       case _ => ()
     }
     if (any) Some((lb, ub)) else None
@@ -711,6 +722,23 @@ object ManifestFileIndex {
       case GreaterThan(l, a) if isCol(a) => hi(strLit(l))
       case LessThanOrEqual(l, a) if isCol(a) => lo(strLit(l))
       case LessThan(l, a) if isCol(a) => lo(strLit(l))
+      // LIKE 'p%' pushes as StartsWith: the whole prefix family lies
+      // in [floor(p), familyCeil(p)] (unused window bytes padded high)
+      case org.apache.spark.sql.catalyst.expressions.StartsWith(a, l)
+          if isCol(a) =>
+        strLit(l).foreach { p =>
+          lo(Some(p))
+          ub = math.min(ub, ManifestTable.stringPrefixFamilyCeil(p))
+          any = true
+        }
+      // IN-list hull over string members (all-literal only)
+      case org.apache.spark.sql.catalyst.expressions.In(a, vs)
+          if isCol(a) && vs.nonEmpty =>
+        val ls = vs.map(strLit)
+        if (ls.forall(_.isDefined)) {
+          val xs = ls.flatten.sorted
+          lo(Some(xs.head)); hi(Some(xs.last))
+        }
       case _ => ()
     }
     if (any) Some((lb, ub)) else None
