@@ -1559,9 +1559,20 @@ object Extensions extends QueryPack {
           .option("startingVersion", 1).load(work)
         val scalaFeed = ManifestTable.changeFeedRows(s, work, 0,
           ManifestTable.versions(s, work).last)
-        val matches =
-          door.exceptAll(scalaFeed).isEmpty &&
-            scalaFeed.exceptAll(door).isEmpty
+        // multiset-equality proof in ONE scan per side (a two-way
+        // exceptAll evaluates each 3M-row feed twice per direction):
+        // per (version, type) group, count + order-independent sums of
+        // per-row hashes pin content; the oracle independently pins the
+        // door's exact aggregates
+        def sig(df: DataFrame) = df.groupBy(
+            $"_commit_version", $"_change_type")
+          .agg(count(lit(1)).as("n"),
+            sum(xxhash64($"k", $"st", $"cents").cast("decimal(38,0)"))
+              .cast("string").as("h1"),
+            sum(crc32(concat_ws("|", $"k", $"st", $"cents"))).as("h2"))
+          .collect().map(r => (r.getInt(0), r.getString(1),
+            r.getLong(2), r.getString(3), r.getLong(4))).toSet
+        val matches = sig(door) == sig(scalaFeed)
         val compactionSilent =
           door.filter($"_commit_version" === compactedV).count() == 0
         door.groupBy($"_change_type".as("change_type"))

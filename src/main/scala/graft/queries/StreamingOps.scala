@@ -1798,13 +1798,23 @@ object StreamingOps extends QueryPack {
       try {
         ManifestTable.create(s, work,
           t.filter($"k" % 2 === 0).repartition(3))           // v1 insert
-        val feedSchema = s.read.format("graft-manifest")
-          .option("readChangeFeed", "true").load(work).schema
-        val buf =
-          scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+        // each micro-batch folds to its per-(version, type) signature
+        // (count, sum, order-independent hash sums) — the drained
+        // state is O(versions), never O(feed rows) on the driver
+        def sigOf(df: DataFrame) = df.groupBy(
+            $"_commit_version", $"_change_type")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("c"),
+            sum(xxhash64($"k", $"st", $"cents").cast("decimal(38,0)"))
+              .cast("string").as("h1"),
+            sum(crc32(concat_ws("|", $"k", $"st", $"cents"))).as("h2"))
+          .collect().map(r => (r.getInt(0), r.getString(1)) ->
+            (r.getLong(2), r.getLong(3), BigInt(r.getString(4)),
+              r.getLong(5)))
+        val acc = scala.collection.mutable
+          .Map[(Int, String), (Long, Long, BigInt, Long)]()
         def drainOnce(): Seq[Int] = {
           val seen = scala.collection.mutable
-            .ArrayBuffer[org.apache.spark.sql.Row]()
+            .ArrayBuffer[((Int, String), (Long, Long, BigInt, Long))]()
           val q = s.readStream.format("graft-manifest")
             .option("readChangeFeed", "true").load(work)
             .writeStream
@@ -1813,13 +1823,17 @@ object StreamingOps extends QueryPack {
             .option("checkpointLocation", ckpt)
             .foreachBatch {
               (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-                seen.synchronized { seen ++= batch.collect() }
+                val part = sigOf(batch.toDF())
+                seen.synchronized { seen ++= part }
                 ()
             }
             .start()
           q.awaitTermination()
-          buf ++= seen
-          seen.map(_.getInt(4)).distinct.sorted.toSeq
+          seen.foreach { case (k, v) =>
+            val p = acc.getOrElse(k, (0L, 0L, BigInt(0), 0L))
+            acc(k) = (p._1 + v._1, p._2 + v._2, p._3 + v._3, p._4 + v._4)
+          }
+          seen.map(_._1._1).distinct.sorted.toSeq
         }
         val d1 = drainOnce()                                 // {1}
         ManifestTable.append(s, work,
@@ -1830,18 +1844,17 @@ object StreamingOps extends QueryPack {
         val d3 = drainOnce()                                 // {} — no-op
         val incremental =
           d1 == Seq(1) && d2 == Seq(2, 3) && d3.isEmpty
-        val collected = s.createDataFrame(
-          s.sparkContext.parallelize(buf.toSeq, 4), feedSchema)
         val batchFeed = ManifestTable.changeFeedRows(s, work, 0,
           ManifestTable.versions(s, work).last)
-        val matches = collected.exceptAll(batchFeed).isEmpty &&
-          batchFeed.exceptAll(collected).isEmpty
-        collected.groupBy($"_change_type".as("change_type"))
-          .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
-          .orderBy($"change_type")
-          .collect().toSeq
-          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-            incremental, matches))
+        // drained union ≡ batch feed, by per-(version, type) signature
+        val matches = acc.toMap == sigOf(batchFeed).toMap
+        acc.toSeq
+          .map { case ((_, tpe), (n, c, _, _)) => (tpe, n, c) }
+          .groupBy(_._1).toSeq
+          .map { case (tpe, xs) =>
+            (tpe, xs.map(_._2).sum, xs.map(_._3).sum,
+              incremental, matches) }
+          .sortBy(_._1)
           .toDF("change_type", "n_rows", "sum_cents",
             "incremental_tail", "matches_batch_feed")
       } finally {
@@ -1875,8 +1888,18 @@ object StreamingOps extends QueryPack {
         (1 to 3).foreach(i =>
           ManifestTable.append(s, work, t.filter($"k" % 4 === i)))
         val nVersions = ManifestTable.versions(s, work).size
-        val buf =
-          scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+        // each micro-batch folds to per-status aggregates + a global
+        // content signature — driver state is O(statuses), not O(rows)
+        def sigOf(df: DataFrame) = df.groupBy($"st")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("c"),
+            sum(xxhash64($"k", $"st", $"cents").cast("decimal(38,0)"))
+              .cast("string").as("h1"),
+            sum(crc32(concat_ws("|", $"k", $"st", $"cents"))).as("h2"))
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2), BigInt(r.getString(3)),
+              r.getLong(4)))
+        val acc = scala.collection.mutable
+          .Map[String, (Long, Long, BigInt, Long)]()
         var batches = 0
         val q = s.readStream.format("graft-manifest")
           .option("maxVersionsPerTrigger", "1").load(work)
@@ -1886,28 +1909,26 @@ object StreamingOps extends QueryPack {
           .option("checkpointLocation", s"$root/ckpt")
           .foreachBatch {
             (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-              val rows = batch.collect()
-              buf.synchronized {
-                buf ++= rows
-                if (rows.nonEmpty) batches += 1
+              val part = sigOf(batch.toDF())
+              acc.synchronized {
+                if (part.nonEmpty) batches += 1
+                part.foreach { case (k, v) =>
+                  val p = acc.getOrElse(k, (0L, 0L, BigInt(0), 0L))
+                  acc(k) =
+                    (p._1 + v._1, p._2 + v._2, p._3 + v._3, p._4 + v._4)
+                }
               }
               ()
           }
           .start()
         q.awaitTermination()
         val throttled = batches == nVersions && nVersions == 4
-        val collected = s.createDataFrame(
-          s.sparkContext.parallelize(buf.toSeq, 4),
-          s.read.format("graft-manifest").load(work).schema)
-        val table = ManifestTable.read(s, work)
-        val matchesTable = collected.exceptAll(table).isEmpty &&
-          table.exceptAll(collected).isEmpty
-        collected.groupBy($"st")
-          .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
-          .orderBy($"st")
-          .collect().toSeq
-          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-            throttled, matchesTable))
+        val matchesTable =
+          acc.toMap == sigOf(ManifestTable.read(s, work)).toMap
+        acc.toSeq
+          .map { case (st, (n, c, _, _)) =>
+            (st, n, c, throttled, matchesTable) }
+          .sortBy(_._1)
           .toDF("st", "n_rows", "sum_cents", "one_version_per_batch",
             "matches_table")
       } finally {
