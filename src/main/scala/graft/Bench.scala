@@ -172,6 +172,20 @@ object Bench {
       // per-query mean must never displace the sf0.1 artifact of
       // record (this happened once: a 0.88 s/q sf0.01 smoke "beat" the
       // 1.19 s/q sf0.1 record and overwrote it).
+      // the prior record's per-query map: the mean comparison must run
+      // over the INTERSECTION of query sets — a whole-suite mean rises
+      // every time a round ADDS queries (heavier lifecycle queries are
+      // legitimate growth, not load), which would wedge the record
+      // forever on a growing suite
+      val priorQueries: Map[String, Double] =
+        if (!java.nio.file.Files.exists(target)) Map.empty
+        else {
+          val old = java.nio.file.Files.readString(target)
+          """"([a-z0-9]+_[a-z0-9_.]*)":([0-9.eE+\-]+)""".r
+            .findAllMatchIn(old)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            .removed("n_queries") // header field the query regex also hits
+        }
       val prior: Option[(Double, Option[String], Option[Double])] =
         if (!java.nio.file.Files.exists(target)) None
         else {
@@ -193,6 +207,16 @@ object Bench {
           val oldCal = calRe.findFirstMatchIn(old).map(_.group(1).toDouble)
           for (t <- oldTotal; n <- oldN) yield (t / n, oldSf, oldCal)
         }
+      // composition-independent slowdown: total seconds over the
+      // queries BOTH runs measured (falls back to the whole-mean ratio
+      // when the prior record predates per-query maps)
+      val commonRatio: Double = {
+        val common = results.collect {
+          case (n, s) if priorQueries.contains(n) => (s, priorQueries(n))
+        }
+        if (common.isEmpty) prior.map(p => newMean / p._1).getOrElse(1.0)
+        else common.map(_._1).sum / common.map(_._2).sum
+      }
       val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
       prior match {
         case _ if contaminatedProbe.isDefined && !force =>
@@ -223,11 +247,12 @@ object Bench {
               f"load; per-query times are contaminated). This run is " +
               f"preserved at $stamped; set SPARK_GRAFT_BENCH_FORCE=1 to " +
               "override.")
-        case Some((pm, _, _)) if newMean > pm * 1.10 && !force =>
+        case Some(_) if commonRatio > 1.10 && !force =>
           System.err.println(
-            f"[bench] REFUSING to overwrite $benchOut: new mean " +
-              f"$newMean%.3f s/query is ${newMean / pm}%.2f× the recorded " +
-              f"$pm%.3f s/query (>1.10× — likely load contamination). " +
+            f"[bench] REFUSING to overwrite $benchOut: the queries both " +
+              f"runs measured are ${commonRatio}%.2f× slower in this run " +
+              f"(>1.10× on the common set — likely load contamination; " +
+              f"suite growth is excluded from this comparison). " +
               f"This run is preserved at $stamped; set " +
               "SPARK_GRAFT_BENCH_FORCE=1 to override.")
         case _ =>
