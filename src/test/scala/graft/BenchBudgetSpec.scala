@@ -33,7 +33,13 @@ class BenchBudgetSpec extends AnyFunSuite {
     "d19_entity_resolution" -> 26.0,         // measured 8.4
     "d23_substring_dedup" -> 20.0,           // measured 6.6
     "c15_leakage_safe_split" -> 20.0,        // measured 6.3
-    "st18_stream_asof_enrich" -> 20.0)       // measured ~6
+    "st18_stream_asof_enrich" -> 20.0,       // measured ~6
+    // round-11 table-format lifecycles (measured under bench-era load
+    // ≤16 s at sf0.01; budgets keep the same ~3× slack so a lost
+    // broadcast / quadratic capture diff / unpruned feed scan trips)
+    "x61_shallow_clone" -> 45.0,
+    "x62_cdf_front_door" -> 45.0,
+    "st50_stream_cdf_source" -> 30.0)
 
   private lazy val warmedUp: Unit = {
     // suite order is arbitrary: pay JIT/codegen warm-up here, untimed,
