@@ -1503,10 +1503,20 @@ object ManifestTable {
     val isStr: Set[String] = statsCols.filter(c =>
       back.schema(c).dataType ==
         org.apache.spark.sql.types.StringType).toSet
+    // a STRING stats column records its bounds in the ENCODED space,
+    // carried by the multi-stats map under its own name (never the
+    // legacy lo/hi pair, which the numeric path records via
+    // cast('long') — mixing the two spaces in one slot let a
+    // numeric-parsing string statsCol prune wrongly; ADVICE r11)
+    val statsColIsStr: Boolean = statsCol.exists(c =>
+      back.schema(c).dataType == org.apache.spark.sql.types.StringType)
     val aggs = count(lit(1)).as("n") +:
-      (statsCol.toSeq.flatMap(c => Seq(
-        min(col(c).cast("long")).as("slo"),
-        max(col(c).cast("long")).as("shi"))) ++
+      (statsCol.toSeq.flatMap(c =>
+        if (statsColIsStr) Seq(min(col(c)).as("slo"),
+          max(col(c)).as("shi"))
+        else Seq(
+          min(col(c).cast("long")).as("slo"),
+          max(col(c).cast("long")).as("shi"))) ++
        statsCols.zipWithIndex.flatMap { case (c, i) =>
         if (isStr(c)) Seq(min(col(c)).as(s"mlo_$i"),
           max(col(c)).as(s"mhi_$i"))
@@ -1533,14 +1543,23 @@ object ManifestTable {
             stringStatCeil(r.getString(statsBase + 2 * i + 1))))
         else Some(c -> (r.getLong(statsBase + 2 * i),
           r.getLong(statsBase + 2 * i + 1)))
-      }.toMap
+      }.toMap ++
+        // string statsCol: encoded bounds under its own multi-stats key
+        (if (statsColIsStr && !r.isNullAt(2))
+          Map(statsCol.get -> (stringStatFloor(r.getString(2)),
+            stringStatCeil(r.getString(3))))
+        else Map.empty)
+      // an all-null stats column in a file (or a cast('long') that
+      // nulled out) records NO bounds — conservative keep at prune
+      // time, never a read-back crash
+      val numLoHi = statsCol.isDefined && !statsColIsStr && !r.isNullAt(2)
       ManifestEntry(
         // input_file_name is URI-encoded; normalize to the Path form
         // listStatus would give
         new Path(new java.net.URI(r.getString(0))).toString,
         r.getLong(1),
-        if (statsCol.isDefined) Some(r.getLong(2)) else None,
-        if (statsCol.isDefined) Some(r.getLong(3)) else None,
+        if (numLoHi) Some(r.getLong(2)) else None,
+        if (numLoHi) Some(r.getLong(3)) else None,
         part, mstats)
     }.sortBy(_.path)
   }
@@ -1952,19 +1971,33 @@ object ManifestTable {
       statsCol: Option[String] = None,
       partitionBy: Seq[String] = Nil,
       statsCols: Seq[String] = Nil): Int = {
-    val newEntries = writeFiles(spark, dir, df, statsCol, partitionBy,
-      statsCols)
     val cur = snapshot(spark, dir)
+    // CHECK constraints SURVIVE a full overwrite (Delta semantics:
+    // INSERT OVERWRITE replaces the DATA, not the contract) and the
+    // replacing batch is validated against them. A constraint whose
+    // predicate no longer resolves against the replacing schema is a
+    // hard refusal — DROP CONSTRAINT first, never a silent drop that
+    // would let the next appends admit violating rows (ADVICE r11).
+    cur.checks.foreach { case (n, p) =>
+      require(scala.util.Try(df.select(
+          org.apache.spark.sql.functions.expr(p))
+        .queryExecution.analyzed).isSuccess,
+        s"overwrite $dir: CHECK constraint $n ($p) does not resolve " +
+          "against the replacing schema — DROP CONSTRAINT first, " +
+          "then overwrite")
+    }
+    val newEntries = writeFiles(spark, dir, df, statsCol, partitionBy,
+      statsCols, Map.empty, cur.checks)
     tryCommit(spark, dir, cur.version + 1,
       adds = newEntries, removes = cur.paths,
       schemaDdl = Some(df.schema.toDDL), statsCol = statsCol,
       // an overwrite RESETS the partition spec like it resets the
       // schema (Some(Nil) in the header = back to unpartitioned) —
       // and the column mapping with it (the new files speak the new
-      // schema's own names)
+      // schema's own names). The constraints are NOT reset: None =
+      // carry the current checks forward in the log.
       partCols = Some(partitionBy),
-      colMap = if (cur.colMap.isEmpty) None else Some(Map.empty),
-      checks = if (cur.checks.isEmpty) None else Some(Map.empty))
+      colMap = if (cur.colMap.isEmpty) None else Some(Map.empty))
       .getOrElse(sys.error(s"concurrent commit at $dir — overwrite " +
         "is not auto-retried: rebase on the new version first"))
   }

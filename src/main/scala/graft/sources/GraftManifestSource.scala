@@ -604,17 +604,28 @@ object ManifestFileIndex {
     val partColNames: Set[String] =
       entries.iterator.flatMap(_.part.keysIterator).toSet
     // [lb, ub] window per constrained stats column (legacy single
-    // stats_col + every multi-stats column any entry carries)
-    val windows: Map[String, (Long, Long)] =
-      (statsCol.toSeq ++ statCols).distinct.flatMap(c =>
-        rangeOf(filters, c).orElse(stringRangeOf(filters, c))
-          .map(c -> _)).toMap
+    // stats_col + every multi-stats column any entry carries), kept
+    // SEPARATE by the space the bounds live in: rangeOf folds
+    // integral literals (numeric space — stats recorded via
+    // cast('long')), stringRangeOf folds string literals into the
+    // 8-byte-prefix ENCODED space. A resolved plan constrains a
+    // column with literals of its own type (a cross-type spelling
+    // wraps the attribute in a Cast, which the matchers decline →
+    // conservative keep), so each window may only ever be compared
+    // against stats recorded in its own space.
+    val cols = (statsCol.toSeq ++ statCols).distinct
+    val numWindows: Map[String, (Long, Long)] =
+      cols.flatMap(c => rangeOf(filters, c).map(c -> _)).toMap
+    val strWindows: Map[String, (Long, Long)] =
+      cols.filterNot(numWindows.contains)
+        .flatMap(c => stringRangeOf(filters, c).map(c -> _)).toMap
     // allowed value-string sets per constrained partition column
     val partAllowed: Map[String, Set[String]] = partColNames.flatMap(c =>
       equalitySetOf(filters, c).map(c -> _)).toMap
-    if (windows.isEmpty && partAllowed.isEmpty) return entries
+    if (numWindows.isEmpty && strWindows.isEmpty && partAllowed.isEmpty)
+      return entries
     entries.filter { e =>
-      val statsOk = windows.forall { case (c, (lb, ub)) =>
+      val numOk = numWindows.forall { case (c, (lb, ub)) =>
         val rng =
           (if (statsCol.contains(c))
             for { l <- e.lo; h <- e.hi } yield (l, h)
@@ -624,6 +635,21 @@ object ManifestFileIndex {
           case None => true // no stats for this column: keep
         }
       }
+      // encoded windows only meet ENCODED stats: the multi-stats map,
+      // whose writer records string columns via stringStatFloor/Ceil.
+      // The legacy lo/hi pair is NEVER consulted here — entriesFromDir
+      // historically recorded it via cast('long') (numeric space), so
+      // a string statsCol whose values parse as longs would compare
+      // across spaces and silently prune matching files (ADVICE r11).
+      // A string statsCol's encoded bounds now ride the multi-stats
+      // map under its own name, so no pruning power is lost.
+      val strOk = strWindows.forall { case (c, (lb, ub)) =>
+        e.stats.get(c) match {
+          case Some((lo, hi)) => hi >= lb && lo <= ub
+          case None => true // no encoded stats for this column: keep
+        }
+      }
+      val statsOk = numOk && strOk
       val partOk = partAllowed.forall { case (c, allowed) =>
         e.part.get(c) match {
           case Some(v) => allowed.contains(v)
@@ -731,13 +757,21 @@ object ManifestFileIndex {
           ub = math.min(ub, ManifestTable.stringPrefixFamilyCeil(p))
           any = true
         }
-      // IN-list hull over string members (all-literal only)
+      // IN-list hull over string members (all-literal only). The hull
+      // is computed in ENCODED space — min of floors, max of ceils —
+      // because Java String ordering (UTF-16 code units) and the
+      // stats encoding's UTF-8 unsigned-byte order diverge for
+      // supplementary characters vs U+E000–U+FFFF: sorting the raw
+      // strings could pick a head/last that is not the encoded
+      // extreme and wrongly prune files holding real members.
       case org.apache.spark.sql.catalyst.expressions.In(a, vs)
           if isCol(a) && vs.nonEmpty =>
         val ls = vs.map(strLit)
         if (ls.forall(_.isDefined)) {
-          val xs = ls.flatten.sorted
-          lo(Some(xs.head)); hi(Some(xs.last))
+          val xs = ls.flatten
+          lb = math.max(lb, xs.map(ManifestTable.stringStatFloor).min)
+          ub = math.min(ub, xs.map(ManifestTable.stringStatCeil).max)
+          any = true
         }
       case _ => ()
     }
