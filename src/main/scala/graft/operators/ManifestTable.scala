@@ -279,27 +279,14 @@ object ManifestTable {
     if (pp.startsWith(base + "/")) pp.substring(base.length + 1) else pp
   }
 
-  /** Per-file SORTED deleted positions for the given DV-carrying
-    * entries, in table-relative key space — the driver-side planning
-    * read the DSv2 scan embeds into its per-file input partitions.
-    * O(deleted rows): the same broadcast-scale assumption [[applyDvs]]
-    * makes (unioning superseded DVs is harmless; restricting to the
-    * dirty entries' keys keeps any stale file's positions out). */
-  private[graft] def deletedPositions(spark: SparkSession, dir: String,
-      dirty: Seq[ManifestEntry]): Map[String, Array[Long]] = {
-    import org.apache.spark.sql.functions._
+  /** Per-file DV pointers for DV-carrying entries, in table-relative
+    * key space: `fileKey -> resolved DV path`. This — not positions —
+    * is what DSv2 planning embeds into input partitions; readers load
+    * their own file's positions executor-side ([[DvStore]]). */
+  private[graft] def dvPathsByKey(spark: SparkSession, dir: String,
+      dirty: Seq[ManifestEntry]): Map[String, String] = {
     val bp = baseUriPath(spark, dir)
-    val dvPaths = dirty.flatMap(_.dv).distinct
-    if (dvPaths.isEmpty) return Map.empty
-    val dirtyKeys = dirty.map(e => dvKeyStr(bp, e.path)).toSet
-    spark.read.parquet(dvPaths: _*)
-      .select(dvKeyCol(bp, col("file")).as("file"), col("pos"))
-      .distinct()
-      .collect()
-      .groupBy(_.getString(0))
-      .collect { case (f, rows) if dirtyKeys.contains(f) =>
-        f -> rows.map(_.getLong(1)).sorted }
-      .toMap
+    dirty.flatMap(e => e.dv.map(dvKeyStr(bp, e.path) -> _)).toMap
   }
 
   /** Zero-padded so lexicographic file order == version order — a
@@ -490,19 +477,23 @@ object ManifestTable {
     * parquet (resolved path) already carries `_change_type`. */
   final case class CdfCapture(version: Int, path: String) extends CdfAction
   /** A merge-on-read DELETE: emit the affected files' rows at exactly
-    * `freshPos` — this commit's DV positions minus the previous
-    * version's, keyed in table-relative DV key space. */
+    * this commit's DV positions minus the previous version's. The
+    * action carries only DV PATHS per table-relative file key —
+    * `key -> (newDv, Option(oldDv))` — and the position diff happens
+    * EXECUTOR-side in the CDF reader ([[graft.operators.DvStore]]):
+    * planning never materializes positions on the driver. */
   final case class CdfMorDelete(version: Int,
       entries: Vector[ManifestEntry],
-      freshPos: Map[String, Array[Long]]) extends CdfAction
+      dvByKey: Map[String, (String, Option[String])]) extends CdfAction
 
   /** The versions-(from, to] change feed as a PLAN instead of rows:
     * same branch logic as [[changeFeedRows]] (compaction/purge skipped,
     * captures preferred over re-inserts, MOR deletes as position
-    * diffs), but everything data-sized stays on executors — the only
-    * driver-side collect is the DV position diff, O(deleted rows), the
-    * same assumption every DV read already makes. The front door's
-    * streaming and batch CDF faces both plan from this. */
+    * diffs), but everything data-sized stays on executors — including
+    * the DV position diff, which ships as (newDv, oldDv) PATHS per
+    * file and is computed by the reader (driver planning is O(#files)
+    * metadata, never O(deleted rows)). The front door's streaming and
+    * batch CDF faces both plan from this. */
   def changeFeedActions(spark: SparkSession, dir: String,
       fromVersion: Int, toVersion: Int): Vector[CdfAction] = {
     import org.apache.spark.sql.functions._
@@ -519,20 +510,19 @@ object ManifestTable {
         val affected = d.adds.map(e =>
           e.copy(path = resolvePath(dir, e.path),
             dv = e.dv.map(resolvePath(dir, _))))
-        val newPos = deletedPositions(spark, dir, affected)
+        // paths only — the new-minus-old position diff runs in the
+        // reader, executor-side (DvStore.loadFreshPositions); prev's
+        // entries resolve() already absolutized
         val prevByPath = prev.entries
           .map(e => new Path(e.path).toUri.getPath -> e).toMap
-        val oldAffected = affected.flatMap(e =>
-          prevByPath.get(new Path(resolvePath(dir, e.path)).toUri.getPath))
-          .filter(_.dv.isDefined)
-          .map(e => e.copy(path = resolvePath(dir, e.path),
-            dv = e.dv.map(resolvePath(dir, _))))
-        val oldPos = deletedPositions(spark, dir, oldAffected)
-        val fresh = newPos.map { case (k, ps) =>
-          val old = oldPos.getOrElse(k, Array.empty[Long])
-          k -> ps.filterNot(old.toSet)
-        }.filter(_._2.nonEmpty)
-        if (fresh.isEmpty) None else Some(CdfMorDelete(v, affected, fresh))
+        val pairs = affected.flatMap { e =>
+          e.dv.map { nd =>
+            val oldDv = prevByPath
+              .get(new Path(e.path).toUri.getPath).flatMap(_.dv)
+            dvKeyStr(bp, e.path) -> (nd, oldDv)
+          }
+        }.toMap
+        if (pairs.isEmpty) None else Some(CdfMorDelete(v, affected, pairs))
       } else if (d.adds.isEmpty) None
       else Some(CdfInsert(v,
         d.adds.map(e => e.copy(path = resolvePath(dir, e.path)))))
@@ -785,7 +775,7 @@ object ManifestTable {
     // not tax the other ten thousand)
     val dirtyDf = applyDvs(spark, dir,
       rawRead(spark, snap.schemaDdl, dirty.map(_.path)),
-      dirty.flatMap(_.dv).distinct)
+      dirty.flatMap(_.dv).distinct, dirty.map(_.dvRows).sum)
     if (clean.isEmpty) dirtyDf
     else rawRead(spark, snap.schemaDdl, clean.map(_.path))
       .unionByName(dirtyDf)
@@ -832,23 +822,33 @@ object ManifestTable {
     * pair in any referenced DV is a genuinely deleted row of that
     * physical file, unioning superseded DVs is harmless, and the keys
     * survive table relocation exactly like the manifest's own
-    * relative paths. The DV side is |deleted rows| — broadcast. */
+    * relative paths. The DV side is |deleted rows| — broadcast only
+    * while that stays broadcast-sized (`dvRows`, known exactly from
+    * the log, decides); past the threshold the anti-join shuffles on
+    * (file, pos) instead of pushing gigabytes through the driver. */
   private def applyDvs(spark: SparkSession, dir: String, base: DataFrame,
-      dvPaths: Seq[String]): DataFrame = {
+      dvPaths: Seq[String], dvRows: Long = -1L): DataFrame = {
     import org.apache.spark.sql.functions._
     val bp = baseUriPath(spark, dir)
     val dv = spark.read.parquet(dvPaths: _*)
       .select(dvKeyCol(bp, col("file")).as("__dvf"), col("pos").as("__dvp"))
       .distinct()
+    val dvSide =
+      if (dvRows < 0 || dvRows <= BroadcastDvRows) broadcast(dv) else dv
     base
       .withColumns(Map(
         "__f" -> dvKeyCol(bp, col("_metadata.file_path")),
         "__i" -> col("_metadata.row_index")))
-      .join(broadcast(dv),
+      .join(dvSide,
         col("__f") === col("__dvf") && col("__i") === col("__dvp"),
         "left_anti")
       .drop("__f", "__i")
   }
+
+  /** Positions above this, the DV anti-join stops broadcasting
+    * (~12 B/position → ~240 MB at the bound, the edge of sane
+    * broadcast at 1000 executors). */
+  private val BroadcastDvRows = 20L * 1000 * 1000
 
   /** WRITE-TIME CDC capture for a COW rewrite (Delta's `_change_data`
     * shape): the multiset diff between the replaced files' LIVE rows
@@ -876,7 +876,7 @@ object ManifestTable {
       (if (dirtyR.isEmpty) None
        else Some(applyDvs(spark, dir,
          rawRead(spark, schemaDdl, dirtyR.map(_.path)),
-         dirtyR.flatMap(_.dv).distinct)))
+         dirtyR.flatMap(_.dv).distinct, dirtyR.map(_.dvRows).sum)))
     ).reduceOption(_ unionByName _)
     val neu =
       if (adds.isEmpty) None
@@ -939,7 +939,11 @@ object ManifestTable {
           .select(dvKeyCol(bp, col("file")).as("__dvf"),
             col("pos").as("__dvp"))
           .distinct()
-        base.join(broadcast(dv),
+        val dvSide =
+          if (cur.entries.map(_.dvRows).sum <= BroadcastDvRows)
+            broadcast(dv)
+          else dv
+        base.join(dvSide,
           col("__f") === col("__dvf") && col("__i") === col("__dvp"),
           "left_anti")
       }
@@ -965,10 +969,24 @@ object ManifestTable {
       else Some(spark.read.parquet(oldDvPaths: _*)
         .select(dvKeyCol(bp, col("file")).as("file"), col("pos"))
         .filter(col("file").isin(affectedKeys.toSeq: _*)))
+    // PER-FILE layout (Delta keeps one DV blob per data file for the
+    // same reason): hive-partition the DV by the hex of its key so a
+    // reader lists and loads ONLY its own file's slice —
+    // `dv-<stamp>/__k=<hex(fileKey)>/part-*.parquet` with (file, pos)
+    // kept as DATA columns (every legacy consumer's
+    // `spark.read.parquet(dvDir).select("file","pos")` still works).
+    // pos-sorted within each slice for row-group locality. Hex keeps
+    // the directory name ASCII-portable (POSIX-locale JVMs reject
+    // non-ASCII paths).
     oldForAffected.map(doomed.unionByName(_)).getOrElse(doomed)
       .distinct()
-      .coalesce(1)
-      .write.mode("errorifexists").parquet(dvDir)
+      // 'h' prefix: a hex value can be all-digits, which hive
+      // partition-type inference would read back as a number
+      .withColumn("__k", concat_ws("", lit("h"),
+        hex(encode(col("file"), "UTF-8"))))
+      .repartition(col("__k"))
+      .sortWithinPartitions(col("pos"))
+      .write.partitionBy("__k").mode("errorifexists").parquet(dvDir)
     // per-file DELETED-position counts from the written DV (keys are
     // already table-relative — written by dvKeyCol above)
     val counts = spark.read.parquet(dvDir)
@@ -2342,7 +2360,8 @@ object ManifestTable {
     if (dirty.isEmpty) return cur.version
     val dvPaths = dirty.flatMap(_.dv).distinct
     val purged = rawRead(spark, cur.schemaDdl, dirty.map(_.path))
-    val applied = applyDvs(spark, dir, purged, dvPaths)
+    val applied = applyDvs(spark, dir, purged, dvPaths,
+      dirty.map(_.dvRows).sum)
     val fresh = writeFiles(spark, dir, applied, cur.statsCol,
       cur.partCols, Nil, cur.colMap)
     require(fresh.map(_.rows).sum == dirty.map(_.liveRows).sum,

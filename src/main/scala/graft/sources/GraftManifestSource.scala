@@ -18,7 +18,7 @@ import org.apache.spark.sql.sources.{DataSourceRegister, InsertableRelation}
 import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.operators.ManifestTable
+import graft.operators.{DvStore, ManifestTable}
 
 /** DSv2 front door for the versioned-manifest table format:
   *
@@ -405,7 +405,8 @@ class GraftRowLevelOperation(dir: String, dataSchema: StructType,
           // delete re-points a pinned file mid-flight.
           new ManifestDvScan(bare(cleanK).build(), bare(dirtyK).build(),
             ManifestTable.baseUriPath(spark, dir),
-            ManifestTable.deletedPositions(spark, dir, dirtyK),
+            ManifestTable.dvPathsByKey(spark, dir, dirtyK),
+            new DvStore.SerializableConf(spark.sessionState.newHadoopConf()),
             dir, dataSchema, CaseInsensitiveStringMap.empty())
       }
     }
@@ -1030,7 +1031,8 @@ class DvManifestScanBuilder(spark: SparkSession, dir: String,
   override def build(): Scan =
     new ManifestDvScan(cleanBuilder.build(), dirtyBuilder.build(),
       ManifestTable.baseUriPath(spark, dir),
-      ManifestTable.deletedPositions(spark, dir, dirty),
+      ManifestTable.dvPathsByKey(spark, dir, dirty),
+      new DvStore.SerializableConf(spark.sessionState.newHadoopConf()),
       dir, dataSchema, options)
 }
 
@@ -1076,13 +1078,16 @@ class MappedManifestScanBuilder(spark: SparkSession,
 
 /** The combined clean + dirty scan. Batch = native partitions for the
   * clean files plus one [[DvInputPartition]] per dirty FILE (its
-  * splits in offset order, its sorted deleted positions embedded).
-  * The streaming face is the same log-version micro-batch stream as
-  * the plain scan (append-only contract: MOR versions are
-  * dataChange-skipped there). */
+  * splits in offset order, its DV parquet FILE PATHS embedded — the
+  * reader loads its own file's sorted positions executor-side via
+  * [[graft.operators.DvStore]]; planning never materializes positions
+  * on the driver). The streaming face is the same log-version
+  * micro-batch stream as the plain scan (append-only contract: MOR
+  * versions are dataChange-skipped there). */
 class ManifestDvScan(cleanScan: Scan, dirtyScan: Scan, base: String,
-    posByFile: Map[String, Array[Long]], dir: String,
-    tableSchema: StructType, options: CaseInsensitiveStringMap)
+    dvByKey: Map[String, String], conf: DvStore.SerializableConf,
+    dir: String, tableSchema: StructType,
+    options: CaseInsensitiveStringMap)
   extends Scan {
 
   override def readSchema(): StructType = cleanScan.readSchema()
@@ -1100,19 +1105,26 @@ class ManifestDvScan(cleanScan: Scan, dirtyScan: Scan, base: String,
         case other => sys.error(
           s"dv scan: unexpected non-file partition $other")
       }
+      // one recursive listing per distinct DV directory — O(#files)
+      // driver metadata, the only driver-side DV work left
+      val listings = dvByKey.values.toSeq.distinct
+        .map(p => p -> DvStore.listDv(conf.value, p)).toMap
       val dps = dirtyFiles
         .groupBy(pf => ManifestTable.dvKeyStr(base, pf.filePath.toPath.toString))
         .toArray.sortBy(_._1)
         .zipWithIndex.map { case ((key, files), i) =>
+          val dvFiles = dvByKey.get(key)
+            .map(p => listings(p).filesFor(key))
+            .getOrElse(Array.empty[String])
           DvInputPartition(
             FilePartition(cps.length + i, files.sortBy(_.start)),
-            posByFile.getOrElse(key, Array.empty))
+            dvFiles, base, key)
         }
       cps ++ dps
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new DvPartitionReaderFactory(cb.createReaderFactory(),
-        db.createReaderFactory())
+        db.createReaderFactory(), conf)
   }
 
   override def toMicroBatchStream(
@@ -1122,11 +1134,13 @@ class ManifestDvScan(cleanScan: Scan, dirtyScan: Scan, base: String,
       Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
 }
 
-/** One dirty FILE: all its splits in offset order + its sorted
-  * deleted row positions. */
+/** One dirty FILE: all its splits in offset order + the DV parquet
+  * files holding its deleted positions (loaded by the READER — the
+  * partition ships paths, never position arrays). */
 case class DvInputPartition(
     inner: org.apache.spark.sql.execution.datasources.FilePartition,
-    deleted: Array[Long]) extends InputPartition {
+    dvFiles: Array[String], base: String, key: String)
+  extends InputPartition {
   override def preferredLocations(): Array[String] =
     inner.preferredLocations()
 }
@@ -1134,20 +1148,25 @@ case class DvInputPartition(
 /** Dispatching reader factory: clean partitions keep the native
   * parquet readers; [[DvInputPartition]]s are read with a running row
   * counter that skips the deleted positions — the executor-side half
-  * of merge-on-read. The WHOLE scan reports row-based (Spark refuses
-  * mixed row/columnar partitions in one BatchScan), so a DV-carrying
-  * snapshot trades the columnar path for correct deletes until
-  * `purge_dvs`/compaction cleans it — the same reader-mode downgrade
-  * Delta's DV scans accept. */
+  * of merge-on-read, including LOADING the positions from the DV
+  * parquet slice this partition names. The WHOLE scan reports
+  * row-based (Spark refuses mixed row/columnar partitions in one
+  * BatchScan), so a DV-carrying snapshot trades the columnar path for
+  * correct deletes until `purge_dvs`/compaction cleans it — the same
+  * reader-mode downgrade Delta's DV scans accept. */
 class DvPartitionReaderFactory(clean: PartitionReaderFactory,
-    dirty: PartitionReaderFactory) extends PartitionReaderFactory {
+    dirty: PartitionReaderFactory, conf: DvStore.SerializableConf)
+  extends PartitionReaderFactory {
 
   override def supportColumnarReads(p: InputPartition): Boolean = false
 
   override def createReader(p: InputPartition)
       : org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.catalyst.InternalRow] = p match {
-    case DvInputPartition(inner, deleted) =>
+    case DvInputPartition(inner, dvFiles, base, key) =>
+      // positions load HERE, on the executor that reads the file —
+      // O(this file's deletions) memory, nothing on the driver
+      val deleted = DvStore.loadPositions(conf.value, dvFiles, base, key)
       val r = dirty.createReader(inner)
       new org.apache.spark.sql.connector.read.PartitionReader[
           org.apache.spark.sql.catalyst.InternalRow] {
@@ -1347,8 +1366,14 @@ private[sources] object CdfPlanner {
           val e = Vector(ManifestTable.ManifestEntry(path, 0L))
           fileParts(spark, e, captureSchema(phys))
             .foreach(fp => out += CdfCapturePartition(fp, v))
-        case ManifestTable.CdfMorDelete(v, entries, fresh) =>
+        case ManifestTable.CdfMorDelete(v, entries, dvByKey) =>
           val base = ManifestTable.baseUriPath(spark, dir)
+          val conf = spark.sessionState.newHadoopConf()
+          // one listing per distinct DV dir (driver metadata only);
+          // the new-minus-old position diff runs in the reader
+          val listings = dvByKey.values
+            .flatMap { case (n, o) => Seq(n) ++ o }.toSeq.distinct
+            .map(p => p -> DvStore.listDv(conf, p)).toMap
           // one partition per FILE with splits in offset order — the
           // keep-cursor's running row count must be the file's own
           // row_index space (same discipline as [[ManifestDvScan]])
@@ -1358,9 +1383,13 @@ private[sources] object CdfPlanner {
               ManifestTable.dvKeyStr(base, pf.filePath.toPath.toString))
             .toArray.sortBy(_._1)
             .foreach { case (key, fs) =>
-              fresh.get(key).filter(_.nonEmpty).foreach { keep =>
+              dvByKey.get(key).foreach { case (newDv, oldDv) =>
                 out += CdfMorPartition(
-                  FilePartition(0, fs.sortBy(_.start)), keep, v)
+                  FilePartition(0, fs.sortBy(_.start)),
+                  listings(newDv).filesFor(key),
+                  oldDv.map(p => listings(p).filesFor(key))
+                    .getOrElse(Array.empty[String]),
+                  base, key, v)
               }
             }
       }
@@ -1380,7 +1409,8 @@ private[sources] object CdfPlanner {
         .build().toBatch.createReaderFactory()
     }
     new CdfReaderFactory(template(phys), template(captureSchema(phys)),
-      phys)
+      phys,
+      new DvStore.SerializableConf(spark.sessionState.newHadoopConf()))
   }
 }
 
@@ -1400,11 +1430,14 @@ case class CdfCapturePartition(
     inner.preferredLocations()
 }
 
-/** One MOR-deleted FILE: splits in offset order + the sorted NEWLY
-  * deleted positions to EMIT as 'delete' rows. */
+/** One MOR-deleted FILE: splits in offset order + the DV parquet
+  * slices (this commit's and the previous version's) whose position
+  * DIFF the reader computes and EMITS as 'delete' rows — paths only,
+  * never position arrays. */
 case class CdfMorPartition(
     inner: org.apache.spark.sql.execution.datasources.FilePartition,
-    keep: Array[Long], version: Int) extends InputPartition {
+    newDvFiles: Array[String], oldDvFiles: Array[String],
+    base: String, key: String, version: Int) extends InputPartition {
   override def preferredLocations(): Array[String] =
     inner.preferredLocations()
 }
@@ -1416,7 +1449,8 @@ case class CdfMorPartition(
   * Row-based throughout — feed rows cross into non-codegen'd wrappers
   * once, bounded by the feed's own size, never the table's. */
 class CdfReaderFactory(data: PartitionReaderFactory,
-    capture: PartitionReaderFactory, physSchema: StructType)
+    capture: PartitionReaderFactory, physSchema: StructType,
+    conf: DvStore.SerializableConf)
   extends PartitionReaderFactory {
 
   import org.apache.spark.sql.catalyst.InternalRow
@@ -1454,7 +1488,11 @@ class CdfReaderFactory(data: PartitionReaderFactory,
       // capture rows already carry _change_type: append version only
       appending(capture.createReader(inner),
         new GenericInternalRow(Array[Any](v)))
-    case CdfMorPartition(inner, keep, v) =>
+    case CdfMorPartition(inner, newDv, oldDv, base, key, v) =>
+      // the freshly-deleted positions load HERE, executor-side:
+      // new DV minus old DV, one linear merge of two sorted loads
+      val keep = DvStore.loadFreshPositions(conf.value, newDv, oldDv,
+        base, key)
       appending(keepOnly(data.createReader(inner), keep),
         new GenericInternalRow(
           Array[Any](UTF8String.fromString("delete"), v)))

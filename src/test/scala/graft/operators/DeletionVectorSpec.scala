@@ -285,4 +285,47 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, dir).count() == 300 - 60 + 10)
     cleanup(dir)
   }
+
+  test("VOLUME: 10^6 deleted positions never materialize on the " +
+      "driver — input partitions carry DV paths, readers load their " +
+      "own slice; reads and CDF stay exact") {
+    import spark.implicits._
+    val dir = fresh()
+    val n = 1500000L
+    ManifestTable.create(spark, dir,
+      spark.range(n).select(col("id").as("k")).repartition(3))
+    val (_, deleted) =
+      ManifestTable.deleteRowsMor(spark, dir, col("k") < 1000000L)
+    assert(deleted == 1000000L)
+    // the plan-level check the r11 verdict asked for: every dirty
+    // partition ships PATHS (per-key DV slices), never positions —
+    // DvInputPartition has no position array to smuggle them in
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val probe = spark.read.format("graft-manifest").load(dir)
+    val parts = probe.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.partitions.flatten
+    }.getOrElse(sys.error("no BatchScanExec in the DV read plan"))
+    val dvParts = parts.collect {
+      case p: graft.sources.DvInputPartition => p }
+    assert(dvParts.nonEmpty, "expected DV partitions in the plan")
+    assert(dvParts.forall(_.dvFiles.nonEmpty),
+      "every dirty partition must name its DV parquet slice")
+    // per-file slicing really happened: each partition's DV files live
+    // under its own __k= directory, so no reader scans another file's
+    // million positions
+    assert(dvParts.forall(p =>
+      p.dvFiles.forall(_.contains("/__k=" + DvStore.keyHex(p.key) + "/"))),
+      "DV files must be the partition's own per-key slice")
+    assert(probe.count() == n - 1000000L)
+    assert(probe.agg(sum(col("k"))).first().getLong(0) ==
+      (1000000L until n).sum)
+    // CDF front door: the delete rows also come off the per-key
+    // slices, diffed executor-side
+    val feed = spark.read.format("graft-manifest")
+      .option("readChangeFeed", "true").option("startingVersion", 1)
+      .load(dir)
+    assert(feed.filter(col("_change_type") === "delete").count() ==
+      1000000L)
+    cleanup(dir)
+  }
 }
