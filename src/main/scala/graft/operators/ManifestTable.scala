@@ -273,6 +273,16 @@ object ManifestTable {
       .otherwise(p)
   }
 
+  /** Read deletion-vector parquet as (file, pos) rows regardless of
+    * layout era: r12+ DVs are hive-partitioned by `__k=` (per-file
+    * slices for executor-side loading) while legacy/clone DVs are
+    * flat — recursiveFileLookup reads both shapes, and any MIX of
+    * them, without tripping partition-structure inference (the key
+    * columns are data columns in every era, so nothing is lost). */
+  private def readDvParquet(spark: SparkSession,
+      paths: Seq[String]): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(paths: _*)
+
   /** Driver-side twin of [[dvKeyCol]] for manifest-entry paths. */
   private[graft] def dvKeyStr(base: String, p: String): String = {
     val pp = new Path(p).toUri.getPath
@@ -424,8 +434,7 @@ object ManifestTable {
         val affected = d.adds.map(e =>
           e.copy(path = resolvePath(dir, e.path),
             dv = e.dv.map(resolvePath(dir, _))))
-        val newDv = spark.read
-          .parquet(affected.flatMap(_.dv).distinct: _*)
+        val newDv = readDvParquet(spark, affected.flatMap(_.dv).distinct)
           .select(dvKeyCol(bp, col("file")).as("file"), col("pos"))
         val prevByPath = prev.entries
           .map(e => new Path(e.path).toUri.getPath -> e).toMap
@@ -435,7 +444,7 @@ object ManifestTable {
         val fresh =
           if (oldDvPaths.isEmpty) newDv
           else newDv.join(
-            spark.read.parquet(oldDvPaths: _*)
+            readDvParquet(spark, oldDvPaths)
               .select(dvKeyCol(bp, col("file")).as("file"), col("pos")),
             Seq("file", "pos"), "left_anti")
         val rows = rawRead(spark, ddl, affected.map(_.path))
@@ -560,7 +569,7 @@ object ManifestTable {
           val out = new Path(new Path(dstDir, "_dvs"),
             s"clone-$i-${java.util.UUID.randomUUID().toString.take(8)}" +
               ".parquet").toString
-          spark.read.parquet(dvAbs)
+          readDvParquet(spark, Seq(dvAbs))
             .select(
               when(col("file").startsWith("/"), col("file"))
                 .otherwise(concat(lit(srcBase + "/"), col("file")))
@@ -764,20 +773,17 @@ object ManifestTable {
     val (dirty, clean) = snap.entries.partition(_.dv.isDefined)
     if (dirty.isEmpty)
       return rawRead(spark, snap.schemaDdl, snap.colMap, snap.paths)
-    // the engine keeps DVs and column mapping exclusive (the DV join
-    // needs _metadata columns, which the mapped rename would strip) —
-    // enforced at write time, asserted here so a violation is loud
-    require(!snap.mapped,
-      s"$dir carries both deletion vectors and a column mapping — " +
-        "unsupported combination")
     // only the DV-carrying files pay the anti-join; clean files keep
     // the bare vectorized scan (a point delete touching one file must
-    // not tax the other ten thousand)
-    val dirtyDf = applyDvs(spark, dir,
-      rawRead(spark, snap.schemaDdl, dirty.map(_.path)),
-      dirty.flatMap(_.dv).distinct, dirty.map(_.dvRows).sum)
+    // not tax the other ten thousand). On a MAPPED table the dirty
+    // scan runs in PHYSICAL name space (the anti-join needs _metadata,
+    // which must bind on the scan itself, before any rename) and ONE
+    // positional rename surfaces the logical names after — DVs key by
+    // (file path, position), so column renames never touch them.
+    val dirtyDf = applyDvsLogical(spark, dir, snap.schemaDdl,
+      snap.colMap, dirty)
     if (clean.isEmpty) dirtyDf
-    else rawRead(spark, snap.schemaDdl, clean.map(_.path))
+    else rawRead(spark, snap.schemaDdl, snap.colMap, clean.map(_.path))
       .unionByName(dirtyDf)
   }
 
@@ -830,7 +836,7 @@ object ManifestTable {
       dvPaths: Seq[String], dvRows: Long = -1L): DataFrame = {
     import org.apache.spark.sql.functions._
     val bp = baseUriPath(spark, dir)
-    val dv = spark.read.parquet(dvPaths: _*)
+    val dv = readDvParquet(spark, dvPaths)
       .select(dvKeyCol(bp, col("file")).as("__dvf"), col("pos").as("__dvp"))
       .distinct()
     val dvSide =
@@ -849,6 +855,32 @@ object ManifestTable {
     * (~12 B/position → ~240 MB at the bound, the edge of sane
     * broadcast at 1000 executors). */
   private val BroadcastDvRows = 20L * 1000 * 1000
+
+  /** LIVE rows of DV-carrying files under LOGICAL names, mapped or
+    * not: the scan runs in PHYSICAL name space (so `_metadata` binds
+    * on the scan itself — a renamed projection would strip it), the
+    * DV anti-join applies, then one positional rename surfaces the
+    * logical names. The unmapped case degenerates to the plain
+    * [[applyDvs]] (physical == logical). */
+  private def applyDvsLogical(spark: SparkSession, dir: String,
+      schemaDdl: Option[String], colMap: Map[String, String],
+      dirty: Vector[ManifestEntry]): DataFrame = {
+    val mapped = colMap.exists { case (l, p) => l != p }
+    val raw =
+      if (!mapped) rawRead(spark, schemaDdl, dirty.map(_.path))
+      else {
+        val logical = org.apache.spark.sql.types.StructType.fromDDL(
+          schemaDdl.getOrElse(sys.error(
+            s"$dir is column-mapped but carries no log schema")))
+        spark.read.schema(physicalSchema(logical, colMap))
+          .parquet(dirty.map(_.path): _*)
+      }
+    val applied = applyDvs(spark, dir, raw,
+      dirty.flatMap(_.dv).distinct, dirty.map(_.dvRows).sum)
+    if (!mapped) applied
+    else applied.toDF(org.apache.spark.sql.types.StructType
+      .fromDDL(schemaDdl.get).fieldNames.toIndexedSeq: _*)
+  }
 
   /** WRITE-TIME CDC capture for a COW rewrite (Delta's `_change_data`
     * shape): the multiset diff between the replaced files' LIVE rows
@@ -874,9 +906,7 @@ object ManifestTable {
       (if (cleanR.isEmpty) None
        else Some(rawRead(spark, schemaDdl, colMap, cleanR.map(_.path)))) ++
       (if (dirtyR.isEmpty) None
-       else Some(applyDvs(spark, dir,
-         rawRead(spark, schemaDdl, dirtyR.map(_.path)),
-         dirtyR.flatMap(_.dv).distinct, dirtyR.map(_.dvRows).sum)))
+       else Some(applyDvsLogical(spark, dir, schemaDdl, colMap, dirtyR)))
     ).reduceOption(_ unionByName _)
     val neu =
       if (adds.isEmpty) None
@@ -922,20 +952,40 @@ object ManifestTable {
     import org.apache.spark.sql.functions._
     val cur = snapshot(spark, dir)
     require(cur.paths.nonEmpty, s"deleteRowsMor on empty table $dir")
-    require(!cur.mapped,
-      s"deleteRowsMor on $dir: deletion vectors and column mapping " +
-        "are exclusive in this engine — rewrite (mergeCommit/DELETE) " +
-        "instead, or overwrite to reset the map")
     val bp = baseUriPath(spark, dir)
     val live = {
-      val base = rawRead(spark, cur.schemaDdl, cur.paths)
+      // MAPPED tables: scan in PHYSICAL name space (so `_metadata`
+      // binds on the scan before any rename), stamp the DV key
+      // columns, then rename positionally — the predicate speaks
+      // logical names. DVs key by (file path, position), so the
+      // column mapping and the vectors never interact.
+      val raw =
+        if (!cur.mapped) rawRead(spark, cur.schemaDdl, cur.paths)
+        else {
+          val logical = org.apache.spark.sql.types.StructType.fromDDL(
+            cur.schemaDdl.getOrElse(sys.error(
+              s"$dir is column-mapped but carries no log schema")))
+          spark.read.schema(physicalSchema(logical, cur.colMap))
+            .parquet(cur.paths: _*)
+        }
+      val stamped = raw
         .withColumns(Map(
           "__f" -> dvKeyCol(bp, col("_metadata.file_path")),
           "__i" -> col("_metadata.row_index")))
+      val base =
+        if (!cur.mapped) stamped
+        else {
+          val logical = org.apache.spark.sql.types.StructType
+            .fromDDL(cur.schemaDdl.get)
+          val phys = physicalSchema(logical, cur.colMap)
+          stamped.select(phys.fieldNames.zip(logical.fieldNames)
+            .map { case (p, l) => col(p).as(l) }.toIndexedSeq ++
+            Seq(col("__f"), col("__i")): _*)
+        }
       val dvPaths = cur.entries.flatMap(_.dv).distinct
       if (dvPaths.isEmpty) base
       else {
-        val dv = spark.read.parquet(dvPaths: _*)
+        val dv = readDvParquet(spark, dvPaths)
           .select(dvKeyCol(bp, col("file")).as("__dvf"),
             col("pos").as("__dvp"))
           .distinct()
@@ -966,7 +1016,7 @@ object ManifestTable {
     val oldDvPaths = affectedEntries.flatMap(_.dv).distinct
     val oldForAffected =
       if (oldDvPaths.isEmpty) None
-      else Some(spark.read.parquet(oldDvPaths: _*)
+      else Some(readDvParquet(spark, oldDvPaths)
         .select(dvKeyCol(bp, col("file")).as("file"), col("pos"))
         .filter(col("file").isin(affectedKeys.toSeq: _*)))
     // PER-FILE layout (Delta keeps one DV blob per data file for the
@@ -989,7 +1039,7 @@ object ManifestTable {
       .write.partitionBy("__k").mode("errorifexists").parquet(dvDir)
     // per-file DELETED-position counts from the written DV (keys are
     // already table-relative — written by dvKeyCol above)
-    val counts = spark.read.parquet(dvDir)
+    val counts = readDvParquet(spark, Seq(dvDir))
       .groupBy(col("file")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     var guard = 0
@@ -1873,9 +1923,8 @@ object ManifestTable {
     var guard = 0
     while (guard < 50) {
       val cur = snapshot(spark, dir)
-      require(cur.entries.forall(_.dv.isEmpty),
-        s"renameColumn on $dir: the snapshot carries deletion vectors " +
-          "— run purgeDvs first (DVs and column mapping are exclusive)")
+      // DV-carrying snapshots rename freely: vectors key by (file
+      // path, position) and a mapping rename moves no file
       val base = cur.schemaDdl.map(StructType.fromDDL).getOrElse(
         sys.error(s"$dir carries no log schema — cannot rename"))
       require(base.fieldNames.contains(from),
@@ -1918,9 +1967,8 @@ object ManifestTable {
     var guard = 0
     while (guard < 50) {
       val cur = snapshot(spark, dir)
-      require(cur.entries.forall(_.dv.isEmpty),
-        s"dropColumn on $dir: the snapshot carries deletion vectors — " +
-          "run purgeDvs first (DVs and column mapping are exclusive)")
+      // DV-carrying snapshots drop freely: vectors key by (file path,
+      // position), independent of any column
       val base = cur.schemaDdl.map(StructType.fromDDL).getOrElse(
         sys.error(s"$dir carries no log schema — cannot drop"))
       require(base.fieldNames.contains(name),
@@ -2358,10 +2406,8 @@ object ManifestTable {
     val cur = snapshot(spark, dir)
     val dirty = cur.entries.filter(_.dv.isDefined)
     if (dirty.isEmpty) return cur.version
-    val dvPaths = dirty.flatMap(_.dv).distinct
-    val purged = rawRead(spark, cur.schemaDdl, dirty.map(_.path))
-    val applied = applyDvs(spark, dir, purged, dvPaths,
-      dirty.map(_.dvRows).sum)
+    val applied = applyDvsLogical(spark, dir, cur.schemaDdl,
+      cur.colMap, dirty)
     val fresh = writeFiles(spark, dir, applied, cur.statsCol,
       cur.partCols, Nil, cur.colMap)
     require(fresh.map(_.rows).sum == dirty.map(_.liveRows).sum,

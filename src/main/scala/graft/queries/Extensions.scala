@@ -1363,7 +1363,17 @@ object Extensions extends QueryPack {
         // rename moved ZERO data files
         val metadataOnly =
           ManifestTable.snapshot(s, work).paths.toSet == filesBefore
-        // the append after the rename speaks the new logical name
+        // merge-on-read DELETE on the MAPPED snapshot (r12: DVs and
+        // column mapping coexist — vectors key by (file, position),
+        // the mapping renames no file); the predicate speaks the
+        // POST-rename logical name
+        ManifestTable.deleteRowsMor(s, work, $"cents" % 1000 < 100)
+        val morUnderMapping = {
+          val snap = ManifestTable.snapshot(s, work)
+          snap.mapped && snap.entries.exists(_.dv.isDefined)
+        }
+        // the append after the rename speaks the new logical name —
+        // and lands on the dirty mapped snapshot untouched
         s.sql(s"INSERT INTO $cat.t SELECT k, v AS cents, st " +
           s"FROM ${cat}_src WHERE k % 2 = 1")
         // time travel: the pre-rename version shows the OLD schema and
@@ -1374,6 +1384,8 @@ object Extensions extends QueryPack {
           .agg(sum(floor($"o_totalprice" * 100).cast("long")))
           .first().getLong(0)
         val oldSliceExact = old.agg(sum($"v")).first().getLong(0) == oldSum
+        // DROP COLUMN on the DV-carrying mapped snapshot (also newly
+        // legal for the same key-space reason)
         s.sql(s"ALTER TABLE $cat.t DROP COLUMN st")
         val dropHides = s.sql(s"SELECT * FROM $cat.t")
           .columns.toSeq == Seq("k", "cents")
@@ -1382,9 +1394,10 @@ object Extensions extends QueryPack {
             "GROUP BY k % 3 ORDER BY m")
           .collect().toSeq
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-            metadataOnly, oldSchemaVisible && oldSliceExact, dropHides))
+            metadataOnly, oldSchemaVisible && oldSliceExact, dropHides,
+            morUnderMapping))
           .toDF("m", "n_rows", "sum_cents", "rename_metadata_only",
-            "time_travel_old_schema", "drop_hides")
+            "time_travel_old_schema", "drop_hides", "mor_under_mapping")
       } finally {
         s.catalog.dropTempView(s"${cat}_src")
         s.conf.unset(s"spark.sql.catalog.$cat")
@@ -3648,14 +3661,20 @@ object Extensions extends QueryPack {
     // both halves of orders under the renamed column; the
     // metadata-only / time-travel / drop predicates ride as TRUEs
     "x58_column_mapping" ->
-      """SELECT o_orderkey % 3 AS m,
+      """WITH t AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT k % 3 AS m,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-        |    AS sum_cents,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
         |  TRUE AS rename_metadata_only,
         |  TRUE AS time_travel_old_schema,
-        |  TRUE AS drop_hides
-        |FROM orders GROUP BY 1 ORDER BY m""".stripMargin,
+        |  TRUE AS drop_hides,
+        |  TRUE AS mor_under_mapping
+        |FROM t
+        |WHERE (k % 2 = 1) OR NOT (cents % 1000 < 100)
+        |GROUP BY 1 ORDER BY m""".stripMargin,
 
     // the BETWEEN slice's aggregates straight off orders; the
     // stats-recorded and planning-pruned predicates ride as TRUEs

@@ -269,7 +269,7 @@ class GraftManifestTable(dir: String, version: Int, dataSchema: StructType,
     // just to SELECT
     if (entries.exists(_.dv.isDefined))
       return new DvManifestScanBuilder(spark, dir, entries, statsCol,
-        dataSchema, options)
+        dataSchema, colMap, options)
     // column-mapped snapshot: the files store PHYSICAL names, so the
     // parquet scan runs in physical space and the Scan reports the
     // logical names back (rows are positional — same types, same
@@ -402,12 +402,15 @@ class GraftRowLevelOperation(dir: String, dataSchema: StructType,
           // the commit (which removes the dv-carrying entries) leaves
           // the vectors superseded for vacuum. The commit-time
           // (dv, dvRows) conflict check aborts if a concurrent MOR
-          // delete re-points a pinned file mid-flight.
-          new ManifestDvScan(bare(cleanK).build(), bare(dirtyK).build(),
+          // delete re-points a pinned file mid-flight. Mapped tables
+          // scan physically like the clean branch; logicalFace
+          // reports the analyzer's names (rows positional).
+          logicalFace(new ManifestDvScan(
+            bare(cleanK).build(), bare(dirtyK).build(),
             ManifestTable.baseUriPath(spark, dir),
             ManifestTable.dvPathsByKey(spark, dir, dirtyK),
             new DvStore.SerializableConf(spark.sessionState.newHadoopConf()),
-            dir, dataSchema, CaseInsensitiveStringMap.empty())
+            dir, dataSchema, CaseInsensitiveStringMap.empty()))
       }
     }
   }
@@ -1006,34 +1009,66 @@ class ManifestMicroBatchStream(dir: String, tableSchema: StructType,
 class DvManifestScanBuilder(spark: SparkSession, dir: String,
     entries: Vector[ManifestTable.ManifestEntry],
     statsCol: Option[String], dataSchema: StructType,
+    colMap: Map[String, String],
     options: CaseInsensitiveStringMap)
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
 
+  // MAPPED + DV coexist: the files store stable PHYSICAL names and
+  // the vectors key by (file path, position) — independent of any
+  // column. Both underlying parquet scans run in PHYSICAL space; the
+  // built Scan reports LOGICAL names (rows positional, zero copies).
+  private val mapped = colMap.exists { case (l, p) => l != p }
+  private def toPhysical(st: StructType): StructType =
+    StructType(st.fields.map(f =>
+      f.copy(name = colMap.getOrElse(f.name, f.name))))
+  private val back: Map[String, String] = colMap.map(_.swap)
+  private def toLogical(st: StructType): StructType =
+    StructType(st.fields.map(f =>
+      f.copy(name = back.getOrElse(f.name, f.name))))
+  private val physSchema = if (mapped) toPhysical(dataSchema) else dataSchema
+
   private val (dirty, clean) = entries.partition(_.dv.isDefined)
   private val cleanBuilder = ParquetScanBuilder(spark,
-    new ManifestFileIndex(spark, clean, statsCol, Some(dataSchema)),
-    dataSchema, dataSchema, options)
+    new ManifestFileIndex(spark, clean,
+      if (mapped) None else statsCol, Some(physSchema)),
+    physSchema, physSchema,
+    if (mapped) CaseInsensitiveStringMap.empty() else options)
   private val dirtyBuilder = ParquetScanBuilder(spark,
-    new ManifestFileIndex(spark, dirty, None, Some(dataSchema)),
-    dataSchema, dataSchema, CaseInsensitiveStringMap.empty())
+    new ManifestFileIndex(spark, dirty, None, Some(physSchema)),
+    physSchema, physSchema, CaseInsensitiveStringMap.empty())
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
-    cleanBuilder.pushFilters(filters)
+    // mapped: filters speak logical names, the files physical ones —
+    // nothing is pushed (same documented trade as the clean mapped
+    // scan); unmapped: the clean side keeps native pushdown
+    if (!mapped) cleanBuilder.pushFilters(filters)
     filters // ALL residual — the dirty side's position space forbids
             // reader-level skipping; see the class doc
   }
-  override def pushedFilters: Array[Predicate] = cleanBuilder.pushedFilters
+  override def pushedFilters: Array[Predicate] =
+    if (mapped) Array.empty else cleanBuilder.pushedFilters
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    cleanBuilder.pruneColumns(requiredSchema)
-    dirtyBuilder.pruneColumns(requiredSchema)
+    val phys = if (mapped) toPhysical(requiredSchema) else requiredSchema
+    cleanBuilder.pruneColumns(phys)
+    dirtyBuilder.pruneColumns(phys)
   }
-  override def build(): Scan =
-    new ManifestDvScan(cleanBuilder.build(), dirtyBuilder.build(),
+  override def build(): Scan = {
+    val is = new ManifestDvScan(cleanBuilder.build(), dirtyBuilder.build(),
       ManifestTable.baseUriPath(spark, dir),
       ManifestTable.dvPathsByKey(spark, dir, dirty),
       new DvStore.SerializableConf(spark.sessionState.newHadoopConf()),
       dir, dataSchema, options)
+    if (!mapped) is
+    else new Scan {
+      override def readSchema(): StructType = toLogical(is.readSchema())
+      override def description(): String =
+        is.description() + " (column-mapped)"
+      override def toBatch: Batch = is.toBatch
+      override def toMicroBatchStream(cp: String): MicroBatchStream =
+        is.toMicroBatchStream(cp)
+    }
+  }
 }
 
 /** DSv2 scan builder for COLUMN-MAPPED snapshots: the files store

@@ -286,6 +286,48 @@ class DeletionVectorSpec extends AnyFunSuite {
     cleanup(dir)
   }
 
+  test("column mapping and MOR deletes coexist: MOR delete, RENAME " +
+      "COLUMN, then read/DML/feed/purge are all exact") {
+    import spark.implicits._
+    val dir = fresh()
+    ManifestTable.create(spark, dir,
+      (0L until 400L).map(i => (i, i * 7)).toDF("k", "v"))
+    // MOR delete first, then a mapping rename on the dirty snapshot
+    ManifestTable.deleteRowsMor(spark, dir, col("k") % 4 === 0)
+    ManifestTable.renameColumn(spark, dir, "v", "val")
+    assert(ManifestTable.snapshot(spark, dir).mapped)
+    // Scala read: logical names, vectors applied
+    val r1 = ManifestTable.read(spark, dir)
+    assert(r1.columns.toSeq == Seq("k", "val"))
+    assert(r1.count() == 300)
+    assert(r1.agg(sum(col("val"))).first().getLong(0) ==
+      (0L until 400L).filter(_ % 4 != 0).map(_ * 7).sum)
+    // DSv2 front door: merge-on-read scan under the mapped names
+    val fd = spark.read.format("graft-manifest").load(dir)
+      .filter(col("k") < 100)
+    assert(fd.columns.toSeq == Seq("k", "val"))
+    assert(fd.count() == 75)
+    // a SECOND MOR delete on the now-mapped table (the reverse order)
+    val (_, d2) = ManifestTable.deleteRowsMor(spark, dir,
+      col("val") > 7L * 390)
+    assert(d2 == (391L until 400L).count(_ % 4 != 0))
+    assert(ManifestTable.read(spark, dir).count() == 300 - d2)
+    // CDF front door across both deletes, mapped names throughout
+    val feed = spark.read.format("graft-manifest")
+      .option("readChangeFeed", "true").option("startingVersion", 1)
+      .load(dir)
+    assert(feed.columns.contains("val"))
+    assert(feed.filter(col("_change_type") === "delete").count() ==
+      100 + d2)
+    // purge materializes under the mapping; content identical
+    ManifestTable.purgeDvs(spark, dir)
+    val after = ManifestTable.read(spark, dir)
+    assert(after.columns.toSeq == Seq("k", "val"))
+    assert(after.count() == 300 - d2)
+    assert(ManifestTable.snapshot(spark, dir).entries.forall(_.dv.isEmpty))
+    cleanup(dir)
+  }
+
   test("VOLUME: 10^6 deleted positions never materialize on the " +
       "driver — input partitions carry DV paths, readers load their " +
       "own slice; reads and CDF stay exact") {
