@@ -119,7 +119,13 @@ object ManifestTable {
       // predicate SQL over LOGICAL column names; replaced wholesale
       // like colMap. Every data-adding commit validates its incoming
       // rows (NULL predicate passes — SQL standard CHECK semantics)
-      checks: Option[Map[String, String]] = None) {
+      checks: Option[Map[String, String]] = None,
+      // HIVE-DIRECTORY table state (CONVERT of a `col=value` layout):
+      // partition values live in the LOG's per-file tuples, NOT in
+      // the files — reads must fill them per file. Carried forward
+      // like partCols; Some(false) = cleared (the materializing
+      // compaction rewrote every file with the columns as data)
+      hiveDirs: Option[Boolean] = None) {
     /** The files this commit ADDED (a change-feed consumes exactly
       * these — with a delta log the CDC read needs no file-set diff). */
     def paths: Vector[String] = adds.map(_.path)
@@ -137,7 +143,10 @@ object ManifestTable {
       // logical→physical column names (empty = identity, no mapping)
       colMap: Map[String, String] = Map.empty,
       // CHECK constraints: name → predicate SQL (logical names)
-      checks: Map[String, String] = Map.empty) {
+      checks: Map[String, String] = Map.empty,
+      // true = hive-converted layout: partition values live in the
+      // log's per-file tuples, reads fill them per file
+      hiveDirs: Boolean = false) {
     def paths: Vector[String] = entries.map(_.path)
     def rows: Long = entries.map(_.rows).sum
     /** True when any logical name differs from its stored name. */
@@ -591,7 +600,8 @@ object ManifestTable {
       schemaDdl = ddl, statsCol = snap.statsCol,
       partCols = if (snap.partCols.nonEmpty) Some(snap.partCols) else None,
       colMap = if (snap.colMap.nonEmpty) Some(snap.colMap) else None,
-      checks = if (snap.checks.nonEmpty) Some(snap.checks) else None)
+      checks = if (snap.checks.nonEmpty) Some(snap.checks) else None,
+      hiveDirs = if (snap.hiveDirs) Some(true) else None)
       .getOrElse(sys.error(
         s"cloneShallow: lost the v1 commit race at $dstDir"))
   }
@@ -621,6 +631,7 @@ object ManifestTable {
     var partCols: Seq[String] = Nil
     var colMap: Map[String, String] = Map.empty
     var checks: Map[String, String] = Map.empty
+    var hiveDirs: Boolean = false
     base.foreach { cv =>
       val st = readCheckpoint(spark, dir, cv)
       st.entries.foreach(e => em(e.path) = e)
@@ -630,6 +641,7 @@ object ManifestTable {
       partCols = st.partCols
       colMap = st.colMap
       checks = st.checks
+      hiveDirs = st.hiveDirs
     }
     ((base.getOrElse(0) + 1) to v).foreach { dv =>
       val d = readDelta(spark, dir, dv)
@@ -641,13 +653,15 @@ object ManifestTable {
       d.partCols.foreach(cs => partCols = cs)
       d.colMap.foreach(m => colMap = m)
       d.checks.foreach(m => checks = m)
+      d.hiveDirs.foreach(h => hiveDirs = h)
     }
     // the fold runs in STORED (table-relative) path space; the
     // resolved snapshot hands callers absolute paths
     Snapshot(v, em.values.toVector
       .map(e => e.copy(path = resolvePath(dir, e.path),
         dv = e.dv.map(resolvePath(dir, _))))
-      .sortBy(_.path), ddl, statsCol, txns, partCols, colMap, checks)
+      .sortBy(_.path), ddl, statsCol, txns, partCols, colMap, checks,
+      hiveDirs)
   }
 
   /** Read one committed delta. The two-phase commit means a VISIBLE
@@ -715,6 +729,8 @@ object ManifestTable {
       .findFirstMatchIn(header).map(m => parsePartBody(m.group(1)))
     val checks = """"checks"\s*:\s*\{([^{}]*)\}""".r
       .findFirstMatchIn(header).map(m => parsePartBody(m.group(1)))
+    val hiveDirs = """"hive_dirs"\s*:\s*(true|false)""".r
+      .findFirstMatchIn(header).map(_.group(1) == "true")
     // one action per line after the header: adds carry "rows",
     // removes carry "remove": true
     val adds = Vector.newBuilder[ManifestEntry]
@@ -748,7 +764,7 @@ object ManifestTable {
         }
       }
     Delta(v, adds.result(), removes.result(), compaction, txn,
-      schemaDdl, statsCol, partCols, mor, cdc, colMap, checks)
+      schemaDdl, statsCol, partCols, mor, cdc, colMap, checks, hiveDirs)
   }
 
   /** Read the table at a snapshot — only that version's files, never
@@ -770,6 +786,9 @@ object ManifestTable {
           sys.error(s"version ${snap.version} of $dir lists no files " +
             "and carries no schema")
       }
+    // hive-converted layout: partition values live in the LOG's
+    // per-file tuples, not in the files — fill them per file
+    if (snap.hiveDirs) return hiveFillRead(spark, snap)
     val (dirty, clean) = snap.entries.partition(_.dv.isDefined)
     if (dirty.isEmpty)
       return rawRead(spark, snap.schemaDdl, snap.colMap, snap.paths)
@@ -785,6 +804,44 @@ object ManifestTable {
     if (clean.isEmpty) dirtyDf
     else rawRead(spark, snap.schemaDdl, snap.colMap, clean.map(_.path))
       .unionByName(dirtyDf)
+  }
+
+  /** Read a HIVE-CONVERTED snapshot: scan the files with the
+    * DATA-ONLY schema (hive files do not store partition columns;
+    * post-convert appends do, but dropping their stored copies and
+    * filling from the log keeps one uniform plan for every era), then
+    * fill the partition columns per file from the LOG's tuples — one
+    * broadcast of an O(#files) (path → values) lookup against the
+    * scan's `_metadata.file_path`, cast to the log schema's types.
+    * Delta's CONVERT reads the same way: partition values come from
+    * AddFile metadata, never from the bytes. */
+  private def hiveFillRead(spark: SparkSession,
+      snap: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val logical = org.apache.spark.sql.types.StructType.fromDDL(
+      snap.schemaDdl.getOrElse(sys.error(
+        "hive-converted table carries no log schema")))
+    val partSet = snap.partCols.toSet
+    val dataOnly = org.apache.spark.sql.types.StructType(
+      logical.fields.filterNot(f => partSet.contains(f.name)))
+    val lut = {
+      import spark.implicits._
+      snap.entries.map(e => (new Path(e.path).toUri.getPath,
+        snap.partCols.map(e.part(_)))).toDF("__lf", "__lv")
+    }
+    // scheme-strip the scan's file path so both sides speak the same
+    // scheme-less URI form (same normalization as the DV key space)
+    val fcol = regexp_replace(col("_metadata.file_path"),
+      "^[a-zA-Z][a-zA-Z0-9+.\\-]*:(//[^/]*)?", "")
+    spark.read.schema(dataOnly).parquet(snap.paths: _*)
+      .withColumn("__lf", fcol)
+      .join(broadcast(lut), Seq("__lf"))
+      .select(logical.fields.map { f =>
+        if (partSet.contains(f.name))
+          element_at(col("__lv"),
+            snap.partCols.indexOf(f.name) + 1).cast(f.dataType).as(f.name)
+        else col(f.name)
+      }.toIndexedSeq: _*)
   }
 
   /** The schema-aware parquet reader: schema-on-log files written
@@ -952,6 +1009,10 @@ object ManifestTable {
     import org.apache.spark.sql.functions._
     val cur = snapshot(spark, dir)
     require(cur.paths.nonEmpty, s"deleteRowsMor on empty table $dir")
+    require(!cur.hiveDirs,
+      s"deleteRowsMor on hive-converted table $dir: the files do not " +
+        "store the partition columns — compact (OPTIMIZE) first to " +
+        "materialize them")
     val bp = baseUriPath(spark, dir)
     val live = {
       // MAPPED tables: scan in PHYSICAL name space (so `_metadata`
@@ -1168,13 +1229,15 @@ object ManifestTable {
       mor: Boolean = false,
       cdc: Option[String] = None,
       colMap: Option[Map[String, String]] = None,
-      checks: Option[Map[String, String]] = None): Option[Int] = {
+      checks: Option[Map[String, String]] = None,
+      hiveDirs: Option[Boolean] = None): Option[Int] = {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
     val target = new Path(manifestDir(dir), manifestName(version))
     if (f.exists(target)) return None // lost before writing anything
     val hdr =
       (if (mor) s""", "mor": true""" else "") +
+      hiveDirs.map(h => s""", "hive_dirs": $h""").getOrElse("") +
       cdc.map(c => s""", "cdc": "${jsonEscape(relativize(f, dir, c))}"""")
         .getOrElse("") +
       colMap.map(m => s""", "col_map": {${partBody(m)}}""").getOrElse("") +
@@ -1265,12 +1328,16 @@ object ManifestTable {
       // meta row: the column mapping / CHECK constraints in the
       // part-body grammar
       col_map: Option[String] = None,
-      checks_body: Option[String] = None)
+      checks_body: Option[String] = None,
+      // meta row: hive-directory layout flag (partition values in the
+      // log, not the files)
+      hive_dirs: Option[Boolean] = None)
 
   private final case class CkptState(entries: Vector[ManifestEntry],
       schemaDdl: Option[String], statsCol: Option[String],
       txns: Map[String, Int], partCols: Seq[String],
-      colMap: Map[String, String], checks: Map[String, String])
+      colMap: Map[String, String], checks: Map[String, String],
+      hiveDirs: Boolean)
 
   /** Checkpoints are immutable once `_SUCCESS` lands — cache them so
     * commit-loop snapshot resolution pays the parquet read once. */
@@ -1309,7 +1376,8 @@ object ManifestTable {
         else Some(snap.partCols.map(fieldEscape).mkString(",")),
         None, None,
         if (snap.colMap.isEmpty) None else Some(partBody(snap.colMap)),
-        if (snap.checks.isEmpty) None else Some(partBody(snap.checks)))) ++
+        if (snap.checks.isEmpty) None else Some(partBody(snap.checks)),
+        if (snap.hiveDirs) Some(true) else None)) ++
       snap.txns.toVector.sortBy(_._2).map { case (t, tv) =>
         CkptRow("txn", None, None, None, None, None, None,
           Some(t), Some(tv)) }
@@ -1335,7 +1403,8 @@ object ManifestTable {
     // so old checkpoints keep resolving
     val want = Seq("kind", "path", "rows", "lo", "hi", "schema_ddl",
       "stats_col", "txn", "txn_version", "part_body", "stats_body",
-      "part_cols", "dv_path", "dv_rows_del", "col_map", "checks_body")
+      "part_cols", "dv_path", "dv_rows_del", "col_map", "checks_body",
+      "hive_dirs")
     val have = df0.columns.toSet
     val rows = df0.select(want.map(c =>
         if (have.contains(c)) org.apache.spark.sql.functions.col(c)
@@ -1349,6 +1418,7 @@ object ManifestTable {
     var partCols: Seq[String] = Nil
     var colMap: Map[String, String] = Map.empty
     var checks: Map[String, String] = Map.empty
+    var hiveDirs: Boolean = false
     rows.foreach { r =>
       def optS(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
       def optL(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
@@ -1365,12 +1435,13 @@ object ManifestTable {
             .filter(_.nonEmpty).map(jsonUnescape)).getOrElse(Nil)
           colMap = optS(14).map(parsePartBody).getOrElse(Map.empty)
           checks = optS(15).map(parsePartBody).getOrElse(Map.empty)
+          hiveDirs = !r.isNullAt(16) && r.getBoolean(16)
         case "txn" =>
           txns += r.getString(7) -> r.getInt(8)
       }
     }
     val st = CkptState(entries.result(), ddl, statsCol, txns, partCols,
-      colMap, checks)
+      colMap, checks, hiveDirs)
     if (ckptCache.size > 8) ckptCache.clear() // crude bound; entries are
                                               // immutable so only a perf hit
     ckptCache.put(key, st)
@@ -1785,23 +1856,107 @@ object ManifestTable {
     }
     val files = walk(root)
     require(files.nonEmpty, s"convert: no parquet files under $dir")
-    files.foreach(p => require(!p.toString.contains("="),
-      s"convert: $p looks hive-partitioned (col=value segment) — its " +
-        "partition values live in directory names, not in the files; " +
-        "read + create is the conversion path for hive layouts"))
     val conf = spark.sparkContext.hadoopConfiguration
     import scala.collection.parallel.CollectionConverters._
-    val entries = files.par.map { p =>
+    def footerRows(p: Path): Long = {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(p, conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      val rows = try r.getRecordCount finally r.close()
-      ManifestEntry(p.toString, rows)
-    }.toVector
+      try r.getRecordCount finally r.close()
+    }
+    // HIVE LAYOUT (Delta's CONVERT TO DELTA PARTITIONED BY shape): the
+    // `col=value` directory names ARE the partition values — parse
+    // them into per-file tuples, infer the full schema (Spark's own
+    // partition inference supplies the partition columns' types), and
+    // commit with the hive_dirs flag so reads fill the partition
+    // columns from the LOG per file (the files themselves do not
+    // store them). Zero bytes of data move.
+    val basePath = f.makeQualified(root).toUri.getPath
+    def hiveTuple(p: Path): Seq[(String, String)] = {
+      val rel = p.toUri.getPath.stripPrefix(basePath + "/")
+      rel.split("/").dropRight(1).toSeq
+        .filter(_.contains("="))
+        .map { seg =>
+          val i = seg.indexOf('=')
+          (seg.substring(0, i), hiveUnescape(seg.substring(i + 1)))
+        }
+    }
+    val firstTuple = hiveTuple(files.head)
+    if (firstTuple.nonEmpty) {
+      val partColNames = firstTuple.map(_._1)
+      files.foreach { p =>
+        val t = hiveTuple(p)
+        require(t.map(_._1) == partColNames,
+          s"convert: inconsistent hive layout — ${files.head} has " +
+            s"partition dirs (${partColNames.mkString(",")}) but $p " +
+            s"has (${t.map(_._1).mkString(",")})")
+        t.foreach { case (c, v) =>
+          require(v != "__HIVE_DEFAULT_PARTITION__",
+            s"convert: $p carries a NULL partition value for $c — " +
+              "partition tuples must be non-null")
+        }
+      }
+      // Spark's own read infers the partition columns and their types
+      // (appended after the file columns — the order the log records)
+      val full = spark.read.parquet(dir).schema
+      partColNames.foreach(c => require(full.fieldNames.contains(c),
+        s"convert: partition inference did not surface $c " +
+          s"(inferred: ${full.fieldNames.mkString(",")})"))
+      val entries = files.par.map { p =>
+        val part = hiveTuple(p).map { case (c, v) =>
+          c -> canonPartValue(v, full(c).dataType, p.toString)
+        }.toMap
+        ManifestEntry(p.toString, footerRows(p), part = part)
+      }.toVector
+      return tryCommit(spark, dir, 1, adds = entries,
+        removes = Vector.empty, schemaDdl = Some(full.toDDL),
+        partCols = Some(partColNames), hiveDirs = Some(true))
+        .getOrElse(sys.error(s"convert lost the v1 commit race at $dir"))
+    }
+    files.foreach(p => require(!p.toString.contains("="),
+      s"convert: $p has a col=value segment below non-partition " +
+        "directories — not a hive layout this convert understands"))
+    val entries = files.par.map(p =>
+      ManifestEntry(p.toString, footerRows(p))).toVector
     val schema = spark.read.parquet(dir).schema
     tryCommit(spark, dir, 1, adds = entries, removes = Vector.empty,
       schemaDdl = Some(schema.toDDL))
       .getOrElse(sys.error(s"convert lost the v1 commit race at $dir"))
+  }
+
+  /** Hive path-segment unescape (`%xx` only — hive never encodes '+'
+    * as space, so URLDecoder would corrupt values). */
+  private def hiveUnescape(s: String): String = {
+    if (!s.contains('%')) return s
+    val bos = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length + 1 && i + 3 <= s.length) {
+        bos.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else { bos.write(c.toInt); i += 1 }
+    }
+    new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Canonicalize a hive directory value into the same string form
+    * the engine's writers record (CAST(value AS type) then back to
+    * string) — '05' and '5' must not be two different partition keys
+    * for an int column, or equality pruning would drop real files. */
+  private def canonPartValue(raw: String,
+      dt: org.apache.spark.sql.types.DataType, at: String): String = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types.StringType
+    if (dt == StringType) return raw
+    val typed = Cast(Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(raw),
+      StringType), dt, Some("UTC")).eval(null)
+    require(typed != null,
+      s"convert: partition value '$raw' at $at does not parse as $dt")
+    val back = Cast(Literal.create(typed, dt), StringType, Some("UTC"))
+      .eval(null)
+    back.toString
   }
 
   /** PARTITION EVOLUTION (Iceberg's headline spec-change): re-declare
@@ -2063,7 +2218,8 @@ object ManifestTable {
       // schema's own names). The constraints are NOT reset: None =
       // carry the current checks forward in the log.
       partCols = Some(partitionBy),
-      colMap = if (cur.colMap.isEmpty) None else Some(Map.empty))
+      colMap = if (cur.colMap.isEmpty) None else Some(Map.empty),
+      hiveDirs = if (cur.hiveDirs) Some(false) else None)
       .getOrElse(sys.error(s"concurrent commit at $dir — overwrite " +
         "is not auto-retried: rebase on the new version first"))
   }
@@ -2084,6 +2240,9 @@ object ManifestTable {
       case None =>
     }
     val snap0 = snapshot(spark, dir)
+    require(!snap0.hiveDirs,
+      s"overwritePartitions on hive-converted table $dir: compact " +
+        "(OPTIMIZE) first to materialize the partition columns")
     val partCols = snap0.partCols
     require(partCols.nonEmpty,
       s"overwritePartitions on $dir: the table is not partitioned — " +
@@ -2138,7 +2297,8 @@ object ManifestTable {
         statsCol = target.statsCol,
         partCols = Some(target.partCols),
         colMap = Some(target.colMap),
-        checks = Some(target.checks)) match {
+        checks = Some(target.checks),
+        hiveDirs = Some(target.hiveDirs)) match {
         case Some(v) => return v
         case None => guard += 1
       }
@@ -2300,6 +2460,9 @@ object ManifestTable {
         case None =>
       }
       val cur = snapshot(spark, dir)
+      require(!cur.hiveDirs,
+        s"mergeCommit on hive-converted table $dir: compact (OPTIMIZE) " +
+          "first to materialize the partition columns, then DML works")
       val merged = transform(read(spark, dir, Some(cur.version)))
       // a merge rewrites content, not layout: partitioned tables stay
       // partitioned (and mapped) through DML
@@ -2350,19 +2513,40 @@ object ManifestTable {
     // stays exact through OPTIMIZE. Entries carrying deletion vectors
     // are left alone (their row counts are physical, a naive merge
     // would resurrect deleted rows) — purgeDvs is their rewrite.
+    // a HIVE-CONVERTED table compacts into full nativeness: EVERY
+    // file is rewritten (even singleton bins) with the partition
+    // columns filled from the log's tuples as real data columns, and
+    // the commit clears the hive_dirs flag — after one OPTIMIZE the
+    // table is indistinguishable from a natively-written one and all
+    // DML faces unlock (the deviation from Delta's always-log-filled
+    // reader, priced once instead of on every scan)
+    val logicalForHive =
+      if (!cur.hiveDirs) None
+      else Some(org.apache.spark.sql.types.StructType.fromDDL(
+        cur.schemaDdl.getOrElse(sys.error(
+          s"$dir is hive-converted but carries no log schema"))))
+    def fillParts(df: DataFrame,
+        partKey: Map[String, String]): DataFrame =
+      logicalForHive match {
+        case None => df
+        case Some(l) =>
+          import org.apache.spark.sql.functions._
+          df.withColumns(cur.partCols.map(c =>
+            c -> lit(partKey(c)).cast(l(c).dataType)).toMap)
+      }
     val rewritten = cur.entries.filter(_.dv.isEmpty).groupBy(_.part).toVector
       .sortBy(_._1.toSeq.sorted.mkString(","))
       .flatMap { case (partKey, group) =>
         val sized = group.map(e => Compaction.FileInfo(e.path,
           f.getFileStatus(new Path(e.path)).getLen))
         Compaction.planBins(sized, targetBytes)
-          .filter(_.files.size >= 2).flatMap { bin =>
+          .filter(b => cur.hiveDirs || b.files.size >= 2).flatMap { bin =>
             val inPaths = bin.files.map(_.path)
             val inRows = group.filter(e => inPaths.contains(e.path))
               .map(_.rows).sum
             val stamp = java.util.UUID.randomUUID().toString.take(8)
             val sub = new Path(dir, s"compact-$stamp").toString
-            binRead(inPaths).coalesce(1)
+            fillParts(binRead(inPaths), partKey).coalesce(1)
               .write.mode("errorifexists").parquet(sub)
             val part = f.listStatus(new Path(sub)).toVector.map(_.getPath)
               .find(p => p.getName.startsWith("part-") &&
@@ -2389,7 +2573,8 @@ object ManifestTable {
     tryCommit(spark, dir, cur.version + 1,
       adds = rewritten.map(_._2).toVector.sortBy(_.path),
       removes = rewritten.flatMap(_._1).toVector.sorted,
-      compaction = true)
+      compaction = true,
+      hiveDirs = if (cur.hiveDirs) Some(false) else None)
       .getOrElse(sys.error(s"concurrent commit at $dir during compact"))
   }
 

@@ -1713,6 +1713,65 @@ object Extensions extends QueryPack {
       }
     }),
 
+    // -- x66: CONVERT of a hive-layout (col=value) directory ---------------
+    // The most common real-world adoption shape (Delta's CONVERT TO
+    // DELTA ... PARTITIONED BY): partition values parse from the dir
+    // names into the log's per-file tuples, reads fill them per file
+    // and PRUNE files by tuple at planning; one OPTIMIZE materializes
+    // the columns as data and unlocks DML.
+    "x66_convert_hive_layout" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-hivecvt-").toString + "/t"
+      val t = Tables(s, dir).orders.select($"o_orderkey".as("k"),
+        $"o_orderstatus".as("st"),
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      try {
+        // a FOREIGN writer lays down hive-partitioned parquet
+        t.filter($"k" % 2 === 0).repartition(2)
+          .write.partitionBy("st").parquet(work)
+        ManifestTable.convert(s, work)
+        val snap = ManifestTable.snapshot(s, work)
+        val adopted = snap.hiveDirs && snap.partCols == Seq("st") &&
+          snap.entries.forall(_.part.contains("st"))
+        // partition-pruned front-door read: the st='F' predicate plans
+        // exactly that tuple's files
+        val probe = s.read.format("graft-manifest").load(work)
+          .filter($"st" === "F")
+        val planned = probe.queryExecution.executedPlan.collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => b.partitions.size
+        }.getOrElse(-1)
+        val fFiles = snap.entries.count(_.part("st") == "F")
+        val pruned = planned == fFiles && planned < snap.entries.size
+        val prunedExact = probe.count() ==
+          t.filter($"k" % 2 === 0 && $"st" === "F").count()
+        // append the odd half (partition columns as data), then
+        // OPTIMIZE: every file rewritten, hive flag cleared, DML works
+        ManifestTable.append(s, work, t.filter($"k" % 2 === 1))
+        ManifestTable.compactCommit(s, work, targetBytes = 512L << 20)
+        val materialized = !ManifestTable.snapshot(s, work).hiveDirs
+        ManifestTable.mergeCommit(s, work, cur => cur.filter($"st" =!= "P"))
+        // time travel to the adopted hive snapshot still log-fills
+        val ttExact = ManifestTable.read(s, work, Some(1)).count() ==
+          t.filter($"k" % 2 === 0).count()
+        s.read.format("graft-manifest").load(work)
+          .groupBy($"st")
+          .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+          .orderBy($"st")
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            adopted, pruned && prunedExact, materialized, ttExact))
+          .toDF("st", "n_rows", "sum_cents", "hive_adopted",
+            "partition_pruned", "optimize_materializes",
+            "time_travel_exact")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(work).getParentFile)
+      }
+    }),
+
     // -- x65: STRING file statistics in the same [lo, hi] grammar ----------
     // Delta records truncated string min/max per file; here strings
     // ride the SAME (long, long) stats grammar through an
@@ -3625,6 +3684,20 @@ object Extensions extends QueryPack {
         |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
         |  TRUE AS adopted_in_place, TRUE AS time_travel_to_adoption
         |FROM t WHERE st <> 'F'
+        |GROUP BY st ORDER BY st""".stripMargin,
+
+    // hive-layout adoption: every order survives except the P-slice
+    // the post-materialization COW delete removed; the adoption /
+    // pruning / materialization / time-travel predicates are protocol
+    // properties, spelled as TRUEs
+    "x66_convert_hive_layout" ->
+      """WITH t AS (SELECT o_orderstatus AS st,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT st, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  TRUE AS hive_adopted, TRUE AS partition_pruned,
+        |  TRUE AS optimize_materializes, TRUE AS time_travel_exact
+        |FROM t WHERE st <> 'P'
         |GROUP BY st ORDER BY st""".stripMargin,
 
     // survivors of the deterministic MOR delete, grouped; the

@@ -171,14 +171,17 @@ class GraftManifestSource extends TableProvider with DataSourceRegister
       return new GraftCdfTable(tableDir(options), logical, snap.colMap)
     }
     new GraftManifestTable(tableDir(options), snap.version, schema,
-      entries, snap.statsCol, snap.colMap, snap.checks)
+      entries, snap.statsCol, snap.colMap, snap.checks,
+      snap.partCols, snap.hiveDirs)
   }
 }
 
 class GraftManifestTable(dir: String, version: Int, dataSchema: StructType,
     entries: Vector[ManifestTable.ManifestEntry], statsCol: Option[String],
     colMap: Map[String, String] = Map.empty,
-    checks: Map[String, String] = Map.empty)
+    checks: Map[String, String] = Map.empty,
+    partCols: Seq[String] = Nil,
+    hiveDirs: Boolean = false)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -212,8 +215,14 @@ class GraftManifestTable(dir: String, version: Int, dataSchema: StructType,
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new GraftRowLevelOperation(dir, dataSchema, entries, statsCol,
-      info.command, colMap)
+    () => {
+      require(!hiveDirs,
+        s"DML on hive-converted table $dir: the files do not store " +
+          "the partition columns — compact (OPTIMIZE) first to " +
+          "materialize them, then UPDATE/MERGE/DELETE work")
+      new GraftRowLevelOperation(dir, dataSchema, entries, statsCol,
+        info.command, colMap)
+    }
 
   import GraftManifestTable.filterToColumn
 
@@ -267,6 +276,11 @@ class GraftManifestTable(dir: String, version: Int, dataSchema: StructType,
     // files go through a position-skipping reader (see
     // [[DvManifestScanBuilder]]) — a SQL user never needs purge_dvs
     // just to SELECT
+    // hive-converted layout: the files do not store the partition
+    // columns — plan per file and fill values from the log's tuples
+    if (hiveDirs)
+      return new HiveManifestScanBuilder(spark, dir, entries, statsCol,
+        dataSchema, partCols)
     if (entries.exists(_.dv.isDefined))
       return new DvManifestScanBuilder(spark, dir, entries, statsCol,
         dataSchema, colMap, options)
@@ -1109,6 +1123,146 @@ class MappedManifestScanBuilder(spark: SparkSession,
       is.description() + " (column-mapped)"
     override def toBatch: Batch = is.toBatch
   }
+}
+
+/** DSv2 scan builder for HIVE-CONVERTED snapshots: the files do not
+  * store the partition columns — their values live in the LOG's
+  * per-file tuples. The parquet scan runs over the DATA-ONLY schema;
+  * planning attaches each file's tuple to its input partition and the
+  * reader appends the values as literal columns (the same JoinedRow +
+  * UnsafeProjection pattern Spark's own FileFormat uses for partition
+  * columns, and the CDF reader uses for feed columns). Manifest-level
+  * pruning still applies: partition-column equality prunes files from
+  * the plan via the recorded tuples, stats windows via any recorded
+  * stats; everything is re-applied residually above the scan. */
+class HiveManifestScanBuilder(spark: SparkSession, dir: String,
+    entries: Vector[ManifestTable.ManifestEntry],
+    statsCol: Option[String], fullSchema: StructType,
+    partCols: Seq[String])
+  extends ScanBuilder with SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  private val partSet = partCols.toSet
+  private val dataOnly = StructType(
+    fullSchema.fields.filterNot(f => partSet.contains(f.name)))
+  private var required: StructType = fullSchema
+  private var filters: Seq[Expression] = Nil
+
+  override def pushFilters(fs: Seq[Expression]): Seq[Expression] = {
+    filters = fs
+    fs // ALL residual: partition columns exist only above the scan
+  }
+  override def pushedFilters: Array[Predicate] = Array.empty
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val kept = ManifestFileIndex.pruneEntries(entries, statsCol, filters)
+    val dataReq = StructType(
+      required.fields.filterNot(f => partSet.contains(f.name)))
+    val partReq = partCols.filter(c => required.fieldNames.contains(c))
+    val inner = {
+      val b = ParquetScanBuilder(spark,
+        new ManifestFileIndex(spark, kept, None, Some(dataOnly)),
+        dataOnly, dataOnly, CaseInsensitiveStringMap.empty())
+      b.pruneColumns(dataReq)
+      b.build()
+    }
+    new HiveManifestScan(inner, kept,
+      ManifestTable.baseUriPath(spark, dir), dir,
+      StructType(dataReq.fields ++ partReq.map(c => fullSchema(c))),
+      partReq)
+  }
+}
+
+/** Batch face of the hive-converted scan: one input partition per
+  * FILE with its partition tuple attached. */
+class HiveManifestScan(inner: Scan,
+    kept: Vector[ManifestTable.ManifestEntry], base: String, dir: String,
+    outSchema: StructType, partReq: Seq[String]) extends Scan {
+
+  override def readSchema(): StructType = outSchema
+  override def description(): String =
+    inner.description() + " (hive-converted: log-filled partitions)"
+
+  override def toBatch: Batch = new Batch {
+    private val ib = inner.toBatch
+    override def planInputPartitions(): Array[InputPartition] = {
+      import org.apache.spark.sql.execution.datasources.FilePartition
+      val byKey = kept.map(e =>
+        new Path(e.path).toUri.getPath -> e.part).toMap
+      ib.planInputPartitions().flatMap {
+        case fp: FilePartition => fp.files
+        case other => sys.error(
+          s"hive scan: unexpected non-file partition $other")
+      }
+        .groupBy(_.filePath.toPath.toUri.getPath)
+        .toArray.sortBy(_._1)
+        .zipWithIndex.map { case ((key, files), i) =>
+          val part = byKey.getOrElse(key, sys.error(
+            s"hive scan: no log entry for planned file $key"))
+          HiveFillPartition(FilePartition(i, files.sortBy(_.start)),
+            partReq.map(part(_)).toArray)
+        }
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new HiveFillReaderFactory(ib.createReaderFactory(), outSchema,
+        partReq.size)
+  }
+
+  override def toMicroBatchStream(cp: String): MicroBatchStream =
+    sys.error(s"stream tail of hive-converted table $dir is not " +
+      "supported — compact (OPTIMIZE) first to materialize the " +
+      "partition columns")
+}
+
+/** One hive-era FILE: its splits in offset order + the partition
+  * VALUES (string form; the reader casts to the schema's types). */
+case class HiveFillPartition(
+    inner: org.apache.spark.sql.execution.datasources.FilePartition,
+    values: Array[String]) extends InputPartition {
+  override def preferredLocations(): Array[String] =
+    inner.preferredLocations()
+}
+
+/** Executor half: native parquet reader underneath, a JoinedRow +
+  * UnsafeProjection appending the file's partition values as typed
+  * literals on top. */
+class HiveFillReaderFactory(data: PartitionReaderFactory,
+    outSchema: StructType, nPart: Int) extends PartitionReaderFactory {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{Cast, GenericInternalRow, JoinedRow, Literal, UnsafeProjection}
+  import org.apache.spark.sql.connector.read.PartitionReader
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = p match {
+    case HiveFillPartition(inner, values) =>
+      val partTypes = outSchema.fields.takeRight(nPart).map(_.dataType)
+      val lits: Array[Any] = values.zip(partTypes).map { case (v, dt) =>
+        Cast(Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(v),
+          org.apache.spark.sql.types.StringType), dt, Some("UTC"))
+          .eval(null)
+      }
+      val extra: InternalRow = new GenericInternalRow(lits)
+      val r = data.createReader(inner)
+      new PartitionReader[InternalRow] {
+        private val joined = new JoinedRow
+        private val proj =
+          UnsafeProjection.create(outSchema.fields.map(_.dataType))
+        override def next(): Boolean = r.next()
+        override def get(): InternalRow = proj(joined(r.get(), extra))
+        override def close(): Unit = r.close()
+      }
+    case other => sys.error(s"hive scan: unexpected partition $other")
+  }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    sys.error("hive scan is row-based (supportColumnarReads = false)")
 }
 
 /** The combined clean + dirty scan. Batch = native partitions for the

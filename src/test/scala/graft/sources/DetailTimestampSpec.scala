@@ -48,7 +48,7 @@ class DetailTimestampSpec extends AnyFunSuite {
     }
   }
 
-  test("convert adopts plain parquet in place; hive layouts refused") {
+  test("convert adopts plain parquet in place; hive layouts round-trip") {
     import spark.implicits._
     val root = fresh("convert")
     val dir = s"$root/t"
@@ -68,13 +68,20 @@ class DetailTimestampSpec extends AnyFunSuite {
       }
       ManifestTable.append(spark, dir, seed(250, 300))
       assert(ManifestTable.read(spark, dir).count() == 300)
-      // hive-style layout refused with the rewrite hint
+      // hive-style layout converts in place too (r12): partition
+      // values parse from the col=value dir names into the log's
+      // per-file tuples, reads fill them per file
       val hive = s"$root/h"
       seed(0, 50).write.partitionBy("m").parquet(hive)
-      val e = intercept[IllegalArgumentException] {
-        ManifestTable.convert(spark, hive)
-      }
-      assert(e.getMessage.contains("hive"))
+      val hv = ManifestTable.convert(spark, hive)
+      assert(hv == 1)
+      val hsnap = ManifestTable.snapshot(spark, hive)
+      assert(hsnap.hiveDirs && hsnap.partCols == Seq("m"))
+      val back = ManifestTable.read(spark, hive)
+      assert(back.count() == 50)
+      assert(back.columns.contains("m"))
+      assert(back.groupBy("m").count().count() ==
+        seed(0, 50).select("m").distinct().count())
     } finally cleanup(root)
   }
 
@@ -138,6 +145,66 @@ class DetailTimestampSpec extends AnyFunSuite {
           "startingVersion" -> "1"))
       }
       assert(e.getMessage != null)
+    } finally cleanup(root)
+  }
+
+  test("hive-converted lifecycle: front-door reads prune on partition " +
+      "dirs, appends merge eras, OPTIMIZE materializes and unlocks DML") {
+    import spark.implicits._
+    val root = fresh("hivecvt")
+    val dir = s"$root/t"
+    try {
+      // a FOREIGN hive-partitioned directory (the common adoption
+      // shape): values include one needing canonicalization ('m' is
+      // bigint — dir names are Spark-canonical here, but the int cast
+      // path is exercised by the type round-trip)
+      seed(0, 280).write.partitionBy("m").parquet(dir)
+      ManifestTable.convert(spark, dir)
+      val snap = ManifestTable.snapshot(spark, dir)
+      assert(snap.hiveDirs && snap.partCols == Seq("m"))
+      assert(snap.entries.forall(_.part.contains("m")))
+      // front door: partition-pruned read — the m=3 predicate plans
+      // only that tuple's files
+      val probe = spark.read.format("graft-manifest").load(dir)
+        .filter($"m" === 3)
+      val planned = probe.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b.partitions.size
+      }.getOrElse(-1)
+      val m3Files = snap.entries.count(_.part("m") == "3")
+      assert(planned == m3Files && planned < snap.entries.size,
+        s"expected $m3Files planned partitions, got $planned of " +
+          s"${snap.entries.size}")
+      assert(probe.count() == (0L until 280L).count(_ % 7 == 3))
+      assert(probe.agg(sum($"k")).first().getLong(0) ==
+        (0L until 280L).filter(_ % 7 == 3).sum)
+      // scala-face read agrees
+      assert(ManifestTable.read(spark, dir).count() == 280)
+      // appends carry the partition columns as data; the read merges
+      // the two eras (log-filled hive files + native appended files)
+      ManifestTable.append(spark, dir, seed(280, 300))
+      assert(ManifestTable.read(spark, dir).count() == 300)
+      assert(spark.read.format("graft-manifest").load(dir)
+        .filter($"m" === 3).count() ==
+        (0L until 300L).count(_ % 7 == 3))
+      // DML before materialization is a loud refusal
+      val e = intercept[Exception] {
+        ManifestTable.deleteRowsMor(spark, dir, $"k" < 10)
+      }
+      assert(e.getMessage.contains("OPTIMIZE"))
+      // OPTIMIZE rewrites every file with the partition columns as
+      // data and clears the flag
+      ManifestTable.compactCommit(spark, dir, targetBytes = 512L << 20)
+      val after = ManifestTable.snapshot(spark, dir)
+      assert(!after.hiveDirs)
+      assert(ManifestTable.read(spark, dir).count() == 300)
+      // ... and DML works from here on
+      val (_, nDel) = ManifestTable.deleteRowsMor(spark, dir, $"m" === 3)
+      assert(nDel == (0L until 300L).count(_ % 7 == 3))
+      assert(ManifestTable.read(spark, dir).count() == 300 - nDel)
+      // time travel to v1 still reads the hive era exactly (flag
+      // restored per version by the fold)
+      assert(ManifestTable.read(spark, dir, Some(1)).count() == 280)
     } finally cleanup(root)
   }
 }
