@@ -1160,13 +1160,27 @@ object ManifestTable {
         .getOrElse(spark.read.parquet(cur.paths: _*).schema)
       df.schema.fields.foreach { f0 =>
         base.fields.find(_.name == f0.name).foreach { have =>
-          require(have.dataType == f0.dataType,
+          // same type, or a lossless widening in EITHER direction:
+          // narrower incoming rides as-is (its files read back upcast,
+          // like every narrow-era file), wider incoming WIDENS the log
+          // type in this commit (Delta's mergeSchema + typeWidening)
+          require(have.dataType == f0.dataType ||
+              widens(f0.dataType, have.dataType) ||
+              widens(have.dataType, f0.dataType),
             s"appendEvolve: column ${f0.name} is ${have.dataType.sql} " +
               s"in the log but ${f0.dataType.sql} in the append — " +
-              "evolution adds columns, it never coerces them")
+              "evolution adds columns and widens types (byte -> short " +
+              "-> int -> long, float -> double), it never otherwise " +
+              "coerces them")
         }
       }
-      StructType(base.fields ++
+      StructType(base.fields.map { have =>
+        df.schema.fields.find(_.name == have.name) match {
+          case Some(f0) if widens(have.dataType, f0.dataType) =>
+            have.copy(dataType = f0.dataType)
+          case _ => have
+        }
+      } ++
         df.schema.fields.filterNot(f0 => base.fieldNames.contains(f0.name)))
     }
     val pre = snapshot(spark, dir)
@@ -1785,6 +1799,63 @@ object ManifestTable {
       guard += 1
     }
     committed.getOrElse(sys.error(s"append lost 50 commit races at $dir"))
+  }
+
+  /** The lossless type promotions every read path performs at SCAN
+    * time (pinned by WidenProbeSpec against Spark's own parquet
+    * readers — both the vectorized batch reader and the row-based DV
+    * readers go through the same ParquetScan machinery): the integral
+    * chain byte → short → int → long, and float → double. Exactly
+    * Delta 3.x `typeWidening`'s core set; the engine relies on nothing
+    * beyond what the reader promotes natively, so widening is a
+    * METADATA commit and zero data bytes are rewritten. */
+  private[graft] def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  /** Type widening (Delta 3.x `ALTER TABLE … ALTER COLUMN … TYPE`):
+    * re-declare a column at a WIDER type in the log — a metadata-only
+    * commit; the narrow-era files stay exactly where they are and
+    * every reader upcasts them at scan time ([[widens]] for the
+    * admitted lattice; anything else — narrowing, numeric → string —
+    * is refused, the log never coerces). Time travel still shows each
+    * era's own schema, file statistics stay valid (the integral chain
+    * records in the same long space; floats never carry stats), and
+    * compaction naturally retires the narrow era by rewriting through
+    * the wide read schema. */
+  def widenColumn(spark: SparkSession, dir: String, name: String,
+      to: org.apache.spark.sql.types.DataType): Int = {
+    import org.apache.spark.sql.types.StructType
+    var committed: Option[Int] = None
+    var guard = 0
+    while (committed.isEmpty && guard < 50) {
+      val cur = snapshot(spark, dir)
+      val base = StructType.fromDDL(cur.schemaDdl.getOrElse(sys.error(
+        s"widenColumn: no log schema at $dir — CONVERT or OPTIMIZE " +
+          "first (footer-schema tables cannot evolve)")))
+      val f = base.fields.find(_.name == name).getOrElse(sys.error(
+        s"widenColumn: no column $name at $dir " +
+          s"(have ${base.fieldNames.mkString(", ")})"))
+      require(widens(f.dataType, to),
+        s"widenColumn: ${f.dataType.sql} -> ${to.sql} is not a " +
+          "lossless widening (byte -> short -> int -> long, " +
+          "float -> double) — the log never coerces")
+      val evolved = StructType(base.fields.map(x =>
+        if (x.name == name) x.copy(dataType = to) else x))
+      committed = tryCommit(spark, dir, cur.version + 1,
+        adds = Vector.empty, removes = Vector.empty,
+        schemaDdl = Some(evolved.toDDL))
+      guard += 1
+    }
+    committed.getOrElse(sys.error(s"widenColumn lost 50 races at $dir"))
   }
 
   /** Schema-only evolution commit: add columns to the log schema with

@@ -1772,6 +1772,54 @@ object Extensions extends QueryPack {
       }
     }),
 
+    // -- x67: TYPE WIDENING on schema evolution (Delta 3.x shape) ----------
+    // ALTER COLUMN TYPE re-declares a column wider in the LOG only —
+    // a metadata commit, zero data bytes rewritten: the narrow-era
+    // files stay on disk and every read face (Scala API and the DSv2
+    // front door) upcasts them at scan time (the parquet readers'
+    // native int->long / float->double promotion, pinned by
+    // WidenProbeSpec). Lifecycle: create with INT cents -> widen to
+    // BIGINT -> append genuinely-long cents; aggregates over BOTH eras
+    // must be exact, and time travel still shows the int-era schema.
+    "x67_type_widening" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      import org.apache.spark.sql.types.{IntegerType, LongType}
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-widen-").toString + "/t"
+      val t = Tables(s, dir).orders.select($"o_orderkey".as("k"),
+        $"o_orderstatus".as("st"),
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      try {
+        ManifestTable.create(s, work,
+          t.filter($"k" % 2 === 0)
+            .withColumn("cents", $"cents".cast("int")).repartition(4))
+        ManifestTable.widenColumn(s, work, "cents", LongType)
+        ManifestTable.append(s, work,
+          t.filter($"k" % 2 === 1)
+            .withColumn("cents", $"cents" + 3000000000L).repartition(4))
+        val narrowEraInt = ManifestTable.read(s, work, Some(1))
+          .schema("cents").dataType == IntegerType
+        val ttExact = ManifestTable.read(s, work, Some(1)).count() ==
+          t.filter($"k" % 2 === 0).count()
+        // the DSv2 front door reads the mixed-era file set through ONE
+        // scan at the widened type
+        val front = s.read.format("graft-manifest").load(work)
+        val wideEraLong = front.schema("cents").dataType == LongType
+        front.groupBy($"st")
+          .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+          .orderBy($"st")
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            narrowEraInt, wideEraLong, ttExact))
+          .toDF("st", "n_rows", "sum_cents", "narrow_era_int",
+            "wide_era_long", "time_travel_exact")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(work).getParentFile)
+      }
+    }),
+
     // -- x65: STRING file statistics in the same [lo, hi] grammar ----------
     // Delta records truncated string min/max per file; here strings
     // ride the SAME (long, long) stats grammar through an
@@ -3699,6 +3747,21 @@ object Extensions extends QueryPack {
         |  TRUE AS optimize_materializes, TRUE AS time_travel_exact
         |FROM t WHERE st <> 'P'
         |GROUP BY st ORDER BY st""".stripMargin,
+
+    // both eras of the widened table: int-era even keys as-is, long-era
+    // odd keys offset past int range; the schema-era predicates are
+    // protocol properties, spelled as TRUEs
+    "x67_type_widening" ->
+      """SELECT o_orderstatus AS st,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+        |    + CASE WHEN o_orderkey % 2 = 1
+        |        THEN 3000000000 ELSE 0 END) AS BIGINT) AS sum_cents,
+        |  TRUE AS narrow_era_int,
+        |  TRUE AS wide_era_long,
+        |  TRUE AS time_travel_exact
+        |FROM orders
+        |GROUP BY o_orderstatus ORDER BY st""".stripMargin,
 
     // survivors of the deterministic MOR delete, grouped; the
     // no-rewrite / write-cost / undo / purge predicates are protocol

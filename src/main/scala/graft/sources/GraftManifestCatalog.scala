@@ -169,8 +169,11 @@ class GraftManifestCatalog extends TableCatalog with SupportsNamespaces
     * files read back with the column null), RENAME COLUMN and DROP
     * COLUMN (pure METADATA commits through the column mapping: the
     * stored names in the data files never change, time travel shows
-    * each version's own schema). Type changes stay refused: the log
-    * never coerces. */
+    * each version's own schema), and ALTER COLUMN … TYPE for LOSSLESS
+    * widenings only (byte → short → int → long, float → double —
+    * [[ManifestTable.widenColumn]]: the narrow-era files stay put and
+    * readers upcast at scan time; Delta 3.x's typeWidening shape).
+    * Any other type change stays refused: the log never coerces. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val dir = tableDir(ident)
@@ -204,6 +207,10 @@ class GraftManifestCatalog extends TableCatalog with SupportsNamespaces
               "keeps only constraints it can ENFORCE")
         }
         None
+      case u: TableChange.UpdateColumnType =>
+        ManifestTable.widenColumn(spark, dir.toString,
+          one(u.fieldNames, "ALTER COLUMN TYPE"), u.newDataType)
+        None
       case d: TableChange.DropConstraint =>
         if (!d.ifExists ||
             ManifestTable.snapshot(spark, dir.toString).checks
@@ -212,8 +219,9 @@ class GraftManifestCatalog extends TableCatalog with SupportsNamespaces
         None
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE ${other.getClass.getSimpleName}: only ADD / " +
-          "RENAME / DROP COLUMN and ADD / DROP CONSTRAINT evolve the " +
-          "log (the schema never coerces)")
+          "RENAME / DROP COLUMN, ALTER COLUMN TYPE (lossless " +
+          "widenings), and ADD / DROP CONSTRAINT evolve the log " +
+          "(the schema never otherwise coerces)")
     }
     if (adds.nonEmpty)
       ManifestTable.evolveSchema(spark, dir.toString,
