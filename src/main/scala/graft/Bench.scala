@@ -126,9 +126,6 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val probesJson = probes.map(p => f"$p%.4f").mkString("[", ",", "]")
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"calibration":$calibration,"probes":$probesJson,"queries":$qs,"sf":"$sfDir"}"""
-    println(line)
     // Artifact-of-record discipline (round-7 lesson: a round-end run
     // taken under snapshot load overwrote the clean 222 s steady-state
     // number with a 1.23×-skewed one, three rounds running):
@@ -140,6 +137,13 @@ object Bench {
     //      never displace a clean number. Per-query MEAN, not total:
     //      the query set grows across a round, and a larger suite's
     //      bigger total is not a regression.
+    //   3. A run any guard refuses carries "refused":true and the
+    //      reason INSIDE every artifact it writes — stdout line,
+    //      stamped epoch file, and _summary alike — so a driver
+    //      snapshot of the latest file can never be mistaken for a
+    //      record of capability (round-11 lesson: the driver's
+    //      BENCH_r11.json captured a load-contaminated run the guards
+    //      had correctly refused, and nothing in the JSON said so).
     // SPARK_GRAFT_BENCH_FORCE=1 overrides the guard (e.g. after an
     // intentional change that made queries slower-but-better).
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_solo.json")
@@ -149,6 +153,90 @@ object Bench {
     // of the suite — the start-only sentinel cannot see this (round-10:
     // eight queries read 2–4× in an otherwise-clean promoted run)
     val contaminatedProbe = probes.find(_ > calibration * 1.20)
+    val target = java.nio.file.Paths.get(benchOut)
+      // (priorMean, priorSf, priorCalibration): a mean is only
+      // comparable at the SAME scale factor — an sf0.01 dev run's tiny
+      // per-query mean must never displace the sf0.1 artifact of
+      // record (this happened once: a 0.88 s/q sf0.01 smoke "beat" the
+      // 1.19 s/q sf0.1 record and overwrote it).
+      // the prior record's per-query map: the mean comparison must run
+      // over the INTERSECTION of query sets — a whole-suite mean rises
+      // every time a round ADDS queries (heavier lifecycle queries are
+      // legitimate growth, not load), which would wedge the record
+      // forever on a growing suite
+    val priorQueries: Map[String, Double] =
+      if (!java.nio.file.Files.exists(target)) Map.empty
+      else try {
+        val old = java.nio.file.Files.readString(target)
+        """"([a-z0-9]+_[a-z0-9_.]*)":([0-9.eE+\-]+)""".r
+          .findAllMatchIn(old)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          .removed("n_queries") // header field the query regex also hits
+      } catch { case _: Throwable => Map.empty }
+    val prior: Option[(Double, Option[String], Option[Double])] =
+      if (!java.nio.file.Files.exists(target)) None
+      else try {
+        val old = java.nio.file.Files.readString(target)
+        val totalRe = """"metric":"total","value":([0-9.eE+\-]+)""".r
+        val nRe = """"n_queries":([0-9]+)""".r
+        val sfRe = """"sf":"([^"]+)"""".r
+        val calRe = """"calibration":([0-9.eE+\-]+)""".r
+        val oldTotal = totalRe.findFirstMatchIn(old).map(_.group(1).toDouble)
+        val oldN = nRe.findFirstMatchIn(old).map(_.group(1).toInt)
+          // pre-n_queries artifacts: count per-query entries inside
+          // the queries map only (query ids carry a '_'), minus the
+          // informational .build/.probe breakdown lines
+          .orElse(Some("\"[a-z0-9]+_[a-z0-9_.]*\":[0-9]".r
+            .findAllIn(old).size - "\\.(build|probe)\":[0-9]".r
+            .findAllIn(old).size))
+          .filter(_ > 0)
+        val oldSf = sfRe.findFirstMatchIn(old).map(_.group(1))
+        val oldCal = calRe.findFirstMatchIn(old).map(_.group(1).toDouble)
+        for (t <- oldTotal; n <- oldN) yield (t / n, oldSf, oldCal)
+      } catch { case _: Throwable => None }
+    // composition-independent slowdown: total seconds over the
+    // queries BOTH runs measured (falls back to the whole-mean ratio
+    // when the prior record predates per-query maps)
+    val commonRatio: Double = {
+      val common = results.collect {
+        case (n, s) if priorQueries.contains(n) => (s, priorQueries(n))
+      }
+      if (common.isEmpty) prior.map(p => newMean / p._1).getOrElse(1.0)
+      else common.map(_._1).sum / common.map(_._2).sum
+    }
+    val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
+    // the guards, evaluated BEFORE the line is rendered so a refusal
+    // rides inside every artifact this run writes
+    val refusalReason: Option[String] =
+      if (force) None
+      else if (contaminatedProbe.isDefined) Some(
+        f"mid-run probe ${contaminatedProbe.get}%.3f s > 1.20x this " +
+          f"run's own $calibration%.3f s start calibration - transient " +
+          "load hit the middle of the suite")
+      else prior match {
+        case Some((_, Some(oldSf), _)) if oldSf != sfDir => Some(
+          s"recorded artifact is at sf '$oldSf' but this run is at " +
+            s"'$sfDir' - means at different scale factors are not " +
+            "comparable")
+        case Some((_, _, Some(oldCal))) if calibration > oldCal * 1.20 =>
+          // the load sentinel fires BEFORE the mean comparison: a busy
+          // machine inflates both, and only the calibration probe can
+          // tell "machine busy" from "suite grew/slowed"
+          Some(f"calibration $calibration%.3f s is " +
+            f"${calibration / oldCal}%.2fx the recorded $oldCal%.3f s " +
+            "(>1.20x - the machine was under load)")
+        case Some(_) if commonRatio > 1.10 => Some(
+          f"common-set queries ${commonRatio}%.2fx slower than the " +
+            "record (>1.10x - likely load contamination; suite growth " +
+            "is excluded from this comparison)")
+        case _ => None
+      }
+    val refusedJson = refusalReason
+      .map(r => s""","refused":true,"refusal_reason":"${r.replace("\"", "'")}"""")
+      .getOrElse("")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"calibration":$calibration,"probes":$probesJson$refusedJson,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
     try {
       val epoch = System.currentTimeMillis() / 1000
       // sf rides the snapshot FILENAME (round-9 lesson: sf0.01 and
@@ -166,96 +254,13 @@ object Bench {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(benchOut.stripSuffix(".json") +
           "_summary.json"), line + "\n")
-      val target = java.nio.file.Paths.get(benchOut)
-      // (priorMean, priorSf, priorCalibration): a mean is only
-      // comparable at the SAME scale factor — an sf0.01 dev run's tiny
-      // per-query mean must never displace the sf0.1 artifact of
-      // record (this happened once: a 0.88 s/q sf0.01 smoke "beat" the
-      // 1.19 s/q sf0.1 record and overwrote it).
-      // the prior record's per-query map: the mean comparison must run
-      // over the INTERSECTION of query sets — a whole-suite mean rises
-      // every time a round ADDS queries (heavier lifecycle queries are
-      // legitimate growth, not load), which would wedge the record
-      // forever on a growing suite
-      val priorQueries: Map[String, Double] =
-        if (!java.nio.file.Files.exists(target)) Map.empty
-        else {
-          val old = java.nio.file.Files.readString(target)
-          """"([a-z0-9]+_[a-z0-9_.]*)":([0-9.eE+\-]+)""".r
-            .findAllMatchIn(old)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-            .removed("n_queries") // header field the query regex also hits
-        }
-      val prior: Option[(Double, Option[String], Option[Double])] =
-        if (!java.nio.file.Files.exists(target)) None
-        else {
-          val old = java.nio.file.Files.readString(target)
-          val totalRe = """"metric":"total","value":([0-9.eE+\-]+)""".r
-          val nRe = """"n_queries":([0-9]+)""".r
-          val sfRe = """"sf":"([^"]+)"""".r
-          val calRe = """"calibration":([0-9.eE+\-]+)""".r
-          val oldTotal = totalRe.findFirstMatchIn(old).map(_.group(1).toDouble)
-          val oldN = nRe.findFirstMatchIn(old).map(_.group(1).toInt)
-            // pre-n_queries artifacts: count per-query entries inside
-            // the queries map only (query ids carry a '_'), minus the
-            // informational .build/.probe breakdown lines
-            .orElse(Some("\"[a-z0-9]+_[a-z0-9_.]*\":[0-9]".r
-              .findAllIn(old).size - "\\.(build|probe)\":[0-9]".r
-              .findAllIn(old).size))
-            .filter(_ > 0)
-          val oldSf = sfRe.findFirstMatchIn(old).map(_.group(1))
-          val oldCal = calRe.findFirstMatchIn(old).map(_.group(1).toDouble)
-          for (t <- oldTotal; n <- oldN) yield (t / n, oldSf, oldCal)
-        }
-      // composition-independent slowdown: total seconds over the
-      // queries BOTH runs measured (falls back to the whole-mean ratio
-      // when the prior record predates per-query maps)
-      val commonRatio: Double = {
-        val common = results.collect {
-          case (n, s) if priorQueries.contains(n) => (s, priorQueries(n))
-        }
-        if (common.isEmpty) prior.map(p => newMean / p._1).getOrElse(1.0)
-        else common.map(_._1).sum / common.map(_._2).sum
-      }
-      val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
-      prior match {
-        case _ if contaminatedProbe.isDefined && !force =>
+      refusalReason match {
+        case Some(r) =>
           System.err.println(
-            f"[bench] REFUSING to overwrite $benchOut: a MID-RUN " +
-              f"calibration probe read ${contaminatedProbe.get}%.3f s vs " +
-              f"this run's own $calibration%.3f s start calibration " +
-              f"(>1.20× — transient load hit the middle of the suite; " +
-              f"a contaminated stretch must not become the record). " +
-              f"This run is preserved at $stamped; set " +
+            s"[bench] REFUSING to overwrite $benchOut: $r. This run is " +
+              s"preserved at $stamped (stamped refused:true); set " +
               "SPARK_GRAFT_BENCH_FORCE=1 to override.")
-        case Some((_, Some(oldSf), _)) if oldSf != sfDir && !force =>
-          System.err.println(
-            s"[bench] REFUSING to overwrite $benchOut: recorded artifact " +
-              s"is at sf '$oldSf' but this run is at '$sfDir' — means at " +
-              "different scale factors are not comparable. This run is " +
-              s"preserved at $stamped; set SPARK_GRAFT_BENCH_FORCE=1 to " +
-              "override.")
-        case Some((_, _, Some(oldCal)))
-            if calibration > oldCal * 1.20 && !force =>
-          // the load sentinel fires BEFORE the mean comparison: a busy
-          // machine inflates both, and only the calibration probe can
-          // tell "machine busy" from "suite grew/slowed"
-          System.err.println(
-            f"[bench] REFUSING to overwrite $benchOut: calibration " +
-              f"$calibration%.3f s is ${calibration / oldCal}%.2f× the " +
-              f"recorded $oldCal%.3f s (>1.20× — the machine was under " +
-              f"load; per-query times are contaminated). This run is " +
-              f"preserved at $stamped; set SPARK_GRAFT_BENCH_FORCE=1 to " +
-              "override.")
-        case Some(_) if commonRatio > 1.10 && !force =>
-          System.err.println(
-            f"[bench] REFUSING to overwrite $benchOut: the queries both " +
-              f"runs measured are ${commonRatio}%.2f× slower in this run " +
-              f"(>1.10× on the common set — likely load contamination; " +
-              f"suite growth is excluded from this comparison). " +
-              f"This run is preserved at $stamped; set " +
-              "SPARK_GRAFT_BENCH_FORCE=1 to override.")
-        case _ =>
+        case None =>
           java.nio.file.Files.writeString(target, line + "\n")
       }
     } catch { case e: Throwable =>
@@ -269,7 +274,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // distinct metric name: a consumer filtering metric=="total" must
     // not see the same value twice
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"top5_slowest":$top5,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size}$refusedJson,"top5_slowest":$top5,"sf":"$sfDir"}""")
     graft.queries.Dedup.releaseShared(spark, sfDir)
     graft.queries.Graphs.releaseShared(spark, sfDir)
     spark.stop()
