@@ -125,7 +125,19 @@ object ManifestTable {
       // the files — reads must fill them per file. Carried forward
       // like partCols; Some(false) = cleared (the materializing
       // compaction rewrote every file with the columns as data)
-      hiveDirs: Option[Boolean] = None) {
+      hiveDirs: Option[Boolean] = None,
+      // IN-COMMIT timestamp (Delta's inCommitTimestamps): epoch ms
+      // stamped INSIDE the body at commit time, monotone per table
+      // (max(now, prev + 1)). TIMESTAMP AS OF resolves from this, so
+      // time travel survives relocation/backup-restore, which rewrite
+      // file mtimes; absent on pre-feature commits (mtime fallback)
+      ts: Option[Long] = None,
+      // WRITE-TIME CDC capture policy (Delta's enableChangeDataFeed,
+      // OPT-IN there too): only tables that set it pay the capture
+      // diff on COW DML — feeds stay readable either way, an
+      // uncaptured rewrite just surfaces as whole-file re-inserts.
+      // Carried forward like hiveDirs; Some(false) disables again
+      cdcOn: Option[Boolean] = None) {
     /** The files this commit ADDED (a change-feed consumes exactly
       * these — with a delta log the CDC read needs no file-set diff). */
     def paths: Vector[String] = adds.map(_.path)
@@ -146,7 +158,9 @@ object ManifestTable {
       checks: Map[String, String] = Map.empty,
       // true = hive-converted layout: partition values live in the
       // log's per-file tuples, reads fill them per file
-      hiveDirs: Boolean = false) {
+      hiveDirs: Boolean = false,
+      // true = COW DML captures write-time CDC (row-exact feed)
+      cdcOn: Boolean = false) {
     def paths: Vector[String] = entries.map(_.path)
     def rows: Long = entries.map(_.rows).sum
     /** True when any logical name differs from its stored name. */
@@ -344,21 +358,50 @@ object ManifestTable {
       .sorted
   }
 
-  /** TIMESTAMP AS OF: the newest version whose manifest was published
-    * at or before `tsMillis` (epoch millis) — Delta/Iceberg resolve
-    * time travel from commit timestamps the same way; here the
-    * publish mtime IS the commit timestamp (the publish is atomic). */
+  /** The IN-COMMIT timestamp of one version, from a BOUNDED read of
+    * the manifest's first bytes — the `ts` field lives in the fixed
+    * header prefix, before the unbounded schema/col_map fields, so
+    * 4 KB always covers it. None for pre-feature commits. */
+  private def readHeaderTs(spark: SparkSession, dir: String,
+      v: Int): Option[Long] = {
+    val f = fs(spark, dir)
+    val p = new Path(manifestDir(dir), manifestName(v))
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    try {
+      val buf = new Array[Byte](4096)
+      val n = in.read(buf)
+      if (n <= 0) None
+      else """"ts"\s*:\s*(\d+)""".r
+        .findFirstMatchIn(new String(buf, 0, n,
+          java.nio.charset.StandardCharsets.UTF_8).takeWhile(_ != '\n'))
+        .map(_.group(1).toLong)
+    } finally in.close()
+  }
+
+  /** TIMESTAMP AS OF: the newest version whose commit timestamp is at
+    * or before `tsMillis` (epoch millis) — Delta/Iceberg resolve time
+    * travel from commit timestamps the same way. The timestamp of
+    * record is the IN-COMMIT `ts` stamped inside the manifest body
+    * (Delta's inCommitTimestamps: survives relocation, backup/restore
+    * and filesystem copies, all of which rewrite mtimes); pre-feature
+    * commits without one fall back to the publish mtime, which WAS
+    * the commit time when the file has never moved. */
   def versionAt(spark: SparkSession, dir: String, tsMillis: Long): Int = {
     val f = fs(spark, dir)
     val md = manifestDir(dir)
     require(f.exists(md), s"no manifest at $dir")
     val at = f.listStatus(md).toVector
-      .filter { st =>
+      .flatMap { st =>
         val n = st.getPath.getName
-        n.startsWith("v") && n.endsWith(".json") &&
-          st.getModificationTime <= tsMillis
+        if (!(n.startsWith("v") && n.endsWith(".json"))) None
+        else {
+          val v = n.stripPrefix("v").stripSuffix(".json").toInt
+          val commitTs = readHeaderTs(spark, dir, v)
+            .getOrElse(st.getModificationTime)
+          if (commitTs <= tsMillis) Some(v) else None
+        }
       }
-      .map(_.getPath.getName.stripPrefix("v").stripSuffix(".json").toInt)
     require(at.nonEmpty,
       s"no version of $dir committed at or before epoch-ms $tsMillis")
     at.max
@@ -395,11 +438,19 @@ object ManifestTable {
     *     emit nothing;
     *   - COW rewrites through replace-data DML / SQL DELETE capture
     *     write-time CDC ([[writeCdcDiff]], Delta's _change_data
-    *     shape): the commit references a change parquet and the feed
-    *     reads EXACTLY the changed rows ('update_preimage' /
-    *     'update_postimage', or 'delete' for a COW DELETE);
-    *   - plain overwrite / Scala mergeCommit WITHOUT cdcLabels still
-    *     surface as whole-file 'insert's (no capture requested).
+    *     shape) WHEN THE TABLE OPTED IN ([[setCdcEnabled]] /
+    *     TBLPROPERTIES ('cdc'='true') — Delta's enableChangeDataFeed
+    *     is opt-in for the same reason: capture costs two exceptAll
+    *     passes over the rewritten rows): the commit references a
+    *     change parquet and the feed reads EXACTLY the changed rows
+    *     ('update_preimage' / 'update_postimage', or 'delete' for a
+    *     COW DELETE); Scala mergeCommit with EXPLICIT cdcLabels
+    *     captures regardless (the call is the opt-in);
+    *   - plain overwrite / COW DML without the opt-in / Scala
+    *     mergeCommit without cdcLabels still surface as whole-file
+    *     'insert's (no capture requested — the feed stays readable
+    *     and file-accurate, it just loses row-level precision for
+    *     the uncaptured rewrite).
     *
     * All rows read with `toVersion`'s log schema (older files
     * null-fill), so the feed has one uniform shape. */
@@ -601,7 +652,8 @@ object ManifestTable {
       partCols = if (snap.partCols.nonEmpty) Some(snap.partCols) else None,
       colMap = if (snap.colMap.nonEmpty) Some(snap.colMap) else None,
       checks = if (snap.checks.nonEmpty) Some(snap.checks) else None,
-      hiveDirs = if (snap.hiveDirs) Some(true) else None)
+      hiveDirs = if (snap.hiveDirs) Some(true) else None,
+      cdcOn = if (snap.cdcOn) Some(true) else None)
       .getOrElse(sys.error(
         s"cloneShallow: lost the v1 commit race at $dstDir"))
   }
@@ -632,6 +684,7 @@ object ManifestTable {
     var colMap: Map[String, String] = Map.empty
     var checks: Map[String, String] = Map.empty
     var hiveDirs: Boolean = false
+    var cdcOn: Boolean = false
     base.foreach { cv =>
       val st = readCheckpoint(spark, dir, cv)
       st.entries.foreach(e => em(e.path) = e)
@@ -642,6 +695,7 @@ object ManifestTable {
       colMap = st.colMap
       checks = st.checks
       hiveDirs = st.hiveDirs
+      cdcOn = st.cdcOn
     }
     ((base.getOrElse(0) + 1) to v).foreach { dv =>
       val d = readDelta(spark, dir, dv)
@@ -654,6 +708,7 @@ object ManifestTable {
       d.colMap.foreach(m => colMap = m)
       d.checks.foreach(m => checks = m)
       d.hiveDirs.foreach(h => hiveDirs = h)
+      d.cdcOn.foreach(c => cdcOn = c)
     }
     // the fold runs in STORED (table-relative) path space; the
     // resolved snapshot hands callers absolute paths
@@ -661,7 +716,7 @@ object ManifestTable {
       .map(e => e.copy(path = resolvePath(dir, e.path),
         dv = e.dv.map(resolvePath(dir, _))))
       .sortBy(_.path), ddl, statsCol, txns, partCols, colMap, checks,
-      hiveDirs)
+      hiveDirs, cdcOn)
   }
 
   /** Read one committed delta. The two-phase commit means a VISIBLE
@@ -763,8 +818,13 @@ object ManifestTable {
           adds += ManifestEntry(p, r, lo, hi, part, stats, dv, dvRows)
         }
       }
+    val ts = """"ts"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(header).map(_.group(1).toLong)
+    val cdcOn = """"cdc_on"\s*:\s*(true|false)""".r
+      .findFirstMatchIn(header).map(_.group(1) == "true")
     Delta(v, adds.result(), removes.result(), compaction, txn,
-      schemaDdl, statsCol, partCols, mor, cdc, colMap, checks, hiveDirs)
+      schemaDdl, statsCol, partCols, mor, cdc, colMap, checks, hiveDirs,
+      ts, cdcOn)
   }
 
   /** Read the table at a snapshot — only that version's files, never
@@ -1244,14 +1304,23 @@ object ManifestTable {
       cdc: Option[String] = None,
       colMap: Option[Map[String, String]] = None,
       checks: Option[Map[String, String]] = None,
-      hiveDirs: Option[Boolean] = None): Option[Int] = {
+      hiveDirs: Option[Boolean] = None,
+      cdcOn: Option[Boolean] = None): Option[Int] = {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
     val target = new Path(manifestDir(dir), manifestName(version))
     if (f.exists(target)) return None // lost before writing anything
+    // IN-COMMIT timestamp: monotone per table (ties broken +1 against
+    // the previous commit — Delta's inCommitTimestamps clamp), stamped
+    // in the fixed header prefix so [[readHeaderTs]]'s bounded read
+    // always sees it regardless of schema/col_map header size
+    val commitTs = math.max(System.currentTimeMillis(),
+      (if (version <= 1) None
+       else readHeaderTs(spark, dir, version - 1)).map(_ + 1).getOrElse(0L))
     val hdr =
       (if (mor) s""", "mor": true""" else "") +
       hiveDirs.map(h => s""", "hive_dirs": $h""").getOrElse("") +
+      cdcOn.map(c => s""", "cdc_on": $c""").getOrElse("") +
       cdc.map(c => s""", "cdc": "${jsonEscape(relativize(f, dir, c))}"""")
         .getOrElse("") +
       colMap.map(m => s""", "col_map": {${partBody(m)}}""").getOrElse("") +
@@ -1262,7 +1331,7 @@ object ManifestTable {
       partCols.map(cs => s""", "part_cols": "${
         cs.map(fieldEscape).mkString(",")}"""").getOrElse("")
     val body =
-      s"""{"version": $version, "compaction": $compaction$hdr, "actions": [""" +
+      s"""{"version": $version, "compaction": $compaction, "ts": $commitTs$hdr, "actions": [""" +
         "\n" +
       (adds.map { e =>
         val stats = (e.lo, e.hi) match {
@@ -1345,13 +1414,15 @@ object ManifestTable {
       checks_body: Option[String] = None,
       // meta row: hive-directory layout flag (partition values in the
       // log, not the files)
-      hive_dirs: Option[Boolean] = None)
+      hive_dirs: Option[Boolean] = None,
+      // meta row: write-time CDC capture policy
+      cdc_on: Option[Boolean] = None)
 
   private final case class CkptState(entries: Vector[ManifestEntry],
       schemaDdl: Option[String], statsCol: Option[String],
       txns: Map[String, Int], partCols: Seq[String],
       colMap: Map[String, String], checks: Map[String, String],
-      hiveDirs: Boolean)
+      hiveDirs: Boolean, cdcOn: Boolean)
 
   /** Checkpoints are immutable once `_SUCCESS` lands — cache them so
     * commit-loop snapshot resolution pays the parquet read once. */
@@ -1391,7 +1462,8 @@ object ManifestTable {
         None, None,
         if (snap.colMap.isEmpty) None else Some(partBody(snap.colMap)),
         if (snap.checks.isEmpty) None else Some(partBody(snap.checks)),
-        if (snap.hiveDirs) Some(true) else None)) ++
+        if (snap.hiveDirs) Some(true) else None,
+        if (snap.cdcOn) Some(true) else None)) ++
       snap.txns.toVector.sortBy(_._2).map { case (t, tv) =>
         CkptRow("txn", None, None, None, None, None, None,
           Some(t), Some(tv)) }
@@ -1418,7 +1490,7 @@ object ManifestTable {
     val want = Seq("kind", "path", "rows", "lo", "hi", "schema_ddl",
       "stats_col", "txn", "txn_version", "part_body", "stats_body",
       "part_cols", "dv_path", "dv_rows_del", "col_map", "checks_body",
-      "hive_dirs")
+      "hive_dirs", "cdc_on")
     val have = df0.columns.toSet
     val rows = df0.select(want.map(c =>
         if (have.contains(c)) org.apache.spark.sql.functions.col(c)
@@ -1433,6 +1505,7 @@ object ManifestTable {
     var colMap: Map[String, String] = Map.empty
     var checks: Map[String, String] = Map.empty
     var hiveDirs: Boolean = false
+    var cdcOn: Boolean = false
     rows.foreach { r =>
       def optS(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
       def optL(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
@@ -1450,12 +1523,13 @@ object ManifestTable {
           colMap = optS(14).map(parsePartBody).getOrElse(Map.empty)
           checks = optS(15).map(parsePartBody).getOrElse(Map.empty)
           hiveDirs = !r.isNullAt(16) && r.getBoolean(16)
+          cdcOn = !r.isNullAt(17) && r.getBoolean(17)
         case "txn" =>
           txns += r.getString(7) -> r.getInt(8)
       }
     }
     val st = CkptState(entries.result(), ddl, statsCol, txns, partCols,
-      colMap, checks, hiveDirs)
+      colMap, checks, hiveDirs, cdcOn)
     if (ckptCache.size > 8) ckptCache.clear() // crude bound; entries are
                                               // immutable so only a perf hit
     ckptCache.put(key, st)
@@ -1723,13 +1797,15 @@ object ManifestTable {
   def createEmpty(spark: SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType,
       statsCol: Option[String] = None,
-      partitionBy: Seq[String] = Nil): Int = {
+      partitionBy: Seq[String] = Nil,
+      enableCdc: Boolean = false): Int = {
     require(versions(spark, dir).isEmpty, s"table already exists at $dir")
     partitionBy.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c is not in the schema"))
     tryCommit(spark, dir, 1, adds = Vector.empty, removes = Vector.empty,
       schemaDdl = Some(schema.toDDL), statsCol = statsCol,
-      partCols = if (partitionBy.isEmpty) None else Some(partitionBy))
+      partCols = if (partitionBy.isEmpty) None else Some(partitionBy),
+      cdcOn = if (enableCdc) Some(true) else None)
       .getOrElse(sys.error(s"concurrent create at $dir"))
   }
 
@@ -1741,13 +1817,38 @@ object ManifestTable {
   def create(spark: SparkSession, dir: String, df: DataFrame,
       statsCol: Option[String] = None,
       partitionBy: Seq[String] = Nil,
-      statsCols: Seq[String] = Nil): Int = {
+      statsCols: Seq[String] = Nil,
+      enableCdc: Boolean = false): Int = {
     require(versions(spark, dir).isEmpty, s"table already exists at $dir")
     val entries = writeFiles(spark, dir, df, statsCol, partitionBy, statsCols)
     tryCommit(spark, dir, 1, adds = entries, removes = Vector.empty,
       schemaDdl = Some(df.schema.toDDL), statsCol = statsCol,
-      partCols = if (partitionBy.isEmpty) None else Some(partitionBy))
+      partCols = if (partitionBy.isEmpty) None else Some(partitionBy),
+      cdcOn = if (enableCdc) Some(true) else None)
       .getOrElse(sys.error(s"concurrent create at $dir"))
+  }
+
+  /** Flip the write-time CDC capture policy (Delta's
+    * `enableChangeDataFeed` table property, OPT-IN there too): a
+    * metadata-only commit. From the next commit on, COW DML pays the
+    * capture diff and the row-level feed shows exact pre/post images;
+    * commits made while OFF surface as whole-file re-inserts — the
+    * feed never lies, it just loses row-level precision for the
+    * uncaptured era. */
+  def setCdcEnabled(spark: SparkSession, dir: String,
+      on: Boolean): Int = {
+    var guard = 0
+    while (guard < 50) {
+      val cur = snapshot(spark, dir)
+      if (cur.cdcOn == on) return cur.version // idempotent
+      tryCommit(spark, dir, cur.version + 1,
+        adds = Vector.empty, removes = Vector.empty,
+        cdcOn = Some(on)) match {
+        case Some(v) => return v
+        case None => guard += 1
+      }
+    }
+    sys.error(s"setCdcEnabled lost 50 races at $dir")
   }
 
   /** Append `df` as a new version (retries past concurrent commits —
@@ -2235,8 +2336,10 @@ object ManifestTable {
     val f = fs(spark, dir)
     versions(spark, dir).map { v =>
       val d = readDelta(spark, dir, v)
-      val ts = f.getFileStatus(
-        new Path(manifestDir(dir), manifestName(v))).getModificationTime
+      // the in-commit timestamp when present (relocation-proof);
+      // publish mtime only for pre-feature history
+      val ts = d.ts.getOrElse(f.getFileStatus(
+        new Path(manifestDir(dir), manifestName(v))).getModificationTime)
       (v, d.adds.size.toLong, d.removes.size.toLong,
         // a merge-on-read DELETE re-points files, it adds no rows —
         // reporting the re-pointed files' physical rows would claim a
@@ -2446,10 +2549,16 @@ object ManifestTable {
         f.delete(new Path(stagingDir), true)
         es
       }
-    // write-time change capture: diff depends only on (replaced, adds),
-    // both immutable — computed ONCE, valid across commit retries
-    val cdcPath = writeCdcDiff(spark, dir, cur0.schemaDdl, cur0.colMap,
-      replaced, adds, cdcLabels)
+    // write-time change capture — ONLY when the table opted in
+    // (Delta's enableChangeDataFeed; capture costs two exceptAll
+    // passes over the rewritten rows, measured 1.3× on MERGE at
+    // sf0.1, and a table that never reads its feed should not pay
+    // it). The diff depends only on (replaced, adds), both
+    // immutable — computed ONCE, valid across commit retries
+    val cdcPath =
+      if (!cur0.cdcOn) None
+      else writeCdcDiff(spark, dir, cur0.schemaDdl, cur0.colMap,
+        replaced, adds, cdcLabels)
     var guard = 0
     while (guard < 50) {
       val cur = snapshot(spark, dir)

@@ -999,7 +999,11 @@ object Extensions extends QueryPack {
           $"o_orderstatus".as("st"),
           floor($"o_totalprice" * 100).cast("long").as("cents"))
           .createOrReplaceTempView(s"${cat}_src")
-        s.sql(s"CREATE TABLE $cat.t (k BIGINT, st STRING, cents BIGINT)")
+        // CDC capture is OPT-IN per table (Delta's
+        // enableChangeDataFeed) — this query IS the feed consumer,
+        // so its table declares it at birth
+        s.sql(s"CREATE TABLE $cat.t (k BIGINT, st STRING, cents BIGINT)" +
+          " TBLPROPERTIES ('cdc'='true')")
         s.sql(s"INSERT INTO $cat.t SELECT * FROM ${cat}_src")
         // both DML faces: UPDATE (pre/post images) and a
         // non-translatable DELETE (row-level path, 'delete' images)
@@ -1817,6 +1821,65 @@ object Extensions extends QueryPack {
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(
           new java.io.File(work).getParentFile)
+      }
+    }),
+
+    // -- x68: IN-COMMIT timestamps (Delta's inCommitTimestamps) ------------
+    // TIMESTAMP AS OF used to resolve from manifest publish mtimes —
+    // correct until the table MOVES (relocation, backup/restore, any
+    // filesystem copy rewrites mtimes and silently re-dates history).
+    // The commit time of record now rides INSIDE the manifest body
+    // (monotone per table, ties clamped +1); lifecycle: create →
+    // append → RELOCATE the table and scramble every mtime a day into
+    // the future → TIMESTAMP AS OF between the two commits must still
+    // resolve v1 on the copy, and history must report the original
+    // commit times.
+    "x68_incommit_timestamp" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.ManifestTable
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ict-").toString
+      val work = root + "/t"
+      val moved = root + "/moved"
+      val t = Tables(s, dir).orders.select($"o_orderkey".as("k"),
+        $"o_orderstatus".as("st"),
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      try {
+        ManifestTable.create(s, work,
+          t.filter($"k" % 2 === 0).repartition(4))
+        Thread.sleep(30)
+        ManifestTable.append(s, work,
+          t.filter($"k" % 2 === 1).repartition(4))
+        val hist = ManifestTable.history(s, work)
+          .select($"version", $"commit_ts_ms").collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val monotone = hist(2) > hist(1)
+        val mid = (hist(1) + hist(2)) / 2
+        // relocate + scramble mtimes (what a backup-restore does)
+        org.apache.commons.io.FileUtils.copyDirectory(
+          new java.io.File(work), new java.io.File(moved))
+        val future = System.currentTimeMillis() + 86400000L
+        java.nio.file.Files.walk(java.nio.file.Paths.get(moved))
+          .forEach(p => p.toFile.setLastModified(future))
+        val vAtMid = ManifestTable.versionAt(s, moved, mid)
+        val travelExact = vAtMid == 1 &&
+          ManifestTable.read(s, moved, Some(vAtMid)).count() ==
+            t.filter($"k" % 2 === 0).count()
+        val historySurvives = ManifestTable.history(s, moved)
+          .select($"version", $"commit_ts_ms").collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap == hist
+        ManifestTable.read(s, moved)
+          .groupBy($"st")
+          .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+          .orderBy($"st")
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            monotone, travelExact, historySurvives))
+          .toDF("st", "n_rows", "sum_cents", "ts_monotone",
+            "travel_survives_move", "history_survives_move")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(root))
       }
     }),
 
@@ -3760,6 +3823,19 @@ object Extensions extends QueryPack {
         |  TRUE AS narrow_era_int,
         |  TRUE AS wide_era_long,
         |  TRUE AS time_travel_exact
+        |FROM orders
+        |GROUP BY o_orderstatus ORDER BY st""".stripMargin,
+
+    // the whole table grouped; the monotonicity/relocation-survival
+    // predicates are protocol properties, spelled as TRUEs
+    "x68_incommit_timestamp" ->
+      """SELECT o_orderstatus AS st,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  TRUE AS ts_monotone,
+        |  TRUE AS travel_survives_move,
+        |  TRUE AS history_survives_move
         |FROM orders
         |GROUP BY o_orderstatus ORDER BY st""".stripMargin,
 

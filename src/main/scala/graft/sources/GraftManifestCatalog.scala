@@ -160,8 +160,13 @@ class GraftManifestCatalog extends TableCatalog with SupportsNamespaces
     if (isTable(dir)) throw new TableAlreadyExistsException(
       (catalogName +: ident.namespace :+ ident.name).toSeq)
     val statsCol = Option(properties.get("stats_col"))
+    // write-time CDC capture is OPT-IN per table (Delta's
+    // delta.enableChangeDataFeed shape): TBLPROPERTIES ('cdc'='true')
+    val enableCdc = (Option(properties.get("cdc")) ++
+        Option(properties.get("enableChangeDataFeed")))
+      .exists(_.equalsIgnoreCase("true"))
     ManifestTable.createEmpty(spark, dir.toString, schema, statsCol,
-      partCols)
+      partCols, enableCdc)
     load(ident, None, None)
   }
 

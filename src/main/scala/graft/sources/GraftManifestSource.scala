@@ -253,9 +253,15 @@ class GraftManifestTable(dir: String, version: Int, dataSchema: StructType,
         org.apache.spark.sql.functions.lit(false)))
     ManifestTable.mergeCommit(spark, dir,
       cur => cur.filter(survives), statsCol,
-      // write-time CDC: the feed shows exactly the deleted rows, not
-      // a whole-file re-insert of the survivors
-      cdcLabels = Some(("delete", "insert")))
+      // write-time CDC when the TABLE opted in (Delta's
+      // enableChangeDataFeed): the feed then shows exactly the
+      // deleted rows, not a whole-file re-insert of the survivors;
+      // without the opt-in the capture diff is skipped — a table
+      // that never reads its feed should not pay for it
+      cdcLabels =
+        if (ManifestTable.snapshot(spark, dir).cdcOn)
+          Some(("delete", "insert"))
+        else None)
   }
 
   override def name(): String = s"graft-manifest $dir@v$version"

@@ -111,7 +111,7 @@ object GraftProcedures {
           "version INT, n_files BIGINT, size_bytes BIGINT, " +
             "rows BIGINT, live_rows BIGINT, part_cols STRING, " +
             "stats_col STRING, column_mapped BOOLEAN, n_checks INT, " +
-            "dv_files INT"),
+            "dv_files INT, cdc_enabled BOOLEAN"),
         (s, in) => {
           // Delta's DESCRIBE DETAIL: the snapshot's shape in one row —
           // O(files) driver-side metadata, the same planning read every
@@ -131,7 +131,7 @@ object GraftProcedures {
             UTF8String.fromString(snap.partCols.mkString(",")),
             UTF8String.fromString(snap.statsCol.getOrElse("")),
             snap.mapped, snap.checks.size,
-            snap.entries.count(_.dv.isDefined)))
+            snap.entries.count(_.dv.isDefined), snap.cdcOn))
         }))
       case "set_partitioning" => Some(new Proc("set_partitioning",
         Array(param("tbl", StringType),

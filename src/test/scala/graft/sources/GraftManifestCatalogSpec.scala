@@ -33,7 +33,10 @@ class GraftManifestCatalogSpec extends AnyFunSuite {
       "reads exact under the new names, time travel shows old schemas") {
     withCatalog { cat =>
       import graft.operators.ManifestTable
-      spark.sql(s"CREATE TABLE $cat.r (k BIGINT, v BIGINT, note STRING)")
+      // cdc property: the tail of this test consumes the row-level
+      // feed, and capture is opt-in per table (Delta's shape)
+      spark.sql(s"CREATE TABLE $cat.r (k BIGINT, v BIGINT, note STRING)" +
+        " TBLPROPERTIES ('cdc'='true')")
       spark.sql(s"INSERT INTO $cat.r " +
         "SELECT id, id * 2, concat('n', id) FROM range(100)")
       val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")

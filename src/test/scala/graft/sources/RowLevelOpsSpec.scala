@@ -86,7 +86,9 @@ class RowLevelOpsSpec extends AnyFunSuite {
       "exact pre/post images and reconstructs the live table") {
     import org.apache.spark.sql.functions._
     withCatalog { cat =>
-      spark.sql(s"CREATE TABLE $cat.c (k BIGINT, v BIGINT)")
+      // capture is OPT-IN per table (Delta's enableChangeDataFeed)
+      spark.sql(s"CREATE TABLE $cat.c (k BIGINT, v BIGINT) " +
+        "TBLPROPERTIES ('cdc'='true')")
       spark.sql(s"INSERT INTO $cat.c SELECT id, id * 10 FROM range(100)")
       spark.sql(s"UPDATE $cat.c SET v = v + 1 WHERE k % 5 = 0") // 20 rows
       spark.sql(s"DELETE FROM $cat.c WHERE k >= 90")            // 10 rows
