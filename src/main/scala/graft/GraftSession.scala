@@ -32,6 +32,12 @@ object GraftSession {
       .master(if (taskRetries > 1) s"local[$cpus,$taskRetries]"
         else s"local[$cpus]")
       .appName(appName)
+      // shuffle/block-manager scratch on the fastest local device
+      // (guide §2.1: shuffle-file latency is the tighter limit on
+      // slow disks). See [[Scratch]] for the policy + measurements;
+      // SPARK_GRAFT_SCRATCH overrides. Production: local NVMe.
+      .config("spark.local.dir",
+        Scratch.tempDir("spark-local-").toString)
       .config("spark.sql.shuffle.partitions", cpus.toString))
 
   /** Build a MULTI-PROCESS session: `local-cluster[workers, cores,
@@ -99,6 +105,13 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // default base for streaming checkpoints a query does not place
+      // explicitly (unnamed queries get a fresh UUID subdir per
+      // start): micro-batch offset/commit/state writes are fsync-heavy
+      // tiny files — same fastest-local-device policy as
+      // spark.local.dir ([[Scratch]]), deleted on JVM exit.
+      .config("spark.sql.streaming.checkpointLocation",
+        Scratch.tempDir("stream-ckpt-").toString)
       // INT96 timestamps on write: DuckDB (the oracle) reads INT96 as
       // naive local time, matching its own TIMESTAMP literals; the
       // micros logical type would come back timezone-aware and fail

@@ -155,8 +155,7 @@ object Extensions extends QueryPack {
     "x36_compact_small_files" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import graft.operators.Compaction
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-compact-").toString
+      val work = graft.Scratch.tempDir("graft-compact-").toString
       try {
         Tables(s, dir).lineitem
           .select($"l_orderkey", $"l_linenumber", $"l_quantity")
@@ -194,8 +193,7 @@ object Extensions extends QueryPack {
     "x38_manifest_data_skipping" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import graft.operators.ManifestTable
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-skip-").toString + "/t"
+      val work = graft.Scratch.tempDir("graft-skip-").toString + "/t"
       val t = Tables(s, dir).orders.select($"o_orderkey",
         floor($"o_totalprice" * 100).cast("long").as("cents"))
       val mx = t.agg(max($"o_orderkey")).first().getLong(0)
@@ -250,8 +248,7 @@ object Extensions extends QueryPack {
     "x37_manifest_time_travel" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import graft.operators.ManifestTable
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-manifest-").toString + "/t"
+      val work = graft.Scratch.tempDir("graft-manifest-").toString + "/t"
       val t = Tables(s, dir).orders.select($"o_orderkey",
         floor($"o_totalprice" * 100).cast("long").as("cents"))
       def slice(m: Int) = t.filter($"o_orderkey" % 3 === m)
@@ -299,8 +296,7 @@ object Extensions extends QueryPack {
     "x40_manifest_schema_evolution" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import graft.operators.ManifestTable
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-evo-").toString + "/t"
+      val work = graft.Scratch.tempDir("graft-evo-").toString + "/t"
       val t = Tables(s, dir).orders.select($"o_orderkey",
         floor($"o_totalprice" * 100).cast("long").as("cents"),
         $"o_orderstatus")
@@ -345,8 +341,7 @@ object Extensions extends QueryPack {
     "x39_manifest_merge" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import graft.operators.ManifestTable
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-mrg-").toString + "/t"
+      val work = graft.Scratch.tempDir("graft-mrg-").toString + "/t"
       val t = Tables(s, dir).orders.select($"o_orderkey", $"o_custkey",
         $"o_orderstatus", floor($"o_totalprice" * 100).cast("long")
           .as("cents"))
@@ -391,8 +386,7 @@ object Extensions extends QueryPack {
     "x41_format_time_travel" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import graft.operators.ManifestTable
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-fmt-").toString + "/t"
+      val work = graft.Scratch.tempDir("graft-fmt-").toString + "/t"
       val t = Tables(s, dir).orders.select($"o_orderkey",
         floor($"o_totalprice" * 100).cast("long").as("cents"))
       def slice(m: Int) = t.filter($"o_orderkey" % 3 === m)
@@ -443,8 +437,7 @@ object Extensions extends QueryPack {
       import graft.operators.ManifestTable
       import org.apache.spark.sql.execution.datasources.FilePartition
       import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-fsk-").toString + "/t"
+      val work = graft.Scratch.tempDir("graft-fsk-").toString + "/t"
       val t = Tables(s, dir).orders.select($"o_orderkey",
         floor($"o_totalprice" * 100).cast("long").as("cents"))
       val mx = t.agg(max($"o_orderkey")).first().getLong(0)
@@ -492,8 +485,7 @@ object Extensions extends QueryPack {
     "x43_format_change_feed" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import graft.operators.ManifestTable
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-cdf-").toString + "/t"
+      val work = graft.Scratch.tempDir("graft-cdf-").toString + "/t"
       val t = Tables(s, dir).orders.select($"o_orderkey",
         ($"o_orderkey" % 3).as("m"),
         floor($"o_totalprice" * 100).cast("long").as("cents"))
@@ -544,8 +536,7 @@ object Extensions extends QueryPack {
     "x44_sql_catalog" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val cat = s"gx44_${java.util.UUID.randomUUID().toString.take(8)}"
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft-x44-").toString
+      val wh = graft.Scratch.tempDir("graft-x44-").toString
       s.conf.set(s"spark.sql.catalog.$cat",
         "graft.sources.GraftManifestCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
@@ -601,8 +592,7 @@ object Extensions extends QueryPack {
     "x45_sql_delete" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val cat = s"gx45_${java.util.UUID.randomUUID().toString.take(8)}"
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft-x45-").toString
+      val wh = graft.Scratch.tempDir("graft-x45-").toString
       s.conf.set(s"spark.sql.catalog.$cat",
         "graft.sources.GraftManifestCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
@@ -654,8 +644,7 @@ object Extensions extends QueryPack {
     "x46_manifest_history" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import graft.operators.ManifestTable
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-hist-").toString + "/t"
+      val work = graft.Scratch.tempDir("graft-hist-").toString + "/t"
       val t = Tables(s, dir).orders.select($"o_orderkey",
         floor($"o_totalprice" * 100).cast("long").as("cents"))
       try {
@@ -717,8 +706,7 @@ object Extensions extends QueryPack {
       import graft.operators.ManifestTable
       import org.apache.spark.sql.execution.datasources.FilePartition
       import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-part-").toString + "/t"
+      val work = graft.Scratch.tempDir("graft-part-").toString + "/t"
       val t = Tables(s, dir).orders.select($"o_orderkey", $"o_orderstatus",
         floor($"o_totalprice" * 100).cast("long").as("cents"))
       def planned(df: DataFrame): Int =
@@ -770,8 +758,7 @@ object Extensions extends QueryPack {
     "x48_partition_overwrite" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import graft.operators.ManifestTable
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-pow-").toString + "/t"
+      val work = graft.Scratch.tempDir("graft-pow-").toString + "/t"
       val t = Tables(s, dir).orders.select($"o_orderkey", $"o_orderstatus",
         floor($"o_totalprice" * 100).cast("long").as("cents"))
       try {
@@ -818,8 +805,7 @@ object Extensions extends QueryPack {
     "x49_restore" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import graft.operators.ManifestTable
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-rst-").toString + "/t"
+      val work = graft.Scratch.tempDir("graft-rst-").toString + "/t"
       val t = Tables(s, dir).orders.select($"o_orderkey",
         floor($"o_totalprice" * 100).cast("long").as("cents"))
       try {
@@ -868,8 +854,7 @@ object Extensions extends QueryPack {
       import graft.operators.ManifestTable
       import org.apache.spark.sql.execution.datasources.FilePartition
       import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-zo-").toString + "/t"
+      val work = graft.Scratch.tempDir("graft-zo-").toString + "/t"
       val t = Tables(s, dir).orders.select($"o_orderkey", $"o_custkey",
         floor($"o_totalprice" * 100).cast("long").as("cents"))
       def planned(df: DataFrame): Int =
@@ -926,8 +911,7 @@ object Extensions extends QueryPack {
       import s.implicits._
       import graft.operators.ManifestTable
       val cat = s"gx51_${java.util.UUID.randomUUID().toString.take(8)}"
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft-x51-").toString
+      val wh = graft.Scratch.tempDir("graft-x51-").toString
       s.conf.set(s"spark.sql.catalog.$cat",
         "graft.sources.GraftManifestCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
@@ -989,8 +973,7 @@ object Extensions extends QueryPack {
       import s.implicits._
       import graft.operators.ManifestTable
       val cat = s"gx57_${java.util.UUID.randomUUID().toString.take(8)}"
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft-x57-").toString
+      val wh = graft.Scratch.tempDir("graft-x57-").toString
       s.conf.set(s"spark.sql.catalog.$cat",
         "graft.sources.GraftManifestCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
@@ -1049,8 +1032,7 @@ object Extensions extends QueryPack {
     "x52_sql_merge" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val cat = s"gx52_${java.util.UUID.randomUUID().toString.take(8)}"
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft-x52-").toString
+      val wh = graft.Scratch.tempDir("graft-x52-").toString
       s.conf.set(s"spark.sql.catalog.$cat",
         "graft.sources.GraftManifestCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
@@ -1104,8 +1086,7 @@ object Extensions extends QueryPack {
     "x53_mor_delete" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import graft.operators.ManifestTable
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-mor-").toString + "/t"
+      val work = graft.Scratch.tempDir("graft-mor-").toString + "/t"
       val t = Tables(s, dir).orders.select($"o_orderkey", $"o_orderstatus",
         floor($"o_totalprice" * 100).cast("long").as("cents"))
       try {
@@ -1168,8 +1149,7 @@ object Extensions extends QueryPack {
       import org.apache.spark.sql.execution.datasources.FilePartition
       import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
       val cat = s"gx54_${java.util.UUID.randomUUID().toString.take(8)}"
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft-x54-").toString
+      val wh = graft.Scratch.tempDir("graft-x54-").toString
       s.conf.set(s"spark.sql.catalog.$cat",
         "graft.sources.GraftManifestCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
@@ -1238,8 +1218,7 @@ object Extensions extends QueryPack {
     "x55_change_feed_rows" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import graft.operators.ManifestTable
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-cdf2-").toString + "/t"
+      val work = graft.Scratch.tempDir("graft-cdf2-").toString + "/t"
       val t = Tables(s, dir).orders.select($"o_orderkey".as("k"),
         floor($"o_totalprice" * 100).cast("long").as("cents"))
       try {
@@ -1289,8 +1268,7 @@ object Extensions extends QueryPack {
     "x56_dv_front_door" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import graft.operators.ManifestTable
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-dvdoor-").toString + "/t"
+      val work = graft.Scratch.tempDir("graft-dvdoor-").toString + "/t"
       val t = Tables(s, dir).orders.select($"o_orderkey".as("k"),
         $"o_orderstatus".as("st"),
         floor($"o_totalprice" * 100).cast("long").as("cents"))
@@ -1347,8 +1325,7 @@ object Extensions extends QueryPack {
       import s.implicits._
       import graft.operators.ManifestTable
       val cat = s"gx58_${java.util.UUID.randomUUID().toString.take(8)}"
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft-x58-").toString
+      val wh = graft.Scratch.tempDir("graft-x58-").toString
       s.conf.set(s"spark.sql.catalog.$cat",
         "graft.sources.GraftManifestCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
@@ -1424,8 +1401,7 @@ object Extensions extends QueryPack {
       import s.implicits._
       import graft.operators.ManifestTable
       val cat = s"gx60_${java.util.UUID.randomUUID().toString.take(8)}"
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft-x60-").toString
+      val wh = graft.Scratch.tempDir("graft-x60-").toString
       s.conf.set(s"spark.sql.catalog.$cat",
         "graft.sources.GraftManifestCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
@@ -1489,8 +1465,7 @@ object Extensions extends QueryPack {
     "x61_shallow_clone" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import graft.operators.ManifestTable
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-clone-").toString
+      val root = graft.Scratch.tempDir("graft-clone-").toString
       val src = s"$root/src"
       val dst = s"$root/dst"
       val t = Tables(s, dir).orders.select($"o_orderkey".as("k"),
@@ -1553,8 +1528,7 @@ object Extensions extends QueryPack {
     "x62_cdf_front_door" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import graft.operators.ManifestTable
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-cdfdoor-").toString + "/t"
+      val work = graft.Scratch.tempDir("graft-cdfdoor-").toString + "/t"
       val t = Tables(s, dir).orders.select($"o_orderkey".as("k"),
         $"o_orderstatus".as("st"),
         floor($"o_totalprice" * 100).cast("long").as("cents"))
@@ -1619,8 +1593,7 @@ object Extensions extends QueryPack {
       import graft.operators.ManifestTable
       import org.apache.spark.sql.execution.datasources.FilePartition
       import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-partevo-").toString + "/t"
+      val work = graft.Scratch.tempDir("graft-partevo-").toString + "/t"
       val t = Tables(s, dir).orders.select($"o_orderkey".as("k"),
         $"o_orderstatus".as("st"),
         floor($"o_totalprice" * 100).cast("long").as("cents"))
@@ -1676,8 +1649,7 @@ object Extensions extends QueryPack {
     "x64_convert_in_place" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import graft.operators.ManifestTable
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-convert-").toString + "/t"
+      val work = graft.Scratch.tempDir("graft-convert-").toString + "/t"
       val t = Tables(s, dir).orders.select($"o_orderkey".as("k"),
         $"o_orderstatus".as("st"),
         floor($"o_totalprice" * 100).cast("long").as("cents"))
@@ -1726,8 +1698,7 @@ object Extensions extends QueryPack {
     "x66_convert_hive_layout" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import graft.operators.ManifestTable
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-hivecvt-").toString + "/t"
+      val work = graft.Scratch.tempDir("graft-hivecvt-").toString + "/t"
       val t = Tables(s, dir).orders.select($"o_orderkey".as("k"),
         $"o_orderstatus".as("st"),
         floor($"o_totalprice" * 100).cast("long").as("cents"))
@@ -1789,8 +1760,7 @@ object Extensions extends QueryPack {
       import s.implicits._
       import graft.operators.ManifestTable
       import org.apache.spark.sql.types.{IntegerType, LongType}
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-widen-").toString + "/t"
+      val work = graft.Scratch.tempDir("graft-widen-").toString + "/t"
       val t = Tables(s, dir).orders.select($"o_orderkey".as("k"),
         $"o_orderstatus".as("st"),
         floor($"o_totalprice" * 100).cast("long").as("cents"))
@@ -1837,8 +1807,7 @@ object Extensions extends QueryPack {
     "x68_incommit_timestamp" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import graft.operators.ManifestTable
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-ict-").toString
+      val root = graft.Scratch.tempDir("graft-ict-").toString
       val work = root + "/t"
       val moved = root + "/moved"
       val t = Tables(s, dir).orders.select($"o_orderkey".as("k"),
@@ -1898,8 +1867,7 @@ object Extensions extends QueryPack {
       import graft.operators.ManifestTable
       import org.apache.spark.sql.execution.datasources.FilePartition
       import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-strstats-").toString + "/t"
+      val work = graft.Scratch.tempDir("graft-strstats-").toString + "/t"
       val t = Tables(s, dir).orders.select($"o_orderkey".as("k"),
         $"o_orderpriority".as("prio"),
         floor($"o_totalprice" * 100).cast("long").as("cents"))
@@ -1954,8 +1922,7 @@ object Extensions extends QueryPack {
       import graft.operators.ManifestTable
       import org.apache.spark.sql.execution.datasources.FilePartition
       import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-autostats-").toString + "/t"
+      val work = graft.Scratch.tempDir("graft-autostats-").toString + "/t"
       val t = Tables(s, dir).orders.select($"o_orderkey", $"o_custkey",
         floor($"o_totalprice" * 100).cast("long").as("cents"))
       def plannedFiles(df: DataFrame): Int =
@@ -2625,8 +2592,7 @@ object Extensions extends QueryPack {
       import graft.plans.{MatviewDef, MatviewRewrite}
       import org.apache.spark.sql.execution.datasources.LogicalRelation
       import org.apache.spark.sql.types.DecimalType
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-mvauto-").toString
+      val root = graft.Scratch.tempDir("graft-mvauto-").toString
       val landing = s"$root/landing"
       val ev = Tables(s, dir).events
         .select($"event_type", $"value",

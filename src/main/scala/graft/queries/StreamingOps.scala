@@ -1164,8 +1164,7 @@ object StreamingOps extends QueryPack {
         .groupBy($"user_id")
         .agg(count(lit(1)).as("n_events"),
           sum(expr("CAST(FLOOR(value * 100) AS BIGINT)")).as("total_cents"))
-      val servingRoot = java.nio.file.Files
-        .createTempDirectory("graft-serving-").toString
+      val servingRoot = graft.Scratch.tempDir("graft-serving-").toString
       // only the current snapshot PATH lives on the driver — never rows
       var latest: Option[String] = None
       var batches = 0
@@ -1304,8 +1303,7 @@ object StreamingOps extends QueryPack {
       val raw = eventStreamMultiBatch(s, dir, parts = 4)
         .select($"event_type",
           expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
-      val servingRoot = java.nio.file.Files
-        .createTempDirectory("graft-extrema-").toString
+      val servingRoot = graft.Scratch.tempDir("graft-extrema-").toString
       var latest: Option[String] = None
       var batches = 0
       // foreachBatch can re-deliver a batchId after a task retry, and
@@ -1390,8 +1388,7 @@ object StreamingOps extends QueryPack {
       import s.implicits._
       val raw = eventStreamMultiBatch(s, dir, parts = 4)
         .select($"user_id", $"ts", to_date($"ts").as("day"))
-      val servingRoot = java.nio.file.Files
-        .createTempDirectory("graft-conc-").toString
+      val servingRoot = graft.Scratch.tempDir("graft-conc-").toString
       var latest: Option[String] = None
       var lastApplied = -1L
       var batches = 0
@@ -1505,8 +1502,7 @@ object StreamingOps extends QueryPack {
       val raw = eventStreamMultiBatch(s, dir, parts = 4)
         .filter($"user_id" <= 20)
         .select($"user_id", $"ts")
-      val servingRoot = java.nio.file.Files
-        .createTempDirectory("graft-scd2-").toString
+      val servingRoot = graft.Scratch.tempDir("graft-scd2-").toString
       var latest: Option[String] = None
       var lastApplied = -1L
       var batches = 0
@@ -1583,8 +1579,7 @@ object StreamingOps extends QueryPack {
     "st46_stream_manifest_sink" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import graft.operators.ManifestTable
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-sink-").toString + "/t"
+      val work = graft.Scratch.tempDir("graft-sink-").toString + "/t"
       val src = eventStreamMultiBatch(s, dir, parts = 4)
         .select($"event_type",
           expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
@@ -1637,8 +1632,7 @@ object StreamingOps extends QueryPack {
     "st48_stream_format_sink" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import graft.operators.ManifestTable
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-fsink-").toString
+      val root = graft.Scratch.tempDir("graft-fsink-").toString
       val work = s"$root/t"
       val staged = eventStreamMultiBatch(s, dir, parts = 4)
         .select($"event_type",
@@ -1714,8 +1708,7 @@ object StreamingOps extends QueryPack {
       val stageDir = stageDeterministic(s, "smerge-stage", dir,
         changelog, 4, Seq($"user_id", $"epoch"))
       val schema = s.read.parquet(stageDir).schema
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-smerge-").toString
+      val root = graft.Scratch.tempDir("graft-smerge-").toString
       val work = s"$root/t"
       val ckpt = s"$root/ckpt"
       val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -1786,8 +1779,7 @@ object StreamingOps extends QueryPack {
     "st50_stream_cdf_source" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import graft.operators.ManifestTable
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-scdf-").toString
+      val root = graft.Scratch.tempDir("graft-scdf-").toString
       val work = s"$root/t"
       val ckpt = s"$root/ckpt"
       val t = Tables(s, dir).orders.select($"o_orderkey".as("k"),
@@ -1875,8 +1867,7 @@ object StreamingOps extends QueryPack {
     "st51_stream_throttled_backfill" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import graft.operators.ManifestTable
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-throttle-").toString
+      val root = graft.Scratch.tempDir("graft-throttle-").toString
       val work = s"$root/t"
       val t = Tables(s, dir).orders.select($"o_orderkey".as("k"),
         $"o_orderstatus".as("st"),
@@ -1957,8 +1948,7 @@ object StreamingOps extends QueryPack {
     "st45_stream_table_tail" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import graft.operators.ManifestTable
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-tail-").toString
+      val root = graft.Scratch.tempDir("graft-tail-").toString
       val work = s"$root/table"
       val t = Tables(s, dir).orders.select($"o_orderkey",
         ($"o_orderkey" % 3).as("m"),
@@ -2044,8 +2034,7 @@ object StreamingOps extends QueryPack {
     "st47_stream_format_tail" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import graft.operators.ManifestTable
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-fmt-tail-").toString
+      val root = graft.Scratch.tempDir("graft-fmt-tail-").toString
       val work = s"$root/table"
       val t = Tables(s, dir).orders.select($"o_orderkey",
         ($"o_orderkey" % 3).as("m"),
@@ -2084,8 +2073,7 @@ object StreamingOps extends QueryPack {
     "stC1_continuous_map" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val name = s"stc1_sink_${java.util.UUID.randomUUID().toString.take(8)}"
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft-stc1-").toString
+      val ckpt = graft.Scratch.tempDir("graft-stc1-").toString
       def shaped(df: org.apache.spark.sql.DataFrame) = df
         .filter($"event_type" === "purchase" && $"value" >= 50.0)
         .select($"event_id", $"user_id",
@@ -2281,8 +2269,7 @@ object StreamingOps extends QueryPack {
       val raw = eventStreamMultiBatch(s, dir, parts = 4)
         .select($"user_id",
           expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
-      val servingRoot = java.nio.file.Files
-        .createTempDirectory("graft-monoview-").toString
+      val servingRoot = graft.Scratch.tempDir("graft-monoview-").toString
       var latest: Option[String] = None
       var batches = 0
       val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -2348,8 +2335,7 @@ object StreamingOps extends QueryPack {
       val raw = eventStreamMultiBatch(s, dir, parts = 4)
         .select($"user_id", $"event_type",
           expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
-      val servingRoot = java.nio.file.Files
-        .createTempDirectory("graft-joinview-").toString
+      val servingRoot = graft.Scratch.tempDir("graft-joinview-").toString
       var latest: Option[String] = None
       var batches = 0
       val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -2418,8 +2404,7 @@ object StreamingOps extends QueryPack {
       val raw = eventStreamMultiBatch(s, dir, parts = 4)
         .select($"user_id", expr("CAST(FLOOR(value * 100) AS BIGINT)")
           .as("cents"))
-      val servingRoot = java.nio.file.Files
-        .createTempDirectory("graft-steager-").toString
+      val servingRoot = graft.Scratch.tempDir("graft-steager-").toString
       var latest: Option[String] = None
       var batches = 0
       var lastApplied = -1L
@@ -2502,8 +2487,7 @@ object StreamingOps extends QueryPack {
       val schema = s.read.parquet(stageDir).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(stageDir)
-      val servingRoot = java.nio.file.Files
-        .createTempDirectory("graft-stwarc-").toString
+      val servingRoot = graft.Scratch.tempDir("graft-stwarc-").toString
       var latest: Option[String] = None
       var batches = 0
       var lastApplied = -1L
@@ -2580,8 +2564,7 @@ object StreamingOps extends QueryPack {
       val stream = eventStreamOrderedRoundRobin(s, dir, parts)
         .select($"event_type", unix_micros($"ts").as("us"),
           expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
-      val servingRoot = java.nio.file.Files
-        .createTempDirectory("graft-late-").toString
+      val servingRoot = graft.Scratch.tempDir("graft-late-").toString
       var latest: Option[String] = None
       var batches = 0
       var lastApplied = -1L
@@ -2706,7 +2689,7 @@ object StreamingOps extends QueryPack {
       val schema = s.read.parquet(stageDir).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(stageDir)
-      val root = Files.createTempDirectory("graft-jvivm-").toString
+      val root = graft.Scratch.tempDir("graft-jvivm-").toString
       val factDir = s"$root/facts"
       var latestB: Option[String] = None
       var latestV: Option[String] = None
@@ -2839,8 +2822,7 @@ object StreamingOps extends QueryPack {
       val schema = s.read.parquet(stageDir).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(stageDir)
-      val servingDir = Files
-        .createTempDirectory("graft-incdedup-").toString
+      val servingDir = graft.Scratch.tempDir("graft-incdedup-").toString
       var batches = 0
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -2951,8 +2933,7 @@ object StreamingOps extends QueryPack {
       val schema = s.read.parquet(stageDir).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(stageDir)
-      val servingRoot = Files
-        .createTempDirectory("graft-cdc-serving-").toString
+      val servingRoot = graft.Scratch.tempDir("graft-cdc-serving-").toString
       var latest: Option[String] = None
       var batches = 0
       val prev = s.conf.get("spark.sql.shuffle.partitions")
