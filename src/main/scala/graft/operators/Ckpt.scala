@@ -36,4 +36,24 @@ object Ckpt {
     val ck = df.localCheckpoint(true)
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
+
+  /** Spread a narrow scan across the cluster BEFORE expensive per-row
+    * work (shingling, window packing, decode): when `df`'s scan has
+    * fewer partitions than the session's parallelism — here every sf
+    * table is a single-row-group parquet file, so every scan stage is
+    * ONE task — whole-stage codegen fuses the heavy transform into
+    * that serial task and 31 of 32 cores idle (measured: the shared
+    * shingle-index build ran 2.9 s in one task; spread, ~0.25 s).
+    * Keyed repartition (deterministic, guide §2.5 — never round-robin
+    * on an expensive lineage) by `key`. On a real multi-file table
+    * the scan already carries ≥ parallelism splits and this is the
+    * identity — the shuffle only exists where the layout starves the
+    * cores, which is why it is a conditional, not a blanket
+    * `repartition` that would shuffle 100 TB before every transform.
+    */
+  def spread(df: DataFrame,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p, key)
+  }
 }

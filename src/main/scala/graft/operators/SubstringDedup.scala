@@ -121,10 +121,15 @@ object SubstringDedup {
     * hotspot (PLANS §102/§104). Other corpora start at width 1 from
     * the code point.
     */
-  private[graft] def classesAt(docs: DataFrame, l: Int): DataFrame = {
+  private[graft] def classesAt(docs0: DataFrame, l: Int): DataFrame = {
     require(l > 0 && (l & (l - 1)) == 0, s"L must be a power of two, got $l")
-    val s = docs.sparkSession
+    val s = docs0.sparkSession
     import s.implicits._
+    // spread the scan before the window generator: the packed-window
+    // pass is the per-row hotspot, and a single-row-group corpus file
+    // otherwise runs it (twice — keepDuplicated's two branches) in one
+    // task ([[Ckpt.spread]]; identity on a well-laid-out table)
+    val docs = Ckpt.spread(docs0, $"doc_id")
     import graft.functions.GraftFunctions
     // compiled admission check (graft_max_codepoint): one codegen pass
     // over the text, replacing the interpreted split/transform HOFs

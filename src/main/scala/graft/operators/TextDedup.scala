@@ -40,8 +40,12 @@ object TextDedup {
     * covered set). No doc-pair enumeration anywhere — cost is linear
     * in corpus tokens, exactly like d09's profile.
     */
-  def spanRewrite(docs: DataFrame, idCol: String, textCol: String,
+  def spanRewrite(docs0: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
+    // spread the scan before tokenization ([[Ckpt.spread]]): `toks`
+    // sits under both the n-gram index and the re-assembly join, and
+    // a single-row-group corpus file runs both serially otherwise
+    val docs = Ckpt.spread(docs0, col(idCol))
     val toks = docs
       .withColumn("__norm", regexp_replace(lower(col(textCol)), "\\s+", " "))
       .withColumn("__toks", split(col("__norm"), " "))
@@ -327,16 +331,29 @@ object TextDedup {
   private def bandHash(sigCols: Seq[String]) =
     sparkHash56(concat_ws(",", sigCols.map(col): _*))
 
+  /** `(id, band, bh)` — every band hash of every signature row in ONE
+    * pass: posexplode over the band-hash array instead of a bands-way
+    * union that re-scans the signature subtree once per band. Same
+    * row set (band = array position = the old `lit(bi)` literal, bh =
+    * the same [[bandHash]]), but 1/bands the scan tasks and a plan
+    * that codegens as a single Generate — measured on this harness
+    * the union spelling paid ~bands× the per-stage fixed cost on
+    * every probe (guide §2.4: remove redundant scans/exchanges).
+    */
+  def bandedHashes(signatures: DataFrame, numPerms: Int,
+      bands: Int): DataFrame =
+    signatures
+      .select(col("id"), posexplode(array(
+        bandCols(numPerms, bands).map { case (_, sigCols) =>
+          bandHash(sigCols) }: _*)))
+      .toDF("id", "band", "bh")
+
   /** Distinct candidate pairs colliding in ≥1 LSH band, with the
     * number of agreeing bands.
     */
   def lshCandidates(signatures: DataFrame, numPerms: Int,
       bands: Int): DataFrame = {
-    val banded = bandCols(numPerms, bands).zipWithIndex.map {
-      case ((_, sigCols), bi) =>
-        signatures.select(col("id"), lit(bi).as("band"),
-          bandHash(sigCols).as("bh"))
-    }.reduce(_ unionByName _)
+    val banded = bandedHashes(signatures, numPerms, bands)
     banded.select(col("id").as("d1"), col("band"), col("bh"))
       .join(banded.select(col("id").as("d2"), col("band"), col("bh")),
         Seq("band", "bh"))

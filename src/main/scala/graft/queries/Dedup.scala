@@ -71,7 +71,12 @@ object Dedup extends QueryPack {
       (s.sparkContext.applicationId, dir,
         SharedFrames.sourceFingerprint(s, dir, "documents"), n),
       _ => graft.operators.TextDedup
-        .shingleHashes(Tables(s, dir).documents, "doc_id", "text", n)
+        .shingleHashes(
+          // spread the single-row-group scan before the shingle
+          // explode — the build ran as ONE 2.9 s task otherwise
+          graft.operators.Ckpt.spread(
+            Tables(s, dir).documents, col("doc_id")),
+          "doc_id", "text", n)
         .localCheckpoint(true))
 
   /** Memoized MinHash signatures over the memoized 3-shingle index:
@@ -144,11 +149,7 @@ object Dedup extends QueryPack {
             Seq("corpus" -> 900, "new" -> 100), salt = "inc"))
           .filter($"part" === "corpus")
           .select($"doc_id".as("id"))
-        val withBands = TextDedup.withBandHashes(
-          sharedSignatures(s, dir), K, Bands)
-        bandCols.zipWithIndex.map { case ((name, _), bi) =>
-          withBands.select($"id", lit(bi).as("band"), col(name).as("bh"))
-        }.reduce(_ unionByName _)
+        TextDedup.bandedHashes(sharedSignatures(s, dir), K, Bands)
           .join(corpusIds, Seq("id"), "left_semi")
           .write.mode("overwrite").bucketBy(8, "bh")
           .saveAsTable(bandsTbl)
@@ -556,11 +557,9 @@ object Dedup extends QueryPack {
           Seq("corpus" -> 900, "new" -> 100), salt = "inc"))
         .select($"doc_id".as("id"), $"part")
       val sh = shingleHashes(s, dir)
-      val withBands = TextDedup.withBandHashes(
-        sharedSignatures(s, dir), K, Bands)
-      val banded = bandCols.zipWithIndex.map { case ((name, _), bi) =>
-        withBands.select($"id", lit(bi).as("band"), col(name).as("bh"))
-      }.reduce(_ unionByName _).join(parts, Seq("id"))
+      val banded = TextDedup
+        .bandedHashes(sharedSignatures(s, dir), K, Bands)
+        .join(parts, Seq("id"))
       val cand = banded.filter($"part" === "new")
         .select($"id".as("new_id"), $"band", $"bh")
         .join(banded.filter($"part" === "corpus")
@@ -605,11 +604,8 @@ object Dedup extends QueryPack {
         .filter($"part" === "new")
         .select($"doc_id", $"text")
       val newSh = TextDedup.shingleHashes(newDocs, "doc_id", "text", n = 3)
-      val newBands = TextDedup.withBandHashes(
+      val newBanded = TextDedup.bandedHashes(
         TextDedup.minhashSignatures(newSh, K), K, Bands)
-      val newBanded = bandCols.zipWithIndex.map { case ((name, _), bi) =>
-        newBands.select($"id", lit(bi).as("band"), col(name).as("bh"))
-      }.reduce(_ unionByName _)
       val cand = newBanded.select($"id".as("new_id"), $"band", $"bh")
         .join(s.table(bandsTbl)
           .select($"id".as("corpus_id"), $"band", $"bh"),

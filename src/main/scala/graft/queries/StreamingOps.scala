@@ -2852,14 +2852,9 @@ object StreamingOps extends QueryPack {
               val arrivals = batch.select($"doc_id", $"text").persist()
               val newSh = TextDedup.shingleHashes(
                 arrivals, "doc_id", "text", n = 3)
-              val newBands = TextDedup.withBandHashes(
+              val newBanded = TextDedup.bandedHashes(
                 TextDedup.minhashSignatures(newSh, Dedup.K),
                 Dedup.K, Dedup.Bands)
-              val newBanded = TextDedup.bandCols(Dedup.K, Dedup.Bands)
-                .zipWithIndex.map { case ((name, _), bi) =>
-                  newBands.select($"id", lit(bi).as("band"),
-                    col(name).as("bh"))
-                }.reduce(_ unionByName _)
               val cand = newBanded
                 .select($"id".as("new_id"), $"band", $"bh")
                 .join(s.table(bandsTbl)
