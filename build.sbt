@@ -26,8 +26,23 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Run-lifetime temp I/O (implicit streaming checkpoints, Spark temp
+// dirs) on the fastest local device — same policy as graft.Scratch
+// (see Scratch.scala for the latency measurements); SPARK_GRAFT_SCRATCH
+// overrides, and boxes without /dev/shm fall back to the JVM default.
+// Unlike a global spark.sql.streaming.checkpointLocation base this
+// keeps every implicit checkpoint unique-per-start (a shared base
+// makes same-NAMED queries resume each other's offsets).
+val graftTmpDir: Option[String] = {
+  val base = sys.env.get("SPARK_GRAFT_SCRATCH").orElse {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-tmp")
+    else None
+  }
+  base.map { b => new java.io.File(b).mkdirs(); b }
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ graftTmpDir.map(d => s"-Djava.io.tmpdir=$d").toSeq

@@ -105,13 +105,13 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // default base for streaming checkpoints a query does not place
-      // explicitly (unnamed queries get a fresh UUID subdir per
-      // start): micro-batch offset/commit/state writes are fsync-heavy
-      // tiny files — same fastest-local-device policy as
-      // spark.local.dir ([[Scratch]]), deleted on JVM exit.
-      .config("spark.sql.streaming.checkpointLocation",
-        Scratch.tempDir("stream-ckpt-").toString)
+      // NOTE deliberately NOT set: spark.sql.streaming.checkpointLocation.
+      // A global base makes a NAMED query resume `$base/<name>` — a
+      // second engine instance reusing a query name within one JVM
+      // would resume the first's offsets (CausalOrderSpec caught this
+      // against a MemoryStream). Implicit temp checkpoints instead
+      // inherit the fast device through java.io.tmpdir (build.sbt),
+      // which stays unique-per-start.
       // INT96 timestamps on write: DuckDB (the oracle) reads INT96 as
       // naive local time, matching its own TIMESTAMP literals; the
       // micros logical type would come back timezone-aware and fail
